@@ -1,38 +1,307 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: agni_spark (see SURVEY.md). Each `queries()` entry exercises an
+operator from SURVEY §2 through the engine's own API (Querier /
+functions tiers); the matching `oracle_sql()` entry is plain SQL DuckDB
+runs over the same parquet tables. TSDB-shaped tables are derived
+deterministically from `events` (agni_spark.datamodel / oracle.PRELUDE).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from agni_spark import datamodel as dm  # noqa: E402
+from agni_spark import oracle  # noqa: E402
+from agni_spark.matchers import eq, label_in, neq, prefix, re_match, re_no_match  # noqa: E402
+from agni_spark.querier import Querier, validate_block_sequence  # noqa: E402
+from agni_spark.session import tune_session  # noqa: E402
+
+T1, T2 = oracle.T1, oracle.T2
+
+
+def _querier(spark: SparkSession, sf_dir: str) -> Querier:
+    tune_session(spark)
+    t = dm.derive_tsdb(spark, sf_dir)
+    return Querier(t.samples, t.series, t.series_labels, t.blocks)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: remote-read style selection — matchers + time range over
+    the samples fact table (SURVEY §3.1)."""
+    q = _querier(spark, "/root/testdata/sf0.001")
+    return q.select(
+        [eq("job", "api"), eq("env", "prod")], mint_ms=T1, maxt_ms=T2
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries(): engine-side implementations
+# ---------------------------------------------------------------------------
+
+def _q_s3_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return validate_block_sequence(q.blocks).agg(
+        F.count(F.lit(1)).alias("overlaps")
+    )
+
+
+def _q_s6_series_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    sid = F.broadcast(
+        q.series.where(F.col("series_id") >= 2000).agg(
+            F.min("series_id").alias("series_id")
+        )
+    )
+    return (
+        q.series_labels.join(sid, "series_id", "left_semi")
+        .select("name", "value")
+        .orderBy("name")
+    )
+
+
+def _q_s10_level1(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return (
+        q.blocks.where(F.col("compaction_level") == 1)
+        .select("ulid")
+        .orderBy("ulid")
+    )
+
+
+def _q_p1_time_prune(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return q.select(mint_ms=T1, maxt_ms=T2).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("series_id").alias("n_series"),
+    )
+
+
+def _q_p2_eq(spark: SparkSession, sf: str) -> DataFrame:
+    return _querier(spark, sf).select_series([eq("job", "api")]).orderBy("series_id")
+
+
+def _q_p3_regex(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _querier(spark, sf)
+        .select_series([re_match("instance", "prod-.*")])
+        .orderBy("series_id")
+    )
+
+
+def _q_p4_neq(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _querier(spark, sf).select_series([neq("pod", "pod-1")]).orderBy("series_id")
+    )
+
+
+def _q_p5_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _querier(spark, sf)
+        .select_series([prefix("instance", "prod-0")])
+        .orderBy("series_id")
+    )
+
+
+def _q_p6_absent(spark: SparkSession, sf: str) -> DataFrame:
+    return _querier(spark, sf).select_series([eq("pod", "")]).orderBy("series_id")
+
+
+def _q_p6_nre(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _querier(spark, sf)
+        .select_series([re_no_match("pod", "pod-[0-3]")])
+        .orderBy("series_id")
+    )
+
+
+def _q_p7_select(spark: SparkSession, sf: str) -> DataFrame:
+    return _querier(spark, sf).select(
+        [eq("job", "api"), eq("env", "prod")], mint_ms=T1, maxt_ms=T2
+    )
+
+
+def _q_p9_tombstones(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    out = q.apply_tombstones(
+        q.select(mint_ms=T1, maxt_ms=T2), dm.tombstones_for(spark)
+    )
+    return out.orderBy("series_id", "ts_ms", "value")
+
+
+def _q_a1_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _querier(spark, sf)
+        .select_series([eq("job", "api"), eq("env", "prod"), re_match("pod", ".+")])
+        .orderBy("series_id")
+    )
+
+
+def _q_a2_union(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _querier(spark, sf)
+        .select_series([label_in("job", ["api", "web"])])
+        .orderBy("series_id")
+    )
+
+
+def _q_m1_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # cross-block sorted merge = full-range select, ordered output
+    return _querier(spark, sf).select()
+
+
+def _q_m2_chained(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return (
+        q.samples.groupBy("series_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("ts_ms").alias("first_ms"),
+            F.max("ts_ms").alias("last_ms"),
+        )
+        .orderBy("series_id")
+    )
+
+
+def _q_m4_label_values(spark: SparkSession, sf: str) -> DataFrame:
+    return _querier(spark, sf).label_values("instance")
+
+
+def _q_m4_label_names(spark: SparkSession, sf: str) -> DataFrame:
+    return _querier(spark, sf).label_names()
+
+
+def _q_m5_label_values_for(spark: SparkSession, sf: str) -> DataFrame:
+    return _querier(spark, sf).label_values("instance", [eq("job", "api")])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s3_block_overlap_check": _q_s3_overlap,
+        "s6_series_lookup": _q_s6_series_lookup,
+        "s10_level1_filter": _q_s10_level1,
+        "p1_time_prune": _q_p1_time_prune,
+        "p2_eq_matcher": _q_p2_eq,
+        "p3_regex_matcher": _q_p3_regex,
+        "p4_neq_matcher": _q_p4_neq,
+        "p5_prefix_matcher": _q_p5_prefix,
+        "p6_absent_matcher": _q_p6_absent,
+        "p6_nre_matcher": _q_p6_nre,
+        "p7_select_samples": _q_p7_select,
+        "p9_tombstone_filter": _q_p9_tombstones,
+        "a1_intersect": _q_a1_intersect,
+        "a2_union": _q_a2_union,
+        "m1_merge_sorted": _q_m1_merge,
+        "m2_chained_series": _q_m2_chained,
+        "m4_label_values": _q_m4_label_values,
+        "m4_label_names": _q_m4_label_names,
+        "m5_label_values_for": _q_m5_label_values_for,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB equivalents (PRELUDE derives the TSDB tables)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    q = oracle.q
+    return {
+        "s3_block_overlap_check": q(
+            "SELECT CAST(count(*) AS BIGINT) AS overlaps "
+            "FROM blocks a JOIN blocks b ON a.ulid < b.ulid "
+            "AND a.mint_ms < b.maxt_ms AND b.mint_ms < a.maxt_ms"
+        ),
+        "s6_series_lookup": q(
+            "SELECT name, value FROM series_labels WHERE series_id = "
+            "(SELECT min(series_id) FROM series WHERE series_id >= 2000) "
+            "ORDER BY name"
+        ),
+        "s10_level1_filter": q(
+            "SELECT ulid FROM blocks WHERE compaction_level = 1 ORDER BY ulid"
+        ),
+        "p1_time_prune": q(
+            f"SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(count(DISTINCT series_id) AS BIGINT) AS n_series "
+            f"FROM samples WHERE ts_ms BETWEEN {T1} AND {T2}"
+        ),
+        "p2_eq_matcher": q(
+            "SELECT DISTINCT series_id FROM series_labels "
+            "WHERE name='job' AND value='api' ORDER BY series_id"
+        ),
+        "p3_regex_matcher": q(
+            "SELECT DISTINCT series_id FROM series_labels WHERE name='instance' "
+            "AND regexp_matches(value, '^(?:prod-.*)$') ORDER BY series_id"
+        ),
+        "p4_neq_matcher": q(
+            "SELECT series_id FROM series "
+            "WHERE pod IS NULL OR pod <> 'pod-1' ORDER BY series_id"
+        ),
+        "p5_prefix_matcher": q(
+            "SELECT DISTINCT series_id FROM series_labels WHERE name='instance' "
+            "AND value LIKE 'prod-0%' ORDER BY series_id"
+        ),
+        "p6_absent_matcher": q(
+            "SELECT series_id FROM series WHERE pod IS NULL ORDER BY series_id"
+        ),
+        "p6_nre_matcher": q(
+            "SELECT series_id FROM series WHERE pod IS NULL "
+            "OR NOT regexp_matches(pod, '^(?:pod-[0-3])$') ORDER BY series_id"
+        ),
+        "p7_select_samples": q(
+            f"SELECT s.series_id, s.ts_ms, s.value FROM samples s "
+            f"WHERE s.ts_ms BETWEEN {T1} AND {T2} "
+            f"AND EXISTS (SELECT 1 FROM series_labels l WHERE l.series_id=s.series_id "
+            f"AND l.name='job' AND l.value='api') "
+            f"AND EXISTS (SELECT 1 FROM series_labels l WHERE l.series_id=s.series_id "
+            f"AND l.name='env' AND l.value='prod') "
+            f"ORDER BY s.series_id, s.ts_ms"
+        ),
+        "p9_tombstone_filter": q(
+            f"SELECT s.series_id, s.ts_ms, s.value FROM samples s "
+            f"WHERE s.ts_ms BETWEEN {T1} AND {T2} "
+            f"AND NOT EXISTS (SELECT 1 FROM tombstones t "
+            f"WHERE t.series_id = s.series_id "
+            f"AND s.ts_ms BETWEEN t.mint_ms AND t.maxt_ms) "
+            f"ORDER BY s.series_id, s.ts_ms, s.value"
+        ),
+        "a1_intersect": q(
+            "SELECT series_id FROM series_labels WHERE name='job' AND value='api' "
+            "INTERSECT SELECT series_id FROM series_labels "
+            "WHERE name='env' AND value='prod' "
+            "INTERSECT SELECT series_id FROM series_labels "
+            "WHERE name='pod' AND regexp_matches(value, '^(?:.+)$') "
+            "ORDER BY series_id"
+        ),
+        "a2_union": q(
+            "SELECT DISTINCT series_id FROM series_labels "
+            "WHERE name='job' AND value IN ('api','web') ORDER BY series_id"
+        ),
+        "m1_merge_sorted": q(
+            "SELECT series_id, ts_ms, value FROM samples ORDER BY series_id, ts_ms"
+        ),
+        "m2_chained_series": q(
+            "SELECT series_id, CAST(count(*) AS BIGINT) AS n_samples, "
+            "min(ts_ms) AS first_ms, max(ts_ms) AS last_ms "
+            "FROM samples GROUP BY series_id ORDER BY series_id"
+        ),
+        "m4_label_values": q(
+            "SELECT DISTINCT value FROM series_labels "
+            "WHERE name='instance' ORDER BY value"
+        ),
+        "m4_label_names": q(
+            "SELECT DISTINCT name FROM series_labels ORDER BY name"
+        ),
+        "m5_label_values_for": q(
+            "SELECT DISTINCT value FROM series_labels "
+            "WHERE name='instance' AND series_id IN "
+            "(SELECT series_id FROM series_labels WHERE name='job' AND value='api') "
+            "ORDER BY value"
+        ),
+    }

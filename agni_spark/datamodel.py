@@ -1,0 +1,176 @@
+"""Data model + deterministic TSDB-shaped derivation from the driver
+testdata.
+
+Model (SURVEY §1, FIXTURES.md): series = sorted label set identified by
+a dense series_id; sample = (int64 ms timestamp, float64 value); blocks
+= non-overlapping 2-hour time partitions (vendor tsdb block.go:64-96).
+
+The driver's DuckDB oracle only registers the testdata tables, so the
+TSDB fixtures are DERIVED from `events` by a pure deterministic mapping
+implemented twice — here with DataFrame ops, and in
+`agni_spark.oracle.PRELUDE` as a DuckDB CTE — so every TSDB operator is
+differentially testable. The mapping assigns each event a series via
+(event_type, user_id mod 420); 420 = lcm of the label moduli, so
+series_id <-> label set is bijective:
+
+    uid      = user_id % 420
+    metric   = 'event_' || event_type                     (__name__)
+    job      = ['api','web','worker'][uid % 3]
+    env      = ['prod','dev'][uid % 2]
+    instance = env || '-' || lpad(uid % 20, 2, '0')
+    pod      = 'pod-' || (uid % 7)  only when uid % 5 < 3  (absent ~40%:
+               exercises P6 absent-label semantics)
+    series_id= type_idx * 1000 + uid
+    ts_ms    = epoch milliseconds of ts
+    block    = 2-hour bucket of ts_ms (vendor tsdb db.go:49 block range)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+BLOCK_MS = 2 * 3600 * 1000  # 2-hour blocks, vendor tsdb db.go:49
+SERIES_MOD = 420  # lcm(3, 2, 20, 5, 7)
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    The driver parquet stores TIMESTAMP(NANOS) which Spark rejects by
+    default; `nanosAsLong` reads those columns as int64 nanoseconds.
+    All downstream code converts explicitly with exact integer
+    arithmetic (`div`), never float division (2024 epoch-nanos exceed
+    2^53, a double round-trip would corrupt millisecond values)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ns_to_ms(col: str) -> Column:
+    """int64 nanos -> int64 millis, exact (floor division)."""
+    return F.expr(f"CAST({col} div 1000000 AS BIGINT)")
+
+
+def ns_to_ts(col: str) -> Column:
+    """int64 nanos -> TIMESTAMP (microsecond precision, matching what
+    DuckDB sees when it coerces TIMESTAMP_NS to TIMESTAMP)."""
+    return F.timestamp_micros(F.expr(f"CAST({col} div 1000 AS BIGINT)"))
+
+
+@dataclass
+class TsdbTables:
+    """The four TSDB-shaped tables (FIXTURES.md core fixtures)."""
+
+    samples: DataFrame  # (series_id, ts_ms, value)
+    series: DataFrame  # (series_id, metric, job, env, instance, pod)
+    series_labels: DataFrame  # (series_id, name, value) — the postings table
+    blocks: DataFrame  # (ulid, block_id, mint_ms, maxt_ms, stats...)
+
+
+def _event_base(events: DataFrame) -> DataFrame:
+    type_idx = F.array_position(
+        F.array(*[F.lit(t) for t in EVENT_TYPES]), F.col("event_type")
+    ) - F.lit(1)
+    uid = F.col("user_id") % SERIES_MOD
+    env = F.when(uid % 2 == 0, F.lit("prod")).otherwise(F.lit("dev"))
+    return events.select(
+        (type_idx * 1000 + uid).cast("long").alias("series_id"),
+        F.concat(F.lit("event_"), F.col("event_type")).alias("metric"),
+        F.element_at(
+            F.array(F.lit("api"), F.lit("web"), F.lit("worker")),
+            (uid % 3 + 1).cast("int"),
+        ).alias("job"),
+        env.alias("env"),
+        F.concat(env, F.lit("-"), F.lpad((uid % 20).cast("string"), 2, "0")).alias(
+            "instance"
+        ),
+        F.when(uid % 5 < 3, F.concat(F.lit("pod-"), (uid % 7).cast("string"))).alias(
+            "pod"
+        ),
+        ns_to_ms("ts").alias("ts_ms"),
+        F.col("value"),
+    )
+
+
+def derive_tsdb(spark: SparkSession, sf_dir: str) -> TsdbTables:
+    """Build the TSDB tables from `events` (see module docstring).
+
+    Scale note: in a real deployment `samples` is the 100 TB fact table
+    written time-partitioned (see storage.layout); the derivation here
+    is narrow (no shuffle) except the small distinct for the series
+    registry."""
+    base = _event_base(load(spark, sf_dir, "events"))
+
+    samples = base.select("series_id", "ts_ms", "value")
+
+    series = base.select(
+        "series_id", "metric", "job", "env", "instance", "pod"
+    ).distinct()
+
+    # Exploded long form = the inverted index / postings table
+    # (vendor tsdb postings.go). Empty values are never emitted —
+    # absent label ≡ "" (querier.go:189-195).
+    pairs = F.array(
+        F.struct(F.lit("__name__").alias("name"), F.col("metric").alias("value")),
+        F.struct(F.lit("env").alias("name"), F.col("env").alias("value")),
+        F.struct(F.lit("instance").alias("name"), F.col("instance").alias("value")),
+        F.struct(F.lit("job").alias("name"), F.col("job").alias("value")),
+        F.struct(F.lit("pod").alias("name"), F.col("pod").alias("value")),
+    )
+    series_labels = (
+        series.select("series_id", F.explode(pairs).alias("kv"))
+        .select("series_id", "kv.name", "kv.value")
+        .where(F.col("value").isNotNull())
+    )
+
+    block_id = (F.col("ts_ms") / BLOCK_MS).cast("long")
+    blocks = (
+        samples.select(block_id.alias("block_id"), "series_id")
+        .groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).alias("num_samples"),
+            F.countDistinct("series_id").alias("num_series"),
+        )
+        .select(
+            F.concat(F.lit("BLK"), F.lpad(F.col("block_id").cast("string"), 23, "0"))
+            .alias("ulid"),
+            "block_id",
+            (F.col("block_id") * BLOCK_MS).alias("mint_ms"),
+            ((F.col("block_id") + 1) * BLOCK_MS).alias("maxt_ms"),
+            "num_samples",
+            "num_series",
+            # mostly level 1; a few level-2 to exercise the shipper
+            # filter S10 (shipper.go:22-44 ships level-1 only).
+            F.when(F.col("block_id") % 9 == 0, F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("compaction_level"),
+        )
+    )
+    return TsdbTables(samples, series, series_labels, blocks)
+
+
+def tombstones_for(spark: SparkSession) -> DataFrame:
+    """Static deterministic tombstones (FIXTURES.md): every series with
+    series_id % 97 == 0 has one deleted interval, both ends inclusive
+    (vendor tombstones.go:158-165)."""
+    rows = [(sid, 1704844800000, 1704931199999) for sid in range(0, 5000, 97)]
+    return spark.createDataFrame(
+        rows, "series_id long, mint_ms long, maxt_ms long"
+    )

@@ -1,0 +1,190 @@
+"""The query engine: matcher selection + time pruning + cross-block merge.
+
+Reference lifecycle (SURVEY §3.1, agni querier.go): matchers -> postings
+(inverted index) -> intersect -> per-block series sets -> k-way merge ->
+time-clipped sample iterators. Here the whole pipeline is ONE Catalyst
+plan:
+
+    samples (huge fact, time-partitioned parquet)
+      |> partition/row-group pruning on ts_ms          (P1, P7, P8)
+      |> LEFT SEMI join w/ broadcast(matched series)   (P2-P6, A1, A2)
+      |> ORDER BY series_id, ts_ms                     (M1, M2, A3)
+
+Scale notes (100 TB posture):
+- `series_labels` is the dimension side (series count << sample count);
+  matcher evaluation never touches the fact table.
+- The matched-series set is broadcast into the semi-join, so the fact
+  table is filtered scan-side with zero shuffle. For pathologically
+  large matched sets pass broadcast_series=False and let AQE pick a
+  shuffle join.
+- Time predicates are plain `ts_ms` comparisons -> pushed to parquet
+  (partition pruning + row-group min/max skipping replace the
+  reference's block pruning querier.go:25-46 and chunk pruning
+  querier.go:510-548).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agni_spark.matchers import Matcher
+
+
+class Querier:
+    """Query surface over the TSDB-shaped tables.
+
+    Parameters mirror the reference's DB (db.go:28-38): a samples fact
+    table, a series registry, the exploded labels (postings) table, and
+    optionally the block registry.
+
+    Expected schemas (see agni_spark.datamodel):
+      samples(series_id long, ts_ms long, value double)
+      series(series_id long, ...label columns or map)
+      series_labels(series_id long, name string, value string)
+      blocks(ulid string, mint_ms long, maxt_ms long, ...)
+    """
+
+    def __init__(
+        self,
+        samples: DataFrame,
+        series: DataFrame,
+        series_labels: DataFrame,
+        blocks: DataFrame | None = None,
+    ) -> None:
+        self.samples = samples
+        self.series = series
+        self.series_labels = series_labels
+        self.blocks = blocks
+
+    # -- matcher -> series (the postings tier) -----------------------------
+    def select_series(
+        self, matchers: Iterable[Matcher], broadcast_series: bool = True
+    ) -> DataFrame:
+        """Compile matchers into the set of matching series_ids.
+
+        Equality/regex/prefix postings lookup: agni querier.go:236-283;
+        intersection tree: vendor tsdb postings.go:168-233; absent-label
+        deferral: querier.go:189-195,457-462. See matchers.py for the
+        semi/anti join rule.
+        """
+        out = self.series.select("series_id")
+        sl = self.series_labels
+        for m in matchers:
+            if m.matches_empty():
+                # series with the label present-but-not-matching are out;
+                # series lacking the label survive (absent == "").
+                bad = sl.where(
+                    (F.col("name") == m.name) & m.negated_condition(F.col("value"))
+                ).select("series_id")
+                out = out.join(bad, "series_id", "left_anti")
+            else:
+                good = sl.where(
+                    (F.col("name") == m.name) & m.positive_condition(F.col("value"))
+                ).select("series_id").distinct()
+                out = out.join(good, "series_id", "left_semi")
+        if broadcast_series:
+            out = F.broadcast(out)
+        return out
+
+    # -- the main entry point: Select() (querier.go:75-89) -----------------
+    def select(
+        self,
+        matchers: Iterable[Matcher] = (),
+        mint_ms: int | None = None,
+        maxt_ms: int | None = None,
+        with_labels: bool = False,
+        broadcast_series: bool = True,
+    ) -> DataFrame:
+        """Time-range + matcher selection over samples.
+
+        Both time bounds are INCLUSIVE, matching the reference's
+        per-sample clipping (querier.go:831-833: `t < mint` and
+        `t > maxt` are rejected).
+        Result is sorted (series_id, ts_ms) — the reference's output
+        contract: series in label-set order (series_id is assigned in
+        label-sorted order), samples in time order (querier.go:314-328).
+        """
+        matchers = list(matchers)
+        df = self.samples
+        # P1/P7/P8: plain comparisons -> partition pruning + row-group skip.
+        if mint_ms is not None:
+            df = df.where(F.col("ts_ms") >= F.lit(mint_ms))
+        if maxt_ms is not None:
+            df = df.where(F.col("ts_ms") <= F.lit(maxt_ms))
+        if matchers:
+            ids = self.select_series(matchers, broadcast_series=broadcast_series)
+            df = df.join(ids, "series_id", "left_semi")
+        if with_labels:
+            df = df.join(self.series, "series_id", "left")
+        return df.orderBy("series_id", "ts_ms")
+
+    # -- label introspection (M4/M5, querier.go:48-73) ---------------------
+    def label_values(
+        self, name: str, matchers: Iterable[Matcher] = ()
+    ) -> DataFrame:
+        """Sorted distinct values of one label, optionally restricted to
+        series matching `matchers` (LabelValuesFor — unimplemented in the
+        reference, querier.go:71-73; implemented here as an extension)."""
+        sl = self.series_labels.where(F.col("name") == name)
+        matchers = list(matchers)
+        if matchers:
+            ids = self.select_series(matchers)
+            sl = sl.join(ids, "series_id", "left_semi")
+        return sl.select("value").distinct().orderBy("value")
+
+    def label_names(self, matchers: Iterable[Matcher] = ()) -> DataFrame:
+        """Sorted distinct label names (index LabelNames equivalent)."""
+        sl = self.series_labels
+        matchers = list(matchers)
+        if matchers:
+            ids = self.select_series(matchers)
+            sl = sl.join(ids, "series_id", "left_semi")
+        return sl.select("name").distinct().orderBy("name")
+
+    def series_for(self, matchers: Iterable[Matcher]) -> DataFrame:
+        """/api/v1/series equivalent: matching series with their labels,
+        label-sorted (S6 series lookup, vendor index.go:779-847)."""
+        ids = self.select_series(list(matchers))
+        return self.series.join(ids, "series_id", "left_semi").orderBy("series_id")
+
+    # -- tombstones (P9, querier.go:845-879) -------------------------------
+    def apply_tombstones(self, df: DataFrame, tombstones: DataFrame) -> DataFrame:
+        """Drop samples falling inside deleted intervals (both interval
+        ends inclusive, vendor tombstones.go:158-165). The reference
+        evaluates this at read time; on Spark a Delta DELETE at write
+        time is strictly stronger — this is the read-time equivalent.
+
+        tombstones(series_id long, mint_ms long, maxt_ms long) is tiny
+        (~1% of series) -> broadcast anti range-join, no shuffle of the
+        fact side."""
+        t = F.broadcast(tombstones)
+        cond = (
+            (df["series_id"] == t["series_id"])
+            & (df["ts_ms"] >= t["mint_ms"])
+            & (df["ts_ms"] <= t["maxt_ms"])
+        )
+        return df.join(t, cond, "left_anti")
+
+
+def validate_block_sequence(blocks: DataFrame) -> DataFrame:
+    """Overlapping-block detection (S3, db.go:206-220): returns the
+    offending pairs; empty result == valid. Self-join on interval
+    overlap with ulid < ulid to dedup pairs."""
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ulid") < F.col("b.ulid"))
+            & (F.col("a.mint_ms") < F.col("b.maxt_ms"))
+            & (F.col("b.mint_ms") < F.col("a.maxt_ms")),
+        )
+        .select(
+            F.col("a.ulid").alias("ulid_a"),
+            F.col("b.ulid").alias("ulid_b"),
+        )
+        .orderBy("ulid_a", "ulid_b")
+    )
