@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from agni_spark import datamodel as dm  # noqa: E402
 from agni_spark import oracle  # noqa: E402
+from agni_spark.functions import promql, relational  # noqa: E402
 from agni_spark.matchers import eq, label_in, neq, prefix, re_match, re_no_match  # noqa: E402
 from agni_spark.querier import Querier, validate_block_sequence  # noqa: E402
 from agni_spark.session import tune_session  # noqa: E402
@@ -182,6 +183,47 @@ def _q_m5_label_values_for(spark: SparkSession, sf: str) -> DataFrame:
     return _querier(spark, sf).label_values("instance", [eq("job", "api")])
 
 
+DAY_MS = 86_400_000
+H6_MS = 6 * 3_600_000
+
+
+def _q_promql_increase(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.increase(q.samples, DAY_MS).orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_rate(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.rate(q.samples, DAY_MS).orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_delta(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.delta(q.samples, DAY_MS).orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_agg_over_time(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.agg_over_time(q.samples, H6_MS).orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_sum_by(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.aggregate_by(q.samples, q.series, ["job", "env"], DAY_MS).orderBy(
+        "job", "env", "bucket_ms"
+    )
+
+
+def _q_promql_topk(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.topk(q.samples, 5, T1, T2).orderBy("rk")
+
+
+def _q_promql_instant(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.instant(q.samples, T2, 3 * DAY_MS).orderBy("series_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s3_block_overlap_check": _q_s3_overlap,
@@ -203,12 +245,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_label_values": _q_m4_label_values,
         "m4_label_names": _q_m4_label_names,
         "m5_label_values_for": _q_m5_label_values_for,
+        "promql_increase": _q_promql_increase,
+        "promql_rate": _q_promql_rate,
+        "promql_delta": _q_promql_delta,
+        "promql_agg_over_time": _q_promql_agg_over_time,
+        "promql_sum_by": _q_promql_sum_by,
+        "promql_topk": _q_promql_topk,
+        "promql_instant": _q_promql_instant,
+        "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
+        "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
+        "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
+        "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle_sql(): DuckDB equivalents (PRELUDE derives the TSDB tables)
 # ---------------------------------------------------------------------------
+
+_SQL_INCREASE = """
+SELECT series_id, CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,
+       round(sum(CASE WHEN value >= prev THEN value - prev ELSE value END), 4)
+         AS increase
+FROM (SELECT series_id, ts_ms, value,
+             lag(value) OVER (PARTITION BY series_id
+                              ORDER BY ts_ms, value) AS prev
+      FROM samples)
+WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+_SQL_RATE = """
+SELECT series_id, CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,
+       round(sum(CASE WHEN value >= prev THEN value - prev
+                      ELSE value END), 4) / 86400.0 AS rate
+FROM (SELECT series_id, ts_ms, value,
+             lag(value) OVER (PARTITION BY series_id
+                              ORDER BY ts_ms, value) AS prev
+      FROM samples)
+WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
 
 def oracle_sql() -> dict[str, str]:
     q = oracle.q
@@ -303,5 +379,104 @@ def oracle_sql() -> dict[str, str]:
             "WHERE name='instance' AND series_id IN "
             "(SELECT series_id FROM series_labels WHERE name='job' AND value='api') "
             "ORDER BY value"
+        ),
+        "promql_increase": q(_SQL_INCREASE),
+        "promql_rate": q(_SQL_RATE),
+        "promql_delta": q(
+            "SELECT series_id, bucket_ms, round(last_v - first_v, 4) AS delta FROM ("
+            "SELECT series_id, bucket_ms, "
+            "first_value(value) OVER (PARTITION BY series_id, bucket_ms "
+            "  ORDER BY ts_ms ASC, value ASC) AS first_v, "
+            "first_value(value) OVER (PARTITION BY series_id, bucket_ms "
+            "  ORDER BY ts_ms DESC, value DESC) AS last_v, "
+            "row_number() OVER (PARTITION BY series_id, bucket_ms "
+            "  ORDER BY ts_ms) AS rn "
+            "FROM (SELECT series_id, ts_ms, value, "
+            "CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms FROM samples)"
+            ") WHERE rn = 1 ORDER BY series_id, bucket_ms"
+        ),
+        "promql_agg_over_time": q(
+            "SELECT series_id, "
+            "CAST(ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms, "
+            "round(avg(value), 6) AS avg_value, min(value) AS min_value, "
+            "max(value) AS max_value, round(sum(value), 4) AS sum_value, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "promql_sum_by": q(
+            "SELECT sr.job, sr.env, "
+            "CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "round(sum(s.value), 4) AS sum_value, round(avg(s.value), 6) AS avg_value, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM samples s JOIN series sr USING (series_id) "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "promql_topk": q(
+            f"SELECT series_id, sum_value, CAST(rk AS INT) AS rk FROM ("
+            f"SELECT series_id, round(sum(value), 4) AS sum_value, "
+            f"row_number() OVER (ORDER BY sum(value) DESC, series_id ASC) AS rk "
+            f"FROM samples WHERE ts_ms BETWEEN {T1} AND {T2} GROUP BY series_id) "
+            f"WHERE rk <= 5 ORDER BY rk"
+        ),
+        "promql_instant": q(
+            f"SELECT series_id, ts_ms, value FROM ("
+            f"SELECT series_id, ts_ms, value, row_number() OVER "
+            f"(PARTITION BY series_id ORDER BY ts_ms DESC, value DESC) AS rn "
+            f"FROM samples WHERE ts_ms <= {T2} AND ts_ms > {T2} - 259200000) "
+            f"WHERE rn = 1 ORDER BY series_id"
+        ),
+        "tpch_q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) "
+            "  AS sum_charge, "
+            "round(avg(l_quantity), 6) AS avg_qty, "
+            "round(avg(l_extendedprice), 6) AS avg_price, "
+            "round(avg(l_discount), 6) AS avg_disc, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-12-01' - INTERVAL 90 DAY "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3_shipping_priority": (
+            "SELECT l.l_orderkey AS orderkey, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+            "o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1997-06-01' "
+            "AND l.l_shipdate > TIMESTAMP '1997-06-01' "
+            "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+            "ORDER BY revenue DESC, orderkey LIMIT 10"
+        ),
+        "tpch_q5_local_volume": (
+            "SELECT n.n_name, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+            "FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "AND s.s_nationkey = c.c_nationkey "
+            "GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"
+        ),
+        "events_sessionize": (
+            "WITH ev AS (SELECT user_id, event_id, "
+            "CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value FROM events), "
+            "flagged AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER "
+            "(PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000 "
+            "THEN 1 ELSE 0 END AS new_sess FROM ev), "
+            "sess AS (SELECT *, CAST(sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts_ms, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM flagged) "
+            "SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events, "
+            "min(ts_ms) AS start_ms, max(ts_ms) AS end_ms, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no"
         ),
     }

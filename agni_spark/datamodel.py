@@ -73,6 +73,17 @@ def ns_to_ts(col: str) -> Column:
     return F.timestamp_micros(F.expr(f"CAST({col} div 1000 AS BIGINT)"))
 
 
+def ts_col(df: DataFrame, name: str) -> Column:
+    """Timestamp column regardless of physical parquet type: the
+    testdata mixes TIMESTAMP(NANOS) (read as int64 under nanosAsLong)
+    and TIMESTAMP(MICROS) NTZ. Always yields TimestampType in UTC
+    session time, which matches DuckDB's naive reading."""
+    dt = dict(df.dtypes)[name]
+    if dt == "bigint":
+        return ns_to_ts(name)
+    return F.col(name).cast("timestamp")
+
+
 @dataclass
 class TsdbTables:
     """The four TSDB-shaped tables (FIXTURES.md core fixtures)."""

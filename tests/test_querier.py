@@ -1,0 +1,86 @@
+"""Querier semantics: time-bound inclusivity (querier.go:831-833),
+tombstone inclusivity (tombstones.go:158-165), cross-block merge order
+(querier.go:314-328), block overlap validation (db.go:206-220)."""
+
+from __future__ import annotations
+
+import pytest
+
+from agni_spark.matchers import eq
+from agni_spark.querier import Querier, validate_block_sequence
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    samples = spark.createDataFrame(
+        [
+            # series 1: spans two "blocks"
+            (1, 100, 1.0),
+            (1, 200, 2.0),
+            (1, 300, 3.0),
+            (1, 7200100, 4.0),
+            # series 2
+            (2, 150, 10.0),
+            (2, 250, 20.0),
+        ],
+        "series_id long, ts_ms long, value double",
+    )
+    series = spark.createDataFrame([(1,), (2,)], "series_id long")
+    sl = spark.createDataFrame(
+        [(1, "job", "api"), (2, "job", "web")],
+        "series_id long, name string, value string",
+    )
+    return Querier(samples, series, sl)
+
+
+def test_time_bounds_inclusive_both_ends(q):
+    rows = q.select(mint_ms=100, maxt_ms=300).collect()
+    assert [(r.series_id, r.ts_ms) for r in rows] == [
+        (1, 100),
+        (1, 200),
+        (1, 300),
+        (2, 150),
+        (2, 250),
+    ]
+
+
+def test_select_output_order_series_then_time(q):
+    rows = q.select().collect()
+    keys = [(r.series_id, r.ts_ms) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_matcher_plus_time(q):
+    rows = q.select([eq("job", "api")], mint_ms=150, maxt_ms=7200100).collect()
+    assert [(r.series_id, r.ts_ms) for r in rows] == [(1, 200), (1, 300), (1, 7200100)]
+
+
+def test_tombstones_inclusive(spark, q):
+    tomb = spark.createDataFrame(
+        [(1, 200, 300)], "series_id long, mint_ms long, maxt_ms long"
+    )
+    rows = q.apply_tombstones(q.select(), tomb).collect()
+    keys = [(r.series_id, r.ts_ms) for r in rows]
+    # 200 and 300 deleted (both ends inclusive); other series untouched
+    assert keys == [(1, 100), (1, 7200100), (2, 150), (2, 250)]
+
+
+def test_block_overlap_detection(spark):
+    blocks = spark.createDataFrame(
+        [
+            ("A", 0, 100),
+            ("B", 100, 200),  # touching is NOT overlap (maxt exclusive)
+            ("C", 150, 250),  # overlaps B
+        ],
+        "ulid string, mint_ms long, maxt_ms long",
+    )
+    pairs = validate_block_sequence(blocks).collect()
+    assert [(r.ulid_a, r.ulid_b) for r in pairs] == [("B", "C")]
+
+
+def test_label_values_restricted(q):
+    assert [r.value for r in q.label_values("job").collect()] == ["api", "web"]
+    assert [r.value for r in q.label_values("job", [eq("job", "api")]).collect()] == [
+        "api"
+    ]
+    assert [r.name for r in q.label_names().collect()] == ["job"]
