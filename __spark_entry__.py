@@ -20,7 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from agni_spark import datamodel as dm  # noqa: E402
 from agni_spark import oracle  # noqa: E402
-from agni_spark.functions import promql, relational  # noqa: E402
+from agni_spark.functions import (  # noqa: E402
+    dedup,
+    multimodal,
+    promql,
+    relational,
+    simsearch,
+    text,
+)
 from agni_spark.matchers import eq, label_in, neq, prefix, re_match, re_no_match  # noqa: E402
 from agni_spark.querier import Querier, validate_block_sequence  # noqa: E402
 from agni_spark.session import tune_session  # noqa: E402
@@ -224,6 +231,87 @@ def _q_promql_instant(spark: SparkSession, sf: str) -> DataFrame:
     return promql.instant(q.samples, T2, 3 * DAY_MS).orderBy("series_id")
 
 
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    tune_session(spark)
+    return dm.load(spark, sf, "documents")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    tune_session(spark)
+    return dm.load(spark, sf, "embeddings")
+
+
+def _q_text_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.doc_stats(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_text_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    return text.top_ngrams(_docs(spark, sf), n=2, k=20)
+
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    groups = dedup.exact_dup_groups(d)
+    return groups.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.coalesce(F.sum(F.col("n_dups") - 1), F.lit(0)).alias("removable"),
+    ).crossJoin(
+        dedup.dedup_exact(d).agg(F.count(F.lit(1)).alias("kept_docs"))
+    )
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf), k=3, threshold=0.8)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(_docs(spark, sf), k=3, threshold=0.7)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf))
+
+
+def _q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(_emb(spark, sf), threshold=0.4)
+
+
+def _q_simsearch_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.cosine_topk(e, queries_df, k=10)
+
+
+def _q_simsearch_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.lsh_ann(e, queries_df, k=10, n_planes=4)
+
+
+def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf))
+    return multimodal.extract_meta(media).orderBy("media_id")
+
+
+def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf))
+    return multimodal.frame_sample(media, every_n_bytes=128).orderBy(
+        "media_id", "offset"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s3_block_overlap_check": _q_s3_overlap,
@@ -256,6 +344,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
+        "text_doc_stats": _q_text_doc_stats,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_top_ngrams": _q_text_top_ngrams,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "simsearch_cosine_topk": _q_simsearch_topk,
+        "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frame_sample": _q_multimodal_frames,
     }
 
 
@@ -284,6 +385,168 @@ FROM (SELECT series_id, ts_ms, value,
       FROM samples)
 WHERE prev IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _occ_sql(w: str) -> str:
+    """Whole-word occurrence count — mirror of text._occurrences."""
+    needle = f" {w} "
+    return (
+        f"CAST((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{needle}', ' '))) "
+        f"/ {len(needle) - 1} AS BIGINT)"
+    )
+
+
+_SQL_SHINGLES = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM
+       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM words))
+"""
+
+_SQL_DOC_STATS = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+    AS n_tokens,
+  round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6)
+    AS avg_word_len,
+  round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text), 6)
+    AS punct_ratio,
+  round(({_occ_sql('the')} + {_occ_sql('a')} + {_occ_sql('b')})
+        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+  round(least(len(string_split(text, ' ')) / 50.0, 1.0)
+    * (1 - least(round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / length(text), 6) * 4, 1.0))
+    * (1 - least(round(({_occ_sql('the')} + {_occ_sql('a')} + {_occ_sql('b')})
+                 / len(string_split(text, ' ')), 6) * 2, 1.0)), 6) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def _sql_lang_id() -> str:
+    from agni_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = {
+        lg: " + ".join(_occ_sql(w) for w in LANG_MARKERS[lg]) for lg in langs
+    }
+    scores = ", ".join(f"({score_exprs[lg]}) AS score_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return (
+        f"SELECT doc_id, lang_meta, "
+        + ", ".join(f"score_{lg}" for lg in langs)
+        + f", {case} AS lang_pred FROM "
+        f"(SELECT doc_id, lang AS lang_meta, {scores} FROM documents) "
+        f"ORDER BY doc_id"
+    )
+
+
+_SQL_MINHASH_LSH = _SQL_SHINGLES + """
+, sig AS (
+  SELECT doc_id, j,
+         min(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS mh
+  FROM sh CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j),
+band AS (
+  SELECT doc_id, j // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bucket
+  FROM sig GROUP BY doc_id, j // 4),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
+  AND x.doc_id < y.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0, 6)
+           AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, est_jaccard FROM est
+WHERE est_jaccard >= 0.7 ORDER BY doc_a, doc_b
+"""
+
+_SQL_JACCARD = _SQL_SHINGLES + """
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b, n_common,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT * FROM j WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b
+"""
+
+_SQL_SIMHASH = """
+WITH wds AS (
+  SELECT DISTINCT doc_id, w FROM
+  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM wds),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN generate_series(0, 15) t(b) GROUP BY doc_id, b)
+SELECT doc_id,
+  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+_SQL_EMB_NEARDUP = """
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE cos >= 0.4 ORDER BY id_a, id_b
+"""
+
+_SQL_SIMSEARCH_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
+WHERE rk <= 10 ORDER BY query_id, rk
+"""
+
+_SQL_MM_META = """
+SELECT doc_id AS media_id, 'blob' AS kind,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+  md5(text) AS digest,
+  CAST(64 + h % 512 AS INT) AS width,
+  CAST(64 + (h // 512) % 512 AS INT) AS height,
+  FALSE AS decoded
+FROM (SELECT *, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents)
+ORDER BY media_id
+"""
+
+_SQL_MM_FRAMES = """
+SELECT doc_id AS media_id, CAST(off AS BIGINT) AS "offset",
+  CAST(octet_length(CAST(substr(text, CAST(off AS INT) + 1, 128) AS BLOB))
+       AS BIGINT) AS n_bytes,
+  md5(substr(text, CAST(off AS INT) + 1, 128)) AS digest
+FROM (SELECT doc_id, text,
+      unnest(generate_series(0,
+        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) - 1, 128)) AS off
+      FROM documents)
+ORDER BY media_id, "offset"
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -479,4 +742,37 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 4) AS sum_value "
             "FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no"
         ),
+        "text_doc_stats": _SQL_DOC_STATS,
+        "text_lang_id": _sql_lang_id(),
+        "text_fingerprint": (
+            "SELECT doc_id, "
+            "md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint, "
+            "CAST(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS BIGINT) "
+            "AS norm_len FROM documents ORDER BY doc_id"
+        ),
+        "text_top_ngrams": (
+            "WITH words AS (SELECT string_split(text, ' ') AS w FROM documents), "
+            "g AS (SELECT array_to_string(w[i:i+1], ' ') AS ngram FROM "
+            "(SELECT w, unnest(generate_series(1, len(w) - 1)) AS i "
+            "FROM words WHERE len(w) >= 2)) "
+            "SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g "
+            "GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"
+        ),
+        "dedup_exact": (
+            "SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "  AS dup_groups, "
+            "CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) "
+            "  AS removable, "
+            "CAST(count(*) AS BIGINT) AS kept_docs FROM "
+            "(SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h, "
+            "count(*) AS n FROM documents GROUP BY 1)"
+        ),
+        "dedup_jaccard_pairs": _SQL_JACCARD,
+        "dedup_minhash_lsh": _SQL_MINHASH_LSH,
+        "dedup_simhash": _SQL_SIMHASH,
+        "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
+        "simsearch_cosine_topk": _SQL_SIMSEARCH_TOPK,
+        # simsearch_lsh_ann: approximate, intentionally rows-only
+        "multimodal_meta": _SQL_MM_META,
+        "multimodal_frame_sample": _SQL_MM_FRAMES,
     }

@@ -1,0 +1,267 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+extension tier): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Cross-engine determinism: every hash is derived from md5 (identical in
+Spark, DuckDB, and Python), parsed as a 60-bit integer:
+  Spark : conv(substr(md5(s), 1, 15), 16, 10) :: long
+  DuckDB: ('0x' || substr(md5(s), 1, 15)) :: BIGINT
+
+Scale design (100 TB):
+- exact dedup = one shuffle on the content hash;
+- Jaccard pairs = shingle-key join; `max_df` drops stop-shingles so a
+  hot shingle can't quadratically explode the join (the standard
+  frequency cap); AQE skew-join splits what remains;
+- MinHash+LSH = signatures in ONE pass over exploded shingles (16 min
+  aggs), then banded bucket join — candidate pairs only, never all
+  pairs;
+- SimHash = 16-bit signature via per-bit majority vote, one groupBy;
+- embedding near-dup = block by LSH bucket first at scale; the exact
+  variant here joins on id inequality only (testable sizes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 16
+SIMHASH_BITS = 16
+
+
+def hash60(col: Column) -> Column:
+    """60-bit positive integer from md5 — portable across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def py_hash60(s: str) -> int:
+    """Python twin of hash60 (for tests / plane generation)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def normalized(text: Column) -> Column:
+    return F.lower(F.regexp_replace(text, "\\s+", " "))
+
+
+# -- exact ------------------------------------------------------------------
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated content hash
+    with group size and the kept (minimum) doc_id."""
+    h = docs.select("doc_id", hash60(normalized(F.col("text"))).alias("h"))
+    return (
+        h.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_dups") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Kept documents after exact dedup (min doc_id per content hash)."""
+    h = docs.withColumn("h", hash60(normalized(F.col("text"))))
+    keep = h.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+# -- shingling --------------------------------------------------------------
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document. Docs with fewer than k
+    words yield no shingles (filtered BEFORE the transform — Spark's
+    sequence(1, n) descends for n < 1 and slice(_, 0, _) throws)."""
+    grams = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {k})))"
+    )
+    return (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= k)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1
+    shingle; emits pairs with J >= threshold.
+
+    max_df: drop shingles occurring in more than max_df documents
+    before the join (frequency cap against quadratic blowup on hot
+    shingles — essential at scale, exact results unaffected when the
+    cap exceeds any true near-dup cluster size)."""
+    sh = shingles(docs, k)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(j, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """n_hashes-wide MinHash signature per doc, computed in ONE pass
+    over the exploded shingles (n_hashes min-aggregations)."""
+    sh = shingles(docs, k)
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates.
+    bands*rows must equal the signature width. Join is per-band on the
+    band-bucket key — never all-pairs."""
+    cands = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        bucketed = sigs.select("doc_id", key.alias("bucket"))
+        x = bucketed.alias("x")
+        y = bucketed.alias("y")
+        pair = (
+            x.join(y, "bucket")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    return cands.distinct()
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.7,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """LSH candidates refined by estimated similarity = fraction of
+    equal minhash components (an unbiased Jaccard estimator)."""
+    sigs = minhash_signatures(docs, k, bands * rows)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(bands * rows)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(bands * rows)],
+    )
+    n = bands * rows
+    est = (
+        sum(
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(n)
+        )
+        / F.lit(float(n))
+    )
+    return (
+        cands.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash over word features: bit b of the signature
+    is the sign of the sum over words of (+1 / -1) according to bit b
+    of the word's hash. Distinct words per doc (unweighted variant)."""
+    words = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .withColumn("h", hash60(F.col("w")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    sig = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(bits)
+    )
+    return agg.select("doc_id", sig.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+# -- embedding near-dup -----------------------------------------------------
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over array<float> columns, accumulated in double
+    (sequential fold — deterministic, engine-portable)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    nb = F.aggregate(
+        b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    return dot / F.sqrt(na * nb)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """All pairs with cosine >= threshold. Exact O(n^2) variant for
+    verification; the scale path blocks by LSH bucket first
+    (simsearch.lsh_ann shares the machinery)."""
+    a = embeddings.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    )

