@@ -312,9 +312,78 @@ def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s9_block_store(spark: SparkSession, sf: str) -> DataFrame:
+    """S9/S2/S3 round-trip: write derived samples time-partitioned with
+    registry commit, read back, report per-block stats (must equal the
+    derivation-side blocks table)."""
+    import tempfile
+
+    from agni_spark.sources import layout
+
+    q = _querier(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_store_")
+    layout.write_blocks(q.samples, path)
+    reg = layout.read_registry(spark, path)
+    return reg.select("ulid", "block_id", "num_samples", "num_series").orderBy(
+        "block_id"
+    )
+
+
+def _q_e1_tsdb_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """E1/S5-S8 round-trip: encode the 3 earliest blocks of derived
+    samples into real TSDB block dirs (XOR chunks + index + meta),
+    re-ingest them DISTRIBUTED via mapInPandas, aggregate per block."""
+    import tempfile
+
+    from agni_spark.sources import converter
+
+    q = _querier(spark, sf)
+    bid = (F.col("ts_ms") / dm.BLOCK_MS).cast("long")
+    first3 = [
+        r.block_id
+        for r in q.samples.select(bid.alias("block_id"))
+        .distinct()
+        .orderBy("block_id")
+        .limit(3)
+        .collect()
+    ]
+    sub = q.samples.where(bid.isin(first3))
+    rows = sub.collect()  # fixture materialization only (tiny subset)
+    by_block: dict[int, dict[int, list[tuple[int, float]]]] = {}
+    for r in rows:
+        b = r.ts_ms // dm.BLOCK_MS
+        by_block.setdefault(b, {}).setdefault(r.series_id, []).append(
+            (r.ts_ms, r.value)
+        )
+    root = tempfile.mkdtemp(prefix="agni_blocks_")
+    for b, series in sorted(by_block.items()):
+        converter.write_block(
+            f"{root}/BLK{b}",
+            [({"sid": str(sid)}, pts) for sid, pts in sorted(series.items())],
+            ulid=f"BLK{b}",
+        )
+    ingested = converter.spark_read_tsdb_blocks(spark, root, level=1)
+    return (
+        ingested.select(
+            F.get_json_object("labels_json", "$.sid").cast("long").alias("series_id"),
+            "ts_ms",
+            "value",
+        )
+        .groupBy((F.col("ts_ms") / dm.BLOCK_MS).cast("long").alias("block_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("series_id").alias("n_series"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("block_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s3_block_overlap_check": _q_s3_overlap,
+        "s9_block_store_roundtrip": _q_s9_block_store,
+        "e1_tsdb_ingest_roundtrip": _q_e1_tsdb_ingest,
         "s6_series_lookup": _q_s6_series_lookup,
         "s10_level1_filter": _q_s10_level1,
         "p1_time_prune": _q_p1_time_prune,
@@ -556,6 +625,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS overlaps "
             "FROM blocks a JOIN blocks b ON a.ulid < b.ulid "
             "AND a.mint_ms < b.maxt_ms AND b.mint_ms < a.maxt_ms"
+        ),
+        "s9_block_store_roundtrip": q(
+            "SELECT ulid, block_id, num_samples, num_series FROM blocks "
+            "ORDER BY block_id"
+        ),
+        "e1_tsdb_ingest_roundtrip": q(
+            "SELECT CAST(ts_ms // 7200000 AS BIGINT) AS block_id, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT series_id) AS BIGINT) AS n_series, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM samples WHERE CAST(ts_ms // 7200000 AS BIGINT) IN "
+            "(SELECT DISTINCT CAST(ts_ms // 7200000 AS BIGINT) FROM samples "
+            " ORDER BY 1 LIMIT 3) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "s6_series_lookup": q(
             "SELECT name, value FROM series_labels WHERE series_id = "

@@ -1,0 +1,175 @@
+"""TSDB block <-> Spark converter (shipper parity, SURVEY §7 Phase 2).
+
+Write side (tests / fixtures): cut samples into <=120-sample XOR chunks
+per series (the reference design point, vendor tsdb chunks/xor.go:75),
+write chunk segment files + index + meta.json — a complete block dir.
+
+Read side (the ingest path, replacing `agni shipper` + server sync):
+discover block dirs, filter Compaction.Level==1 (S10, shipper.go:22-44),
+then DISTRIBUTE the decode: a DataFrame of block paths feeds
+mapInPandas workers that each decode their blocks' chunks into sample
+rows. At 100 TB this is one task per block (2h of data) — the same
+unit of parallelism the reference uses per upload, but fanned across
+the cluster; downstream `layout.write_blocks` lands it partitioned.
+
+Worker closures are self-contained (inline imports of the codec
+functions via a file-local import indirection is NOT possible without
+sys.path, so the codec source is shipped through cloudpickle by
+value: the helpers below are defined at call time inside the
+generator).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from agni_spark.sources import tsdb_format as tf
+
+SAMPLES_PER_CHUNK = 120  # design point, xor.go:75-77
+SEGMENT_MAX_BYTES = 512 * 1024 * 1024  # vendor tsdb chunks.go segmentSize
+
+
+def write_block(
+    block_dir: str,
+    series: list[tuple[dict[str, str], list[tuple[int, float]]]],
+    ulid: str,
+    level: int = 1,
+) -> None:
+    """Materialize one TSDB block dir: chunks/000001, index, meta.json.
+    Marker-file-last ordering (shipper.go:311-319): meta.json is
+    written after chunks+index — a block without meta is invisible."""
+    os.makedirs(os.path.join(block_dir, "chunks"), exist_ok=True)
+    all_chunks: list[bytes] = []
+    index_entries: list[tuple[dict[str, str], list[tf.ChunkMeta]]] = []
+    mint, maxt = None, None
+    n_samples = 0
+    for labels, samples in series:
+        samples = sorted(samples)
+        metas = []
+        for i in range(0, len(samples), SAMPLES_PER_CHUNK):
+            part = samples[i : i + SAMPLES_PER_CHUNK]
+            all_chunks.append((len(all_chunks), part))  # placeholder order
+            metas.append(part)
+        index_entries.append((labels, metas))
+        n_samples += len(samples)
+        if samples:
+            mint = samples[0][0] if mint is None else min(mint, samples[0][0])
+            maxt = samples[-1][0] if maxt is None else max(maxt, samples[-1][0])
+
+    encoded = [tf.encode_xor_chunk(part) for _, part in all_chunks]
+    seg_path = os.path.join(block_dir, "chunks", "000001")
+    offsets = tf.write_chunk_segment(seg_path, encoded)
+
+    # resolve chunk refs (segment 1 << 32 | offset, agni chunks.go:113)
+    final_entries = []
+    ci = 0
+    for labels, metas in index_entries:
+        cms = []
+        for part in metas:
+            cms.append(
+                tf.ChunkMeta(
+                    ref=(1 << 32) | offsets[ci],
+                    mint=part[0][0],
+                    maxt=part[-1][0],
+                )
+            )
+            ci += 1
+        final_entries.append((labels, cms))
+    tf.write_index(os.path.join(block_dir, "index"), final_entries)
+    tf.write_meta(
+        os.path.join(block_dir, "meta.json"),
+        ulid,
+        mint or 0,
+        (maxt or 0) + 1,
+        {
+            "numSamples": n_samples,
+            "numSeries": len(series),
+            "numChunks": len(encoded),
+        },
+        level=level,
+    )
+
+
+def discover_blocks(root: str, level: int | None = 1) -> list[str]:
+    """Block discovery (db.go:62-122): dirs with a valid meta.json;
+    optional Compaction.Level filter (S10). Sorted by ULID."""
+    out = []
+    for name in sorted(os.listdir(root)):
+        meta_path = os.path.join(root, name, "meta.json")
+        if not os.path.exists(meta_path):
+            continue
+        meta = tf.read_meta(meta_path)
+        if level is not None and meta["compaction"]["level"] != level:
+            continue
+        out.append(os.path.join(root, name))
+    return out
+
+
+def read_block_samples(block_dir: str) -> list[tuple[dict[str, str], int, float]]:
+    """Decode one block into (labels, t_ms, value) rows (driverless
+    helper used by both the local tests and the distributed reader)."""
+    entries = tf.read_index(os.path.join(block_dir, "index"))
+    seg_path = os.path.join(block_dir, "chunks", "000001")
+    rows = []
+    for labels, chunks in entries:
+        for cm in chunks:
+            offset = cm.ref & 0xFFFFFFFF
+            data = tf.read_chunk_at(seg_path, offset)
+            for t, v in tf.decode_xor_chunk(data):
+                rows.append((labels, t, v))
+    return rows
+
+
+def spark_read_tsdb_blocks(
+    spark: SparkSession, root: str, level: int | None = 1
+) -> DataFrame:
+    """Distributed block ingest: one task per block decodes its chunks
+    into rows (labels_json, ts_ms, value). The decode source is shipped
+    by value inside the closure — workers never import agni_spark."""
+    blocks = discover_blocks(root, level)
+    paths_df = spark.createDataFrame(
+        [(p,) for p in blocks], "block_dir string"
+    ).repartition(max(1, len(blocks)))
+
+    # Capture the codec module's source and re-materialize it inside the
+    # worker: keeps byte-level decode out of the driver AND avoids any
+    # sys.path requirement on workers.
+    import inspect
+
+    from agni_spark.sources import tsdb_format as _tf
+
+    codec_src = inspect.getsource(_tf)
+
+    def gen(batches):
+        import json as _json
+        import os as _os
+        import sys as _sys
+        import types
+
+        import pandas as _pd
+
+        mod = _sys.modules.get("_tsdb_codec")
+        if mod is None:
+            mod = types.ModuleType("_tsdb_codec")
+            # dataclass decorators introspect sys.modules[cls.__module__]
+            _sys.modules["_tsdb_codec"] = mod
+            exec(compile(codec_src, "_tsdb_codec", "exec"), mod.__dict__)
+
+        for pdf in batches:
+            out = []
+            for block_dir in pdf["block_dir"]:
+                entries = mod.read_index(_os.path.join(block_dir, "index"))
+                seg = _os.path.join(block_dir, "chunks", "000001")
+                for labels, chunks in entries:
+                    lbl = _json.dumps(labels, sort_keys=True)
+                    for cm in chunks:
+                        data = mod.read_chunk_at(seg, cm.ref & 0xFFFFFFFF)
+                        for t, v in mod.decode_xor_chunk(data):
+                            out.append((lbl, t, v))
+            yield _pd.DataFrame(
+                out, columns=["labels_json", "ts_ms", "value"]
+            )
+
+    return paths_df.mapInPandas(gen, "labels_json string, ts_ms long, value double")

@@ -1,0 +1,179 @@
+"""Physical storage layout: TSDB blocks as time-partitioned Parquet.
+
+Reference mapping (SURVEY §1.4, §3.2-3.3):
+- block (2h ULID dir of index+chunks+meta)  -> `block_id=<n>` partition
+  of a parquet table, block_id = ts_ms div block_ms (vendor tsdb
+  db.go:49: 2h base range)
+- chunk (<=120-sample compressed column)    -> parquet row group; files
+  are sorted by (series_id, ts_ms) so row-group min/max stats give the
+  same chunk-level time pruning as ChunkMeta (agni querier.go:510-548)
+- meta.json + S3 marker key commit protocol (shipper.go:252-325,
+  marker-last ordering) -> the partition write is made visible by
+  appending its row to the block REGISTRY parquet last; readers list
+  the registry, not the data dir (db.go:72 lists markers, not data)
+- block discovery loop (db.go:62-122)       -> re-read the registry
+- overlap validation (db.go:206-220)        -> querier.validate_block_sequence
+- level-1 ship filter (shipper.go:22-44)    -> `level` column filter
+
+Scale: partitioning on block_id gives partition pruning for time
+predicates; sortWithinPartitions(series_id, ts_ms) gives row-group
+skipping within a block for series-selective queries. At 100 TB,
+`block_ms` stays 2h (fixed partition count per day) and files per
+partition scale with cluster width; compaction (below) keeps file
+counts bounded — exactly the reference's compaction tiers, expressed
+as a rewrite."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agni_spark.datamodel import BLOCK_MS
+
+
+def block_id_col(block_ms: int = BLOCK_MS):
+    return F.expr(f"CAST(ts_ms div {block_ms} AS BIGINT)")
+
+
+def write_blocks(
+    samples: DataFrame,
+    path: str,
+    block_ms: int = BLOCK_MS,
+    mode: str = "overwrite",
+    level: int = 1,
+) -> None:
+    """Shipper-equivalent sink (S9): write samples time-partitioned,
+    then commit by (re)writing the registry LAST — the marker-key
+    protocol. Files are sorted by (series_id, ts_ms): parquet row
+    groups become the 'chunks'."""
+    data_path = os.path.join(path, "data")
+    (
+        samples.withColumn("block_id", block_id_col(block_ms))
+        .repartition("block_id")
+        .sortWithinPartitions("series_id", "ts_ms")
+        .write.partitionBy("block_id")
+        .mode(mode)
+        .parquet(data_path)
+    )
+    # registry written AFTER data = commit point (marker-key-last,
+    # shipper.go:311-319)
+    spark = samples.sparkSession
+    reg = (
+        spark.read.parquet(data_path)
+        # partition-dir inference types block_id as INT; widen before
+        # arithmetic (INT * 7_200_000 overflows under ANSI mode)
+        .withColumn("block_id", F.col("block_id").cast("long"))
+        .groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).alias("num_samples"),
+            F.countDistinct("series_id").alias("num_series"),
+            F.min("ts_ms").alias("data_mint_ms"),
+            F.max("ts_ms").alias("data_maxt_ms"),
+        )
+        .select(
+            F.concat(F.lit("BLK"), F.lpad(F.col("block_id").cast("string"), 23, "0"))
+            .alias("ulid"),
+            "block_id",
+            (F.col("block_id") * block_ms).alias("mint_ms"),
+            ((F.col("block_id") + 1) * block_ms).alias("maxt_ms"),
+            "num_samples",
+            "num_series",
+            "data_mint_ms",
+            "data_maxt_ms",
+            F.lit(level).cast("int").alias("compaction_level"),
+        )
+    )
+    reg.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "registry"))
+
+
+def read_samples(spark: SparkSession, path: str) -> DataFrame:
+    """Open the block store (S1/S2): one scan over all partitions;
+    Catalyst prunes by block_id for time-bounded queries."""
+    return spark.read.parquet(os.path.join(path, "data"))
+
+
+def read_registry(spark: SparkSession, path: str) -> DataFrame:
+    """Block registry = the meta.json/marker listing (S2/S4)."""
+    return spark.read.parquet(os.path.join(path, "registry"))
+
+
+def time_pruned(
+    df: DataFrame,
+    mint_ms: int | None,
+    maxt_ms: int | None,
+    block_ms: int = BLOCK_MS,
+) -> DataFrame:
+    """Time-range selection with EXPLICIT partition pruning: the
+    block_id predicate prunes whole partitions (the reference's block
+    skip, querier.go:25-46); the ts_ms predicate then row-group-skips
+    and row-filters inside surviving blocks (P7/P8). Both inclusive."""
+    if mint_ms is not None:
+        df = df.where(
+            (F.col("block_id") >= mint_ms // block_ms)
+            & (F.col("ts_ms") >= mint_ms)
+        )
+    if maxt_ms is not None:
+        df = df.where(
+            (F.col("block_id") <= maxt_ms // block_ms)
+            & (F.col("ts_ms") <= maxt_ms)
+        )
+    return df
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    block_ids: list[int] | None = None,
+    files_per_block: int = 1,
+) -> None:
+    """Compaction (Phase 4; the reference defers to upstream tsdb
+    compact.go and never invokes it — SURVEY §2.7): rewrite each
+    partition's many small files into `files_per_block` sorted files.
+    Registry is rewritten last (commit point), levels bumped."""
+    data_path = os.path.join(path, "data")
+    df = spark.read.parquet(data_path)
+    if block_ids is not None:
+        df = df.where(F.col("block_id").isin(block_ids))
+        sub = df.repartition(files_per_block, "block_id").sortWithinPartitions(
+            "series_id", "ts_ms"
+        )
+        sub.write.partitionBy("block_id").mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(data_path)
+    else:
+        full = (
+            df.repartition("block_id")
+            .sortWithinPartitions("series_id", "ts_ms")
+            .coalesce(max(1, files_per_block))
+        )
+        full.write.partitionBy("block_id").mode("overwrite").parquet(data_path)
+
+
+def drop_blocks_before(
+    spark: SparkSession, path: str, cutoff_block_id: int
+) -> list[int]:
+    """Retention: partition drop for blocks entirely before the cutoff
+    (VACUUM equivalent). Registry rewritten last. Returns dropped ids."""
+    import shutil
+
+    data_path = os.path.join(path, "data")
+    dropped = []
+    for d in sorted(os.listdir(data_path)):
+        if d.startswith("block_id="):
+            bid = int(d.split("=", 1)[1])
+            if bid < cutoff_block_id:
+                shutil.rmtree(os.path.join(data_path, d))
+                dropped.append(bid)
+    if dropped:
+        reg = read_registry(spark, path).where(
+            F.col("block_id") >= cutoff_block_id
+        )
+        reg.cache().count()  # materialize before overwriting the source
+        reg.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "registry_tmp")
+        )
+        shutil.rmtree(os.path.join(path, "registry"))
+        os.rename(os.path.join(path, "registry_tmp"), os.path.join(path, "registry"))
+    return dropped

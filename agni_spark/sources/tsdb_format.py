@@ -1,0 +1,435 @@
+"""Pure-Python codecs for the TSDB block on-disk format (ingest path,
+SURVEY §7 Phase 2).
+
+These decode/encode the PUBLIC Prometheus TSDB formats so the engine
+can ingest real blocks (reference read side: agni chunks.go:84-159;
+format: vendor tsdb chunks/xor.go:134-389, chunks.go:196-258):
+
+- XOR ("Gorilla") chunk: 2-byte BE sample count, then a bit stream of
+  (timestamp delta-of-delta, value-XOR) codes — byte-faithful to
+  chunks/xor.go (dod buckets 14/17/20/64 bits with codes 10/110/1110/
+  1111; value leading/trailing-zero windows, 5+6 bit header).
+- Chunk segment file: 8-byte header (magic 0x85BD40DD BE + version 1 +
+  3 padding), then per chunk: uvarint length, 1-byte encoding (1=XOR),
+  data, CRC32 (Castagnoli) — vendor tsdb chunks.go:196-258. Chunk ref
+  = segment_index << 32 | byte_offset (agni chunks.go:113-116).
+- Block index: a STRUCTURALLY equivalent but simplified layout vs
+  index v1 (vendor tsdb index.go:142-199): symbol table, series
+  section (symbol refs + chunk metas), postings — enough to ingest;
+  Spark-side querying never reads it (Catalyst + parquet stats replace
+  it, SURVEY §4.1). Full index-v1 byte parity is not required for the
+  converter because chunks carry all sample data.
+
+Everything here runs inside Arrow-batched Python workers
+(converter.py); nothing touches the driver loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+
+CHUNKS_MAGIC = 0x85BD40DD  # vendor tsdb chunks.go MagicChunks
+ENC_XOR = 1  # chunks/chunk.go:36-49
+
+
+# ---------------------------------------------------------------------------
+# bit stream
+# ---------------------------------------------------------------------------
+class BitWriter:
+    """MSB-first bit appender (vendor tsdb chunks/bstream.go)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.nbits = 0  # bits used in last byte
+
+    def write_bit(self, bit: int) -> None:
+        if self.nbits == 0:
+            self.buf.append(0)
+            self.nbits = 8
+        self.nbits -= 1
+        if bit:
+            self.buf[-1] |= 1 << self.nbits
+
+    def write_bits(self, value: int, n: int) -> None:
+        value &= (1 << n) - 1
+        for i in range(n - 1, -1, -1):
+            self.write_bit((value >> i) & 1)
+
+    def write_byte(self, b: int) -> None:
+        self.write_bits(b, 8)
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+class BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_byte(self) -> int:
+        return self.read_bits(8)
+
+
+def _write_uvarint(w: BitWriter, v: int) -> None:
+    while v >= 0x80:
+        w.write_byte((v & 0x7F) | 0x80)
+        v >>= 7
+    w.write_byte(v)
+
+
+def _read_uvarint(r: BitReader) -> int:
+    shift = 0
+    out = 0
+    while True:
+        b = r.read_byte()
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out
+        shift += 7
+
+
+def _write_varint(w: BitWriter, v: int) -> None:
+    # zigzag (Go binary.PutVarint)
+    _write_uvarint(w, (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1)
+
+
+def _read_varint(r: BitReader) -> int:
+    u = _read_uvarint(r)
+    return (u >> 1) ^ -(u & 1)
+
+
+# ---------------------------------------------------------------------------
+# XOR chunk (chunks/xor.go)
+# ---------------------------------------------------------------------------
+_F = struct.Struct(">d")
+
+
+def _f2b(v: float) -> int:
+    return struct.unpack(">Q", _F.pack(v))[0]
+
+
+def _b2f(b: int) -> float:
+    return struct.unpack(">d", struct.pack(">Q", b))[0]
+
+
+def _clz64(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+def _ctz64(x: int) -> int:
+    return (x & -x).bit_length() - 1 if x else 64
+
+
+def encode_xor_chunk(samples: list[tuple[int, float]]) -> bytes:
+    """Encode (t_ms, value) pairs — byte-faithful to xor.go:134-224."""
+    if len(samples) > 0xFFFF:
+        raise ValueError("chunk supports at most 65535 samples")
+    w = BitWriter()
+    w.write_bits(len(samples), 16)  # BE u16 sample count (xor.go:75-77)
+    if not samples:
+        return w.bytes()
+
+    t0, v0 = samples[0]
+    _write_varint(w, t0)
+    w.write_bits(_f2b(v0), 64)
+    prev_t, prev_v = t0, _f2b(v0)
+    prev_delta = 0
+    leading, trailing = 0xFF, 0  # invalid marker like xor.go
+
+    for i, (t, v) in enumerate(samples[1:], start=1):
+        if i == 1:
+            delta = t - prev_t
+            if delta < 0:
+                raise ValueError("timestamps must be non-decreasing")
+            _write_uvarint(w, delta)
+            prev_delta = delta
+        else:
+            delta = t - prev_t
+            dod = delta - prev_delta
+            prev_delta = delta
+            if dod == 0:
+                w.write_bit(0)
+            elif -8191 <= dod <= 8192:
+                w.write_bits(0b10, 2)
+                w.write_bits(dod, 14)
+            elif -65535 <= dod <= 65536:
+                w.write_bits(0b110, 3)
+                w.write_bits(dod, 17)
+            elif -524287 <= dod <= 524288:
+                w.write_bits(0b1110, 4)
+                w.write_bits(dod, 20)
+            else:
+                w.write_bits(0b1111, 4)
+                w.write_bits(dod & 0xFFFFFFFFFFFFFFFF, 64)
+        prev_t = t
+
+        vb = _f2b(v)
+        xor = prev_v ^ vb
+        if xor == 0:
+            w.write_bit(0)
+        else:
+            w.write_bit(1)
+            lz = min(_clz64(xor), 31)  # leading capped at 31 (5 bits)
+            tz = _ctz64(xor)
+            if leading != 0xFF and lz >= leading and tz >= trailing:
+                w.write_bit(0)
+                w.write_bits(xor >> trailing, 64 - leading - trailing)
+            else:
+                leading, trailing = lz, tz
+                w.write_bit(1)
+                w.write_bits(leading, 5)
+                sigbits = 64 - leading - trailing
+                w.write_bits(sigbits & 0x3F, 6)  # 64 encodes as 0
+                w.write_bits(xor >> trailing, sigbits)
+        prev_v = vb
+    return w.bytes()
+
+
+def decode_xor_chunk(data: bytes) -> list[tuple[int, float]]:
+    """Decode — mirror of xor.go:249-389."""
+    r = BitReader(data)
+    n = r.read_bits(16)
+    out: list[tuple[int, float]] = []
+    if n == 0:
+        return out
+
+    t = _read_varint(r)
+    vbits = r.read_bits(64)
+    out.append((t, _b2f(vbits)))
+    delta = 0
+    leading, trailing = 0, 0
+
+    for i in range(1, n):
+        if i == 1:
+            delta = _read_uvarint(r)
+        else:
+            if r.read_bit() == 0:
+                dod = 0
+            elif r.read_bit() == 0:
+                dod = _sext(r.read_bits(14), 14)
+            elif r.read_bit() == 0:
+                dod = _sext(r.read_bits(17), 17)
+            elif r.read_bit() == 0:
+                dod = _sext(r.read_bits(20), 20)
+            else:
+                raw = r.read_bits(64)
+                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+            delta += dod
+        t += delta
+
+        if r.read_bit() == 0:
+            pass  # same value
+        else:
+            if r.read_bit() == 0:
+                sigbits = 64 - leading - trailing
+            else:
+                leading = r.read_bits(5)
+                mbits = r.read_bits(6)
+                sigbits = 64 if mbits == 0 else mbits
+                trailing = 64 - leading - sigbits
+            xor = r.read_bits(sigbits) << trailing
+            vbits ^= xor
+        out.append((t, _b2f(vbits)))
+    return out
+
+
+def _sext(v: int, nbits: int) -> int:
+    """tsdb sign convention (xor.go readValue): asymmetric range —
+    values strictly greater than 2^(n-1) wrap negative."""
+    return v - (1 << nbits) if v > (1 << (nbits - 1)) else v
+
+
+# ---------------------------------------------------------------------------
+# chunk segment files (vendor tsdb chunks.go:196-258)
+# ---------------------------------------------------------------------------
+def _crc32c(data: bytes) -> int:
+    # tsdb uses CRC-32 Castagnoli; zlib.crc32 is IEEE. We frame with
+    # IEEE and note the divergence: validated on our own round-trip,
+    # and ignorable when reading foreign blocks (verify=False).
+    return zlib.crc32(data) & 0xFFFFFFFF
+
+
+def write_chunk_segment(path: str, chunks: list[bytes], encoding: int = ENC_XOR) -> list[int]:
+    """Write one numbered segment file; returns byte offsets of each
+    chunk (for refs). Layout: magic+version header, then per chunk
+    uvarint(len) | encoding byte | data | crc32."""
+    offsets = []
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", CHUNKS_MAGIC))
+        f.write(bytes([1, 0, 0, 0]))  # version 1 + padding
+        pos = 8
+        for data in chunks:
+            offsets.append(pos)
+            head = _uvarint_bytes(len(data)) + bytes([encoding])
+            crc = struct.pack(">I", _crc32c(bytes([encoding]) + data))
+            f.write(head + data + crc)
+            pos += len(head) + len(data) + 4
+    return offsets
+
+
+def read_chunk_at(path: str, offset: int, verify: bool = True) -> bytes:
+    """Read one chunk given its in-segment offset (agni chunks.go:
+    112-159 does the same over S3 with a doubling buffer)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        buf = f.read(16)
+        ln, consumed = _read_uvarint_bytes(buf)
+        f.seek(offset + consumed)
+        enc_data_crc = f.read(1 + ln + 4)
+    enc, data, crc = enc_data_crc[0], enc_data_crc[1 : 1 + ln], enc_data_crc[1 + ln :]
+    if enc != ENC_XOR:
+        raise ValueError(f"unsupported chunk encoding {enc}")
+    if verify and struct.unpack(">I", crc)[0] != _crc32c(enc_data_crc[: 1 + ln]):
+        raise ValueError("chunk CRC mismatch")
+    return data
+
+
+def iter_segment_chunks(path: str):
+    """Stream every (offset, data) in a segment file (batched ingest —
+    the Populate equivalent, agni chunks.go:161-251, reads whole
+    ranges; here we stream the file once)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    magic, ver = struct.unpack(">I", blob[:4])[0], blob[4]
+    if magic != CHUNKS_MAGIC:
+        raise ValueError("bad chunks magic")
+    if ver != 1:
+        raise ValueError(f"unsupported chunks version {ver}")
+    pos = 8
+    while pos < len(blob):
+        ln, consumed = _read_uvarint_bytes(blob[pos : pos + 10])
+        start = pos + consumed
+        data = blob[start + 1 : start + 1 + ln]
+        yield pos, data
+        pos = start + 1 + ln + 4
+
+
+def _uvarint_bytes(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def _read_uvarint_bytes(buf: bytes) -> tuple[int, int]:
+    shift = out = i = 0
+    while True:
+        b = buf[i]
+        out |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+# ---------------------------------------------------------------------------
+# block index + meta (structural equivalent of index v1)
+# ---------------------------------------------------------------------------
+@dataclass
+class ChunkMeta:
+    """(ref, mint, maxt) — vendor tsdb chunks.go:34-43; ref =
+    segment_index << 32 | offset (agni chunks.go:113-116)."""
+
+    ref: int
+    mint: int
+    maxt: int
+
+
+def write_index(
+    path: str,
+    series: list[tuple[dict[str, str], list[ChunkMeta]]],
+) -> None:
+    """Symbol-interned series index with postings (structure of vendor
+    index.go: symbols -> series -> postings; simplified byte layout,
+    see module docstring)."""
+    symbols = sorted(
+        {s for labels, _ in series for kv in labels.items() for s in kv}
+    )
+    sym_id = {s: i for i, s in enumerate(symbols)}
+    entries = []
+    for labels, chunks in series:
+        entries.append(
+            {
+                "labels": sorted(
+                    (sym_id[k], sym_id[v]) for k, v in labels.items()
+                ),
+                "chunks": [[c.ref, c.mint, c.maxt] for c in chunks],
+            }
+        )
+    postings: dict[str, list[int]] = {}
+    for sid, (labels, _) in enumerate(series):
+        for k, v in labels.items():
+            postings.setdefault(f"{sym_id[k]}:{sym_id[v]}", []).append(sid)
+    doc = {"symbols": symbols, "series": entries, "postings": postings}
+    blob = json.dumps(doc, separators=(",", ":")).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", 0xBAAAD700))  # index magic, index.go
+        f.write(bytes([2]))  # our structural version
+        f.write(struct.pack(">I", _crc32c(blob)))
+        f.write(blob)
+
+
+def read_index(path: str) -> list[tuple[dict[str, str], list[ChunkMeta]]]:
+    with open(path, "rb") as f:
+        magic = struct.unpack(">I", f.read(4))[0]
+        if magic != 0xBAAAD700:
+            raise ValueError("bad index magic")
+        ver = f.read(1)[0]
+        if ver != 2:
+            raise ValueError(f"unsupported index version {ver}")
+        crc = struct.unpack(">I", f.read(4))[0]
+        blob = f.read()
+    if _crc32c(blob) != crc:
+        raise ValueError("index CRC mismatch")
+    doc = json.loads(blob)
+    symbols = doc["symbols"]
+    out = []
+    for e in doc["series"]:
+        labels = {symbols[k]: symbols[v] for k, v in e["labels"]}
+        chunks = [ChunkMeta(*c) for c in e["chunks"]]
+        out.append((labels, chunks))
+    return out
+
+
+def write_meta(path: str, ulid: str, mint: int, maxt: int, stats: dict, level: int = 1) -> None:
+    """meta.json (vendor tsdb block.go:64-96; version gate ==1 mirrors
+    db.go:238-240)."""
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "ulid": ulid,
+                "minTime": mint,
+                "maxTime": maxt,
+                "stats": stats,
+                "compaction": {"level": level, "sources": [ulid]},
+                "version": 1,
+            },
+            f,
+        )
+
+
+def read_meta(path: str) -> dict:
+    with open(path) as f:
+        meta = json.load(f)
+    if meta.get("version") != 1:
+        raise ValueError(f"unexpected meta file version {meta.get('version')}")
+    return meta

@@ -1,0 +1,81 @@
+"""Block-store layout: partitioned write/read round-trip, registry
+commit, partition pruning, compaction, retention."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from agni_spark.querier import validate_block_sequence
+from agni_spark.sources import layout
+
+BLOCK = 1000  # small block size for tests
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store"))
+    samples = spark.createDataFrame(
+        [(s, t, float(s * 100 + t)) for s in range(3) for t in range(0, 5000, 250)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(samples, path, block_ms=BLOCK)
+    return path
+
+
+def test_roundtrip_equality(spark, store):
+    df = layout.read_samples(spark, store)
+    assert df.count() == 60
+    assert df.select("series_id", "ts_ms", "value").distinct().count() == 60
+
+
+def test_registry_matches_data(spark, store):
+    reg = layout.read_registry(spark, store).orderBy("block_id").collect()
+    assert [r.block_id for r in reg] == [0, 1, 2, 3, 4]
+    assert all(r.num_samples == 12 and r.num_series == 3 for r in reg)
+    assert all(r.maxt_ms == r.mint_ms + BLOCK for r in reg)
+    assert validate_block_sequence(layout.read_registry(spark, store)).count() == 0
+
+
+def test_partition_pruning_in_plan(spark, store):
+    df = layout.time_pruned(
+        layout.read_samples(spark, store), 1000, 2999, block_ms=BLOCK
+    )
+    assert df.count() == 24  # blocks 1,2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # only 2 of 5 partitions survive pruning
+    assert "block_id" in plan
+
+
+def test_files_sorted_within_partition(spark, store):
+    # sortWithinPartitions(series_id, ts_ms) -> rows in file are ordered
+    import pyarrow.parquet as pq
+
+    f = glob.glob(os.path.join(store, "data", "block_id=0", "*.parquet"))[0]
+    t = pq.read_table(f).to_pandas()
+    assert list(t.sort_values(["series_id", "ts_ms"]).index) == list(t.index)
+
+
+def test_compact_reduces_files(spark, store):
+    layout.compact(spark, store, files_per_block=1)
+    for d in glob.glob(os.path.join(store, "data", "block_id=*")):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1
+    assert layout.read_samples(spark, store).count() == 60
+
+
+def test_retention_drops_old_blocks(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store2"))
+    samples = spark.createDataFrame(
+        [(1, t, 1.0) for t in range(0, 5000, 100)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(samples, path, block_ms=BLOCK)
+    dropped = layout.drop_blocks_before(spark, path, cutoff_block_id=2)
+    assert dropped == [0, 1]
+    assert layout.read_samples(spark, path).agg(F.min("ts_ms")).first()[0] == 2000
+    reg = layout.read_registry(spark, path)
+    assert reg.agg(F.min("block_id")).first()[0] == 2
