@@ -1,0 +1,127 @@
+"""Prometheus remote-read serving layer (SURVEY §3.1 end-to-end).
+
+Request path, mirroring agni server.go:64-97 stage by stage:
+  POST /read body --snappy--> protobuf ReadRequest        (S12)
+  per Query: (start_ms, end_ms, matchers)                  (server.go:100-103)
+  matcher translation -> agni_spark.Matcher                (server.go:107-132)
+  Querier.select(...) -> ONE Catalyst plan                 (stages 4-5 collapse)
+  matrix assembly: groupBy(series) sorted sample arrays    (server.go:134-162)
+  proto ReadResponse --snappy--> HTTP 200                  (S13)
+
+The only collect() in the engine sits here, at the serving edge —
+everything upstream is distributed. Matrix rows arrive series-sorted
+(label-set order == series_id order) with time-sorted samples, the
+reference's output contract (querier.go:314-328).
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import functions as F
+
+from agni_spark.matchers import Matcher
+from agni_spark.protocol import remote_pb as pb
+from agni_spark.protocol import snappy_codec as snappy
+from agni_spark.querier import Querier
+
+_WIRE_OPS = {0: "=", 1: "!=", 2: "=~", 3: "!~"}  # remote.proto:53-58
+
+
+def matchers_from_proto(ms: list[pb.LabelMatcher]) -> list[Matcher]:
+    """Wire matcher -> engine matcher (server.go:107-132)."""
+    return [Matcher(_WIRE_OPS[m.type], m.name, m.value) for m in ms]
+
+
+def evaluate_query(querier: Querier, q: pb.Query) -> list[pb.TimeSeries]:
+    """One remote-read Query -> list of TimeSeries (the Matrix).
+
+    Sample arrays are assembled DISTRIBUTED per series
+    (sort_array(collect_list(...)) — SURVEY §1.4 Matrix mapping); the
+    driver only receives the final per-series rows."""
+    sel = querier.select(
+        matchers_from_proto(q.matchers), mint_ms=q.start_ms, maxt_ms=q.end_ms
+    )
+    per_series = (
+        sel.groupBy("series_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_ms", "value"))
+            ).alias("pts")
+        )
+        .join(querier.series, "series_id")
+        .orderBy("series_id")
+    )
+    label_cols = [c for c in querier.series.columns if c != "series_id"]
+    out = []
+    for row in per_series.collect():  # serving edge: results only
+        labels = []
+        for c in label_cols:
+            v = row[c]
+            if v is not None:
+                name = "__name__" if c == "metric" else c
+                labels.append((name, v))
+        labels.sort()
+        out.append(
+            pb.TimeSeries(
+                labels=labels,
+                samples=[(p.value, p.ts_ms) for p in row.pts],
+            )
+        )
+    return out
+
+
+def handle_read(querier: Querier, body: bytes) -> bytes:
+    """Full request pipeline on raw bytes (transport-independent —
+    tested without sockets; the HTTP handler below is a thin shell)."""
+    req = pb.decode_read_request(snappy.decompress(body))
+    resp = pb.ReadResponse(
+        results=[evaluate_query(querier, q) for q in req.queries]
+    )
+    return snappy.compress(pb.encode_read_response(resp))
+
+
+class RemoteReadServer:
+    """Threaded HTTP server exposing POST /read (server.go:51)."""
+
+    def __init__(self, querier: Querier, host: str = "127.0.0.1", port: int = 0):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self) -> None:  # noqa: N802
+                if self.path != "/read":
+                    self.send_error(404)
+                    return
+                try:
+                    body = self.rfile.read(
+                        int(self.headers.get("Content-Length", "0"))
+                    )
+                    payload = handle_read(outer.querier, body)
+                except Exception as e:  # decode/eval error -> 400
+                    self.send_error(400, str(e)[:200])
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-protobuf")
+                self.send_header("Content-Encoding", "snappy")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a) -> None:  # quiet
+                pass
+
+        self.querier = querier
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_port
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

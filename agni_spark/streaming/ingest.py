@@ -1,0 +1,122 @@
+"""Structured Streaming tier.
+
+Reference mapping:
+- S11 lazy-ship staging (shipper.go:189-250: fsnotify + 5s tick +
+  hardlink staging so compaction can't delete mid-upload) -> a
+  Structured Streaming FILE SOURCE: atomically-listed new files,
+  exactly-once via checkpointing — the staging dance disappears.
+- The shipper main loop (5s tick upload) -> `writeStream` into the
+  time-partitioned block store; the checkpoint is the commit protocol.
+- Beyond reference (agni has no write endpoint, SURVEY §2.7): windowed
+  aggregation with watermarks for late data, and a CUSTOM STATEFUL
+  operator (applyInPandasWithState) computing streaming counter
+  `increase` per series across micro-batches — the reference defers
+  all of this to upstream Prometheus.
+
+Scale: file-source ingest parallelizes per file; the stateful op
+shuffles once on series_id and holds O(1) state per series (last
+timestamp/value), the same state a Prometheus counter scrape keeps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+SAMPLES_SCHEMA = "series_id long, ts_ms long, value double"
+
+
+def stream_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    block_ms: int = 7_200_000,
+    available_now: bool = True,
+):
+    """File-source ingest -> time-partitioned store (S11+S9). Returns
+    the started StreamingQuery; caller awaits termination."""
+    stream = (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .parquet(src_dir)
+        .withColumn("block_id", F.expr(f"CAST(ts_ms div {block_ms} AS BIGINT)"))
+    )
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("block_id")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_sum(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window sum with late-data watermark — the
+    streaming twin of promql.agg_over_time. Input needs an event-time
+    `ts` timestamp column (ms-derived)."""
+    with_ts = stream.withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("ts", watermark)
+    return (
+        with_ts.groupBy("series_id", F.window("ts", window))
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "series_id",
+            F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+            "sum_value",
+            "n",
+        )
+    )
+
+
+def streaming_increase(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-series counter increase across
+    micro-batches (applyInPandasWithState). State = (last_ts, last_v);
+    emits one row per batch per series with the reset-corrected
+    increase observed in that batch — the streaming formulation of
+    promql.increase.
+
+    The closure is self-contained (workers never import agni_spark)."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as _pd
+
+        (series_id,) = key
+        last_ts, last_v = state.get if state.exists else (None, None)
+        inc = 0.0
+        n = 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ms", "value"])
+            for ts, v in zip(pdf["ts_ms"], pdf["value"]):
+                if last_v is not None:
+                    inc += (v - last_v) if v >= last_v else v
+                last_ts, last_v = int(ts), float(v)
+                n += 1
+        state.update((last_ts, last_v))
+        yield _pd.DataFrame(
+            {
+                "series_id": [series_id],
+                "n_in_batch": [n],
+                "increase": [round(inc, 6)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        fn,
+        outputStructType="series_id long, n_in_batch long, increase double, last_ts long",
+        stateStructType="last_ts long, last_v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

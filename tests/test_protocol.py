@@ -1,0 +1,184 @@
+"""Protocol conformance (SURVEY §5.4): snappy codec, protobuf wire
+format against HAND-BUILT golden bytes (independent of our encoder),
+and the full /read HTTP round trip."""
+
+from __future__ import annotations
+
+import struct
+import urllib.request
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from agni_spark.protocol import remote_pb as pb
+from agni_spark.protocol import snappy_codec as snappy
+
+
+# -- snappy -----------------------------------------------------------------
+def test_snappy_roundtrip_simple():
+    for data in [b"", b"x", b"hello world" * 100, bytes(range(256)) * 300]:
+        assert snappy.decompress(snappy.compress(data)) == data
+
+
+def test_snappy_decodes_foreign_copies():
+    # hand-built stream using copy elements (our compressor never emits
+    # them; a conforming decoder must): "abcdabcdabcd"
+    # literal "abcd" then copy(offset=4, len=8) -> 2-byte-offset form
+    golden = bytes([12]) + bytes([(4 - 1) << 2]) + b"abcd" + bytes(
+        [((8 - 1) << 2) | 2]
+    ) + struct.pack("<H", 4)
+    assert snappy.decompress(golden) == b"abcdabcdabcd"
+
+
+def test_snappy_overlapping_copy():
+    # literal "ab" + copy(offset=2, len=6) -> "abababab" (RLE-style)
+    golden = bytes([8, (2 - 1) << 2]) + b"ab" + bytes(
+        [((6 - 1) << 2) | 2]
+    ) + struct.pack("<H", 2)
+    assert snappy.decompress(golden) == b"abababab"
+
+
+def test_snappy_one_byte_offset_copy():
+    # literal "abcd" + copy1(offset=4, len=4)
+    golden = bytes([8, (4 - 1) << 2]) + b"abcd" + bytes(
+        [((4 - 4) << 2) | 1, 4]
+    )
+    assert snappy.decompress(golden) == b"abcdabcd"
+
+
+def test_snappy_length_mismatch_rejected():
+    bad = bytes([5, (4 - 1) << 2]) + b"abcd"
+    with pytest.raises(ValueError, match="length"):
+        snappy.decompress(bad)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200_000))
+def test_snappy_property_roundtrip(data):
+    assert snappy.decompress(snappy.compress(data)) == data
+
+
+# -- protobuf ---------------------------------------------------------------
+def test_read_request_golden_decode():
+    # Hand-assembled ReadRequest: one Query{start=1000, end=2000,
+    # matchers=[{type=RE(2), name="job", value="a.*"}]}
+    matcher = (
+        bytes([0x08, 0x02])  # field 1 varint = 2 (RE)
+        + bytes([0x12, 0x03]) + b"job"  # field 2 ld "job"
+        + bytes([0x1A, 0x03]) + b"a.*"  # field 3 ld "a.*"
+    )
+    query = (
+        bytes([0x08, 0xE8, 0x07])  # field 1 varint 1000
+        + bytes([0x10, 0xD0, 0x0F])  # field 2 varint 2000
+        + bytes([0x1A, len(matcher)]) + matcher
+    )
+    req_bytes = bytes([0x0A, len(query)]) + query
+    req = pb.decode_read_request(req_bytes)
+    assert len(req.queries) == 1
+    q = req.queries[0]
+    assert (q.start_ms, q.end_ms) == (1000, 2000)
+    assert (q.matchers[0].type, q.matchers[0].name, q.matchers[0].value) == (
+        2, "job", "a.*",
+    )
+    # our encoder produces the same bytes
+    assert pb.encode_read_request(req) == req_bytes
+
+
+def test_read_response_roundtrip():
+    resp = pb.ReadResponse(
+        results=[
+            [
+                pb.TimeSeries(
+                    labels=[("__name__", "up"), ("job", "api")],
+                    samples=[(1.5, 1000), (2.5, 2000)],
+                ),
+                pb.TimeSeries(labels=[("job", "web")], samples=[]),
+            ],
+            [],
+        ]
+    )
+    dec = pb.decode_read_response(pb.encode_read_response(resp))
+    assert dec == resp
+
+
+def test_unknown_fields_skipped():
+    # trailing unknown field 15 (varint) must be ignored
+    body = pb.encode_read_request(pb.ReadRequest([pb.Query(1, 2)])) + bytes(
+        [0x78, 0x05]
+    )
+    req = pb.decode_read_request(body)
+    assert req.queries[0].start_ms == 1
+
+
+# -- end-to-end /read -------------------------------------------------------
+@pytest.fixture(scope="module")
+def served_querier(spark):
+    from agni_spark.querier import Querier
+
+    samples = spark.createDataFrame(
+        [(0, 100, 1.0), (0, 200, 2.0), (1, 150, 5.0), (2, 500, 9.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    series = spark.createDataFrame(
+        [
+            (0, "up", "api", "prod"),
+            (1, "up", "web", "prod"),
+            (2, "down", "api", "dev"),
+        ],
+        "series_id long, metric string, job string, env string",
+    )
+    sl = spark.createDataFrame(
+        [(s, n, v) for s, m, j, e in [
+            (0, "up", "api", "prod"),
+            (1, "up", "web", "prod"),
+            (2, "down", "api", "dev"),
+        ] for n, v in [("__name__", m), ("job", j), ("env", e)]],
+        "series_id long, name string, value string",
+    )
+    return Querier(samples, series, sl)
+
+
+def test_http_read_end_to_end(served_querier):
+    from agni_spark.protocol.server import RemoteReadServer
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    try:
+        req = pb.ReadRequest(
+            [pb.Query(0, 1000, [pb.LabelMatcher(0, "env", "prod")])]
+        )
+        body = snappy.compress(pb.encode_read_request(req))
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/read", data=body, method="POST"
+            ),
+            timeout=120,
+        )
+        assert r.status == 200
+        resp = pb.decode_read_response(snappy.decompress(r.read()))
+        [result] = resp.results
+        assert [ts.labels for ts in result] == [
+            [("__name__", "up"), ("env", "prod"), ("job", "api")],
+            [("__name__", "up"), ("env", "prod"), ("job", "web")],
+        ]
+        assert result[0].samples == [(1.0, 100), (2.0, 200)]
+        assert result[1].samples == [(5.0, 150)]
+    finally:
+        srv.stop()
+
+
+def test_http_bad_body_is_400(served_querier):
+    from agni_spark.protocol.server import RemoteReadServer
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/read", data=b"\xff\xff", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+    finally:
+        srv.stop()
