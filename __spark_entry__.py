@@ -516,10 +516,22 @@ def _sql_lang_id() -> str:
 
 
 _SQL_MINHASH_LSH = _SQL_SHINGLES + """
-, sig AS (
-  SELECT doc_id, j,
-         min(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS mh
-  FROM sh CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j),
+, shp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hp
+  FROM sh),
+sig AS (
+  SELECT doc_id, j, min((a * hp + b) % 2147483647) AS mh
+  FROM shp CROSS JOIN (VALUES
+    (0,966089094,1857433701),(1,480631838,374120058),
+    (2,2108448132,1076028303),(3,624808879,780846434),
+    (4,606530822,1008925363),(5,1526554649,738070115),
+    (6,691391971,765317309),(7,991337253,2123026852),
+    (8,1731773985,553377715),(9,1059755009,2018466022),
+    (10,860998362,438028787),(11,1144951266,1453263485),
+    (12,1064822575,201441963),(13,242572994,381717194),
+    (14,1760945394,2023084616),(15,671106768,26216379)) t(j,a,b)
+  GROUP BY doc_id, j),
 band AS (
   SELECT doc_id, j // 4 AS band,
          md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bucket

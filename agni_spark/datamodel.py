@@ -94,6 +94,13 @@ class TsdbTables:
     blocks: DataFrame  # (ulid, block_id, mint_ms, maxt_ms, stats...)
 
 
+# The series registry is a dimension table (thousands of rows vs the
+# fact table's billions) referenced several times per matcher plan; the
+# memo + persist below keeps it materialized once per session instead of
+# re-running the distinct-over-facts for every branch of every query.
+_TSDB_CACHE: dict[tuple[str, str], TsdbTables] = {}
+
+
 def _event_base(events: DataFrame) -> DataFrame:
     type_idx = F.array_position(
         F.array(*[F.lit(t) for t in EVENT_TYPES]), F.col("event_type")
@@ -126,13 +133,18 @@ def derive_tsdb(spark: SparkSession, sf_dir: str) -> TsdbTables:
     written time-partitioned (see storage.layout); the derivation here
     is narrow (no shuffle) except the small distinct for the series
     registry."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TSDB_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     base = _event_base(load(spark, sf_dir, "events"))
 
     samples = base.select("series_id", "ts_ms", "value")
 
     series = base.select(
         "series_id", "metric", "job", "env", "instance", "pod"
-    ).distinct()
+    ).distinct().persist()
 
     # Exploded long form = the inverted index / postings table
     # (vendor tsdb postings.go). Empty values are never emitted —
@@ -174,7 +186,9 @@ def derive_tsdb(spark: SparkSession, sf_dir: str) -> TsdbTables:
             .alias("compaction_level"),
         )
     )
-    return TsdbTables(samples, series, series_labels, blocks)
+    out = TsdbTables(samples, series, series_labels, blocks)
+    _TSDB_CACHE[key] = out
+    return out
 
 
 def tombstones_for(spark: SparkSession) -> DataFrame:

@@ -47,8 +47,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
-    # Warm the JVM/session so query 1 doesn't pay startup cost.
+    # Warm the JVM so timings measure steady-state engine throughput,
+    # not one-time class-loading / whole-stage-codegen compilation: run
+    # the same plan shapes once at the smallest SF (different data dir,
+    # so no data caching of the measured SF — pure JIT/codegen warm).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception:
+                pass
 
     results: dict[str, float] = {}
     for name in HEADLINE:
