@@ -231,6 +231,84 @@ def _q_promql_instant(spark: SparkSession, sf: str) -> DataFrame:
     return promql.instant(q.samples, T2, 3 * DAY_MS).orderBy("series_id")
 
 
+def _q_promql_resets(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.resets(q.samples, DAY_MS).orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_changes(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.changes(q.samples, DAY_MS).orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_irate(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.irate(q.samples, DAY_MS).orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_deriv(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.deriv(q.samples, DAY_MS).orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_predict_linear(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.predict_linear(q.samples, DAY_MS, 3600.0).orderBy(
+        "series_id", "bucket_ms"
+    )
+
+
+def _q_promql_quantile_by(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.quantile_by(
+        q.samples, q.series, ["job", "env"], 0.9, DAY_MS
+    ).orderBy("job", "env", "bucket_ms")
+
+
+def _q_promql_bottomk(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.bottomk(q.samples, 5, T1, T2).orderBy("rk")
+
+
+def _q_promql_count_values(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.count_values(q.samples, T1, T2).orderBy("value")
+
+
+def _q_promql_binop_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    # PromQL `sum by (job,env) (event_error) / on(job,env,bucket)
+    # sum by (job,env) (event_click)` — vector / vector with matching.
+    q = _querier(spark, sf)
+    sel = q.series.select("series_id", "metric", "job", "env")
+
+    def side(metric: str) -> DataFrame:
+        ids = F.broadcast(sel.where(F.col("metric") == metric))
+        return (
+            q.samples.join(ids, "series_id")
+            .groupBy("job", "env", promql.bucket_start(DAY_MS))
+            .agg(F.round(F.sum("value"), promql.ROUND_SUM).alias("sum_value"))
+        )
+
+    return promql.binop_on(
+        side("event_error"), side("event_click"), ["job", "env", "bucket_ms"], "/"
+    ).orderBy("job", "env", "bucket_ms")
+
+
+def _q_promql_histogram_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    buckets = promql.histogram_buckets(q.samples, q.series, ["job"], DAY_MS)
+    return promql.histogram_quantile(buckets, 0.9, ["job"]).orderBy(
+        "job", "bucket_ms"
+    )
+
+
+def _q_promql_absent(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.absent_over_time(
+        q.samples, q.series, H6_MS, T1, T1 + 2 * DAY_MS
+    ).orderBy("series_id", "bucket_ms")
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     tune_session(spark)
     return dm.load(spark, sf, "documents")
@@ -409,6 +487,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_sum_by": _q_promql_sum_by,
         "promql_topk": _q_promql_topk,
         "promql_instant": _q_promql_instant,
+        "promql_resets": _q_promql_resets,
+        "promql_changes": _q_promql_changes,
+        "promql_irate": _q_promql_irate,
+        "promql_deriv": _q_promql_deriv,
+        "promql_predict_linear": _q_promql_predict_linear,
+        "promql_quantile_by": _q_promql_quantile_by,
+        "promql_bottomk": _q_promql_bottomk,
+        "promql_count_values": _q_promql_count_values,
+        "promql_binop_ratio": _q_promql_binop_ratio,
+        "promql_histogram_quantile": _q_promql_histogram_quantile,
+        "promql_absent": _q_promql_absent,
         "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
         "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
@@ -630,6 +719,47 @@ ORDER BY media_id, "offset"
 """
 
 
+# Shared least-squares sums (deriv / predict_linear), x = seconds since
+# bucket start — mirror of promql._regr_sums.
+_SQL_REGR_SUMS = """
+, sums AS (
+  SELECT series_id, bucket_ms,
+         count(*) AS n, sum(x) AS sx, sum(value) AS sy,
+         sum(x * value) AS sxy, sum(x * x) AS sxx
+  FROM (SELECT series_id, value,
+        CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,
+        (ts_ms - CAST(ts_ms // 86400000 AS BIGINT) * 86400000) / 1000.0 AS x
+        FROM samples)
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+"""
+
+# Mirror of promql.histogram_buckets + histogram_quantile(0.9, [job]).
+_SQL_HISTOGRAM_QUANTILE = """
+, les AS (SELECT unnest([25.0, 50.0, 100.0, 250.0, 500.0,
+                         'inf'::DOUBLE]) AS le),
+hb AS (
+  SELECT s2.job, CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,
+         l.le, CAST(sum(CASE WHEN s.value <= l.le THEN 1 ELSE 0 END) AS BIGINT)
+           AS cum
+  FROM samples s JOIN series s2 USING (series_id) CROSS JOIN les l
+  GROUP BY 1, 2, 3),
+hq AS (
+  SELECT job, bucket_ms, le, cum,
+         coalesce(lag(cum) OVER w, 0) AS prev_cum,
+         coalesce(lag(le) OVER w, 0.0) AS prev_le,
+         max(cum) OVER (PARTITION BY job, bucket_ms) AS total,
+         max(CASE WHEN le <> 'inf'::DOUBLE THEN le END)
+           OVER (PARTITION BY job, bucket_ms) AS max_fin
+  FROM hb WINDOW w AS (PARTITION BY job, bucket_ms ORDER BY le))
+SELECT job, bucket_ms,
+  round(CASE WHEN le = 'inf'::DOUBLE THEN max_fin
+        ELSE prev_le + (le - prev_le) * (0.9 * total - prev_cum)
+             / (cum - prev_cum) END, 6) AS quantile
+FROM hq WHERE cum >= 0.9 * total AND prev_cum < 0.9 * total
+ORDER BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     q = oracle.q
     return {
@@ -782,6 +912,102 @@ def oracle_sql() -> dict[str, str]:
             f"(PARTITION BY series_id ORDER BY ts_ms DESC, value DESC) AS rn "
             f"FROM samples WHERE ts_ms <= {T2} AND ts_ms > {T2} - 259200000) "
             f"WHERE rn = 1 ORDER BY series_id"
+        ),
+        "promql_resets": q(
+            "SELECT series_id, CAST(ts_ms // 86400000 AS BIGINT) * 86400000 "
+            "AS bucket_ms, CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS resets "
+            "FROM (SELECT series_id, ts_ms, value, lag(value) OVER "
+            "(PARTITION BY series_id ORDER BY ts_ms, value) AS prev FROM samples) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "promql_changes": q(
+            "SELECT series_id, CAST(ts_ms // 86400000 AS BIGINT) * 86400000 "
+            "AS bucket_ms, CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS changes "
+            "FROM (SELECT series_id, ts_ms, value, lag(value) OVER "
+            "(PARTITION BY series_id ORDER BY ts_ms, value) AS prev FROM samples) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "promql_irate": q(
+            ", ranked AS (SELECT series_id, "
+            "CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "ts_ms, value, row_number() OVER (PARTITION BY series_id, "
+            "CAST(ts_ms // 86400000 AS BIGINT) ORDER BY ts_ms DESC, value DESC) "
+            "AS rn FROM samples), "
+            "pair AS (SELECT series_id, bucket_ms, "
+            "max(CASE WHEN rn = 1 THEN ts_ms END) AS t1, "
+            "max(CASE WHEN rn = 1 THEN value END) AS v1, "
+            "max(CASE WHEN rn = 2 THEN ts_ms END) AS t0, "
+            "max(CASE WHEN rn = 2 THEN value END) AS v0 "
+            "FROM ranked WHERE rn <= 2 GROUP BY 1, 2) "
+            "SELECT series_id, bucket_ms, "
+            "round((CASE WHEN v1 >= v0 THEN v1 - v0 ELSE v1 END) "
+            "/ ((t1 - t0) / 1000.0), 6) AS irate "
+            "FROM pair WHERE t0 IS NOT NULL AND t1 > t0 ORDER BY 1, 2"
+        ),
+        "promql_deriv": q(
+            _SQL_REGR_SUMS
+            + "SELECT series_id, bucket_ms, "
+            "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS deriv "
+            "FROM sums WHERE n * sxx - sx * sx <> 0 ORDER BY 1, 2"
+        ),
+        "promql_predict_linear": q(
+            _SQL_REGR_SUMS
+            + "SELECT series_id, bucket_ms, "
+            "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n "
+            "+ ((n * sxy - sx * sy) / (n * sxx - sx * sx)) "
+            "* 90000.0, 6) AS predicted "
+            "FROM sums WHERE n * sxx - sx * sx <> 0 ORDER BY 1, 2"
+        ),
+        "promql_quantile_by": q(
+            "SELECT s2.job, s2.env, "
+            "CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "round(quantile_cont(s.value, 0.9), 6) AS quantile "
+            "FROM samples s JOIN series s2 USING (series_id) "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "promql_bottomk": q(
+            f"SELECT series_id, sum_value, CAST(rk AS INT) AS rk FROM ("
+            f"SELECT series_id, round(sum(value), 4) AS sum_value, "
+            f"row_number() OVER (ORDER BY round(sum(value), 4) ASC, series_id ASC) "
+            f"AS rk FROM samples WHERE ts_ms BETWEEN {T1} AND {T2} "
+            f"GROUP BY series_id) WHERE rk <= 5 ORDER BY rk"
+        ),
+        "promql_count_values": q(
+            f"SELECT value, CAST(count(*) AS BIGINT) AS n_samples, "
+            f"CAST(count(DISTINCT series_id) AS BIGINT) AS n_series "
+            f"FROM samples WHERE ts_ms BETWEEN {T1} AND {T2} "
+            f"GROUP BY value ORDER BY value"
+        ),
+        "promql_binop_ratio": q(
+            ", sided AS (SELECT s2.metric, s2.job, s2.env, "
+            "CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "round(sum(s.value), 4) AS sum_value "
+            "FROM samples s JOIN series s2 USING (series_id) "
+            "WHERE s2.metric IN ('event_error', 'event_click') "
+            "GROUP BY 1, 2, 3, 4) "
+            "SELECT l.job, l.env, l.bucket_ms, "
+            "round(CASE WHEN r.sum_value <> 0 "
+            "THEN l.sum_value / r.sum_value END, 6) AS result "
+            "FROM sided l JOIN sided r ON l.job = r.job AND l.env = r.env "
+            "AND l.bucket_ms = r.bucket_ms "
+            "AND l.metric = 'event_error' AND r.metric = 'event_click' "
+            "ORDER BY 1, 2, 3"
+        ),
+        "promql_histogram_quantile": q(_SQL_HISTOGRAM_QUANTILE),
+        "promql_absent": q(
+            f", spine AS (SELECT s.series_id, "
+            f"{T1} + b.b * 21600000 AS bucket_ms "
+            f"FROM series s CROSS JOIN "
+            f"(SELECT unnest(generate_series(0, 7)) AS b) b), "
+            f"present AS (SELECT DISTINCT series_id, "
+            f"CAST(ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms "
+            f"FROM samples WHERE ts_ms >= {T1} AND ts_ms < {T1 + 2 * 86400000}) "
+            f"SELECT sp.series_id, sp.bucket_ms, 1 AS absent FROM spine sp "
+            f"ANTI JOIN present p ON sp.series_id = p.series_id "
+            f"AND sp.bucket_ms = p.bucket_ms "
+            f"ORDER BY 1, 2"
         ),
         "tpch_q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

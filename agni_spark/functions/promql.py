@@ -149,6 +149,289 @@ def topk(
     )
 
 
+def resets(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """resets(): number of counter resets (value drops) per (series,
+    bucket). Same lag machinery as increase — one shuffle on series_id."""
+    prev = F.lag("value").over(_series_time_window())
+    is_reset = F.when(prev.isNotNull() & (F.col("value") < prev), 1).otherwise(0)
+    return (
+        samples.withColumn("is_reset", is_reset)
+        .groupBy("series_id", bucket_start(bucket_ms))
+        .agg(F.sum("is_reset").cast("long").alias("resets"))
+    )
+
+
+def changes(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """changes(): number of value changes per (series, bucket)."""
+    prev = F.lag("value").over(_series_time_window())
+    chg = F.when(prev.isNotNull() & (F.col("value") != prev), 1).otherwise(0)
+    return (
+        samples.withColumn("chg", chg)
+        .groupBy("series_id", bucket_start(bucket_ms))
+        .agg(F.sum("chg").cast("long").alias("changes"))
+    )
+
+
+def irate(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """irate(): instant rate from the LAST TWO samples of each (series,
+    bucket), with counter-reset correction. Window row_number desc —
+    no driver work."""
+    w = Window.partitionBy("series_id", "bucket_ms").orderBy(
+        F.col("ts_ms").desc(), F.col("value").desc()
+    )
+    ranked = (
+        samples.withColumn("bucket_ms", bucket_start(bucket_ms))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+    )
+    pair = ranked.groupBy("series_id", "bucket_ms").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("ts_ms"))).alias("t1"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v1"),
+        F.max(F.when(F.col("rn") == 2, F.col("ts_ms"))).alias("t0"),
+        F.max(F.when(F.col("rn") == 2, F.col("value"))).alias("v0"),
+    )
+    dv = F.when(F.col("v1") >= F.col("v0"), F.col("v1") - F.col("v0")).otherwise(
+        F.col("v1")
+    )
+    dt_s = (F.col("t1") - F.col("t0")) / F.lit(1000.0)
+    return pair.where(
+        F.col("t0").isNotNull() & (F.col("t1") > F.col("t0"))
+    ).select(
+        "series_id",
+        "bucket_ms",
+        F.round(dv / dt_s, ROUND_AVG).alias("irate"),
+    )
+
+
+def _regr_sums(samples: DataFrame, bucket_ms: int):
+    """Shared least-squares sums per (series, bucket), x = seconds since
+    bucket start (centering keeps the magnitudes small enough that the
+    float sums agree across engines at ROUND_AVG)."""
+    x = (F.col("ts_ms") - F.col("bucket_ms")) / F.lit(1000.0)
+    return (
+        samples.withColumn("bucket_ms", bucket_start(bucket_ms))
+        .withColumn("x", x)
+        .groupBy("series_id", "bucket_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("value").alias("sy"),
+            F.sum(F.col("x") * F.col("value")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+
+
+def deriv(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """deriv(): per-(series, bucket) least-squares slope (per second),
+    the PromQL simple linear regression over the range."""
+    s = _regr_sums(samples, bucket_ms)
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return s.where(denom != 0).select(
+        "series_id", "bucket_ms", F.round(slope, ROUND_AVG).alias("deriv")
+    )
+
+
+def predict_linear(
+    samples: DataFrame, bucket_ms: int, ahead_s: float
+) -> DataFrame:
+    """predict_linear(): extrapolate the per-bucket regression line
+    `ahead_s` seconds past the bucket end."""
+    s = _regr_sums(samples, bucket_ms)
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    x_at = F.lit(bucket_ms / 1000.0 + ahead_s)
+    return s.where(denom != 0).select(
+        "series_id",
+        "bucket_ms",
+        F.round(intercept + slope * x_at, ROUND_AVG).alias("predicted"),
+    )
+
+
+def quantile_by(
+    samples: DataFrame,
+    series: DataFrame,
+    by: list[str],
+    q: float,
+    bucket_ms: int,
+) -> DataFrame:
+    """quantile by (labels): continuous (interpolated) quantile of the
+    sample values per label group per bucket — Spark `percentile` and
+    DuckDB `quantile_cont` share the (n-1)*q definition."""
+    joined = samples.join(F.broadcast(series.select("series_id", *by)), "series_id")
+    return joined.groupBy(*by, bucket_start(bucket_ms)).agg(
+        F.round(F.percentile("value", F.lit(q)), ROUND_AVG).alias("quantile")
+    )
+
+
+def bottomk(
+    samples: DataFrame,
+    k: int,
+    mint_ms: int | None = None,
+    maxt_ms: int | None = None,
+) -> DataFrame:
+    """bottomk(k, sum_over_time(...)): mirror of topk with ascending
+    rank, deterministic tie-break on series_id."""
+    df = samples
+    if mint_ms is not None:
+        df = df.where(F.col("ts_ms") >= mint_ms)
+    if maxt_ms is not None:
+        df = df.where(F.col("ts_ms") <= maxt_ms)
+    per_series = df.groupBy("series_id").agg(
+        F.round(F.sum("value"), ROUND_SUM).alias("sum_value")
+    )
+    w = Window.orderBy(F.col("sum_value").asc(), F.col("series_id").asc())
+    return (
+        per_series.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("series_id", "sum_value", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def count_values(
+    samples: DataFrame, mint_ms: int | None = None, maxt_ms: int | None = None
+) -> DataFrame:
+    """count_values(): number of series/samples carrying each distinct
+    value in the range (PromQL count_values("value", m))."""
+    df = samples
+    if mint_ms is not None:
+        df = df.where(F.col("ts_ms") >= mint_ms)
+    if maxt_ms is not None:
+        df = df.where(F.col("ts_ms") <= maxt_ms)
+    return df.groupBy("value").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.countDistinct("series_id").alias("n_series"),
+    )
+
+
+def binop_on(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    op: str = "/",
+    left_col: str = "sum_value",
+    right_col: str = "sum_value",
+) -> DataFrame:
+    """Vector-to-vector binary op with `on(...)` matching (PromQL
+    `l / on(job, env) r`): inner join on the matching labels. Both
+    sides are already-aggregated small vectors -> hash join on the
+    label key; the fact-table work happened upstream."""
+    ops = {
+        "/": lambda a, b: F.when(b != 0, a / b),
+        "*": lambda a, b: a * b,
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+    }
+    l = left.select(*on, F.col(left_col).alias("_l"))
+    r = right.select(*on, F.col(right_col).alias("_r"))
+    return l.join(r, on).select(
+        *on, F.round(ops[op](F.col("_l"), F.col("_r")), ROUND_AVG).alias("result")
+    )
+
+
+HIST_LE = [25.0, 50.0, 100.0, 250.0, 500.0]  # +Inf implicit
+
+
+def histogram_buckets(
+    samples: DataFrame,
+    series: DataFrame,
+    by: list[str],
+    bucket_ms: int,
+    le: list[float] = HIST_LE,
+) -> DataFrame:
+    """Cumulative le-histogram per (labels, time bucket) — the shape of
+    Prometheus `http_request_duration_bucket` series. One groupBy with
+    conditional counts (map-side partial agg), then an unpivot."""
+    joined = samples.join(F.broadcast(series.select("series_id", *by)), "series_id")
+    aggs = [
+        F.sum(F.when(F.col("value") <= b, 1).otherwise(0)).alias(f"le_{i}")
+        for i, b in enumerate(le)
+    ] + [F.count(F.lit(1)).alias("le_inf")]
+    wide = joined.groupBy(*by, bucket_start(bucket_ms)).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("le"), F.col(f"le_{i}").cast("long").alias("cum")
+            )
+            for i, b in enumerate(le)
+        ],
+        F.struct(
+            F.lit(float("inf")).alias("le"), F.col("le_inf").cast("long").alias("cum")
+        ),
+    )
+    return wide.select(*by, "bucket_ms", F.explode(pairs).alias("kv")).select(
+        *by, "bucket_ms", F.col("kv.le").alias("le"), F.col("kv.cum").alias("cum")
+    )
+
+
+def histogram_quantile(
+    buckets: DataFrame, q: float, by: list[str]
+) -> DataFrame:
+    """histogram_quantile(q, ...) over cumulative le buckets: find the
+    bucket containing rank q*total and interpolate linearly inside it
+    (Prometheus semantics: lower bound of the first bucket is 0; if the
+    target falls in the +Inf bucket, return the highest finite le)."""
+    keys = [*by, "bucket_ms"]
+    w = Window.partitionBy(*keys).orderBy("le")
+    # All window expressions are materialized BEFORE the hit filter —
+    # window functions evaluate against whatever relation they are
+    # selected from, so computing them after the filter would see
+    # single-row partitions.
+    staged = (
+        buckets.withColumn("_rank", q * F.max("cum").over(Window.partitionBy(*keys)))
+        .withColumn("_prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0)))
+        .withColumn("_prev_le", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+        .withColumn(
+            "_max_finite",
+            F.max(F.when(F.col("le") != float("inf"), F.col("le"))).over(
+                Window.partitionBy(*keys)
+            ),
+        )
+    )
+    interp = F.when(F.col("le") == float("inf"), F.col("_max_finite")).otherwise(
+        F.col("_prev_le")
+        + (F.col("le") - F.col("_prev_le"))
+        * (F.col("_rank") - F.col("_prev_cum"))
+        / (F.col("cum") - F.col("_prev_cum"))
+    )
+    return staged.where(
+        (F.col("cum") >= F.col("_rank")) & (F.col("_prev_cum") < F.col("_rank"))
+    ).select(*keys, F.round(interp, ROUND_AVG).alias("quantile"))
+
+
+def absent_over_time(
+    samples: DataFrame, series: DataFrame, bucket_ms: int,
+    mint_ms: int, maxt_ms: int,
+) -> DataFrame:
+    """absent_over_time(): (series, bucket) pairs inside [mint, maxt]
+    with NO samples — cross join of the series dim with the bucket
+    spine (both tiny), anti-joined against observed pairs."""
+    n_buckets = (maxt_ms - mint_ms) // bucket_ms
+    spine = (
+        series.select("series_id")
+        .crossJoin(
+            F.broadcast(
+                samples.sparkSession.range(n_buckets).select(
+                    (F.lit(mint_ms) + F.col("id") * bucket_ms).alias("bucket_ms")
+                )
+            )
+        )
+    )
+    present = (
+        samples.where(
+            (F.col("ts_ms") >= mint_ms) & (F.col("ts_ms") < maxt_ms)
+        )
+        .select("series_id", bucket_start(bucket_ms))
+        .distinct()
+    )
+    return spine.join(present, ["series_id", "bucket_ms"], "left_anti").withColumn(
+        "absent", F.lit(1)
+    )
+
+
 def instant(
     samples: DataFrame, at_ms: int, lookback_ms: int = LOOKBACK_MS
 ) -> DataFrame:

@@ -65,3 +65,77 @@ def test_agg_over_time(samples):
     s1 = r[(1, 0)]
     assert (s1.min_value, s1.max_value, s1.n) == (0.0, 10.0, 5)
     assert s1.avg_value == pytest.approx(4.2)
+
+
+def test_resets_and_changes(samples):
+    r = {x.series_id: x.resets for x in promql.resets(samples, 10_000).collect()}
+    # series 1 drops once (10 -> 2); series 2 never drops
+    assert r == {1: 1, 2: 0}
+    c = {x.series_id: x.changes for x in promql.changes(samples, 10_000).collect()}
+    # series 1 changes at every step (4 transitions); series 2 stays 7.0
+    assert c == {1: 4, 2: 0}
+
+
+def test_irate_last_two_samples(samples):
+    rows = {x.series_id: x.irate for x in promql.irate(samples, 10_000).collect()}
+    # series 1: last two samples (3000, 2.0) -> (4000, 4.0): dv=2 over 1s
+    assert rows[1] == pytest.approx(2.0)
+    # series 2: (0, 7.0) -> (5000, 7.0): 0 over 5s
+    assert rows[2] == pytest.approx(0.0)
+
+
+def test_deriv_exact_line(spark):
+    # value = 3 + 2 * x(seconds): slope must be exactly 2, prediction exact
+    df = spark.createDataFrame(
+        [(1, t * 1000, 3.0 + 2.0 * t) for t in range(5)],
+        "series_id long, ts_ms long, value double",
+    )
+    d = promql.deriv(df, 10_000).collect()
+    assert len(d) == 1 and d[0].deriv == pytest.approx(2.0)
+    p = promql.predict_linear(df, 10_000, 5.0).collect()
+    # x_at = 10 + 5 = 15s -> 3 + 2*15 = 33
+    assert p[0].predicted == pytest.approx(33.0)
+
+
+def test_bottomk_mirror_of_topk(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 5.0), (2, 0, 5.0), (3, 0, 1.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    rows = promql.bottomk(df, 2).collect()
+    assert [(r.series_id, r.rk) for r in rows] == [(3, 1), (1, 2)]
+
+
+def test_binop_on_division_null_on_zero(spark):
+    l = spark.createDataFrame([("a", 10.0), ("b", 3.0)], "k string, sum_value double")
+    r = spark.createDataFrame([("a", 4.0), ("b", 0.0)], "k string, sum_value double")
+    rows = {x.k: x.result for x in promql.binop_on(l, r, ["k"], "/").collect()}
+    assert rows["a"] == pytest.approx(2.5)
+    assert rows["b"] is None  # division by zero -> null, not error
+
+
+def test_histogram_quantile_interpolation(spark):
+    series = spark.createDataFrame([(1, "api")], "series_id long, job string")
+    # 10 samples, values 10..100 -> cum at le=25:2, 50:5, 100:10
+    df = spark.createDataFrame(
+        [(1, i, float((i + 1) * 10)) for i in range(10)],
+        "series_id long, ts_ms long, value double",
+    )
+    b = promql.histogram_buckets(df, series, ["job"], 10_000, le=[25.0, 50.0])
+    got = promql.histogram_quantile(b, 0.5, ["job"]).collect()
+    # rank = 5 -> hit bucket le=50 (cum 5 >= 5, prev 2 < 5):
+    # 25 + (50-25) * (5-2)/(5-2) = 50
+    assert got[0].quantile == pytest.approx(50.0)
+
+
+def test_absent_over_time(spark):
+    series = spark.createDataFrame([(1,), (2,)], "series_id long")
+    # series 1 present in bucket [0,10s) only; series 2 never
+    df = spark.createDataFrame(
+        [(1, 1000, 1.0)], "series_id long, ts_ms long, value double"
+    )
+    got = {
+        (r.series_id, r.bucket_ms)
+        for r in promql.absent_over_time(df, series, 10_000, 0, 20_000).collect()
+    }
+    assert got == {(1, 10_000), (2, 0), (2, 10_000)}
