@@ -29,6 +29,7 @@ from agni_spark.functions import (  # noqa: E402
     text,
 )
 from agni_spark.matchers import eq, label_in, neq, prefix, re_match, re_no_match  # noqa: E402
+from agni_spark.streaming import ingest as streaming  # noqa: E402
 from agni_spark.querier import Querier, validate_block_sequence  # noqa: E402
 from agni_spark.session import tune_session  # noqa: E402
 
@@ -309,6 +310,42 @@ def _q_promql_absent(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("series_id", "bucket_ms")
 
 
+def _run_stream(spark: SparkSession, sf: str, make_out) -> DataFrame:
+    """Write the derived samples to a temp dir, stream them back through
+    a Structured Streaming pipeline (availableNow), collect via a memory
+    sink, and return the result as a batch DataFrame."""
+    import tempfile
+    import uuid
+
+    q = _querier(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="agni_stream_")
+    src = f"{tmp}/src"
+    q.samples.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(streaming.SAMPLES_SCHEMA).parquet(src)
+    name = "s" + uuid.uuid4().hex
+    query = (
+        make_out(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def _q_streaming_windowed_sum(spark: SparkSession, sf: str) -> DataFrame:
+    return _run_stream(
+        spark, sf, lambda s: streaming.windowed_sum(s, "1 hour", "2 hours")
+    ).orderBy("series_id", "bucket_ms")
+
+
+def _q_streaming_increase(spark: SparkSession, sf: str) -> DataFrame:
+    return _run_stream(spark, sf, streaming.streaming_increase).orderBy("series_id")
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     tune_session(spark)
     return dm.load(spark, sf, "documents")
@@ -498,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_binop_ratio": _q_promql_binop_ratio,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_absent": _q_promql_absent,
+        "streaming_windowed_sum": _q_streaming_windowed_sum,
+        "streaming_increase": _q_streaming_increase,
         "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
         "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
@@ -996,6 +1035,29 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY 1, 2, 3"
         ),
         "promql_histogram_quantile": q(_SQL_HISTOGRAM_QUANTILE),
+        # Streaming twin of agg_over_time: append-mode emission rule is
+        # window_end <= final watermark (max event time - delay).
+        "streaming_windowed_sum": q(
+            "SELECT series_id, bucket_ms, round(sum(value), 4) AS sum_value, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT series_id, CAST(ts_ms // 3600000 AS BIGINT) * 3600000 "
+            "AS bucket_ms, value FROM samples) "
+            "GROUP BY 1, 2 "
+            "HAVING bucket_ms + 3600000 <= "
+            "(SELECT max(ts_ms) - 7200000 FROM samples) "
+            "ORDER BY 1, 2"
+        ),
+        # availableNow processes all files as one batch, so the stateful
+        # op's per-batch output equals the full-history batch increase.
+        "streaming_increase": q(
+            "SELECT series_id, CAST(count(*) AS BIGINT) AS n_in_batch, "
+            "round(sum(CASE WHEN prev IS NULL THEN 0 "
+            "WHEN value >= prev THEN value - prev ELSE value END), 6) "
+            "AS increase, max(ts_ms) AS last_ts "
+            "FROM (SELECT series_id, ts_ms, value, lag(value) OVER "
+            "(PARTITION BY series_id ORDER BY ts_ms, value) AS prev FROM samples) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "promql_absent": q(
             f", spine AS (SELECT s.series_id, "
             f"{T1} + b.b * 21600000 AS bucket_ms "

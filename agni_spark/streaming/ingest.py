@@ -68,7 +68,7 @@ def windowed_sum(
     return (
         with_ts.groupBy("series_id", F.window("ts", window))
         .agg(
-            F.sum("value").alias("sum_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(

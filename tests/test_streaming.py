@@ -1,0 +1,101 @@
+"""Structured Streaming tier: file-source ingest (S11/S9 equivalent),
+watermarked windowed aggregation, and the custom stateful increase
+operator (applyInPandasWithState) across micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from agni_spark.streaming import ingest as streaming
+
+SCHEMA = streaming.SAMPLES_SCHEMA
+
+
+def _write_src(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_ingest_partitions_and_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    _write_src(spark, src, [(1, 0, 1.0), (1, 7_200_000, 2.0)])
+    streaming.stream_ingest(spark, src, dest, ckpt).awaitTermination()
+    got = spark.read.parquet(dest)
+    assert got.count() == 2
+    # time-partitioned by block_id (2h blocks)
+    assert sorted(
+        r.block_id for r in got.select("block_id").distinct().collect()
+    ) == [0, 1]
+    # restart with the same checkpoint: no new input -> no duplicates
+    streaming.stream_ingest(spark, src, dest, ckpt).awaitTermination()
+    assert spark.read.parquet(dest).count() == 2
+    # new file arrives -> only it is processed (exactly-once resume)
+    _write_src(spark, src, [(2, 100, 5.0)])
+    streaming.stream_ingest(spark, src, dest, ckpt).awaitTermination()
+    assert spark.read.parquet(dest).count() == 3
+
+
+def test_windowed_sum_append_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # two full hours of data plus a sample far ahead that advances the
+    # watermark past both windows (watermark = max_ts - 2h)
+    _write_src(
+        spark,
+        src,
+        [(1, 0, 1.0), (1, 1800_000, 2.0), (1, 3600_000, 4.0),
+         (1, 4 * 3600_000 + 7_200_000, 9.0)],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming.windowed_sum(stream, "1 hour", "2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ws_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.series_id, r.bucket_ms): (r.sum_value, r.n)
+        for r in spark.table("ws_test").collect()
+    }
+    # windows [0,1h) and [1h,2h) are below the final watermark (4h);
+    # the window containing the last sample itself is withheld
+    assert rows == {(1, 0): (3.0, 2), (1, 3600_000): (4.0, 1)}
+
+
+def test_streaming_increase_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1 (file 1): counter 10 -> 15; batch 2 (file 2): reset to 3,
+    # then 5 — state (last=15) must survive into the second micro-batch
+    _write_src(spark, src, [(7, 0, 10.0), (7, 1000, 15.0)])
+    _write_src(spark, src, [(7, 2000, 3.0), (7, 3000, 5.0)])
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming.streaming_increase(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r.last_ts, r.n_in_batch, r.increase)
+        for r in spark.table("inc_test").collect()
+    )
+    # one output row per micro-batch; increases are 5 (15-10) then
+    # 3 + 2 (reset-corrected against the remembered last_v=15)
+    assert len(rows) == 2
+    assert rows[0] == (1000, 2, 5.0)
+    assert rows[1] == (3000, 2, 5.0)
