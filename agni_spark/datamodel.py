@@ -102,6 +102,14 @@ _TSDB_CACHE: dict[tuple[str, str], TsdbTables] = {}
 
 
 def _event_base(events: DataFrame) -> DataFrame:
+    """Project events into the TSDB shape. When `ts` is a raw int64
+    nanos column it is ALSO carried through as hidden `_ts_ns`: a
+    predicate on the derived `ts_ms` (`ts div 1e6 >= c`) cannot reach
+    the parquet reader, but the equivalent raw-column bound
+    (`ts >= c*1e6`) becomes a pushed filter -> row-group min/max
+    skipping, the moral equivalent of the reference's chunk-time
+    pruning (agni querier.go:510-548). querier.select does the bound
+    translation and drops the column from results."""
     type_idx = F.array_position(
         F.array(*[F.lit(t) for t in EVENT_TYPES]), F.col("event_type")
     ) - F.lit(1)
@@ -123,6 +131,11 @@ def _event_base(events: DataFrame) -> DataFrame:
         ),
         ns_to_ms("ts").alias("ts_ms"),
         F.col("value"),
+        *(
+            [F.col("ts").alias("_ts_ns")]
+            if dict(events.dtypes).get("ts") == "bigint"
+            else []
+        ),
     )
 
 
@@ -140,7 +153,10 @@ def derive_tsdb(spark: SparkSession, sf_dir: str) -> TsdbTables:
 
     base = _event_base(load(spark, sf_dir, "events"))
 
-    samples = base.select("series_id", "ts_ms", "value")
+    sample_cols = ["series_id", "ts_ms", "value"] + (
+        ["_ts_ns"] if "_ts_ns" in base.columns else []
+    )
+    samples = base.select(*sample_cols)
 
     series = base.select(
         "series_id", "metric", "job", "env", "instance", "pod"

@@ -109,14 +109,26 @@ class Querier:
         """
         matchers = list(matchers)
         df = self.samples
-        # P1/P7/P8: plain comparisons -> partition pruning + row-group skip.
+        # P1/P7/P8: plain comparisons -> partition pruning + row-group
+        # skip. When samples carry the raw `_ts_ns` source column, the
+        # bounds are ALSO stated against it (exact integer equivalence:
+        # ts div 1e6 >= lo  <=>  ts >= lo*1e6;  ts div 1e6 <= hi  <=>
+        # ts < (hi+1)*1e6) so the predicate reaches the parquet reader
+        # as a pushed filter instead of a post-scan expression.
+        raw = "_ts_ns" in df.columns
         if mint_ms is not None:
             df = df.where(F.col("ts_ms") >= F.lit(mint_ms))
+            if raw:
+                df = df.where(F.col("_ts_ns") >= F.lit(mint_ms * 1_000_000))
         if maxt_ms is not None:
             df = df.where(F.col("ts_ms") <= F.lit(maxt_ms))
+            if raw:
+                df = df.where(F.col("_ts_ns") < F.lit((maxt_ms + 1) * 1_000_000))
         if matchers:
             ids = self.select_series(matchers, broadcast_series=broadcast_series)
             df = df.join(ids, "series_id", "left_semi")
+        if raw:
+            df = df.drop("_ts_ns")
         if with_labels:
             df = df.join(self.series, "series_id", "left")
         return df.orderBy("series_id", "ts_ms")

@@ -1,0 +1,90 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+These tests pin the plan properties that make the engine viable at
+scale, so a refactor that silently regresses them fails loudly:
+- time predicates must reach the parquet reader as PushedFilters
+  (row-group min/max skipping = the reference's chunk-time pruning),
+- matcher semi-joins against the series dimension must broadcast
+  (never shuffle the fact table),
+- the block store must partition-prune on block_id (the reference's
+  block skip, agni querier.go:25-46).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agni_spark import datamodel as dm
+from agni_spark.matchers import eq
+from agni_spark.querier import Querier
+from agni_spark.sources import layout
+
+SF = "/root/testdata/sf0.001"
+T1, T2 = 1704844800000, 1705708799999
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession.sparkContext._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def querier(spark):
+    t = dm.derive_tsdb(spark, SF)
+    return Querier(t.samples, t.series, t.series_labels, t.blocks)
+
+
+def test_time_bounds_are_pushed_filters(querier):
+    df = querier.select([eq("job", "api")], mint_ms=T1, maxt_ms=T2)
+    plan = _formatted(df)
+    # raw-column bounds reach the parquet reader (ts is int64 nanos)
+    assert f"GreaterThanOrEqual(ts,{T1 * 1_000_000})" in plan
+    assert f"LessThan(ts,{(T2 + 1) * 1_000_000})" in plan
+
+
+def test_matcher_join_broadcasts_not_shuffles(querier):
+    df = querier.select([eq("job", "api"), eq("env", "prod")], mint_ms=T1, maxt_ms=T2)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the fact table shuffles only for the final ORDER BY, never for
+    # the matcher evaluation
+    assert plan.count("LeftSemi") >= 1
+
+
+def test_select_output_schema_is_stable(querier):
+    # the hidden raw-ts pushdown column must never leak to results
+    df = querier.select([eq("job", "api")], mint_ms=T1, maxt_ms=T2)
+    assert df.columns == ["series_id", "ts_ms", "value"]
+
+
+def test_block_store_partition_prunes(spark, tmp_path):
+    samples = spark.createDataFrame(
+        [(1, t * 7_200_000 + 10, float(t)) for t in range(6)],
+        "series_id long, ts_ms long, value double",
+    )
+    path = str(tmp_path / "store")
+    layout.write_blocks(samples, path)
+    df = layout.time_pruned(
+        layout.read_samples(spark, path), 7_200_000, 15_000_000
+    )
+    plan = _formatted(df)
+    # partition filters on block_id prune whole 2h blocks at planning
+    # time; ts_ms bounds are pushed into surviving files
+    assert "PartitionFilters" in plan
+    assert "block_id" in plan.split("PartitionFilters", 1)[1][:300]
+    assert "GreaterThanOrEqual(ts_ms,7200000)" in plan
+    assert df.count() == 2  # t=1 and t=2 only
+
+
+def test_promql_aggregate_by_broadcasts_dim(spark, querier):
+    from agni_spark.functions import promql
+
+    t = dm.derive_tsdb(spark, SF)
+    df = promql.aggregate_by(t.samples, t.series, ["job"], 86_400_000)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
