@@ -415,6 +415,14 @@ def _q_simsearch_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.lsh_ann(e, queries_df, k=10, n_planes=4)
 
 
+def _q_simsearch_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_ann(e, queries_df, k=10, n_centroids=8, nprobe=2)
+
+
 def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf))
     return multimodal.extract_meta(media).orderBy("media_id")
@@ -552,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "simsearch_cosine_topk": _q_simsearch_topk,
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
+        "simsearch_ivf_ann": _q_simsearch_ivf,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
     }
@@ -796,6 +805,40 @@ SELECT job, bucket_ms,
              / (cum - prev_cum) END, 6) AS quantile
 FROM hq WHERE cum >= 0.9 * total AND prev_cum < 0.9 * total
 ORDER BY 1, 2
+"""
+
+
+# IVF-flat mirror: fixed coarse quantizer (8 lowest-id vectors), each
+# corpus vector in its argmax-cosine cell, queries probe 2 cells.
+_SQL_SIMSEARCH_IVF = """
+WITH cents AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings ORDER BY vec_id LIMIT 8),
+cells AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, ct.centroid_id,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, ct.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents ct) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, ce.vec_id,
+    round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+                                 CAST(ce.embedding AS DOUBLE[])), 6) AS cos
+  FROM probes p JOIN cells ce USING (centroid_id)
+  WHERE ce.vec_id <> p.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
+WHERE rk <= 10 ORDER BY query_id, rk
 """
 
 
@@ -1156,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
         "simsearch_cosine_topk": _SQL_SIMSEARCH_TOPK,
         # simsearch_lsh_ann: approximate, intentionally rows-only
+        "simsearch_ivf_ann": _SQL_SIMSEARCH_IVF,
         "multimodal_meta": _SQL_MM_META,
         "multimodal_frame_sample": _SQL_MM_FRAMES,
     }

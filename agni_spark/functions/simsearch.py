@@ -75,6 +75,75 @@ def _bucket(col, planes: list[list[float]]):
     return sum(bits).cast("long")
 
 
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Deterministic coarse quantizer: the n lowest-id vectors serve as
+    cell centroids (a fixed quantizer keeps the op reproducible and
+    oracle-checkable; swap in k-means offline for recall)."""
+    return (
+        corpus.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
+    )
+
+
+def _nearest_centroids(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, n: int
+) -> DataFrame:
+    """Top-n centroids by cosine for each vector (broadcast cross join +
+    window rank; ties broken by centroid_id for determinism)."""
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .drop("sim", "rn", "cvec")
+    )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: each corpus vector lives in exactly
+    one cell (argmax-cosine centroid); a query probes its `nprobe`
+    nearest cells and reranks exactly inside them.
+
+    100 TB path: cells are the partitioning key (`partitionBy(
+    centroid_id)` at write time), so a query's work is nprobe/n_cells
+    of the corpus, and the centroid table (tiny) broadcasts. Candidates
+    are naturally deduplicated — cell membership is unique."""
+    cents = ivf_centroids(corpus, n_centroids)
+    cells = _nearest_centroids(
+        corpus.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    probes = _nearest_centroids(
+        queries.select("query_id", F.col("embedding").alias("qe")),
+        cents, "query_id", "qe", nprobe,
+    )
+    scored = (
+        cells.join(probes, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
+        .orderBy("query_id", "rk")
+    )
+
+
 def lsh_ann(
     corpus: DataFrame,
     queries: DataFrame,

@@ -134,3 +134,30 @@ def test_top_ngrams_deterministic(docs):
     # tie-break: within equal counts, lexicographic
     for a, b in zip(rows, rows[1:]):
         assert (a.n, b.ngram) >= (b.n, a.ngram) or a.n > b.n
+
+
+def test_ivf_ann_cells_and_recall(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # every corpus vector belongs to exactly one cell
+    cents = simsearch.ivf_centroids(emb, 8)
+    cells = simsearch._nearest_centroids(
+        emb.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    # probing more cells can only improve or keep the result set
+    exact = {(r.query_id, r.vec_id)
+             for r in simsearch.cosine_topk(emb, queries, k=5).collect()}
+    got2 = {(r.query_id, r.vec_id)
+            for r in simsearch.ivf_ann(emb, queries, k=5, nprobe=2).collect()}
+    got8 = {(r.query_id, r.vec_id)
+            for r in simsearch.ivf_ann(emb, queries, k=5, nprobe=8).collect()}
+    assert len(exact & got2) / len(exact) >= 0.2
+    # nprobe = n_centroids probes everything -> exact result
+    assert got8 == exact
