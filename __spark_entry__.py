@@ -548,6 +548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
         "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
+        "tpch_q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(s, d),
+        "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
+        "tpch_q4_order_priority": lambda s, d: relational.q4_order_priority(s, d),
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
         "text_doc_stats": _q_text_doc_stats,
         "text_lang_id": _q_text_lang_id,
@@ -1153,6 +1156,38 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
             "AND s.s_nationkey = c.c_nationkey "
             "GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"
+        ),
+        "tpch_q6_forecast_revenue": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "tpch_q10_returned_items": (
+            "SELECT c_custkey, c_name, revenue, "
+            "round(c_acctbal, 2) AS c_acctbal, n_name FROM ("
+            "SELECT o_custkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-10-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY o_custkey) r "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "tpch_q4_order_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+            "FROM orders o "
+            "WHERE o_orderdate >= TIMESTAMP '1996-07-01' "
+            "AND o_orderdate < TIMESTAMP '1996-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         "events_sessionize": (
             "WITH ev AS (SELECT user_id, event_id, "

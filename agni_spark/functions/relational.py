@@ -167,3 +167,95 @@ def events_sessionize(
         )
         .orderBy("user_id", "session_no")
     )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change. Pure filter + global agg —
+    every predicate is a plain comparison pushed to the parquet scan;
+    no shuffle at all (partial aggs coalesce to one row)."""
+    _li = load(spark, sf_dir, "lineitem")
+    li = _li.withColumn("l_shipdate_ts", ts_col(_li, "l_shipdate"))
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return (
+        li.where(
+            (F.col("l_shipdate_ts") >= lo)
+            & (F.col("l_shipdate_ts") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 (adapted to available columns): top customers by
+    revenue lost to returns in one quarter. orders filtered then joined
+    to lineitem (fact-fact join on orderkey — the one shuffle);
+    customer/nation dims broadcast."""
+    _ord = load(spark, sf_dir, "orders")
+    orders = _ord.withColumn("o_orderdate_ts", ts_col(_ord, "o_orderdate"))
+    lo = F.lit("1996-10-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    orders = orders.where(
+        (F.col("o_orderdate_ts") >= lo) & (F.col("o_orderdate_ts") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    revenue = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    out = (
+        revenue.join(F.broadcast(cust), revenue.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+    return out
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: no l_commitdate in the testdata): count of
+    orders per priority in one quarter having at least one line item
+    shipped more than 60 days after the order date. The EXISTS becomes
+    a left-semi join — orders never duplicates, lineitem never
+    aggregates."""
+    _ord = load(spark, sf_dir, "orders")
+    orders = _ord.withColumn("o_orderdate_ts", ts_col(_ord, "o_orderdate"))
+    lo = F.lit("1996-07-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    orders = orders.where(
+        (F.col("o_orderdate_ts") >= lo) & (F.col("o_orderdate_ts") < hi)
+    )
+    _li = load(spark, sf_dir, "lineitem")
+    li = _li.withColumn("l_shipdate_ts", ts_col(_li, "l_shipdate")).select(
+        "l_orderkey", "l_shipdate_ts"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate_ts > F.col("o_orderdate_ts") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
