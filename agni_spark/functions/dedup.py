@@ -93,19 +93,25 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 # -- shingling --------------------------------------------------------------
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document. Docs with fewer than k
-    words yield no shingles (filtered BEFORE the transform — Spark's
-    sequence(1, n) descends for n < 1 and slice(_, 0, _) throws)."""
+def shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """Word k-shingles per document. Docs with fewer than k words yield
+    no shingles (filtered BEFORE the transform — Spark's sequence(1, n)
+    descends for n < 1 and slice(_, 0, _) throws).
+
+    distinct=True (set semantics) is required wherever shingles are
+    COUNTED (Jaccard). Consumers that only take per-doc MINIMA over
+    hashed shingles (MinHash) pass distinct=False: min() is duplicate-
+    insensitive, and skipping the distinct removes a full shuffle of
+    the exploded shingle table — the largest intermediate in the
+    pipeline (docs x shingles rows)."""
     grams = F.expr(
         f"transform(sequence(1, size(split(text, ' ')) - {k - 1}), "
         f"i -> concat_ws(' ', slice(split(text, ' '), i, {k})))"
     )
-    return (
-        docs.where(F.size(F.split(F.col("text"), " ")) >= k)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+    out = docs.where(F.size(F.split(F.col("text"), " ")) >= k).select(
+        "doc_id", F.explode(grams).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -161,7 +167,7 @@ def minhash_signatures(
     """n_hashes-wide MinHash signature per doc, computed in ONE pass
     over the exploded shingles: one md5 per shingle, n_hashes universal
     linear transforms, n_hashes min-aggregations."""
-    sh = shingles(docs, k).withColumn(
+    sh = shingles(docs, k, distinct=False).withColumn(
         "hp", hash60(F.col("shingle")) % F.lit(MINHASH_P)
     )
     aggs = [
