@@ -336,6 +336,20 @@ def _run_stream(spark: SparkSession, sf: str, make_out) -> DataFrame:
     return spark.table(name)
 
 
+def _q_promql_label_replace(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    out = promql.label_replace(
+        q.series, "site", "$1", "instance", "(prod)-.*"
+    )
+    return out.select("series_id", "instance", "site").orderBy("series_id")
+
+
+def _q_promql_label_join(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    out = promql.label_join(q.series, "task", "/", "job", "env", "pod")
+    return out.select("series_id", "task").orderBy("series_id")
+
+
 def _q_streaming_windowed_sum(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream(
         spark, sf, lambda s: streaming.windowed_sum(s, "1 hour", "2 hours")
@@ -543,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_binop_ratio": _q_promql_binop_ratio,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_absent": _q_promql_absent,
+        "promql_label_replace": _q_promql_label_replace,
+        "promql_label_join": _q_promql_label_join,
         "streaming_windowed_sum": _q_streaming_windowed_sum,
         "streaming_increase": _q_streaming_increase,
         "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
@@ -1081,6 +1097,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY 1, 2, 3"
         ),
         "promql_histogram_quantile": q(_SQL_HISTOGRAM_QUANTILE),
+        # label_replace: dst set only on FULL regex match of src (absent
+        # == ""); otherwise existing dst (here: absent -> NULL).
+        "promql_label_replace": q(
+            "SELECT series_id, instance, "
+            "CASE WHEN regexp_matches(coalesce(instance, ''), '^(?:(prod)-.*)$') "
+            "THEN regexp_replace(coalesce(instance, ''), '^(?:(prod)-.*)$', '\\1') "
+            "ELSE NULL END AS site "
+            "FROM series ORDER BY series_id"
+        ),
+        "promql_label_join": q(
+            "SELECT series_id, concat_ws('/', coalesce(job, ''), "
+            "coalesce(env, ''), coalesce(pod, '')) AS task "
+            "FROM series ORDER BY series_id"
+        ),
         # Streaming twin of agg_over_time: append-mode emission rule is
         # window_end <= final watermark (max event time - delay).
         "streaming_windowed_sum": q(

@@ -448,3 +448,28 @@ def instant(
         .where(F.col("rn") == 1)
         .select("series_id", "ts_ms", "value")
     )
+
+
+def label_replace(
+    series: DataFrame, dst: str, replacement: str, src: str, regex: str
+) -> DataFrame:
+    """PromQL label_replace(): when `regex` FULLY matches the value of
+    label `src` (absent label == ""), set label `dst` to `replacement`
+    (with $1..$9 capture refs); otherwise the series keeps its existing
+    `dst` (absent stays absent). Pure dimension-table projection — no
+    touch of the fact table."""
+    anchored = f"^(?:{regex})$"
+    src_col = F.coalesce(F.col(src), F.lit(""))
+    existing = F.col(dst) if dst in series.columns else F.lit(None).cast("string")
+    new_val = F.regexp_replace(src_col, anchored, replacement)
+    out = F.when(src_col.rlike(anchored), new_val).otherwise(existing)
+    return series.withColumn(dst, out)
+
+
+def label_join(
+    series: DataFrame, dst: str, sep: str, *srcs: str
+) -> DataFrame:
+    """PromQL label_join(): dst = src label values joined by sep
+    (absent labels join as ""). Dimension-table projection."""
+    cols = [F.coalesce(F.col(s), F.lit("")) for s in srcs]
+    return series.withColumn(dst, F.concat_ws(sep, *cols))
