@@ -207,3 +207,55 @@ def decode_read_response(buf: bytes) -> ReadResponse:
                     result.append(ts)
             resp.results.append(result)
     return resp
+
+
+@dataclass
+class WriteRequest:
+    """remote.proto:34-36 — vendored but never served by the reference
+    (server.go:51-52 registers only /read); implemented here as the
+    write path the reference deliberately lacks."""
+
+    timeseries: list[TimeSeries] = field(default_factory=list)
+
+
+def _encode_timeseries(ts: TimeSeries) -> bytes:
+    tsb = b""
+    for name, value in ts.labels:
+        tsb += _ld(1, _ld(1, name.encode()) + _ld(2, value.encode()))
+    for value, t in ts.samples:
+        tsb += _ld(2, _double_field(1, value) + _varint_field(2, t))
+    return tsb
+
+
+def _decode_timeseries(buf: bytes) -> TimeSeries:
+    ts = TimeSeries()
+    for tf, twt, tv in _fields(buf):
+        if tf == 1 and twt == 2:
+            name = value = ""
+            for lf, lwt, lv in _fields(tv):
+                if lf == 1 and lwt == 2:
+                    name = lv.decode()
+                elif lf == 2 and lwt == 2:
+                    value = lv.decode()
+            ts.labels.append((name, value))
+        elif tf == 2 and twt == 2:
+            val, t = 0.0, 0
+            for sf, swt, sv in _fields(tv):
+                if sf == 1 and swt == 1:
+                    val = struct.unpack("<d", sv)[0]
+                elif sf == 2 and swt == 0:
+                    t = _signed64(sv)
+            ts.samples.append((val, t))
+    return ts
+
+
+def encode_write_request(req: WriteRequest) -> bytes:
+    return b"".join(_ld(1, _encode_timeseries(ts)) for ts in req.timeseries)
+
+
+def decode_write_request(buf: bytes) -> WriteRequest:
+    req = WriteRequest()
+    for fno, wt, v in _fields(buf):
+        if fno == 1 and wt == 2:
+            req.timeseries.append(_decode_timeseries(v))
+    return req

@@ -16,6 +16,7 @@ reference's output contract (querier.go:314-328).
 
 from __future__ import annotations
 
+import hashlib
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -125,3 +126,55 @@ class RemoteReadServer:
     def stop(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()
+
+
+# -- remote-write receive path (beyond reference: agni vendors the
+# -- WriteRequest proto but registers only /read, server.go:51-52) ----------
+
+def decode_write(spark, body: bytes):
+    """snappy+proto WriteRequest -> (samples_df, series_df).
+
+    series_id is the deterministic 60-bit hash of the canonical sorted
+    label string (the engine-side twin of tsdb's labels hash,
+    labels.go:57-68) — writers on any node derive identical ids with no
+    coordination, which is what makes the receive path shardable."""
+    req = pb.decode_write_request(snappy.decompress(body))
+    sample_rows = []
+    series_rows = []
+    for ts in req.timeseries:
+        labels = sorted(ts.labels)
+        key = ",".join(f"{n}={v}" for n, v in labels)
+        sid = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        series_rows.append((sid, dict(labels)))
+        for value, t in ts.samples:
+            sample_rows.append((sid, t, value))
+    samples = spark.createDataFrame(
+        sample_rows, "series_id long, ts_ms long, value double"
+    )
+    series = spark.createDataFrame(
+        series_rows, "series_id long, labels map<string,string>"
+    )
+    return samples, series
+
+
+def handle_write(spark, body: bytes, store_path: str, block_ms: int = 7_200_000):
+    """POST /write: land the request's samples into the time-partitioned
+    block store (append), then refresh the registry (commit-last). The
+    series dim appends too; readers dedupe on series_id — identical
+    label sets always carry identical ids."""
+    from agni_spark.sources import layout
+
+    samples, series = decode_write(spark, body)
+    data_path = f"{store_path}/data"
+    (
+        samples.withColumn("block_id", layout.block_id_col(block_ms))
+        .repartition("block_id")
+        .sortWithinPartitions("series_id", "ts_ms")
+        .write.partitionBy("block_id")
+        .mode("append")
+        .parquet(data_path)
+    )
+    series.write.mode("append").parquet(f"{store_path}/series")
+    # commit point: registry reflects the appended data (marker-last)
+    layout.refresh_registry(spark, store_path, block_ms)
+    return samples.count()

@@ -59,7 +59,20 @@ def write_blocks(
     )
     # registry written AFTER data = commit point (marker-key-last,
     # shipper.go:311-319)
-    spark = samples.sparkSession
+    refresh_registry(samples.sparkSession, path, block_ms, level)
+
+
+def refresh_registry(
+    spark: SparkSession,
+    path: str,
+    block_ms: int = BLOCK_MS,
+    level: int = 1,
+) -> None:
+    """Rebuild the block registry from the data partitions — the commit
+    point of every write (batch shipper, streaming sink, remote-write
+    receiver). Readers list the registry, never the data dir (db.go:72
+    lists marker keys, not data keys)."""
+    data_path = os.path.join(path, "data")
     reg = (
         spark.read.parquet(data_path)
         # partition-dir inference types block_id as INT; widen before

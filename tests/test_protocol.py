@@ -182,3 +182,67 @@ def test_http_bad_body_is_400(served_querier):
         assert ei.value.code == 400
     finally:
         srv.stop()
+
+
+def test_remote_write_roundtrip(spark, tmp_path):
+    """Write path (beyond reference): WriteRequest proto in -> block
+    store -> selectable via the Querier -> identical samples out."""
+    from agni_spark.protocol import server
+    from agni_spark.sources import layout
+    from agni_spark.querier import Querier
+    from agni_spark.matchers import eq
+    from pyspark.sql import functions as F
+
+    w = pb.WriteRequest(
+        [
+            pb.TimeSeries(
+                labels=[("__name__", "up"), ("job", "api")],
+                samples=[(1.0, 1_000), (2.5, 7_200_500)],  # spans 2 blocks
+            ),
+            pb.TimeSeries(
+                labels=[("__name__", "up"), ("job", "web")],
+                samples=[(9.0, 2_000)],
+            ),
+        ]
+    )
+    body = snappy.compress(pb.encode_write_request(w))
+    store = str(tmp_path / "store")
+    n = server.handle_write(spark, body, store)
+    assert n == 3
+    # registry committed, blocks 0 and 1 present
+    reg = layout.read_registry(spark, store)
+    assert sorted(r.block_id for r in reg.collect()) == [0, 1]
+    # identical label sets hash to identical series ids -> the two
+    # samples of series "up{job=api}" share one id across blocks
+    samples = layout.read_samples(spark, store)
+    assert samples.count() == 3
+    assert samples.select("series_id").distinct().count() == 2
+    # second write of the same series APPENDS and stays queryable
+    w2 = pb.WriteRequest(
+        [pb.TimeSeries(labels=[("__name__", "up"), ("job", "api")],
+                       samples=[(3.0, 9_000_000)])]
+    )
+    server.handle_write(spark, snappy.compress(pb.encode_write_request(w2)), store)
+    samples = layout.read_samples(spark, store)
+    series = (
+        spark.read.parquet(f"{store}/series")
+        .select("series_id", F.col("labels")["job"].alias("job"))
+        .distinct()
+    )
+    labels_long = series.select(
+        "series_id", F.lit("job").alias("name"), F.col("job").alias("value")
+    )
+    q = Querier(samples, series, labels_long)
+    got = q.select([eq("job", "api")]).collect()
+    assert [(r.ts_ms, r.value) for r in got] == [
+        (1_000, 1.0), (7_200_500, 2.5), (9_000_000, 3.0)
+    ]
+
+
+def test_write_request_proto_roundtrip():
+    w = pb.WriteRequest(
+        [pb.TimeSeries(labels=[("a", "b")], samples=[(0.5, -1), (1e300, 2**40)])]
+    )
+    w2 = pb.decode_write_request(pb.encode_write_request(w))
+    assert w2.timeseries[0].labels == [("a", "b")]
+    assert w2.timeseries[0].samples == [(0.5, -1), (1e300, 2**40)]
