@@ -190,3 +190,60 @@ def drop_blocks_before(
         shutil.rmtree(os.path.join(path, "registry"))
         os.rename(os.path.join(path, "registry_tmp"), os.path.join(path, "registry"))
     return dropped
+
+
+def delete_samples(
+    spark: SparkSession,
+    path: str,
+    tombstones: DataFrame,
+    block_ms: int = BLOCK_MS,
+) -> list[int]:
+    """Tombstone WRITE path (P9 upgraded): physically delete samples
+    falling inside (series_id, mint_ms, maxt_ms) intervals — the Delta
+    DELETE equivalent, strictly stronger than the reference's read-time
+    interval filtering (and its server runs with nop tombstones anyway,
+    block.go:73-75).
+
+    Scale posture: only blocks whose time range intersects a tombstone
+    interval are rewritten (dynamic partition overwrite); untouched
+    blocks are never read or written. The tombstone set is tiny ->
+    collected once for pruning, broadcast for the anti-join. Returns
+    the rewritten block_ids."""
+    t = tombstones.select("series_id", "mint_ms", "maxt_ms").cache()
+    bounds = t.agg(F.min("mint_ms"), F.max("maxt_ms")).first()
+    if bounds[0] is None:
+        return []
+    intervals = t.collect()
+    data_path = os.path.join(path, "data")
+    all_blocks = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(data_path)
+        if d.startswith("block_id=")
+    ]
+    hit = [
+        b
+        for b in all_blocks
+        if any(
+            b * block_ms <= iv.maxt_ms and iv.mint_ms < (b + 1) * block_ms
+            for iv in intervals
+        )
+    ]
+    if not hit:
+        return []
+    df = spark.read.parquet(data_path).where(F.col("block_id").isin(hit))
+    cond = (
+        (df["series_id"] == t["series_id"])
+        & (df["ts_ms"] >= t["mint_ms"])
+        & (df["ts_ms"] <= t["maxt_ms"])
+    )
+    kept = df.join(F.broadcast(t), cond, "left_anti")
+    (
+        kept.repartition("block_id")
+        .sortWithinPartitions("series_id", "ts_ms")
+        .write.partitionBy("block_id")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(data_path)
+    )
+    refresh_registry(spark, path, block_ms)
+    return sorted(hit)

@@ -79,3 +79,40 @@ def test_retention_drops_old_blocks(spark, tmp_path_factory):
     assert layout.read_samples(spark, path).agg(F.min("ts_ms")).first()[0] == 2000
     reg = layout.read_registry(spark, path)
     assert reg.agg(F.min("block_id")).first()[0] == 2
+
+
+def test_delete_samples_rewrites_only_hit_blocks(spark, tmp_path):
+    from agni_spark.sources import layout
+
+    # 4 blocks x 2 series
+    rows = [
+        (s, b * 7_200_000 + off, float(s * 100 + b))
+        for s in (1, 2)
+        for b in range(4)
+        for off in (10, 20)
+    ]
+    samples = spark.createDataFrame(
+        rows, "series_id long, ts_ms long, value double"
+    )
+    path = str(tmp_path / "store")
+    layout.write_blocks(samples, path)
+    # tombstone: series 1, interval covering block 1 only
+    t = spark.createDataFrame(
+        [(1, 7_200_000, 14_399_999)], "series_id long, mint_ms long, maxt_ms long"
+    )
+    rewritten = layout.delete_samples(spark, path, t)
+    assert rewritten == [1]
+    got = layout.read_samples(spark, path)
+    assert got.count() == 14  # 16 - 2 deleted
+    # series 2 in block 1 untouched; series 1 block 1 gone
+    import pyspark.sql.functions as F
+    b1 = got.where(F.col("block_id") == 1).select("series_id").distinct().collect()
+    assert [r.series_id for r in b1] == [2]
+    # registry recommitted with updated counts
+    reg = {r.block_id: r.num_samples for r in layout.read_registry(spark, path).collect()}
+    assert reg[1] == 2 and reg[0] == 4
+    # a tombstone hitting nothing rewrites nothing
+    t2 = spark.createDataFrame(
+        [(9, 0, 1)], "series_id long, mint_ms long, maxt_ms long"
+    )
+    assert layout.delete_samples(spark, path, t2) == [0]  # block hit, no rows
