@@ -336,6 +336,14 @@ def _run_stream(spark: SparkSession, sf: str, make_out) -> DataFrame:
     return spark.table(name)
 
 
+def _q_promql_range_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    # 6h window sliding by 3h — the range-query shape (window > step)
+    return promql.range_agg_sliding(q.samples, H6_MS, H6_MS // 2).orderBy(
+        "series_id", "wstart_ms"
+    )
+
+
 def _q_promql_label_replace(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     out = promql.label_replace(
@@ -557,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_binop_ratio": _q_promql_binop_ratio,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_absent": _q_promql_absent,
+        "promql_range_sliding": _q_promql_range_sliding,
         "promql_label_replace": _q_promql_label_replace,
         "promql_label_join": _q_promql_label_join,
         "streaming_windowed_sum": _q_streaming_windowed_sum,
@@ -1097,6 +1106,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY 1, 2, 3"
         ),
         "promql_histogram_quantile": q(_SQL_HISTOGRAM_QUANTILE),
+        # Sliding windows: every sample belongs to exactly window/step
+        # epoch-aligned windows; expand with a k-offset cross join.
+        "promql_range_sliding": q(
+            "SELECT series_id, wstart_ms, round(sum(value), 4) AS sum_value, "
+            "round(avg(value), 6) AS avg_value, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT series_id, value, "
+            "CAST((ts_ms // 10800000 - k) * 10800000 AS BIGINT) AS wstart_ms "
+            "FROM samples CROSS JOIN (VALUES (0), (1)) t(k)) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         # label_replace: dst set only on FULL regex match of src (absent
         # == ""); otherwise existing dst (here: absent -> NULL).
         "promql_label_replace": q(

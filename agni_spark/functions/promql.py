@@ -473,3 +473,36 @@ def label_join(
     (absent labels join as ""). Dimension-table projection."""
     cols = [F.coalesce(F.col(s), F.lit("")) for s in srcs]
     return series.withColumn(dst, F.concat_ws(sep, *cols))
+
+
+def range_agg_sliding(
+    samples: DataFrame, window_ms: int, step_ms: int
+) -> DataFrame:
+    """PromQL range-query evaluation shape: xxx_over_time with a
+    sliding window (window > step), one output row per (series,
+    eval step) — F.window's slideDuration, epoch-aligned like
+    Prometheus step alignment. Each sample lands in window_ms/step_ms
+    windows; Catalyst expands them map-side, then one shuffle on
+    (series, window)."""
+    if window_ms % step_ms != 0:
+        raise ValueError("window_ms must be a multiple of step_ms")
+    w = F.window(
+        F.timestamp_millis(F.col("ts_ms")),
+        f"{window_ms} milliseconds",
+        f"{step_ms} milliseconds",
+    )
+    return (
+        samples.groupBy("series_id", w.alias("w"))
+        .agg(
+            F.round(F.sum("value"), ROUND_SUM).alias("sum_value"),
+            F.round(F.avg("value"), ROUND_AVG).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "series_id",
+            F.unix_millis(F.col("w.start")).alias("wstart_ms"),
+            "sum_value",
+            "avg_value",
+            "n",
+        )
+    )

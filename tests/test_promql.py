@@ -139,3 +139,18 @@ def test_absent_over_time(spark):
         for r in promql.absent_over_time(df, series, 10_000, 0, 20_000).collect()
     }
     assert got == {(1, 10_000), (2, 0), (2, 10_000)}
+
+
+def test_range_agg_sliding_window_membership(spark):
+    df = spark.createDataFrame(
+        [(1, 500, 2.0), (1, 1500, 4.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    rows = {
+        r.wstart_ms: (r.sum_value, r.n)
+        for r in promql.range_agg_sliding(df, 2000, 1000).collect()
+    }
+    # sample@500 -> windows starting at -1000 and 0; sample@1500 -> 0 and 1000
+    assert rows == {-1000: (2.0, 1), 0: (6.0, 2), 1000: (4.0, 1)}
+    with pytest.raises(ValueError):
+        promql.range_agg_sliding(df, 2500, 1000)
