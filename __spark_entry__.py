@@ -336,6 +336,32 @@ def _run_stream(spark: SparkSession, sf: str, make_out) -> DataFrame:
     return spark.table(name)
 
 
+def _q_status_tsdb(spark: SparkSession, sf: str) -> DataFrame:
+    # /api/v1/status/tsdb equivalent: label-cardinality statistics
+    q = _querier(spark, sf)
+    return (
+        q.series_labels.groupBy("name", "value")
+        .agg(F.countDistinct("series_id").alias("n_series"))
+        .orderBy(F.col("n_series").desc(), "name", "value")
+        .limit(10)
+    )
+
+
+def _q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
+    # Composite training-data curation: quality gate + exact dedup ->
+    # how many documents / tokens survive.
+    docs = _docs(spark, sf)
+    stats = text.doc_stats(docs).select("doc_id", "quality", "n_tokens")
+    good = stats.where(F.col("quality") >= 0.3)
+    kept = dedup.dedup_exact(docs).select("doc_id")
+    out = good.join(kept, "doc_id", "left_semi")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
 def _q_promql_range_sliding(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     # 6h window sliding by 3h — the range-query shape (window > step)
@@ -565,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_binop_ratio": _q_promql_binop_ratio,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_absent": _q_promql_absent,
+        "status_tsdb": _q_status_tsdb,
+        "pipeline_curate": _q_pipeline_curate,
         "promql_range_sliding": _q_promql_range_sliding,
         "promql_label_replace": _q_promql_label_replace,
         "promql_label_join": _q_promql_label_join,
@@ -1106,6 +1134,22 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY 1, 2, 3"
         ),
         "promql_histogram_quantile": q(_SQL_HISTOGRAM_QUANTILE),
+        "status_tsdb": q(
+            "SELECT name, value, "
+            "CAST(count(DISTINCT series_id) AS BIGINT) AS n_series "
+            "FROM series_labels GROUP BY 1, 2 "
+            "ORDER BY n_series DESC, name, value LIMIT 10"
+        ),
+        "pipeline_curate": (
+            f"SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            f"round(avg(quality), 6) AS avg_quality "
+            f"FROM ({_SQL_DOC_STATS}) ds "
+            f"WHERE ds.quality >= 0.3 AND ds.doc_id IN ("
+            f"SELECT min(doc_id) FROM ("
+            f"SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
+            f"AS h FROM documents) GROUP BY h)"
+        ),
         # Sliding windows: every sample belongs to exactly window/step
         # epoch-aligned windows; expand with a k-offset cross join.
         "promql_range_sliding": q(
