@@ -99,6 +99,33 @@ class Matcher:
         """Column condition: label present and value does NOT match."""
         return ~self.positive_condition(value_col)
 
+    def simplify(self) -> "Matcher":
+        """Logical rewrite (the optimization Prometheus' own engine and
+        the reference's value-scan fast paths approximate): regexes that
+        are really literals compile to predicates Catalyst can PUSH to
+        the parquet scan, which `rlike` never is.
+
+        - `=~ "a|b|c"` (pure literal alternation) -> IN ('a','b','c')
+        - `=~ "a"`     (single literal)           -> equality
+        - `=~ "lit.*"` (literal prefix)           -> prefix (StartsWith)
+        - `!~ "a"`     (single literal)           -> not-equal
+        Anything containing regex metacharacters is left untouched.
+        Semantics are preserved exactly, including empty-string
+        behavior (property-tested)."""
+        if self.op == RE and isinstance(self.value, str):
+            if _LITERAL_ALT.fullmatch(self.value):
+                alts = tuple(self.value.split("|"))
+                if len(alts) == 1:
+                    return Matcher(EQ, self.name, alts[0])
+                return Matcher(IN, self.name, alts)
+            m = _re.fullmatch(r"([A-Za-z0-9_\-:/ ]+)\.\*", self.value)
+            if m:
+                return Matcher(PREFIX, self.name, m.group(1))
+        if self.op == NRE and isinstance(self.value, str):
+            if _LITERAL_ALT.fullmatch(self.value) and "|" not in self.value:
+                return Matcher(NEQ, self.name, self.value)
+        return self
+
     def matches_str(self, value: str) -> bool:
         """Pure-Python evaluation (the property-test oracle mirroring
         labels/selector.go:21-108)."""
@@ -115,6 +142,11 @@ class Matcher:
         if self.op == IN:
             return value in self.value
         raise AssertionError(self.op)
+
+
+# literal-alternation alphabet: NO regex metacharacters ('.' excluded);
+# '|' is permitted only as the alternation separator
+_LITERAL_ALT = _re.compile(r"[A-Za-z0-9_\-:/ |]*")
 
 
 def anchor(pattern: str) -> str:

@@ -73,6 +73,9 @@ class Querier:
         out = self.series.select("series_id")
         sl = self.series_labels
         for m in matchers:
+            # literal-regex rewrite: =~"a|b" -> IN, =~"lit.*" -> prefix
+            # (pushdown-capable predicates; rlike never pushes)
+            m = m.simplify()
             if m.matches_empty():
                 # series with the label present-but-not-matching are out;
                 # series lacking the label survive (absent == "").

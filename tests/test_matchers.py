@@ -10,6 +10,8 @@ from __future__ import annotations
 import re
 
 import pytest
+import re as _re
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -139,3 +141,33 @@ def test_matches_empty():
 def test_unknown_op_rejected():
     with pytest.raises(ValueError):
         Matcher("~=", "l", "v")
+
+
+@given(
+    st.sampled_from(["=~", "!~"]),
+    st.text(alphabet="ab-| .*", min_size=0, max_size=8),
+    st.text(alphabet="ab-| .", min_size=0, max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_simplify_preserves_semantics(op, pattern, value):
+    try:
+        m = Matcher(op, "l", pattern)
+        orig = m.matches_str(value)
+    except _re.error:
+        return  # invalid regex: nothing to preserve
+    s = m.simplify()
+    assert s.matches_str(value) == orig
+    assert s.matches_empty() == m.matches_empty()
+
+
+def test_simplify_rewrites():
+    assert Matcher("=~", "l", "api|web").simplify().op == "in"
+    assert Matcher("=~", "l", "api").simplify().op == "="
+    assert Matcher("=~", "l", "prod-.*").simplify().op == "=^"
+    assert Matcher("!~", "l", "api").simplify().op == "!="
+    # metacharacters -> untouched
+    assert Matcher("=~", "l", "a.b").simplify().op == "=~"
+    assert Matcher("=~", "l", "a+").simplify().op == "=~"
+    # alternation matching "" is preserved through the IN rewrite
+    m = Matcher("=~", "l", "a|").simplify()
+    assert m.op == "in" and m.matches_empty()
