@@ -471,6 +471,11 @@ def _q_simsearch_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann(e, queries_df, k=10, n_centroids=8, nprobe=2)
 
 
+def _q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    return simsearch.semantic_dedup_keep(_emb(spark, sf), n_centroids=8,
+                                         threshold=0.4)
+
+
 def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf))
     return multimodal.extract_meta(media).orderBy("media_id")
@@ -617,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_cosine_topk": _q_simsearch_topk,
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
         "simsearch_ivf_ann": _q_simsearch_ivf,
+        "dedup_semantic": _q_dedup_semantic,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
     }
@@ -895,6 +901,30 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
 SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
 WHERE rk <= 10 ORDER BY query_id, rk
+"""
+
+
+# SemDeDup-shaped mirror: same IVF cells; keep v iff no lower-id
+# near-dup (cos >= 0.4) in its cell.
+_SQL_SEMDEDUP = """
+WITH cents AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings ORDER BY vec_id LIMIT 8),
+cells AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, ct.centroid_id,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4)
+SELECT c.centroid_id, c.vec_id FROM cells c
+ANTI JOIN dup d ON c.vec_id = d.vec_id
+ORDER BY c.vec_id
 """
 
 
@@ -1329,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "simsearch_cosine_topk": _SQL_SIMSEARCH_TOPK,
         # simsearch_lsh_ann: approximate, intentionally rows-only
         "simsearch_ivf_ann": _SQL_SIMSEARCH_IVF,
+        "dedup_semantic": _SQL_SEMDEDUP,
         "multimodal_meta": _SQL_MM_META,
         "multimodal_frame_sample": _SQL_MM_FRAMES,
     }

@@ -182,3 +182,41 @@ def lsh_ann(
         .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
         .orderBy("query_id", "rk")
     )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (cluster, then drop
+    near-identical members): a vector is KEPT iff no lower-id vector in
+    its cell has cosine >= threshold with it — the deterministic
+    keep-lowest-id variant of the greedy cluster sweep.
+
+    Scale: pairwise work is confined to cells (n^2/k per cell instead
+    of corpus-wide n^2); cells come from the same coarse quantizer as
+    ivf_ann, so the store's cell partitioning serves both."""
+    cents = ivf_centroids(corpus, n_centroids)
+    cells = _nearest_centroids(
+        corpus.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    a = cells.select(
+        F.col("centroid_id"), F.col("vec_id").alias("id_a"), F.col("ce").alias("ea")
+    )
+    b = cells.select(
+        F.col("centroid_id"), F.col("vec_id").alias("id_b"), F.col("ce").alias("eb")
+    )
+    dup = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dup, "vec_id", "left_anti")
+        .select("centroid_id", "vec_id")
+        .orderBy("vec_id")
+    )

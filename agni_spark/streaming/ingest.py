@@ -120,3 +120,31 @@ def streaming_increase(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time session windows (dynamic gap-close) — the streaming
+    twin of relational.events_sessionize. A session closes when no
+    event arrives for `gap`; late events within `watermark` still
+    extend/merge sessions. State per open session is O(1)."""
+    with_ts = stream.withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("ts", watermark)
+    return (
+        with_ts.groupBy("series_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "series_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n",
+            "sum_value",
+        )
+    )

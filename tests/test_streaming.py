@@ -99,3 +99,37 @@ def test_streaming_increase_state_across_batches(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0] == (1000, 2, 5.0)
     assert rows[1] == (3000, 2, 5.0)
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    src = str(tmp_path / "src")
+    m = 60_000
+    # series 1: events at 0,10m (one session), then 60m (new session:
+    # gap > 30m); an event far ahead closes both via the watermark
+    _write_src(
+        spark,
+        src,
+        [(1, 0, 1.0), (1, 10 * m, 2.0), (1, 60 * m, 4.0),
+         (1, 600 * m, 0.0)],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming.streaming_sessionize(stream, "30 minutes", "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.session_start_ms, r.session_end_ms): (r.n, r.sum_value)
+        for r in spark.table("sess_test").collect()
+    }
+    # session 1: [0, 10m+30m); session 2: [60m, 90m); the 600m session
+    # is still open (watermark = 600m - 60m < its end) -> withheld
+    assert rows == {
+        (0, 40 * m): (2, 3.0),
+        (60 * m, 90 * m): (1, 4.0),
+    }
