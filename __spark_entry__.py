@@ -145,6 +145,23 @@ def _q_p9_tombstones(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id", "ts_ms", "value")
 
 
+def _q_s13_matrix_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    # remote-read Matrix shape (server.go:134-162): per-series
+    # time-sorted sample arrays, serialized to JSON for hash-comparable
+    # cross-engine verification (the proto encoder consumes this shape).
+    q = _querier(spark, sf)
+    sel = q.select([eq("job", "api"), eq("env", "prod")], mint_ms=T1, maxt_ms=T2)
+    return (
+        sel.groupBy("series_id")
+        .agg(
+            F.to_json(
+                F.sort_array(F.collect_list(F.struct("ts_ms", "value")))
+            ).alias("pts")
+        )
+        .orderBy("series_id")
+    )
+
+
 def _q_a1_intersect(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _querier(spark, sf)
@@ -230,6 +247,13 @@ def _q_promql_topk(spark: SparkSession, sf: str) -> DataFrame:
 def _q_promql_instant(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     return promql.instant(q.samples, T2, 3 * DAY_MS).orderBy("series_id")
+
+
+def _q_promql_rate_extrapolated(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.rate_extrapolated(q.samples, DAY_MS).orderBy(
+        "series_id", "bucket_ms"
+    )
 
 
 def _q_promql_resets(spark: SparkSession, sf: str) -> DataFrame:
@@ -571,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_nre_matcher": _q_p6_nre,
         "p7_select_samples": _q_p7_select,
         "p9_tombstone_filter": _q_p9_tombstones,
+        "s13_matrix_assembly": _q_s13_matrix_assembly,
         "a1_intersect": _q_a1_intersect,
         "a2_union": _q_a2_union,
         "m1_merge_sorted": _q_m1_merge,
@@ -585,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_sum_by": _q_promql_sum_by,
         "promql_topk": _q_promql_topk,
         "promql_instant": _q_promql_instant,
+        "promql_rate_extrapolated": _q_promql_rate_extrapolated,
         "promql_resets": _q_promql_resets,
         "promql_changes": _q_promql_changes,
         "promql_irate": _q_promql_irate,
@@ -1003,6 +1029,19 @@ def oracle_sql() -> dict[str, str]:
             f"AND s.ts_ms BETWEEN t.mint_ms AND t.maxt_ms) "
             f"ORDER BY s.series_id, s.ts_ms, s.value"
         ),
+        "s13_matrix_assembly": q(
+            f"SELECT series_id, to_json(list(struct_pack(ts_ms := ts_ms, "
+            f"value := value) ORDER BY ts_ms, value))::VARCHAR AS pts "
+            f"FROM samples s "
+            f"WHERE s.ts_ms BETWEEN {T1} AND {T2} "
+            f"AND EXISTS (SELECT 1 FROM series_labels l "
+            f"WHERE l.series_id = s.series_id AND l.name='job' "
+            f"AND l.value='api') "
+            f"AND EXISTS (SELECT 1 FROM series_labels l "
+            f"WHERE l.series_id = s.series_id AND l.name='env' "
+            f"AND l.value='prod') "
+            f"GROUP BY series_id ORDER BY series_id"
+        ),
         "a1_intersect": q(
             "SELECT series_id FROM series_labels WHERE name='job' AND value='api' "
             "INTERSECT SELECT series_id FROM series_labels "
@@ -1080,6 +1119,44 @@ def oracle_sql() -> dict[str, str]:
             f"(PARTITION BY series_id ORDER BY ts_ms DESC, value DESC) AS rn "
             f"FROM samples WHERE ts_ms <= {T2} AND ts_ms > {T2} - 259200000) "
             f"WHERE rn = 1 ORDER BY series_id"
+        ),
+        # Prometheus extrapolatedRate mirror (see promql.rate_extrapolated)
+        "promql_rate_extrapolated": q(
+            ", agg AS ("
+            "  SELECT series_id, CAST(ts_ms // 86400000 AS BIGINT) * 86400000"
+            "    AS bucket_ms,"
+            "  sum(CASE WHEN prev IS NULL THEN NULL"
+            "      WHEN value >= prev THEN value - prev ELSE value END) AS raw,"
+            "  count(*) AS n, min(ts_ms) AS first_t, max(ts_ms) AS last_t,"
+            "  min(struct_pack(t := ts_ms, v := value)).v AS first_v"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples)"
+            "  GROUP BY 1, 2 HAVING count(*) >= 2 AND raw IS NOT NULL),"
+            "calc AS ("
+            "  SELECT series_id, bucket_ms, raw,"
+            "  (last_t - first_t) / 1000.0 AS sampled_s,"
+            "  ((last_t - first_t) / 1000.0) / (n - 1) AS avg_gap,"
+            "  (first_t - bucket_ms) / 1000.0 AS to_start,"
+            "  (bucket_ms + 86400000 - last_t) / 1000.0 AS to_end,"
+            "  CASE WHEN raw > 0 AND first_v >= 0"
+            "    THEN ((last_t - first_t) / 1000.0) * (first_v / raw) END"
+            "    AS zero_cap"
+            "  FROM agg),"
+            "ext AS ("
+            "  SELECT series_id, bucket_ms, raw, sampled_s,"
+            "  CASE WHEN zero_cap IS NOT NULL AND zero_cap <"
+            "    (CASE WHEN to_start < avg_gap * 1.1 THEN to_start"
+            "          ELSE avg_gap / 2.0 END) THEN zero_cap"
+            "    ELSE (CASE WHEN to_start < avg_gap * 1.1 THEN to_start"
+            "          ELSE avg_gap / 2.0 END) END AS ext_start,"
+            "  CASE WHEN to_end < avg_gap * 1.1 THEN to_end"
+            "       ELSE avg_gap / 2.0 END AS ext_end"
+            "  FROM calc WHERE sampled_s > 0)"
+            "SELECT series_id, bucket_ms,"
+            " round(raw * ((sampled_s + ext_start + ext_end) / sampled_s)"
+            "       / 86400.0, 6) AS rate "
+            "FROM ext ORDER BY 1, 2"
         ),
         "promql_resets": q(
             "SELECT series_id, CAST(ts_ms // 86400000 AS BIGINT) * 86400000 "

@@ -506,3 +506,60 @@ def range_agg_sliding(
             "n",
         )
     )
+
+
+def rate_extrapolated(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """Prometheus's actual rate() semantics (promql extrapolatedRate):
+    the raw counter delta over the window is extrapolated to the window
+    boundaries, limited by 1.1x the average sample spacing, and — for
+    counters — by the time at which the counter would have been zero.
+
+    Per (series, bucket), in one aggregation pass + one lag window:
+      raw      = reset-corrected sum of deltas (simple increase)
+      sampled  = last_t - first_t;  avg_gap = sampled / (n - 1)
+      extend_start/end = min(durationTo{Start,End}, avg_gap/2) when the
+        gap to the boundary exceeds 1.1*avg_gap, else the full gap
+      zero cap = sampled * first_v / raw  (counter can't extrapolate
+        below zero)
+      rate = raw * (sampled + extend_start + extend_end) / sampled
+                 / bucket_seconds
+    """
+    prev = F.lag("value").over(_series_time_window())
+    contrib = F.when(prev.isNull(), None).when(
+        F.col("value") >= prev, F.col("value") - prev
+    ).otherwise(F.col("value"))
+    agg = (
+        samples.withColumn("contrib", contrib)
+        .groupBy("series_id", bucket_start(bucket_ms))
+        .agg(
+            F.sum("contrib").alias("raw"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_ms").alias("first_t"),
+            F.max("ts_ms").alias("last_t"),
+            F.min(F.struct("ts_ms", "value"))["value"].alias("first_v"),
+        )
+        .where((F.col("n") >= 2) & F.col("raw").isNotNull())
+    )
+    sampled_s = (F.col("last_t") - F.col("first_t")) / 1000.0
+    avg_gap = sampled_s / (F.col("n") - 1)
+    thresh = avg_gap * 1.1
+    to_start = (F.col("first_t") - F.col("bucket_ms")) / 1000.0
+    to_end = (F.col("bucket_ms") + bucket_ms - F.col("last_t")) / 1000.0
+    # counter zero-point cap on the start-side extrapolation
+    zero_cap = F.when(
+        (F.col("raw") > 0) & (F.col("first_v") >= 0),
+        sampled_s * (F.col("first_v") / F.col("raw")),
+    )
+    ext_start_raw = F.when(to_start < thresh, to_start).otherwise(avg_gap / 2.0)
+    ext_start = F.when(
+        zero_cap.isNotNull() & (zero_cap < ext_start_raw), zero_cap
+    ).otherwise(ext_start_raw)
+    ext_end = F.when(to_end < thresh, to_end).otherwise(avg_gap / 2.0)
+    factor = (sampled_s + ext_start + ext_end) / sampled_s
+    return agg.where(sampled_s > 0).select(
+        "series_id",
+        "bucket_ms",
+        F.round(
+            F.col("raw") * factor / F.lit(bucket_ms / 1000.0), ROUND_AVG
+        ).alias("rate"),
+    )

@@ -154,3 +154,22 @@ def test_range_agg_sliding_window_membership(spark):
     assert rows == {-1000: (2.0, 1), 0: (6.0, 2), 1000: (4.0, 1)}
     with pytest.raises(ValueError):
         promql.range_agg_sliding(df, 2500, 1000)
+
+
+def test_rate_extrapolated_prometheus_semantics(spark):
+    # counter starting at 0: the zero-point cap suppresses start-side
+    # extrapolation; end side extends by the boundary gap (< 1.1*avg)
+    df = spark.createDataFrame(
+        [(1, 2000, 0.0), (1, 4000, 5.0), (1, 8000, 10.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    rows = promql.rate_extrapolated(df, 10_000).collect()
+    assert len(rows) == 1
+    # raw=10 over sampled 6s; ext_start=0 (zero cap), ext_end=2
+    # rate = 10 * (8/6) / 10 = 1.333333
+    assert rows[0].rate == pytest.approx(10 * (8 / 6) / 10, abs=1e-6)
+    # single-sample buckets produce no rate
+    one = spark.createDataFrame(
+        [(1, 1000, 5.0)], "series_id long, ts_ms long, value double"
+    )
+    assert promql.rate_extrapolated(one, 10_000).count() == 0
