@@ -360,6 +360,32 @@ def _run_stream(spark: SparkSession, sf: str, make_out) -> DataFrame:
     return spark.table(name)
 
 
+def _q_promql_parsed(spark: SparkSession, sf: str) -> DataFrame:
+    # end-to-end PromQL: text -> parser -> compiled Catalyst plan
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        'sum by (job, env) (increase(event_click{env="prod"}[1d]))',
+    )
+    return out.orderBy("job", "env", "bucket_ms")
+
+
+def _q_promql_sum_without(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    # without (instance, pod, metric) == by (job, env)
+    return promql.aggregate_without(
+        q.samples, q.series, ["instance", "pod", "metric"], DAY_MS
+    ).orderBy("job", "env", "bucket_ms")
+
+
+def _q_promql_quantile_over_time(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.quantile_over_time(q.samples, 0.5, DAY_MS).orderBy(
+        "series_id", "bucket_ms"
+    )
+
+
 def _q_status_tsdb(spark: SparkSession, sf: str) -> DataFrame:
     # /api/v1/status/tsdb equivalent: label-cardinality statistics
     q = _querier(spark, sf)
@@ -622,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_binop_ratio": _q_promql_binop_ratio,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_absent": _q_promql_absent,
+        "promql_parsed_expression": _q_promql_parsed,
+        "promql_sum_without": _q_promql_sum_without,
+        "promql_quantile_over_time": _q_promql_quantile_over_time,
         "status_tsdb": _q_status_tsdb,
         "pipeline_curate": _q_pipeline_curate,
         "promql_range_sliding": _q_promql_range_sliding,
@@ -1241,6 +1270,39 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY 1, 2, 3"
         ),
         "promql_histogram_quantile": q(_SQL_HISTOGRAM_QUANTILE),
+        "promql_parsed_expression": q(
+            ", sel AS ("
+            "  SELECT s.* FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_click' AND ser.env = 'prod'),"
+            "inc AS ("
+            "  SELECT series_id,"
+            "  CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN value >= prev THEN value - prev"
+            "            ELSE value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM sel)"
+            "  WHERE prev IS NOT NULL GROUP BY 1, 2)"
+            "SELECT ser.job, ser.env, i.bucket_ms,"
+            " round(sum(i.value), 4) AS value "
+            "FROM inc i JOIN series ser USING (series_id) "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "promql_sum_without": q(
+            "SELECT s2.job, s2.env, "
+            "CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "round(sum(s.value), 4) AS sum_value, "
+            "round(avg(s.value), 6) AS avg_value, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM samples s JOIN series s2 USING (series_id) "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "promql_quantile_over_time": q(
+            "SELECT series_id, "
+            "CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "round(quantile_cont(value, 0.5), 6) AS quantile "
+            "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "status_tsdb": q(
             "SELECT name, value, "
             "CAST(count(DISTINCT series_id) AS BIGINT) AS n_series "

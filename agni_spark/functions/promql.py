@@ -563,3 +563,27 @@ def rate_extrapolated(samples: DataFrame, bucket_ms: int) -> DataFrame:
             F.col("raw") * factor / F.lit(bucket_ms / 1000.0), ROUND_AVG
         ).alias("rate"),
     )
+
+
+def aggregate_without(
+    samples: DataFrame,
+    series: DataFrame,
+    without: list[str],
+    bucket_ms: int,
+) -> DataFrame:
+    """sum/avg/count without (labels): aggregate over every label
+    EXCEPT the listed ones — the complement form of aggregate_by."""
+    label_cols = [c for c in series.columns if c != "series_id"]
+    by = [c for c in label_cols if c not in set(without)]
+    return aggregate_by(samples, series, by, bucket_ms)
+
+
+def quantile_over_time(
+    samples: DataFrame, q: float, bucket_ms: int
+) -> DataFrame:
+    """quantile_over_time(q, m[bucket]): continuous quantile of each
+    series' values per bucket (same interpolation contract as
+    quantile_by; Spark percentile == DuckDB quantile_cont)."""
+    return samples.groupBy("series_id", bucket_start(bucket_ms)).agg(
+        F.round(F.percentile("value", F.lit(q)), ROUND_AVG).alias("quantile")
+    )

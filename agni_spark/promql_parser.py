@@ -1,0 +1,275 @@
+"""A PromQL expression parser/compiler (beyond reference: agni has no
+query language at all — upstream Prometheus parses PromQL and sends
+matchers over remote read, SURVEY §0. This module makes the engine
+self-serve for the common expression shapes).
+
+Supported grammar (the workhorse subset):
+
+    expr      := agg | func | selector
+    agg       := AGGOP grouping? "(" expr ")" | "topk" "(" INT "," expr ")"
+    AGGOP     := "sum" | "avg" | "min" | "max" | "count"
+    grouping  := ("by" | "without") "(" name ("," name)* ")"
+    func      := FUNC "(" selector range ")"
+    FUNC      := "rate" | "increase" | "irate" | "delta" | "resets"
+               | "changes" | "avg_over_time" | "sum_over_time"
+    selector  := metric? ("{" matcher ("," matcher)* "}")?
+    matcher   := name OP STRING      OP: = != =~ !~
+    range     := "[" INT UNIT "]"    UNIT: s m h d
+
+Compilation: selector -> Querier.select (matchers incl. the metric as
+__name__); func(range) -> the promql module's bucketed op with
+bucket_ms = range; agg -> broadcast-join the series dim + groupBy.
+Everything lands on operators that are themselves oracle-checked.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agni_spark.functions import promql
+from agni_spark.matchers import Matcher
+from agni_spark.querier import Querier
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+)|(?P<id>[A-Za-z_:][A-Za-z0-9_:]*)"
+    r'|(?P<str>"(?:[^"\\]|\\.)*")'
+    r"|(?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,))"
+)
+_UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+_AGG_OPS = {"sum", "avg", "min", "max", "count"}
+_RANGE_FUNCS = {
+    "rate", "increase", "irate", "delta", "resets", "changes",
+    "avg_over_time", "sum_over_time",
+}
+
+
+@dataclass
+class _Tokens:
+    items: list[str]
+    pos: int = 0
+
+    def peek(self) -> str | None:
+        return self.items[self.pos] if self.pos < len(self.items) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of expression")
+        self.pos += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t != tok:
+            raise ValueError(f"expected {tok!r}, got {t!r}")
+
+
+def _tokenize(text: str) -> _Tokens:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip():
+                raise ValueError(f"bad token at: {text[pos:]!r}")
+            break
+        pos = m.end()
+        out.append(m.group().strip())
+    return _Tokens(out)
+
+
+@dataclass
+class Selector:
+    metric: str | None
+    matchers: list[Matcher] = field(default_factory=list)
+    range_ms: int | None = None
+
+
+@dataclass
+class Func:
+    name: str
+    arg: Selector
+
+
+@dataclass
+class Agg:
+    op: str
+    mode: str | None  # 'by' | 'without' | None
+    labels: list[str]
+    arg: "Agg | Func | Selector"
+    k: int | None = None  # topk
+
+
+def parse(text: str) -> Agg | Func | Selector:
+    toks = _tokenize(text)
+    expr = _parse_expr(toks)
+    if toks.peek() is not None:
+        raise ValueError(f"trailing input: {toks.items[toks.pos:]}")
+    return expr
+
+
+def _parse_expr(toks: _Tokens) -> Agg | Func | Selector:
+    t = toks.peek()
+    if t == "topk":
+        toks.next()
+        toks.expect("(")
+        k = int(toks.next())
+        toks.expect(",")
+        arg = _parse_expr(toks)
+        toks.expect(")")
+        return Agg("topk", None, [], arg, k=k)
+    if t in _AGG_OPS:
+        toks.next()
+        mode, labels = None, []
+        if toks.peek() in ("by", "without"):
+            mode = toks.next()
+            toks.expect("(")
+            while toks.peek() != ")":
+                labels.append(toks.next())
+                if toks.peek() == ",":
+                    toks.next()
+            toks.expect(")")
+        toks.expect("(")
+        arg = _parse_expr(toks)
+        toks.expect(")")
+        return Agg(t, mode, labels, arg)
+    if t in _RANGE_FUNCS:
+        toks.next()
+        toks.expect("(")
+        sel = _parse_selector(toks)
+        if sel.range_ms is None:
+            raise ValueError(f"{t}() needs a range selector m[duration]")
+        toks.expect(")")
+        return Func(t, sel)
+    return _parse_selector(toks)
+
+
+def _parse_selector(toks: _Tokens) -> Selector:
+    metric = None
+    if toks.peek() not in ("{", None) and re.fullmatch(
+        r"[A-Za-z_:][A-Za-z0-9_:]*", toks.peek() or ""
+    ):
+        metric = toks.next()
+    matchers: list[Matcher] = []
+    if toks.peek() == "{":
+        toks.next()
+        while toks.peek() != "}":
+            name = toks.next()
+            op = toks.next()
+            raw = toks.next()
+            if not (raw.startswith('"') and raw.endswith('"')):
+                raise ValueError(f"matcher value must be quoted: {raw!r}")
+            value = raw[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            matchers.append(Matcher(op, name, value))
+            if toks.peek() == ",":
+                toks.next()
+        toks.expect("}")
+    sel = Selector(metric, matchers)
+    if toks.peek() == "[":
+        toks.next()
+        n = int(toks.next())
+        unit = toks.next()
+        if unit not in _UNIT_MS:
+            raise ValueError(f"bad duration unit {unit!r}")
+        sel.range_ms = n * _UNIT_MS[unit]
+        toks.expect("]")
+    return sel
+
+
+# -- compilation ------------------------------------------------------------
+
+_FUNC_IMPL = {
+    "rate": lambda df, ms: promql.rate(df, ms).withColumnRenamed("rate", "value"),
+    "increase": lambda df, ms: promql.increase(df, ms).withColumnRenamed(
+        "increase", "value"
+    ),
+    "irate": lambda df, ms: promql.irate(df, ms).withColumnRenamed(
+        "irate", "value"
+    ),
+    "delta": lambda df, ms: promql.delta(df, ms).withColumnRenamed(
+        "delta", "value"
+    ),
+    "resets": lambda df, ms: promql.resets(df, ms).select(
+        "series_id", "bucket_ms", F.col("resets").cast("double").alias("value")
+    ),
+    "changes": lambda df, ms: promql.changes(df, ms).select(
+        "series_id", "bucket_ms", F.col("changes").cast("double").alias("value")
+    ),
+    "avg_over_time": lambda df, ms: promql.agg_over_time(df, ms).select(
+        "series_id", "bucket_ms", F.col("avg_value").alias("value")
+    ),
+    "sum_over_time": lambda df, ms: promql.agg_over_time(df, ms).select(
+        "series_id", "bucket_ms", F.col("sum_value").alias("value")
+    ),
+}
+
+
+def compile_expr(
+    expr: Agg | Func | Selector,
+    querier: Querier,
+    mint_ms: int | None = None,
+    maxt_ms: int | None = None,
+) -> DataFrame:
+    """Compile a parsed expression against a Querier.
+
+    Output schemas: selector -> (series_id, ts_ms, value); range func ->
+    (series_id, bucket_ms, value); agg -> (labels..., bucket_ms, value)
+    (or (series_id, value, rk) for topk)."""
+    if isinstance(expr, Selector):
+        matchers = list(expr.matchers)
+        if expr.metric is not None:
+            matchers.append(Matcher("=", "__name__", expr.metric))
+        return querier.select(matchers, mint_ms=mint_ms, maxt_ms=maxt_ms)
+    if isinstance(expr, Func):
+        sel = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
+        return _FUNC_IMPL[expr.name](sel, expr.arg.range_ms)
+    if isinstance(expr, Agg):
+        if expr.op == "topk":
+            inner = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
+            val = "value"
+            per_series = inner.groupBy("series_id").agg(
+                F.round(F.sum(val), promql.ROUND_SUM).alias("value")
+            )
+            from pyspark.sql import Window
+
+            w = Window.orderBy(F.col("value").desc(), F.col("series_id").asc())
+            return (
+                per_series.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= (expr.k or 1))
+                .select("series_id", "value", F.col("rk").cast("int").alias("rk"))
+            )
+        inner = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
+        label_cols = [c for c in querier.series.columns if c != "series_id"]
+        if expr.mode == "by":
+            by = [l for l in expr.labels if l in label_cols]
+        elif expr.mode == "without":
+            by = [c for c in label_cols if c not in set(expr.labels)]
+        else:
+            by = []
+        dim = F.broadcast(querier.series.select("series_id", *by))
+        joined = inner.join(dim, "series_id")
+        time_col = "bucket_ms" if "bucket_ms" in inner.columns else None
+        keys = by + ([time_col] if time_col else [])
+        aggs = {
+            "sum": F.round(F.sum("value"), promql.ROUND_SUM),
+            "avg": F.round(F.avg("value"), promql.ROUND_AVG),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "count": F.count(F.lit(1)).cast("double"),
+        }
+        out = joined.groupBy(*keys).agg(aggs[expr.op].alias("value"))
+        return out
+    raise TypeError(type(expr))
+
+
+def query(
+    querier: Querier,
+    text: str,
+    mint_ms: int | None = None,
+    maxt_ms: int | None = None,
+) -> DataFrame:
+    """Parse + compile in one call."""
+    return compile_expr(parse(text), querier, mint_ms, maxt_ms)

@@ -1,0 +1,75 @@
+"""PromQL parser/compiler: parsed expressions must produce the same
+results as hand-composed pipelines over the engine's own operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agni_spark import datamodel as dm
+from agni_spark import promql_parser as pql
+from agni_spark.functions import promql
+from agni_spark.matchers import Matcher, eq
+from agni_spark.querier import Querier
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def querier(spark):
+    t = dm.derive_tsdb(spark, SF)
+    return Querier(t.samples, t.series, t.series_labels, t.blocks)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parse_shapes():
+    e = pql.parse('sum by (job, env) (rate(event_click{env="prod"}[1d]))')
+    assert e.op == "sum" and e.mode == "by" and e.labels == ["job", "env"]
+    assert e.arg.name == "rate"
+    sel = e.arg.arg
+    assert sel.metric == "event_click" and sel.range_ms == 86_400_000
+    assert sel.matchers == [Matcher("=", "env", "prod")]
+    with pytest.raises(ValueError):
+        pql.parse("rate(event_click)")  # missing range
+    with pytest.raises(ValueError):
+        pql.parse('sum by (job) (x{a="b"}) trailing')
+
+
+def test_selector_equals_querier_select(querier):
+    got = pql.query(querier, 'event_click{job="api"}')
+    want = querier.select([eq("job", "api"), eq("__name__", "event_click")])
+    assert _rows(got) == _rows(want)
+
+
+def test_rate_pipeline_equivalence(querier):
+    got = pql.query(querier, 'rate(event_click{env="prod"}[1d])')
+    sel = querier.select([eq("env", "prod"), eq("__name__", "event_click")])
+    want = promql.rate(sel, 86_400_000).withColumnRenamed("rate", "value")
+    assert _rows(got) == _rows(want)
+
+
+def test_sum_by_equivalence(querier):
+    got = pql.query(querier, "sum by (job) (increase(event_error[1d]))")
+    sel = querier.select([eq("__name__", "event_error")])
+    inc = promql.increase(sel, 86_400_000).withColumnRenamed("increase", "value")
+    dim = F.broadcast(querier.series.select("series_id", "job"))
+    want = (
+        inc.join(dim, "series_id")
+        .groupBy("job", "bucket_ms")
+        .agg(F.round(F.sum("value"), 4).alias("value"))
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_topk(querier):
+    got = pql.query(querier, 'topk(3, avg_over_time(event_view[1d]))')
+    assert [r.rk for r in got.orderBy("rk").collect()] == [1, 2, 3]
+
+
+def test_without_grouping(querier):
+    got = pql.query(querier, "count without (instance, pod, metric) (event_view)")
+    # grouping collapses to (job, env): 3x2 groups
+    assert got.select("job", "env").distinct().count() == 6
