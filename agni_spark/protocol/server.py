@@ -109,6 +109,26 @@ class RemoteReadServer:
                 self.end_headers()
                 self.wfile.write(payload)
 
+            def do_GET(self) -> None:  # noqa: N802
+                from urllib.parse import parse_qs, urlparse
+
+                parsed = urlparse(self.path)
+                if parsed.path != "/api/v1/query_range":
+                    self.send_error(404)
+                    return
+                try:
+                    payload = handle_query_range(
+                        outer.querier, parse_qs(parsed.query)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self.send_error(400, str(e)[:200])
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
             def log_message(self, *a) -> None:  # quiet
                 pass
 
@@ -178,3 +198,62 @@ def handle_write(spark, body: bytes, store_path: str, block_ms: int = 7_200_000)
     # commit point: registry reflects the appended data (marker-last)
     layout.refresh_registry(spark, store_path, block_ms)
     return samples.count()
+
+
+# -- PromQL query API (beyond reference: upstream Prometheus's job) ---------
+
+def eval_promql(
+    querier: Querier,
+    expr_text: str,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> dict:
+    """Evaluate a PromQL expression and shape the result like
+    Prometheus's /api/v1/query_range response (resultType matrix).
+    The collect() is at the serving edge; evaluation is one Catalyst
+    plan via promql_parser."""
+    from agni_spark import promql_parser as pql
+
+    df = pql.query(querier, expr_text, start_ms, end_ms)
+    cols = df.columns
+    tcol = "ts_ms" if "ts_ms" in cols else (
+        "bucket_ms" if "bucket_ms" in cols else None
+    )
+    label_cols = [c for c in cols if c not in (tcol, "value", "rk")]
+    if label_cols == ["series_id"]:
+        # resolve series ids to label sets
+        df = df.join(querier.series, "series_id")
+        label_cols = [c for c in querier.series.columns if c != "series_id"]
+    order = (label_cols + [tcol]) if tcol else label_cols
+    rows = df.orderBy(*order).collect()
+    result: list[dict] = []
+    current_key, current = None, None
+    for r in rows:
+        key = tuple((c, r[c]) for c in label_cols if r[c] is not None)
+        if key != current_key:
+            current = {"metric": dict(key), "values": []}
+            result.append(current)
+            current_key = key
+        t = r[tcol] if tcol else (end_ms or 0)
+        current["values"].append([t / 1000.0, str(r["value"])])
+    return {
+        "status": "success",
+        "data": {"resultType": "matrix", "result": result},
+    }
+
+
+def handle_query_range(querier: Querier, params: dict) -> bytes:
+    """GET /api/v1/query_range?query=...&start=...&end=... (seconds,
+    like Prometheus). Returns the JSON body."""
+    import json
+
+    expr = params["query"][0]
+    start_ms = (
+        int(float(params["start"][0]) * 1000) if "start" in params else None
+    )
+    end_ms = int(float(params["end"][0]) * 1000) if "end" in params else None
+    try:
+        body = eval_promql(querier, expr, start_ms, end_ms)
+    except ValueError as e:
+        body = {"status": "error", "errorType": "bad_data", "error": str(e)}
+    return json.dumps(body).encode()

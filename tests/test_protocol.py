@@ -246,3 +246,41 @@ def test_write_request_proto_roundtrip():
     w2 = pb.decode_write_request(pb.encode_write_request(w))
     assert w2.timeseries[0].labels == [("a", "b")]
     assert w2.timeseries[0].samples == [(0.5, -1), (1e300, 2**40)]
+
+
+def test_http_query_range_promql(served_querier):
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from agni_spark.protocol.server import RemoteReadServer
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    try:
+        qs = urllib.parse.urlencode(
+            {"query": 'sum by (job) (sum_over_time(up[1s]))',
+             "start": "0", "end": "1"}
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_range?{qs}"
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "success"
+        assert body["data"]["resultType"] == "matrix"
+        series = {
+            tuple(sorted(r["metric"].items())): r["values"]
+            for r in body["data"]["result"]
+        }
+        # up{job=api}: 1+2 = 3; up{job=web}: 5 — both in bucket 0
+        assert series[(("job", "api"),)] == [[0.0, "3.0"]]
+        assert series[(("job", "web"),)] == [[0.0, "5.0"]]
+        # bad expression -> structured error, not a 500
+        qs2 = urllib.parse.urlencode({"query": "rate(up)"})
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_range?{qs2}"
+        ) as resp:
+            err = json.loads(resp.read())
+        assert err["status"] == "error" and "range" in err["error"]
+    finally:
+        srv.stop()
