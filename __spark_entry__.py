@@ -386,6 +386,13 @@ def _q_promql_quantile_over_time(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_promql_stddev_by(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.stddev_by(q.samples, q.series, ["job", "env"], DAY_MS).orderBy(
+        "job", "env", "bucket_ms"
+    )
+
+
 def _q_status_tsdb(spark: SparkSession, sf: str) -> DataFrame:
     # /api/v1/status/tsdb equivalent: label-cardinality statistics
     q = _querier(spark, sf)
@@ -651,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_expression": _q_promql_parsed,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
+        "promql_stddev_by": _q_promql_stddev_by,
         "status_tsdb": _q_status_tsdb,
         "pipeline_curate": _q_pipeline_curate,
         "promql_range_sliding": _q_promql_range_sliding,
@@ -1296,6 +1304,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n "
             "FROM samples s JOIN series s2 USING (series_id) "
             "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "promql_stddev_by": q(
+            "SELECT job, env, bucket_ms, "
+            "round(sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)), 6) "
+            "AS stddev FROM ("
+            "SELECT s2.job, s2.env, "
+            "CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "sum(s.value) AS sx, sum(s.value * s.value) AS sxx, "
+            "count(*) AS n "
+            "FROM samples s JOIN series s2 USING (series_id) "
+            "GROUP BY 1, 2, 3) ORDER BY 1, 2, 3"
         ),
         "promql_quantile_over_time": q(
             "SELECT series_id, "

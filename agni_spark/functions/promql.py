@@ -587,3 +587,28 @@ def quantile_over_time(
     return samples.groupBy("series_id", bucket_start(bucket_ms)).agg(
         F.round(F.percentile("value", F.lit(q)), ROUND_AVG).alias("quantile")
     )
+
+
+def stddev_by(
+    samples: DataFrame,
+    series: DataFrame,
+    by: list[str],
+    bucket_ms: int,
+) -> DataFrame:
+    """stddev by (labels): population standard deviation per label
+    group per bucket, computed from explicit sums (sqrt(E[x^2]-E[x]^2))
+    rather than Welford aggregates — the formulation whose float result
+    agrees across engines at ROUND_AVG."""
+    joined = samples.join(F.broadcast(series.select("series_id", *by)), "series_id")
+    agg = joined.groupBy(*by, bucket_start(bucket_ms)).agg(
+        F.sum("value").alias("sx"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    return agg.select(
+        *by,
+        "bucket_ms",
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), ROUND_AVG).alias("stddev"),
+    )
