@@ -113,13 +113,22 @@ class RemoteReadServer:
                 from urllib.parse import parse_qs, urlparse
 
                 parsed = urlparse(self.path)
-                if parsed.path != "/api/v1/query_range":
-                    self.send_error(404)
-                    return
                 try:
-                    payload = handle_query_range(
-                        outer.querier, parse_qs(parsed.query)
-                    )
+                    if parsed.path == "/api/v1/query_range":
+                        payload = handle_query_range(
+                            outer.querier, parse_qs(parsed.query)
+                        )
+                    elif parsed.path.startswith("/api/v1/"):
+                        payload = handle_metadata(
+                            outer.querier, parsed.path, parse_qs(parsed.query)
+                        )
+                    else:
+                        self.send_error(404)
+                        return
+                except ValueError as e:
+                    self.send_error(404 if "unknown" in str(e) else 400,
+                                    str(e)[:200])
+                    return
                 except Exception as e:  # noqa: BLE001
                     self.send_error(400, str(e)[:200])
                     return
@@ -257,3 +266,49 @@ def handle_query_range(querier: Querier, params: dict) -> bytes:
     except ValueError as e:
         body = {"status": "error", "errorType": "bad_data", "error": str(e)}
     return json.dumps(body).encode()
+
+
+# -- metadata API (label_names / label_values / series: querier M4/M5/S6) ---
+
+def _parse_selector_matchers(param_values: list[str]) -> list[Matcher]:
+    """Parse repeated match[] params ('{job=\"api\",env!=\"dev\"}' or a
+    bare metric name) into engine matchers via the PromQL parser."""
+    from agni_spark import promql_parser as pql
+
+    out: list[Matcher] = []
+    for text in param_values:
+        sel = pql.parse(text)
+        if not isinstance(sel, pql.Selector):
+            raise ValueError(f"match[] must be a selector: {text!r}")
+        ms = list(sel.matchers)
+        if sel.metric is not None:
+            ms.append(Matcher("=", "__name__", sel.metric))
+        out.extend(ms)
+    return out
+
+
+def handle_metadata(querier: Querier, path: str, params: dict) -> bytes:
+    """GET /api/v1/labels | /api/v1/label/<name>/values |
+    /api/v1/series?match[]=... — JSON bodies in Prometheus's shape."""
+    import json
+    import re as _re
+
+    matchers = _parse_selector_matchers(params.get("match[]", []))
+    if path == "/api/v1/labels":
+        data = [r.name for r in querier.label_names(matchers).collect()]
+    elif path == "/api/v1/series":
+        label_cols = [c for c in querier.series.columns if c != "series_id"]
+        rows = querier.series_for(matchers).collect()
+        data = []
+        for r in rows:
+            d = {}
+            for c in label_cols:
+                if r[c] is not None:
+                    d["__name__" if c == "metric" else c] = r[c]
+            data.append(d)
+    else:
+        m = _re.fullmatch(r"/api/v1/label/([^/]+)/values", path)
+        if not m:
+            raise ValueError(f"unknown metadata path {path!r}")
+        data = [r.value for r in querier.label_values(m.group(1), matchers).collect()]
+    return json.dumps({"status": "success", "data": data}).encode()

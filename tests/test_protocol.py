@@ -284,3 +284,38 @@ def test_http_query_range_promql(served_querier):
         assert err["status"] == "error" and "range" in err["error"]
     finally:
         srv.stop()
+
+
+def test_http_metadata_endpoints(served_querier):
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from agni_spark.protocol.server import RemoteReadServer
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def get(path, **params):
+        qs = urllib.parse.urlencode(params, doseq=True)
+        with urllib.request.urlopen(f"{base}{path}?{qs}") as resp:
+            return json.loads(resp.read())
+
+    try:
+        labels = get("/api/v1/labels")
+        assert labels["data"] == ["__name__", "env", "job"]
+        vals = get("/api/v1/label/job/values")
+        assert vals["data"] == ["api", "web"]
+        # restricted by a selector: jobs of metric "up" only
+        vals_up = get("/api/v1/label/job/values", **{"match[]": "up"})
+        assert vals_up["data"] == ["api", "web"]
+        vals_down = get("/api/v1/label/job/values", **{"match[]": "down"})
+        assert vals_down["data"] == ["api"]
+        series = get("/api/v1/series", **{"match[]": '{env="prod"}'})
+        assert series["data"] == [
+            {"__name__": "up", "job": "api", "env": "prod"},
+            {"__name__": "up", "job": "web", "env": "prod"},
+        ]
+    finally:
+        srv.stop()
