@@ -319,6 +319,22 @@ def _q_promql_binop_ratio(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("job", "env", "bucket_ms")
 
 
+def _q_promql_binop_group_left(spark: SparkSession, sf: str) -> DataFrame:
+    # per-(job,env,instance) daily sum divided by its (job,env) total —
+    # `sum by (job,env,instance)(m) / on(job,env) group_left sum by (job,env)(m)`
+    q = _querier(spark, sf)
+    fine = promql.aggregate_by(
+        q.samples, q.series, ["job", "env", "instance"], DAY_MS
+    ).select("job", "env", "instance", "bucket_ms",
+             F.col("sum_value").alias("value"))
+    coarse = promql.aggregate_by(q.samples, q.series, ["job", "env"], DAY_MS).select(
+        "job", "env", "bucket_ms", F.col("sum_value").alias("value")
+    )
+    return promql.binop_group_left(
+        fine, coarse, ["job", "env", "bucket_ms"], "/", carry=["instance"]
+    ).orderBy("job", "env", "instance", "bucket_ms")
+
+
 def _q_promql_histogram_quantile(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     buckets = promql.histogram_buckets(q.samples, q.series, ["job"], DAY_MS)
@@ -653,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_bottomk": _q_promql_bottomk,
         "promql_count_values": _q_promql_count_values,
         "promql_binop_ratio": _q_promql_binop_ratio,
+        "promql_binop_group_left": _q_promql_binop_group_left,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_absent": _q_promql_absent,
         "promql_parsed_expression": _q_promql_parsed,
@@ -1276,6 +1293,24 @@ def oracle_sql() -> dict[str, str]:
             "AND l.bucket_ms = r.bucket_ms "
             "AND l.metric = 'event_error' AND r.metric = 'event_click' "
             "ORDER BY 1, 2, 3"
+        ),
+        "promql_binop_group_left": q(
+            ", fine AS (SELECT s2.job, s2.env, s2.instance, "
+            "CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "round(sum(s.value), 4) AS value "
+            "FROM samples s JOIN series s2 USING (series_id) "
+            "GROUP BY 1, 2, 3, 4), "
+            "coarse AS (SELECT s2.job, s2.env, "
+            "CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "round(sum(s.value), 4) AS value "
+            "FROM samples s JOIN series s2 USING (series_id) "
+            "GROUP BY 1, 2, 3) "
+            "SELECT f.job, f.env, f.bucket_ms, f.instance, "
+            "round(CASE WHEN c.value <> 0 THEN f.value / c.value END, 6) "
+            "AS result "
+            "FROM fine f JOIN coarse c ON f.job = c.job AND f.env = c.env "
+            "AND f.bucket_ms = c.bucket_ms "
+            "ORDER BY f.job, f.env, f.instance, f.bucket_ms"
         ),
         "promql_histogram_quantile": q(_SQL_HISTOGRAM_QUANTILE),
         "promql_parsed_expression": q(

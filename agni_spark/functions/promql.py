@@ -612,3 +612,33 @@ def stddev_by(
         "bucket_ms",
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), ROUND_AVG).alias("stddev"),
     )
+
+
+def binop_group_left(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    op: str = "/",
+    left_col: str = "value",
+    right_col: str = "value",
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Many-to-one vector matching: `l / on(...) group_left r` — each
+    right row matches MANY left rows; left's extra labels (carry) pass
+    through. right must be unique per `on` key (Prometheus errors
+    otherwise; here enforced upstream by aggregation). The right side
+    is the smaller vector -> broadcast."""
+    ops = {
+        "/": lambda a, b: F.when(b != 0, a / b),
+        "*": lambda a, b: a * b,
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+    }
+    carry = carry or []
+    l = left.select(*on, *carry, F.col(left_col).alias("_l"))
+    r = F.broadcast(right.select(*on, F.col(right_col).alias("_r")))
+    return l.join(r, on).select(
+        *on,
+        *carry,
+        F.round(ops[op](F.col("_l"), F.col("_r")), ROUND_AVG).alias("result"),
+    )

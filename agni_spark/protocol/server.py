@@ -118,6 +118,10 @@ class RemoteReadServer:
                         payload = handle_query_range(
                             outer.querier, parse_qs(parsed.query)
                         )
+                    elif parsed.path == "/api/v1/query":
+                        payload = handle_query(
+                            outer.querier, parse_qs(parsed.query)
+                        )
                     elif parsed.path.startswith("/api/v1/"):
                         payload = handle_metadata(
                             outer.querier, parsed.path, parse_qs(parsed.query)
@@ -312,3 +316,83 @@ def handle_metadata(querier: Querier, path: str, params: dict) -> bytes:
             raise ValueError(f"unknown metadata path {path!r}")
         data = [r.value for r in querier.label_values(m.group(1), matchers).collect()]
     return json.dumps({"status": "success", "data": data}).encode()
+
+
+def eval_instant(
+    querier: Querier,
+    expr_text: str,
+    time_ms: int,
+    lookback_ms: int = 300_000,
+) -> dict:
+    """GET /api/v1/query evaluation: instant vector at `time_ms` with
+    Prometheus staleness lookback — supports selectors and label
+    aggregations over them."""
+    from agni_spark import promql_parser as pql
+    from agni_spark.functions import promql as pf
+
+    expr = pql.parse(expr_text)
+
+    def instant_of(sel: "pql.Selector"):
+        if sel.range_ms is not None:
+            raise ValueError("instant query takes an instant selector")
+        ms = list(sel.matchers)
+        if sel.metric is not None:
+            ms.append(Matcher("=", "__name__", sel.metric))
+        return pf.instant(querier.select(ms), time_ms, lookback_ms)
+
+    label_cols = [c for c in querier.series.columns if c != "series_id"]
+    if isinstance(expr, pql.Selector):
+        df = instant_of(expr).join(querier.series, "series_id")
+        keys = label_cols
+        val = "value"
+    elif isinstance(expr, pql.Agg) and isinstance(expr.arg, pql.Selector):
+        inner = instant_of(expr.arg)
+        if expr.mode == "by":
+            keys = [l for l in expr.labels if l in label_cols]
+        elif expr.mode == "without":
+            keys = [c for c in label_cols if c not in set(expr.labels)]
+        else:
+            keys = []
+        dim = F.broadcast(querier.series.select("series_id", *keys))
+        aggs = {
+            "sum": F.round(F.sum("value"), 4),
+            "avg": F.round(F.avg("value"), 6),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "count": F.count(F.lit(1)).cast("double"),
+        }
+        df = inner.join(dim, "series_id").groupBy(*keys).agg(
+            aggs[expr.op].alias("value")
+        )
+        val = "value"
+    else:
+        raise ValueError(
+            "instant query supports selectors and label aggregations"
+        )
+    rows = df.orderBy(*keys).collect() if keys else df.collect()
+    result = []
+    for r in rows:
+        metric = {}
+        for c in keys:
+            if r[c] is not None:
+                metric["__name__" if c == "metric" else c] = r[c]
+        result.append(
+            {"metric": metric, "value": [time_ms / 1000.0, str(r[val])]}
+        )
+    return {
+        "status": "success",
+        "data": {"resultType": "vector", "result": result},
+    }
+
+
+def handle_query(querier: Querier, params: dict) -> bytes:
+    """GET /api/v1/query?query=...&time=... (seconds)."""
+    import json
+
+    expr = params["query"][0]
+    time_ms = int(float(params["time"][0]) * 1000)
+    try:
+        body = eval_instant(querier, expr, time_ms)
+    except ValueError as e:
+        body = {"status": "error", "errorType": "bad_data", "error": str(e)}
+    return json.dumps(body).encode()

@@ -319,3 +319,38 @@ def test_http_metadata_endpoints(served_querier):
         ]
     finally:
         srv.stop()
+
+
+def test_http_instant_query(served_querier):
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from agni_spark.protocol.server import RemoteReadServer
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        # instant at t=0.3s, default 5m lookback: newest sample per series
+        qs = urllib.parse.urlencode({"query": "up", "time": "0.3"})
+        with urllib.request.urlopen(f"{base}/api/v1/query?{qs}") as resp:
+            body = json.loads(resp.read())
+        assert body["data"]["resultType"] == "vector"
+        got = {
+            r["metric"]["job"]: r["value"][1]
+            for r in body["data"]["result"]
+        }
+        # series 0 newest-at-300ms value is 2.0 (ts=200); series 1: 5.0
+        assert got == {"api": "2.0", "web": "5.0"}
+        # aggregation form
+        qs = urllib.parse.urlencode(
+            {"query": "sum by (env) (up)", "time": "0.3"}
+        )
+        with urllib.request.urlopen(f"{base}/api/v1/query?{qs}") as resp:
+            agg = json.loads(resp.read())
+        vals = {r["metric"]["env"]: r["value"][1]
+                for r in agg["data"]["result"]}
+        assert vals == {"prod": "7.0"}
+    finally:
+        srv.stop()
