@@ -689,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(s, d),
         "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
         "tpch_q4_order_priority": lambda s, d: relational.q4_order_priority(s, d),
+        "tpch_q14_promotion": lambda s, d: relational.q14_promotion_revenue(s, d),
+        "events_funnel": lambda s, d: relational.events_funnel(s, d),
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
         "text_doc_stats": _q_text_doc_stats,
         "text_lang_id": _q_text_lang_id,
@@ -1505,6 +1507,34 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l.l_orderkey = o.o_orderkey "
             "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "tpch_q14_promotion": (
+            "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+            "/ sum(l_extendedprice * (1 - l_discount)), 6) "
+            "AS promo_revenue_pct, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+            "AND l_shipdate < TIMESTAMP '1996-10-01'"
+        ),
+        "events_funnel": (
+            "WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type "
+            "FROM events), "
+            "v AS (SELECT user_id, min(ts_ms) AS t_view FROM base "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "fc AS (SELECT b.user_id, min(b.ts_ms) AS t_click, "
+            "min(v.t_view) AS t_view "
+            "FROM base b JOIN v ON b.user_id = v.user_id "
+            "WHERE b.event_type = 'click' AND b.ts_ms > v.t_view "
+            "AND b.ts_ms <= v.t_view + 86400000 GROUP BY b.user_id), "
+            "cv AS (SELECT b.user_id, min(b.ts_ms) AS t_purchase "
+            "FROM base b JOIN fc ON b.user_id = fc.user_id "
+            "WHERE b.event_type = 'purchase' AND b.ts_ms > fc.t_click "
+            "AND b.ts_ms <= fc.t_click + 86400000 GROUP BY b.user_id) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM fc) AS n_clicked, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM cv) AS n_converted"
         ),
         "events_sessionize": (
             "WITH ev AS (SELECT user_id, event_id, "

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from agni_spark import datamodel as dm
 from agni_spark.datamodel import load, ts_col
 
 
@@ -258,4 +259,80 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
+    )
+
+
+def q14_promotion_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share in one month. lineitem joins
+    the part dim (broadcast); conditional aggregation in one pass."""
+    _li = load(spark, sf_dir, "lineitem")
+    li = _li.withColumn("l_shipdate_ts", ts_col(_li, "l_shipdate"))
+    lo = F.lit("1996-09-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where((F.col("l_shipdate_ts") >= lo) & (F.col("l_shipdate_ts") < hi))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str, gap_ms: int = 86_400_000) -> DataFrame:
+    """Conversion funnel over the event stream: per user, did a view ->
+    click -> purchase sequence complete (each step within gap_ms of the
+    previous)? One pass: per-user sorted aggregation via min-timestamps
+    of each stage constrained to follow the previous stage.
+
+    Scale: groupBy(user_id) is the single shuffle; no self-joins — the
+    stage logic is expressed with conditional min aggregates over
+    collected per-user events (cardinality per user is small; for
+    heavy-tailed users the collect_list cap would be a max_events
+    guard)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        dm.ns_to_ms("ts").alias("ts_ms") if dict(ev.dtypes)["ts"] == "bigint"
+        else F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_type",
+    )
+    views = base.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_ms").alias("t_view")
+    )
+    clicks = base.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_ms").alias("t_click")
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ms").alias("t_purchase")
+    )
+    first_click = (
+        clicks.join(views, "user_id")
+        .where(
+            (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_click") <= F.col("t_view") + gap_ms)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_click").alias("t_click"), F.min("t_view").alias("t_view"))
+    )
+    converted = (
+        purchases.join(first_click, "user_id")
+        .where(
+            (F.col("t_purchase") > F.col("t_click"))
+            & (F.col("t_purchase") <= F.col("t_click") + gap_ms)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_purchase").alias("t_purchase"))
+    )
+    return (
+        views.select(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(first_click.select(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(converted.select(F.count(F.lit(1)).alias("n_converted")))
     )
