@@ -387,6 +387,17 @@ def _q_promql_parsed(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "env", "bucket_ms")
 
 
+def _q_promql_parsed_binop(spark: SparkSession, sf: str) -> DataFrame:
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job) (increase(event_error[1d]))"
+        " / sum by (job) (increase(event_click[1d]))",
+    )
+    return out.orderBy("job", "bucket_ms")
+
+
 def _q_promql_sum_without(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     # without (instance, pod, metric) == by (job, env)
@@ -673,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_absent": _q_promql_absent,
         "promql_parsed_expression": _q_promql_parsed,
+        "promql_parsed_binop": _q_promql_parsed_binop,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
         "promql_stddev_by": _q_promql_stddev_by,
@@ -1332,6 +1344,31 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(i.value), 4) AS value "
             "FROM inc i JOIN series ser USING (series_id) "
             "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "promql_parsed_binop": q(
+            ", inc AS ("
+            "  SELECT ser.metric, ser.job,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  s.series_id, s.ts_ms, s.value,"
+            "  lag(s.value) OVER (PARTITION BY s.series_id"
+            "                     ORDER BY s.ts_ms, s.value) AS prev"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric IN ('event_error', 'event_click')),"
+            "persr AS ("
+            "  SELECT metric, job, series_id, bucket_ms,"
+            "  round(sum(CASE WHEN value >= prev THEN value - prev"
+            "            ELSE value END), 4) AS value"
+            "  FROM inc WHERE prev IS NOT NULL GROUP BY 1, 2, 3, 4),"
+            "agg AS ("
+            "  SELECT metric, job, bucket_ms, round(sum(value), 4) AS value"
+            "  FROM persr GROUP BY 1, 2, 3)"
+            "SELECT l.job, l.bucket_ms,"
+            " round(CASE WHEN r.value <> 0 THEN l.value / r.value END, 6)"
+            "  AS value "
+            "FROM agg l JOIN agg r ON l.job = r.job"
+            " AND l.bucket_ms = r.bucket_ms"
+            " AND l.metric = 'event_error' AND r.metric = 'event_click' "
+            "ORDER BY 1, 2"
         ),
         "promql_sum_without": q(
             "SELECT s2.job, s2.env, "

@@ -37,7 +37,7 @@ from agni_spark.querier import Querier
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+)|(?P<id>[A-Za-z_:][A-Za-z0-9_:]*)"
     r'|(?P<str>"(?:[^"\\]|\\.)*")'
-    r"|(?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,))"
+    r"|(?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,|/|\*|\+|-))"
 )
 _UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
@@ -103,16 +103,40 @@ class Agg:
     k: int | None = None  # topk
 
 
-def parse(text: str) -> Agg | Func | Selector:
+@dataclass
+class BinOp:
+    op: str  # / * + -
+    left: "Agg | Func | Selector | BinOp"
+    right: "Agg | Func | Selector | BinOp"
+
+
+def parse(text: str) -> "Agg | Func | Selector | BinOp":
     toks = _tokenize(text)
-    expr = _parse_expr(toks)
+    expr = _parse_binop(toks)
     if toks.peek() is not None:
         raise ValueError(f"trailing input: {toks.items[toks.pos:]}")
     return expr
 
 
-def _parse_expr(toks: _Tokens) -> Agg | Func | Selector:
+_BINOPS = {"/", "*", "+", "-"}
+
+
+def _parse_binop(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
+    left = _parse_expr(toks)
+    while toks.peek() in _BINOPS:
+        op = toks.next()
+        right = _parse_expr(toks)
+        left = BinOp(op, left, right)
+    return left
+
+
+def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
     t = toks.peek()
+    if t == "(":
+        toks.next()
+        inner = _parse_binop(toks)
+        toks.expect(")")
+        return inner
     if t == "topk":
         toks.next()
         toks.expect("(")
@@ -167,6 +191,8 @@ def _parse_selector(toks: _Tokens) -> Selector:
             if toks.peek() == ",":
                 toks.next()
         toks.expect("}")
+    if metric is None and not matchers:
+        raise ValueError("empty selector (no metric, no matchers)")
     sel = Selector(metric, matchers)
     if toks.peek() == "[":
         toks.next()
@@ -262,6 +288,27 @@ def compile_expr(
         }
         out = joined.groupBy(*keys).agg(aggs[expr.op].alias("value"))
         return out
+    if isinstance(expr, BinOp):
+        l = compile_expr(expr.left, querier, mint_ms, maxt_ms)
+        r = compile_expr(expr.right, querier, mint_ms, maxt_ms)
+        keys = [c for c in l.columns if c != "value" and c in r.columns]
+        if not keys:
+            raise ValueError("binary op operands share no matching labels")
+        ops = {
+            "/": lambda a, b: F.when(b != 0, a / b),
+            "*": lambda a, b: a * b,
+            "+": lambda a, b: a + b,
+            "-": lambda a, b: a - b,
+        }
+        joined = l.withColumnRenamed("value", "_l").join(
+            r.withColumnRenamed("value", "_r"), keys
+        )
+        return joined.select(
+            *keys,
+            F.round(
+                ops[expr.op](F.col("_l"), F.col("_r")), promql.ROUND_AVG
+            ).alias("value"),
+        )
     raise TypeError(type(expr))
 
 

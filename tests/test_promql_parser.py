@@ -73,3 +73,47 @@ def test_without_grouping(querier):
     got = pql.query(querier, "count without (instance, pod, metric) (event_view)")
     # grouping collapses to (job, env): 3x2 groups
     assert got.select("job", "env").distinct().count() == 6
+
+
+def test_binop_between_aggregations(querier):
+    got = pql.query(
+        querier,
+        "sum by (job) (increase(event_error[1d]))"
+        " / sum by (job) (increase(event_click[1d]))",
+    )
+    # manual: same two pipelines joined on (job, bucket_ms)
+    def side(metric):
+        sel = querier.select([eq("__name__", metric)])
+        inc = promql.increase(sel, 86_400_000).withColumnRenamed(
+            "increase", "value"
+        )
+        dim = F.broadcast(querier.series.select("series_id", "job"))
+        return (
+            inc.join(dim, "series_id")
+            .groupBy("job", "bucket_ms")
+            .agg(F.round(F.sum("value"), 4).alias("value"))
+        )
+
+    l, r = side("event_error"), side("event_click")
+    want = (
+        l.withColumnRenamed("value", "_l")
+        .join(r.withColumnRenamed("value", "_r"), ["job", "bucket_ms"])
+        .select(
+            "job",
+            "bucket_ms",
+            F.round(
+                F.when(F.col("_r") != 0, F.col("_l") / F.col("_r")), 6
+            ).alias("value"),
+        )
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_binop_parse_shape_and_parens():
+    e = pql.parse("(sum by (job) (x)) - sum by (job) (y)")
+    assert isinstance(e, pql.BinOp) and e.op == "-"
+    chain = pql.parse("sum by (a) (x) / sum by (a) (y) * sum by (a) (z)")
+    # left-associative: (x/y)*z
+    assert chain.op == "*" and chain.left.op == "/"
+    with pytest.raises(ValueError):
+        pql.parse("sum by (job) (x) /")  # dangling operator
