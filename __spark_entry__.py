@@ -504,6 +504,14 @@ def _q_text_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return text.top_ngrams(_docs(spark, sf), n=2, k=20)
 
 
+def _q_text_repeated_passages(spark: SparkSession, sf: str) -> DataFrame:
+    return text.repeated_passages(_docs(spark, sf), window=6, min_docs=2, k=50)
+
+
+def _q_text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    return text.gopher_rules(_docs(spark, sf)).orderBy("doc_id")
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     groups = dedup.exact_dup_groups(d)
@@ -708,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "text_top_ngrams": _q_text_top_ngrams,
+        "text_repeated_passages": _q_text_repeated_passages,
+        "text_gopher_rules": _q_text_gopher_rules,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1602,6 +1612,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM words WHERE len(w) >= 2)) "
             "SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g "
             "GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"
+        ),
+        "text_repeated_passages": (
+            "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "p AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+5], ' ') "
+            "AS passage FROM (SELECT doc_id, w, "
+            "unnest(generate_series(1, len(w) - 5)) AS i FROM words)) "
+            "SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM p GROUP BY passage HAVING count(DISTINCT doc_id) >= 2 "
+            "ORDER BY n_docs DESC, passage LIMIT 50"
+        ),
+        "text_gopher_rules": (
+            f"SELECT doc_id, "
+            f"(nw >= 8 AND nw <= 100000) AS ok_word_count, "
+            f"(mwl >= 1.0 AND mwl <= 12.0) AS ok_word_len, "
+            f"(sym / nw <= 0.5) AS ok_symbol_ratio, "
+            f"(nstop >= 1) AS ok_stopwords, "
+            f"((nw >= 8 AND nw <= 100000) AND (mwl >= 1.0 AND mwl <= 12.0) "
+            f"AND (sym / nw <= 0.5) AND (nstop >= 1)) AS gopher_pass "
+            f"FROM (SELECT doc_id, "
+            f"len(string_split(text, ' ')) AS nw, "
+            f"length(replace(text, ' ', '')) "
+            f"/ len(string_split(text, ' ')) AS mwl, "
+            f"len(regexp_extract_all(text, "
+            f"'[#*\\.]{{1,}}|[^A-Za-z0-9\\s]')) AS sym, "
+            f"({_occ_sql('the')} + {_occ_sql('a')} + {_occ_sql('b')}) AS nstop "
+            f"FROM documents) ORDER BY doc_id"
         ),
         "dedup_exact": (
             "SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "

@@ -128,3 +128,60 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), "ngram")
         .limit(k)
     )
+
+
+def repeated_passages(
+    docs: DataFrame, window: int = 8, min_docs: int = 2, k: int = 50
+) -> DataFrame:
+    """ExactSubstr-lite (the dedup-repeated-substrings idea from the
+    'Deduplicating Training Data Makes Language Models Better' line of
+    work, done with hashes instead of suffix arrays): word windows of
+    length `window` appearing in >= min_docs distinct documents. One
+    explode + one shuffle on the window hash — no pairwise work.
+
+    Returns the top-k repeated windows by document frequency with a
+    sample window text (deterministic min), ordered for hashing."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {window - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {window})))"
+    )
+    exploded = (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= window)
+        .select("doc_id", F.explode(grams).alias("passage"))
+        .distinct()
+    )
+    return (
+        exploded.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), "passage")
+        .limit(k)
+    )
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule filter (public Rae et al. 2021 heuristics,
+    adapted to available signals): per doc, boolean pass/fail on
+      - word count in [8, 100000]
+      - mean word length in [1, 12]
+      - symbol-to-word ratio <= 0.5
+      - stopword presence (>= 1 hit of a common English stopword)
+    plus the conjunction. Pure projections, no shuffle."""
+    text = F.col("text")
+    n_words = word_count(text)
+    mean_wl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_words
+    symbols = F.regexp_count(text, F.lit("[#*\\.]{1,}|[^A-Za-z0-9\\s]"))
+    n_stop = sum(_occurrences(text, w) for w in STOPWORDS)
+    checks = {
+        "ok_word_count": (n_words >= 8) & (n_words <= 100_000),
+        "ok_word_len": (mean_wl >= 1.0) & (mean_wl <= 12.0),
+        "ok_symbol_ratio": (symbols / n_words) <= 0.5,
+        "ok_stopwords": n_stop >= 1,
+    }
+    out = docs.select(
+        "doc_id", *[c.alias(name) for name, c in checks.items()]
+    )
+    passes = None
+    for name in checks:
+        passes = F.col(name) if passes is None else (passes & F.col(name))
+    return out.withColumn("gopher_pass", passes)
