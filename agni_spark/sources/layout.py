@@ -147,6 +147,14 @@ def compact(
     Registry is rewritten last (commit point), levels bumped."""
     data_path = os.path.join(path, "data")
     df = spark.read.parquet(data_path)
+    # remember pre-compaction levels so untouched blocks keep theirs
+    try:
+        old_levels = {
+            r.block_id: r.compaction_level
+            for r in read_registry(spark, path).collect()
+        }
+    except Exception:  # no registry yet
+        old_levels = {}
     if block_ids is not None:
         df = df.where(F.col("block_id").isin(block_ids))
         sub = df.repartition(files_per_block, "block_id").sortWithinPartitions(
@@ -155,6 +163,7 @@ def compact(
         sub.write.partitionBy("block_id").mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(data_path)
+        compacted = set(block_ids)
     else:
         full = (
             df.repartition("block_id")
@@ -162,6 +171,39 @@ def compact(
             .coalesce(max(1, files_per_block))
         )
         full.write.partitionBy("block_id").mode("overwrite").parquet(data_path)
+        compacted = set(old_levels) or {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(data_path)
+            if d.startswith("block_id=")
+        }
+    # commit point: registry rebuilt with levels bumped ONLY for the
+    # blocks this compaction touched (tsdb Compaction.Level semantics)
+    refresh_registry(spark, path, block_ms=BLOCK_MS)
+    reg = read_registry(spark, path).collect()
+    rows = [
+        (
+            r.ulid, r.block_id, r.mint_ms, r.maxt_ms, r.num_samples,
+            r.num_series, r.data_mint_ms, r.data_maxt_ms,
+            old_levels.get(r.block_id, 1) + 1
+            if r.block_id in compacted
+            else old_levels.get(r.block_id, 1),
+        )
+        for r in reg
+    ]
+    spark.createDataFrame(
+        rows,
+        "ulid string, block_id long, mint_ms long, maxt_ms long, "
+        "num_samples long, num_series long, data_mint_ms long, "
+        "data_maxt_ms long, compaction_level int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "registry_tmp2")
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "registry"))
+    os.rename(
+        os.path.join(path, "registry_tmp2"), os.path.join(path, "registry")
+    )
 
 
 def drop_blocks_before(

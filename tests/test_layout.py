@@ -116,3 +116,28 @@ def test_delete_samples_rewrites_only_hit_blocks(spark, tmp_path):
         [(9, 0, 1)], "series_id long, mint_ms long, maxt_ms long"
     )
     assert layout.delete_samples(spark, path, t2) == [0]  # block hit, no rows
+
+
+def test_compact_bumps_levels_selectively(spark, tmp_path):
+    from agni_spark.sources import layout
+
+    samples = spark.createDataFrame(
+        [(s, b * 7_200_000 + s, float(s)) for s in (1, 2, 3) for b in (0, 1)],
+        "series_id long, ts_ms long, value double",
+    )
+    path = str(tmp_path / "store")
+    layout.write_blocks(samples, path)
+    levels0 = {r.block_id: r.compaction_level
+               for r in layout.read_registry(spark, path).collect()}
+    assert levels0 == {0: 1, 1: 1}
+    layout.compact(spark, path, block_ids=[1])
+    levels1 = {r.block_id: r.compaction_level
+               for r in layout.read_registry(spark, path).collect()}
+    # only the compacted block's level bumps; data is intact
+    assert levels1 == {0: 1, 1: 2}
+    assert layout.read_samples(spark, path).count() == 6
+    # compacting again bumps further
+    layout.compact(spark, path, block_ids=[1])
+    levels2 = {r.block_id: r.compaction_level
+               for r in layout.read_registry(spark, path).collect()}
+    assert levels2 == {0: 1, 1: 3}
