@@ -196,6 +196,13 @@ def _q_m2_chained(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_merge_on_read(spark: SparkSession, sf: str) -> DataFrame:
+    from agni_spark.querier import merge_on_read
+
+    q = _querier(spark, sf)
+    return merge_on_read(q.samples).orderBy("series_id", "ts_ms")
+
+
 def _q_m4_label_values(spark: SparkSession, sf: str) -> DataFrame:
     return _querier(spark, sf).label_values("instance")
 
@@ -668,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_union": _q_a2_union,
         "m1_merge_sorted": _q_m1_merge,
         "m2_chained_series": _q_m2_chained,
+        "merge_on_read_dedup": _q_merge_on_read,
         "m4_label_values": _q_m4_label_values,
         "m4_label_names": _q_m4_label_names,
         "m5_label_values_for": _q_m5_label_values_for,
@@ -1139,6 +1147,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT series_id, CAST(count(*) AS BIGINT) AS n_samples, "
             "min(ts_ms) AS first_ms, max(ts_ms) AS last_ms "
             "FROM samples GROUP BY series_id ORDER BY series_id"
+        ),
+        "merge_on_read_dedup": q(
+            "SELECT series_id, ts_ms, max(value) AS value FROM samples "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "m4_label_values": q(
             "SELECT DISTINCT value FROM series_labels "

@@ -203,3 +203,16 @@ def validate_block_sequence(blocks: DataFrame) -> DataFrame:
         )
         .orderBy("ulid_a", "ulid_b")
     )
+
+
+def merge_on_read(samples: DataFrame) -> DataFrame:
+    """Duplicate-sample resolution at read time: one value per
+    (series_id, ts_ms). The reference's storage can hold the same
+    timestamp in overlapping sources; TSDB keeps the LAST ingested —
+    without an ingest-order column the deterministic stand-in is max
+    value (vendor tsdb mergedSeriesSet keeps one of the equal points).
+    One shuffle on the natural key; at scale this folds into the same
+    exchange as any downstream (series, time) aggregation."""
+    return samples.groupBy("series_id", "ts_ms").agg(
+        F.max("value").alias("value")
+    )

@@ -23,15 +23,24 @@ HEADLINE = [
     "p7_select_samples",
     "m1_merge_sorted",
     "promql_increase",
+    "promql_rate_extrapolated",
     "promql_sum_by",
     "promql_topk",
+    "promql_histogram_quantile",
+    "promql_parsed_binop",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
     "events_sessionize",
+    "events_funnel",
     "dedup_minhash_lsh",
+    "dedup_semantic",
     "text_doc_stats",
+    "text_repeated_passages",
     "simsearch_cosine_topk",
+    "simsearch_ivf_ann",
+    "pipeline_curate",
 ]
 
 

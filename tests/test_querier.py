@@ -84,3 +84,14 @@ def test_label_values_restricted(q):
         "api"
     ]
     assert [r.name for r in q.label_names().collect()] == ["job"]
+
+
+def test_merge_on_read_dedupes_duplicate_timestamps(spark):
+    from agni_spark.querier import merge_on_read
+
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 100, 3.0), (1, 200, 2.0), (2, 100, 9.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    got = {(r.series_id, r.ts_ms): r.value for r in merge_on_read(df).collect()}
+    assert got == {(1, 100): 3.0, (1, 200): 2.0, (2, 100): 9.0}
