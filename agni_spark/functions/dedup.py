@@ -289,16 +289,35 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold. Exact O(n^2) variant for
     verification; the scale path blocks by LSH bucket first
-    (simsearch.lsh_ann shares the machinery)."""
-    a = embeddings.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    (simsearch.lsh_ann shares the machinery). Norms precompute once
+    per vector so the per-pair fold is the dot product only."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    e = embeddings.withColumn("nrm", norm)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ea"), F.col("eb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")

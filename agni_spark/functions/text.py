@@ -145,11 +145,11 @@ def repeated_passages(
         f"transform(sequence(1, greatest(size(split(text, ' ')) - {window - 1}, 0)), "
         f"i -> concat_ws(' ', slice(split(text, ' '), i, {window})))"
     )
-    exploded = (
-        docs.where(F.size(F.split(F.col("text"), " ")) >= window)
-        .select("doc_id", F.explode(grams).alias("passage"))
-        .distinct()
-    )
+    exploded = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= window
+    ).select("doc_id", F.explode(grams).alias("passage"))
+    # no pre-distinct: countDistinct dedupes (passage, doc) in the same
+    # shuffle — a separate distinct would add a full extra exchange
     return (
         exploded.groupBy("passage")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
