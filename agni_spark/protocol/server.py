@@ -86,19 +86,38 @@ def handle_read(querier: Querier, body: bytes) -> bytes:
 class RemoteReadServer:
     """Threaded HTTP server exposing POST /read (server.go:51)."""
 
-    def __init__(self, querier: Querier, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        querier: Querier,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        write_store: str | None = None,
+        spark=None,
+    ):
+        """write_store + spark enable POST /write (remote-write receive
+        into that block store); without them /write returns 404 — the
+        reference's exact read-only posture (server.go:51-52)."""
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self) -> None:  # noqa: N802
-                if self.path != "/read":
+                if self.path not in ("/read", "/write"):
                     self.send_error(404)
+                    return
+                if self.path == "/write" and (
+                    outer.write_store is None or outer.spark is None
+                ):
+                    self.send_error(404, "write endpoint not enabled")
                     return
                 try:
                     body = self.rfile.read(
                         int(self.headers.get("Content-Length", "0"))
                     )
-                    payload = handle_read(outer.querier, body)
+                    if self.path == "/write":
+                        n = handle_write(outer.spark, body, outer.write_store)
+                        payload = str(n).encode()
+                    else:
+                        payload = handle_read(outer.querier, body)
                 except Exception as e:  # decode/eval error -> 400
                     self.send_error(400, str(e)[:200])
                     return
@@ -146,6 +165,8 @@ class RemoteReadServer:
                 pass
 
         self.querier = querier
+        self.write_store = write_store
+        self.spark = spark
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_port
         self._thread: threading.Thread | None = None

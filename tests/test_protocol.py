@@ -354,3 +354,44 @@ def test_http_instant_query(served_querier):
         assert vals == {"prod": "7.0"}
     finally:
         srv.stop()
+
+
+def test_http_write_endpoint(spark, served_querier, tmp_path):
+    import urllib.error
+    import urllib.request
+
+    from agni_spark.protocol.server import RemoteReadServer
+    from agni_spark.sources import layout
+
+    store = str(tmp_path / "wstore")
+    srv = RemoteReadServer(served_querier, write_store=store, spark=spark)
+    srv.start()
+    try:
+        w = pb.WriteRequest(
+            [pb.TimeSeries(labels=[("__name__", "rx")],
+                           samples=[(1.5, 1000)])]
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/write",
+            data=snappy.compress(pb.encode_write_request(w)),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.read() == b"1"
+        assert layout.read_samples(spark, store).count() == 1
+        # server without write config keeps the reference's read-only posture
+        srv2 = RemoteReadServer(served_querier)
+        srv2.start()
+        try:
+            req2 = urllib.request.Request(
+                f"http://127.0.0.1:{srv2.port}/write", data=b"x", method="POST"
+            )
+            try:
+                urllib.request.urlopen(req2)
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            srv2.stop()
+    finally:
+        srv.stop()
