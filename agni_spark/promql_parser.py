@@ -45,6 +45,7 @@ _RANGE_FUNCS = {
     "rate", "increase", "irate", "delta", "resets", "changes",
     "avg_over_time", "sum_over_time",
 }
+_MATH_FUNCS = {"abs", "clamp_min", "clamp_max"}
 
 
 @dataclass
@@ -86,6 +87,7 @@ class Selector:
     metric: str | None
     matchers: list[Matcher] = field(default_factory=list)
     range_ms: int | None = None
+    offset_ms: int = 0
 
 
 @dataclass
@@ -101,6 +103,13 @@ class Agg:
     labels: list[str]
     arg: "Agg | Func | Selector"
     k: int | None = None  # topk
+
+
+@dataclass
+class MathFunc:
+    name: str  # abs | clamp_min | clamp_max
+    arg: "Agg | Func | Selector | BinOp | MathFunc"
+    scalar: float | None = None
 
 
 @dataclass
@@ -160,6 +169,18 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
         arg = _parse_expr(toks)
         toks.expect(")")
         return Agg(t, mode, labels, arg)
+    if t in _MATH_FUNCS:
+        name = toks.next()
+        toks.expect("(")
+        arg = _parse_binop(toks)
+        scalar = None
+        if toks.peek() == ",":
+            toks.next()
+            scalar = float(toks.next())
+        toks.expect(")")
+        if name != "abs" and scalar is None:
+            raise ValueError(f"{name}() needs a scalar argument")
+        return MathFunc(name, arg, scalar)
     if t in _RANGE_FUNCS:
         toks.next()
         toks.expect("(")
@@ -202,6 +223,13 @@ def _parse_selector(toks: _Tokens) -> Selector:
             raise ValueError(f"bad duration unit {unit!r}")
         sel.range_ms = n * _UNIT_MS[unit]
         toks.expect("]")
+    if toks.peek() == "offset":
+        toks.next()
+        n = int(toks.next())
+        unit = toks.next()
+        if unit not in _UNIT_MS:
+            raise ValueError(f"bad offset unit {unit!r}")
+        sel.offset_ms = n * _UNIT_MS[unit]
     return sel
 
 
@@ -248,7 +276,14 @@ def compile_expr(
         matchers = list(expr.matchers)
         if expr.metric is not None:
             matchers.append(Matcher("=", "__name__", expr.metric))
-        return querier.select(matchers, mint_ms=mint_ms, maxt_ms=maxt_ms)
+        # offset: evaluate against data `offset` earlier, reported at
+        # evaluation time — bounds shift back, timestamps shift forward
+        lo = mint_ms - expr.offset_ms if mint_ms is not None else None
+        hi = maxt_ms - expr.offset_ms if maxt_ms is not None else None
+        df = querier.select(matchers, mint_ms=lo, maxt_ms=hi)
+        if expr.offset_ms:
+            df = df.withColumn("ts_ms", F.col("ts_ms") + F.lit(expr.offset_ms))
+        return df
     if isinstance(expr, Func):
         sel = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
         return _FUNC_IMPL[expr.name](sel, expr.arg.range_ms)
@@ -288,6 +323,18 @@ def compile_expr(
         }
         out = joined.groupBy(*keys).agg(aggs[expr.op].alias("value"))
         return out
+    if isinstance(expr, MathFunc):
+        inner = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
+        fns = {
+            "abs": lambda v, s: F.abs(v),
+            "clamp_min": lambda v, s: F.greatest(v, F.lit(s)),
+            "clamp_max": lambda v, s: F.least(v, F.lit(s)),
+        }
+        if expr.name != "abs" and expr.scalar is None:
+            raise ValueError(f"{expr.name}() needs a scalar argument")
+        return inner.withColumn(
+            "value", fns[expr.name](F.col("value"), expr.scalar)
+        )
     if isinstance(expr, BinOp):
         l = compile_expr(expr.left, querier, mint_ms, maxt_ms)
         r = compile_expr(expr.right, querier, mint_ms, maxt_ms)

@@ -117,3 +117,24 @@ def test_binop_parse_shape_and_parens():
     assert chain.op == "*" and chain.left.op == "/"
     with pytest.raises(ValueError):
         pql.parse("sum by (job) (x) /")  # dangling operator
+
+
+def test_offset_modifier(querier):
+    # offset 1d: same data, reported one day later
+    base = pql.query(querier, "increase(event_click[1d])")
+    off = pql.query(querier, "increase(event_click[1d] offset 1d)")
+    b = {(r.series_id, r.bucket_ms): r.value for r in base.collect()}
+    o = {(r.series_id, r.bucket_ms): r.value for r in off.collect()}
+    assert o == {(s, t + 86_400_000): v for (s, t), v in b.items()}
+
+
+def test_math_funcs(querier):
+    clamped = pql.query(
+        querier, "clamp_max(sum by (job) (event_view), 100)"
+    )
+    raw = pql.query(querier, "sum by (job) (event_view)")
+    r = {x.job: x.value for x in raw.collect()}
+    c = {x.job: x.value for x in clamped.collect()}
+    assert c == {j: min(v, 100.0) for j, v in r.items()}
+    with pytest.raises(ValueError):
+        pql.parse("clamp_min(x)")  # missing scalar
