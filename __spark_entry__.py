@@ -519,6 +519,20 @@ def _q_text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     return text.gopher_rules(_docs(spark, sf)).orderBy("doc_id")
 
 
+def _q_text_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    return text.pii_scan(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_text_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    # probes = the corpus's own top-2 repeated 6-gram passages (a
+    # deterministic stand-in for a benchmark probe set)
+    probes = [
+        r.passage for r in text.repeated_passages(docs, 6, 2, 2).collect()
+    ]
+    return text.contamination_scan(docs, probes, 6)
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     groups = dedup.exact_dup_groups(d)
@@ -726,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": _q_text_top_ngrams,
         "text_repeated_passages": _q_text_repeated_passages,
         "text_gopher_rules": _q_text_gopher_rules,
+        "text_pii_scan": _q_text_pii_scan,
+        "text_contamination": _q_text_contamination,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1651,6 +1667,45 @@ def oracle_sql() -> dict[str, str]:
             f"'[#*\\.]{{1,}}|[^A-Za-z0-9\\s]')) AS sym, "
             f"({_occ_sql('the')} + {_occ_sql('a')} + {_occ_sql('b')}) AS nstop "
             f"FROM documents) ORDER BY doc_id"
+        ),
+        "text_pii_scan": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_email, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phone, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) "
+            "AS BIGINT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssn_like, "
+            "(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0 OR "
+            "len(regexp_extract_all(text, "
+            "'\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) > 0 OR "
+            "len(regexp_extract_all(text, "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) > 0 OR "
+            "len(regexp_extract_all(text, "
+            "'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) > 0) AS has_pii "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "text_contamination": (
+            "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "p AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+5], ' ') "
+            "AS passage FROM (SELECT doc_id, w, "
+            "unnest(generate_series(1, len(w) - 5)) AS i FROM words)), "
+            "top2 AS (SELECT passage FROM ("
+            "SELECT passage, count(DISTINCT doc_id) AS nd FROM p "
+            "GROUP BY passage HAVING count(DISTINCT doc_id) >= 2 "
+            "ORDER BY nd DESC, passage LIMIT 2)), "
+            "hits AS (SELECT DISTINCT doc_id, passage FROM p "
+            "JOIN top2 USING (passage)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, "
+            "array_to_string(list(passage ORDER BY passage), '|') "
+            "AS probes_hit "
+            "FROM hits GROUP BY doc_id ORDER BY doc_id"
         ),
         "dedup_exact": (
             "SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "

@@ -185,3 +185,71 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     for name in checks:
         passes = F.col(name) if passes is None else (passes & F.col(name))
     return out.withColumn("gopher_pass", passes)
+
+
+# PII patterns restricted to the regex subset Java and RE2/DuckDB share
+# (no backrefs, no lookaround) so oracle results match byte-for-byte.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "ssn_like": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+}
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-document PII indicator counts (email / phone / IPv4 / SSN
+    shapes) + the any-PII flag — the redaction pre-pass of a training
+    pipeline. Pure regexp_count projections, no shuffle; at scale this
+    pipelines with the scan and the flag prunes via predicate
+    pushdown on the output table."""
+    text = F.col("text")
+    counts = {
+        f"n_{name}": F.regexp_count(text, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+    out = docs.select(
+        "doc_id", *[c.alias(name) for name, c in counts.items()]
+    )
+    any_pii = None
+    for name in counts:
+        c = F.col(name) > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    return out.withColumn("has_pii", any_pii)
+
+
+def contamination_scan(
+    docs: DataFrame, probes: list[str], n: int = 6
+) -> DataFrame:
+    """Benchmark decontamination: find documents containing any probe
+    n-gram (the standard train/test overlap check). Probes (the
+    benchmark side) are tiny -> broadcast; documents explode to word
+    n-grams ONCE and hash-join the probe set — never a scan per probe.
+
+    Returns (doc_id, n_hits, probes_hit ordered) per contaminated doc."""
+    spark = docs.sparkSession
+    probe_df = F.broadcast(
+        spark.createDataFrame([(p,) for p in probes], "probe string")
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )
+    exploded = (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    return (
+        exploded.join(probe_df, exploded.gram == probe_df.probe)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            # '|'-joined sorted string (not array): hash-comparable
+            # across engines
+            F.concat_ws("|", F.array_sort(F.collect_set("probe"))).alias(
+                "probes_hit"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -5,16 +5,19 @@ self-serve for the common expression shapes).
 
 Supported grammar (the workhorse subset):
 
-    expr      := agg | func | selector
+    expr      := term (BINOP term)*          BINOP: / * + -  (left-assoc)
+    term      := agg | func | math | selector | "(" expr ")"
     agg       := AGGOP grouping? "(" expr ")" | "topk" "(" INT "," expr ")"
     AGGOP     := "sum" | "avg" | "min" | "max" | "count"
     grouping  := ("by" | "without") "(" name ("," name)* ")"
-    func      := FUNC "(" selector range ")"
-    FUNC      := "rate" | "increase" | "irate" | "delta" | "resets"
-               | "changes" | "avg_over_time" | "sum_over_time"
-    selector  := metric? ("{" matcher ("," matcher)* "}")?
+    func      := FUNC "(" selector range offset? ")"
+    FUNC      := rate | rate_extrapolated | increase | irate | delta
+               | resets | changes | {avg,sum,min,max,count}_over_time
+    math      := ("abs" | "clamp_min" | "clamp_max") "(" expr ("," NUM)? ")"
+    selector  := metric? ("{" matcher ("," matcher)* "}")? range? offset?
     matcher   := name OP STRING      OP: = != =~ !~
-    range     := "[" INT UNIT "]"    UNIT: s m h d
+    range     := "[" INT UNIT "]"    offset := "offset" INT UNIT
+    UNIT      := s m h d
 
 Compilation: selector -> Querier.select (matchers incl. the metric as
 __name__); func(range) -> the promql module's bucketed op with
@@ -42,8 +45,9 @@ _TOKEN = re.compile(
 _UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
 _RANGE_FUNCS = {
-    "rate", "increase", "irate", "delta", "resets", "changes",
-    "avg_over_time", "sum_over_time",
+    "rate", "rate_extrapolated", "increase", "irate", "delta", "resets",
+    "changes", "avg_over_time", "sum_over_time", "min_over_time",
+    "max_over_time", "count_over_time",
 }
 _MATH_FUNCS = {"abs", "clamp_min", "clamp_max"}
 
@@ -258,6 +262,18 @@ _FUNC_IMPL = {
     "sum_over_time": lambda df, ms: promql.agg_over_time(df, ms).select(
         "series_id", "bucket_ms", F.col("sum_value").alias("value")
     ),
+    "min_over_time": lambda df, ms: promql.agg_over_time(df, ms).select(
+        "series_id", "bucket_ms", F.col("min_value").alias("value")
+    ),
+    "max_over_time": lambda df, ms: promql.agg_over_time(df, ms).select(
+        "series_id", "bucket_ms", F.col("max_value").alias("value")
+    ),
+    "count_over_time": lambda df, ms: promql.agg_over_time(df, ms).select(
+        "series_id", "bucket_ms", F.col("n").cast("double").alias("value")
+    ),
+    "rate_extrapolated": lambda df, ms: promql.rate_extrapolated(
+        df, ms
+    ).withColumnRenamed("rate", "value"),
 }
 
 

@@ -138,3 +138,11 @@ def test_math_funcs(querier):
     assert c == {j: min(v, 100.0) for j, v in r.items()}
     with pytest.raises(ValueError):
         pql.parse("clamp_min(x)")  # missing scalar
+
+
+def test_over_time_family_and_extrapolated(querier):
+    for fn in ["min_over_time", "max_over_time", "count_over_time",
+               "rate_extrapolated"]:
+        df = pql.query(querier, f"{fn}(event_view[1d])")
+        assert df.columns == ["series_id", "bucket_ms", "value"]
+        assert df.count() > 0
