@@ -145,6 +145,26 @@ def _q_p9_tombstones(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id", "ts_ms", "value")
 
 
+_SQL_DIRECT = (
+    "SELECT job, series_id, total, CAST(rk AS INT) AS rk FROM ("
+    "SELECT s2.job, s.series_id, round(sum(s.value), 4) AS total, "
+    "row_number() OVER (PARTITION BY s2.job "
+    "ORDER BY round(sum(s.value), 4) DESC, s.series_id) AS rk "
+    f"FROM samples s JOIN series s2 ON s.series_id = s2.series_id "
+    f"WHERE s.ts_ms BETWEEN {T1} AND {T2} "
+    "GROUP BY s2.job, s.series_id) t "
+    "WHERE rk <= 3 ORDER BY job, rk"
+)
+
+
+def _q_sql_direct(spark: SparkSession, sf: str) -> DataFrame:
+    # the raw-SQL surface: ONE ANSI string evaluated verbatim by BOTH
+    # Spark SQL (here) and DuckDB (the oracle) over the same model
+    tune_session(spark)
+    dm.register_views(spark, sf)
+    return spark.sql(_SQL_DIRECT)
+
+
 def _q_s13_matrix_assembly(spark: SparkSession, sf: str) -> DataFrame:
     # remote-read Matrix shape (server.go:134-162): per-series
     # time-sorted sample arrays, serialized to JSON for hash-comparable
@@ -685,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_select_samples": _q_p7_select,
         "p9_tombstone_filter": _q_p9_tombstones,
         "s13_matrix_assembly": _q_s13_matrix_assembly,
+        "sql_direct": _q_sql_direct,
         "a1_intersect": _q_a1_intersect,
         "a2_union": _q_a2_union,
         "m1_merge_sorted": _q_m1_merge,
@@ -1131,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
             f"AND s.ts_ms BETWEEN t.mint_ms AND t.maxt_ms) "
             f"ORDER BY s.series_id, s.ts_ms, s.value"
         ),
+        "sql_direct": q(_SQL_DIRECT),
         "s13_matrix_assembly": q(
             f"SELECT series_id, to_json(list(struct_pack(ts_ms := ts_ms, "
             f"value := value) ORDER BY ts_ms, value))::VARCHAR AS pts "

@@ -215,3 +215,17 @@ def tombstones_for(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         rows, "series_id long, mint_ms long, maxt_ms long"
     )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the TSDB model as temp views (samples / series /
+    series_labels / blocks) plus the raw testdata tables — the raw-SQL
+    surface: spark.sql('SELECT ... FROM samples JOIN series ...') works
+    directly, with the same Catalyst plans as the DataFrame API."""
+    t = derive_tsdb(spark, sf_dir)
+    t.samples.createOrReplaceTempView("samples")
+    t.series.createOrReplaceTempView("series")
+    t.series_labels.createOrReplaceTempView("series_labels")
+    t.blocks.createOrReplaceTempView("blocks")
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
