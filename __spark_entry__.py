@@ -621,6 +621,15 @@ def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
+    # PCM window math is byte-level numpy (not SQL-expressible):
+    # rows-only check; the unit test pins exact RMS values.
+    media = multimodal.media_from_documents(_docs(spark, sf))
+    return multimodal.audio_windows(media, 16_000, 256).orderBy(
+        "media_id", "window_idx"
+    )
+
+
 def _q_s9_block_store(spark: SparkSession, sf: str) -> DataFrame:
     """S9/S2/S3 round-trip: write derived samples time-partitioned with
     registry commit, read back, report per-block stats (must equal the
@@ -774,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_audio_windows": _q_multimodal_audio,  # rows-only
     }
 
 

@@ -125,3 +125,52 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         "environment; extract_meta/frame_sample demonstrate the "
         "mapInPandas plumbing this would use"
     )
+
+
+def audio_windows(
+    media: DataFrame, sample_rate_hz: int = 16_000, window_samples: int = 4096
+) -> DataFrame:
+    """Audio-shaped op: treat payloads as PCM16 mono at sample_rate_hz,
+    emit one row per analysis window with start time and RMS energy —
+    the fan-out + typed-metadata pattern for audio feature extraction
+    (VAD, loudness filtering) at corpus scale. Real byte math (numpy
+    int16 view) in Arrow-batched mapInPandas; a codec-backed decoder
+    would replace the PCM16 assumption, not the plumbing.
+
+    Self-contained closure: workers never import agni_spark."""
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        rows = []
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                usable = len(buf) - (len(buf) % 2)
+                pcm = _np.frombuffer(buf[:usable], dtype="<i2")
+                for w, off in enumerate(range(0, len(pcm), window_samples)):
+                    win = pcm[off : off + window_samples].astype(_np.float64)
+                    rms = float(_np.sqrt(_np.mean(win * win))) if len(win) else 0.0
+                    rows.append(
+                        (
+                            int(mid),
+                            w,
+                            round(off * 1000.0 / sample_rate_hz, 3),
+                            len(win),
+                            round(rms, 6),
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "window_idx", "start_ms", "n_samples", "rms",
+                ],
+            )
+            rows = []
+
+    return media.mapInPandas(
+        gen,
+        "media_id long, window_idx int, start_ms double, "
+        "n_samples int, rms double",
+    )

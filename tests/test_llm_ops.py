@@ -161,3 +161,27 @@ def test_ivf_ann_cells_and_recall(spark):
     assert len(exact & got2) / len(exact) >= 0.2
     # nprobe = n_centroids probes everything -> exact result
     assert got8 == exact
+
+
+def test_audio_windows_pcm_math(spark):
+    import numpy as np
+
+    # two "PCM16" payloads with known RMS: constant 1000 and a ramp
+    const = np.full(6000, 1000, dtype="<i2").tobytes()
+    ramp = np.arange(100, dtype="<i2").tobytes() + b"\x01"  # odd byte dropped
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(const)), (2, "audio", bytearray(ramp))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = multimodal.audio_windows(media, 16_000, 4096).collect()
+    by_key = {(r.media_id, r.window_idx): r for r in rows}
+    # payload 1: 6000 samples -> windows of 4096 and 1904
+    assert by_key[(1, 0)].n_samples == 4096
+    assert by_key[(1, 1)].n_samples == 6000 - 4096
+    assert by_key[(1, 0)].rms == 1000.0
+    # window 1 starts at sample 4096 -> 256 ms at 16 kHz
+    assert by_key[(1, 1)].start_ms == 256.0
+    # payload 2: 100 samples, odd trailing byte ignored
+    expect = float(np.sqrt(np.mean(np.arange(100, dtype=np.float64) ** 2)))
+    assert by_key[(2, 0)].n_samples == 100
+    assert by_key[(2, 0)].rms == round(expect, 6)
