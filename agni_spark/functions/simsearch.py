@@ -150,22 +150,36 @@ def lsh_ann(
     k: int = 10,
     n_planes: int = 8,
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-LSH bucket, exact
     cosine rerank inside the bucket. At 100 TB the corpus is written
     bucketed (partitionBy(bucket)) so a query touches one partition;
-    recall/latency trade via n_planes (bucket granularity 2^n)."""
+    recall/latency trade via n_planes (bucket granularity 2^n).
+
+    multiprobe=True additionally probes every hamming-1 neighbor bucket
+    of the query (flip one sign bit): n_planes+1 probes per query —
+    still broadcast-sized — trading ~(n+1)x probed cells for the recall
+    lost to near-boundary vectors. Corpus vectors live in exactly one
+    bucket, so candidates never duplicate."""
     planes = hyperplanes(dim, n_planes)
     c = corpus.select(
         "vec_id",
         F.col("embedding").alias("ce"),
         _bucket(F.col("embedding"), planes).alias("bucket"),
     )
+    qb = _bucket(F.col("embedding"), planes)
+    if multiprobe:
+        probes = F.explode(
+            F.array(qb, *[qb.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+        )
+    else:
+        probes = qb
     q = F.broadcast(
         queries.select(
             "query_id",
             F.col("embedding").alias("qe"),
-            _bucket(F.col("embedding"), planes).alias("bucket"),
+            probes.alias("bucket"),
         )
     )
     scored = (

@@ -334,3 +334,28 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(f"{table_prefix}_series")
     )
+
+
+def repair_overlaps(spark: SparkSession, path: str, block_ms: int = BLOCK_MS) -> int:
+    """Overlap REPAIR — the remedy the reference lacks: agni rejects a
+    block set with overlapping time ranges outright (db.go:206-220,
+    validateBlockSequence) and upstream tsdb needs vertical compaction.
+    Here: re-bucket every sample to the canonical block grid, resolve
+    duplicate (series, ts) collisions merge-on-read style (max value),
+    and rewrite the store; the result is by construction non-overlapping
+    with registry recommit. Returns the number of rows after repair."""
+    import shutil
+
+    from agni_spark.querier import merge_on_read
+
+    df = read_samples(spark, path).select("series_id", "ts_ms", "value")
+    clean = merge_on_read(df)
+    # Spark cannot overwrite its own lazy input: repair lands in a
+    # staging store first, then swaps in (the write itself is the
+    # barrier that materializes `clean` from the OLD files)
+    stage = path.rstrip("/") + "_repair"
+    write_blocks(clean, stage, block_ms=block_ms, mode="overwrite")
+    n = read_samples(spark, stage).count()
+    shutil.rmtree(path)
+    os.rename(stage, path)
+    return n

@@ -141,3 +141,35 @@ def test_compact_bumps_levels_selectively(spark, tmp_path):
     levels2 = {r.block_id: r.compaction_level
                for r in layout.read_registry(spark, path).collect()}
     assert levels2 == {0: 1, 1: 3}
+
+
+def test_repair_overlaps(spark, tmp_path):
+    from agni_spark.sources import layout
+
+    path = str(tmp_path / "store")
+    # two writes land duplicate (series, ts) pairs with different values
+    a = spark.createDataFrame(
+        [(1, 1000, 1.0), (1, 7_300_000, 2.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(a, path)
+    b = spark.createDataFrame(
+        [(1, 1000, 5.0), (2, 2000, 9.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    b.withColumn("block_id", layout.block_id_col()).write.partitionBy(
+        "block_id"
+    ).mode("append").parquet(f"{path}/data")
+    assert layout.read_samples(spark, path).count() == 4
+    n = layout.repair_overlaps(spark, path)
+    assert n == 3  # (1,1000) collision resolved to one row
+    got = {
+        (r.series_id, r.ts_ms): r.value
+        for r in layout.read_samples(spark, path).collect()
+    }
+    assert got == {(1, 1000): 5.0, (1, 7_300_000): 2.0, (2, 2000): 9.0}
+    # registry recommitted and non-overlapping
+    from agni_spark.querier import validate_block_sequence
+
+    reg = layout.read_registry(spark, path)
+    assert validate_block_sequence(reg).count() == 0

@@ -185,3 +185,28 @@ def test_audio_windows_pcm_math(spark):
     expect = float(np.sqrt(np.mean(np.arange(100, dtype=np.float64) ** 2)))
     assert by_key[(2, 0)].n_samples == 100
     assert by_key[(2, 0)].rms == round(expect, 6)
+
+
+def test_lsh_multiprobe_recall_dominates(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in simsearch.cosine_topk(emb, queries, k=5).collect()}
+    single = {(r.query_id, r.vec_id)
+              for r in simsearch.lsh_ann(emb, queries, k=5, n_planes=3).collect()}
+    multi = {(r.query_id, r.vec_id)
+             for r in simsearch.lsh_ann(emb, queries, k=5, n_planes=3,
+                                        multiprobe=True).collect()}
+    # probing hamming-1 neighbors can only add candidates
+    assert len(exact & multi) >= len(exact & single)
+    # scores still agree with exact where they overlap
+    exact_cos = {(r.query_id, r.vec_id): r.cos
+                 for r in simsearch.cosine_topk(emb, queries, k=5).collect()}
+    for r in simsearch.lsh_ann(emb, queries, k=5, n_planes=3,
+                               multiprobe=True).collect():
+        if (r.query_id, r.vec_id) in exact_cos:
+            assert r.cos == exact_cos[(r.query_id, r.vec_id)]
