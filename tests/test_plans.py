@@ -121,3 +121,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == 3
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_literal_regex_rewrite_avoids_rlike(querier):
+    from agni_spark.matchers import re_match
+
+    # =~"prod-.*" simplifies to a prefix matcher: the plan evaluates
+    # StartsWith, never a regex (and StartsWith pushes to parquet when
+    # the postings table is stored columnar)
+    df = querier.select_series([re_match("instance", "prod-.*")])
+    plan = _formatted(df)
+    assert "StartsWith(" in plan
+    assert "rlike" not in plan.lower()
+    # =~"api|web" simplifies to a set-membership test, not a regex
+    df2 = querier.select_series([re_match("job", "api|web")])
+    plan2 = _formatted(df2)
+    assert " IN (" in plan2 or "In(" in plan2
+    assert "rlike" not in plan2.lower()
+    # a true regex stays a regex
+    df3 = querier.select_series([re_match("job", "a.c+")])
+    assert "rlike" in _formatted(df3).lower()
