@@ -38,7 +38,7 @@ from agni_spark.matchers import Matcher
 from agni_spark.querier import Querier
 
 _TOKEN = re.compile(
-    r"\s*(?:(?P<num>\d+)|(?P<id>[A-Za-z_:][A-Za-z0-9_:]*)"
+    r"\s*(?:(?P<num>\d+\.\d+|\d+)|(?P<id>[A-Za-z_:][A-Za-z0-9_:]*)"
     r'|(?P<str>"(?:[^"\\]|\\.)*")'
     r"|(?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,|/|\*|\+|-))"
 )
@@ -106,7 +106,8 @@ class Agg:
     mode: str | None  # 'by' | 'without' | None
     labels: list[str]
     arg: "Agg | Func | Selector"
-    k: int | None = None  # topk
+    k: int | None = None  # topk / bottomk
+    q: float | None = None  # quantile
 
 
 @dataclass
@@ -150,14 +151,31 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
         inner = _parse_binop(toks)
         toks.expect(")")
         return inner
-    if t == "topk":
-        toks.next()
+    if t in ("topk", "bottomk"):
+        op = toks.next()
         toks.expect("(")
         k = int(toks.next())
         toks.expect(",")
         arg = _parse_expr(toks)
         toks.expect(")")
-        return Agg("topk", None, [], arg, k=k)
+        return Agg(op, None, [], arg, k=k)
+    if t == "quantile":
+        toks.next()
+        mode, labels = None, []
+        if toks.peek() in ("by", "without"):
+            mode = toks.next()
+            toks.expect("(")
+            while toks.peek() != ")":
+                labels.append(toks.next())
+                if toks.peek() == ",":
+                    toks.next()
+            toks.expect(")")
+        toks.expect("(")
+        qv = float(toks.next())
+        toks.expect(",")
+        arg = _parse_expr(toks)
+        toks.expect(")")
+        return Agg("quantile", mode, labels, arg, q=qv)
     if t in _AGG_OPS:
         toks.next()
         mode, labels = None, []
@@ -304,15 +322,19 @@ def compile_expr(
         sel = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
         return _FUNC_IMPL[expr.name](sel, expr.arg.range_ms)
     if isinstance(expr, Agg):
-        if expr.op == "topk":
+        if expr.op in ("topk", "bottomk"):
             inner = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
-            val = "value"
             per_series = inner.groupBy("series_id").agg(
-                F.round(F.sum(val), promql.ROUND_SUM).alias("value")
+                F.round(F.sum("value"), promql.ROUND_SUM).alias("value")
             )
             from pyspark.sql import Window
 
-            w = Window.orderBy(F.col("value").desc(), F.col("series_id").asc())
+            order = (
+                F.col("value").desc()
+                if expr.op == "topk"
+                else F.col("value").asc()
+            )
+            w = Window.orderBy(order, F.col("series_id").asc())
             return (
                 per_series.withColumn("rk", F.row_number().over(w))
                 .where(F.col("rk") <= (expr.k or 1))
@@ -336,6 +358,9 @@ def compile_expr(
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count(F.lit(1)).cast("double"),
+            "quantile": F.round(
+                F.percentile("value", F.lit(expr.q or 0.5)), promql.ROUND_AVG
+            ),
         }
         out = joined.groupBy(*keys).agg(aggs[expr.op].alias("value"))
         return out

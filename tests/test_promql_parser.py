@@ -146,3 +146,28 @@ def test_over_time_family_and_extrapolated(querier):
         df = pql.query(querier, f"{fn}(event_view[1d])")
         assert df.columns == ["series_id", "bucket_ms", "value"]
         assert df.count() > 0
+
+
+def test_bottomk_and_quantile_agg(querier):
+    bk = pql.query(querier, "bottomk(3, sum_over_time(event_view[1d]))")
+    assert [r.rk for r in bk.orderBy("rk").collect()] == [1, 2, 3]
+    tk = pql.query(querier, "topk(3, sum_over_time(event_view[1d]))")
+    assert {r.series_id for r in bk.collect()}.isdisjoint(
+        {r.series_id for r in tk.collect()}
+    )
+    q = pql.query(querier, "quantile by (job) (0.5, event_view)")
+    # median per job of instant samples: one value per job
+    from pyspark.sql import functions as F
+
+    rows = {r.job: r.value for r in q.collect()}
+    assert set(rows) == {"api", "web", "worker"}
+    sel = querier.select([pql.Matcher("=", "__name__", "event_view")])
+    dim = F.broadcast(querier.series.select("series_id", "job"))
+    want = {
+        r.job: r.m
+        for r in sel.join(dim, "series_id")
+        .groupBy("job")
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("m"))
+        .collect()
+    }
+    assert rows == want
