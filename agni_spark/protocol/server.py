@@ -241,14 +241,43 @@ def eval_promql(
     expr_text: str,
     start_ms: int | None = None,
     end_ms: int | None = None,
+    step_ms: int | None = None,
 ) -> dict:
     """Evaluate a PromQL expression and shape the result like
     Prometheus's /api/v1/query_range response (resultType matrix).
     The collect() is at the serving edge; evaluation is one Catalyst
-    plan via promql_parser."""
-    from agni_spark import promql_parser as pql
+    plan via promql_parser.
 
-    df = pql.query(querier, expr_text, start_ms, end_ms)
+    When `step` divides the range window and the expression is a bare
+    over_time function, evaluation is SLIDING (window > step), matching
+    Prometheus's independent step/window semantics; otherwise the step
+    is the window (tumbling)."""
+    from agni_spark import promql_parser as pql
+    from agni_spark.functions import promql as pf
+
+    expr = pql.parse(expr_text)
+    _SLIDING = {
+        "sum_over_time": "sum_value",
+        "avg_over_time": "avg_value",
+        "count_over_time": "n",
+    }
+    if (
+        step_ms
+        and isinstance(expr, pql.Func)
+        and expr.name in _SLIDING
+        and expr.arg.range_ms
+        and expr.arg.range_ms != step_ms
+        and expr.arg.range_ms % step_ms == 0
+    ):
+        sel = pql.compile_expr(expr.arg, querier, start_ms, end_ms)
+        sl = pf.range_agg_sliding(sel, expr.arg.range_ms, step_ms)
+        df = sl.select(
+            "series_id",
+            F.col("wstart_ms").alias("bucket_ms"),
+            F.col(_SLIDING[expr.name]).cast("double").alias("value"),
+        )
+    else:
+        df = pql.compile_expr(expr, querier, start_ms, end_ms)
     cols = df.columns
     tcol = "ts_ms" if "ts_ms" in cols else (
         "bucket_ms" if "bucket_ms" in cols else None
@@ -286,8 +315,11 @@ def handle_query_range(querier: Querier, params: dict) -> bytes:
         int(float(params["start"][0]) * 1000) if "start" in params else None
     )
     end_ms = int(float(params["end"][0]) * 1000) if "end" in params else None
+    step_ms = (
+        int(float(params["step"][0]) * 1000) if "step" in params else None
+    )
     try:
-        body = eval_promql(querier, expr, start_ms, end_ms)
+        body = eval_promql(querier, expr, start_ms, end_ms, step_ms)
     except ValueError as e:
         body = {"status": "error", "errorType": "bad_data", "error": str(e)}
     return json.dumps(body).encode()

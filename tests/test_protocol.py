@@ -395,3 +395,38 @@ def test_http_write_endpoint(spark, served_querier, tmp_path):
             srv2.stop()
     finally:
         srv.stop()
+
+
+def test_query_range_step_sliding(served_querier):
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from agni_spark.protocol.server import RemoteReadServer
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    try:
+        # window 2s sliding by 1s over samples at 100,150,200,500ms
+        qs = urllib.parse.urlencode(
+            {"query": "sum_over_time(up[2s])", "start": "0", "end": "1",
+             "step": "1"}
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_range?{qs}"
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "success"
+        by_series = {
+            tuple(sorted(r["metric"].items())): r["values"]
+            for r in body["data"]["result"]
+        }
+        # series up{job=api}: samples at 100(1.0) and 200(2.0) fall in
+        # sliding windows starting -1000 and 0 -> two entries, sum 3.0
+        api = [
+            v for k, v in by_series.items() if ("job", "api") in k
+        ][0]
+        assert [x[1] for x in api] == ["3.0", "3.0"]
+        assert [x[0] for x in api] == [-1.0, 0.0]
+    finally:
+        srv.stop()
