@@ -568,6 +568,12 @@ def _q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.jaccard_pairs(_docs(spark, sf), k=3, threshold=0.8)
 
 
+def _q_dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    # prefix-filtered variant: EXACT same output as the naive all-pairs
+    # join (shares its oracle) with a candidate join shrunk ~(1-t)^2
+    return dedup.jaccard_pairs_prefix(_docs(spark, sf), k=3, threshold=0.8)
+
+
 def _q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(_docs(spark, sf), k=3, threshold=0.7)
 
@@ -774,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_text_contamination,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -1749,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n FROM documents GROUP BY 1)"
         ),
         "dedup_jaccard_pairs": _SQL_JACCARD,
+        "dedup_jaccard_prefix": _SQL_JACCARD,  # exact: same oracle
         "dedup_minhash_lsh": _SQL_MINHASH_LSH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_cosine": _SQL_EMB_NEARDUP,

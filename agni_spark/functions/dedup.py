@@ -322,3 +322,66 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
     )
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (the AllPairs/PPJoin
+    principle): two sets with J >= t MUST share an element among the
+    first |d| - ceil(t*|d|) + 1 elements of each under a global
+    element order. Joining only on rarest-first prefixes shrinks the
+    candidate join by ~(1-t)^2 while the verification step keeps the
+    output identical to the naive all-pairs join (same oracle).
+
+    The ceil computes over t*n - 1e-9: float over-rounding would
+    SHRINK the prefix (unsafe); the epsilon only ever enlarges it,
+    which verification absorbs."""
+    from pyspark.sql import Window
+
+    sh = shingles(docs, k)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "shingle").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
+    pref = ranked.join(sizes, "doc_id").where(F.col("rk") <= prefix_len)
+    a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verification: exact intersection over FULL shingle sets, but only
+    # for surviving candidates
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(j, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -351,7 +351,22 @@ def handle_metadata(querier: Querier, path: str, params: dict) -> bytes:
     import re as _re
 
     matchers = _parse_selector_matchers(params.get("match[]", []))
-    if path == "/api/v1/labels":
+    if path == "/api/v1/status/tsdb":
+        top = (
+            querier.series_labels.groupBy("name", "value")
+            .agg(F.countDistinct("series_id").alias("n"))
+            .orderBy(F.col("n").desc(), "name", "value")
+            .limit(10)
+            .collect()
+        )
+        n_series = querier.series.count()
+        data = {
+            "numSeries": n_series,
+            "seriesCountByLabelValuePair": [
+                {"name": f"{r.name}={r.value}", "value": r.n} for r in top
+            ],
+        }
+    elif path == "/api/v1/labels":
         data = [r.name for r in querier.label_names(matchers).collect()]
     elif path == "/api/v1/series":
         label_cols = [c for c in querier.series.columns if c != "series_id"]

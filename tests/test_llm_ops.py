@@ -210,3 +210,13 @@ def test_lsh_multiprobe_recall_dominates(spark):
                                multiprobe=True).collect():
         if (r.query_id, r.vec_id) in exact_cos:
             assert r.cos == exact_cos[(r.query_id, r.vec_id)]
+
+
+def test_jaccard_prefix_filter_is_exact(spark, docs):
+    naive = {tuple(r) for r in dedup.jaccard_pairs(docs, k=3, threshold=0.6).collect()}
+    pref = {tuple(r) for r in dedup.jaccard_pairs_prefix(docs, k=3, threshold=0.6).collect()}
+    assert pref == naive and len(naive) > 0
+    # lower threshold widens prefixes; equality must hold there too
+    naive2 = {tuple(r) for r in dedup.jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    pref2 = {tuple(r) for r in dedup.jaccard_pairs_prefix(docs, k=3, threshold=0.3).collect()}
+    assert pref2 == naive2

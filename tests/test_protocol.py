@@ -430,3 +430,24 @@ def test_query_range_step_sliding(served_querier):
         assert [x[0] for x in api] == [-1.0, 0.0]
     finally:
         srv.stop()
+
+
+def test_http_status_tsdb(served_querier):
+    import json
+    import urllib.request
+
+    from agni_spark.protocol.server import RemoteReadServer
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/status/tsdb"
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["data"]["numSeries"] == 3
+        pairs = {p["name"]: p["value"]
+                 for p in body["data"]["seriesCountByLabelValuePair"]}
+        assert pairs["__name__=up"] == 2 and pairs["job=api"] == 2
+    finally:
+        srv.stop()
