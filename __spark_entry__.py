@@ -425,6 +425,17 @@ def _q_promql_parsed_binop(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "bucket_ms")
 
 
+def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # alert-rule shape: threshold comparison filters the vector
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job, env) (increase(event_error[1d])) > 50",
+    )
+    return out.orderBy("job", "env", "bucket_ms")
+
+
 def _q_promql_sum_without(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     # without (instance, pod, metric) == by (job, env)
@@ -751,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_absent": _q_promql_absent,
         "promql_parsed_expression": _q_promql_parsed,
         "promql_parsed_binop": _q_promql_parsed_binop,
+        "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
         "promql_stddev_by": _q_promql_stddev_by,
@@ -1446,6 +1458,22 @@ def oracle_sql() -> dict[str, str]:
             " AND l.bucket_ms = r.bucket_ms"
             " AND l.metric = 'event_error' AND r.metric = 'event_click' "
             "ORDER BY 1, 2"
+        ),
+        "promql_alert_filter": q(
+            ", persr AS ("
+            "  SELECT ser.job, ser.env, s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN s.value >= prev THEN s.value - prev"
+            "            ELSE s.value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples) s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error' AND prev IS NOT NULL"
+            "  GROUP BY 1, 2, 3, 4)"
+            "SELECT job, env, bucket_ms, round(sum(value), 4) AS value "
+            "FROM persr GROUP BY 1, 2, 3 "
+            "HAVING round(sum(value), 4) > 50 ORDER BY 1, 2, 3"
         ),
         "promql_sum_without": q(
             "SELECT s2.job, s2.env, "

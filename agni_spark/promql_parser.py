@@ -40,7 +40,7 @@ from agni_spark.querier import Querier
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+\.\d+|\d+)|(?P<id>[A-Za-z_:][A-Za-z0-9_:]*)"
     r'|(?P<str>"(?:[^"\\]|\\.)*")'
-    r"|(?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,|/|\*|\+|-))"
+    r"|(?P<op>=~|!~|!=|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|/|\*|\+|-))"
 )
 _UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
@@ -119,9 +119,9 @@ class MathFunc:
 
 @dataclass
 class BinOp:
-    op: str  # / * + -
+    op: str  # / * + - > < >= <=
     left: "Agg | Func | Selector | BinOp"
-    right: "Agg | Func | Selector | BinOp"
+    right: "Agg | Func | Selector | BinOp | float"
 
 
 def parse(text: str) -> "Agg | Func | Selector | BinOp":
@@ -133,12 +133,22 @@ def parse(text: str) -> "Agg | Func | Selector | BinOp":
 
 
 _BINOPS = {"/", "*", "+", "-"}
+# comparison binops FILTER the left vector (PromQL semantics: keep the
+# left sample where the comparison against the matched right sample holds)
+_CMPOPS = {">", "<", ">=", "<="}
 
 
 def _parse_binop(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
     left = _parse_expr(toks)
-    while toks.peek() in _BINOPS:
+    while toks.peek() in _BINOPS or toks.peek() in _CMPOPS:
         op = toks.next()
+        # scalar comparison: expr > NUM
+        nxt = toks.peek()
+        if op in _CMPOPS and nxt is not None and re.fullmatch(
+            r"\d+\.\d+|\d+", nxt
+        ):
+            left = BinOp(op, left, float(toks.next()))
+            continue
         right = _parse_expr(toks)
         left = BinOp(op, left, right)
     return left
@@ -377,7 +387,16 @@ def compile_expr(
             "value", fns[expr.name](F.col("value"), expr.scalar)
         )
     if isinstance(expr, BinOp):
+        cmps = {
+            ">": lambda a, b: a > b,
+            "<": lambda a, b: a < b,
+            ">=": lambda a, b: a >= b,
+            "<=": lambda a, b: a <= b,
+        }
         l = compile_expr(expr.left, querier, mint_ms, maxt_ms)
+        if expr.op in cmps and isinstance(expr.right, float):
+            # scalar comparison filters the vector, value unchanged
+            return l.where(cmps[expr.op](F.col("value"), F.lit(expr.right)))
         r = compile_expr(expr.right, querier, mint_ms, maxt_ms)
         keys = [c for c in l.columns if c != "value" and c in r.columns]
         if not keys:
@@ -391,6 +410,12 @@ def compile_expr(
         joined = l.withColumnRenamed("value", "_l").join(
             r.withColumnRenamed("value", "_r"), keys
         )
+        if expr.op in cmps:
+            # vector comparison: keep left rows where the matched right
+            # value satisfies the comparison; value = left's value
+            return joined.where(
+                cmps[expr.op](F.col("_l"), F.col("_r"))
+            ).select(*keys, F.col("_l").alias("value"))
         return joined.select(
             *keys,
             F.round(

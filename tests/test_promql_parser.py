@@ -171,3 +171,21 @@ def test_bottomk_and_quantile_agg(querier):
         .collect()
     }
     assert rows == want
+
+
+def test_comparison_filters_vector(querier):
+    base = pql.query(querier, "sum by (job) (event_error)")
+    vals = {r.job: r.value for r in base.collect()}
+    cut = sorted(vals.values())[1]  # threshold keeping some, dropping some
+    got = pql.query(querier, f"sum by (job) (event_error) > {cut}")
+    kept = {r.job: r.value for r in got.collect()}
+    assert kept == {j: v for j, v in vals.items() if v > cut}
+    # vector-vector comparison: error totals exceeding view totals
+    gt = pql.query(
+        querier, "sum by (job) (event_error) > sum by (job) (event_view)"
+    )
+    views = {r.job: r.value
+             for r in pql.query(querier, "sum by (job) (event_view)").collect()}
+    assert {r.job: r.value for r in gt.collect()} == {
+        j: v for j, v in vals.items() if v > views[j]
+    }
