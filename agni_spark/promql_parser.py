@@ -5,9 +5,13 @@ self-serve for the common expression shapes).
 
 Supported grammar (the workhorse subset):
 
-    expr      := term (BINOP term)*          BINOP: / * + -  (left-assoc)
+    expr      := term ((BINOP | CMPOP) (term | NUM))*   (left-assoc)
+    BINOP     := / * + -     CMPOP: > < >= <=  (comparison FILTERS the
+                 left vector, PromQL semantics)
     term      := agg | func | math | selector | "(" expr ")"
-    agg       := AGGOP grouping? "(" expr ")" | "topk" "(" INT "," expr ")"
+    agg       := AGGOP grouping? "(" expr ")"
+               | ("topk" | "bottomk") "(" INT "," expr ")"
+               | "quantile" grouping? "(" NUM "," expr ")"
     AGGOP     := "sum" | "avg" | "min" | "max" | "count"
     grouping  := ("by" | "without") "(" name ("," name)* ")"
     func      := FUNC "(" selector range offset? ")"
