@@ -140,12 +140,22 @@ _BINOPS = {"/", "*", "+", "-"}
 # comparison binops FILTER the left vector (PromQL semantics: keep the
 # left sample where the comparison against the matched right sample holds)
 _CMPOPS = {">", "<", ">=", "<="}
+# set operators: `a and b` keeps left rows whose label key exists in
+# the right vector (semi join); `a unless b` is the complement (anti)
+_SETOPS = {"and", "unless"}
 
 
 def _parse_binop(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
     left = _parse_expr(toks)
-    while toks.peek() in _BINOPS or toks.peek() in _CMPOPS:
+    while (
+        toks.peek() in _BINOPS
+        or toks.peek() in _CMPOPS
+        or toks.peek() in _SETOPS
+    ):
         op = toks.next()
+        if op in _SETOPS:
+            left = BinOp(op, left, _parse_expr(toks))
+            continue
         # scalar comparison: expr > NUM
         nxt = toks.peek()
         if op in _CMPOPS and nxt is not None and re.fullmatch(
@@ -398,6 +408,13 @@ def compile_expr(
             "<=": lambda a, b: a <= b,
         }
         l = compile_expr(expr.left, querier, mint_ms, maxt_ms)
+        if expr.op in ("and", "unless"):
+            r = compile_expr(expr.right, querier, mint_ms, maxt_ms)
+            keys = [c for c in l.columns if c != "value" and c in r.columns]
+            if not keys:
+                raise ValueError("set op operands share no matching labels")
+            how = "left_semi" if expr.op == "and" else "left_anti"
+            return l.join(r.select(*keys).distinct(), keys, how)
         if expr.op in cmps and isinstance(expr.right, float):
             # scalar comparison filters the vector, value unchanged
             return l.where(cmps[expr.op](F.col("value"), F.lit(expr.right)))

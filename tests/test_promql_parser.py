@@ -189,3 +189,24 @@ def test_comparison_filters_vector(querier):
     assert {r.job: r.value for r in gt.collect()} == {
         j: v for j, v in vals.items() if v > views[j]
     }
+
+
+def test_set_operators_and_unless(querier):
+    left = pql.query(querier, "sum by (job) (event_error)")
+    jobs = {r.job for r in left.collect()}
+    vals = {r.job: r.value for r in left.collect()}
+    cut = sorted(vals.values())[1]
+    both = pql.query(
+        querier,
+        f"sum by (job) (event_error) and (sum by (job) (event_view) > 0)",
+    )
+    assert {r.job for r in both.collect()} == jobs  # all jobs have views
+    # unless removes the jobs whose error total clears the threshold
+    rest = pql.query(
+        querier,
+        f"sum by (job) (event_error) unless "
+        f"(sum by (job) (event_error) > {cut})",
+    )
+    assert {r.job: r.value for r in rest.collect()} == {
+        j: v for j, v in vals.items() if v <= cut
+    }
