@@ -5,9 +5,9 @@ self-serve for the common expression shapes).
 
 Supported grammar (the workhorse subset):
 
-    expr      := term ((BINOP | CMPOP) (term | NUM))*   (left-assoc)
+    expr      := term ((BINOP | CMPOP | SETOP) (term | NUM))*  (l-assoc)
     BINOP     := / * + -     CMPOP: > < >= <=  (comparison FILTERS the
-                 left vector, PromQL semantics)
+                 left vector)   SETOP: and unless  (semi / anti join)
     term      := agg | func | math | selector | "(" expr ")"
     agg       := AGGOP grouping? "(" expr ")"
                | ("topk" | "bottomk") "(" INT "," expr ")"
