@@ -132,7 +132,10 @@ def topk(
 ) -> DataFrame:
     """topk(k, sum_over_time(...)): top-k series by summed value in the
     range; deterministic tie-break on series_id (the reference's label
-    order). Window rank — no driver-side collect."""
+    order). orderBy().limit(k) compiles to TakeOrderedAndProject —
+    each task keeps a k-row heap and the driver merges k·tasks rows,
+    so no global single-partition window even at 10⁸+ series; the rank
+    window afterwards only ever sees ≤k rows."""
     df = samples
     if mint_ms is not None:
         df = df.where(F.col("ts_ms") >= mint_ms)
@@ -141,10 +144,11 @@ def topk(
     per_series = df.groupBy("series_id").agg(
         F.round(F.sum("value"), ROUND_SUM).alias("sum_value")
     )
-    w = Window.orderBy(F.col("sum_value").desc(), F.col("series_id").asc())
+    order = [F.col("sum_value").desc(), F.col("series_id").asc()]
     return (
-        per_series.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
+        per_series.orderBy(*order)
+        .limit(k)
+        .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
         .select("series_id", "sum_value", F.col("rk").cast("int").alias("rk"))
     )
 
@@ -274,7 +278,8 @@ def bottomk(
     maxt_ms: int | None = None,
 ) -> DataFrame:
     """bottomk(k, sum_over_time(...)): mirror of topk with ascending
-    rank, deterministic tie-break on series_id."""
+    rank, deterministic tie-break on series_id. Same
+    TakeOrderedAndProject shape as topk — no global window."""
     df = samples
     if mint_ms is not None:
         df = df.where(F.col("ts_ms") >= mint_ms)
@@ -283,10 +288,11 @@ def bottomk(
     per_series = df.groupBy("series_id").agg(
         F.round(F.sum("value"), ROUND_SUM).alias("sum_value")
     )
-    w = Window.orderBy(F.col("sum_value").asc(), F.col("series_id").asc())
+    order = [F.col("sum_value").asc(), F.col("series_id").asc()]
     return (
-        per_series.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
+        per_series.orderBy(*order)
+        .limit(k)
+        .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
         .select("series_id", "sum_value", F.col("rk").cast("int").alias("rk"))
     )
 

@@ -54,8 +54,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str, delta_days: int = 90) -
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: unshipped orders revenue. customer is the dim side ->
-    broadcast; lineitem groupBy on orderkey is the one shuffle."""
+    """TPC-H Q3: unshipped orders revenue. customer is the only true dim
+    -> broadcast; orders is a fact table, so lineitem⋈orders is a plain
+    shuffle join on l_orderkey (AQE may still broadcast the filtered
+    orders side at runtime when it genuinely fits — never forced)."""
     cust = load(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -67,11 +69,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.where(F.col("l_shipdate_ts") > d)
         .join(
-            F.broadcast(
-                orders.where(F.col("o_orderdate_ts") < d).join(
-                    F.broadcast(cust),
-                    orders.o_custkey == cust.c_custkey,
-                )
+            orders.where(F.col("o_orderdate_ts") < d).join(
+                F.broadcast(cust),
+                orders.o_custkey == cust.c_custkey,
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -94,8 +94,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: revenue by nation for intra-nation
-    customer/supplier pairs. All five dims broadcast; lineitem never
-    shuffles until the final small groupBy."""
+    customer/supplier pairs. region/nation/customer/supplier are the
+    true dims -> broadcast; orders and lineitem are facts, so
+    lineitem⋈orders is a plain shuffle join on l_orderkey (at 100 TB a
+    forced broadcast of anything orders-derived OOMs the executors)."""
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -113,7 +115,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dim), orders.o_custkey == F.col("c_custkey")
     ).select("o_orderkey", "c_nationkey", "n_name", "r_name")
     return (
-        li.join(F.broadcast(ord_dim), li.l_orderkey == F.col("o_orderkey"))
+        li.join(ord_dim, li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .where(F.col("s_nationkey") == F.col("c_nationkey"))
         .groupBy("n_name")

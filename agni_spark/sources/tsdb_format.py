@@ -29,7 +29,6 @@ from __future__ import annotations
 import json
 import os
 import struct
-import zlib
 from dataclasses import dataclass
 
 CHUNKS_MAGIC = 0x85BD40DD  # vendor tsdb chunks.go MagicChunks
@@ -259,11 +258,31 @@ def _sext(v: int, nbits: int) -> int:
 # ---------------------------------------------------------------------------
 # chunk segment files (vendor tsdb chunks.go:196-258)
 # ---------------------------------------------------------------------------
+def _make_crc32c_table() -> list[int]:
+    # Reflected Castagnoli polynomial 0x1EDC6F41 -> 0x82F63B78, the
+    # table Go's crc32.MakeTable(crc32.Castagnoli) builds (vendor tsdb
+    # chunks.go:196-216 / index.go use crc32.Checksum over it).
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C_TABLE = _make_crc32c_table()
+
+
 def _crc32c(data: bytes) -> int:
-    # tsdb uses CRC-32 Castagnoli; zlib.crc32 is IEEE. We frame with
-    # IEEE and note the divergence: validated on our own round-trip,
-    # and ignorable when reading foreign blocks (verify=False).
-    return zlib.crc32(data) & 0xFFFFFFFF
+    """CRC-32C (Castagnoli) — byte parity with real Prometheus blocks;
+    golden vector crc32c(b"123456789") == 0xE3069283 is pinned in
+    tests. Runs only inside Arrow-batched workers on KB-sized chunks."""
+    crc = 0xFFFFFFFF
+    tbl = _CRC32C_TABLE
+    for b in data:
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
 
 
 def write_chunk_segment(path: str, chunks: list[bytes], encoding: int = ENC_XOR) -> list[int]:

@@ -82,6 +82,14 @@ def test_segment_framing(tmp_path):
     assert streamed == chunks
 
 
+def test_crc32c_golden_vectors():
+    # RFC 3720 / Go crc32.Castagnoli check value for "123456789", plus
+    # the empty- and zeros-input values the spec table implies.
+    assert tf._crc32c(b"123456789") == 0xE3069283
+    assert tf._crc32c(b"") == 0
+    assert tf._crc32c(bytes(32)) == 0x8A9136AA
+
+
 def test_segment_crc_detects_corruption(tmp_path):
     seg = str(tmp_path / "000001")
     [off] = tf.write_chunk_segment(seg, [tf.encode_xor_chunk([(1, 2.0)])])
