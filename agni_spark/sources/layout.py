@@ -37,6 +37,45 @@ def block_id_col(block_ms: int = BLOCK_MS):
     return F.expr(f"CAST(ts_ms div {block_ms} AS BIGINT)")
 
 
+# ---------------------------------------------------------------------------
+# filesystem abstraction: all store mutation goes through the Hadoop
+# FileSystem API so the SAME code runs against file://, hdfs:// and
+# s3a:// (the reference is S3-native end-to-end — block.go:20-43,
+# shipper.go:252-325; a driver-side os.listdir/shutil lifecycle would
+# not). Listing for discovery still never touches the data dir: readers
+# enumerate blocks from the REGISTRY (db.go:72 lists marker keys).
+# ---------------------------------------------------------------------------
+def _hfs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) for `path`'s scheme."""
+    jvm = spark.sparkContext._jvm
+    jpath_cls = jvm.org.apache.hadoop.fs.Path
+    fs = jpath_cls(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath_cls
+
+
+def _fs_delete(spark: SparkSession, path: str) -> bool:
+    fs, P = _hfs(spark, path)
+    return fs.delete(P(path), True)
+
+
+def _fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, P = _hfs(spark, src)
+    return fs.rename(P(src), P(dst))
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, P = _hfs(spark, path)
+    return fs.exists(P(path))
+
+
+def registry_block_ids(spark: SparkSession, path: str) -> list[int]:
+    """Committed block ids per the registry — the discovery surface
+    (S2). Never lists the data directory."""
+    return sorted(
+        r.block_id for r in read_registry(spark, path).select("block_id").collect()
+    )
+
+
 def write_blocks(
     samples: DataFrame,
     path: str,
@@ -67,11 +106,16 @@ def refresh_registry(
     path: str,
     block_ms: int = BLOCK_MS,
     level: int = 1,
+    levels: dict[int, int] | None = None,
 ) -> None:
     """Rebuild the block registry from the data partitions — the commit
     point of every write (batch shipper, streaming sink, remote-write
     receiver). Readers list the registry, never the data dir (db.go:72
-    lists marker keys, not data keys)."""
+    lists marker keys, not data keys).
+
+    `levels` assigns per-block compaction levels (block_id -> level);
+    blocks absent from the map get `level`. This lets compaction bump
+    levels in the SAME registry commit instead of a second rewrite."""
     data_path = os.path.join(path, "data")
     reg = (
         spark.read.parquet(data_path)
@@ -98,6 +142,24 @@ def refresh_registry(
             F.lit(level).cast("int").alias("compaction_level"),
         )
     )
+    if levels:
+        # levels is O(blocks) tiny — broadcast-join it onto the summary
+        lv = spark.createDataFrame(
+            [(int(b), int(l)) for b, l in sorted(levels.items())],
+            "block_id long, lvl int",
+        )
+        reg = (
+            reg.join(F.broadcast(lv), "block_id", "left")
+            .withColumn(
+                "compaction_level",
+                F.coalesce(F.col("lvl"), F.col("compaction_level")).cast("int"),
+            )
+            .drop("lvl")
+            .select(
+                "ulid", "block_id", "mint_ms", "maxt_ms", "num_samples",
+                "num_series", "data_mint_ms", "data_maxt_ms", "compaction_level",
+            )
+        )
     reg.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "registry"))
 
 
@@ -144,7 +206,14 @@ def compact(
     """Compaction (Phase 4; the reference defers to upstream tsdb
     compact.go and never invokes it — SURVEY §2.7): rewrite each
     partition's many small files into `files_per_block` sorted files.
-    Registry is rewritten last (commit point), levels bumped."""
+    Registry is rewritten last in ONE commit with the touched blocks'
+    levels bumped (tsdb Compaction.Level semantics).
+
+    Both paths repartition FIRST and sort WITHIN the final partitions —
+    sorting before a coalesce would concatenate sorted partitions out
+    of order and break the 'row groups = chunks' skipping property.
+    All enumeration is registry-driven; no data-dir listing, so the
+    same code runs against an object store."""
     data_path = os.path.join(path, "data")
     df = spark.read.parquet(data_path)
     # remember pre-compaction levels so untouched blocks keep theirs
@@ -157,70 +226,47 @@ def compact(
         old_levels = {}
     if block_ids is not None:
         df = df.where(F.col("block_id").isin(block_ids))
-        sub = df.repartition(files_per_block, "block_id").sortWithinPartitions(
-            "series_id", "ts_ms"
-        )
-        sub.write.partitionBy("block_id").mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).parquet(data_path)
         compacted = set(block_ids)
     else:
-        full = (
-            df.repartition("block_id")
-            .sortWithinPartitions("series_id", "ts_ms")
-            .coalesce(max(1, files_per_block))
-        )
-        full.write.partitionBy("block_id").mode("overwrite").parquet(data_path)
         compacted = set(old_levels) or {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(data_path)
-            if d.startswith("block_id=")
+            r.block_id
+            for r in df.select("block_id").distinct().collect()
         }
-    # commit point: registry rebuilt with levels bumped ONLY for the
-    # blocks this compaction touched (tsdb Compaction.Level semantics)
-    refresh_registry(spark, path, block_ms=BLOCK_MS)
-    reg = read_registry(spark, path).collect()
-    rows = [
-        (
-            r.ulid, r.block_id, r.mint_ms, r.maxt_ms, r.num_samples,
-            r.num_series, r.data_mint_ms, r.data_maxt_ms,
-            old_levels.get(r.block_id, 1) + 1
-            if r.block_id in compacted
-            else old_levels.get(r.block_id, 1),
-        )
-        for r in reg
-    ]
-    spark.createDataFrame(
-        rows,
-        "ulid string, block_id long, mint_ms long, maxt_ms long, "
-        "num_samples long, num_series long, data_mint_ms long, "
-        "data_maxt_ms long, compaction_level int",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "registry_tmp2")
+    # (block_id, series-hash salt) partitioning yields exactly
+    # `files_per_block` files per block, each internally sorted by
+    # (series_id, ts_ms) so row-group min/max skipping holds per file;
+    # every block compacts in parallel (no single-task bottleneck).
+    salt = F.pmod(F.xxhash64("series_id"), F.lit(max(1, files_per_block)))
+    sub = (
+        df.repartition(F.col("block_id"), salt)
+        .sortWithinPartitions("series_id", "ts_ms")
     )
-    import shutil
-
-    shutil.rmtree(os.path.join(path, "registry"))
-    os.rename(
-        os.path.join(path, "registry_tmp2"), os.path.join(path, "registry")
-    )
+    sub.write.partitionBy("block_id").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(data_path)
+    # commit point: registry rebuilt once, levels bumped ONLY for the
+    # blocks this compaction touched
+    levels = {
+        b: old_levels.get(b, 1) + (1 if b in compacted else 0)
+        for b in set(old_levels) | compacted
+    }
+    refresh_registry(spark, path, block_ms=BLOCK_MS, levels=levels)
 
 
 def drop_blocks_before(
     spark: SparkSession, path: str, cutoff_block_id: int
 ) -> list[int]:
     """Retention: partition drop for blocks entirely before the cutoff
-    (VACUUM equivalent). Registry rewritten last. Returns dropped ids."""
-    import shutil
-
+    (VACUUM equivalent — the reference's retention is an S3 prefix
+    delete keyed off marker listing, db.go:62-122). Enumeration is
+    registry-driven (never lists the data dir) and deletion goes
+    through the Hadoop FileSystem API, so the same code runs against
+    s3a://. Registry rewritten last (commit point). Returns dropped
+    ids."""
     data_path = os.path.join(path, "data")
-    dropped = []
-    for d in sorted(os.listdir(data_path)):
-        if d.startswith("block_id="):
-            bid = int(d.split("=", 1)[1])
-            if bid < cutoff_block_id:
-                shutil.rmtree(os.path.join(data_path, d))
-                dropped.append(bid)
+    dropped = [b for b in registry_block_ids(spark, path) if b < cutoff_block_id]
+    for bid in dropped:
+        _fs_delete(spark, os.path.join(data_path, f"block_id={bid}"))
     if dropped:
         reg = read_registry(spark, path).where(
             F.col("block_id") >= cutoff_block_id
@@ -229,8 +275,10 @@ def drop_blocks_before(
         reg.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "registry_tmp")
         )
-        shutil.rmtree(os.path.join(path, "registry"))
-        os.rename(os.path.join(path, "registry_tmp"), os.path.join(path, "registry"))
+        _fs_delete(spark, os.path.join(path, "registry"))
+        _fs_rename(
+            spark, os.path.join(path, "registry_tmp"), os.path.join(path, "registry")
+        )
     return dropped
 
 
@@ -257,11 +305,7 @@ def delete_samples(
         return []
     intervals = t.collect()
     data_path = os.path.join(path, "data")
-    all_blocks = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(data_path)
-        if d.startswith("block_id=")
-    ]
+    all_blocks = registry_block_ids(spark, path)
     hit = [
         b
         for b in all_blocks
@@ -309,7 +353,6 @@ def write_bucketed(
     warehouse directories from prior sessions are removed first: the
     catalog is session-scoped but its file locations persist, and
     saveAsTable refuses to reuse an orphaned location."""
-    import shutil
     from urllib.parse import urlparse
 
     spark = samples.sparkSession
@@ -318,8 +361,8 @@ def write_bucketed(
         name = f"{table_prefix}_{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         loc = os.path.join(warehouse, name.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc)
+        if _fs_exists(spark, loc):
+            _fs_delete(spark, loc)
     (
         samples.write.bucketBy(n_buckets, "series_id")
         .sortBy("series_id", "ts_ms")
@@ -344,8 +387,6 @@ def repair_overlaps(spark: SparkSession, path: str, block_ms: int = BLOCK_MS) ->
     duplicate (series, ts) collisions merge-on-read style (max value),
     and rewrite the store; the result is by construction non-overlapping
     with registry recommit. Returns the number of rows after repair."""
-    import shutil
-
     from agni_spark.querier import merge_on_read
 
     df = read_samples(spark, path).select("series_id", "ts_ms", "value")
@@ -356,6 +397,6 @@ def repair_overlaps(spark: SparkSession, path: str, block_ms: int = BLOCK_MS) ->
     stage = path.rstrip("/") + "_repair"
     write_blocks(clean, stage, block_ms=block_ms, mode="overwrite")
     n = read_samples(spark, stage).count()
-    shutil.rmtree(path)
-    os.rename(stage, path)
+    _fs_delete(spark, path)
+    _fs_rename(spark, stage, path)
     return n

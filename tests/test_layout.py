@@ -67,6 +67,22 @@ def test_compact_reduces_files(spark, store):
     assert layout.read_samples(spark, store).count() == 60
 
 
+def test_compact_preserves_file_sort_order(spark, store):
+    # full-store compact must keep every output file sorted by
+    # (series_id, ts_ms) — the 'row groups = chunks' skipping property
+    # (regression: a coalesce-after-sort concatenated partitions out of
+    # order)
+    import pyarrow.parquet as pq
+
+    layout.compact(spark, store, files_per_block=1)
+    for d in glob.glob(os.path.join(store, "data", "block_id=*")):
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            t = pq.read_table(f).to_pandas()
+            assert list(t.sort_values(["series_id", "ts_ms"]).index) == list(
+                t.index
+            ), f
+
+
 def test_retention_drops_old_blocks(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("store2"))
     samples = spark.createDataFrame(
