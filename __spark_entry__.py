@@ -594,7 +594,9 @@ def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.embedding_neardup_pairs(_emb(spark, sf), threshold=0.4)
+    # grid ε-join (exact, key-partitioned) — the all-pairs variant
+    # embedding_neardup_pairs is its oracle at test scale
+    return dedup.embedding_neardup_pairs_blocked(_emb(spark, sf), threshold=0.4)
 
 
 def _q_simsearch_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1048,11 +1050,37 @@ ORDER BY 1, 2
 """
 
 
-# IVF-flat mirror: fixed coarse quantizer (8 lowest-id vectors), each
-# corpus vector in its argmax-cosine cell, queries probe 2 cells.
-_SQL_SIMSEARCH_IVF = """
-WITH cents AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-               FROM embeddings ORDER BY vec_id LIMIT 8),
+# Shared quantizer mirror: seeded-sample init (md5-hash order), one
+# Lloyd round (assign to argmax-cosine centroid, then element-wise cell
+# mean rounded to 6dp) — must stay in lockstep with
+# simsearch.ivf_centroids(iters=1).
+_SQL_KMEANS_CENTS = """
+cents0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                    vec_id
+           LIMIT 8),
+asg0 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, ct.centroid_id,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents0 ct) WHERE rn = 1),
+cmeans AS (
+  SELECT centroid_id, pos, round(avg(val), 6) AS m FROM (
+    SELECT centroid_id,
+           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS val
+    FROM asg0)
+  GROUP BY 1, 2),
+cents AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+          FROM cmeans GROUP BY centroid_id)"""
+
+# IVF-flat mirror: k-means coarse quantizer (shared CTE), each corpus
+# vector in its argmax-cosine cell, queries probe 2 cells.
+_SQL_SIMSEARCH_IVF = f"""
+WITH {_SQL_KMEANS_CENTS},
 cells AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT c.vec_id, c.embedding, ct.centroid_id,
@@ -1082,11 +1110,12 @@ WHERE rk <= 10 ORDER BY query_id, rk
 """
 
 
-# SemDeDup-shaped mirror: same IVF cells; keep v iff no lower-id
-# near-dup (cos >= 0.4) in its cell.
-_SQL_SEMDEDUP = """
-WITH cents AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-               FROM embeddings ORDER BY vec_id LIMIT 8),
+# SemDeDup-shaped mirror: same k-means cells; keep v iff no lower-id
+# near-dup (cos >= 0.4) in its cell. The Spark op's cell_cap sub-split
+# never binds at oracle scale (every cell < 4096 members), so the
+# mirror omits it.
+_SQL_SEMDEDUP = f"""
+WITH {_SQL_KMEANS_CENTS},
 cells AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT c.vec_id, c.embedding, ct.centroid_id,

@@ -324,6 +324,139 @@ def embedding_neardup_pairs(
     )
 
 
+# Deterministic projection directions for the grid ε-join: entry i of
+# direction j is a cheap LCG value in [-1, 1). Quality only affects
+# candidate-set size, never correctness (the verify step is exact), so
+# a fixed engine-portable formula beats an RNG.
+_PROJ_AB = [(1103515245, 12345), (69069, 362437), (214013, 2531011),
+            (134775813, 1), (22695477, 7777), (48271, 1013)]
+
+
+def _proj_hat(j: int, nrm: Column) -> Column:
+    """<a/||a||, u_j> for the j-th deterministic unit direction u_j.
+
+    u_j is materialized implicitly: g_j(i) = LCG(i) scaled to [-1, 1),
+    normalized by ||g_j|| (a per-row aggregate over the same index
+    range — identical for every row of a fixed-dim table)."""
+    a, b = _PROJ_AB[j]
+
+    def g(i: Column) -> Column:
+        lcg = (i.cast("long") * F.lit(a) + F.lit(b)) % F.lit(997)
+        return lcg.cast("double") / 498.5 - 1.0
+
+    raw = F.aggregate(
+        F.transform(F.col("embedding"), lambda x, i: x.cast("double") * g(i)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    gnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x, i: g(i) * g(i)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return raw / (nrm * gnorm)
+
+
+def embedding_neardup_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_filter_projections: int = 4,
+) -> DataFrame:
+    """EXACT embedding near-dup via a grid ε-join — the declared scale
+    path (output identical to `embedding_neardup_pairs`, which serves
+    as its oracle, mirroring jaccard_pairs_prefix).
+
+    Principle: for unit vectors, cos(a,b) >= t  <=>  ||â - b̂|| <= r,
+    r = sqrt(2(1-t)). Projections onto any unit direction contract
+    distances, so |<â,u> - <b̂,u>| <= r for every qualifying pair.
+    Band two projections into width-r cells: qualifying pairs differ by
+    at most 1 band per axis, so replicating one side to its 3x3 cell
+    neighborhood and EQUI-joining on the cell key finds every pair —
+    a hash/sort-merge join on a key, never a BroadcastNestedLoop.
+    Additional projections apply as cheap scalar pre-filters before the
+    exact cosine verification (same fold expression as the naive op, so
+    rounded values match float-for-float).
+
+    Scale: candidate volume tracks the true near-dup density (tight
+    thresholds -> narrow bands -> high selectivity); loose thresholds
+    degrade gracefully toward all-pairs, which is inherent to the
+    semantics, while the join stays key-partitioned and AQE-skew-
+    splittable."""
+    import math
+
+    r = math.sqrt(2.0 * (1.0 - threshold))
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    nproj = min(2 + n_filter_projections, len(_PROJ_AB))
+    e = embeddings.select("vec_id", "embedding").withColumn("nrm", norm)
+    for j in range(nproj):
+        e = e.withColumn(f"p{j}", _proj_hat(j, F.col("nrm")))
+    e = e.withColumn("b0", F.floor(F.col("p0") / F.lit(r))).withColumn(
+        "b1", F.floor(F.col("p1") / F.lit(r))
+    )
+    projs = [f"p{j}" for j in range(nproj)]
+    probe = e.select(
+        F.col("vec_id").alias("id_a"),
+        *[F.col(p).alias(f"{p}a") for p in projs],
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ",",
+                    (F.col("b0") + F.lit(dx)).cast("string"),
+                    (F.col("b1") + F.lit(dy)).cast("string"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("cell"),
+    )
+    build = e.select(
+        F.col("vec_id").alias("id_b"),
+        *[F.col(p).alias(f"{p}b") for p in projs],
+        F.concat_ws(
+            ",", F.col("b0").cast("string"), F.col("b1").cast("string")
+        ).alias("cell"),
+    )
+    cands = probe.join(build, "cell").where(F.col("id_a") < F.col("id_b"))
+    for p in projs:
+        cands = cands.where(F.abs(F.col(f"{p}a") - F.col(f"{p}b")) <= F.lit(r))
+    # exactly ONE of the 9 probe copies can land in the build row's
+    # cell, so pairs are already unique — no dedup shuffle needed
+    cands = cands.select("id_a", "id_b")
+    # exact verification — the SAME expressions as embedding_neardup_pairs
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ea"), F.col("eb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def jaccard_pairs_prefix(
     docs: DataFrame,
     k: int = 3,

@@ -75,15 +75,52 @@ def _bucket(col, planes: list[list[float]]):
     return sum(bits).cast("long")
 
 
-def ivf_centroids(corpus: DataFrame, n_centroids: int = 8) -> DataFrame:
-    """Deterministic coarse quantizer: the n lowest-id vectors serve as
-    cell centroids (a fixed quantizer keeps the op reproducible and
-    oracle-checkable; swap in k-means offline for recall)."""
-    return (
-        corpus.orderBy("vec_id")
+def ivf_centroids(
+    corpus: DataFrame, n_centroids: int = 8, iters: int = 1
+) -> DataFrame:
+    """Deterministic seeded-sample k-means coarse quantizer.
+
+    Init: the n vectors with the smallest md5-derived hash of their id
+    (a seeded uniform sample — NOT the first ids, whose arbitrary order
+    gives unbalanced cells at scale). Then `iters` fixed Lloyd rounds:
+    assign every vector to its argmax-cosine centroid, replace each
+    centroid with its cell's element-wise mean (rounded to 6dp so the
+    DuckDB oracle mirror lands on identical floats). Fixed seed + fixed
+    iteration count keeps the quantizer fully reproducible and
+    oracle-checkable.
+
+    Scale: init is a TakeOrderedAndProject over the hash (top-n heap,
+    no global sort); each Lloyd round is one broadcast-join assignment
+    pass + one (centroid, pos) groupBy — all map-side-combining."""
+    from agni_spark.functions.dedup import hash60
+
+    cents = (
+        corpus.orderBy(hash60(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
     )
+    for _ in range(iters):
+        assigned = _nearest_centroids(
+            corpus.select("vec_id", F.col("embedding").alias("ce")),
+            cents, "vec_id", "ce", 1,
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode(F.col("ce")))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg(F.col("col").cast("double")), 6).alias("m"))
+        )
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cvec"),
+            )
+        )
+    return cents
 
 
 def _nearest_centroids(
@@ -202,19 +239,31 @@ def semantic_dedup_keep(
     corpus: DataFrame,
     n_centroids: int = 8,
     threshold: float = 0.9,
+    cell_cap: int = 4096,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (cluster, then drop
     near-identical members): a vector is KEPT iff no lower-id vector in
-    its cell has cosine >= threshold with it — the deterministic
-    keep-lowest-id variant of the greedy cluster sweep.
+    its comparison group has cosine >= threshold with it — the
+    deterministic keep-lowest-id variant of the greedy cluster sweep.
 
     Scale: pairwise work is confined to cells (n^2/k per cell instead
-    of corpus-wide n^2); cells come from the same coarse quantizer as
-    ivf_ann, so the store's cell partitioning serves both."""
+    of corpus-wide n^2); cells come from the same k-means quantizer as
+    ivf_ann, so the store's cell partitioning serves both. `cell_cap`
+    bounds the worst case: members rank by vec_id within their cell and
+    cells split into capped sub-cells of at most cell_cap members, so a
+    pathologically fat cell costs cap^2 * (n/cap) instead of n^2 —
+    the standard SemDeDup within-cluster-chunk approximation, and a
+    no-op whenever every cell fits the cap (deterministic either way)."""
     cents = ivf_centroids(corpus, n_centroids)
     cells = _nearest_centroids(
         corpus.select("vec_id", F.col("embedding").alias("ce")),
         cents, "vec_id", "ce", 1,
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("centroid_id").orderBy("vec_id")
+    )
+    cells = cells.withColumn(
+        "sub", ((rk - F.lit(1)) / F.lit(cell_cap)).cast("long")
     )
     # Precompute each vector's norm ONCE; the pairwise stage then only
     # folds the dot product (2/3 less per-pair expression work than
@@ -229,11 +278,11 @@ def semantic_dedup_keep(
     )
     cells = cells.withColumn("nrm", norm)
     a = cells.select(
-        F.col("centroid_id"), F.col("vec_id").alias("id_a"),
+        F.col("centroid_id"), F.col("sub"), F.col("vec_id").alias("id_a"),
         F.col("ce").alias("ea"), F.col("nrm").alias("na"),
     )
     b = cells.select(
-        F.col("centroid_id"), F.col("vec_id").alias("id_b"),
+        F.col("centroid_id"), F.col("sub"), F.col("vec_id").alias("id_b"),
         F.col("ce").alias("eb"), F.col("nrm").alias("nb"),
     )
     dot = F.aggregate(
@@ -245,7 +294,7 @@ def semantic_dedup_keep(
         lambda acc, v: acc + v,
     )
     dup = (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.round(dot / (F.col("na") * F.col("nb")), 6) >= threshold)
         .select(F.col("id_b").alias("vec_id"))

@@ -220,3 +220,69 @@ def test_jaccard_prefix_filter_is_exact(spark, docs):
     naive2 = {tuple(r) for r in dedup.jaccard_pairs(docs, k=3, threshold=0.3).collect()}
     pref2 = {tuple(r) for r in dedup.jaccard_pairs_prefix(docs, k=3, threshold=0.3).collect()}
     assert pref2 == naive2
+
+
+def test_semantic_dedup_cell_cap(spark):
+    from agni_spark.functions import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {
+        r.vec_id
+        for r in simsearch.semantic_dedup_keep(emb, threshold=0.4).collect()
+    }
+    # default cap never binds at this scale -> same as huge cap
+    huge = {
+        r.vec_id
+        for r in simsearch.semantic_dedup_keep(
+            emb, threshold=0.4, cell_cap=10**6
+        ).collect()
+    }
+    assert base == huge
+    # cap=1 -> singleton sub-cells -> no pairs compared -> keep all
+    capped = {
+        r.vec_id
+        for r in simsearch.semantic_dedup_keep(
+            emb, threshold=0.4, cell_cap=1
+        ).collect()
+    }
+    assert capped == {r.vec_id for r in emb.select("vec_id").collect()}
+    assert base < capped  # default actually drops near-dups
+
+
+def test_kmeans_centroids_deterministic_and_balanced(spark):
+    from agni_spark.functions import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = {
+        r.centroid_id: r.cvec for r in simsearch.ivf_centroids(emb, 8).collect()
+    }
+    c2 = {
+        r.centroid_id: r.cvec for r in simsearch.ivf_centroids(emb, 8).collect()
+    }
+    assert c1 == c2  # fixed seed + fixed iterations -> reproducible
+    assert len(c1) >= 2  # Lloyd round keeps multiple live cells
+
+
+def test_embedding_grid_join_is_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_at = {}
+    for t in (0.3, 0.4, 0.7):
+        naive = {
+            tuple(r)
+            for r in dedup.embedding_neardup_pairs(emb, threshold=t).collect()
+        }
+        grid = {
+            tuple(r)
+            for r in dedup.embedding_neardup_pairs_blocked(emb, threshold=t).collect()
+        }
+        assert grid == naive, t
+        n_at[t] = len(naive)
+    assert n_at[0.3] > 0  # equality must be over a non-trivial pair set
+    # the key-join property: no nested-loop join anywhere in the plan
+    plan = (
+        dedup.embedding_neardup_pairs_blocked(emb, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
