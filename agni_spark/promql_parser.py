@@ -5,10 +5,17 @@ self-serve for the common expression shapes).
 
 Supported grammar (the workhorse subset):
 
-    expr      := term ((BINOP | CMPOP | SETOP) (term | NUM))*  (l-assoc)
-    BINOP     := / * + -     CMPOP: > < >= <=  (comparison FILTERS the
-                 left vector)   SETOP: and unless  (semi / anti join)
-    term      := agg | func | math | selector | "(" expr ")"
+    expr      := binary expression over terms/NUM with PromQL
+                 precedence (tightest to loosest, all left-assoc):
+                   * /        arithmetic (mul/div)
+                   + -        arithmetic (add/sub)
+                   > < >= <=  comparison (FILTERS the left vector)
+                   and unless set intersection / complement
+                   or         set union
+                 NUM may stand on either side of an arithmetic or
+                 comparison operator (scalar broadcast); scalar-scalar
+                 expressions are rejected.
+    term      := agg | func | math | selector | NUM | "(" expr ")"
     agg       := AGGOP grouping? "(" expr ")"
                | ("topk" | "bottomk") "(" INT "," expr ")"
                | "quantile" grouping? "(" NUM "," expr ")"
@@ -123,8 +130,8 @@ class MathFunc:
 
 @dataclass
 class BinOp:
-    op: str  # / * + - > < >= <=
-    left: "Agg | Func | Selector | BinOp"
+    op: str  # / * + - > < >= <= and unless or
+    left: "Agg | Func | Selector | BinOp | float"
     right: "Agg | Func | Selector | BinOp | float"
 
 
@@ -133,6 +140,8 @@ def parse(text: str) -> "Agg | Func | Selector | BinOp":
     expr = _parse_binop(toks)
     if toks.peek() is not None:
         raise ValueError(f"trailing input: {toks.items[toks.pos:]}")
+    if isinstance(expr, float):
+        raise ValueError("expression is a bare scalar, not a vector")
     return expr
 
 
@@ -141,31 +150,46 @@ _BINOPS = {"/", "*", "+", "-"}
 # left sample where the comparison against the matched right sample holds)
 _CMPOPS = {">", "<", ">=", "<="}
 # set operators: `a and b` keeps left rows whose label key exists in
-# the right vector (semi join); `a unless b` is the complement (anti)
-_SETOPS = {"and", "unless"}
+# the right vector (semi join); `a unless b` is the complement (anti);
+# `a or b` is the union (left rows plus unmatched right rows)
+_SETOPS = {"and", "unless", "or"}
+
+# PromQL operator precedence (prometheus/promql/parser: * / bind
+# tightest, then + -, then comparisons, then and/unless, then or).
+# All supported operators are left-associative.
+_PREC = {
+    "or": 0,
+    "and": 1, "unless": 1,
+    ">": 2, "<": 2, ">=": 2, "<=": 2,
+    "+": 3, "-": 3,
+    "*": 4, "/": 4,
+}
+
+_NUM_RE = re.compile(r"\d+\.\d+|\d+")
 
 
-def _parse_binop(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
-    left = _parse_expr(toks)
-    while (
-        toks.peek() in _BINOPS
-        or toks.peek() in _CMPOPS
-        or toks.peek() in _SETOPS
-    ):
+def _parse_binop(
+    toks: _Tokens, min_prec: int = 0
+) -> "Agg | Func | Selector | BinOp | float":
+    left = _parse_operand(toks)
+    while True:
+        t = toks.peek()
+        if t not in _PREC or _PREC[t] < min_prec:
+            return left
         op = toks.next()
-        if op in _SETOPS:
-            left = BinOp(op, left, _parse_expr(toks))
-            continue
-        # scalar comparison: expr > NUM
-        nxt = toks.peek()
-        if op in _CMPOPS and nxt is not None and re.fullmatch(
-            r"\d+\.\d+|\d+", nxt
+        right = _parse_binop(toks, _PREC[op] + 1)  # left-assoc
+        if op in _SETOPS and (
+            isinstance(left, float) or isinstance(right, float)
         ):
-            left = BinOp(op, left, float(toks.next()))
-            continue
-        right = _parse_expr(toks)
+            raise ValueError(f"set operator {op!r} requires vector operands")
         left = BinOp(op, left, right)
-    return left
+
+
+def _parse_operand(toks: _Tokens) -> "Agg | Func | Selector | BinOp | float":
+    t = toks.peek()
+    if t is not None and _NUM_RE.fullmatch(t):
+        return float(toks.next())
+    return _parse_expr(toks)
 
 
 def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
@@ -329,7 +353,100 @@ def compile_expr(
 
     Output schemas: selector -> (series_id, ts_ms, value); range func ->
     (series_id, bucket_ms, value); agg -> (labels..., bucket_ms, value)
-    (or (series_id, value, rk) for topk)."""
+    (or (series_id, value, rk) for topk). Binary-op operands keyed by
+    series_id are resolved to their label columns (minus the metric
+    name) before matching — PromQL vector matching ignores __name__.
+
+    Identical subtrees compile to the SAME DataFrame object (per-call
+    memo), and the ratio-of-two-metrics shape (same range func + same
+    matchers, different metric) compiles both sides from ONE merged
+    selector scan, so Spark's ReusedExchange runs the scan + window
+    shuffle once."""
+    return _compile(expr, querier, mint_ms, maxt_ms, {})
+
+
+def _compile(
+    expr, querier: Querier, mint_ms, maxt_ms, cache: dict
+) -> DataFrame:
+    key = repr(expr)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    df = _compile_inner(expr, querier, mint_ms, maxt_ms, cache)
+    cache[key] = df
+    return df
+
+
+def _label_cols(querier: Querier) -> list[str]:
+    """Label columns of the series dim, excluding the metric name —
+    the PromQL matching key space (__name__ is ignored by vector
+    matching)."""
+    return [
+        c
+        for c in querier.series.columns
+        if c not in ("series_id", "metric", "__name__")
+    ]
+
+
+def _resolve_labels(df: DataFrame, querier: Querier) -> DataFrame:
+    """Replace series_id with the series' label columns (broadcast
+    dim join) so binop matching happens on label sets, not on
+    series_id (which hashes the FULL label set incl. __name__ and
+    never matches across metrics)."""
+    if "series_id" not in df.columns:
+        return df
+    lbls = _label_cols(querier)
+    dim = F.broadcast(querier.series.select("series_id", *lbls))
+    return df.join(dim, "series_id").drop("series_id")
+
+
+def _timecol(df: DataFrame) -> str | None:
+    for c in ("bucket_ms", "ts_ms"):
+        if c in df.columns:
+            return c
+    return None
+
+
+def _agg_over(inner: DataFrame, expr: Agg, querier: Querier) -> DataFrame:
+    """Label aggregation of a compiled inner vector (shared by the Agg
+    branch and the merged-scan binop rewrite)."""
+    label_cols = [c for c in querier.series.columns if c != "series_id"]
+    if expr.mode == "by":
+        by = [l for l in expr.labels if l in label_cols]
+    elif expr.mode == "without":
+        by = [c for c in label_cols if c not in set(expr.labels)]
+    else:
+        by = []
+    dim = F.broadcast(querier.series.select("series_id", *by))
+    joined = inner.join(dim, "series_id")
+    time_col = "bucket_ms" if "bucket_ms" in inner.columns else None
+    keys = by + ([time_col] if time_col else [])
+    aggs = {
+        "sum": F.round(F.sum("value"), promql.ROUND_SUM),
+        "avg": F.round(F.avg("value"), promql.ROUND_AVG),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "count": F.count(F.lit(1)).cast("double"),
+        "quantile": F.round(
+            F.percentile("value", F.lit(expr.q or 0.5)), promql.ROUND_AVG
+        ),
+    }
+    return joined.groupBy(*keys).agg(aggs[expr.op].alias("value"))
+
+
+def _ratio_shape(expr):
+    """(agg|None, func) when expr is Agg-over-range-Func or a bare
+    range Func; None otherwise."""
+    if isinstance(expr, Agg) and isinstance(expr.arg, Func):
+        return expr, expr.arg
+    if isinstance(expr, Func):
+        return None, expr
+    return None
+
+
+def _compile_inner(
+    expr, querier: Querier, mint_ms, maxt_ms, cache: dict
+) -> DataFrame:
     if isinstance(expr, Selector):
         matchers = list(expr.matchers)
         if expr.metric is not None:
@@ -343,53 +460,34 @@ def compile_expr(
             df = df.withColumn("ts_ms", F.col("ts_ms") + F.lit(expr.offset_ms))
         return df
     if isinstance(expr, Func):
-        sel = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
+        sel = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
         return _FUNC_IMPL[expr.name](sel, expr.arg.range_ms)
     if isinstance(expr, Agg):
         if expr.op in ("topk", "bottomk"):
-            inner = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
+            inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
             per_series = inner.groupBy("series_id").agg(
                 F.round(F.sum("value"), promql.ROUND_SUM).alias("value")
             )
             from pyspark.sql import Window
 
-            order = (
+            order = [
                 F.col("value").desc()
                 if expr.op == "topk"
-                else F.col("value").asc()
-            )
-            w = Window.orderBy(order, F.col("series_id").asc())
+                else F.col("value").asc(),
+                F.col("series_id").asc(),
+            ]
+            # orderBy().limit(k) -> TakeOrderedAndProject (distributed
+            # k-row heaps); the rank window only sees <=k rows
             return (
-                per_series.withColumn("rk", F.row_number().over(w))
-                .where(F.col("rk") <= (expr.k or 1))
+                per_series.orderBy(*order)
+                .limit(expr.k or 1)
+                .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
                 .select("series_id", "value", F.col("rk").cast("int").alias("rk"))
             )
-        inner = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
-        label_cols = [c for c in querier.series.columns if c != "series_id"]
-        if expr.mode == "by":
-            by = [l for l in expr.labels if l in label_cols]
-        elif expr.mode == "without":
-            by = [c for c in label_cols if c not in set(expr.labels)]
-        else:
-            by = []
-        dim = F.broadcast(querier.series.select("series_id", *by))
-        joined = inner.join(dim, "series_id")
-        time_col = "bucket_ms" if "bucket_ms" in inner.columns else None
-        keys = by + ([time_col] if time_col else [])
-        aggs = {
-            "sum": F.round(F.sum("value"), promql.ROUND_SUM),
-            "avg": F.round(F.avg("value"), promql.ROUND_AVG),
-            "min": F.min("value"),
-            "max": F.max("value"),
-            "count": F.count(F.lit(1)).cast("double"),
-            "quantile": F.round(
-                F.percentile("value", F.lit(expr.q or 0.5)), promql.ROUND_AVG
-            ),
-        }
-        out = joined.groupBy(*keys).agg(aggs[expr.op].alias("value"))
-        return out
+        inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
+        return _agg_over(inner, expr, querier)
     if isinstance(expr, MathFunc):
-        inner = compile_expr(expr.arg, querier, mint_ms, maxt_ms)
+        inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
         fns = {
             "abs": lambda v, s: F.abs(v),
             "clamp_min": lambda v, s: F.greatest(v, F.lit(s)),
@@ -401,49 +499,131 @@ def compile_expr(
             "value", fns[expr.name](F.col("value"), expr.scalar)
         )
     if isinstance(expr, BinOp):
-        cmps = {
-            ">": lambda a, b: a > b,
-            "<": lambda a, b: a < b,
-            ">=": lambda a, b: a >= b,
-            "<=": lambda a, b: a <= b,
-        }
-        l = compile_expr(expr.left, querier, mint_ms, maxt_ms)
-        if expr.op in ("and", "unless"):
-            r = compile_expr(expr.right, querier, mint_ms, maxt_ms)
-            keys = [c for c in l.columns if c != "value" and c in r.columns]
-            if not keys:
-                raise ValueError("set op operands share no matching labels")
-            how = "left_semi" if expr.op == "and" else "left_anti"
-            return l.join(r.select(*keys).distinct(), keys, how)
-        if expr.op in cmps and isinstance(expr.right, float):
-            # scalar comparison filters the vector, value unchanged
-            return l.where(cmps[expr.op](F.col("value"), F.lit(expr.right)))
-        r = compile_expr(expr.right, querier, mint_ms, maxt_ms)
-        keys = [c for c in l.columns if c != "value" and c in r.columns]
-        if not keys:
-            raise ValueError("binary op operands share no matching labels")
-        ops = {
-            "/": lambda a, b: F.when(b != 0, a / b),
-            "*": lambda a, b: a * b,
-            "+": lambda a, b: a + b,
-            "-": lambda a, b: a - b,
-        }
-        joined = l.withColumnRenamed("value", "_l").join(
-            r.withColumnRenamed("value", "_r"), keys
-        )
-        if expr.op in cmps:
-            # vector comparison: keep left rows where the matched right
-            # value satisfies the comparison; value = left's value
-            return joined.where(
-                cmps[expr.op](F.col("_l"), F.col("_r"))
-            ).select(*keys, F.col("_l").alias("value"))
-        return joined.select(
-            *keys,
-            F.round(
-                ops[expr.op](F.col("_l"), F.col("_r")), promql.ROUND_AVG
-            ).alias("value"),
-        )
+        return _compile_binop(expr, querier, mint_ms, maxt_ms, cache)
     raise TypeError(type(expr))
+
+
+_CMP_FNS = {
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+}
+_ARITH_FNS = {
+    "/": lambda a, b: F.when(b != 0, a / b),
+    "*": lambda a, b: a * b,
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+}
+
+
+def _merged_scan_sides(expr: BinOp, querier, mint_ms, maxt_ms, cache):
+    """The ratio-of-two-metrics rewrite: for `agg(f(a{m}[r])) OP
+    agg(f(b{m}[r]))` — same range func, same range/offset/matchers,
+    different metric — compile ONE selector over both metrics, run the
+    range func once, and split the result per metric with semi-joins.
+    The two sides then reference the same window subplan, so the scan
+    and its shuffle execute once (ReusedExchange). Returns (l, r)
+    DataFrames, or None when the shape doesn't match."""
+    shapes = (_ratio_shape(expr.left), _ratio_shape(expr.right))
+    if shapes[0] is None or shapes[1] is None:
+        return None
+    (agg_l, f_l), (agg_r, f_r) = shapes
+    sl, sr = f_l.arg, f_r.arg
+    if (
+        f_l.name != f_r.name
+        or sl.range_ms != sr.range_ms
+        or sl.offset_ms != sr.offset_ms
+        or sl.metric is None
+        or sr.metric is None
+        or sl.metric == sr.metric
+        or [repr(m) for m in sl.matchers] != [repr(m) for m in sr.matchers]
+    ):
+        return None
+    merged = Selector(
+        None,
+        list(sl.matchers)
+        + [Matcher("=~", "__name__", f"{sl.metric}|{sr.metric}")],
+        sl.range_ms,
+        sl.offset_ms,
+    )
+    base = _compile(Func(f_l.name, merged), querier, mint_ms, maxt_ms, cache)
+    sides = []
+    for metric, agg in ((sl.metric, agg_l), (sr.metric, agg_r)):
+        ids = querier.select_series([Matcher("=", "__name__", metric)])
+        side = base.join(ids, "series_id", "left_semi")
+        sides.append(_agg_over(side, agg, querier) if agg else side)
+    return sides[0], sides[1]
+
+
+def _compile_binop(
+    expr: BinOp, querier: Querier, mint_ms, maxt_ms, cache: dict
+) -> DataFrame:
+    lf, rf = isinstance(expr.left, float), isinstance(expr.right, float)
+    if lf and rf:
+        raise ValueError("scalar-scalar expressions are unsupported")
+    if lf or rf:
+        # scalar broadcast: comparison filters the vector (value kept),
+        # arithmetic maps the value column — operand order preserved
+        vec = _compile(
+            expr.right if lf else expr.left, querier, mint_ms, maxt_ms, cache
+        )
+        s = F.lit(expr.left if lf else expr.right)
+        v = F.col("value")
+        a, b = (s, v) if lf else (v, s)
+        if expr.op in _CMP_FNS:
+            return vec.where(_CMP_FNS[expr.op](a, b))
+        return vec.withColumn(
+            "value", F.round(_ARITH_FNS[expr.op](a, b), promql.ROUND_AVG)
+        )
+    merged = (
+        _merged_scan_sides(expr, querier, mint_ms, maxt_ms, cache)
+        if expr.op in _ARITH_FNS or expr.op in _CMP_FNS
+        else None
+    )
+    if merged is not None:
+        l, r = merged
+    else:
+        l = _compile(expr.left, querier, mint_ms, maxt_ms, cache)
+        r = _compile(expr.right, querier, mint_ms, maxt_ms, cache)
+    # PromQL vector matching ignores __name__: series_id (a hash of the
+    # FULL label set) never matches across metrics, so series-keyed
+    # operands are resolved to their label columns first.
+    if "series_id" in l.columns or "series_id" in r.columns:
+        l = _resolve_labels(l, querier)
+        r = _resolve_labels(r, querier)
+    lt, rt = _timecol(l), _timecol(r)
+    if lt != rt:
+        raise ValueError(
+            f"operands have mismatched time resolutions ({lt} vs {rt}); "
+            "aggregate both sides over the same range first"
+        )
+    keys = [c for c in l.columns if c != "value" and c in r.columns]
+    if not keys:
+        raise ValueError("binary op operands share no matching labels")
+    if expr.op in _SETOPS:
+        if expr.op == "or":
+            if set(l.columns) != set(r.columns):
+                raise ValueError("or-operands must have identical schemas")
+            extra = r.join(l.select(*keys).distinct(), keys, "left_anti")
+            return l.unionByName(extra)
+        how = "left_semi" if expr.op == "and" else "left_anti"
+        return l.join(r.select(*keys).distinct(), keys, how)
+    joined = l.withColumnRenamed("value", "_l").join(
+        r.withColumnRenamed("value", "_r"), keys
+    )
+    if expr.op in _CMP_FNS:
+        # vector comparison: keep left rows where the matched right
+        # value satisfies the comparison; value = left's value
+        return joined.where(
+            _CMP_FNS[expr.op](F.col("_l"), F.col("_r"))
+        ).select(*keys, F.col("_l").alias("value"))
+    return joined.select(
+        *keys,
+        F.round(
+            _ARITH_FNS[expr.op](F.col("_l"), F.col("_r")), promql.ROUND_AVG
+        ).alias("value"),
+    )
 
 
 def query(

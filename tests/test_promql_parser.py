@@ -210,3 +210,94 @@ def test_set_operators_and_unless(querier):
     assert {r.job: r.value for r in rest.collect()} == {
         j: v for j, v in vals.items() if v <= cut
     }
+
+
+def test_precedence_promql_levels():
+    # * binds tighter than +: a + b*c, not (a+b)*c
+    ast = pql.parse("a + b * c")
+    assert ast.op == "+" and isinstance(ast.right, pql.BinOp)
+    assert ast.right.op == "*"
+    # comparison binds looser than arithmetic
+    ast = pql.parse("a + b > c")
+    assert ast.op == ">" and ast.left.op == "+"
+    # set ops bind loosest; or below and
+    ast = pql.parse("a and b or c")
+    assert ast.op == "or" and ast.left.op == "and"
+    # explicit parens override
+    ast = pql.parse("(a + b) * c")
+    assert ast.op == "*" and ast.left.op == "+"
+
+
+def test_scalar_arithmetic_both_sides(querier):
+    base = {r.job: r.value
+            for r in pql.query(querier, "sum by (job) (event_error)").collect()}
+    double = {r.job: r.value
+              for r in pql.query(
+                  querier, "sum by (job) (event_error) * 2").collect()}
+    assert double == {j: round(v * 2, 6) for j, v in base.items()}
+    swapped = {r.job: r.value
+               for r in pql.query(
+                   querier, "100 - sum by (job) (event_error)").collect()}
+    assert swapped == {j: round(100 - v, 6) for j, v in base.items()}
+    with pytest.raises(ValueError, match="scalar-scalar"):
+        pql.query(querier, "1 + 2")
+
+
+def test_cross_metric_vector_matching(querier):
+    # label-set matching ignoring __name__: the canonical error/total
+    # ratio at series level must be non-empty and correct
+    df = pql.query(querier, "rate(event_error[1d]) / rate(event_click[1d])")
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "series_id" not in df.columns  # resolved to label columns
+    # spot-check one row against separately computed sides
+    err = pql.query(querier, "rate(event_error[1d])")
+    clk = pql.query(querier, "rate(event_click[1d])")
+    from agni_spark.functions.promql import ROUND_AVG
+    lbls = [c for c in df.columns if c not in ("bucket_ms", "value")]
+    want_err = {tuple([r[c] for c in lbls] + [r.bucket_ms]): r.value
+                for r in err.join(querier.series, "series_id").collect()}
+    want_clk = {tuple([r[c] for c in lbls] + [r.bucket_ms]): r.value
+                for r in clk.join(querier.series, "series_id").collect()}
+    for r in rows[:20]:
+        k = tuple([r[c] for c in lbls] + [r.bucket_ms])
+        assert k in want_err and k in want_clk
+        if want_clk[k] != 0:
+            assert r.value == round(want_err[k] / want_clk[k], ROUND_AVG)
+
+
+def test_or_set_operator(querier):
+    vals = {r.job: r.value
+            for r in pql.query(querier, "sum by (job) (event_error)").collect()}
+    cut = sorted(vals.values())[1]
+    # low-error jobs OR all jobs -> union fills back the dropped jobs
+    # (left value wins where both sides match)
+    merged = pql.query(
+        querier,
+        f"(sum by (job) (event_error) > {cut}) or sum by (job) (event_error)",
+    )
+    got = {r.job: r.value for r in merged.collect()}
+    assert got == vals
+    with pytest.raises(ValueError, match="requires vector operands"):
+        pql.parse("sum(a) or 5")
+
+
+def test_merged_scan_ratio_equivalence(querier):
+    # the shared-scan rewrite must produce the same result as compiling
+    # both sides independently
+    ratio = pql.query(
+        querier,
+        "sum by (job) (increase(event_error[1d]))"
+        " / sum by (job) (increase(event_click[1d]))",
+    )
+    num = {(r.job, r.bucket_ms): r.value
+           for r in pql.query(
+               querier, "sum by (job) (increase(event_error[1d]))").collect()}
+    den = {(r.job, r.bucket_ms): r.value
+           for r in pql.query(
+               querier, "sum by (job) (increase(event_click[1d]))").collect()}
+    from agni_spark.functions.promql import ROUND_AVG
+    got = {(r.job, r.bucket_ms): r.value for r in ratio.collect()}
+    want = {k: round(num[k] / den[k], ROUND_AVG)
+            for k in num if k in den and den[k] != 0}
+    assert got == want and len(got) > 0
