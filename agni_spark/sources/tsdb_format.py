@@ -13,12 +13,17 @@ format: vendor tsdb chunks/xor.go:134-389, chunks.go:196-258):
   3 padding), then per chunk: uvarint length, 1-byte encoding (1=XOR),
   data, CRC32 (Castagnoli) — vendor tsdb chunks.go:196-258. Chunk ref
   = segment_index << 32 | byte_offset (agni chunks.go:113-116).
-- Block index: a STRUCTURALLY equivalent but simplified layout vs
-  index v1 (vendor tsdb index.go:142-199): symbol table, series
-  section (symbol refs + chunk metas), postings — enough to ingest;
-  Spark-side querying never reads it (Catalyst + parquet stats replace
-  it, SURVEY §4.1). Full index-v1 byte parity is not required for the
-  converter because chunks carry all sample data.
+- Block index: the REAL index v1 binary layout (vendor tsdb
+  index.go:254-515 write side, 615-869 read side): header, symbol
+  table, series section (uvarint symbol refs + delta-coded chunk
+  metas), per-label value indices, postings lists (series FILE
+  offsets, BE32), two offset tables, and the 52-byte trailing TOC —
+  all sections CRC-32C framed. Series are stored in label-set order
+  and enumerated through the all-postings ("", "") entry, exactly as
+  Prometheus compaction writes them (compact.go:460-564). Spark-side
+  querying never reads the index (Catalyst + parquet stats replace it,
+  SURVEY §4.1) — it exists so the ingest tier reads/writes blocks that
+  real Prometheus tooling accepts.
 
 Everything here runs inside Arrow-batched Python workers
 (converter.py); nothing touches the driver loop.
@@ -361,8 +366,13 @@ def _read_uvarint_bytes(buf: bytes) -> tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
-# block index + meta (structural equivalent of index v1)
+# block index v1 (vendor tsdb index.go) — real byte layout
 # ---------------------------------------------------------------------------
+INDEX_MAGIC = 0xBAAAD700  # index.go:35 MagicIndex
+INDEX_V1 = 1
+_TOC_LEN = 6 * 8 + 4  # index.go:424 indexTOCLen
+
+
 @dataclass
 class ChunkMeta:
     """(ref, mint, maxt) — vendor tsdb chunks.go:34-43; ref =
@@ -373,60 +383,301 @@ class ChunkMeta:
     maxt: int
 
 
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _varint_bytes(v: int) -> bytes:
+    """Go binary.PutVarint (zigzag)."""
+    return _uvarint_bytes(((v << 1) ^ (v >> 63)) & _U64 if v >= 0 else ((-v) << 1) - 1)
+
+
+def _read_varint_bytes(buf: bytes) -> tuple[int, int]:
+    u, n = _read_uvarint_bytes(buf)
+    return (u >> 1) ^ -(u & 1), n
+
+
+def _labels_key(labels: dict[str, str]) -> tuple:
+    """labels.Compare order: pairwise (name, value), names sorted."""
+    return tuple(sorted(labels.items()))
+
+
 def write_index(
     path: str,
     series: list[tuple[dict[str, str], list[ChunkMeta]]],
 ) -> None:
-    """Symbol-interned series index with postings (structure of vendor
-    index.go: symbols -> series -> postings; simplified byte layout,
-    see module docstring)."""
+    """Write a real Prometheus index v1 file (byte layout per vendor
+    tsdb index.go:254-515):
+
+      magic BE32 | version 0x01
+      symbols:      BE32 len | BE32 count | (uvarint len + bytes)* | CRC32C
+      series (label-set order, offsets are the postings refs):
+                    uvarint len | uvarint #lbls (uvarint sym-off pairs)*
+                    | uvarint #chunks | delta-coded chunk metas | CRC32C
+      label index (per name, 4-aligned):
+                    BE32 len | BE32 #names | BE32 #values
+                    | BE32 sym-off* | CRC32C
+      postings (per pair + all-postings ("",""), 4-aligned):
+                    BE32 len | BE32 #refs | BE32 series-file-offset* | CRC32C
+      label offset table | postings offset table:
+                    BE32 len | BE32 #entries
+                    | (uvarint #keys, uvarint-str keys, uvarint offset)* | CRC32C
+      TOC (last 52 bytes): 6 x BE64 section offsets | CRC32C
+    """
+    entries = sorted(series, key=lambda e: _labels_key(e[0]))
     symbols = sorted(
-        {s for labels, _ in series for kv in labels.items() for s in kv}
+        {s for labels, _ in entries for kv in labels.items() for s in kv}
     )
-    sym_id = {s: i for i, s in enumerate(symbols)}
-    entries = []
-    for labels, chunks in series:
-        entries.append(
-            {
-                "labels": sorted(
-                    (sym_id[k], sym_id[v]) for k, v in labels.items()
-                ),
-                "chunks": [[c.ref, c.mint, c.maxt] for c in chunks],
-            }
-        )
-    postings: dict[str, list[int]] = {}
-    for sid, (labels, _) in enumerate(series):
-        for k, v in labels.items():
-            postings.setdefault(f"{sym_id[k]}:{sym_id[v]}", []).append(sid)
-    doc = {"symbols": symbols, "series": entries, "postings": postings}
-    blob = json.dumps(doc, separators=(",", ":")).encode()
+    buf = bytearray()
+    buf += struct.pack(">I", INDEX_MAGIC)
+    buf.append(INDEX_V1)
+
+    def section(b2: bytes) -> None:
+        buf.extend(struct.pack(">i", len(b2)))
+        buf.extend(b2)
+        buf.extend(struct.pack(">I", _crc32c(b2)))
+
+    def pad4() -> None:
+        buf.extend(bytes((4 - len(buf) % 4) % 4))
+
+    # -- symbols (index.go:326-357); offsets point at each uvarint len
+    toc_symbols = len(buf)
+    b2 = bytearray(struct.pack(">i", len(symbols)))
+    sym_off: dict[str, int] = {}
+    base = toc_symbols + 4
+    for s in symbols:
+        sym_off[s] = base + len(b2)
+        sb = s.encode()
+        b2 += _uvarint_bytes(len(sb)) + sb
+    section(bytes(b2))
+
+    # -- series (index.go:262-324); file offset IS the series ref
+    toc_series = len(buf)
+    series_offsets: list[int] = []
+    for labels, chunks in entries:
+        series_offsets.append(len(buf))
+        b2 = bytearray(_uvarint_bytes(len(labels)))
+        for n, v in sorted(labels.items()):
+            b2 += _uvarint_bytes(sym_off[n]) + _uvarint_bytes(sym_off[v])
+        b2 += _uvarint_bytes(len(chunks))
+        if chunks:
+            c0 = chunks[0]
+            b2 += _varint_bytes(c0.mint)
+            b2 += _uvarint_bytes((c0.maxt - c0.mint) & _U64)
+            b2 += _uvarint_bytes(c0.ref)
+            t0, ref0 = c0.maxt, c0.ref
+            for c in chunks[1:]:
+                b2 += _uvarint_bytes((c.mint - t0) & _U64)
+                b2 += _uvarint_bytes((c.maxt - c.mint) & _U64)
+                b2 += _varint_bytes(c.ref - ref0)
+                t0, ref0 = c.maxt, c.ref
+        buf.extend(_uvarint_bytes(len(b2)))
+        buf.extend(b2)
+        buf.extend(struct.pack(">I", _crc32c(bytes(b2))))
+
+    # -- label value indices (index.go:359-402), one per name
+    by_name: dict[str, set] = {}
+    by_pair: dict[tuple[str, str], list[int]] = {}
+    for i, (labels, _) in enumerate(entries):
+        for n, v in labels.items():
+            by_name.setdefault(n, set()).add(v)
+            by_pair.setdefault((n, v), []).append(series_offsets[i])
+    toc_label_indices = len(buf)
+    label_entries: list[tuple[list[str], int]] = []
+    for name in sorted(by_name):
+        pad4()
+        label_entries.append(([name], len(buf)))
+        vals = sorted(by_name[name])
+        b2 = struct.pack(">i", 1) + struct.pack(">i", len(vals))
+        b2 += b"".join(struct.pack(">I", sym_off[v]) for v in vals)
+        section(b2)
+
+    # -- postings (index.go:441-491): every pair + all-postings ("","")
+    # (postings.go:65,109 — memPostings adds each series to the empty
+    # key, which is how readers enumerate all series)
+    by_pair[("", "")] = list(series_offsets)
+    toc_postings = len(buf)
+    post_entries: list[tuple[list[str], int]] = []
+    for (n, v) in sorted(by_pair):
+        pad4()
+        post_entries.append(([n, v], len(buf)))
+        refs = sorted(by_pair[(n, v)])
+        b2 = struct.pack(">i", len(refs))
+        b2 += b"".join(struct.pack(">I", r) for r in refs)
+        section(b2)
+
+    # -- offset tables (index.go:405-422) + TOC (index.go:426-439)
+    def offset_table(table_entries: list[tuple[list[str], int]]) -> None:
+        b2 = bytearray(struct.pack(">i", len(table_entries)))
+        for keys, off in table_entries:
+            b2 += _uvarint_bytes(len(keys))
+            for k in keys:
+                kb = k.encode()
+                b2 += _uvarint_bytes(len(kb)) + kb
+            b2 += _uvarint_bytes(off)
+        section(bytes(b2))
+
+    toc_label_table = len(buf)
+    offset_table(label_entries)
+    toc_post_table = len(buf)
+    offset_table(post_entries)
+    tocb = struct.pack(
+        ">QQQQQQ",
+        toc_symbols, toc_series, toc_label_indices,
+        toc_label_table, toc_postings, toc_post_table,
+    )
+    buf.extend(tocb)
+    buf.extend(struct.pack(">I", _crc32c(tocb)))
     with open(path, "wb") as f:
-        f.write(struct.pack(">I", 0xBAAAD700))  # index magic, index.go
-        f.write(bytes([2]))  # our structural version
-        f.write(struct.pack(">I", _crc32c(blob)))
-        f.write(blob)
+        f.write(bytes(buf))
+
+
+def _read_section(b: bytes, off: int, verify: bool = True) -> bytes:
+    """BE32-length-framed section content at `off`, CRC-verified."""
+    (ln,) = struct.unpack(">i", b[off : off + 4])
+    content = b[off + 4 : off + 4 + ln]
+    if verify:
+        (crc,) = struct.unpack(">I", b[off + 4 + ln : off + 8 + ln])
+        if crc != _crc32c(content):
+            raise ValueError(f"index section CRC mismatch at {off}")
+    return content
+
+
+def _read_offset_table(b: bytes, off: int) -> dict[tuple, int]:
+    content = _read_section(b, off)
+    (cnt,) = struct.unpack(">i", content[:4])
+    pos, out = 4, {}
+    for _ in range(cnt):
+        nkeys, n = _read_uvarint_bytes(content[pos:])
+        pos += n
+        keys = []
+        for _ in range(nkeys):
+            ln, n = _read_uvarint_bytes(content[pos:])
+            pos += n
+            keys.append(content[pos : pos + ln].decode())
+            pos += ln
+        o, n = _read_uvarint_bytes(content[pos:])
+        pos += n
+        out[tuple(keys)] = o
+    return out
+
+
+def _read_symbols(b: bytes, off: int) -> dict[int, str]:
+    """offset -> string map (index.go:640-660: offsets address each
+    symbol's uvarint length prefix)."""
+    content = _read_section(b, off)
+    (cnt,) = struct.unpack(">i", content[:4])
+    pos, out = 4, {}
+    for _ in range(cnt):
+        sym_pos = off + 4 + pos
+        ln, n = _read_uvarint_bytes(content[pos:])
+        pos += n
+        out[sym_pos] = content[pos : pos + ln].decode()
+        pos += ln
+    return out
+
+
+def _read_series_at(
+    b: bytes, ref: int, symbols: dict[int, str]
+) -> tuple[dict[str, str], list[ChunkMeta]]:
+    """Decode one series entry at its file offset (index.go:779-847)."""
+    ln, n = _read_uvarint_bytes(b[ref:])
+    content = b[ref + n : ref + n + ln]
+    (crc,) = struct.unpack(">I", b[ref + n + ln : ref + n + ln + 4])
+    if crc != _crc32c(content):
+        raise ValueError(f"series entry CRC mismatch at {ref}")
+    pos = 0
+    nlbl, n = _read_uvarint_bytes(content)
+    pos += n
+    labels = {}
+    for _ in range(nlbl):
+        no, n = _read_uvarint_bytes(content[pos:])
+        pos += n
+        vo, n = _read_uvarint_bytes(content[pos:])
+        pos += n
+        labels[symbols[no]] = symbols[vo]
+    nchk, n = _read_uvarint_bytes(content[pos:])
+    pos += n
+    chunks: list[ChunkMeta] = []
+    if nchk:
+        mint, n = _read_varint_bytes(content[pos:])
+        pos += n
+        d, n = _read_uvarint_bytes(content[pos:])
+        pos += n
+        maxt = mint + d
+        ref0, n = _read_uvarint_bytes(content[pos:])
+        pos += n
+        chunks.append(ChunkMeta(ref0, mint, maxt))
+        t0 = maxt
+        for _ in range(nchk - 1):
+            d, n = _read_uvarint_bytes(content[pos:])
+            pos += n
+            mint = t0 + ((d + (1 << 63)) % (1 << 64) - (1 << 63))  # wrap like Go int64
+            d, n = _read_uvarint_bytes(content[pos:])
+            pos += n
+            maxt = mint + d
+            dref, n = _read_varint_bytes(content[pos:])
+            pos += n
+            ref0 += dref
+            t0 = maxt
+            chunks.append(ChunkMeta(ref0, mint, maxt))
+    return labels, chunks
+
+
+def _read_postings_at(b: bytes, off: int) -> list[int]:
+    content = _read_section(b, off)
+    (cnt,) = struct.unpack(">i", content[:4])
+    return list(struct.unpack(f">{cnt}I", content[4 : 4 + 4 * cnt]))
 
 
 def read_index(path: str) -> list[tuple[dict[str, str], list[ChunkMeta]]]:
+    """Read a Prometheus index v1 file: TOC -> symbols -> postings
+    offset table -> all-postings ("","") -> series entries, returned in
+    label-set order (the refs' natural order). Every consumed section
+    is CRC-32C verified (stricter than the Go reader, which TODOs its
+    checksum validation — index.go:625,687,844)."""
     with open(path, "rb") as f:
-        magic = struct.unpack(">I", f.read(4))[0]
-        if magic != 0xBAAAD700:
-            raise ValueError("bad index magic")
-        ver = f.read(1)[0]
-        if ver != 2:
-            raise ValueError(f"unsupported index version {ver}")
-        crc = struct.unpack(">I", f.read(4))[0]
-        blob = f.read()
-    if _crc32c(blob) != crc:
-        raise ValueError("index CRC mismatch")
-    doc = json.loads(blob)
-    symbols = doc["symbols"]
-    out = []
-    for e in doc["series"]:
-        labels = {symbols[k]: symbols[v] for k, v in e["labels"]}
-        chunks = [ChunkMeta(*c) for c in e["chunks"]]
-        out.append((labels, chunks))
-    return out
+        b = f.read()
+    if struct.unpack(">I", b[:4])[0] != INDEX_MAGIC:
+        raise ValueError("bad index magic")
+    if b[4] != INDEX_V1:
+        raise ValueError(f"unsupported index version {b[4]}")
+    toc = struct.unpack(">QQQQQQ", b[-_TOC_LEN:-4])
+    (crc,) = struct.unpack(">I", b[-4:])
+    if crc != _crc32c(b[-_TOC_LEN:-4]):
+        raise ValueError("index TOC CRC mismatch")
+    symbols = _read_symbols(b, toc[0])
+    ptable = _read_offset_table(b, toc[5])
+    all_off = ptable.get(("", ""))
+    refs = _read_postings_at(b, all_off) if all_off is not None else []
+    return [_read_series_at(b, ref, symbols) for ref in refs]
+
+
+def read_index_postings(path: str, name: str, value: str) -> list[int]:
+    """Postings lookup for one label pair -> series file offsets
+    (index.go:849-870). Empty when the pair is unindexed."""
+    with open(path, "rb") as f:
+        b = f.read()
+    toc = struct.unpack(">QQQQQQ", b[-_TOC_LEN:-4])
+    ptable = _read_offset_table(b, toc[5])
+    off = ptable.get((name, value))
+    return _read_postings_at(b, off) if off is not None else []
+
+
+def read_index_label_values(path: str, name: str) -> list[str]:
+    """Sorted label values for one name via the label value index
+    (index.go:731-761)."""
+    with open(path, "rb") as f:
+        b = f.read()
+    toc = struct.unpack(">QQQQQQ", b[-_TOC_LEN:-4])
+    symbols = _read_symbols(b, toc[0])
+    ltable = _read_offset_table(b, toc[3])
+    off = ltable.get((name,))
+    if off is None:
+        return []
+    content = _read_section(b, off)
+    ncols, nvals = struct.unpack(">ii", content[:8])
+    offs = struct.unpack(f">{ncols * nvals}I", content[8 : 8 + 4 * ncols * nvals])
+    return [symbols[o] for o in offs]
 
 
 def write_meta(path: str, ulid: str, mint: int, maxt: int, stats: dict, level: int = 1) -> None:

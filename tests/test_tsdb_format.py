@@ -161,3 +161,120 @@ def test_spark_distributed_ingest(spark, block_root):
     # decoded values survive the distributed path bit-exactly
     row = df.where("ts_ms = 15000").orderBy("labels_json").first()
     assert row.value in (1.0, 1001.0, 2001.0)
+
+
+# -- index v1 binary layout ---------------------------------------------------
+def _u(v):  # uvarint
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def test_index_v1_hand_built_fixture(tmp_path):
+    """Decode an index built BY HAND from the vendor spec (index.go
+    write side), independent of our writer: one series {a="b"} with one
+    chunk (ref=8, mint=0, maxt=99)."""
+    import struct
+
+    crc = tf._crc32c
+    buf = bytearray(struct.pack(">I", 0xBAAAD700) + bytes([1]))
+    # symbols section at 5: content = BE32 count + uvarint-len strings
+    toc_symbols = len(buf)
+    sym = bytearray(struct.pack(">i", 2))
+    off_a = toc_symbols + 4 + len(sym)
+    sym += _u(1) + b"a"
+    off_b = toc_symbols + 4 + len(sym)
+    sym += _u(1) + b"b"
+    buf += struct.pack(">i", len(sym)) + sym + struct.pack(">I", crc(bytes(sym)))
+    # series entry: uvarint total-len | content | crc
+    toc_series = len(buf)
+    series_ref = len(buf)
+    ent = bytearray()
+    ent += _u(1)              # one label
+    ent += _u(off_a) + _u(off_b)
+    ent += _u(1)              # one chunk
+    ent += _u(0 << 1)         # varint mint=0 (zigzag)
+    ent += _u(99)             # maxt - mint
+    ent += _u(8)              # chunk ref
+    buf += _u(len(ent)) + ent + struct.pack(">I", crc(bytes(ent)))
+    # label index for "a" (4-aligned)
+    buf += bytes((4 - len(buf) % 4) % 4)
+    toc_label_indices = len(buf)
+    li_off = len(buf)
+    li = struct.pack(">ii", 1, 1) + struct.pack(">I", off_b)
+    buf += struct.pack(">i", len(li)) + li + struct.pack(">I", crc(li))
+    # postings: ("","") all-postings and ("a","b"), 4-aligned, sorted
+    buf += bytes((4 - len(buf) % 4) % 4)
+    toc_postings = len(buf)
+    p_all_off = len(buf)
+    pl = struct.pack(">i", 1) + struct.pack(">I", series_ref)
+    buf += struct.pack(">i", len(pl)) + pl + struct.pack(">I", crc(pl))
+    buf += bytes((4 - len(buf) % 4) % 4)
+    p_ab_off = len(buf)
+    buf += struct.pack(">i", len(pl)) + pl + struct.pack(">I", crc(pl))
+    # label offset table
+    toc_ltable = len(buf)
+    lt = bytearray(struct.pack(">i", 1))
+    lt += _u(1) + _u(1) + b"a" + _u(li_off)
+    buf += struct.pack(">i", len(lt)) + lt + struct.pack(">I", crc(bytes(lt)))
+    # postings offset table: ("","") then ("a","b")
+    toc_ptable = len(buf)
+    pt = bytearray(struct.pack(">i", 2))
+    pt += _u(2) + _u(0) + _u(0) + _u(p_all_off)
+    pt += _u(2) + _u(1) + b"a" + _u(1) + b"b" + _u(p_ab_off)
+    buf += struct.pack(">i", len(pt)) + pt + struct.pack(">I", crc(bytes(pt)))
+    # TOC
+    tocb = struct.pack(
+        ">QQQQQQ", toc_symbols, toc_series, toc_label_indices,
+        toc_ltable, toc_postings, toc_ptable,
+    )
+    buf += tocb + struct.pack(">I", crc(tocb))
+
+    p = str(tmp_path / "index")
+    open(p, "wb").write(bytes(buf))
+    got = tf.read_index(p)
+    assert got == [({"a": "b"}, [tf.ChunkMeta(8, 0, 99)])]
+    assert tf.read_index_postings(p, "a", "b") == [series_ref]
+    assert tf.read_index_label_values(p, "a") == ["b"]
+
+
+def test_index_v1_roundtrip_multi_chunk_unsorted(tmp_path):
+    # writer must sort series into label-set order and delta-code
+    # multi-chunk metas (incl. a ref delta that goes BACKWARD)
+    entries = [
+        (
+            {"__name__": "up", "job": "web"},
+            [tf.ChunkMeta((1 << 32) | 500, 0, 49),
+             tf.ChunkMeta((1 << 32) | 90, 50, 99),   # ref decreases
+             tf.ChunkMeta((1 << 32) | 700, 100, 149)],
+        ),
+        ({"__name__": "up", "job": "api"}, [tf.ChunkMeta((1 << 32) | 8, 0, 99)]),
+    ]
+    p = str(tmp_path / "index")
+    tf.write_index(p, entries)
+    got = tf.read_index(p)
+    assert got == [entries[1], entries[0]]  # api sorts before web
+    assert tf.read_index_label_values(p, "job") == ["api", "web"]
+    assert tf.read_index_label_values(p, "nope") == []
+    # postings for job=web -> exactly the web series' file offset,
+    # and it resolves back to the right series
+    [ref] = tf.read_index_postings(p, "job", "web")
+    blob = open(p, "rb").read()
+    toc = __import__("struct").unpack(">QQQQQQ", blob[-52:-4])
+    syms = tf._read_symbols(blob, toc[0])
+    lbls, chks = tf._read_series_at(blob, ref, syms)
+    assert lbls["job"] == "web" and len(chks) == 3
+
+
+def test_index_v1_detects_corruption(tmp_path):
+    entries = [({"a": "b"}, [tf.ChunkMeta(8, 0, 9)])]
+    p = str(tmp_path / "index")
+    tf.write_index(p, entries)
+    blob = bytearray(open(p, "rb").read())
+    blob[-5] ^= 0xFF  # corrupt TOC bytes
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="CRC"):
+        tf.read_index(p)
