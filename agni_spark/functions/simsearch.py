@@ -120,7 +120,10 @@ def ivf_centroids(
                 F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cvec"),
             )
         )
-    return cents
+    # n_centroids rows, but with a Lloyd-round lineage (full assignment
+    # pass) — persist so the quantizer computes once however many
+    # branches (cells, probes, dedup sweep) reference it
+    return cents.persist()
 
 
 def _nearest_centroids(
@@ -262,9 +265,12 @@ def semantic_dedup_keep(
     rk = F.row_number().over(
         Window.partitionBy("centroid_id").orderBy("vec_id")
     )
+    # the assignment feeds BOTH pairwise sides and the final anti-join;
+    # persist it once (SemDeDup materializes cluster membership anyway —
+    # at scale this is the cells table you'd write partitioned)
     cells = cells.withColumn(
         "sub", ((rk - F.lit(1)) / F.lit(cell_cap)).cast("long")
-    )
+    ).persist()
     # Precompute each vector's norm ONCE; the pairwise stage then only
     # folds the dot product (2/3 less per-pair expression work than
     # recomputing both norms per pair). sqrt(na)*sqrt(nb) differs from

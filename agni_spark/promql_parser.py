@@ -556,6 +556,90 @@ def _merged_scan_sides(expr: BinOp, querier, mint_ms, maxt_ms, cache):
     return sides[0], sides[1]
 
 
+def _merged_pivot_binop(
+    expr: BinOp, querier: Querier, mint_ms, maxt_ms, cache: dict
+) -> DataFrame | None:
+    """Strongest form of the ratio rewrite: when BOTH sides aggregate
+    identically (same op/by-labels) over the same range func and the
+    selectors differ only in metric, the whole binop collapses into ONE
+    groupBy — conditional aggregates per metric in a single shuffle,
+    no vector-vector join at all. Inner-join semantics preserved by
+    dropping groups where either side aggregated zero rows (null)."""
+    shapes = (_ratio_shape(expr.left), _ratio_shape(expr.right))
+    if shapes[0] is None or shapes[1] is None:
+        return None
+    (agg_l, f_l), (agg_r, f_r) = shapes
+    if agg_l is None or agg_r is None:
+        return None
+    if (
+        agg_l.op != agg_r.op
+        or agg_l.mode != agg_r.mode
+        or agg_l.labels != agg_r.labels
+        or agg_l.op in ("count", "topk", "bottomk")
+        or agg_l.mode == "without"
+        or agg_l.q != agg_r.q
+    ):
+        return None
+    sl, sr = f_l.arg, f_r.arg
+    if (
+        f_l.name != f_r.name
+        or sl.range_ms != sr.range_ms
+        or sl.offset_ms != sr.offset_ms
+        or sl.metric is None
+        or sr.metric is None
+        or sl.metric == sr.metric
+        or [repr(m) for m in sl.matchers] != [repr(m) for m in sr.matchers]
+    ):
+        return None
+    mcol = "metric" if "metric" in querier.series.columns else "__name__"
+    by = [
+        l
+        for l in agg_l.labels
+        if l in querier.series.columns and l != "series_id"
+    ]
+    if mcol in by:
+        return None
+    merged = Selector(
+        None,
+        list(sl.matchers)
+        + [Matcher("=~", "__name__", f"{sl.metric}|{sr.metric}")],
+        sl.range_ms,
+        sl.offset_ms,
+    )
+    base = _compile(Func(f_l.name, merged), querier, mint_ms, maxt_ms, cache)
+    dim = F.broadcast(querier.series.select("series_id", mcol, *by))
+    joined = base.join(dim, "series_id")
+    aggs = {
+        "sum": lambda c: F.round(F.sum(c), promql.ROUND_SUM),
+        "avg": lambda c: F.round(F.avg(c), promql.ROUND_AVG),
+        "min": F.min,
+        "max": F.max,
+        "quantile": lambda c: F.round(
+            F.percentile(c, F.lit(agg_l.q or 0.5)), promql.ROUND_AVG
+        ),
+    }
+    agg_of = aggs[agg_l.op]
+    side = lambda m: agg_of(  # noqa: E731
+        F.when(F.col(mcol) == m, F.col("value"))
+    )
+    keys = by + ["bucket_ms"]
+    out = (
+        joined.groupBy(*keys)
+        .agg(side(sl.metric).alias("_l"), side(sr.metric).alias("_r"))
+        .where(F.col("_l").isNotNull() & F.col("_r").isNotNull())
+    )
+    if expr.op in _CMP_FNS:
+        return out.where(_CMP_FNS[expr.op](F.col("_l"), F.col("_r"))).select(
+            *keys, F.col("_l").alias("value")
+        )
+    return out.select(
+        *keys,
+        F.round(
+            _ARITH_FNS[expr.op](F.col("_l"), F.col("_r")), promql.ROUND_AVG
+        ).alias("value"),
+    )
+
+
 def _compile_binop(
     expr: BinOp, querier: Querier, mint_ms, maxt_ms, cache: dict
 ) -> DataFrame:
@@ -576,11 +660,13 @@ def _compile_binop(
         return vec.withColumn(
             "value", F.round(_ARITH_FNS[expr.op](a, b), promql.ROUND_AVG)
         )
-    merged = (
-        _merged_scan_sides(expr, querier, mint_ms, maxt_ms, cache)
-        if expr.op in _ARITH_FNS or expr.op in _CMP_FNS
-        else None
-    )
+    if expr.op in _ARITH_FNS or expr.op in _CMP_FNS:
+        pivot = _merged_pivot_binop(expr, querier, mint_ms, maxt_ms, cache)
+        if pivot is not None:
+            return pivot
+        merged = _merged_scan_sides(expr, querier, mint_ms, maxt_ms, cache)
+    else:
+        merged = None
     if merged is not None:
         l, r = merged
     else:

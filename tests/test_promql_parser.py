@@ -301,3 +301,23 @@ def test_merged_scan_ratio_equivalence(querier):
     want = {k: round(num[k] / den[k], ROUND_AVG)
             for k in num if k in den and den[k] != 0}
     assert got == want and len(got) > 0
+
+
+def test_merged_sides_split_differing_aggs(querier):
+    # differing agg ops disqualify the single-groupBy pivot but still
+    # take the shared-scan sides-split path; results must match
+    # independently compiled sides
+    expr = (
+        "sum by (job) (increase(event_error[1d]))"
+        " - avg by (job) (increase(event_click[1d]))"
+    )
+    got = {(r.job, r.bucket_ms): r.value for r in pql.query(querier, expr).collect()}
+    s = {(r.job, r.bucket_ms): r.value
+         for r in pql.query(
+             querier, "sum by (job) (increase(event_error[1d]))").collect()}
+    a = {(r.job, r.bucket_ms): r.value
+         for r in pql.query(
+             querier, "avg by (job) (increase(event_click[1d]))").collect()}
+    from agni_spark.functions.promql import ROUND_AVG
+    want = {k: round(s[k] - a[k], ROUND_AVG) for k in s if k in a}
+    assert got == want and len(got) > 0
