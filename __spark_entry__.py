@@ -259,6 +259,11 @@ def _q_promql_agg_over_time(spark: SparkSession, sf: str) -> DataFrame:
     return promql.agg_over_time(q.samples, H6_MS).orderBy("series_id", "bucket_ms")
 
 
+def _q_promql_ext_over_time(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.ext_over_time(q.samples, H6_MS).orderBy("series_id", "bucket_ms")
+
+
 def _q_promql_sum_by(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     return promql.aggregate_by(q.samples, q.series, ["job", "env"], DAY_MS).orderBy(
@@ -746,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_rate": _q_promql_rate,
         "promql_delta": _q_promql_delta,
         "promql_agg_over_time": _q_promql_agg_over_time,
+        "promql_ext_over_time": _q_promql_ext_over_time,
         "promql_sum_by": _q_promql_sum_by,
         "promql_topk": _q_promql_topk,
         "promql_instant": _q_promql_instant,
@@ -782,6 +788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
         "tpch_q4_order_priority": lambda s, d: relational.q4_order_priority(s, d),
         "tpch_q14_promotion": lambda s, d: relational.q14_promotion_revenue(s, d),
+        "tpch_q7_volume_shipping": lambda s, d: relational.q7_volume_shipping(s, d),
+        "tpch_q8_market_share": lambda s, d: relational.q8_market_share(s, d),
+        "tpch_q9_product_revenue": lambda s, d: relational.q9_product_type_revenue(s, d),
+        "tpch_q13_customer_distribution": lambda s, d: relational.q13_customer_distribution(s, d),
+        "tpch_q17_small_quantity": lambda s, d: relational.q17_small_quantity_revenue(s, d),
+        "tpch_q18_large_volume": lambda s, d: relational.q18_large_volume_customers(s, d),
+        "tpch_q22_sales_opportunity": lambda s, d: relational.q22_sales_opportunity(s, d),
         "events_funnel": lambda s, d: relational.events_funnel(s, d),
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
         "text_doc_stats": _q_text_doc_stats,
@@ -1284,6 +1297,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n "
             "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "promql_ext_over_time": q(
+            "SELECT series_id, "
+            "CAST(ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms, "
+            "(max(struct_pack(t := ts_ms, v := value))).v AS last_value, "
+            "round(stddev_pop(value), 6) AS stddev_value, "
+            "round(var_pop(value), 6) AS stdvar_value, "
+            "1.0 AS present "
+            "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "promql_sum_by": q(
             "SELECT sr.job, sr.env, "
             "CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
@@ -1688,6 +1710,97 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
             "AND l_shipdate < TIMESTAMP '1996-10-01'"
+        ),
+        "tpch_q7_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS INT) AS l_year, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+            "FROM lineitem l "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+            "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+            "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "tpch_q8_market_share": (
+            "SELECT CAST(year(o.o_orderdate) AS INT) AS o_year, "
+            "round(sum(CASE WHEN n1.n_name = 'NATION_3' "
+            "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) "
+            "/ sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY' "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = n2.n_regionkey "
+            "AND r.r_name = 'ASIA' "
+            "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q9_product_revenue": (
+            "SELECT n.n_name AS nation, "
+            "CAST(year(o.o_orderdate) AS INT) AS o_year, "
+            "CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) "
+            "AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "AND p.p_name LIKE '%widget%' "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+        ),
+        "tpch_q13_customer_distribution": (
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+            "GROUP BY 1) "
+            "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+        ),
+        "tpch_q17_small_quantity": (
+            "SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "AND p.p_brand = 'Brand#13' "
+            "JOIN (SELECT l2.l_partkey, avg(l2.l_quantity) * 0.2 AS qty_lim "
+            "FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey "
+            "AND p2.p_brand = 'Brand#13' GROUP BY 1) t "
+            "ON t.l_partkey = l.l_partkey "
+            "WHERE l.l_quantity < t.qty_lim"
+        ),
+        "tpch_q18_large_volume": (
+            "SELECT c.c_name, c.c_custkey, o.o_orderkey, "
+            "o.o_orderdate, round(o.o_totalprice, 2) AS o_totalprice, "
+            "t.total_qty "
+            "FROM orders o "
+            "JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+            "FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) t "
+            "ON t.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey "
+            "LIMIT 100"
+        ),
+        "tpch_q22_sales_opportunity": (
+            "SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust, "
+            "round(sum(c.c_acctbal), 2) AS totacctbal "
+            "FROM customer c "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+            "WHERE c_acctbal > 0.0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "events_funnel": (
             "WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type "

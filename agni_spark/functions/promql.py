@@ -106,6 +106,21 @@ def agg_over_time(samples: DataFrame, bucket_ms: int) -> DataFrame:
     )
 
 
+def ext_over_time(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """The rest of the over_time family per (series, bucket):
+    last_over_time (value at max timestamp; deterministic via struct
+    max with value tie-break — the same lexicographic comparison DuckDB
+    applies to struct_pack), stddev/stdvar_over_time (population, as
+    Prometheus defines them), present_over_time. One shuffle with
+    map-side partial aggregation, like agg_over_time."""
+    return samples.groupBy("series_id", bucket_start(bucket_ms)).agg(
+        F.max(F.struct("ts_ms", "value")).getField("value").alias("last_value"),
+        F.round(F.stddev_pop("value"), ROUND_AVG).alias("stddev_value"),
+        F.round(F.var_pop("value"), ROUND_AVG).alias("stdvar_value"),
+        F.lit(1.0).alias("present"),
+    )
+
+
 def aggregate_by(
     samples: DataFrame,
     series: DataFrame,

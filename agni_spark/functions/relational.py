@@ -338,3 +338,272 @@ def events_funnel(spark: SparkSession, sf_dir: str, gap_ms: int = 86_400_000) ->
         .crossJoin(first_click.select(F.count(F.lit(1)).alias("n_clicked")))
         .crossJoin(converted.select(F.count(F.lit(1)).alias("n_converted")))
     )
+
+
+def q7_volume_shipping(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year. The
+    supplier/customer nation dims broadcast; lineitem joins orders via
+    shuffle on l_orderkey (the single fact-fact join); the nation-pair
+    predicate applies post-join on two tiny broadcast-joined columns."""
+    nation = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
+    _li = load(spark, sf_dir, "lineitem")
+    li = _li.withColumn("l_shipdate_ts", ts_col(_li, "l_shipdate"))
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    return (
+        li.where((F.col("l_shipdate_ts") >= lo) & (F.col("l_shipdate_ts") < hi))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate_ts").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    nation: str = "NATION_3",
+    region: str = "ASIA",
+    ptype: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8: a nation's market share within a region for one part
+    type, by order year. part/supplier/customer-region dims broadcast;
+    the one shuffle is lineitem joining the order-side fact on
+    l_orderkey; the share is a conditional-aggregate ratio (single
+    groupBy, no self-join)."""
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == ptype).select(
+        "p_partkey"
+    )
+    nat = load(spark, sf_dir, "nation")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == region)
+    cust_r = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    _ord = load(spark, sf_dir, "orders")
+    orders = (
+        _ord.withColumn("o_orderdate_ts", ts_col(_ord, "o_orderdate"))
+        .where(
+            (F.col("o_orderdate_ts") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate_ts") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust_r), F.col("o_custkey") == cust_r.c_custkey)
+        .select("o_orderkey", F.year("o_orderdate_ts").cast("int").alias("o_year"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == nation, vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_type_revenue(
+    spark: SparkSession, sf_dir: str, token: str = "widget"
+) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp/ps_supplycost in the testdata, so
+    revenue stands in for profit): revenue by supplier nation and order
+    year over parts whose name contains `token`. Same join topology as
+    the real Q9 minus the partsupp branch."""
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(token))
+        .select("p_partkey")
+    )
+    nat = load(spark, sf_dir, "nation")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    _ord = load(spark, sf_dir, "orders")
+    orders = _ord.withColumn("o_orderdate_ts", ts_col(_ord, "o_orderdate")).select(
+        "o_orderkey", F.year("o_orderdate_ts").cast("int").alias("o_year")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    # decimal accumulation: these groups sum MANY terms (no date
+    # filter), so order-dependent double summation can straddle a
+    # 2dp rounding boundary; summing exact decimals is engine- and
+    # order-independent
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts. orders
+    aggregates on o_custkey (one shuffle), customers left-join the
+    counts to keep zero-order customers; the final histogram groupBy
+    is tiny."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    ocounts = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_cust = cust.join(
+        ocounts, cust.c_custkey == ocounts.o_custkey, "left"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#13"
+) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) were not filled. The
+    correlated subquery becomes a per-part aggregate broadcast back
+    onto the brand-filtered lineitem slice — no row-at-a-time
+    re-evaluation. Quantities are integral so the per-part averages are
+    exact (integer sums) on every engine."""
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == brand).select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == part.p_partkey
+    )
+    lim = li.groupBy("p_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_lim")
+    ).withColumnRenamed("p_partkey", "lim_partkey")
+    return (
+        li.join(F.broadcast(lim), F.col("p_partkey") == F.col("lim_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str, threshold: float = 300.0, k: int = 100
+) -> DataFrame:
+    """TPC-H Q18: customers with orders whose total quantity exceeds
+    `threshold`. lineitem aggregates once on l_orderkey (exact integer
+    sums); the surviving big-order set is tiny -> broadcast onto
+    orders; customer dim broadcast; TakeOrderedAndProject for the
+    limit."""
+    big = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > threshold)
+    )
+    _ord = load(spark, sf_dir, "orders")
+    orders = _ord.withColumn("o_orderdate_ts", ts_col(_ord, "o_orderdate"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate_ts").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def q22_sales_opportunity(
+    spark: SparkSession, sf_dir: str, recent: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 adapted (no c_phone in the testdata, so nation stands
+    in for the phone country code, and "no orders" becomes "no orders
+    since `recent`" — this testdata has no order-less customers): count
+    + balance of above-average-balance customers with no recent orders,
+    by nation. The global average is a 1-row broadcast cross join
+    (scalar subquery); the no-recent-orders test is a left-anti join on
+    the date-filtered orders custkey projection (filter pushed to the
+    scan)."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("abal")
+    )
+    _ord = load(spark, sf_dir, "orders")
+    recent_orders = (
+        _ord.withColumn("o_orderdate_ts", ts_col(_ord, "o_orderdate"))
+        .where(F.col("o_orderdate_ts") >= F.lit(recent).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("abal"))
+        .join(recent_orders, cust.c_custkey == recent_orders.o_custkey, "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
