@@ -521,6 +521,57 @@ def _q_streaming_increase(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream(spark, sf, streaming.streaming_increase).orderBy("series_id")
 
 
+def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # dedup on the full row (deterministic regardless of arrival order);
+    # the huge watermark keeps state over the whole replay so the
+    # availableNow run equals SELECT DISTINCT
+    return _run_stream(
+        spark,
+        sf,
+        lambda s: streaming.streaming_dedup(
+            s, watermark="3650 days", keys=["series_id", "ts_ms", "value"]
+        ),
+    ).orderBy("series_id", "ts_ms", "value")
+
+
+def _q_streaming_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # stream-stream interval join over the events table split by type;
+    # huge watermark -> equal to the batch interval join
+    import tempfile
+
+    tune_session(spark)
+    ev = dm.load(spark, sf, "events").select(
+        "user_id", "event_id", dm.ns_to_ms("ts").alias("ts_ms"), "value",
+        "event_type",
+    )
+    tmp = tempfile.mkdtemp(prefix="agni_attr_")
+    ev.where(F.col("event_type") == "click").drop("event_type").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/clicks")
+    ev.where(F.col("event_type") == "purchase").drop("event_type").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/purchases")
+    schema = "user_id long, event_id long, ts_ms long, value double"
+    clicks = spark.readStream.schema(schema).parquet(f"{tmp}/clicks")
+    purchases = spark.readStream.schema(schema).parquet(f"{tmp}/purchases")
+    out = streaming.streaming_attribution_join(
+        clicks, purchases, within="1 hour", watermark="3650 days"
+    )
+    import uuid
+
+    name = "s" + uuid.uuid4().hex
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     tune_session(spark)
     return dm.load(spark, sf, "documents")
@@ -781,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_label_join": _q_promql_label_join,
         "streaming_windowed_sum": _q_streaming_windowed_sum,
         "streaming_increase": _q_streaming_increase,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_attribution": _q_streaming_attribution,
         "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
         "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
@@ -1615,6 +1668,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT series_id, ts_ms, value, lag(value) OVER "
             "(PARTITION BY series_id ORDER BY ts_ms, value) AS prev FROM samples) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # full-row dedup with an effectively-infinite watermark ->
+        # equals SELECT DISTINCT over the replayed history
+        "streaming_dedup": q(
+            "SELECT DISTINCT series_id, ts_ms, value FROM samples "
+            "ORDER BY series_id, ts_ms, value"
+        ),
+        "streaming_attribution": (
+            "SELECT c.user_id, c.event_id AS click_id, "
+            "p.event_id AS purchase_id, epoch_ms(c.ts) AS click_ms, "
+            "epoch_ms(p.ts) AS purchase_ms, p.value "
+            "FROM events c JOIN events p ON c.user_id = p.user_id "
+            "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND epoch_ms(p.ts) > epoch_ms(c.ts) "
+            "AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 3600000 "
+            "ORDER BY 1, 2, 3"
         ),
         "promql_absent": q(
             f", spine AS (SELECT s.series_id, "

@@ -122,6 +122,66 @@ def streaming_increase(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Exactly-once sample dedup at the stream edge: drop repeated
+    `keys` rows (default (series_id, ts_ms)) — remote-write retries and
+    at-least-once producers send them — keeping state only within the
+    watermark, so state size is bounded by the late-data horizon
+    instead of growing forever. The streaming twin of
+    querier.merge_on_read."""
+    with_ts = stream.withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("ts", watermark)
+    return with_ts.dropDuplicatesWithinWatermark(
+        keys or ["series_id", "ts_ms"]
+    ).select("series_id", "ts_ms", "value")
+
+
+def streaming_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    clicks by the same user within `within` before it — the streaming
+    twin of relational.events_funnel's click->purchase step. Both sides
+    are watermarked so join state expires once the interval + watermark
+    horizon passes (bounded state, the 100 TB requirement for infinite
+    streams). Event-time range predicate -> Spark's stream-stream
+    inner join with state cleanup."""
+    c = (
+        clicks.withColumn("click_ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("click_ts", watermark)
+        .select("user_id", F.col("event_id").alias("click_id"), "click_ts")
+    )
+    p = (
+        purchases.withColumn("purchase_ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("purchase_ts", watermark)
+        .select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            "purchase_ts", "value",
+        )
+    )
+    return c.join(
+        p,
+        (c.user_id == p.user_id)
+        & (p.purchase_ts > c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {within}")),
+    ).select(
+        c.user_id.alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_millis("click_ts").alias("click_ms"),
+        F.unix_millis("purchase_ts").alias("purchase_ms"),
+        "value",
+    )
+
+
 def streaming_sessionize(
     stream: DataFrame,
     gap: str = "30 minutes",

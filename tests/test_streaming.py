@@ -133,3 +133,82 @@ def test_streaming_sessionize(spark, tmp_path):
         (0, 40 * m): (2, 3.0),
         (60 * m, 90 * m): (1, 4.0),
     }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+
+    dest = str(tmp_path / "dest")
+
+    def run(_name):
+        # parquet sink: unlike the memory sink it supports resuming
+        # from the checkpoint, which is what run 2 exercises
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = streaming.streaming_dedup(stream, "1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.series_id, r.ts_ms, r.value)
+            for r in spark.read.parquet(dest).collect()
+        )
+
+    m = 60_000
+    # run 1: duplicate (series, ts) inside one batch (at-least-once
+    # producer); timestamps start above the initial watermark (0) and
+    # stay within the 1h horizon of the max
+    _write_src(
+        spark, src,
+        [(1, 10 * m, 1.0), (1, 10 * m, 1.0), (1, 11 * m, 2.0), (1, 30 * m, 3.0)],
+    )
+    assert run("dd_run1") == [
+        (1, 10 * m, 1.0), (1, 11 * m, 2.0), (1, 30 * m, 3.0)
+    ]
+    # run 2 (same checkpoint -> dedup state survives): a replay of an
+    # old row is dropped, only the genuinely new row lands in the sink
+    _write_src(spark, src, [(1, 11 * m, 2.0), (1, 40 * m, 4.0)])
+    assert run("dd_run2") == [
+        (1, 10 * m, 1.0), (1, 11 * m, 2.0), (1, 30 * m, 3.0),
+        (1, 40 * m, 4.0),
+    ]
+
+
+def test_streaming_attribution_join(spark, tmp_path):
+    ev_schema = "user_id long, event_id long, ts_ms long, value double"
+    m = 60_000
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    spark.createDataFrame(
+        [(1, 10, 10 * m, 0.0), (1, 11, 30 * m, 0.0), (2, 12, 10 * m, 0.0),
+         (1, 13, 500 * m, 0.0)],  # advances click watermark
+        ev_schema,
+    ).coalesce(1).write.parquet(csrc)
+    spark.createDataFrame(
+        # user 1 purchase 40m (within 1h of both clicks), user 2 at 90m
+        # (outside 1h of their click at 10m)
+        [(1, 20, 40 * m, 5.0), (2, 21, 90 * m, 7.0),
+         (2, 22, 500 * m, 0.0)],  # advances purchase watermark
+        ev_schema,
+    ).coalesce(1).write.parquet(psrc)
+    clicks = spark.readStream.schema(ev_schema).parquet(csrc)
+    purchases = spark.readStream.schema(ev_schema).parquet(psrc)
+    out = streaming.streaming_attribution_join(clicks, purchases, "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted((r.user_id, r.click_id, r.purchase_id)
+                  for r in spark.table("attr_test").collect())
+    # purchase 20 attributes to clicks 10 AND 11 (both within 1h
+    # before); user 2's purchase at 90m matches nothing
+    assert rows == [(1, 10, 20), (1, 11, 20)]
