@@ -181,25 +181,42 @@ def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 4, rows: int = 4
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidates.
-    bands*rows must equal the signature width. Join is per-band on the
-    band-bucket key — never all-pairs."""
-    cands = None
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        bucketed = sigs.select("doc_id", key.alias("bucket"))
-        x = bucketed.alias("x")
-        y = bucketed.alias("y")
-        pair = (
-            x.join(y, "bucket")
-            .where(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
+    bands*rows must equal the signature width. All bands explode into
+    one (band, bucket) table and candidates come from a SINGLE
+    self-join on the composite key — one shuffle of bands*n rows
+    instead of `bands` separate joins + union (same output; distinct
+    dedupes docs colliding in multiple bands)."""
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("bucket"),
             )
+            for b in range(bands)
+        ]
+    )
+    bucketed = sigs.select("doc_id", F.explode(keys).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    x = bucketed.alias("x")
+    y = bucketed.alias("y")
+    return (
+        x.join(y, ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
         )
-        cands = pair if cands is None else cands.unionByName(pair)
-    return cands.distinct()
+        .distinct()
+    )
 
 
 def minhash_dedup_pairs(

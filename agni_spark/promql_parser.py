@@ -455,7 +455,10 @@ def _compile_inner(
         # evaluation time — bounds shift back, timestamps shift forward
         lo = mint_ms - expr.offset_ms if mint_ms is not None else None
         hi = maxt_ms - expr.offset_ms if maxt_ms is not None else None
-        df = querier.select(matchers, mint_ms=lo, maxt_ms=hi)
+        # sort=False: every downstream op (window, groupBy) hash-
+        # partitions on series_id — the sorted-output contract would be
+        # a wasted extra range shuffle here
+        df = querier.select(matchers, mint_ms=lo, maxt_ms=hi, sort=False)
         if expr.offset_ms:
             df = df.withColumn("ts_ms", F.col("ts_ms") + F.lit(expr.offset_ms))
         return df

@@ -100,6 +100,7 @@ class Querier:
         maxt_ms: int | None = None,
         with_labels: bool = False,
         broadcast_series: bool = True,
+        sort: bool = True,
     ) -> DataFrame:
         """Time-range + matcher selection over samples.
 
@@ -109,6 +110,12 @@ class Querier:
         Result is sorted (series_id, ts_ms) — the reference's output
         contract: series in label-set order (series_id is assigned in
         label-sorted order), samples in time order (querier.go:314-328).
+
+        `sort=False` skips the global range-partition sort for
+        INTERNAL consumers (the PromQL compute tier) whose next step is
+        a hash-partitioned window or aggregation on series_id anyway —
+        at scale the output sort is a full extra shuffle the window
+        immediately redoes. Serving paths keep the sorted contract.
         """
         matchers = list(matchers)
         df = self.samples
@@ -134,7 +141,7 @@ class Querier:
             df = df.drop("_ts_ns")
         if with_labels:
             df = df.join(self.series, "series_id", "left")
-        return df.orderBy("series_id", "ts_ms")
+        return df.orderBy("series_id", "ts_ms") if sort else df
 
     # -- label introspection (M4/M5, querier.go:48-73) ---------------------
     def label_values(
