@@ -772,11 +772,58 @@ def _q_e1_tsdb_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_e2_tsdb_export(spark: SparkSession, sf: str) -> DataFrame:
+    """E-tier export round-trip: samples -> DISTRIBUTED TSDB block
+    export (one v1 block per 2h window, written by applyInPandas
+    workers) -> distributed re-ingest -> per-block aggregate. The
+    inverse of e1: proves the store can materialize blocks real
+    Prometheus tooling reads."""
+    import tempfile
+
+    from agni_spark.sources import converter
+
+    q = _querier(spark, sf)
+    bid = (F.col("ts_ms") / dm.BLOCK_MS).cast("long")
+    first3 = [
+        r.block_id
+        for r in q.samples.select(bid.alias("block_id"))
+        .distinct()
+        .orderBy("block_id")
+        .limit(3)
+        .collect()
+    ]
+    sub = q.samples.where(bid.isin(first3)).select(
+        F.to_json(
+            F.struct(F.col("series_id").cast("string").alias("sid"))
+        ).alias("labels_json"),
+        "ts_ms",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="agni_export_")
+    converter.spark_write_tsdb_blocks(sub, root, block_ms=dm.BLOCK_MS).collect()
+    ingested = converter.spark_read_tsdb_blocks(spark, root, level=1)
+    return (
+        ingested.select(
+            F.get_json_object("labels_json", "$.sid").cast("long").alias("series_id"),
+            "ts_ms",
+            "value",
+        )
+        .groupBy((F.col("ts_ms") / dm.BLOCK_MS).cast("long").alias("block_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("series_id").alias("n_series"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("block_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s3_block_overlap_check": _q_s3_overlap,
         "s9_block_store_roundtrip": _q_s9_block_store,
         "e1_tsdb_ingest_roundtrip": _q_e1_tsdb_ingest,
+        "e2_tsdb_export_roundtrip": _q_e2_tsdb_export,
         "s6_series_lookup": _q_s6_series_lookup,
         "s10_level1_filter": _q_s10_level1,
         "p1_time_prune": _q_p1_time_prune,
@@ -1214,6 +1261,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY block_id"
         ),
         "e1_tsdb_ingest_roundtrip": q(
+            "SELECT CAST(ts_ms // 7200000 AS BIGINT) AS block_id, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT series_id) AS BIGINT) AS n_series, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM samples WHERE CAST(ts_ms // 7200000 AS BIGINT) IN "
+            "(SELECT DISTINCT CAST(ts_ms // 7200000 AS BIGINT) FROM samples "
+            " ORDER BY 1 LIMIT 3) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # export->ingest is lossless, so the oracle is the same
+        # per-block aggregate over the source samples as e1
+        "e2_tsdb_export_roundtrip": q(
             "SELECT CAST(ts_ms // 7200000 AS BIGINT) AS block_id, "
             "CAST(count(*) AS BIGINT) AS n, "
             "CAST(count(DISTINCT series_id) AS BIGINT) AS n_series, "

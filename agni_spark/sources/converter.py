@@ -37,59 +37,10 @@ def write_block(
     ulid: str,
     level: int = 1,
 ) -> None:
-    """Materialize one TSDB block dir: chunks/000001, index, meta.json.
-    Marker-file-last ordering (shipper.go:311-319): meta.json is
-    written after chunks+index — a block without meta is invisible."""
-    os.makedirs(os.path.join(block_dir, "chunks"), exist_ok=True)
-    all_chunks: list[bytes] = []
-    index_entries: list[tuple[dict[str, str], list[tf.ChunkMeta]]] = []
-    mint, maxt = None, None
-    n_samples = 0
-    for labels, samples in series:
-        samples = sorted(samples)
-        metas = []
-        for i in range(0, len(samples), SAMPLES_PER_CHUNK):
-            part = samples[i : i + SAMPLES_PER_CHUNK]
-            all_chunks.append((len(all_chunks), part))  # placeholder order
-            metas.append(part)
-        index_entries.append((labels, metas))
-        n_samples += len(samples)
-        if samples:
-            mint = samples[0][0] if mint is None else min(mint, samples[0][0])
-            maxt = samples[-1][0] if maxt is None else max(maxt, samples[-1][0])
-
-    encoded = [tf.encode_xor_chunk(part) for _, part in all_chunks]
-    seg_path = os.path.join(block_dir, "chunks", "000001")
-    offsets = tf.write_chunk_segment(seg_path, encoded)
-
-    # resolve chunk refs (segment 1 << 32 | offset, agni chunks.go:113)
-    final_entries = []
-    ci = 0
-    for labels, metas in index_entries:
-        cms = []
-        for part in metas:
-            cms.append(
-                tf.ChunkMeta(
-                    ref=(1 << 32) | offsets[ci],
-                    mint=part[0][0],
-                    maxt=part[-1][0],
-                )
-            )
-            ci += 1
-        final_entries.append((labels, cms))
-    tf.write_index(os.path.join(block_dir, "index"), final_entries)
-    tf.write_meta(
-        os.path.join(block_dir, "meta.json"),
-        ulid,
-        mint or 0,
-        (maxt or 0) + 1,
-        {
-            "numSamples": n_samples,
-            "numSeries": len(series),
-            "numChunks": len(encoded),
-        },
-        level=level,
-    )
+    """Materialize one TSDB block dir: chunks/000001, index, meta.json
+    (delegates to the self-contained tsdb_format.write_block_dir so the
+    same code runs inside distributed export workers)."""
+    tf.write_block_dir(block_dir, series, ulid, level)
 
 
 def discover_blocks(root: str, level: int | None = 1) -> list[str]:
@@ -173,3 +124,71 @@ def spark_read_tsdb_blocks(
             )
 
     return paths_df.mapInPandas(gen, "labels_json string, ts_ms long, value double")
+
+
+def spark_write_tsdb_blocks(
+    df: DataFrame,
+    out_root: str,
+    block_ms: int = 7_200_000,
+    level: int = 1,
+) -> DataFrame:
+    """Distributed EXPORT: write (labels_json, ts_ms, value) rows back
+    out as real TSDB block dirs — one block per 2h window, one task per
+    block (the reference's unit of work, inverted: instead of shipping
+    Prometheus blocks to the store, the store materializes blocks that
+    Prometheus tooling reads). Each worker writes chunks (XOR,
+    CRC-32C), a v1 binary index, and meta.json last (marker-file
+    ordering). Returns a summary DataFrame (block_id, ulid, n_series,
+    n_samples); `out_root` must be shared storage.
+
+    Scale: one groupBy on block_id (2h of data per group — bounded by
+    design, same as a Prometheus block); blocks export in parallel
+    across the cluster. Workers never import agni_spark — the codec
+    module ships by source."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    codec_src = inspect.getsource(tf)
+    out = df.withColumn(
+        "block_id", F.expr(f"CAST(ts_ms div {block_ms} AS BIGINT)")
+    )
+
+    def gen(key, pdf):
+        import json as _json
+        import os as _os
+        import sys as _sys
+        import types
+
+        import pandas as _pd
+
+        mod = _sys.modules.get("_tsdb_codec")
+        if mod is None:
+            mod = types.ModuleType("_tsdb_codec")
+            _sys.modules["_tsdb_codec"] = mod
+            exec(compile(codec_src, "_tsdb_codec", "exec"), mod.__dict__)
+
+        (block_id,) = key
+        series: dict[str, list] = {}
+        for lbl, ts, v in zip(pdf["labels_json"], pdf["ts_ms"], pdf["value"]):
+            series.setdefault(lbl, []).append((int(ts), float(v)))
+        entries = [
+            (_json.loads(lbl), sorted(samples))
+            for lbl, samples in sorted(series.items())
+        ]
+        ulid = f"BLK{int(block_id):023d}"
+        mod.write_block_dir(
+            _os.path.join(out_root, ulid), entries, ulid, level
+        )
+        return _pd.DataFrame(
+            {
+                "block_id": [int(block_id)],
+                "ulid": [ulid],
+                "n_series": [len(entries)],
+                "n_samples": [int(len(pdf))],
+            }
+        )
+
+    return out.groupBy("block_id").applyInPandas(
+        gen, "block_id long, ulid string, n_series long, n_samples long"
+    )

@@ -663,6 +663,67 @@ def read_index_postings(path: str, name: str, value: str) -> list[int]:
     return _read_postings_at(b, off) if off is not None else []
 
 
+SAMPLES_PER_CHUNK = 120  # design point, xor.go:75-77
+
+
+def write_block_dir(
+    block_dir: str,
+    series: list[tuple[dict[str, str], list[tuple[int, float]]]],
+    ulid: str,
+    level: int = 1,
+) -> None:
+    """Materialize one complete TSDB block dir (chunks/000001, index,
+    meta.json) from (labels, samples) pairs. Marker-file-last ordering
+    (shipper.go:311-319): meta.json is written after chunks+index — a
+    block without meta is invisible. Self-contained in this module so
+    distributed export workers can run it from shipped source."""
+    os.makedirs(os.path.join(block_dir, "chunks"), exist_ok=True)
+    all_parts: list[list[tuple[int, float]]] = []
+    per_series_parts: list[tuple[dict[str, str], list[int]]] = []
+    mint, maxt = None, None
+    n_samples = 0
+    for labels, samples in series:
+        samples = sorted(samples)
+        idxs = []
+        for i in range(0, len(samples), SAMPLES_PER_CHUNK):
+            idxs.append(len(all_parts))
+            all_parts.append(samples[i : i + SAMPLES_PER_CHUNK])
+        per_series_parts.append((labels, idxs))
+        n_samples += len(samples)
+        if samples:
+            mint = samples[0][0] if mint is None else min(mint, samples[0][0])
+            maxt = samples[-1][0] if maxt is None else max(maxt, samples[-1][0])
+
+    encoded = [encode_xor_chunk(part) for part in all_parts]
+    offsets = write_chunk_segment(
+        os.path.join(block_dir, "chunks", "000001"), encoded
+    )
+    entries = []
+    for labels, idxs in per_series_parts:
+        cms = [
+            ChunkMeta(
+                ref=(1 << 32) | offsets[i],
+                mint=all_parts[i][0][0],
+                maxt=all_parts[i][-1][0],
+            )
+            for i in idxs
+        ]
+        entries.append((labels, cms))
+    write_index(os.path.join(block_dir, "index"), entries)
+    write_meta(
+        os.path.join(block_dir, "meta.json"),
+        ulid,
+        mint or 0,
+        (maxt or 0) + 1,
+        {
+            "numSamples": n_samples,
+            "numSeries": len(series),
+            "numChunks": len(encoded),
+        },
+        level=level,
+    )
+
+
 def read_index_label_values(path: str, name: str) -> list[str]:
     """Sorted label values for one name via the label value index
     (index.go:731-761)."""

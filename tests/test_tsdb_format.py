@@ -278,3 +278,31 @@ def test_index_v1_detects_corruption(tmp_path):
     open(p, "wb").write(bytes(blob))
     with pytest.raises(ValueError, match="CRC"):
         tf.read_index(p)
+
+
+def test_spark_distributed_export_roundtrip(spark, tmp_path):
+    """Store -> TSDB blocks (distributed export) -> distributed ingest:
+    the full interop loop through real v1 blocks."""
+    import json
+
+    rows = [
+        (json.dumps({"__name__": "m", "job": f"j{s}"}, sort_keys=True),
+         b * 7_200_000 + k * 50_000, float(s * 100 + k + b))
+        for s in range(3) for b in range(2) for k in range(130)
+    ]
+    df = spark.createDataFrame(
+        rows, "labels_json string, ts_ms long, value double"
+    )
+    out_root = str(tmp_path / "export")
+    summary = converter.spark_write_tsdb_blocks(df, out_root).collect()
+    assert sorted(r.block_id for r in summary) == [0, 1]
+    assert all(r.n_series == 3 and r.n_samples == 390 for r in summary)
+    # block dirs are complete and v1-valid
+    blocks = converter.discover_blocks(out_root, level=1)
+    assert len(blocks) == 2
+    idx = tf.read_index(blocks[0] + "/index")
+    assert len(idx) == 3 and all(len(chks) == 2 for _, chks in idx)  # 130 > 120
+    # full round-trip back through the distributed reader
+    back = converter.spark_read_tsdb_blocks(spark, out_root, level=1)
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
