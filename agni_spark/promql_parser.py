@@ -24,7 +24,9 @@ Supported grammar (the workhorse subset):
     func      := FUNC "(" selector range offset? ")"
     FUNC      := rate | rate_extrapolated | increase | irate | delta
                | resets | changes | {avg,sum,min,max,count}_over_time
-    math      := ("abs" | "clamp_min" | "clamp_max") "(" expr ("," NUM)? ")"
+    math      := MATHFN "(" expr ("," NUM ("," NUM)?)? ")"
+    MATHFN    := abs | ceil | floor | round | exp | ln | log2 | log10
+               | sqrt | sgn | clamp_min | clamp_max | clamp
     selector  := metric? ("{" matcher ("," matcher)* "}")? range? offset?
     matcher   := name OP STRING      OP: = != =~ !~
     range     := "[" INT UNIT "]"    offset := "offset" INT UNIT
@@ -60,7 +62,14 @@ _RANGE_FUNCS = {
     "changes", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time",
 }
-_MATH_FUNCS = {"abs", "clamp_min", "clamp_max"}
+_MATH_FUNCS = {
+    "abs", "clamp_min", "clamp_max", "clamp", "ceil", "floor", "round",
+    "exp", "ln", "log2", "log10", "sqrt", "sgn",
+}
+# funcs that take no scalar argument after the expression
+_MATH_NO_SCALAR = {
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
+}
 
 
 @dataclass
@@ -123,9 +132,11 @@ class Agg:
 
 @dataclass
 class MathFunc:
-    name: str  # abs | clamp_min | clamp_max
+    name: str  # abs | ceil | floor | round | exp | ln | log2 | log10
+    #          | sqrt | sgn | clamp_min | clamp_max | clamp
     arg: "Agg | Func | Selector | BinOp | MathFunc"
     scalar: float | None = None
+    scalar2: float | None = None  # clamp(v, min, max) upper bound
 
 
 @dataclass
@@ -243,14 +254,19 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
         name = toks.next()
         toks.expect("(")
         arg = _parse_binop(toks)
-        scalar = None
+        scalar = scalar2 = None
         if toks.peek() == ",":
             toks.next()
             scalar = float(toks.next())
+        if toks.peek() == ",":
+            toks.next()
+            scalar2 = float(toks.next())
         toks.expect(")")
-        if name != "abs" and scalar is None:
+        if name in ("clamp_min", "clamp_max") and scalar is None:
             raise ValueError(f"{name}() needs a scalar argument")
-        return MathFunc(name, arg, scalar)
+        if name == "clamp" and (scalar is None or scalar2 is None):
+            raise ValueError("clamp() needs min and max scalars")
+        return MathFunc(name, arg, scalar, scalar2)
     if t in _RANGE_FUNCS:
         toks.next()
         toks.expect("(")
@@ -491,16 +507,29 @@ def _compile_inner(
         return _agg_over(inner, expr, querier)
     if isinstance(expr, MathFunc):
         inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
+        s, s2 = expr.scalar, expr.scalar2
+        # round(): PromQL rounds to the nearest multiple of to_nearest
+        # (default 1), ties UP — floor(v/to + 0.5)*to is that rule,
+        # engine-independent (unlike HALF_UP/HALF_EVEN builtins)
+        to = s if (expr.name == "round" and s is not None) else 1.0
         fns = {
-            "abs": lambda v, s: F.abs(v),
-            "clamp_min": lambda v, s: F.greatest(v, F.lit(s)),
-            "clamp_max": lambda v, s: F.least(v, F.lit(s)),
+            "abs": lambda v: F.abs(v),
+            "ceil": lambda v: F.ceil(v).cast("double"),
+            "floor": lambda v: F.floor(v).cast("double"),
+            "exp": F.exp,
+            "ln": F.log,
+            "log2": F.log2,
+            "log10": F.log10,
+            "sqrt": F.sqrt,
+            "sgn": lambda v: F.signum(v),
+            "round": lambda v: F.floor(v / F.lit(to) + F.lit(0.5)).cast(
+                "double"
+            ) * F.lit(to),
+            "clamp_min": lambda v: F.greatest(v, F.lit(s)),
+            "clamp_max": lambda v: F.least(v, F.lit(s)),
+            "clamp": lambda v: F.least(F.greatest(v, F.lit(s)), F.lit(s2)),
         }
-        if expr.name != "abs" and expr.scalar is None:
-            raise ValueError(f"{expr.name}() needs a scalar argument")
-        return inner.withColumn(
-            "value", fns[expr.name](F.col("value"), expr.scalar)
-        )
+        return inner.withColumn("value", fns[expr.name](F.col("value")))
     if isinstance(expr, BinOp):
         return _compile_binop(expr, querier, mint_ms, maxt_ms, cache)
     raise TypeError(type(expr))

@@ -253,6 +253,37 @@ def compact(
     refresh_registry(spark, path, block_ms=BLOCK_MS, levels=levels)
 
 
+def plan_compaction(
+    spark: SparkSession,
+    path: str,
+    factor: int = 3,
+    max_level: int = 5,
+) -> list[list[int]]:
+    """tsdb-style compaction planning (upstream tsdb compact.go Plan —
+    the piece agni defers to Prometheus, SURVEY §2.7): exponential
+    windows of `factor**level` base blocks; a window is eligible when
+    EVERY block in it exists at exactly that level (full window, no
+    partial merges). Purely registry-driven metadata work — no data
+    read, no FS listing — so planning is O(#blocks) on the driver no
+    matter the store size. Returns sorted block-id groups; feed each to
+    `compact(block_ids=group)` (levels bump on its registry commit)."""
+    reg = read_registry(spark, path).select(
+        "block_id", "compaction_level"
+    ).collect()
+    by_level: dict[int, int] = {r.block_id: r.compaction_level for r in reg}
+    plans: list[list[int]] = []
+    for level in range(1, max_level):
+        w = factor ** level
+        windows: dict[int, list[int]] = {}
+        for b, lv in by_level.items():
+            if lv == level:
+                windows.setdefault(b // w, []).append(b)
+        for _wid, blocks in sorted(windows.items()):
+            if len(blocks) == w:
+                plans.append(sorted(blocks))
+    return plans
+
+
 def drop_blocks_before(
     spark: SparkSession, path: str, cutoff_block_id: int
 ) -> list[int]:

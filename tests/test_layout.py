@@ -236,3 +236,22 @@ def test_write_read_roundtrip_property(spark, tmp_path_factory, rows):
     from agni_spark.querier import validate_block_sequence
 
     assert validate_block_sequence(reg).count() == 0
+
+
+def test_plan_compaction_exponential_windows(spark, tmp_path):
+    path = str(tmp_path / "store_plan")
+    samples = spark.createDataFrame(
+        [(1, t, 1.0) for t in range(0, 6000, 100)],  # blocks 0..5
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(samples, path, block_ms=BLOCK)
+    plans = layout.plan_compaction(spark, path, factor=3)
+    assert plans == [[0, 1, 2], [3, 4, 5]]
+    for group in plans:
+        layout.compact(spark, path, block_ids=group)
+    reg = {r.block_id: r.compaction_level
+           for r in layout.read_registry(spark, path).collect()}
+    assert reg == {b: 2 for b in range(6)}
+    # level-2 window needs 9 blocks -> nothing eligible now
+    assert layout.plan_compaction(spark, path, factor=3) == []
+    assert layout.read_samples(spark, path).count() == 60

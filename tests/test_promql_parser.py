@@ -321,3 +321,46 @@ def test_merged_sides_split_differing_aggs(querier):
     from agni_spark.functions.promql import ROUND_AVG
     want = {k: round(s[k] - a[k], ROUND_AVG) for k in s if k in a}
     assert got == want and len(got) > 0
+
+
+def test_math_function_family(querier):
+    import math as pymath
+
+    base = {(r.job, r.bucket_ms): r.value
+            for r in pql.query(
+                querier, "sum by (job) (increase(event_error[1d]))").collect()}
+    checks = {
+        "ceil": lambda v: float(pymath.ceil(v)),
+        "floor": lambda v: float(pymath.floor(v)),
+        "sqrt": lambda v: pymath.sqrt(v),
+        "ln": lambda v: pymath.log(v),
+        "log2": lambda v: pymath.log2(v),
+        "log10": lambda v: pymath.log10(v),
+        "sgn": lambda v: float((v > 0) - (v < 0)),
+    }
+    for fn, py in checks.items():
+        got = {(r.job, r.bucket_ms): r.value
+               for r in pql.query(
+                   querier,
+                   f"{fn}(sum by (job) (increase(event_error[1d])))",
+               ).collect()}
+        for k, v in base.items():
+            assert got[k] == pytest.approx(py(v)), (fn, k)
+    # round to nearest multiple, ties up
+    got = {(r.job, r.bucket_ms): r.value
+           for r in pql.query(
+               querier,
+               "round(sum by (job) (increase(event_error[1d])), 10)",
+           ).collect()}
+    for k, v in base.items():
+        assert got[k] == pytest.approx(pymath.floor(v / 10 + 0.5) * 10.0)
+    # clamp with two scalars
+    got = {(r.job, r.bucket_ms): r.value
+           for r in pql.query(
+               querier,
+               "clamp(sum by (job) (increase(event_error[1d])), 40, 60)",
+           ).collect()}
+    for k, v in base.items():
+        assert got[k] == pytest.approx(min(max(v, 40.0), 60.0))
+    with pytest.raises(ValueError, match="min and max"):
+        pql.parse("clamp(a, 1)")
