@@ -141,3 +141,54 @@ def test_literal_regex_rewrite_avoids_rlike(querier):
     # a true regex stays a regex
     df3 = querier.select_series([re_match("job", "a.c+")])
     assert "rlike" in _formatted(df3).lower()
+
+
+def test_tpch_no_fact_sized_broadcast(spark):
+    # Q3/Q5/Q7: no FORCED broadcast whose build side derives from
+    # orders or lineitem (the optimizer may still size-broadcast at
+    # tiny SF, but the plan must not carry a broadcast hint on a fact).
+    from agni_spark.functions import relational
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (
+            relational.q3_shipping_priority,
+            relational.q5_local_supplier_volume,
+            relational.q7_volume_shipping,
+        ):
+            df = fn(spark, SF)
+            # with auto-broadcast off, only the EXPLICIT broadcast
+            # hints remain (the dims); the fact-fact join must plan as
+            # a non-broadcast join
+            plan = _formatted(df)
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, fn
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q18_and_topk_take_ordered(spark, querier):
+    from agni_spark.functions import promql, relational
+
+    plan = _formatted(relational.q18_large_volume_customers(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    plan2 = _formatted(promql.topk(querier.samples, 5))
+    assert "TakeOrderedAndProject" in plan2
+    # the rank window must sit ABOVE the take-ordered (operates on <=k
+    # rows), not below it as a global sort
+    assert plan2.index("Window") < plan2.index("TakeOrderedAndProject")
+
+
+def test_parser_selector_skips_output_sort(querier):
+    # sort=False path: a parsed range-func query plans no Sort below
+    # the window's own partition-local sort (no global range exchange
+    # from the selector contract)
+    from agni_spark import promql_parser as pql
+
+    df = pql.query(querier, "rate(event_click[1d])")
+    plan = _formatted(df)
+    import re
+
+    # exactly one Exchange feeding the window (hashpartitioning on
+    # series_id), no rangepartitioning anywhere
+    assert "rangepartitioning" not in plan.lower()
