@@ -306,3 +306,57 @@ def test_spark_distributed_export_roundtrip(spark, tmp_path):
     back = converter.spark_read_tsdb_blocks(spark, out_root, level=1)
     got = sorted(tuple(r) for r in back.collect())
     assert got == sorted(rows)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.text(
+                    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                    min_size=1, max_size=8,
+                ),
+                st.text(
+                    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                    min_size=0, max_size=8,
+                ),
+                min_size=1, max_size=4,
+            ),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=2**40),
+                    st.integers(min_value=0, max_value=2**40),
+                    st.integers(min_value=0, max_value=2**45),
+                ),
+                min_size=1, max_size=5,
+            ),
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_index_v1_property_roundtrip(tmp_path_factory, entries):
+    # random label sets + chunk metas survive the v1 byte layout;
+    # chunk time ranges normalized to non-decreasing (mint <= maxt) but
+    # deliberately NOT ordered across chunks (delta coding must wrap)
+    import os
+    import uuid
+
+    fixed = []
+    seen = set()
+    for labels, chunks in entries:
+        key = tuple(sorted(labels.items()))
+        if key in seen:  # writer requires unique label sets
+            continue
+        seen.add(key)
+        cms = [
+            tf.ChunkMeta(ref, min(a, b), max(a, b)) for a, b, ref in chunks
+        ]
+        fixed.append((labels, cms))
+    if not fixed:
+        return
+    tmp = tmp_path_factory.mktemp("idxprop")
+    p = os.path.join(str(tmp), f"index-{uuid.uuid4().hex}")
+    tf.write_index(p, fixed)
+    got = tf.read_index(p)
+    assert got == sorted(fixed, key=lambda e: tuple(sorted(e[0].items())))
