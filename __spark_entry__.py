@@ -264,6 +264,11 @@ def _q_promql_ext_over_time(spark: SparkSession, sf: str) -> DataFrame:
     return promql.ext_over_time(q.samples, H6_MS).orderBy("series_id", "bucket_ms")
 
 
+def _q_promql_time_functions(spark: SparkSession, sf: str) -> DataFrame:
+    q = _querier(spark, sf)
+    return promql.time_functions(q.samples).orderBy("series_id", "ts_ms")
+
+
 def _q_promql_sum_by(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     return promql.aggregate_by(q.samples, q.series, ["job", "env"], DAY_MS).orderBy(
@@ -850,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_delta": _q_promql_delta,
         "promql_agg_over_time": _q_promql_agg_over_time,
         "promql_ext_over_time": _q_promql_ext_over_time,
+        "promql_time_functions": _q_promql_time_functions,
         "promql_sum_by": _q_promql_sum_by,
         "promql_topk": _q_promql_topk,
         "promql_instant": _q_promql_instant,
@@ -1418,6 +1424,13 @@ def oracle_sql() -> dict[str, str]:
             "1.0 AS present "
             "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "promql_time_functions": q(
+            "SELECT series_id, ts_ms, "
+            "CAST((ts_ms % 86400000) // 3600000 AS BIGINT) AS hour, "
+            "CAST((ts_ms % 3600000) // 60000 AS BIGINT) AS minute, "
+            "CAST((ts_ms // 86400000 + 4) % 7 AS BIGINT) AS day_of_week "
+            "FROM samples ORDER BY series_id, ts_ms"
+        ),
         "promql_sum_by": q(
             "SELECT sr.job, sr.env, "
             "CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
@@ -1923,7 +1936,7 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(c.c_acctbal), 2) AS totacctbal "
             "FROM customer c "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey "
-            "WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+            "WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer "
             "WHERE c_acctbal > 0.0) "
             "AND NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "

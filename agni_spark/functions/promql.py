@@ -106,6 +106,26 @@ def agg_over_time(samples: DataFrame, bucket_ms: int) -> DataFrame:
     )
 
 
+def time_functions(samples: DataFrame) -> DataFrame:
+    """PromQL's UTC time functions (minute/hour/day_of_week) evaluated
+    at each sample's timestamp — pure integer arithmetic on epoch ms
+    (1970-01-01 was a Thursday, hence the +4), so every engine computes
+    identical values with no timezone/session dependence. Narrow
+    projection, no shuffle."""
+    day = F.lit(86_400_000)
+    return samples.select(
+        "series_id",
+        "ts_ms",
+        ((F.col("ts_ms") % day) / F.lit(3_600_000)).cast("long").alias("hour"),
+        ((F.col("ts_ms") % F.lit(3_600_000)) / F.lit(60_000))
+        .cast("long")
+        .alias("minute"),
+        (((F.col("ts_ms") / day).cast("long") + F.lit(4)) % F.lit(7))
+        .cast("long")
+        .alias("day_of_week"),
+    )
+
+
 def ext_over_time(samples: DataFrame, bucket_ms: int) -> DataFrame:
     """The rest of the over_time family per (series, bucket):
     last_over_time (value at max timestamp; deterministic via struct

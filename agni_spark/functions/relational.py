@@ -586,8 +586,11 @@ def q22_sales_opportunity(
     scan)."""
     cust = load(spark, sf_dir, "customer")
     nat = load(spark, sf_dir, "nation")
+    # round the threshold to 6dp: the average of arbitrary doubles is
+    # summation-order-dependent at the ulp level, and an unrounded
+    # threshold could flip a boundary customer between engines
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("abal")
+        F.round(F.avg("c_acctbal"), 6).alias("abal")
     )
     _ord = load(spark, sf_dir, "orders")
     recent_orders = (
