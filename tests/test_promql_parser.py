@@ -364,3 +364,47 @@ def test_math_function_family(querier):
         assert got[k] == pytest.approx(min(max(v, 40.0), 60.0))
     with pytest.raises(ValueError, match="min and max"):
         pql.parse("clamp(a, 1)")
+
+
+def test_parser_fuzz_roundtrip(querier):
+    """Grammar fuzz: randomly composed valid expressions must parse,
+    compile to a plan, and re-parse to the same AST (parse is a pure
+    function of the text). Catches precedence/tokenizer regressions."""
+    import random
+
+    rng = random.Random(20260813)
+    metrics = ["event_click", "event_error", "event_view"]
+
+    def selector():
+        m = rng.choice(metrics)
+        if rng.random() < 0.4:
+            m += '{env="prod"}'
+        return m
+
+    def term(depth):
+        r = rng.random()
+        if depth > 2 or r < 0.3:
+            return f"sum by (job) (increase({selector()}[1d]))"
+        if r < 0.45:
+            return f"avg by (job) (increase({selector()}[1d]))"
+        if r < 0.6:
+            fn = rng.choice(["abs", "ceil", "sqrt", "floor"])
+            return f"{fn}({term(depth + 1)})"
+        if r < 0.8:
+            op = rng.choice(["+", "-", "*", "/"])
+            if rng.random() < 0.3:
+                return f"{term(depth + 1)} {op} {rng.randint(1, 100)}"
+            return f"{term(depth + 1)} {op} {term(depth + 1)}"
+        op = rng.choice(["and", "unless", "or", ">", "<="])
+        if op in (">", "<=") and rng.random() < 0.5:
+            return f"{term(depth + 1)} {op} {rng.randint(1, 100)}"
+        return f"({term(depth + 1)}) {op} ({term(depth + 1)})"
+
+    for _ in range(40):
+        text = term(0)
+        ast1 = pql.parse(text)
+        ast2 = pql.parse(text)
+        assert repr(ast1) == repr(ast2), text
+        df = pql.compile_expr(ast1, querier)
+        assert "value" in df.columns, text
+        df.schema  # analysis must succeed
