@@ -911,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": _q_text_gopher_rules,
         "text_pii_scan": _q_text_pii_scan,
         "text_contamination": _q_text_contamination,
+        "text_unigram_logprob": lambda s, d: text.unigram_logprob(_docs(s, d)),
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
@@ -1161,10 +1162,10 @@ hq AS (
            OVER (PARTITION BY job, bucket_ms) AS max_fin
   FROM hb WINDOW w AS (PARTITION BY job, bucket_ms ORDER BY le))
 SELECT job, bucket_ms,
-  round(CASE WHEN le = 'inf'::DOUBLE THEN max_fin
-        ELSE prev_le + (le - prev_le) * (0.9 * total - prev_cum)
-             / (cum - prev_cum) END, 6) AS quantile
-FROM hq WHERE cum >= 0.9 * total AND prev_cum < 0.9 * total
+  floor((CASE WHEN le = 'inf'::DOUBLE THEN max_fin
+         ELSE prev_le + (le - prev_le) * (0.9::DOUBLE * total - prev_cum)
+              / (cum - prev_cum) END) * 1e6 + 0.5) / 1e6 AS quantile
+FROM hq WHERE cum >= 0.9::DOUBLE * total AND prev_cum < 0.9::DOUBLE * total
 ORDER BY 1, 2
 """
 
@@ -2039,6 +2040,19 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, "
             "'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) > 0) AS has_pii "
             "FROM documents ORDER BY doc_id"
+        ),
+        "text_unigram_logprob": (
+            "WITH wds AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(text), '\\s+')) AS w "
+            "FROM documents), "
+            "w2 AS (SELECT * FROM wds WHERE w <> ''), "
+            "freq AS (SELECT w, count(*) AS cnt FROM w2 GROUP BY 1), "
+            "tot AS (SELECT sum(cnt) AS total FROM freq) "
+            "SELECT doc_id, "
+            "round(-avg(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) "
+            "AS nll10, CAST(count(*) AS BIGINT) AS n_words "
+            "FROM w2 JOIN freq USING (w) CROSS JOIN tot "
+            "GROUP BY 1 ORDER BY doc_id"
         ),
         "text_contamination": (
             "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "

@@ -438,9 +438,15 @@ def histogram_quantile(
         * (F.col("_rank") - F.col("_prev_cum"))
         / (F.col("cum") - F.col("_prev_cum"))
     )
+    # floor-based 6dp discretization instead of round(): the
+    # interpolated value can land within an ulp of a .5 rounding tie,
+    # where Spark (exact-decimal HALF_UP) and DuckDB (scaled-double
+    # rounding) disagree by 1e-6. floor(x*1e6 + 0.5)/1e6 computes the
+    # same doubles on both engines, so the tie cannot split.
+    q6 = F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return staged.where(
         (F.col("cum") >= F.col("_rank")) & (F.col("_prev_cum") < F.col("_rank"))
-    ).select(*keys, F.round(interp, ROUND_AVG).alias("quantile"))
+    ).select(*keys, q6.alias("quantile"))
 
 
 def absent_over_time(

@@ -253,3 +253,37 @@ def contamination_scan(
         )
         .orderBy("doc_id")
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality proxy: score each document by
+    the mean negative log10 unigram probability of its words, with the
+    unigram model estimated from the corpus itself. Low scores = text
+    made of common words (fluent); high scores = rare-token soup — the
+    standard LM-perplexity filtering signal with the corpus as its own
+    model (swap in an external KenLM table offline for the real thing).
+
+    Scale: one explode + one groupBy(word) builds the model (vocab is
+    tiny relative to the corpus); scoring joins words to the model on
+    the word key (hash join, broadcastable up to large vocabularies)
+    and aggregates per doc — two shuffles total. Word probabilities are
+    exact rationals (integer counts), so per-word log10 values are
+    bit-identical across engines; only the per-doc mean needs rounding.
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))  # exact integer
+    scored = words.join(freq, "w").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.avg(F.log10(F.col("cnt") / F.col("total"))), 6
+            ).alias("nll10"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
