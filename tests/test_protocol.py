@@ -451,3 +451,36 @@ def test_http_status_tsdb(served_querier):
         assert pairs["__name__=up"] == 2 and pairs["job=api"] == 2
     finally:
         srv.stop()
+
+
+def test_http_query_range_cross_metric_ratio(served_querier):
+    """The ADVICE scenario end-to-end: a cross-metric ratio served over
+    /api/v1/query_range must match on label sets (ignoring __name__),
+    not silently return empty."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from agni_spark.protocol.server import RemoteReadServer
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    try:
+        qs = urllib.parse.urlencode(
+            {"query": "sum by (job) (sum_over_time(up[1s]))"
+                      " / sum by (job) (sum_over_time(down[1s]))",
+             "start": "0", "end": "1"}
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/query_range?{qs}"
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "success"
+        series = {
+            tuple(sorted(r["metric"].items())): r["values"]
+            for r in body["data"]["result"]
+        }
+        # up{api}=3 / down{api}=9; web has no 'down' twin -> dropped
+        assert series == {(("job", "api"),): [[0.0, "0.333333"]]}
+    finally:
+        srv.stop()
