@@ -903,6 +903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_sales_opportunity": lambda s, d: relational.q22_sales_opportunity(s, d),
         "events_funnel": lambda s, d: relational.events_funnel(s, d),
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
+        "events_daily_active": lambda s, d: relational.events_daily_active(s, d),
+        "events_retention": lambda s, d: relational.events_retention(s, d),
+        "events_props_stats": lambda s, d: relational.events_props_stats(s, d),
         "text_doc_stats": _q_text_doc_stats,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
@@ -1943,6 +1946,36 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_daily_active": (
+            "SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) * 86400000 "
+            "AS day_ms, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS dau, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "events_retention": (
+            "WITH act AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day FROM events), "
+            "per_day AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active "
+            "FROM act GROUP BY 1), "
+            "ret AS (SELECT a.day, CAST(count(*) AS BIGINT) AS n_retained "
+            "FROM act a JOIN act b "
+            "ON a.user_id = b.user_id AND b.day = a.day + 1 GROUP BY 1) "
+            "SELECT p.day * 86400000 AS day_ms, p.n_active, "
+            "coalesce(r.n_retained, 0) AS n_retained, "
+            "round(coalesce(r.n_retained, 0) / p.n_active, 6) AS retention "
+            "FROM per_day p LEFT JOIN ret r ON p.day = r.day "
+            "ORDER BY day_ms"
+        ),
+        "events_props_stats": (
+            "SELECT event_type, "
+            "round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events) GROUP BY 1 ORDER BY 1"
         ),
         "events_funnel": (
             "WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type "

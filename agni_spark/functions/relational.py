@@ -610,3 +610,76 @@ def q22_sales_opportunity(
         )
         .orderBy("n_name")
     )
+
+
+def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + volume — the canonical engagement rollup.
+    One shuffle on the day key; COUNT(DISTINCT) runs as Spark's
+    two-phase partial-distinct aggregate (map-side dedup first), so the
+    fact table shuffles already-deduplicated (day, user) pairs. For
+    approximate-at-scale variants see the HLL twin pinned in tests
+    (approx_count_distinct over the same grouping)."""
+    ev = load(spark, sf_dir, "events")
+    day = (dm.ns_to_ms("ts") / F.lit(86_400_000)).cast("long") * F.lit(86_400_000)
+    return (
+        ev.select(day.alias("day_ms"), "user_id", "value")
+        .groupBy("day_ms")
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("day_ms")
+    )
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: of each day's active users, the fraction
+    active again the following day. Distinct (user, day) pairs
+    self-join on (user, day+1) — both sides are already deduplicated
+    (user-day cardinality, far below event cardinality), so the join
+    input is minimal; one shuffle for the distinct, one for the join."""
+    ev = load(spark, sf_dir, "events")
+    day = (dm.ns_to_ms("ts") / F.lit(86_400_000)).cast("long")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    nxt = act.select("user_id", (F.col("day") - 1).alias("day"))
+    per_day = act.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    retained = (
+        act.join(nxt, ["user_id", "day"], "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        per_day.join(retained, "day", "left")
+        .select(
+            (F.col("day") * 86_400_000).alias("day_ms"),
+            "n_active",
+            F.coalesce(F.col("n_retained"), F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce(F.col("n_retained"), F.lit(0))
+                / F.col("n_active"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("day_ms")
+    )
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup: extract a JSON property from the raw
+    props column and aggregate per event type. get_json_object is a
+    JVM-side expression (no Python), so JSON handling stays inside
+    whole-stage codegen; one small groupBy shuffle."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

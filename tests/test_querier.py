@@ -95,3 +95,33 @@ def test_merge_on_read_dedupes_duplicate_timestamps(spark):
     )
     got = {(r.series_id, r.ts_ms): r.value for r in merge_on_read(df).collect()}
     assert got == {(1, 100): 3.0, (1, 200): 2.0, (2, 100): 9.0}
+
+
+def test_daily_active_hll_twin(spark):
+    """The scale variant of events_daily_active: approx_count_distinct
+    (HyperLogLog++) must track the exact distinct within its error
+    bound — at 100 TB the sketch replaces the exact two-phase distinct
+    without changing the query shape."""
+    from pyspark.sql import functions as F
+
+    from agni_spark import datamodel as dm
+    from agni_spark.functions import relational
+
+    exact = {
+        r.day_ms: r.dau
+        for r in relational.events_daily_active(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ev = dm.load(spark, "/root/testdata/sf0.001", "events")
+    day = (dm.ns_to_ms("ts") / F.lit(86_400_000)).cast("long") * F.lit(86_400_000)
+    approx = {
+        r.day_ms: r.dau_approx
+        for r in ev.select(day.alias("day_ms"), "user_id")
+        .groupBy("day_ms")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, n, approx[k])
