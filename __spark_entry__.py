@@ -435,6 +435,20 @@ def _q_promql_parsed_binop(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "bucket_ms")
 
 
+def _q_promql_parsed_group_left(spark: SparkSession, sf: str) -> DataFrame:
+    # parsed vector-matching modifiers: each (job, env)'s share of its
+    # job total via ignoring(env) group_left
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job, env) (increase(event_error[1d]))"
+        " / ignoring(env) group_left"
+        " sum by (job) (increase(event_error[1d]))",
+    )
+    return out.orderBy("job", "env", "bucket_ms")
+
+
 def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     # alert-rule shape: threshold comparison filters the vector
     from agni_spark import promql_parser as pql
@@ -874,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_absent": _q_promql_absent,
         "promql_parsed_expression": _q_promql_parsed,
         "promql_parsed_binop": _q_promql_parsed_binop,
+        "promql_parsed_group_left": _q_promql_parsed_group_left,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -1638,6 +1653,29 @@ def oracle_sql() -> dict[str, str]:
             " AND l.bucket_ms = r.bucket_ms"
             " AND l.metric = 'event_error' AND r.metric = 'event_click' "
             "ORDER BY 1, 2"
+        ),
+        "promql_parsed_group_left": q(
+            ", inc AS ("
+            "  SELECT ser.job, ser.env, s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN s.value >= prev THEN s.value - prev"
+            "            ELSE s.value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples) s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error' AND prev IS NOT NULL"
+            "  GROUP BY 1, 2, 3, 4),"
+            "part AS (SELECT job, env, bucket_ms,"
+            " round(sum(value), 4) AS value FROM inc GROUP BY 1, 2, 3),"
+            "tot AS (SELECT job, bucket_ms, round(sum(value), 4) AS value"
+            " FROM inc GROUP BY 1, 2)"
+            "SELECT p.job, p.bucket_ms, p.env,"
+            " round(CASE WHEN t.value <> 0 THEN p.value / t.value END, 6)"
+            " AS value "
+            "FROM part p JOIN tot t"
+            " ON p.job = t.job AND p.bucket_ms = t.bucket_ms "
+            "ORDER BY p.job, p.env, p.bucket_ms"
         ),
         "promql_alert_filter": q(
             ", persr AS ("

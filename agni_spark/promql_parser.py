@@ -14,7 +14,13 @@ Supported grammar (the workhorse subset):
                    or         set union
                  NUM may stand on either side of an arithmetic or
                  comparison operator (scalar broadcast); scalar-scalar
-                 expressions are rejected.
+                 expressions are rejected. Any vector-vector operator
+                 may carry matching modifiers:
+                   OP ("on" | "ignoring") "(" name ("," name)* ")"
+                      "group_left"?
+                 on() restricts the match keys to the listed labels,
+                 ignoring() removes them, group_left allows
+                 many-to-one matching with left labels carried through.
     term      := agg | func | math | selector | NUM | "(" expr ")"
     agg       := AGGOP grouping? "(" expr ")"
                | ("topk" | "bottomk") "(" INT "," expr ")"
@@ -144,6 +150,12 @@ class BinOp:
     op: str  # / * + - > < >= <= and unless or
     left: "Agg | Func | Selector | BinOp | float"
     right: "Agg | Func | Selector | BinOp | float"
+    # vector-matching modifiers: `on(...)` restricts the join keys to
+    # the listed labels, `ignoring(...)` removes them from the key set,
+    # `group_left` allows many-to-one matching (right unique per key)
+    match_mode: str | None = None  # 'on' | 'ignoring' | None
+    match_labels: tuple = ()
+    group_left: bool = False
 
 
 def parse(text: str) -> "Agg | Func | Selector | BinOp":
@@ -188,12 +200,30 @@ def _parse_binop(
         if t not in _PREC or _PREC[t] < min_prec:
             return left
         op = toks.next()
+        mode, labels, gl = None, (), False
+        if toks.peek() in ("on", "ignoring"):
+            mode = toks.next()
+            toks.expect("(")
+            names = []
+            while toks.peek() != ")":
+                names.append(toks.next())
+                if toks.peek() == ",":
+                    toks.next()
+            toks.expect(")")
+            labels = tuple(names)
+            if toks.peek() == "group_left":
+                toks.next()
+                gl = True
         right = _parse_binop(toks, _PREC[op] + 1)  # left-assoc
         if op in _SETOPS and (
             isinstance(left, float) or isinstance(right, float)
         ):
             raise ValueError(f"set operator {op!r} requires vector operands")
-        left = BinOp(op, left, right)
+        if mode is not None and (
+            isinstance(left, float) or isinstance(right, float)
+        ):
+            raise ValueError("vector matching requires vector operands")
+        left = BinOp(op, left, right, mode, labels, gl)
 
 
 def _parse_operand(toks: _Tokens) -> "Agg | Func | Selector | BinOp | float":
@@ -692,7 +722,11 @@ def _compile_binop(
         return vec.withColumn(
             "value", F.round(_ARITH_FNS[expr.op](a, b), promql.ROUND_AVG)
         )
-    if expr.op in _ARITH_FNS or expr.op in _CMP_FNS:
+    if (expr.op in _ARITH_FNS or expr.op in _CMP_FNS) and (
+        expr.match_mode is None
+    ):
+        # the merged-scan rewrites assume natural (all-shared-labels)
+        # matching; explicit on()/ignoring() takes the generic path
         pivot = _merged_pivot_binop(expr, querier, mint_ms, maxt_ms, cache)
         if pivot is not None:
             return pivot
@@ -717,6 +751,18 @@ def _compile_binop(
             "aggregate both sides over the same range first"
         )
     keys = [c for c in l.columns if c != "value" and c in r.columns]
+    if expr.match_mode == "on":
+        missing = [
+            n
+            for n in expr.match_labels
+            if n not in l.columns or n not in r.columns
+        ]
+        if missing:
+            raise ValueError(f"on(...) labels absent from operands: {missing}")
+        keys = list(expr.match_labels) + ([lt] if lt else [])
+    elif expr.match_mode == "ignoring":
+        drop = set(expr.match_labels)
+        keys = [k for k in keys if k not in drop]
     if not keys:
         raise ValueError("binary op operands share no matching labels")
     if expr.op in _SETOPS:
@@ -727,17 +773,28 @@ def _compile_binop(
             return l.unionByName(extra)
         how = "left_semi" if expr.op == "and" else "left_anti"
         return l.join(r.select(*keys).distinct(), keys, how)
-    joined = l.withColumnRenamed("value", "_l").join(
-        r.withColumnRenamed("value", "_r"), keys
+    # group_left: many-to-one matching — left's extra label columns
+    # carry through; the right ("one") side reduces to key+value and is
+    # the natural broadcast side (promql.binop_group_left's contract:
+    # right unique per key, enforced upstream by aggregation)
+    carry = (
+        [c for c in l.columns if c not in keys and c != "value"]
+        if expr.group_left
+        else []
     )
+    rhs = r.withColumnRenamed("value", "_r").select(*keys, "_r")
+    if expr.group_left:
+        rhs = F.broadcast(rhs)
+    joined = l.withColumnRenamed("value", "_l").join(rhs, keys)
     if expr.op in _CMP_FNS:
         # vector comparison: keep left rows where the matched right
         # value satisfies the comparison; value = left's value
         return joined.where(
             _CMP_FNS[expr.op](F.col("_l"), F.col("_r"))
-        ).select(*keys, F.col("_l").alias("value"))
+        ).select(*keys, *carry, F.col("_l").alias("value"))
     return joined.select(
         *keys,
+        *carry,
         F.round(
             _ARITH_FNS[expr.op](F.col("_l"), F.col("_r")), promql.ROUND_AVG
         ).alias("value"),

@@ -408,3 +408,65 @@ def test_parser_fuzz_roundtrip(querier):
         df = pql.compile_expr(ast1, querier)
         assert "value" in df.columns, text
         df.schema  # analysis must succeed
+
+
+def test_vector_matching_modifiers(querier):
+    # on(job): match two differently-grouped vectors on job only
+    num = {(r.job, r.bucket_ms): r.value
+           for r in pql.query(
+               querier, "sum by (job) (increase(event_error[1d]))").collect()}
+    den = {(r.job, r.bucket_ms): r.value
+           for r in pql.query(
+               querier, "sum by (job) (increase(event_click[1d]))").collect()}
+    from agni_spark.functions.promql import ROUND_AVG
+    got = {(r.job, r.bucket_ms): r.value
+           for r in pql.query(
+               querier,
+               "sum by (job) (increase(event_error[1d]))"
+               " / on(job, bucket_ms) sum by (job) (increase(event_click[1d]))",
+           ).collect()}
+    want = {k: round(num[k] / den[k], ROUND_AVG)
+            for k in num if k in den and den[k] != 0}
+    assert got == want and len(got) > 0
+    # group_left: per-series rate divided by a per-job aggregate — the
+    # many side keeps its extra labels
+    df = pql.query(
+        querier,
+        "rate(event_error[1d])"
+        " / on(job, bucket_ms) group_left"
+        " sum by (job) (rate(event_error[1d]))",
+    )
+    cols = set(df.columns)
+    assert {"job", "bucket_ms", "value"} <= cols
+    assert len(cols) > 3  # carried left labels (env/instance/pod)
+    rows = df.collect()
+    assert len(rows) > 0
+    # ignoring(env) + group_left: share of each (job, env) in its job
+    # total — the right side is unique per job, left labels carry
+    part = {(r.job, r.env, r.bucket_ms): r.value
+            for r in pql.query(
+                querier,
+                "sum by (job, env) (increase(event_error[1d]))").collect()}
+    tot = {(r.job, r.bucket_ms): r.value
+           for r in pql.query(
+               querier, "sum by (job) (increase(event_error[1d]))").collect()}
+    share = {(r.job, r.env, r.bucket_ms): r.value
+             for r in pql.query(
+                 querier,
+                 "sum by (job, env) (increase(event_error[1d]))"
+                 " / ignoring(env) group_left"
+                 " sum by (job) (increase(event_error[1d]))",
+             ).collect()}
+    want_share = {
+        (j, e, b): round(v / tot[(j, b)], ROUND_AVG)
+        for (j, e, b), v in part.items()
+        if tot.get((j, b))
+    }
+    assert share == want_share and len(share) > 0
+    # on() with an absent label errors loudly
+    with pytest.raises(ValueError, match="absent"):
+        pql.query(
+            querier,
+            "sum by (job) (increase(event_error[1d]))"
+            " / on(nope) sum by (job) (increase(event_click[1d]))",
+        ).collect()
