@@ -76,6 +76,13 @@ def registry_block_ids(spark: SparkSession, path: str) -> list[int]:
     )
 
 
+# Store files compress with zstd: ~30% smaller than snappy at
+# comparable scan speed — at 100 TB that's tens of TB of object-store
+# footprint and proportional scan I/O. (Gorilla/XOR plays this role in
+# the reference's chunk format; parquet encodings + zstd play it here.)
+STORE_COMPRESSION = "zstd"
+
+
 def write_blocks(
     samples: DataFrame,
     path: str,
@@ -93,6 +100,7 @@ def write_blocks(
         .repartition("block_id")
         .sortWithinPartitions("series_id", "ts_ms")
         .write.partitionBy("block_id")
+        .option("compression", STORE_COMPRESSION)
         .mode(mode)
         .parquet(data_path)
     )
@@ -243,7 +251,7 @@ def compact(
     )
     sub.write.partitionBy("block_id").mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
-    ).parquet(data_path)
+    ).option("compression", STORE_COMPRESSION).parquet(data_path)
     # commit point: registry rebuilt once, levels bumped ONLY for the
     # blocks this compaction touched
     levels = {
@@ -360,6 +368,7 @@ def delete_samples(
         .write.partitionBy("block_id")
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("compression", STORE_COMPRESSION)
         .parquet(data_path)
     )
     refresh_registry(spark, path, block_ms)
