@@ -449,6 +449,17 @@ def _q_promql_parsed_group_left(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "env", "bucket_ms")
 
 
+def _q_promql_parsed_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    # PromQL subquery: daily max of 6-hourly per-job increase sums
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "max_over_time(sum by (job) (increase(event_error[6h]))[1d:6h])",
+    )
+    return out.orderBy("job", "bucket_ms")
+
+
 def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     # alert-rule shape: threshold comparison filters the vector
     from agni_spark import promql_parser as pql
@@ -889,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_expression": _q_promql_parsed,
         "promql_parsed_binop": _q_promql_parsed_binop,
         "promql_parsed_group_left": _q_promql_parsed_group_left,
+        "promql_parsed_subquery": _q_promql_parsed_subquery,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -1676,6 +1688,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM part p JOIN tot t"
             " ON p.job = t.job AND p.bucket_ms = t.bucket_ms "
             "ORDER BY p.job, p.env, p.bucket_ms"
+        ),
+        "promql_parsed_subquery": q(
+            ", inc AS ("
+            "  SELECT ser.job, s.series_id,"
+            "  CAST(s.ts_ms // 21600000 AS BIGINT) * 21600000 AS b6,"
+            "  round(sum(CASE WHEN s.value >= prev THEN s.value - prev"
+            "            ELSE s.value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples) s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error' AND prev IS NOT NULL"
+            "  GROUP BY 1, 2, 3),"
+            "s6 AS (SELECT job, b6, round(sum(value), 4) AS value"
+            " FROM inc GROUP BY 1, 2)"
+            "SELECT job, CAST(b6 // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            " max(value) AS value FROM s6 GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "promql_alert_filter": q(
             ", persr AS ("

@@ -28,6 +28,11 @@ Supported grammar (the workhorse subset):
     AGGOP     := "sum" | "avg" | "min" | "max" | "count"
     grouping  := ("by" | "without") "(" name ("," name)* ")"
     func      := FUNC "(" selector range offset? ")"
+               | AGGOT "(" expr "[" DUR ":" DUR "]" ")"   (subquery:
+                 inner expr at step resolution, outer over_time over
+                 range-wide windows; range must be a multiple of step,
+                 step must equal the inner bucket granularity)
+    AGGOT     := {avg,sum,min,max,count}_over_time
     FUNC      := rate | rate_extrapolated | increase | irate | delta
                | resets | changes | {avg,sum,min,max,count}_over_time
     math      := MATHFN "(" expr ("," NUM ("," NUM)?)? ")"
@@ -59,7 +64,7 @@ from agni_spark.querier import Querier
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+\.\d+|\d+)|(?P<id>[A-Za-z_:][A-Za-z0-9_:]*)"
     r'|(?P<str>"(?:[^"\\]|\\.)*")'
-    r"|(?P<op>=~|!~|!=|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|/|\*|\+|-))"
+    r"|(?P<op>=~|!~|!=|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|/|\*|\+|-|:))"
 )
 _UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
@@ -124,6 +129,20 @@ class Selector:
 class Func:
     name: str
     arg: Selector
+
+
+@dataclass
+class Subquery:
+    """<agg>_over_time(expr[range:step]) — PromQL subquery: the inner
+    expression evaluates at `step` resolution, the outer over_time
+    aggregates `range`-wide windows of those results. In the bucketed
+    model the inner's bucket granularity IS the step, so the outer op
+    is a plain re-bucketing groupBy."""
+
+    op: str  # avg|sum|min|max|count (the <agg>_over_time family)
+    inner: "Agg | Func | Selector | BinOp | MathFunc"
+    range_ms: int
+    step_ms: int
 
 
 @dataclass
@@ -300,12 +319,47 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
     if t in _RANGE_FUNCS:
         toks.next()
         toks.expect("(")
-        sel = _parse_selector(toks)
-        if sel.range_ms is None:
-            raise ValueError(f"{t}() needs a range selector m[duration]")
+        inner = _parse_binop(toks)
+        if isinstance(inner, Selector) and toks.peek() == ")":
+            if inner.range_ms is None:
+                raise ValueError(f"{t}() needs a range selector m[duration]")
+            toks.expect(")")
+            return Func(t, inner)
+        # subquery: expr[range:step]
+        if toks.peek() != "[":
+            raise ValueError(f"{t}() needs a range selector or subquery")
+        if not t.endswith("_over_time"):
+            raise ValueError(f"subqueries support only the _over_time family, not {t}()")
+        toks.expect("[")
+        rng = _parse_duration(toks)
+        toks.expect(":")
+        step = _parse_duration(toks)
+        toks.expect("]")
         toks.expect(")")
-        return Func(t, sel)
+        if rng % step != 0:
+            raise ValueError("subquery range must be a multiple of step")
+        return Subquery(t.removesuffix("_over_time"), inner, rng, step)
     return _parse_selector(toks)
+
+
+def _parse_duration(toks: _Tokens) -> int:
+    n = int(toks.next())
+    unit = toks.next()
+    if ":" in unit:
+        # the id token class allows ':' (recording-rule metric names),
+        # so inside a subquery bracket "d:6h" lexes as one token —
+        # split it and push the remainder back into the stream
+        unit, rest = unit.split(":", 1)
+        toks.items.insert(toks.pos, ":")
+        m = re.fullmatch(r"(\d+)([A-Za-z]+)", rest)
+        if m:
+            toks.items.insert(toks.pos + 1, m.group(1))
+            toks.items.insert(toks.pos + 2, m.group(2))
+        elif rest:
+            toks.items.insert(toks.pos + 1, rest)
+    if unit not in _UNIT_MS:
+        raise ValueError(f"bad duration unit {unit!r}")
+    return n * _UNIT_MS[unit]
 
 
 def _parse_selector(toks: _Tokens) -> Selector:
@@ -560,6 +614,38 @@ def _compile_inner(
             "clamp": lambda v: F.least(F.greatest(v, F.lit(s)), F.lit(s2)),
         }
         return inner.withColumn("value", fns[expr.name](F.col("value")))
+    if isinstance(expr, Subquery):
+        inner = _compile(expr.inner, querier, mint_ms, maxt_ms, cache)
+        if "bucket_ms" not in inner.columns:
+            raise ValueError(
+                "subquery inner must produce bucketed values "
+                "(a range function or aggregation)"
+            )
+        # in the bucketed model the inner's bucket IS the step — check
+        # statically where the inner's range function is reachable
+        node = expr.inner
+        while isinstance(node, (Agg, MathFunc)):
+            node = node.arg
+        if isinstance(node, Func) and node.arg.range_ms != expr.step_ms:
+            raise ValueError(
+                f"subquery step must equal the inner range "
+                f"({node.arg.range_ms} ms) in the bucketed model"
+            )
+        keys = [c for c in inner.columns if c not in ("bucket_ms", "value")]
+        out_bucket = (
+            (F.col("bucket_ms") / F.lit(expr.range_ms)).cast("long")
+            * F.lit(expr.range_ms)
+        ).alias("bucket_ms")
+        aggs = {
+            "avg": F.round(F.avg("value"), promql.ROUND_AVG),
+            "sum": F.round(F.sum("value"), promql.ROUND_SUM),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "count": F.count(F.lit(1)).cast("double"),
+        }
+        return inner.groupBy(*keys, out_bucket).agg(
+            aggs[expr.op].alias("value")
+        )
     if isinstance(expr, BinOp):
         return _compile_binop(expr, querier, mint_ms, maxt_ms, cache)
     raise TypeError(type(expr))

@@ -470,3 +470,26 @@ def test_vector_matching_modifiers(querier):
             "sum by (job) (increase(event_error[1d]))"
             " / on(nope) sum by (job) (increase(event_click[1d]))",
         ).collect()
+
+
+def test_subquery_over_time(querier):
+    # daily max of 6-hourly per-job sums == manual re-bucketing
+    inner = {(r.job, r.bucket_ms): r.value
+             for r in pql.query(
+                 querier,
+                 "sum by (job) (increase(event_error[6h]))").collect()}
+    got = {(r.job, r.bucket_ms): r.value
+           for r in pql.query(
+               querier,
+               "max_over_time(sum by (job)"
+               " (increase(event_error[6h]))[1d:6h])").collect()}
+    want = {}
+    for (j, b), v in inner.items():
+        k = (j, b // 86_400_000 * 86_400_000)
+        want[k] = max(want.get(k, float("-inf")), v)
+    assert got == want and len(got) > 0
+    # malformed subqueries error loudly
+    with pytest.raises(ValueError, match="multiple of step"):
+        pql.parse("avg_over_time(rate(x[6h])[1d:5h])")
+    with pytest.raises(ValueError, match="_over_time family"):
+        pql.parse("rate(sum(increase(x[6h]))[1d:6h])")
