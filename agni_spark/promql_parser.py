@@ -70,8 +70,9 @@ _UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
 _RANGE_FUNCS = {
     "rate", "rate_extrapolated", "increase", "irate", "delta", "resets",
-    "changes", "avg_over_time", "sum_over_time", "min_over_time",
-    "max_over_time", "count_over_time",
+    "changes", "deriv", "avg_over_time", "sum_over_time", "min_over_time",
+    "max_over_time", "count_over_time", "last_over_time",
+    "stddev_over_time", "stdvar_over_time", "present_over_time",
 }
 _MATH_FUNCS = {
     "abs", "clamp_min", "clamp_max", "clamp", "ceil", "floor", "round",
@@ -440,6 +441,21 @@ _FUNC_IMPL = {
     "rate_extrapolated": lambda df, ms: promql.rate_extrapolated(
         df, ms
     ).withColumnRenamed("rate", "value"),
+    "deriv": lambda df, ms: promql.deriv(df, ms).withColumnRenamed(
+        "deriv", "value"
+    ),
+    "last_over_time": lambda df, ms: promql.ext_over_time(df, ms).select(
+        "series_id", "bucket_ms", F.col("last_value").alias("value")
+    ),
+    "stddev_over_time": lambda df, ms: promql.ext_over_time(df, ms).select(
+        "series_id", "bucket_ms", F.col("stddev_value").alias("value")
+    ),
+    "stdvar_over_time": lambda df, ms: promql.ext_over_time(df, ms).select(
+        "series_id", "bucket_ms", F.col("stdvar_value").alias("value")
+    ),
+    "present_over_time": lambda df, ms: promql.ext_over_time(df, ms).select(
+        "series_id", "bucket_ms", F.col("present").alias("value")
+    ),
 }
 
 

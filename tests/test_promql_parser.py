@@ -493,3 +493,19 @@ def test_subquery_over_time(querier):
         pql.parse("avg_over_time(rate(x[6h])[1d:5h])")
     with pytest.raises(ValueError, match="_over_time family"):
         pql.parse("rate(sum(increase(x[6h]))[1d:6h])")
+
+
+def test_extended_range_funcs_in_parser(querier):
+    # deriv + the ext over_time family compile through the parser and
+    # match their engine twins
+    got = pql.query(querier, "deriv(event_view[1d])")
+    want = promql.deriv(
+        querier.select([pql.Matcher("=", "__name__", "event_view")], sort=False),
+        86_400_000,
+    ).withColumnRenamed("deriv", "value")
+    assert _rows(got) == _rows(want)
+    for fn in ["last_over_time", "stddev_over_time", "stdvar_over_time",
+               "present_over_time"]:
+        df = pql.query(querier, f"{fn}(event_view[1d])")
+        assert df.columns == ["series_id", "bucket_ms", "value"]
+        assert df.count() > 0
