@@ -570,8 +570,9 @@ def _q_streaming_attribution(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     tune_session(spark)
-    ev = dm.load(spark, sf, "events").select(
-        "user_id", "event_id", dm.ns_to_ms("ts").alias("ts_ms"), "value",
+    _ev = dm.load(spark, sf, "events")
+    ev = _ev.select(
+        "user_id", "event_id", dm.ms_col(_ev, "ts").alias("ts_ms"), "value",
         "event_type",
     )
     tmp = tempfile.mkdtemp(prefix="agni_attr_")

@@ -57,8 +57,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default; `nanosAsLong` reads those columns as int64 nanoseconds.
     All downstream code converts explicitly with exact integer
     arithmetic (`div`), never float division (2024 epoch-nanos exceed
-    2^53, a double round-trip would corrupt millisecond values)."""
+    2^53, a double round-trip would corrupt millisecond values).
+
+    Session timezone is pinned to UTC here (the one choke point every
+    query goes through) so TIMESTAMP_NTZ -> epoch conversions agree
+    with DuckDB's naive reading regardless of the caller's session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # immutable in this session
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -71,6 +79,17 @@ def ns_to_ts(col: str) -> Column:
     """int64 nanos -> TIMESTAMP (microsecond precision, matching what
     DuckDB sees when it coerces TIMESTAMP_NS to TIMESTAMP)."""
     return F.timestamp_micros(F.expr(f"CAST({col} div 1000 AS BIGINT)"))
+
+
+def ms_col(df: DataFrame, name: str) -> Column:
+    """Epoch milliseconds regardless of the physical parquet type: the
+    driver has shipped `ts` both as TIMESTAMP(NANOS) (int64 under
+    nanosAsLong) and as TIMESTAMP(MICROS) NTZ. unix_millis truncates
+    sub-ms precision, exactly like DuckDB's epoch_ms."""
+    dt = dict(df.dtypes)[name]
+    if dt == "bigint":
+        return ns_to_ms(name)
+    return F.unix_millis(F.col(name).cast("timestamp"))
 
 
 def ts_col(df: DataFrame, name: str) -> Column:
@@ -129,12 +148,13 @@ def _event_base(events: DataFrame) -> DataFrame:
         F.when(uid % 5 < 3, F.concat(F.lit("pod-"), (uid % 7).cast("string"))).alias(
             "pod"
         ),
-        ns_to_ms("ts").alias("ts_ms"),
+        ms_col(events, "ts").alias("ts_ms"),
         F.col("value"),
-        *(
-            [F.col("ts").alias("_ts_ns")]
-            if dict(events.dtypes).get("ts") == "bigint"
-            else []
+        # Raw source column carried under a hidden name so time bounds
+        # can be restated against it and reach the parquet reader as
+        # pushed filters (querier.select does the bound translation).
+        F.col("ts").alias(
+            "_ts_ns" if dict(events.dtypes).get("ts") == "bigint" else "_ts_raw"
         ),
     )
 
@@ -153,10 +173,8 @@ def derive_tsdb(spark: SparkSession, sf_dir: str) -> TsdbTables:
 
     base = _event_base(load(spark, sf_dir, "events"))
 
-    sample_cols = ["series_id", "ts_ms", "value"] + (
-        ["_ts_ns"] if "_ts_ns" in base.columns else []
-    )
-    samples = base.select(*sample_cols)
+    raw = [c for c in ("_ts_ns", "_ts_raw") if c in base.columns]
+    samples = base.select(*(["series_id", "ts_ms", "value"] + raw))
 
     series = base.select(
         "series_id", "metric", "job", "env", "instance", "pod"

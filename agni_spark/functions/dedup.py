@@ -151,8 +151,11 @@ def jaccard_pairs(
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        # sa/sb are O(n_docs): never force-broadcast (at 1e9 docs that
+        # OOMs); these are equi-joins on doc_id — AQE size-broadcasts
+        # at runtime when the side genuinely fits.
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", F.round(j, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
@@ -252,8 +255,11 @@ def minhash_dedup_pairs(
         / F.lit(float(n))
     )
     return (
-        cands.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        # a/b are the FULL signature table (O(n_docs) x n ints): no
+        # forced broadcast — candidates are equi-keyed on doc_id and
+        # AQE picks broadcast only when the side actually fits.
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
@@ -528,8 +534,11 @@ def jaccard_pairs_prefix(
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        # sa/sb are O(n_docs): never force-broadcast (at 1e9 docs that
+        # OOMs); these are equi-joins on doc_id — AQE size-broadcasts
+        # at runtime when the side genuinely fits.
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", F.round(j, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")

@@ -70,7 +70,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate_ts") > d)
         .join(
             orders.where(F.col("o_orderdate_ts") < d).join(
-                F.broadcast(cust),
+                # customer is 150k x SF: no forced broadcast; AQE
+                # size-broadcasts the filtered segment when it fits
+                cust,
                 orders.o_custkey == cust.c_custkey,
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -111,12 +113,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .select("c_custkey", "c_nationkey", "n_name", "r_name")
     )
+    # dim carries every customer row (150k x SF): hint removed so
+    # AQE chooses shuffle vs broadcast from the runtime size.
     ord_dim = orders.join(
-        F.broadcast(dim), orders.o_custkey == F.col("c_custkey")
+        dim, orders.o_custkey == F.col("c_custkey")
     ).select("o_orderkey", "c_nationkey", "n_name", "r_name")
     return (
         li.join(ord_dim, li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .where(F.col("s_nationkey") == F.col("c_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -135,10 +139,11 @@ def events_sessionize(
     Structured Streaming session windows): a new session starts when a
     user's inter-event gap exceeds `gap_ms`. One shuffle on user_id;
     windows stay within partitions afterwards."""
-    from agni_spark.datamodel import ns_to_ms
+    from agni_spark.datamodel import ms_col
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", ns_to_ms("ts").alias("ts_ms"), "value"
+    _ev = load(spark, sf_dir, "events")
+    ev = _ev.select(
+        "user_id", "event_id", ms_col(_ev, "ts").alias("ts_ms"), "value"
     )
     # event_id tie-break: ms-truncated timestamps can collide, and lag()
     # under a nondeterministic order would break reproducibility.
@@ -222,7 +227,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
         )
     )
     out = (
-        revenue.join(F.broadcast(cust), revenue.o_custkey == cust.c_custkey)
+        revenue.join(cust, revenue.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             "c_custkey", "c_name", "revenue",
@@ -275,7 +280,7 @@ def q14_promotion_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.where((F.col("l_shipdate_ts") >= lo) & (F.col("l_shipdate_ts") < hi))
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -301,10 +306,7 @@ def events_funnel(spark: SparkSession, sf_dir: str, gap_ms: int = 86_400_000) ->
     guard)."""
     ev = load(spark, sf_dir, "events")
     base = ev.select(
-        "user_id",
-        dm.ns_to_ms("ts").alias("ts_ms") if dict(ev.dtypes)["ts"] == "bigint"
-        else F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
-        "event_type",
+        "user_id", dm.ms_col(ev, "ts").alias("ts_ms"), "event_type"
     )
     views = base.where(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts_ms").alias("t_view")
@@ -365,7 +367,7 @@ def q7_volume_shipping(
     )
     orders = (
         load(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select("o_orderkey", "cust_nation")
     )
     _li = load(spark, sf_dir, "lineitem")
@@ -374,7 +376,7 @@ def q7_volume_shipping(
     hi = F.lit("1998-01-01").cast("timestamp")
     return (
         li.where((F.col("l_shipdate_ts") >= lo) & (F.col("l_shipdate_ts") < hi))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .where(
             ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
@@ -429,14 +431,14 @@ def q8_market_share(
             (F.col("o_orderdate_ts") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate_ts") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(cust_r), F.col("o_custkey") == cust_r.c_custkey)
+        .join(cust_r, F.col("o_custkey") == cust_r.c_custkey)
         .select("o_orderkey", F.year("o_orderdate_ts").cast("int").alias("o_year"))
     )
     li = load(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_year")
         .agg(
@@ -482,8 +484,8 @@ def q9_product_type_revenue(
         "decimal(18,6)"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
@@ -525,7 +527,7 @@ def q17_small_quantity_revenue(
         "p_partkey"
     )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == part.p_partkey
+        part, F.col("l_partkey") == part.p_partkey
     )
     lim = li.groupBy("p_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_lim")
@@ -559,7 +561,7 @@ def q18_large_volume_customers(
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -620,7 +622,7 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate-at-scale variants see the HLL twin pinned in tests
     (approx_count_distinct over the same grouping)."""
     ev = load(spark, sf_dir, "events")
-    day = (dm.ns_to_ms("ts") / F.lit(86_400_000)).cast("long") * F.lit(86_400_000)
+    day = (dm.ms_col(ev, "ts") / F.lit(86_400_000)).cast("long") * F.lit(86_400_000)
     return (
         ev.select(day.alias("day_ms"), "user_id", "value")
         .groupBy("day_ms")
@@ -640,7 +642,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user-day cardinality, far below event cardinality), so the join
     input is minimal; one shuffle for the distinct, one for the join."""
     ev = load(spark, sf_dir, "events")
-    day = (dm.ns_to_ms("ts") / F.lit(86_400_000)).cast("long")
+    day = (dm.ms_col(ev, "ts") / F.lit(86_400_000)).cast("long")
     act = ev.select("user_id", day.alias("day")).distinct()
     nxt = act.select("user_id", (F.col("day") - 1).alias("day"))
     per_day = act.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))

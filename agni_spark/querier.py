@@ -125,20 +125,32 @@ class Querier:
         # ts div 1e6 >= lo  <=>  ts >= lo*1e6;  ts div 1e6 <= hi  <=>
         # ts < (hi+1)*1e6) so the predicate reaches the parquet reader
         # as a pushed filter instead of a post-scan expression.
-        raw = "_ts_ns" in df.columns
+        raw_ns = "_ts_ns" in df.columns
+        raw_ts = "_ts_raw" in df.columns
+
+        def _raw_ts_lit(ms: int):
+            # constant-folded to a plain timestamp literal -> pushable;
+            # cast to the column's exact type (NTZ vs LTZ) to avoid
+            # mixed-type comparison errors. Session tz is UTC (load()).
+            return F.timestamp_millis(F.lit(ms)).cast(dict(df.dtypes)["_ts_raw"])
+
         if mint_ms is not None:
             df = df.where(F.col("ts_ms") >= F.lit(mint_ms))
-            if raw:
+            if raw_ns:
                 df = df.where(F.col("_ts_ns") >= F.lit(mint_ms * 1_000_000))
+            elif raw_ts:
+                df = df.where(F.col("_ts_raw") >= _raw_ts_lit(mint_ms))
         if maxt_ms is not None:
             df = df.where(F.col("ts_ms") <= F.lit(maxt_ms))
-            if raw:
+            if raw_ns:
                 df = df.where(F.col("_ts_ns") < F.lit((maxt_ms + 1) * 1_000_000))
+            elif raw_ts:
+                df = df.where(F.col("_ts_raw") < _raw_ts_lit(maxt_ms + 1))
         if matchers:
             ids = self.select_series(matchers, broadcast_series=broadcast_series)
             df = df.join(ids, "series_id", "left_semi")
-        if raw:
-            df = df.drop("_ts_ns")
+        if raw_ns or raw_ts:
+            df = df.drop("_ts_ns", "_ts_raw")
         if with_labels:
             df = df.join(self.series, "series_id", "left")
         return df.orderBy("series_id", "ts_ms") if sort else df

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from agni_spark.sources import tsdb_format as tf
 
 SAMPLES_PER_CHUNK = 120  # design point, xor.go:75-77
-SEGMENT_MAX_BYTES = 512 * 1024 * 1024  # vendor tsdb chunks.go segmentSize
+SEGMENT_MAX_BYTES = tf.SEGMENT_MAX_BYTES  # enforced in write_chunk_segments
 
 
 def write_block(
@@ -62,12 +62,15 @@ def read_block_samples(block_dir: str) -> list[tuple[dict[str, str], int, float]
     """Decode one block into (labels, t_ms, value) rows (driverless
     helper used by both the local tests and the distributed reader)."""
     entries = tf.read_index(os.path.join(block_dir, "index"))
-    seg_path = os.path.join(block_dir, "chunks", "000001")
+    chunks_dir = os.path.join(block_dir, "chunks")
     rows = []
     for labels, chunks in entries:
         for cm in chunks:
-            offset = cm.ref & 0xFFFFFFFF
-            data = tf.read_chunk_at(seg_path, offset)
+            # ref = segment<<32 | offset (chunks.go:113-116): chunks
+            # past segment 000001 must resolve too
+            data = tf.read_chunk_at(
+                tf.segment_path(chunks_dir, cm.ref), cm.ref & 0xFFFFFFFF
+            )
             for t, v in tf.decode_xor_chunk(data):
                 rows.append((labels, t, v))
     return rows
@@ -112,11 +115,14 @@ def spark_read_tsdb_blocks(
             out = []
             for block_dir in pdf["block_dir"]:
                 entries = mod.read_index(_os.path.join(block_dir, "index"))
-                seg = _os.path.join(block_dir, "chunks", "000001")
+                chunks_dir = _os.path.join(block_dir, "chunks")
                 for labels, chunks in entries:
                     lbl = _json.dumps(labels, sort_keys=True)
                     for cm in chunks:
-                        data = mod.read_chunk_at(seg, cm.ref & 0xFFFFFFFF)
+                        data = mod.read_chunk_at(
+                            mod.segment_path(chunks_dir, cm.ref),
+                            cm.ref & 0xFFFFFFFF,
+                        )
                         for t, v in mod.decode_xor_chunk(data):
                             out.append((lbl, t, v))
             yield _pd.DataFrame(

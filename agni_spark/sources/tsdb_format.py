@@ -664,6 +664,55 @@ def read_index_postings(path: str, name: str, value: str) -> list[int]:
 
 
 SAMPLES_PER_CHUNK = 120  # design point, xor.go:75-77
+SEGMENT_MAX_BYTES = 512 * 1024 * 1024  # vendor tsdb chunks.go segmentSize
+
+
+def write_chunk_segments(
+    chunks_dir: str,
+    chunks: list[bytes],
+    seg_max_bytes: int = SEGMENT_MAX_BYTES,
+    encoding: int = ENC_XOR,
+) -> list[tuple[int, int]]:
+    """Write chunks across numbered segment files (000001, 000002, ...),
+    cutting a new segment when the next chunk would push the current
+    file past `seg_max_bytes` (vendor tsdb chunks.go:113-116 packs
+    ref = segment<<32 | offset; agni chunks.go:161-196 groups batched
+    reads by segment). Returns one (segment_no, offset) per chunk.
+
+    A real 2h block can exceed one 512 MiB segment; refs into later
+    segments must resolve or those chunks are unreachable."""
+    refs: list[tuple[int, int]] = []
+    seg_no = 0
+    f = None
+    pos = 0
+    try:
+        for data in chunks:
+            head = _uvarint_bytes(len(data)) + bytes([encoding])
+            rec_len = len(head) + len(data) + 4
+            if f is None or (pos + rec_len > seg_max_bytes and pos > 8):
+                if f is not None:
+                    f.close()
+                seg_no += 1
+                f = open(os.path.join(chunks_dir, f"{seg_no:06d}"), "wb")
+                f.write(struct.pack(">I", CHUNKS_MAGIC))
+                f.write(bytes([1, 0, 0, 0]))  # version 1 + padding
+                pos = 8
+            refs.append((seg_no, pos))
+            crc = struct.pack(">I", _crc32c(bytes([encoding]) + data))
+            f.write(head + data + crc)
+            pos += rec_len
+    finally:
+        if f is not None:
+            f.close()
+    if not chunks:  # always materialize segment 000001, like the ref
+        write_chunk_segment(os.path.join(chunks_dir, "000001"), [])
+    return refs
+
+
+def segment_path(chunks_dir: str, ref: int) -> str:
+    """Resolve a packed chunk ref to its segment file path:
+    segment_no = ref >> 32 (1-based file name), offset = low 32 bits."""
+    return os.path.join(chunks_dir, f"{ref >> 32:06d}")
 
 
 def write_block_dir(
@@ -671,8 +720,9 @@ def write_block_dir(
     series: list[tuple[dict[str, str], list[tuple[int, float]]]],
     ulid: str,
     level: int = 1,
+    seg_max_bytes: int = SEGMENT_MAX_BYTES,
 ) -> None:
-    """Materialize one complete TSDB block dir (chunks/000001, index,
+    """Materialize one complete TSDB block dir (chunks/000001..N, index,
     meta.json) from (labels, samples) pairs. Marker-file-last ordering
     (shipper.go:311-319): meta.json is written after chunks+index — a
     block without meta is invisible. Self-contained in this module so
@@ -695,14 +745,14 @@ def write_block_dir(
             maxt = samples[-1][0] if maxt is None else max(maxt, samples[-1][0])
 
     encoded = [encode_xor_chunk(part) for part in all_parts]
-    offsets = write_chunk_segment(
-        os.path.join(block_dir, "chunks", "000001"), encoded
+    refs = write_chunk_segments(
+        os.path.join(block_dir, "chunks"), encoded, seg_max_bytes
     )
     entries = []
     for labels, idxs in per_series_parts:
         cms = [
             ChunkMeta(
-                ref=(1 << 32) | offsets[i],
+                ref=(refs[i][0] << 32) | refs[i][1],
                 mint=all_parts[i][0][0],
                 maxt=all_parts[i][-1][0],
             )

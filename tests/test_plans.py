@@ -37,12 +37,18 @@ def querier(spark):
     return Querier(t.samples, t.series, t.series_labels, t.blocks)
 
 
-def test_time_bounds_are_pushed_filters(querier):
+def test_time_bounds_are_pushed_filters(spark, querier):
     df = querier.select([eq("job", "api")], mint_ms=T1, maxt_ms=T2)
     plan = _formatted(df)
-    # raw-column bounds reach the parquet reader (ts is int64 nanos)
-    assert f"GreaterThanOrEqual(ts,{T1 * 1_000_000})" in plan
-    assert f"LessThan(ts,{(T2 + 1) * 1_000_000})" in plan
+    # raw-column bounds reach the parquet reader, whatever physical
+    # type the driver shipped ts as (int64 nanos or timestamp[us])
+    ts_type = dict(dm.load(spark, SF, "events").dtypes)["ts"]
+    if ts_type == "bigint":
+        assert f"GreaterThanOrEqual(ts,{T1 * 1_000_000})" in plan
+        assert f"LessThan(ts,{(T2 + 1) * 1_000_000})" in plan
+    else:
+        assert "GreaterThanOrEqual(ts," in plan
+        assert "LessThan(ts," in plan
 
 
 def test_matcher_join_broadcasts_not_shuffles(querier):
@@ -192,3 +198,49 @@ def test_parser_selector_skips_output_sort(querier):
     # exactly one Exchange feeding the window (hashpartitioning on
     # series_id), no rangepartitioning anywhere
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_no_sf_scaling_forced_broadcasts(spark):
+    # customer (150k x SF), supplier (10k x SF), part (200k x SF) and
+    # every doc-cardinality dedup relation must NOT carry a broadcast
+    # hint: a forced broadcast of an SF-scaling table OOMs at cluster
+    # scale. With auto-broadcast and AQE off, the only remaining
+    # BroadcastExchanges are the explicit hints on bounded dims
+    # (nation/region/aggregate scalars) — so an upper bound on the
+    # exchange count pins exactly that set.
+    from agni_spark.functions import dedup, relational
+
+    prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_a = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cases = [
+            (lambda: relational.q3_shipping_priority(spark, SF), 0),
+            (lambda: relational.q5_local_supplier_volume(spark, SF), 2),
+            (lambda: relational.q7_volume_shipping(spark, SF), 2),
+            (lambda: relational.q8_market_share(spark, SF), 3),
+            (lambda: relational.q10_returned_items(spark, SF), 1),
+            (lambda: relational.q18_large_volume_customers(spark, SF), 1),
+        ]
+        docs = dm.load(spark, SF, "documents")
+        cases += [
+            (lambda: dedup.jaccard_pairs(docs), 0),
+            (lambda: dedup.jaccard_pairs_prefix(docs), 0),
+            # max_df set -> exactly the bounded hot-shingle list hint
+            (lambda: dedup.jaccard_pairs(docs, max_df=50), 1),
+            (lambda: dedup.minhash_dedup_pairs(docs), 0),
+        ]
+        import re
+
+        for mk, n_ok in cases:
+            plan = _formatted(mk())
+            # formatted explain prints each node once in the tree
+            # ("BroadcastExchange (12)") and once in the detail section
+            # ("(12) BroadcastExchange"); count tree nodes only, and a
+            # ReusedExchange of a broadcast does not re-broadcast.
+            n = len(re.findall(r"BroadcastExchange \(\d+\)", plan))
+            assert n <= n_ok, (mk, n, n_ok)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_a)

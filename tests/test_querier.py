@@ -114,7 +114,7 @@ def test_daily_active_hll_twin(spark):
         ).collect()
     }
     ev = dm.load(spark, "/root/testdata/sf0.001", "events")
-    day = (dm.ns_to_ms("ts") / F.lit(86_400_000)).cast("long") * F.lit(86_400_000)
+    day = (dm.ms_col(ev, "ts") / F.lit(86_400_000)).cast("long") * F.lit(86_400_000)
     approx = {
         r.day_ms: r.dau_approx
         for r in ev.select(day.alias("day_ms"), "user_id")
