@@ -417,19 +417,22 @@ def histogram_quantile(
     target falls in the +Inf bucket, return the highest finite le)."""
     keys = [*by, "bucket_ms"]
     w = Window.partitionBy(*keys).orderBy("le")
+    # Full-partition aggregates share the SORTED window spec with an
+    # explicit unbounded frame instead of a second partition-only
+    # Window: every expression then lands in ONE Window operator over
+    # one exchange+sort (3 Window / 3 Sort passes folded to 1 each).
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # All window expressions are materialized BEFORE the hit filter —
     # window functions evaluate against whatever relation they are
     # selected from, so computing them after the filter would see
     # single-row partitions.
     staged = (
-        buckets.withColumn("_rank", q * F.max("cum").over(Window.partitionBy(*keys)))
+        buckets.withColumn("_rank", q * F.max("cum").over(wfull))
         .withColumn("_prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0)))
         .withColumn("_prev_le", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
         .withColumn(
             "_max_finite",
-            F.max(F.when(F.col("le") != float("inf"), F.col("le"))).over(
-                Window.partitionBy(*keys)
-            ),
+            F.max(F.when(F.col("le") != float("inf"), F.col("le"))).over(wfull),
         )
     )
     interp = F.when(F.col("le") == float("inf"), F.col("_max_finite")).otherwise(

@@ -36,11 +36,30 @@ def write_block(
     series: list[tuple[dict[str, str], list[tuple[int, float]]]],
     ulid: str,
     level: int = 1,
+    stones: list[tuple[dict[str, str], int, int]] | None = None,
 ) -> None:
     """Materialize one TSDB block dir: chunks/000001, index, meta.json
     (delegates to the self-contained tsdb_format.write_block_dir so the
-    same code runs inside distributed export workers)."""
+    same code runs inside distributed export workers). `stones` are
+    (labels, mint_ms, maxt_ms) deletion intervals, written as the
+    block's binary `tombstones` file (vendor tombstones.go:41-84) —
+    the label set is resolved to its series ref via the just-written
+    index, the same uint64 the reference's Stone.ref carries."""
     tf.write_block_dir(block_dir, series, ulid, level)
+    if stones:
+        by_labels = {
+            tuple(sorted(labels.items())): ref
+            for ref, labels, _ in tf.read_index_series(
+                os.path.join(block_dir, "index")
+            )
+        }
+        tf.write_tombstones(
+            block_dir,
+            [
+                (by_labels[tuple(sorted(labels.items()))], mint, maxt)
+                for labels, mint, maxt in stones
+            ],
+        )
 
 
 def discover_blocks(root: str, level: int | None = 1) -> list[str]:
@@ -60,11 +79,17 @@ def discover_blocks(root: str, level: int | None = 1) -> list[str]:
 
 def read_block_samples(block_dir: str) -> list[tuple[dict[str, str], int, float]]:
     """Decode one block into (labels, t_ms, value) rows (driverless
-    helper used by both the local tests and the distributed reader)."""
-    entries = tf.read_index(os.path.join(block_dir, "index"))
+    helper used by both the local tests and the distributed reader).
+    Applies the block's `tombstones` file: samples inside a series'
+    deleted intervals (inclusive both ends, vendor tombstones.go:161)
+    are excluded, matching the reference's deletedIterator
+    (vendor tsdb querier.go chunk read path)."""
+    entries = tf.read_index_series(os.path.join(block_dir, "index"))
+    stones = tf.read_tombstones(block_dir)
     chunks_dir = os.path.join(block_dir, "chunks")
     rows = []
-    for labels, chunks in entries:
+    for ref, labels, chunks in entries:
+        dead = stones.get(ref, [])
         for cm in chunks:
             # ref = segment<<32 | offset (chunks.go:113-116): chunks
             # past segment 000001 must resolve too
@@ -72,6 +97,8 @@ def read_block_samples(block_dir: str) -> list[tuple[dict[str, str], int, float]
                 tf.segment_path(chunks_dir, cm.ref), cm.ref & 0xFFFFFFFF
             )
             for t, v in tf.decode_xor_chunk(data):
+                if any(mint <= t <= maxt for mint, maxt in dead):
+                    continue
                 rows.append((labels, t, v))
     return rows
 
@@ -114,16 +141,20 @@ def spark_read_tsdb_blocks(
         for pdf in batches:
             out = []
             for block_dir in pdf["block_dir"]:
-                entries = mod.read_index(_os.path.join(block_dir, "index"))
+                entries = mod.read_index_series(_os.path.join(block_dir, "index"))
+                stones = mod.read_tombstones(block_dir)
                 chunks_dir = _os.path.join(block_dir, "chunks")
-                for labels, chunks in entries:
+                for ref, labels, chunks in entries:
                     lbl = _json.dumps(labels, sort_keys=True)
+                    dead = stones.get(ref, [])
                     for cm in chunks:
                         data = mod.read_chunk_at(
                             mod.segment_path(chunks_dir, cm.ref),
                             cm.ref & 0xFFFFFFFF,
                         )
                         for t, v in mod.decode_xor_chunk(data):
+                            if any(m0 <= t <= m1 for m0, m1 in dead):
+                                continue
                             out.append((lbl, t, v))
             yield _pd.DataFrame(
                 out, columns=["labels_json", "ts_ms", "value"]

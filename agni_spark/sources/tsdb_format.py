@@ -814,3 +814,86 @@ def read_meta(path: str) -> dict:
     if meta.get("version") != 1:
         raise ValueError(f"unexpected meta file version {meta.get('version')}")
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Block tombstones file (vendor tsdb tombstones.go:28-137). Format:
+#   BE32 magic 0x130BA30 | byte version(1) |
+#   repeat( uvarint64 series_ref, varint64 mint, varint64 maxt ) |
+#   BE32 CRC-32C over the stones region (header excluded,
+#   tombstones.go:103-122: the hash starts after magic+format).
+# Intervals are inclusive both ends (tombstones.go:161-165 inBounds).
+
+TOMBSTONE_MAGIC = 0x130BA30  # tombstones.go:31
+TOMBSTONE_FORMAT_V1 = 1  # tombstones.go:34
+
+
+def write_tombstones(block_dir: str, stones: list[tuple[int, int, int]]) -> None:
+    """Write a block `tombstones` file from (series_ref, mint, maxt)
+    triples (tombstones.go:41-84; tmp-then-rename like renameFile)."""
+    body = bytearray()
+    for ref, mint, maxt in stones:
+        body += _uvarint_bytes(ref)
+        body += _varint_bytes(mint)
+        body += _varint_bytes(maxt)
+    buf = struct.pack(">I", TOMBSTONE_MAGIC) + bytes([TOMBSTONE_FORMAT_V1])
+    buf += bytes(body) + struct.pack(">I", _crc32c(bytes(body)))
+    tmp = os.path.join(block_dir, "tombstones.tmp")
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, os.path.join(block_dir, "tombstones"))
+
+
+def read_tombstones(block_dir: str) -> dict[int, list[tuple[int, int]]]:
+    """Parse a block's `tombstones` file -> {series_ref: [(mint, maxt)]}
+    (tombstones.go:93-137: magic + format gates, CRC over the stones
+    region). A missing file means no deletions — same as the reference's
+    empty tombstoneReader; a corrupt one raises."""
+    path = os.path.join(block_dir, "tombstones")
+    if not os.path.exists(path):
+        return {}
+    with open(path, "rb") as f:
+        b = f.read()
+    if len(b) < 9:
+        raise ValueError("tombstones file too short")
+    if struct.unpack(">I", b[:4])[0] != TOMBSTONE_MAGIC:
+        raise ValueError(f"invalid tombstone magic {b[:4].hex()}")
+    if b[4] != TOMBSTONE_FORMAT_V1:
+        raise ValueError(f"invalid tombstone format {b[4]}")
+    body = b[5:-4]
+    if struct.unpack(">I", b[-4:])[0] != _crc32c(body):
+        raise ValueError("tombstones checksum mismatch")
+    out: dict[int, list[tuple[int, int]]] = {}
+    pos = 0
+    while pos < len(body):
+        ref, n = _read_uvarint_bytes(body[pos:])
+        pos += n
+        mint, n = _read_varint_bytes(body[pos:])
+        pos += n
+        maxt, n = _read_varint_bytes(body[pos:])
+        pos += n
+        out.setdefault(ref, []).append((mint, maxt))
+    return out
+
+
+def read_index_series(
+    path: str,
+) -> list[tuple[int, dict[str, str], list["ChunkMeta"]]]:
+    """read_index plus each series' file ref (= the uint64 the
+    tombstones file keys on: Stone.ref is the postings entry,
+    tombstones.go:88-91 / querier select path)."""
+    with open(path, "rb") as f:
+        b = f.read()
+    if struct.unpack(">I", b[:4])[0] != INDEX_MAGIC:
+        raise ValueError("bad index magic")
+    if b[4] != INDEX_V1:
+        raise ValueError(f"unsupported index version {b[4]}")
+    toc = struct.unpack(">QQQQQQ", b[-_TOC_LEN:-4])
+    (crc,) = struct.unpack(">I", b[-4:])
+    if crc != _crc32c(b[-_TOC_LEN:-4]):
+        raise ValueError("index TOC CRC mismatch")
+    symbols = _read_symbols(b, toc[0])
+    ptable = _read_offset_table(b, toc[5])
+    all_off = ptable.get(("", ""))
+    refs = _read_postings_at(b, all_off) if all_off is not None else []
+    return [(ref, *_read_series_at(b, ref, symbols)) for ref in refs]

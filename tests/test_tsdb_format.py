@@ -360,3 +360,58 @@ def test_index_v1_property_roundtrip(tmp_path_factory, entries):
     tf.write_index(p, fixed)
     got = tf.read_index(p)
     assert got == sorted(fixed, key=lambda e: tuple(sorted(e[0].items())))
+
+
+# -- block tombstones file (vendor tsdb tombstones.go:28-137) ----------------
+def test_tombstones_roundtrip(tmp_path):
+    stones = [(16, 1000, 2000), (16, 5000, 6000), (4096, -500, 0)]
+    tf.write_tombstones(str(tmp_path), stones)
+    got = tf.read_tombstones(str(tmp_path))
+    assert got == {16: [(1000, 2000), (5000, 6000)], 4096: [(-500, 0)]}
+    # missing file == no deletions (empty reader)
+    assert tf.read_tombstones(str(tmp_path / "nope")) == {}
+
+
+def test_tombstones_detects_corruption(tmp_path):
+    tf.write_tombstones(str(tmp_path), [(7, 10, 20)])
+    p = tmp_path / "tombstones"
+    b = bytearray(p.read_bytes())
+    b[7] ^= 0xFF  # flip a byte inside the stones region
+    p.write_bytes(bytes(b))
+    with pytest.raises(ValueError, match="checksum"):
+        tf.read_tombstones(str(tmp_path))
+    b2 = bytearray(p.read_bytes())
+    b2[0] ^= 0xFF  # bad magic
+    p.write_bytes(bytes(b2))
+    with pytest.raises(ValueError, match="magic"):
+        tf.read_tombstones(str(tmp_path))
+
+
+def test_ingest_applies_tombstones(spark, tmp_path):
+    """A block whose tombstones file deletes [t0, t1] for one series
+    must come back without those samples — local AND distributed path
+    (reference: deleted intervals honored at select time, vendor
+    querier.go via tombstones.Get)."""
+    series = [
+        ({"__name__": "m", "job": "a"}, [(k * 1000, float(k)) for k in range(300)]),
+        ({"__name__": "m", "job": "b"}, [(k * 1000, float(k + 500)) for k in range(300)]),
+    ]
+    # delete samples 100..199 (inclusive bounds land exactly on ts) of job=a
+    converter.write_block(
+        str(tmp_path / "01TMB"), series, "01TMB", level=1,
+        stones=[({"__name__": "m", "job": "a"}, 100_000, 199_000)],
+    )
+    rows = converter.read_block_samples(str(tmp_path / "01TMB"))
+    a = [(t, v) for lbl, t, v in rows if lbl["job"] == "a"]
+    b = [(t, v) for lbl, t, v in rows if lbl["job"] == "b"]
+    assert len(b) == 300  # untouched series intact
+    assert len(a) == 200
+    assert not any(100_000 <= t <= 199_000 for t, _ in a)
+    df = converter.spark_read_tsdb_blocks(spark, str(tmp_path), level=1)
+    assert df.count() == 500
+    assert (
+        df.where("ts_ms between 100000 and 199000")
+        .where("labels_json like '%\"job\": \"a\"%'")
+        .count()
+        == 0
+    )
