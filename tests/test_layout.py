@@ -255,3 +255,88 @@ def test_plan_compaction_exponential_windows(spark, tmp_path):
     # level-2 window needs 9 blocks -> nothing eligible now
     assert layout.plan_compaction(spark, path, factor=3) == []
     assert layout.read_samples(spark, path).count() == 60
+
+
+_MOCKFS_JAVA = """
+import java.net.URI;
+import org.apache.hadoop.fs.RawLocalFileSystem;
+
+public class MockFs extends RawLocalFileSystem {
+  @Override
+  public URI getUri() { return URI.create("mockfs:///"); }
+}
+"""
+
+_MOCKFS_LIFECYCLE = """
+import os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+  .config("spark.ui.enabled", "false")
+  .config("spark.driver.extraClassPath", {clsdir!r})
+  .config("spark.hadoop.fs.mockfs.impl", "MockFs")
+  .config("spark.sql.shuffle.partitions", "8")
+  .getOrCreate())
+from agni_spark.sources import layout
+local = {local!r}
+path = f"mockfs:{{local}}"
+samples = spark.createDataFrame(
+    [(s, t, float(s + t)) for s in range(4) for t in range(0, 4000, 100)],
+    "series_id long, ts_ms long, value double")
+layout.write_blocks(samples, path, block_ms=1000)
+assert layout.registry_block_ids(spark, path) == [0, 1, 2, 3]
+assert layout.read_samples(spark, path).count() == 160
+tomb = spark.createDataFrame(
+    [(1, 1000, 1999)], "series_id long, mint_ms long, maxt_ms long")
+assert layout.delete_samples(spark, path, tomb, block_ms=1000) == [1]
+assert layout.read_samples(spark, path).count() == 150
+assert layout.drop_blocks_before(spark, path, 2) == [0, 1]
+assert layout.registry_block_ids(spark, path) == [2, 3]
+assert layout.read_samples(spark, path).count() == 80
+assert not os.path.exists(os.path.join(local, "data", "block_id=0"))
+print("MOCKFS_LIFECYCLE_OK")
+"""
+
+
+def test_lifecycle_non_local_scheme(tmp_path):
+    """Object-store smoke (S1/S9): the whole store lifecycle —
+    write_blocks -> read -> delete_samples -> drop_blocks_before —
+    against a NON-file:// Hadoop scheme. `mockfs:` is a
+    RawLocalFileSystem subclass whose getUri() claims the mockfs
+    scheme, so every mutation must resolve the FileSystem from the
+    path's scheme through the Hadoop API (layout._hfs); any os.*/
+    shutil shortcut or hardcoded file:// assumption fails with
+    "Wrong FS". This backs the s3a:// claim: s3a resolves through the
+    identical code path (reference is S3-native, block.go:20-43,
+    shipper.go:252-325). Runs in a subprocess because extraClassPath
+    is fixed at JVM launch."""
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    import pyspark
+
+    javac = shutil.which("javac")
+    if javac is None:
+        pytest.skip("no javac in container")
+    hadoop_jar = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "hadoop-client-api-*.jar")
+    )[0]
+    clsdir = tmp_path / "cls"
+    clsdir.mkdir()
+    (clsdir / "MockFs.java").write_text(_MOCKFS_JAVA)
+    subprocess.run(
+        [javac, "-cp", hadoop_jar, "MockFs.java"], cwd=clsdir, check=True
+    )
+    local = tmp_path / "mockstore"
+    script = _MOCKFS_LIFECYCLE.format(
+        repo=str(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        clsdir=str(clsdir),
+        local=str(local),
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "MOCKFS_LIFECYCLE_OK" in proc.stdout
