@@ -681,6 +681,50 @@ _ARITH_FNS = {
 }
 
 
+_ROLLUP_OPS = {
+    # agg ops whose coarser re-grouping is derivable from the finer
+    # aggregate: the op applied over partials. (avg/quantile are not
+    # decomposable from rounded partials and take the generic path.)
+    "sum": lambda c: F.round(F.sum(c), promql.ROUND_SUM),
+    "count": lambda c: F.sum(c).cast("double"),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+
+
+def _rollup_sides(expr: BinOp, querier, mint_ms, maxt_ms, cache):
+    """Share-of-total rewrite: for `agg by (L)(X) OP agg by (R)(X)`
+    with the same rollup-able agg op and R ⊆ L over an IDENTICAL inner
+    subtree, the right side is a re-aggregation of the LEFT side's
+    result — so derive it with one tiny groupBy over the left
+    aggregate instead of compiling a second scan+window+agg pipeline.
+    This is the dominant PromQL ratio-to-total shape
+    (`... / ignoring(x) group_left ...` over the same metric); at
+    100 TB it halves the fact-table work. Returns (l, r) or None."""
+    a_l, a_r = expr.left, expr.right
+    if not (isinstance(a_l, Agg) and isinstance(a_r, Agg)):
+        return None
+    if a_l.op != a_r.op or a_l.op not in _ROLLUP_OPS:
+        return None
+    if a_l.k is not None or a_r.k is not None:
+        return None
+    if a_l.mode != "by" or a_r.mode != "by":
+        return None
+    if repr(a_l.arg) != repr(a_r.arg):
+        return None
+    label_cols = [c for c in querier.series.columns if c != "series_id"]
+    by_l = [x for x in a_l.labels if x in label_cols]
+    by_r = [x for x in a_r.labels if x in label_cols]
+    if not set(by_r) < set(by_l):
+        return None
+    l = _compile(a_l, querier, mint_ms, maxt_ms, cache)
+    time_cols = [c for c in ("bucket_ms", "ts_ms") if c in l.columns]
+    r = l.groupBy(*by_r, *time_cols).agg(
+        _ROLLUP_OPS[a_l.op]("value").alias("value")
+    )
+    return l, r
+
+
 def _merged_scan_sides(expr: BinOp, querier, mint_ms, maxt_ms, cache):
     """The ratio-of-two-metrics rewrite: for `agg(f(a{m}[r])) OP
     agg(f(b{m}[r]))` — same range func, same range/offset/matchers,
@@ -824,17 +868,18 @@ def _compile_binop(
         return vec.withColumn(
             "value", F.round(_ARITH_FNS[expr.op](a, b), promql.ROUND_AVG)
         )
-    if (expr.op in _ARITH_FNS or expr.op in _CMP_FNS) and (
-        expr.match_mode is None
-    ):
-        # the merged-scan rewrites assume natural (all-shared-labels)
-        # matching; explicit on()/ignoring() takes the generic path
-        pivot = _merged_pivot_binop(expr, querier, mint_ms, maxt_ms, cache)
-        if pivot is not None:
-            return pivot
-        merged = _merged_scan_sides(expr, querier, mint_ms, maxt_ms, cache)
-    else:
-        merged = None
+    merged = None
+    if expr.op in _ARITH_FNS or expr.op in _CMP_FNS:
+        # rollup reuse is matching-mode-agnostic: it only rewrites the
+        # OPERANDS (right := re-agg of left); join keys follow below
+        merged = _rollup_sides(expr, querier, mint_ms, maxt_ms, cache)
+        if merged is None and expr.match_mode is None:
+            # the merged-scan rewrites assume natural (all-shared-
+            # labels) matching; explicit on()/ignoring() falls through
+            pivot = _merged_pivot_binop(expr, querier, mint_ms, maxt_ms, cache)
+            if pivot is not None:
+                return pivot
+            merged = _merged_scan_sides(expr, querier, mint_ms, maxt_ms, cache)
     if merged is not None:
         l, r = merged
     else:

@@ -244,3 +244,28 @@ def test_no_sf_scaling_forced_broadcasts(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
         spark.conf.set("spark.sql.adaptive.enabled", prev_a)
+
+
+def test_parsed_rollup_binop_single_fact_pass(querier):
+    """Share-of-total binop (`sum by (L)(X) / ignoring(..) group_left
+    sum by (R)(X)`, R ⊂ L): the right side must be DERIVED from the
+    left aggregate (one scan+window+agg over the fact table, plus a
+    tiny rollup), not compiled as a second full pipeline. The logical
+    plan therefore contains exactly ONE Window operator."""
+    from agni_spark import promql_parser as pql
+
+    df = pql.query(
+        querier,
+        "sum by (job, env) (increase(event_error[1d]))"
+        " / ignoring(env) group_left"
+        " sum by (job) (increase(event_error[1d]))",
+    )
+    # the shared left subtree prints twice in the logical TREE but
+    # executes once: AQE's stage reuse materializes it a single time,
+    # so the FINAL adaptive plan contains exactly one Window pipeline
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("Window") == 1
