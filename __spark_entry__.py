@@ -710,6 +710,21 @@ def _q_simsearch_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann(e, queries_df, k=10, n_centroids=8, nprobe=2)
 
 
+def _q_simsearch_ivf_stored(spark: SparkSession, sf: str) -> DataFrame:
+    # materialized IVF path: index written partitioned by centroid_id,
+    # probe scans only nprobe partition dirs (dynamic partition
+    # pruning) — same algorithm, same oracle as simsearch_ivf_ann
+    import tempfile
+
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_ivf_idx_")
+    simsearch.write_ivf_index(e, path, n_centroids=8)
+    return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.semantic_dedup_keep(_emb(spark, sf), n_centroids=8,
                                          threshold=0.4)
@@ -952,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_cosine_topk": _q_simsearch_topk,
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
         "simsearch_ivf_ann": _q_simsearch_ivf,
+        "simsearch_ivf_stored": _q_simsearch_ivf_stored,
         "dedup_semantic": _q_dedup_semantic,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -2189,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         "simsearch_cosine_topk": _SQL_SIMSEARCH_TOPK,
         # simsearch_lsh_ann: approximate, intentionally rows-only
         "simsearch_ivf_ann": _SQL_SIMSEARCH_IVF,
+        "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
         "dedup_semantic": _SQL_SEMDEDUP,
         "multimodal_meta": _SQL_MM_META,
         "multimodal_frame_sample": _SQL_MM_FRAMES,

@@ -311,3 +311,127 @@ def semantic_dedup_keep(
         .select("centroid_id", "vec_id")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored (partitioned) index variants — the materialized 100 TB path.
+# The in-memory builders above recompute cells per query batch; at
+# scale the index is built ONCE and written physically partitioned on
+# its routing key, so a probe query's scan touches nprobe partitions
+# (dynamic partition pruning) instead of the whole corpus.
+# ---------------------------------------------------------------------------
+def write_ivf_index(
+    corpus: DataFrame, path: str, n_centroids: int = 8, iters: int = 1
+) -> None:
+    """Build + persist an IVF-flat index: `cells/` parquet partitioned
+    by centroid_id (each vector in exactly one cell) and `centroids/`
+    (tiny). Directory-per-cell means a probe reads nprobe/n_centroids
+    of the data — the Spark equivalent of per-list IVF files."""
+    cents = ivf_centroids(corpus, n_centroids, iters)
+    cells = _nearest_centroids(
+        corpus.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    (
+        cells.repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/cells")
+    )
+    cents.select(
+        "centroid_id", F.col("cvec").cast("array<double>").alias("cvec")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_ann_stored(
+    spark, path: str, queries: DataFrame, k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """Probe a stored IVF index: route each query to its nprobe nearest
+    centroids (broadcast centroid table), then join probes against the
+    partitioned cells store. The join key IS the partition column, so
+    Catalyst plans dynamic partition pruning — the cells scan reads
+    only the probed centroid_id directories (plan-asserted in
+    tests/test_plans.py). Results are identical to ivf_ann() built
+    from the same corpus/params."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = _nearest_centroids(
+        queries.select("query_id", F.col("embedding").alias("qe")),
+        cents, "query_id", "qe", nprobe,
+    )
+    cells = spark.read.parquet(f"{path}/cells")
+    scored = (
+        cells.join(probes, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
+        .orderBy("query_id", "rk")
+    )
+
+
+def write_lsh_index(
+    corpus: DataFrame, path: str, n_planes: int = 8, dim: int = 64
+) -> None:
+    """Persist the sign-LSH table partitioned by bucket (2^n_planes
+    directories; each vector in exactly one)."""
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        _bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    (
+        c.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+
+
+def lsh_ann_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Probe a stored LSH table: bucket each query with the same
+    deterministic planes, join on the bucket partition column
+    (dynamic partition pruning -> only probed bucket dirs scanned),
+    exact cosine rerank inside. Matches lsh_ann() on the same
+    corpus/params."""
+    planes = hyperplanes(64, n_planes)
+    qb = _bucket(F.col("embedding"), planes)
+    if multiprobe:
+        probes = F.explode(
+            F.array(qb, *[qb.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+        )
+    else:
+        probes = qb
+    q = F.broadcast(
+        queries.select(
+            "query_id", F.col("embedding").alias("qe"), probes.alias("bucket")
+        )
+    )
+    c = spark.read.parquet(f"{path}/buckets")
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
+        .orderBy("query_id", "rk")
+    )

@@ -286,3 +286,48 @@ def test_embedding_grid_join_is_exact(spark):
         .toString()
     )
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_stored_ivf_index_prunes_and_matches(spark, tmp_path):
+    """write_ivf_index partitions cells by centroid_id; probing joins
+    on the partition column, so the cells scan carries a
+    dynamicpruningexpression PartitionFilter (only nprobe dirs read)
+    and results equal the in-memory ivf_ann on the same params."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    simsearch.write_ivf_index(emb, path, n_centroids=8)
+    import os
+    cell_dirs = [d for d in os.listdir(f"{path}/cells") if d.startswith("centroid_id=")]
+    assert len(cell_dirs) == 8  # one directory per cell
+    out = simsearch.ivf_ann_stored(spark, path, queries, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "FileScan" in l and "dynamicpruning" in l for l in plan.splitlines()
+    )
+    assert out.collect() == simsearch.ivf_ann(
+        emb, queries, k=5, n_centroids=8, nprobe=2
+    ).collect()
+
+
+def test_stored_lsh_index_prunes_and_matches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "lsh")
+    simsearch.write_lsh_index(emb, path, n_planes=3)
+    out = simsearch.lsh_ann_stored(spark, path, queries, k=5, n_planes=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "FileScan" in l and "dynamicpruning" in l for l in plan.splitlines()
+    )
+    assert out.collect() == simsearch.lsh_ann(
+        emb, queries, k=5, n_planes=3
+    ).collect()
