@@ -460,6 +460,74 @@ def _q_promql_parsed_subquery(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "bucket_ms")
 
 
+def _q_promql_parsed_quantile_ot(spark: SparkSession, sf: str) -> DataFrame:
+    # scalar-first function syntax: quantile_over_time(q, m[r])
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(_querier(spark, sf), "quantile_over_time(0.9, event_click[6h])")
+    return out.orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_parsed_predict_linear(spark: SparkSession, sf: str) -> DataFrame:
+    # trailing-scalar function syntax: predict_linear(m[r], t)
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(_querier(spark, sf), "predict_linear(event_click[1d], 3600)")
+    return out.orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    # double exponential smoothing: order-dependent fold over each
+    # bucket's time-sorted values (JVM-side F.aggregate, one shuffle)
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(_querier(spark, sf), "holt_winters(event_click[1d], 0.5, 0.1)")
+    return out.orderBy("series_id", "bucket_ms")
+
+
+def _q_promql_stddev_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # stddev/stdvar aggregation operators (population, explicit moments)
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf), "stddev by (job) (sum_over_time(event_click[6h]))"
+    )
+    return out.orderBy("job", "bucket_ms")
+
+
+def _q_promql_parsed_count_values(spark: SparkSession, sf: str) -> DataFrame:
+    # count_values("lbl", v): histogram of aggregate values as a label
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        'count_values("inc", sum by (job, env) (increase(event_error[1d])))',
+    )
+    return out.orderBy("bucket_ms", "inc")
+
+
+def _q_promql_label_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    # label_replace + label_join composed: tier derived from job by
+    # anchored-regex capture, je = job "-" env
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        'label_join(label_replace('
+        "sum by (job, env) (increase(event_error[1d])), "
+        '"tier", "t-$1", "job", "(api|web)"), "je", "-", "job", "env")',
+    )
+    return out.orderBy("job", "env", "bucket_ms")
+
+
+def _q_promql_timestamp_fn(spark: SparkSession, sf: str) -> DataFrame:
+    # timestamp(v): value becomes the sample's epoch seconds
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(_querier(spark, sf), 'timestamp(event_click{job="api"})')
+    return out.orderBy("series_id", "ts_ms")
+
+
 def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     # alert-rule shape: threshold comparison filters the vector
     from agni_spark import promql_parser as pql
@@ -917,6 +985,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_binop": _q_promql_parsed_binop,
         "promql_parsed_group_left": _q_promql_parsed_group_left,
         "promql_parsed_subquery": _q_promql_parsed_subquery,
+        "promql_parsed_quantile_ot": _q_promql_parsed_quantile_ot,
+        "promql_parsed_predict_linear": _q_promql_parsed_predict_linear,
+        "promql_holt_winters": _q_promql_holt_winters,
+        "promql_stddev_agg": _q_promql_stddev_agg,
+        "promql_parsed_count_values": _q_promql_parsed_count_values,
+        "promql_label_funcs": _q_promql_label_funcs,
+        "promql_timestamp_fn": _q_promql_timestamp_fn,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -1705,6 +1780,120 @@ def oracle_sql() -> dict[str, str]:
             "FROM part p JOIN tot t"
             " ON p.job = t.job AND p.bucket_ms = t.bucket_ms "
             "ORDER BY p.job, p.env, p.bucket_ms"
+        ),
+        "promql_parsed_quantile_ot": q(
+            "SELECT s.series_id, "
+            "CAST(s.ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms, "
+            "round(quantile_cont(s.value, 0.9), 6) AS value "
+            "FROM samples s JOIN series ser USING (series_id) "
+            "WHERE ser.metric = 'event_click' GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "promql_parsed_predict_linear": q(
+            ", sums AS ("
+            "  SELECT series_id, bucket_ms,"
+            "  count(*) AS n, sum(x) AS sx, sum(value) AS sy,"
+            "  sum(x * value) AS sxy, sum(x * x) AS sxx"
+            "  FROM (SELECT s.series_id, s.value,"
+            "        CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "        (s.ts_ms - CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000)"
+            "          / 1000.0 AS x"
+            "        FROM samples s JOIN series ser USING (series_id)"
+            "        WHERE ser.metric = 'event_click')"
+            "  GROUP BY 1, 2 HAVING count(*) >= 2) "
+            "SELECT series_id, bucket_ms, "
+            "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n "
+            "+ ((n * sxy - sx * sy) / (n * sxx - sx * sx)) "
+            "* 90000.0, 6) AS value "
+            "FROM sums WHERE n * sxx - sx * sx <> 0 ORDER BY 1, 2"
+        ),
+        # Mirrors promql.holt_winters' fold exactly: list-encoded
+        # accumulator [s0, s1, b, i] (DuckDB 1.0 mutates struct
+        # accumulators field-sequentially, so a struct acc reads its
+        # own partial updates); (1-sf)/(1-tf) are runtime subtractions
+        # on BOTH engines — the literal 0.9 is a DIFFERENT double than
+        # 1.0 - 0.1.
+        "promql_holt_winters": q(
+            ", arr AS ("
+            "  SELECT s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  list(s.value ORDER BY s.ts_ms, s.value) AS vals"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_click' GROUP BY 1, 2) "
+            "SELECT series_id, bucket_ms, "
+            "round(list_reduce("
+            "  list_transform(vals, x -> [0.0::DOUBLE, x, 0.0::DOUBLE, 1.0::DOUBLE]),"
+            "  (acc, x) -> ["
+            "    acc[2],"
+            "    0.5::DOUBLE * x[2] + (1.0::DOUBLE - 0.5::DOUBLE) * (acc[2]"
+            "      + CASE WHEN acc[4] = 1.0 THEN x[2] - acc[2]"
+            "        ELSE 0.1::DOUBLE * (acc[2] - acc[1])"
+            "          + (1.0::DOUBLE - 0.1::DOUBLE) * acc[3] END),"
+            "    CASE WHEN acc[4] = 1.0 THEN x[2] - acc[2]"
+            "      ELSE 0.1::DOUBLE * (acc[2] - acc[1])"
+            "        + (1.0::DOUBLE - 0.1::DOUBLE) * acc[3] END,"
+            "    acc[4] + 1.0::DOUBLE"
+            "  ])[2], 6) AS value "
+            "FROM arr WHERE len(vals) >= 2 ORDER BY 1, 2"
+        ),
+        "promql_stddev_agg": q(
+            ", sot AS ("
+            "  SELECT s.series_id, ser.job,"
+            "  CAST(s.ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms,"
+            "  round(sum(s.value), 4) AS v"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_click' GROUP BY 1, 2, 3) "
+            "SELECT job, bucket_ms, "
+            "round(sqrt(greatest(avg(v * v) - avg(v) * avg(v), 0.0::DOUBLE)), 6)"
+            " AS value "
+            "FROM sot GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "promql_parsed_count_values": q(
+            ", inc AS ("
+            "  SELECT ser.job, ser.env, s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN s.value >= prev THEN s.value - prev"
+            "            ELSE s.value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples) s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error' AND prev IS NOT NULL"
+            "  GROUP BY 1, 2, 3, 4),"
+            "agg AS (SELECT job, env, bucket_ms,"
+            " round(sum(value), 4) AS value FROM inc GROUP BY 1, 2, 3)"
+            "SELECT bucket_ms, "
+            "regexp_replace(regexp_replace("
+            "  CAST(CAST(value AS DECIMAL(20,6)) AS VARCHAR),"
+            "  '(\\.\\d*?)0+$', '\\1'), '\\.$', '') AS inc, "
+            "CAST(count(*) AS DOUBLE) AS value "
+            "FROM agg GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "promql_label_funcs": q(
+            ", inc AS ("
+            "  SELECT ser.job, ser.env, s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN s.value >= prev THEN s.value - prev"
+            "            ELSE s.value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples) s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error' AND prev IS NOT NULL"
+            "  GROUP BY 1, 2, 3, 4),"
+            "agg AS (SELECT job, env, bucket_ms,"
+            " round(sum(value), 4) AS value FROM inc GROUP BY 1, 2, 3)"
+            "SELECT job, env, bucket_ms, value, "
+            "CASE WHEN regexp_full_match(coalesce(job, ''), '(?:(api|web))')"
+            " THEN regexp_replace(coalesce(job, ''), '^(?:(api|web))$', 't-\\1')"
+            " END AS tier, "
+            "concat_ws('-', coalesce(job, ''), coalesce(env, '')) AS je "
+            "FROM agg ORDER BY job, env, bucket_ms"
+        ),
+        "promql_timestamp_fn": q(
+            "SELECT s.series_id, s.ts_ms, s.ts_ms / 1000.0 AS value "
+            "FROM samples s JOIN series ser USING (series_id) "
+            "WHERE ser.metric = 'event_click' AND ser.job = 'api' "
+            "ORDER BY 1, 2"
         ),
         "promql_parsed_subquery": q(
             ", inc AS ("

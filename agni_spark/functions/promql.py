@@ -639,6 +639,65 @@ def quantile_over_time(
     )
 
 
+def holt_winters(
+    samples: DataFrame, bucket_ms: int, sf: float, tf: float
+) -> DataFrame:
+    """holt_winters(m[r], sf, tf) (a.k.a. double_exponential_smoothing):
+    per-(series, bucket) smoothed value via the exact Prometheus
+    recurrence (functions.go funcHoltWinters/calcTrendValue):
+
+        s1 = x[0]; b = x[1] - x[0]
+        for i in 1..n-1:
+            if i > 1: b = tf*(s1 - s0) + (1 - tf)*b
+            s0, s1 = s1, sf*x[i] + (1 - sf)*(s1 + b)
+        result = s1   (needs >= 2 points)
+
+    The recurrence is order-dependent, so it folds over the bucket's
+    time-sorted value array with F.aggregate — a single shuffle, all
+    JVM-side; the array is bucket-sized (bounded), never the series'
+    full history. The DuckDB oracle mirrors the fold with list_reduce
+    over the same sorted list."""
+    arr = samples.groupBy("series_id", bucket_start(bucket_ms)).agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_ms", "value"))
+        ).alias("xs")
+    )
+    vals = F.transform(F.col("xs"), lambda s: s.getField("value"))
+    init = F.struct(
+        F.lit(0.0).alias("s0"),
+        F.element_at(vals, 1).alias("s1"),
+        (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+        F.lit(1).alias("i"),
+    )
+    sf_, tf_ = F.lit(float(sf)), F.lit(float(tf))
+
+    def step(acc, x):
+        b = F.when(
+            acc.getField("i") > 1,
+            tf_ * (acc.getField("s1") - acc.getField("s0"))
+            + (F.lit(1.0) - tf_) * acc.getField("b"),
+        ).otherwise(acc.getField("b"))
+        s_new = sf_ * x + (F.lit(1.0) - sf_) * (acc.getField("s1") + b)
+        return F.struct(
+            acc.getField("s1").alias("s0"),
+            s_new.alias("s1"),
+            b.alias("b"),
+            (acc.getField("i") + 1).alias("i"),
+        )
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        step,
+        lambda acc: acc.getField("s1"),
+    )
+    return arr.where(F.size("xs") >= 2).select(
+        "series_id",
+        "bucket_ms",
+        F.round(folded, ROUND_AVG).alias("smoothed"),
+    )
+
+
 def stddev_by(
     samples: DataFrame,
     series: DataFrame,

@@ -67,7 +67,7 @@ _TOKEN = re.compile(
     r"|(?P<op>=~|!~|!=|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|/|\*|\+|-|:))"
 )
 _UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
-_AGG_OPS = {"sum", "avg", "min", "max", "count"}
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group"}
 _RANGE_FUNCS = {
     "rate", "rate_extrapolated", "increase", "irate", "delta", "resets",
     "changes", "deriv", "avg_over_time", "sum_over_time", "min_over_time",
@@ -76,12 +76,19 @@ _RANGE_FUNCS = {
 }
 _MATH_FUNCS = {
     "abs", "clamp_min", "clamp_max", "clamp", "ceil", "floor", "round",
-    "exp", "ln", "log2", "log10", "sqrt", "sgn",
+    "exp", "ln", "log2", "log10", "sqrt", "sgn", "sort", "sort_desc",
+    "timestamp",
 }
 # funcs that take no scalar argument after the expression
 _MATH_NO_SCALAR = {
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
+    "sort", "sort_desc", "timestamp",
 }
+# range funcs with a leading scalar arg: f(s, m[r])
+_SCALAR_FIRST_FUNCS = {"quantile_over_time"}
+# range funcs with trailing scalar arg(s): f(m[r], s[, s2])
+_SCALAR_AFTER_FUNCS = {"predict_linear": 1, "holt_winters": 2}
+_LABEL_FUNCS = {"label_replace", "label_join"}
 
 
 @dataclass
@@ -130,6 +137,22 @@ class Selector:
 class Func:
     name: str
     arg: Selector
+    # scalar parameters: quantile_over_time(q, m[r]) carries q;
+    # predict_linear(m[r], t) carries t; holt_winters(m[r], sf, tf)
+    # carries both
+    scalar: float | None = None
+    scalar2: float | None = None
+
+
+@dataclass
+class LabelFunc:
+    """label_replace(v, dst, repl, src, regex) / label_join(v, dst,
+    sep, src...): label-manipulation functions — pure projections over
+    the resolved label columns."""
+
+    name: str  # label_replace | label_join
+    arg: "Agg | Func | Selector | BinOp"
+    params: tuple  # string arguments in PromQL order
 
 
 @dataclass
@@ -154,6 +177,7 @@ class Agg:
     arg: "Agg | Func | Selector"
     k: int | None = None  # topk / bottomk
     q: float | None = None  # quantile
+    vlabel: str | None = None  # count_values' output label name
 
 
 @dataclass
@@ -285,7 +309,7 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
         arg = _parse_expr(toks)
         toks.expect(")")
         return Agg("quantile", mode, labels, arg, q=qv)
-    if t in _AGG_OPS:
+    if t in _AGG_OPS or t == "count_values":
         toks.next()
         mode, labels = None, []
         if toks.peek() in ("by", "without"):
@@ -297,9 +321,16 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
                     toks.next()
             toks.expect(")")
         toks.expect("(")
+        vlabel = None
+        if t == "count_values":
+            s = toks.next()
+            if not (s.startswith('"') and s.endswith('"')):
+                raise ValueError("count_values needs a quoted label name")
+            vlabel = s[1:-1]
+            toks.expect(",")
         arg = _parse_expr(toks)
         toks.expect(")")
-        return Agg(t, mode, labels, arg)
+        return Agg(t, mode, labels, arg, vlabel=vlabel)
     if t in _MATH_FUNCS:
         name = toks.next()
         toks.expect("(")
@@ -317,6 +348,49 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
         if name == "clamp" and (scalar is None or scalar2 is None):
             raise ValueError("clamp() needs min and max scalars")
         return MathFunc(name, arg, scalar, scalar2)
+    if t in _SCALAR_FIRST_FUNCS:
+        toks.next()
+        toks.expect("(")
+        s = float(toks.next())
+        toks.expect(",")
+        inner = _parse_selector(toks)
+        if inner.range_ms is None:
+            raise ValueError(f"{t}() needs a range selector m[duration]")
+        toks.expect(")")
+        return Func(t, inner, scalar=s)
+    if t in _SCALAR_AFTER_FUNCS:
+        toks.next()
+        toks.expect("(")
+        inner = _parse_selector(toks)
+        if inner.range_ms is None:
+            raise ValueError(f"{t}() needs a range selector m[duration]")
+        toks.expect(",")
+        neg = toks.peek() == "-"
+        if neg:
+            toks.next()
+        s = float(toks.next()) * (-1.0 if neg else 1.0)
+        s2 = None
+        if _SCALAR_AFTER_FUNCS[t] == 2:
+            toks.expect(",")
+            s2 = float(toks.next())
+        toks.expect(")")
+        return Func(t, inner, scalar=s, scalar2=s2)
+    if t in _LABEL_FUNCS:
+        toks.next()
+        toks.expect("(")
+        arg = _parse_binop(toks)
+        params = []
+        while toks.peek() == ",":
+            toks.next()
+            s = toks.next()
+            if not (s.startswith('"') and s.endswith('"')):
+                raise ValueError(f"{t}() string argument expected, got {s!r}")
+            params.append(s[1:-1])
+        toks.expect(")")
+        n_min = 4 if t == "label_replace" else 2
+        if len(params) < n_min:
+            raise ValueError(f"{t}() needs at least {n_min} string arguments")
+        return LabelFunc(t, arg, tuple(params))
     if t in _RANGE_FUNCS:
         toks.next()
         toks.expect("(")
@@ -537,12 +611,23 @@ def _agg_over(inner: DataFrame, expr: Agg, querier: Querier) -> DataFrame:
     joined = inner.join(dim, "series_id")
     time_col = "bucket_ms" if "bucket_ms" in inner.columns else None
     keys = by + ([time_col] if time_col else [])
+    # population variance from explicit moments (E[x^2]-E[x]^2): the
+    # formulation whose float result agrees with the DuckDB oracle at
+    # ROUND_AVG (Welford-style var_pop accumulates differently)
+    _var = F.greatest(
+        F.avg(F.col("value") * F.col("value"))
+        - F.avg("value") * F.avg("value"),
+        F.lit(0.0),
+    )
     aggs = {
         "sum": F.round(F.sum("value"), promql.ROUND_SUM),
         "avg": F.round(F.avg("value"), promql.ROUND_AVG),
         "min": F.min("value"),
         "max": F.max("value"),
         "count": F.count(F.lit(1)).cast("double"),
+        "stddev": F.round(F.sqrt(_var), promql.ROUND_AVG),
+        "stdvar": F.round(_var, promql.ROUND_AVG),
+        "group": F.max(F.lit(1.0)),
         "quantile": F.round(
             F.percentile("value", F.lit(expr.q or 0.5)), promql.ROUND_AVG
         ),
@@ -580,8 +665,75 @@ def _compile_inner(
         return df
     if isinstance(expr, Func):
         sel = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
+        if expr.name == "quantile_over_time":
+            return promql.quantile_over_time(
+                sel, expr.scalar, expr.arg.range_ms
+            ).withColumnRenamed("quantile", "value")
+        if expr.name == "predict_linear":
+            return promql.predict_linear(
+                sel, expr.arg.range_ms, expr.scalar
+            ).withColumnRenamed("predicted", "value")
+        if expr.name == "holt_winters":
+            return promql.holt_winters(
+                sel, expr.arg.range_ms, expr.scalar, expr.scalar2
+            ).withColumnRenamed("smoothed", "value")
         return _FUNC_IMPL[expr.name](sel, expr.arg.range_ms)
+    if isinstance(expr, LabelFunc):
+        inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
+        if "series_id" in inner.columns:
+            inner = _resolve_labels(inner, querier)
+        if expr.name == "label_join":
+            dst, sep, *srcs = expr.params
+            missing = [s for s in srcs if s not in inner.columns]
+            if missing:
+                raise ValueError(f"label_join source labels absent: {missing}")
+            return inner.withColumn(
+                dst,
+                F.concat_ws(
+                    sep, *[F.coalesce(F.col(s), F.lit("")) for s in srcs]
+                ),
+            )
+        dst, repl, src, regex = expr.params[:4]
+        # absent label matches as "" (selector.go semantics); the regex
+        # must match the ENTIRE source value or the vector is unchanged
+        src_col = (
+            F.coalesce(F.col(src), F.lit(""))
+            if src in inner.columns
+            else F.lit("")
+        )
+        anchored = f"^(?:{regex})$"
+        matched = src_col.rlike(anchored)
+        newval = F.regexp_replace(src_col, anchored, repl)
+        old = F.col(dst) if dst in inner.columns else F.lit(None).cast("string")
+        return inner.withColumn(dst, F.when(matched, newval).otherwise(old))
     if isinstance(expr, Agg):
+        if expr.op == "count_values":
+            inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
+            label_cols = [c for c in querier.series.columns if c != "series_id"]
+            if expr.mode == "by":
+                by = [x for x in expr.labels if x in label_cols]
+            elif expr.mode == "without":
+                by = [c for c in label_cols if c not in set(expr.labels)]
+            else:
+                by = []
+            if by and "series_id" in inner.columns:
+                dim = F.broadcast(querier.series.select("series_id", *by))
+                inner = inner.join(dim, "series_id")
+            tc = _timecol(inner)
+            keys = by + ([tc] if tc else [])
+            # canonical value text: trailing-zero-free 6dp decimal, the
+            # same string both Spark and DuckDB produce from a DECIMAL
+            # cast (raw double->string formatting differs per engine)
+            vstr = F.regexp_replace(
+                F.regexp_replace(
+                    F.col("value").cast("decimal(20,6)").cast("string"),
+                    r"(\.\d*?)0+$", "$1",
+                ),
+                r"\.$", "",
+            )
+            return inner.groupBy(*keys, vstr.alias(expr.vlabel)).agg(
+                F.count(F.lit(1)).cast("double").alias("value")
+            )
         if expr.op in ("topk", "bottomk"):
             inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
             per_series = inner.groupBy("series_id").agg(
@@ -607,6 +759,16 @@ def _compile_inner(
         return _agg_over(inner, expr, querier)
     if isinstance(expr, MathFunc):
         inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
+        if expr.name in ("sort", "sort_desc"):
+            return inner.orderBy(
+                F.col("value").asc() if expr.name == "sort"
+                else F.col("value").desc()
+            )
+        if expr.name == "timestamp":
+            tc = _timecol(inner)
+            if tc is None:
+                raise ValueError("timestamp() needs a time-keyed vector")
+            return inner.withColumn("value", F.col(tc) / F.lit(1000.0))
         s, s2 = expr.scalar, expr.scalar2
         # round(): PromQL rounds to the nearest multiple of to_nearest
         # (default 1), ties UP — floor(v/to + 0.5)*to is that rule,

@@ -509,3 +509,118 @@ def test_extended_range_funcs_in_parser(querier):
         df = pql.query(querier, f"{fn}(event_view[1d])")
         assert df.columns == ["series_id", "bucket_ms", "value"]
         assert df.count() > 0
+
+
+def test_scalar_arg_range_funcs(querier):
+    """quantile_over_time(q, m[r]) / predict_linear(m[r], t) /
+    holt_winters(m[r], sf, tf) parse and match their hand-composed
+    operator equivalents."""
+    e = pql.parse("quantile_over_time(0.9, event_click[6h])")
+    assert e.name == "quantile_over_time" and e.scalar == 0.9
+    e = pql.parse("predict_linear(event_click[1d], 3600)")
+    assert e.scalar == 3600.0
+    e = pql.parse("holt_winters(event_click[1d], 0.5, 0.1)")
+    assert (e.scalar, e.scalar2) == (0.5, 0.1)
+    with pytest.raises(ValueError):
+        pql.parse("quantile_over_time(0.9, event_click)")  # no range
+    with pytest.raises(ValueError):
+        pql.parse("holt_winters(event_click[1d], 0.5)")  # missing tf
+
+    sel = querier.select([Matcher("=", "__name__", "event_click")], sort=False)
+    got = _rows(pql.query(querier, "quantile_over_time(0.9, event_click[6h])"))
+    want = _rows(
+        promql.quantile_over_time(sel, 0.9, 21_600_000).withColumnRenamed(
+            "quantile", "value"
+        )
+    )
+    assert got == want
+    got = _rows(pql.query(querier, "predict_linear(event_click[1d], 3600)"))
+    want = _rows(
+        promql.predict_linear(sel, 86_400_000, 3600.0).withColumnRenamed(
+            "predicted", "value"
+        )
+    )
+    assert got == want
+
+
+def test_holt_winters_recurrence(spark):
+    """The fold computes the exact Prometheus functions.go recurrence
+    (python reference on a hand-made series)."""
+    xs = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6]
+    sf, tf = 0.5, 0.1
+
+    def ref(vals):
+        s0, s1, b = 0.0, vals[0], vals[1] - vals[0]
+        for i in range(1, len(vals)):
+            if i > 1:
+                b = tf * (s1 - s0) + (1 - tf) * b
+            s0, s1 = s1, sf * vals[i] + (1 - sf) * (s1 + b)
+        return s1
+
+    samples = spark.createDataFrame(
+        [(1, i * 1000, v) for i, v in enumerate(xs)] + [(2, 0, 7.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    out = {
+        r.series_id: r.smoothed
+        for r in promql.holt_winters(samples, 10_000_000, sf, tf).collect()
+    }
+    assert out[1] == pytest.approx(ref(xs), abs=1e-6)
+    assert 2 not in out  # < 2 points -> no result
+
+
+def test_new_agg_ops(querier):
+    # stddev/stdvar: population moments; group: constant 1
+    sd = pql.query(querier, "stddev by (job) (sum_over_time(event_click[6h]))")
+    sv = pql.query(querier, "stdvar by (job) (sum_over_time(event_click[6h]))")
+    g = pql.query(querier, "group by (job) (sum_over_time(event_click[6h]))")
+    sd_m = {(r.job, r.bucket_ms): r.value for r in sd.collect()}
+    sv_m = {(r.job, r.bucket_ms): r.value for r in sv.collect()}
+    assert set(sd_m) == set(sv_m)
+    for k in sd_m:
+        assert sd_m[k] ** 2 == pytest.approx(sv_m[k], abs=1e-4)
+    assert {r.value for r in g.collect()} == {1.0}
+
+
+def test_count_values_shape(querier):
+    df = pql.query(
+        querier,
+        'count_values("v", sum by (job, env) (increase(event_error[1d])))',
+    )
+    assert set(df.columns) == {"bucket_ms", "v", "value"}
+    # counts per (bucket, value-string) sum back to the vector's size
+    base = pql.query(
+        querier, "sum by (job, env) (increase(event_error[1d]))"
+    )
+    assert df.agg(F.sum("value")).first()[0] == base.count()
+
+
+def test_label_funcs(querier):
+    df = pql.query(
+        querier,
+        'label_join(label_replace('
+        "sum by (job, env) (increase(event_error[1d])), "
+        '"tier", "t-$1", "job", "(api|web)"), "je", "-", "job", "env")',
+    )
+    rows = df.collect()
+    for r in rows:
+        assert r.je == f"{r.job}-{r.env}"
+        if r.job in ("api", "web"):
+            assert r.tier == f"t-{r.job}"
+        else:
+            assert r.tier is None  # regex must match ENTIRE value
+    with pytest.raises(ValueError):
+        pql.query(querier, 'label_join(event_click, "x", "-", "nolabel")')
+
+
+def test_sort_and_timestamp(querier):
+    vals = [
+        r.value
+        for r in pql.query(
+            querier, "sort_desc(sum by (job) (increase(event_error[1d])))"
+        ).collect()
+    ]
+    assert vals == sorted(vals, reverse=True)
+    ts = pql.query(querier, 'timestamp(event_click{job="api"})')
+    r0 = ts.first()
+    assert r0.value == r0.ts_ms / 1000.0
