@@ -1019,6 +1019,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_quantity": lambda s, d: relational.q17_small_quantity_revenue(s, d),
         "tpch_q18_large_volume": lambda s, d: relational.q18_large_volume_customers(s, d),
         "tpch_q22_sales_opportunity": lambda s, d: relational.q22_sales_opportunity(s, d),
+        "tpch_q2_min_cost_supplier": lambda s, d: relational.q2_min_cost_supplier(s, d),
+        "tpch_q11_important_flow": lambda s, d: relational.q11_important_flow(s, d),
+        "tpch_q12_late_shipments": lambda s, d: relational.q12_late_shipments(s, d),
+        "tpch_q15_top_supplier": lambda s, d: relational.q15_top_supplier(s, d),
+        "tpch_q16_supplier_counts": lambda s, d: relational.q16_supplier_counts(s, d),
+        "tpch_q19_discounted_revenue": lambda s, d: relational.q19_discounted_revenue(s, d),
+        "tpch_q20_excess_shippers": lambda s, d: relational.q20_excess_shippers(s, d),
+        "tpch_q21_lone_late_supplier": lambda s, d: relational.q21_lone_late_supplier(s, d),
         "events_funnel": lambda s, d: relational.events_funnel(s, d),
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
         "events_daily_active": lambda s, d: relational.events_daily_active(s, d),
@@ -1820,7 +1828,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM samples s JOIN series ser USING (series_id)"
             "  WHERE ser.metric = 'event_click' GROUP BY 1, 2) "
             "SELECT series_id, bucket_ms, "
-            "round(list_reduce("
+            "floor(list_reduce("
             "  list_transform(vals, x -> [0.0::DOUBLE, x, 0.0::DOUBLE, 1.0::DOUBLE]),"
             "  (acc, x) -> ["
             "    acc[2],"
@@ -1832,7 +1840,7 @@ def oracle_sql() -> dict[str, str]:
             "      ELSE 0.1::DOUBLE * (acc[2] - acc[1])"
             "        + (1.0::DOUBLE - 0.1::DOUBLE) * acc[3] END,"
             "    acc[4] + 1.0::DOUBLE"
-            "  ])[2], 6) AS value "
+            "  ])[2] * 1e6 + 0.5) / 1e6 AS value "
             "FROM arr WHERE len(vals) >= 2 ORDER BY 1, 2"
         ),
         "promql_stddev_agg": q(
@@ -2219,6 +2227,131 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q2_min_cost_supplier": (
+            "WITH cost AS ("
+            "  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,"
+            "  s.s_acctbal, n.n_name,"
+            "  round(avg(l.l_extendedprice / l.l_quantity), 6) AS unit_cost"
+            "  FROM lineitem l"
+            "  JOIN part p ON p.p_partkey = l.l_partkey"
+            "   AND p.p_size = 15 AND p.p_name LIKE '%gear%'"
+            "  JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            "  JOIN nation n ON n.n_nationkey = s.s_nationkey"
+            "  JOIN region r ON r.r_regionkey = n.n_regionkey"
+            "   AND r.r_name = 'EUROPE'"
+            "  GROUP BY 1, 2, 3, 4, 5, 6),"
+            "mc AS (SELECT p_partkey AS mp, min(unit_cost) AS min_cost"
+            " FROM cost GROUP BY 1)"
+            "SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name,"
+            " c.unit_cost "
+            "FROM cost c JOIN mc ON c.p_partkey = mc.mp"
+            " AND c.unit_cost = mc.min_cost "
+            "ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey"
+        ),
+        "tpch_q11_important_flow": (
+            "WITH fl AS ("
+            "  SELECT l.l_partkey AS p_partkey,"
+            "  CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)"
+            "    AS DECIMAL(18,6))), 2) AS DOUBLE) AS value"
+            "  FROM lineitem l"
+            "  JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            "  JOIN nation n ON n.n_nationkey = s.s_nationkey"
+            "   AND n.n_name = 'NATION_7'"
+            "  GROUP BY 1),"
+            "tot AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            " * 2.0::DOUBLE / count(*) AS thr FROM fl)"
+            "SELECT p_partkey, value FROM fl, tot "
+            "WHERE value > thr "
+            "ORDER BY value DESC, p_partkey"
+        ),
+        "tpch_q12_late_shipments": (
+            "SELECT delay_class, "
+            "sum(CASE WHEN h THEN 1 ELSE 0 END) AS high_line_count, "
+            "sum(CASE WHEN h THEN 0 ELSE 1 END) AS low_line_count "
+            "FROM ("
+            "  SELECT CASE"
+            "   WHEN epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate)"
+            "    <= 2592000000 THEN '0-30'"
+            "   WHEN epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate)"
+            "    <= 7776000000 THEN '31-90'"
+            "   ELSE '>90' END AS delay_class,"
+            "  o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS h"
+            "  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)"
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q15_top_supplier": (
+            "WITH revenue AS ("
+            "  SELECT l_suppkey,"
+            "  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)"
+            "    AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue"
+            "  FROM lineitem"
+            "  WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            "   AND l_shipdate < TIMESTAMP '1996-04-01'"
+            "  GROUP BY 1)"
+            "SELECT s.s_suppkey, s.s_name, r.total_revenue "
+            "FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+            "WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue) "
+            "ORDER BY s.s_suppkey"
+        ),
+        "tpch_q16_supplier_counts": (
+            "SELECT p.p_brand, p.p_type, p.p_size, "
+            "CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'SMALL' "
+            "AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 23) "
+            "AND l.l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7') "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "tpch_q19_discounted_revenue": (
+            "SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)"
+            "  AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5"
+            "  AND l.l_quantity BETWEEN 1 AND 11) "
+            "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10"
+            "  AND l.l_quantity BETWEEN 10 AND 20) "
+            "OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15"
+            "  AND l.l_quantity BETWEEN 20 AND 30)"
+        ),
+        "tpch_q20_excess_shippers": (
+            "WITH li AS ("
+            "  SELECT l.l_partkey, l.l_suppkey, l.l_quantity"
+            "  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"
+            "   AND p.p_name LIKE '%widget%'"
+            "  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'"
+            "   AND l.l_shipdate < TIMESTAMP '1998-01-01'),"
+            "ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq"
+            " FROM li GROUP BY 1, 2),"
+            "pt AS (SELECT l_partkey, sum(l_quantity) AS tq"
+            " FROM li GROUP BY 1)"
+            "SELECT DISTINCT s.s_name "
+            "FROM supplier s "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey"
+            " AND n.n_name = 'NATION_3' "
+            "WHERE s.s_suppkey IN "
+            "(SELECT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey"
+            " WHERE ps.sq > pt.tq * 0.5::DOUBLE) "
+            "ORDER BY s.s_name"
+        ),
+        "tpch_q21_lone_late_supplier": (
+            "WITH li AS ("
+            "  SELECT l.l_orderkey, l.l_suppkey,"
+            "  (epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate))"
+            "    > 7776000000 AS late"
+            "  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),"
+            "po AS ("
+            "  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,"
+            "  count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,"
+            "  max(CASE WHEN late THEN l_suppkey END) AS late_supp"
+            "  FROM li GROUP BY 1)"
+            "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM po JOIN supplier s ON s.s_suppkey = po.late_supp "
+            "WHERE po.n_supp > 1 AND po.n_late = 1 "
+            "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         "events_daily_active": (
             "SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) * 86400000 "

@@ -691,10 +691,16 @@ def holt_winters(
         step,
         lambda acc: acc.getField("s1"),
     )
+    # floor-based 6dp discretization, not round(): the smoothed value
+    # is an arbitrary double that can land within an ulp of a .5
+    # rounding tie where Spark (exact-decimal HALF_UP) and DuckDB
+    # (scaled-double) disagree; floor(x*1e6 + 0.5)/1e6 computes the
+    # same doubles on both engines (histogram_quantile pattern)
+    q6 = F.floor(folded * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return arr.where(F.size("xs") >= 2).select(
         "series_id",
         "bucket_ms",
-        F.round(folded, ROUND_AVG).alias("smoothed"),
+        q6.alias("smoothed"),
     )
 
 

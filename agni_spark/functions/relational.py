@@ -614,6 +614,345 @@ def q22_sales_opportunity(
     )
 
 
+def q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str, size: int = 15,
+    token: str = "gear", region: str = "EUROPE",
+) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp in the testdata: the observed
+    average unit sale price from lineitem stands in for ps_supplycost):
+    for every part of `size` whose name contains `token`, the
+    region-local supplier(s) achieving the MINIMUM unit price. Keeps
+    Q2's correlated-min-subquery shape: per-part min over the
+    region-restricted cost table, equality-joined back. Cost table
+    groups on (part, supp) — one shuffle; region dims broadcast;
+    supplier/part are SF-scaling and stay unhinted for AQE."""
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == region)
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_size") == size) & F.col("p_name").contains(token))
+        .select("p_partkey", "p_name")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    # 6dp-rounded avg: summation-order-independent at the comparison
+    cost = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+    min_cost = cost.groupBy(F.col("p_partkey").alias("mp")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.p_partkey == min_cost.mp)
+            & (cost.unit_cost == min_cost.min_cost),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost"
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+def q11_important_flow(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_7",
+    times_mean: float = 2.0,
+) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp: lineitem flow value stands in
+    for stock value): parts whose flow value from `nation`'s suppliers
+    exceeds `times_mean` x the mean per-part flow. Keeps Q11's
+    group-by-with-global-scalar-threshold shape: the threshold is a
+    1-row broadcast cross join; one shuffle on partkey. (The spec's
+    FRACTION constant is SF-scaled — 0.0001/SF; a mean-relative
+    threshold is the scale-free equivalent.)"""
+    nat = load(spark, sf_dir, "nation").where(F.col("n_name") == nation)
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    flow = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(val), 2).cast("double").alias("value"))
+    )
+    # exact decimal sum -> ONE double cast -> double arithmetic in a
+    # fixed order: the threshold is bit-identical on every engine (an
+    # avg-of-doubles would be summation-order-dependent at the ulp)
+    thr = flow.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            * F.lit(float(times_mean))
+            / F.count(F.lit(1))
+        ).alias("thr")
+    )
+    return (
+        flow.crossJoin(F.broadcast(thr))
+        .where(F.col("value") > F.col("thr"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+def q12_late_shipments(
+    spark: SparkSession, sf_dir: str, late_days: int = 90
+) -> DataFrame:
+    """TPC-H Q12 adapted (no l_shipmode/commit/receipt dates: the
+    ship-vs-order delay buckets stand in for ship modes): per delay
+    class, how many high- vs low-priority orders shipped there. Keeps
+    Q12's conditional-CASE-sum shape. Delay is exact integer epoch-ms
+    arithmetic (engine-independent, no tz)."""
+    _ord = load(spark, sf_dir, "orders")
+    orders = _ord.select(
+        "o_orderkey", "o_orderpriority",
+        F.unix_millis(ts_col(_ord, "o_orderdate")).alias("o_ms"),
+    )
+    _li = load(spark, sf_dir, "lineitem")
+    li = _li.select(
+        "l_orderkey", F.unix_millis(ts_col(_li, "l_shipdate")).alias("s_ms")
+    )
+    # bucket on raw ms comparisons — no day division, whose negative-
+    # value truncation semantics differ between engines (Spark `div`
+    # truncates toward zero, DuckDB // floors)
+    delay_ms = F.col("s_ms") - F.col("o_ms")
+    bucket = (
+        F.when(delay_ms <= 30 * 86_400_000, F.lit("0-30"))
+        .when(delay_ms <= late_days * 86_400_000, F.lit("31-90"))
+        .otherwise(F.lit(">90"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(bucket.alias("delay_class"), high.alias("h"))
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(F.col("h"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("h"), 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+def q15_top_supplier(
+    spark: SparkSession, sf_dir: str,
+    lo: str = "1996-01-01", hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum revenue in a quarter.
+    The revenue view is one shuffle on suppkey; the max is a 1-row
+    broadcast (scalar subquery shape) joined back by equality —
+    exactly the view + subquery structure of the spec query."""
+    _li = load(spark, sf_dir, "lineitem")
+    li = _li.withColumn("l_shipdate_ts", ts_col(_li, "l_shipdate"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    revenue = (
+        li.where(
+            (F.col("l_shipdate_ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate_ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp/comments: lineitem is the
+    part-supplier link and the name-suffix exclusion stands in for the
+    complaints filter): distinct supplier count per (brand, type, size)
+    for parts outside one brand/type class. Keeps Q16's NOT-IN +
+    count-distinct shape: the exclusion is an anti-join; the count
+    shuffles once on the group key with partial distinct."""
+    part = (
+        load(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "SMALL")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_name").endswith("7"))
+        .select(F.col("s_suppkey").alias("x_suppkey"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(excluded, li.l_suppkey == F.col("x_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted (no container/shipmode columns: size classes
+    stand in for containers): revenue from three disjunctive
+    brand/size/quantity predicates. Keeps Q19's OR-of-conjunctions
+    shape — one join + one conditional scan; the predicate pushes to
+    the part scan as an IN(brand) prefilter."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(
+        part.where(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")),
+        li.l_partkey == part.p_partkey,
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q20_excess_shippers(
+    spark: SparkSession, sf_dir: str, token: str = "widget",
+    year_lo: str = "1997-01-01", year_hi: str = "1998-01-01",
+    share: float = 0.5, nation: str = "NATION_3",
+) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty: a supplier's own
+    shipped share of a part's total stands in for the
+    availqty > 0.5*qty test): suppliers in `nation` who shipped more
+    than `share` of some token-matching part's total volume in a year.
+    Keeps Q20's nested-semi-join chain: per-(part,supp) sums vs a
+    per-part threshold, EXISTS via left-semi, nation filter last."""
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(token))
+        .select("p_partkey")
+    )
+    _li = load(spark, sf_dir, "lineitem")
+    li = (
+        _li.withColumn("l_shipdate_ts", ts_col(_li, "l_shipdate"))
+        .where(
+            (F.col("l_shipdate_ts") >= F.lit(year_lo).cast("timestamp"))
+            & (F.col("l_shipdate_ts") < F.lit(year_hi).cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    per_p = li.groupBy(F.col("l_partkey").alias("pp")).agg(
+        F.sum("l_quantity").alias("tq")
+    )
+    hot = (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pp)
+        .where(F.col("sq") > F.col("tq") * F.lit(float(share)))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = load(spark, sf_dir, "nation").where(F.col("n_name") == nation)
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        supp.join(hot, supp.s_suppkey == hot.l_suppkey, "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+def q21_lone_late_supplier(
+    spark: SparkSession, sf_dir: str, late_days: int = 90, k: int = 100
+) -> DataFrame:
+    """TPC-H Q21 adapted (no receipt/commit dates: ship-vs-order delay
+    defines "late"): suppliers who were the ONLY late shipper on a
+    multi-supplier order. Keeps Q21's exists/not-exists shape, but as
+    ONE aggregation per order (distinct suppliers vs distinct late
+    suppliers) instead of two correlated subqueries — the
+    Catalyst-native formulation. Top-k via TakeOrderedAndProject."""
+    _ord = load(spark, sf_dir, "orders")
+    orders = _ord.select(
+        "o_orderkey", F.unix_millis(ts_col(_ord, "o_orderdate")).alias("o_ms")
+    )
+    _li = load(spark, sf_dir, "lineitem")
+    li = (
+        _li.select(
+            "l_orderkey", "l_suppkey",
+            F.unix_millis(ts_col(_li, "l_shipdate")).alias("s_ms"),
+        )
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .withColumn(
+            "late",
+            (F.col("s_ms") - F.col("o_ms"))
+            > F.lit(late_days * 86_400_000),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    lone = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).select("late_supp")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lone.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supp, F.col("late_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )
+
+
 def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users + volume — the canonical engagement rollup.
     One shuffle on the day key; COUNT(DISTINCT) runs as Spark's

@@ -222,6 +222,16 @@ def test_no_sf_scaling_forced_broadcasts(spark):
             (lambda: relational.q8_market_share(spark, SF), 3),
             (lambda: relational.q10_returned_items(spark, SF), 1),
             (lambda: relational.q18_large_volume_customers(spark, SF), 1),
+            # round-4 additions: hints only on nation/region/1-row
+            # scalar aggregates, never customer/supplier/part/lineitem
+            (lambda: relational.q2_min_cost_supplier(spark, SF), 2),
+            (lambda: relational.q11_important_flow(spark, SF), 2),
+            (lambda: relational.q12_late_shipments(spark, SF), 0),
+            (lambda: relational.q15_top_supplier(spark, SF), 1),
+            (lambda: relational.q16_supplier_counts(spark, SF), 0),
+            (lambda: relational.q19_discounted_revenue(spark, SF), 0),
+            (lambda: relational.q20_excess_shippers(spark, SF), 1),
+            (lambda: relational.q21_lone_late_supplier(spark, SF), 0),
         ]
         docs = dm.load(spark, SF, "documents")
         cases += [
