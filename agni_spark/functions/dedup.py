@@ -494,24 +494,37 @@ def jaccard_pairs_prefix(
 
     The ceil computes over t*n - 1e-9: float over-rounding would
     SHRINK the prefix (unsafe); the epsilon only ever enlarges it,
-    which verification absorbs."""
-    from pyspark.sql import Window
+    which verification absorbs.
 
+    Plan shape: ONE pass builds the per-doc rarest-first sorted shingle
+    array (the PPJoin index, persisted — one row per doc), from which
+    sizes, prefixes AND verification all derive; the old formulation
+    re-derived the exploded shingle table six times (six document
+    scans). Verification is array_intersect on the candidate pair's two
+    index rows — no exploded-table shuffle at all."""
     sh = shingles(docs, k)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(freq, "shingle").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "shingle")
-        ),
+    arr = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ss")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("ss"), lambda s: s.getField("shingle")).alias(
+                "sh_sorted"
+            ),
+        )
+        .persist()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    n_sh = F.size(F.col("sh_sorted"))
     prefix_len = (
-        F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-        + 1
+        n_sh - F.ceil(F.lit(threshold) * n_sh - F.lit(1e-9)) + 1
+    ).cast("int")
+    pref = arr.select(
+        "doc_id", F.explode(F.slice("sh_sorted", F.lit(1), prefix_len)).alias("shingle")
     )
-    pref = ranked.join(sizes, "doc_id").where(F.col("rk") <= prefix_len)
     a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
     cands = (
@@ -520,25 +533,19 @@ def jaccard_pairs_prefix(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verification: exact intersection over FULL shingle sets, but only
-    # for surviving candidates
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cands.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # verification: exact intersection over the FULL shingle sets, read
+    # from the persisted index (arr is O(n_docs): equi-joined, never
+    # force-broadcast — AQE size-broadcasts when it genuinely fits)
+    aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("sh_sorted").alias("_sa"))
+    bb = arr.select(F.col("doc_id").alias("doc_b"), F.col("sh_sorted").alias("_sb"))
+    n_common = F.size(F.array_intersect("_sa", "_sb")).cast("long")
     j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        # sa/sb are O(n_docs): never force-broadcast (at 1e9 docs that
-        # OOMs); these are equi-joins on doc_id — AQE size-broadcasts
-        # at runtime when the side genuinely fits.
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("n_common", n_common)
+        .withColumn("n_a", F.size("_sa").cast("long"))
+        .withColumn("n_b", F.size("_sb").cast("long"))
         .withColumn("jaccard", F.round(j, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
