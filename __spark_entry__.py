@@ -528,6 +528,27 @@ def _q_promql_timestamp_fn(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id", "ts_ms")
 
 
+def _q_promql_at_instant(spark: SparkSession, sf: str) -> DataFrame:
+    # @ modifier, instant form: latest sample per series in the 5m
+    # lookback before the fixed evaluation time
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(_querier(spark, sf), '{env="prod"} @ 1705505099')
+    return out.orderBy("series_id")
+
+
+def _q_promql_at_range(spark: SparkSession, sf: str) -> DataFrame:
+    # @ modifier, range form: the range function's data window is
+    # pinned to (at - range, at] regardless of query bounds
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job) (increase(event_error[1d] @ 1705505099))",
+    )
+    return out.orderBy("job", "bucket_ms")
+
+
 def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     # alert-rule shape: threshold comparison filters the vector
     from agni_spark import promql_parser as pql
@@ -992,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_count_values": _q_promql_parsed_count_values,
         "promql_label_funcs": _q_promql_label_funcs,
         "promql_timestamp_fn": _q_promql_timestamp_fn,
+        "promql_at_instant": _q_promql_at_instant,
+        "promql_at_range": _q_promql_at_range,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -1902,6 +1925,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM samples s JOIN series ser USING (series_id) "
             "WHERE ser.metric = 'event_click' AND ser.job = 'api' "
             "ORDER BY 1, 2"
+        ),
+        "promql_at_instant": q(
+            "SELECT series_id, CAST(1705505099000 AS BIGINT) AS ts_ms, value "
+            "FROM ("
+            "  SELECT s.series_id, s.value, row_number() OVER ("
+            "    PARTITION BY s.series_id ORDER BY s.ts_ms DESC, s.value DESC"
+            "  ) AS rn"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.env = 'prod'"
+            "  AND s.ts_ms BETWEEN 1705504799001 AND 1705505099000) "
+            "WHERE rn = 1 ORDER BY series_id"
+        ),
+        "promql_at_range": q(
+            ", inc AS ("
+            "  SELECT ser.job, s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN s.value >= prev THEN s.value - prev"
+            "            ELSE s.value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples"
+            "        WHERE ts_ms BETWEEN 1705418699001 AND 1705505099000) s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error' AND prev IS NOT NULL"
+            "  GROUP BY 1, 2, 3)"
+            "SELECT job, bucket_ms, round(sum(value), 4) AS value "
+            "FROM inc GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "promql_parsed_subquery": q(
             ", inc AS ("

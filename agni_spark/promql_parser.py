@@ -64,9 +64,10 @@ from agni_spark.querier import Querier
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+\.\d+|\d+)|(?P<id>[A-Za-z_:][A-Za-z0-9_:]*)"
     r'|(?P<str>"(?:[^"\\]|\\.)*")'
-    r"|(?P<op>=~|!~|!=|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|/|\*|\+|-|:))"
+    r"|(?P<op>=~|!~|!=|>=|<=|>|<|=|\{|\}|\(|\)|\[|\]|,|/|\*|\+|-|:|@))"
 )
 _UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+_LOOKBACK_MS = 5 * 60_000  # instant-vector lookback delta (Prometheus default)
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group"}
 _RANGE_FUNCS = {
     "rate", "rate_extrapolated", "increase", "irate", "delta", "resets",
@@ -131,6 +132,7 @@ class Selector:
     matchers: list[Matcher] = field(default_factory=list)
     range_ms: int | None = None
     offset_ms: int = 0
+    at_ms: int | None = None  # @ modifier: fixed evaluation time
 
 
 @dataclass
@@ -475,6 +477,9 @@ def _parse_selector(toks: _Tokens) -> Selector:
         if unit not in _UNIT_MS:
             raise ValueError(f"bad offset unit {unit!r}")
         sel.offset_ms = n * _UNIT_MS[unit]
+    if toks.peek() == "@":
+        toks.next()
+        sel.at_ms = int(float(toks.next()) * 1000)
     return sel
 
 
@@ -652,6 +657,40 @@ def _compile_inner(
         matchers = list(expr.matchers)
         if expr.metric is not None:
             matchers.append(Matcher("=", "__name__", expr.metric))
+        if expr.at_ms is not None:
+            # @ modifier: fixed evaluation time. Range selector ->
+            # absolute data window (at - range, at]; instant selector
+            # -> latest sample per series within the 5m lookback
+            # (Prometheus defaults), reported AT the eval time. offset
+            # shifts the data window back, as with plain selectors.
+            eval_ms = expr.at_ms - expr.offset_ms
+            span = expr.range_ms or _LOOKBACK_MS
+            df = querier.select(
+                matchers,
+                mint_ms=eval_ms - span + 1,
+                maxt_ms=eval_ms,
+                sort=False,
+            )
+            if expr.offset_ms:
+                df = df.withColumn(
+                    "ts_ms", F.col("ts_ms") + F.lit(expr.offset_ms)
+                )
+            if expr.range_ms is not None:
+                return df
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("series_id").orderBy(
+                F.col("ts_ms").desc(), F.col("value").desc()
+            )
+            return (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(
+                    "series_id",
+                    F.lit(expr.at_ms).alias("ts_ms"),
+                    "value",
+                )
+            )
         # offset: evaluate against data `offset` earlier, reported at
         # evaluation time — bounds shift back, timestamps shift forward
         lo = mint_ms - expr.offset_ms if mint_ms is not None else None

@@ -624,3 +624,22 @@ def test_sort_and_timestamp(querier):
     ts = pql.query(querier, 'timestamp(event_click{job="api"})')
     r0 = ts.first()
     assert r0.value == r0.ts_ms / 1000.0
+
+
+def test_at_modifier(querier):
+    """@ pins the evaluation time: instant form returns each series'
+    latest lookback sample AT that time; range form pins the data
+    window to (at - range, at]."""
+    T = 1705505099
+    e = pql.parse(f'event_click[1d] @ {T}')
+    assert e.at_ms == T * 1000
+    inst = pql.query(querier, f'{{env="prod"}} @ {T}')
+    rows = inst.collect()
+    assert all(r.ts_ms == T * 1000 for r in rows)
+    assert len({r.series_id for r in rows}) == len(rows)  # one per series
+    rng = pql.query(querier, f"sum by (job) (increase(event_error[1d] @ {T}))")
+    # data window pinned: no bucket may start at/after the eval time,
+    # none may end before at - range
+    for r in rng.collect():
+        assert r.bucket_ms <= T * 1000
+        assert r.bucket_ms + 86_400_000 > T * 1000 - 86_400_000
