@@ -21,26 +21,41 @@ Supported grammar (the workhorse subset):
                  on() restricts the match keys to the listed labels,
                  ignoring() removes them, group_left allows
                  many-to-one matching with left labels carried through.
-    term      := agg | func | math | selector | NUM | "(" expr ")"
+    term      := agg | func | math | labelfn | selector | NUM
+               | "(" expr ")"
     agg       := AGGOP grouping? "(" expr ")"
                | ("topk" | "bottomk") "(" INT "," expr ")"
                | "quantile" grouping? "(" NUM "," expr ")"
-    AGGOP     := "sum" | "avg" | "min" | "max" | "count"
+               | "count_values" grouping? "(" STRING "," expr ")"
+    AGGOP     := "sum" | "avg" | "min" | "max" | "count" | "stddev"
+               | "stdvar" | "group"
     grouping  := ("by" | "without") "(" name ("," name)* ")"
     func      := FUNC "(" selector range offset? ")"
+               | "quantile_over_time" "(" NUM "," selector range ")"
+               | "predict_linear" "(" selector range "," NUM ")"
+               | "holt_winters" "(" selector range "," NUM "," NUM ")"
                | AGGOT "(" expr "[" DUR ":" DUR "]" ")"   (subquery:
                  inner expr at step resolution, outer over_time over
                  range-wide windows; range must be a multiple of step,
                  step must equal the inner bucket granularity)
     AGGOT     := {avg,sum,min,max,count}_over_time
     FUNC      := rate | rate_extrapolated | increase | irate | delta
-               | resets | changes | {avg,sum,min,max,count}_over_time
+               | resets | changes | deriv | last_over_time
+               | present_over_time
+               | {avg,sum,min,max,count,stddev,stdvar}_over_time
     math      := MATHFN "(" expr ("," NUM ("," NUM)?)? ")"
     MATHFN    := abs | ceil | floor | round | exp | ln | log2 | log10
                | sqrt | sgn | clamp_min | clamp_max | clamp
-    selector  := metric? ("{" matcher ("," matcher)* "}")? range? offset?
+               | sort | sort_desc | timestamp
+    labelfn   := "label_replace" "(" expr "," STRING{4} ")"
+               | "label_join" "(" expr "," STRING{2,} ")"
+    selector  := metric? ("{" matcher ("," matcher)* "}")?
+                 range? offset? at?
     matcher   := name OP STRING      OP: = != =~ !~
     range     := "[" INT UNIT "]"    offset := "offset" INT UNIT
+    at        := "@" NUM             (fixed eval time, epoch seconds:
+                 instant -> latest lookback sample per series at that
+                 time; range -> data window pinned to (at-range, at])
     UNIT      := s m h d
 
 Compilation: selector -> Querier.select (matchers incl. the metric as
