@@ -857,6 +857,30 @@ def _q_s9_block_store(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s11_stream_ship(spark: SparkSession, sf: str) -> DataFrame:
+    """S11+S9 streaming lifecycle: stage the derived samples as source
+    files, run the streaming shipper (file source -> foreachBatch ->
+    registry-last commit), report the committed registry — which must
+    equal the derivation-side blocks table (same oracle as S9)."""
+    import tempfile
+
+    from agni_spark.sources import layout
+    from agni_spark.streaming.ingest import stream_ship
+
+    q = _querier(spark, sf)
+    base = tempfile.mkdtemp(prefix="agni_ship_")
+    src = f"{base}/src"
+    q.samples.select("series_id", "ts_ms", "value").write.parquet(src)
+    query = stream_ship(
+        spark, src, f"{base}/store", f"{base}/ckpt"
+    )
+    query.awaitTermination(300)
+    reg = layout.read_registry(spark, f"{base}/store")
+    return reg.select("ulid", "block_id", "num_samples", "num_series").orderBy(
+        "block_id"
+    )
+
+
 def _q_e1_tsdb_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """E1/S5-S8 round-trip: encode the 3 earliest blocks of derived
     samples into real TSDB block dirs (XOR chunks + index + meta),
@@ -1028,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_increase": _q_streaming_increase,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_attribution": _q_streaming_attribution,
+        "s11_stream_ship": _q_s11_stream_ship,
         "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
         "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
@@ -1417,6 +1442,10 @@ def oracle_sql() -> dict[str, str]:
             "AND a.mint_ms < b.maxt_ms AND b.mint_ms < a.maxt_ms"
         ),
         "s9_block_store_roundtrip": q(
+            "SELECT ulid, block_id, num_samples, num_series FROM blocks "
+            "ORDER BY block_id"
+        ),
+        "s11_stream_ship": q(
             "SELECT ulid, block_id, num_samples, num_series FROM blocks "
             "ORDER BY block_id"
         ),

@@ -208,3 +208,42 @@ def streaming_sessionize(
             "sum_value",
         )
     )
+
+
+def stream_ship(
+    spark: SparkSession,
+    src_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    block_ms: int = 7_200_000,
+    available_now: bool = True,
+):
+    """Streaming SHIPPER into the registry-committed block store — the
+    full S11+S9 lifecycle (reference: shipper.go main loop, staged
+    upload then marker-key-last commit). Each micro-batch appends its
+    samples time-partitioned and then rewrites the registry LAST via
+    layout.write_blocks, so a reader listing the registry never sees a
+    block whose data hasn't fully landed. Exactly-once across restarts
+    comes from the Structured Streaming checkpoint (the file source
+    replays uncommitted batches; the registry rebuild is idempotent).
+
+    Contrast with stream_ingest, which lands raw partitioned parquet
+    WITHOUT the commit marker: that is the staging tier; this is the
+    shipper."""
+    from agni_spark.sources import layout
+
+    stream = spark.readStream.schema(SAMPLES_SCHEMA).parquet(src_dir)
+
+    def _ship(batch_df: DataFrame, batch_id: int) -> None:
+        layout.write_blocks(
+            batch_df, store_path, block_ms=block_ms, mode="append"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_ship)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

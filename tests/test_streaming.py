@@ -212,3 +212,37 @@ def test_streaming_attribution_join(spark, tmp_path):
     # purchase 20 attributes to clicks 10 AND 11 (both within 1h
     # before); user 2's purchase at 90m matches nothing
     assert rows == [(1, 10, 20), (1, 11, 20)]
+
+
+def test_stream_ship_registry_commit(spark, tmp_path):
+    """stream_ship lands each micro-batch in the block store WITH the
+    registry-last commit: after every batch the registry lists exactly
+    the blocks whose data is present, and a second incremental run
+    picks up only new files (checkpoint exactly-once)."""
+    from agni_spark.sources import layout
+    from agni_spark.streaming.ingest import stream_ship
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(s, t, float(s + t)) for s in range(3) for t in range(0, 2000, 100)]
+    spark.createDataFrame(
+        rows1, "series_id long, ts_ms long, value double"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    q = stream_ship(spark, f"{src}/*", store, ckpt, block_ms=1000)
+    q.awaitTermination(120)
+    assert layout.registry_block_ids(spark, store) == [0, 1]
+    assert layout.read_samples(spark, store).count() == 60
+
+    # incremental: a new file lands -> only its rows are appended
+    rows2 = [(9, t, 1.0) for t in range(2000, 3000, 100)]
+    spark.createDataFrame(
+        rows2, "series_id long, ts_ms long, value double"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    q2 = stream_ship(spark, f"{src}/*", store, ckpt, block_ms=1000)
+    q2.awaitTermination(120)
+    assert layout.registry_block_ids(spark, store) == [0, 1, 2]
+    df = layout.read_samples(spark, store)
+    assert df.count() == 70
+    assert df.where("series_id = 9").count() == 10
