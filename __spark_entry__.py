@@ -549,6 +549,18 @@ def _q_promql_at_range(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "bucket_ms")
 
 
+def _q_promql_time_components(spark: SparkSession, sf: str) -> DataFrame:
+    # hour(timestamp(v)): sample-time hour of day, UTC, pure integer
+    # arithmetic on epoch seconds (Prometheus time-function semantics:
+    # input values are interpreted as epoch seconds)
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf), 'hour(timestamp(event_click{job="api"}))'
+    )
+    return out.orderBy("series_id", "ts_ms")
+
+
 def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     # alert-rule shape: threshold comparison filters the vector
     from agni_spark import promql_parser as pql
@@ -1038,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_label_funcs": _q_promql_label_funcs,
         "promql_timestamp_fn": _q_promql_timestamp_fn,
         "promql_at_instant": _q_promql_at_instant,
+        "promql_time_components": _q_promql_time_components,
         "promql_at_range": _q_promql_at_range,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
@@ -1951,6 +1964,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "promql_timestamp_fn": q(
             "SELECT s.series_id, s.ts_ms, s.ts_ms / 1000.0 AS value "
+            "FROM samples s JOIN series ser USING (series_id) "
+            "WHERE ser.metric = 'event_click' AND ser.job = 'api' "
+            "ORDER BY 1, 2"
+        ),
+        "promql_time_components": q(
+            "SELECT s.series_id, s.ts_ms, "
+            "CAST(floor(((s.ts_ms / 1000.0) % 86400) / 3600) AS DOUBLE)"
+            " AS value "
             "FROM samples s JOIN series ser USING (series_id) "
             "WHERE ser.metric = 'event_click' AND ser.job = 'api' "
             "ORDER BY 1, 2"

@@ -47,6 +47,7 @@ Supported grammar (the workhorse subset):
     MATHFN    := abs | ceil | floor | round | exp | ln | log2 | log10
                | sqrt | sgn | clamp_min | clamp_max | clamp
                | sort | sort_desc | timestamp
+               | hour | minute | day_of_week    (values as epoch secs)
     labelfn   := "label_replace" "(" expr "," STRING{4} ")"
                | "label_join" "(" expr "," STRING{2,} ")"
     selector  := metric? ("{" matcher ("," matcher)* "}")?
@@ -93,12 +94,12 @@ _RANGE_FUNCS = {
 _MATH_FUNCS = {
     "abs", "clamp_min", "clamp_max", "clamp", "ceil", "floor", "round",
     "exp", "ln", "log2", "log10", "sqrt", "sgn", "sort", "sort_desc",
-    "timestamp",
+    "timestamp", "hour", "minute", "day_of_week",
 }
 # funcs that take no scalar argument after the expression
 _MATH_NO_SCALAR = {
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
-    "sort", "sort_desc", "timestamp",
+    "sort", "sort_desc", "timestamp", "hour", "minute", "day_of_week",
 }
 # range funcs with a leading scalar arg: f(s, m[r])
 _SCALAR_FIRST_FUNCS = {"quantile_over_time"}
@@ -817,6 +818,21 @@ def _compile_inner(
             return inner.orderBy(
                 F.col("value").asc() if expr.name == "sort"
                 else F.col("value").desc()
+            )
+        if expr.name in ("hour", "minute", "day_of_week"):
+            # Prometheus time functions interpret the sample VALUES as
+            # epoch seconds (compose as hour(timestamp(v)) for sample
+            # times). Pure integer arithmetic on epoch seconds — no
+            # timezone/session dependence (1970-01-01 was a Thursday,
+            # hence the +4 in day_of_week).
+            v = F.col("value")
+            comps = {
+                "hour": F.floor((v % 86_400) / 3_600),
+                "minute": F.floor((v % 3_600) / 60),
+                "day_of_week": (F.floor(v / 86_400) + 4) % 7,
+            }
+            return inner.withColumn(
+                "value", comps[expr.name].cast("double")
             )
         if expr.name == "timestamp":
             tc = _timecol(inner)
