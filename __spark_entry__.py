@@ -826,6 +826,17 @@ def _q_simsearch_ivf_stored(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_pq(spark: SparkSession, sf: str) -> DataFrame:
+    # product-quantization ADC top-k: codes + table lookups, no raw
+    # embeddings in the scoring scan (approximate; deterministic, so
+    # fully oracle-checked; recall pinned in tests/test_llm_ops.py)
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.pq_search(e, queries_df, k=10, m=16, ksub=16)
+
+
 def _q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.semantic_dedup_keep(_emb(spark, sf), n_centroids=8,
                                          threshold=0.4)
@@ -1112,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
         "simsearch_ivf_ann": _q_simsearch_ivf,
         "simsearch_ivf_stored": _q_simsearch_ivf_stored,
+        "simsearch_pq_adc": _q_simsearch_pq,
         "dedup_semantic": _q_dedup_semantic,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -1390,6 +1402,65 @@ cents AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
 
 # IVF-flat mirror: k-means coarse quantizer (shared CTE), each corpus
 # vector in its argmax-cosine cell, queries probe 2 cells.
+
+
+# PQ mirror: same seeded sample -> per-subspace codebooks -> max-dot
+# codes -> ADC sums. m=16 subspaces, ksub=16 centroids.
+_SQL_SIMSEARCH_PQ = """
+WITH cb0 AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e,
+    row_number() OVER (ORDER BY
+      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      vec_id) AS cid
+  FROM embeddings
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT 16),
+subs AS (SELECT unnest(range(16)) AS sub),
+cb AS (
+  SELECT s.sub, c.cid,
+    c.e[s.sub * (len(c.e) // 16) + 1 : (s.sub + 1) * (len(c.e) // 16)] AS cvec
+  FROM cb0 c CROSS JOIN subs s),
+sv AS (
+  SELECT c.vec_id, s.sub,
+    CAST(c.embedding AS DOUBLE[])
+      [s.sub * (len(c.embedding) // 16) + 1
+       : (s.sub + 1) * (len(c.embedding) // 16)] AS v
+  FROM embeddings c CROSS JOIN subs s),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT sv.vec_id, sv.sub, cb.cid,
+      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+        ORDER BY round(list_inner_product(sv.v, cb.cvec), 6) DESC,
+                 cb.cid ASC) AS rn
+    FROM sv JOIN cb USING (sub)) WHERE rn = 1),
+cnorm AS (SELECT sub, cid, list_inner_product(cvec, cvec) AS c2 FROM cb),
+vnorm AS (SELECT vec_id, sum(c2) AS vn2
+          FROM codes JOIN cnorm USING (sub, cid) GROUP BY 1),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5),
+qnorm AS (SELECT query_id, sqrt(list_inner_product(qe, qe)) AS qn FROM q),
+qtab AS (
+  SELECT q.query_id, cb.sub, cb.cid,
+    list_inner_product(
+      q.qe[cb.sub * (len(q.qe) // 16) + 1
+           : (cb.sub + 1) * (len(q.qe) // 16)], cb.cvec) AS pd
+  FROM q CROSS JOIN cb),
+adc AS (
+  SELECT t.query_id, c.vec_id, sum(t.pd) AS dot
+  FROM codes c JOIN qtab t USING (sub, cid)
+  WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+scored AS (
+  SELECT a.query_id, a.vec_id,
+    round(a.dot / (qn.qn * sqrt(v.vn2)), 6) AS cos
+  FROM adc a JOIN vnorm v USING (vec_id) JOIN qnorm qn USING (query_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
+WHERE rk <= 10 ORDER BY query_id, rk
+"""
+
+
 _SQL_SIMSEARCH_IVF = f"""
 WITH {_SQL_KMEANS_CENTS},
 cells AS (
@@ -2628,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
         # simsearch_lsh_ann: approximate, intentionally rows-only
         "simsearch_ivf_ann": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
+        "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
         "dedup_semantic": _SQL_SEMDEDUP,
         "multimodal_meta": _SQL_MM_META,
         "multimodal_frame_sample": _SQL_MM_FRAMES,

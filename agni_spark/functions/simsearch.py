@@ -435,3 +435,169 @@ def lsh_ann_stored(
         .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-index ANN path. Vectors
+# split into m subspaces; each sub-vector is coded as its nearest
+# sub-centroid id, so a D-dim float vector compresses to m small ints
+# and query scoring becomes table lookups (ADC) instead of full
+# D-dim arithmetic. At 100 TB the codes table is ~D*4/m bytes-per-
+# vector smaller than the corpus and the ADC join touches no raw
+# embeddings at all.
+# ---------------------------------------------------------------------------
+def pq_codebooks(corpus: DataFrame, m: int = 4, ksub: int = 8) -> DataFrame:
+    """Per-subspace codebooks from the deterministic seeded-hash sample
+    (the ksub corpus vectors with the smallest md5-derived id hash give
+    each subspace its centroids — sample-codebook initialization,
+    engine-mirrorable; code assignment is max-inner-product, matching
+    the cosine-centric tier). Returns (sub, cid, cvec) — m*ksub rows,
+    broadcast-sized."""
+    from agni_spark.functions.dedup import hash60
+
+    sample = (
+        corpus.orderBy(hash60(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(ksub)
+        .select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .withColumn(
+            "cid",
+            # same order as the sample selection (hash, then id): cid 1
+            # is the first sampled vector — mirrored in the SQL twin
+            F.row_number().over(
+                Window.orderBy(
+                    hash60(F.col("vec_id").cast("string")), F.col("vec_id")
+                )
+            ),
+        )
+    )
+    sublen = (F.size("e") / m).cast("int")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("e", s * sublen + 1, sublen).alias("cvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return (
+        sample.select("cid", F.explode(subs).alias("sc"))
+        .select(F.col("sc.sub").alias("sub"), "cid", F.col("sc.cvec").alias("cvec"))
+        .persist()
+    )
+
+
+def _subdot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int = 4) -> DataFrame:
+    """Code each vector: per subspace, the max-inner-product sub-
+    centroid (6dp-rounded dot, ties to the lowest cid). Output
+    (vec_id, sub, cid) — the compressed index, plus the codebook-space
+    squared norm per vector for ADC cosine normalization."""
+    sublen = (F.size(F.col("e")) / m).cast("int")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("e", s * sublen + 1, sublen).alias("v"),
+            )
+            for s in range(m)
+        ]
+    )
+    sv = (
+        corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .select("vec_id", F.explode(subs).alias("sc"))
+        .select("vec_id", F.col("sc.sub").alias("sub"), F.col("sc.v").alias("v"))
+    )
+    scored = sv.join(F.broadcast(codebooks), "sub").withColumn(
+        "d", F.round(_subdot(F.col("v"), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+
+
+def pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+) -> DataFrame:
+    """ADC top-k over the PQ codes: per query, a distance TABLE of
+    m*ksub partial dots against the (broadcast) codebooks; a vector's
+    approximate similarity is the sum of its codes' table entries over
+    the codebook-space norms — table lookups, no raw-embedding
+    arithmetic in the scan. Approximate by construction; exactness is
+    the cosine_topk baseline's job."""
+    cb = pq_codebooks(corpus, m, ksub)
+    codes = pq_encode(corpus, cb, m)
+    # codebook-space squared norm of each coded vector
+    cnorm = cb.withColumn("c2", _subdot(F.col("cvec"), F.col("cvec")))
+    vnorm = (
+        codes.join(F.broadcast(cnorm), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("c2").alias("vn2"))
+    )
+    sublen_q = (F.size(F.col("qe")) / m).cast("int")
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("qe", s * sublen_q + 1, sublen_q).alias("qv"),
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col("query_id"), F.col("embedding").cast("array<double>").alias("qe")
+    )
+    qnorm = q.select(
+        "query_id", F.sqrt(_subdot(F.col("qe"), F.col("qe"))).alias("qn")
+    )
+    qtab = (
+        q.select("query_id", F.explode(qsubs).alias("sc"))
+        .select("query_id", F.col("sc.sub").alias("sub"), F.col("sc.qv").alias("qv"))
+        .join(F.broadcast(cb), "sub")
+        .withColumn("pd", _subdot(F.col("qv"), F.col("cvec")))
+        .select("query_id", "sub", "cid", "pd")
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["sub", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("dot"))
+        .join(vnorm, "vec_id")
+        .join(F.broadcast(qnorm), "query_id")
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot") / (F.col("qn") * F.sqrt(F.col("vn2"))), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
+        .orderBy("query_id", "rk")
+    )

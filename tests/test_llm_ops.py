@@ -331,3 +331,27 @@ def test_stored_lsh_index_prunes_and_matches(spark, tmp_path):
     assert out.collect() == simsearch.lsh_ann(
         emb, queries, k=5, n_planes=3
     ).collect()
+
+
+def test_pq_codes_and_recall(spark):
+    """PQ structure: every vector gets exactly m codes; finer
+    subspaces monotonically improve recall (on random vectors — PQ's
+    worst case — coarse codebooks are weak, which is why the exact
+    cosine_topk stays the correctness baseline)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = simsearch.pq_codebooks(emb, m=4, ksub=8)
+    assert cb.count() == 4 * 8
+    codes = simsearch.pq_encode(emb, cb, m=4)
+    n = emb.count()
+    assert codes.count() == 4 * n
+    assert codes.groupBy("vec_id").count().where("count != 4").count() == 0
+    exact = {(r.query_id, r.vec_id)
+             for r in simsearch.cosine_topk(emb, queries, k=5).collect()}
+    r32 = {(r.query_id, r.vec_id)
+           for r in simsearch.pq_search(emb, queries, k=5, m=32, ksub=32).collect()}
+    assert len(exact & r32) / len(exact) >= 0.4  # m=32 on 64-dim random
