@@ -842,6 +842,24 @@ def _q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
                                          threshold=0.4)
 
 
+def _q_text_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    return text.split_assign(_docs(spark, sf), test_pct=10).orderBy("doc_id")
+
+
+def _q_text_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # per-language deterministic downsample (hash-Bernoulli): the
+    # map-side door policy of a curation pipeline
+    out = text.stratified_sample(
+        _docs(spark, sf), {"en": 50, "de": 100, "fr": 25}, key="lang"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_text_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    # greedy token packing into 2048-token training sequences, per lang
+    return text.pack_sequences(_docs(spark, sf), max_tokens=2048, by="lang")
+
+
 def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf))
     return multimodal.extract_meta(media).orderBy("media_id")
@@ -1113,6 +1131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": _q_text_pii_scan,
         "text_contamination": _q_text_contamination,
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(_docs(s, d)),
+        "text_split_assign": _q_text_split_assign,
+        "text_stratified_sample": _q_text_stratified_sample,
+        "text_pack_sequences": _q_text_pack_sequences,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
@@ -2587,6 +2608,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no"
         ),
         "text_doc_stats": _SQL_DOC_STATS,
+        "text_split_assign": (
+            "SELECT doc_id, CASE WHEN "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+            " % 100 < 10 THEN 'test' ELSE 'train' END AS split "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "text_stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 "
+            "WHEN 'fr' THEN 25 END > "
+            "('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::BIGINT % 100 "
+            "ORDER BY doc_id"
+        ),
+        "text_pack_sequences": (
+            "WITH RECURSIVE d AS ("
+            "  SELECT doc_id, lang,"
+            "  least(CAST(len(regexp_extract_all(text,"
+            "    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT), 2048) AS n,"
+            "  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn"
+            "  FROM documents),"
+            "walk AS ("
+            "  SELECT lang, rn, doc_id, n, n AS fill, CAST(0 AS BIGINT) AS seq"
+            "  FROM d WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT d.lang, d.rn, d.doc_id, d.n,"
+            "  CASE WHEN w.fill + d.n > 2048 THEN d.n ELSE w.fill + d.n END,"
+            "  CASE WHEN w.fill + d.n > 2048 THEN w.seq + 1 ELSE w.seq END"
+            "  FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1)"
+            "SELECT lang, doc_id, n AS n_tokens, seq AS seq_id,"
+            " fill AS seq_pos "
+            "FROM walk ORDER BY lang, doc_id"
+        ),
         "text_lang_id": _sql_lang_id(),
         "text_fingerprint": (
             "SELECT doc_id, "

@@ -287,3 +287,140 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- curation: sampling, splits, packing ------------------------------------
+def split_assign(docs: DataFrame, test_pct: int = 10) -> DataFrame:
+    """Deterministic train/test split: a doc's split follows its
+    md5-derived hash mod 100 — stable across runs, engines and
+    cluster sizes (never rand(): a reshuffle would leak test docs into
+    train). Pure projection, no shuffle."""
+    from agni_spark.functions.dedup import hash60
+
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, fractions: dict[str, int], key: str = "lang"
+) -> DataFrame:
+    """Deterministic stratified downsample: keep a doc iff its hash
+    bucket (md5 mod 100) falls under its stratum's percentage —
+    hash-based Bernoulli per stratum, so the sample is reproducible
+    and composable with split_assign (independent salts). Strata
+    absent from `fractions` are dropped; 100 keeps everything. The
+    filter is a pure projection — at 100 TB this is the map-side
+    door-policy every curation pipeline starts with."""
+    from agni_spark.functions.dedup import hash60
+
+    bucket = hash60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))) % 100
+    pct = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col(key)]
+    return docs.where(pct.isNotNull() & (bucket < pct))
+
+
+def pack_sequences(
+    docs: DataFrame, max_tokens: int = 2048, by: str | None = None
+) -> DataFrame:
+    """Greedy sequence packing for training batches: docs in doc_id
+    order accumulate into a sequence until the next doc would overflow
+    `max_tokens`; oversized docs get a sequence of their own. seq_id =
+    number of completed sequences before the doc — computed with ONE
+    window pass via the bin-boundary trick: a boundary is any doc
+    whose cumulative token count crosses a multiple of max_tokens...
+    greedy packing is inherently sequential, so it runs as a running-
+    total window per partition group (`by`, e.g. lang) — at scale pick
+    a grouping with bounded cardinality per group, exactly like any
+    sessionization.
+
+    Returns (doc_id, n_tokens, seq_id, seq_pos)."""
+    from pyspark.sql import Window
+
+    part = [by] if by else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.least(token_count(F.col("text")), F.lit(max_tokens))
+    base = docs.select(
+        *(part), "doc_id", toks.cast("long").alias("n_tokens")
+    )
+    # greedy boundary recurrence is not a plain prefix sum, but with
+    # every n_tokens <= max_tokens it IS equivalent to: seq changes
+    # when floor(cum/max) changes, where cum is the running total of a
+    # bin-reset-free accumulation... the exact greedy needs the reset;
+    # implement it exactly with one aggregate fold over the collected
+    # group (bounded by `by` cardinality) — mirrored by the oracle.
+    grp = base.groupBy(*part).agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "n_tokens"))
+        ).alias("xs")
+    )
+    packed = F.aggregate(
+        F.col("xs"),
+        F.struct(
+            F.lit(0).cast("long").alias("fill"),
+            F.lit(0).cast("long").alias("seq"),
+            F.array().cast(
+                "array<struct<doc_id:bigint,n_tokens:bigint,seq_id:bigint,seq_pos:bigint>>"
+            ).alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                acc.getField("fill") + x.getField("n_tokens") > max_tokens,
+                x.getField("n_tokens"),
+            )
+            .otherwise(acc.getField("fill") + x.getField("n_tokens"))
+            .alias("fill"),
+            F.when(
+                acc.getField("fill") + x.getField("n_tokens") > max_tokens,
+                acc.getField("seq") + 1,
+            )
+            .otherwise(acc.getField("seq"))
+            .alias("seq"),
+            F.concat(
+                acc.getField("out"),
+                F.array(
+                    F.struct(
+                        x.getField("doc_id").alias("doc_id"),
+                        x.getField("n_tokens").alias("n_tokens"),
+                        F.when(
+                            acc.getField("fill") + x.getField("n_tokens")
+                            > max_tokens,
+                            acc.getField("seq") + 1,
+                        )
+                        .otherwise(acc.getField("seq"))
+                        .alias("seq_id"),
+                        F.when(
+                            acc.getField("fill") + x.getField("n_tokens")
+                            > max_tokens,
+                            x.getField("n_tokens"),
+                        )
+                        .otherwise(
+                            acc.getField("fill") + x.getField("n_tokens")
+                        )
+                        .alias("seq_pos"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc.getField("out"),
+    )
+    return (
+        grp.select(*(part), F.explode(packed).alias("p"))
+        .select(
+            *(part),
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.n_tokens").alias("n_tokens"),
+            F.col("p.seq_id").alias("seq_id"),
+            F.col("p.seq_pos").alias("seq_pos"),
+        )
+        .orderBy(*(part), "doc_id")
+    )

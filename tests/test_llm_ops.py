@@ -355,3 +355,31 @@ def test_pq_codes_and_recall(spark):
     r32 = {(r.query_id, r.vec_id)
            for r in simsearch.pq_search(emb, queries, k=5, m=32, ksub=32).collect()}
     assert len(exact & r32) / len(exact) >= 0.4  # m=32 on 64-dim random
+
+
+def test_curation_split_sample_pack(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sp = text.split_assign(docs, test_pct=20)
+    frac = sp.where("split = 'test'").count() / sp.count()
+    assert 0.1 < frac < 0.3  # hash-Bernoulli around 20%
+    # deterministic: same assignment on recompute
+    assert sp.collect() == text.split_assign(docs, test_pct=20).collect()
+
+    samp = text.stratified_sample(docs, {"en": 100, "de": 0}, key="lang")
+    langs = {r.lang for r in samp.select("lang").distinct().collect()}
+    assert "de" not in langs  # 0% stratum dropped entirely
+    n_en_docs = docs.where("lang = 'en'").count()
+    assert samp.where("lang = 'en'").count() == n_en_docs  # 100% keeps all
+
+    packed = text.pack_sequences(docs, max_tokens=512, by="lang")
+    # no sequence exceeds the budget; positions are running totals
+    over = (
+        packed.groupBy("lang", "seq_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .where(F.col("t") > 512)
+    )
+    assert over.count() == 0
+    assert packed.where("seq_pos > 512").count() == 0
+    assert packed.count() == docs.count()
