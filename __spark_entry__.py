@@ -922,6 +922,33 @@ def _q_s11_stream_ship(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s9_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Compaction lifecycle: write the store (all level 1), compact
+    exactly the blocks the derivation marks level-2 (block_id % 9 == 0)
+    — their levels bump in the single registry commit, so the store
+    registry must equal the derivation-side blocks table, levels
+    included."""
+    import tempfile
+
+    from agni_spark.sources import layout
+
+    q = _querier(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_compact_")
+    layout.write_blocks(q.samples, path)
+    ids = [
+        r.block_id
+        for r in q.blocks.where(F.col("compaction_level") == 2)
+        .select("block_id")
+        .collect()
+    ]
+    layout.compact(spark, path, block_ids=ids, files_per_block=2)
+    reg = layout.read_registry(spark, path)
+    return reg.select(
+        "ulid", "block_id", "num_samples", "num_series",
+        F.col("compaction_level").cast("int").alias("compaction_level"),
+    ).orderBy("block_id")
+
+
 def _q_e1_tsdb_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """E1/S5-S8 round-trip: encode the 3 earliest blocks of derived
     samples into real TSDB block dirs (XOR chunks + index + meta),
@@ -1095,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_attribution": _q_streaming_attribution,
         "s11_stream_ship": _q_s11_stream_ship,
+        "s9_compaction_lifecycle": _q_s9_compaction,
         "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
         "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
@@ -1553,6 +1581,10 @@ def oracle_sql() -> dict[str, str]:
         "s11_stream_ship": q(
             "SELECT ulid, block_id, num_samples, num_series FROM blocks "
             "ORDER BY block_id"
+        ),
+        "s9_compaction_lifecycle": q(
+            "SELECT ulid, block_id, num_samples, num_series, "
+            "compaction_level FROM blocks ORDER BY block_id"
         ),
         "e1_tsdb_ingest_roundtrip": q(
             "SELECT CAST(ts_ms // 7200000 AS BIGINT) AS block_id, "
