@@ -134,17 +134,57 @@ class Querier:
             # mixed-type comparison errors. Session tz is UTC (load()).
             return F.timestamp_millis(F.lit(ms)).cast(dict(df.dtypes)["_ts_raw"])
 
+        def _raw_int_bound(lo_ms: int | None, hi_ms_excl: int | None):
+            # Unit-agnostic bound on the raw int64 column, mirroring
+            # ns_to_ms's magnitude dispatch (the driver has shipped
+            # several timestamp physical types): an OR of per-unit
+            # (range-gate AND bound) conjunctions — every leaf is
+            # col <op> literal, so the whole predicate still reaches
+            # the parquet reader as a pushed filter.
+            c = F.col("_ts_ns")
+            arms = []
+            for gate_lo, gate_hi, mul in (
+                (100_000_000_000_000_000, None, 1_000_000),  # nanos
+                (100_000_000_000_000, 100_000_000_000_000_000, 1_000),
+                (100_000_000_000, 100_000_000_000_000, 1),  # millis
+                (None, 100_000_000_000, None),  # seconds
+            ):
+                gate = F.lit(True)
+                if gate_lo is not None:
+                    gate = gate & (c > F.lit(gate_lo))
+                if gate_hi is not None:
+                    gate = gate & (c <= F.lit(gate_hi))
+                if mul is None:  # seconds: ms bounds floor-divide
+                    b = F.lit(True)
+                    if lo_ms is not None:
+                        b = b & (c >= F.lit(lo_ms // 1000 + (1 if lo_ms % 1000 else 0)))
+                    if hi_ms_excl is not None:
+                        b = b & (c < F.lit((hi_ms_excl + 999) // 1000))
+                else:
+                    b = F.lit(True)
+                    if lo_ms is not None:
+                        b = b & (c >= F.lit(lo_ms * mul))
+                    if hi_ms_excl is not None:
+                        b = b & (c < F.lit(hi_ms_excl * mul))
+                arms.append(gate & b)
+            out = arms[0]
+            for a in arms[1:]:
+                out = out | a
+            return out
+
+        if raw_ns and (mint_ms is not None or maxt_ms is not None):
+            df = df.where(
+                _raw_int_bound(
+                    mint_ms, (maxt_ms + 1) if maxt_ms is not None else None
+                )
+            )
         if mint_ms is not None:
             df = df.where(F.col("ts_ms") >= F.lit(mint_ms))
-            if raw_ns:
-                df = df.where(F.col("_ts_ns") >= F.lit(mint_ms * 1_000_000))
-            elif raw_ts:
+            if raw_ts:
                 df = df.where(F.col("_ts_raw") >= _raw_ts_lit(mint_ms))
         if maxt_ms is not None:
             df = df.where(F.col("ts_ms") <= F.lit(maxt_ms))
-            if raw_ns:
-                df = df.where(F.col("_ts_ns") < F.lit((maxt_ms + 1) * 1_000_000))
-            elif raw_ts:
+            if raw_ts:
                 df = df.where(F.col("_ts_raw") < _raw_ts_lit(maxt_ms + 1))
         if matchers:
             ids = self.select_series(matchers, broadcast_series=broadcast_series)

@@ -125,3 +125,44 @@ def test_daily_active_hll_twin(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, n, approx[k])
+
+
+def test_int64_timestamp_unit_dispatch(spark, tmp_path):
+    """The driver has shipped `ts` as TIMESTAMP(NANOS)-as-int64 and as
+    TIMESTAMP_NTZ across rounds; ms_col/ns_to_ms must decode ANY int64
+    epoch unit by magnitude (ns/us/ms/s) and querier time bounds must
+    still prune correctly (and stay pushable) on each."""
+    from pyspark.sql import functions as F
+
+    from agni_spark import datamodel as dm
+
+    base_ms = 1_705_000_000_000
+    rows_ms = [(i, base_ms + i * 1000) for i in range(10)]
+    for unit, mul in [("ns", 1_000_000), ("us", 1_000), ("ms", 1), ("s", None)]:
+        vals = [
+            (i, (ms // 1000 if mul is None else ms * mul))
+            for i, ms in rows_ms
+        ]
+        p = str(tmp_path / f"t_{unit}")
+        spark.createDataFrame(vals, "id long, ts long").write.parquet(p)
+        df = spark.read.parquet(p)
+        got = {
+            r.id: r.m
+            for r in df.select("id", dm.ms_col(df, "ts").alias("m")).collect()
+        }
+        assert got == dict(rows_ms), unit
+        # bound translation: the raw-column OR-of-ranges predicate
+        # must select exactly the middle rows
+        from agni_spark.querier import Querier
+
+        samples = df.select(
+            F.col("id").alias("series_id"),
+            dm.ms_col(df, "ts").alias("ts_ms"),
+            F.lit(1.0).alias("value"),
+            F.col("ts").alias("_ts_ns"),
+        )
+        q = Querier(samples, samples.select("series_id").distinct(),
+                    None, None)
+        out = q.select([], mint_ms=base_ms + 2000, maxt_ms=base_ms + 5000,
+                       sort=False)
+        assert sorted(r.series_id for r in out.collect()) == [2, 3, 4, 5], unit
