@@ -640,7 +640,10 @@ def q2_min_cost_supplier(
         .select("p_partkey", "p_name")
     )
     li = load(spark, sf_dir, "lineitem")
-    # 6dp-rounded avg: summation-order-independent at the comparison
+    # 6dp-rounded avg: summation-order-independent at the comparison.
+    # cost is (filtered parts x region suppliers)-sized and feeds both
+    # the min subquery and the equality join back — persist so the
+    # fact-table aggregation runs once, not twice.
     cost = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -650,6 +653,7 @@ def q2_min_cost_supplier(
                 F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6
             ).alias("unit_cost")
         )
+        .persist()
     )
     min_cost = cost.groupBy(F.col("p_partkey").alias("mp")).agg(
         F.min("unit_cost").alias("min_cost")
