@@ -528,6 +528,20 @@ def _q_promql_timestamp_fn(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id", "ts_ms")
 
 
+def _q_promql_parsed_absent(spark: SparkSession, sf: str) -> DataFrame:
+    # parser-level absent_over_time: (series, bucket) pairs with no
+    # samples inside the queried window
+    from agni_spark import promql_parser as pql
+
+    T1 = 1704844800000
+    out = pql.query(
+        _querier(spark, sf),
+        'absent_over_time(event_click{job="api"}[6h])',
+        T1, T1 + 2 * 86400000,
+    )
+    return out.orderBy("series_id", "bucket_ms")
+
+
 def _q_promql_at_instant(spark: SparkSession, sf: str) -> DataFrame:
     # @ modifier, instant form: latest sample per series in the 5m
     # lookback before the fixed evaluation time
@@ -1106,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_label_funcs": _q_promql_label_funcs,
         "promql_timestamp_fn": _q_promql_timestamp_fn,
         "promql_at_instant": _q_promql_at_instant,
+        "promql_parsed_absent": _q_promql_parsed_absent,
         "promql_time_components": _q_promql_time_components,
         "promql_at_range": _q_promql_at_range,
         "promql_alert_filter": _q_promql_alert_filter,
@@ -2091,6 +2106,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM samples s JOIN series ser USING (series_id) "
             "WHERE ser.metric = 'event_click' AND ser.job = 'api' "
             "ORDER BY 1, 2"
+        ),
+        "promql_parsed_absent": q(
+            ", sel AS (SELECT series_id FROM series"
+            "  WHERE metric = 'event_click' AND job = 'api'),"
+            "spine AS (SELECT s.series_id,"
+            "  CAST(1704844800000 + i * 21600000 AS BIGINT) AS bucket_ms"
+            "  FROM sel s CROSS JOIN (SELECT unnest(range(8)) AS i)),"
+            "present AS (SELECT DISTINCT series_id,"
+            "  CAST(ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms"
+            "  FROM samples WHERE ts_ms >= 1704844800000"
+            "  AND ts_ms < 1704844800000 + 2 * 86400000"
+            "  AND series_id IN (SELECT series_id FROM sel))"
+            "SELECT sp.series_id, sp.bucket_ms, 1.0::DOUBLE AS value "
+            "FROM spine sp ANTI JOIN present p"
+            " USING (series_id, bucket_ms) ORDER BY 1, 2"
         ),
         "promql_time_components": q(
             "SELECT s.series_id, s.ts_ms, "

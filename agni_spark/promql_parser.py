@@ -90,6 +90,7 @@ _RANGE_FUNCS = {
     "changes", "deriv", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
+    "absent_over_time",
 }
 _MATH_FUNCS = {
     "abs", "clamp_min", "clamp_max", "clamp", "ceil", "floor", "round",
@@ -719,6 +720,25 @@ def _compile_inner(
             df = df.withColumn("ts_ms", F.col("ts_ms") + F.lit(expr.offset_ms))
         return df
     if isinstance(expr, Func):
+        if expr.name == "absent_over_time":
+            # needs the SELECTED SERIES SET (to know what could have
+            # reported) and explicit query bounds for the bucket spine
+            if mint_ms is None or maxt_ms is None:
+                raise ValueError(
+                    "absent_over_time() needs explicit query bounds "
+                    "(pass mint_ms/maxt_ms to query())"
+                )
+            matchers = list(expr.arg.matchers)
+            if expr.arg.metric is not None:
+                matchers.append(Matcher("=", "__name__", expr.arg.metric))
+            sel = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
+            sel_series = querier.select_series(matchers)
+            return promql.absent_over_time(
+                sel, sel_series, expr.arg.range_ms, mint_ms, maxt_ms
+            ).select(
+                "series_id", "bucket_ms",
+                F.col("absent").cast("double").alias("value"),
+            )
         sel = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
         if expr.name == "quantile_over_time":
             return promql.quantile_over_time(
