@@ -415,3 +415,33 @@ def test_ingest_applies_tombstones(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_multi_segment_block_roundtrip(tmp_path):
+    """A block whose chunks exceed one segment file must write
+    chunks/000001, 000002, ... and resolve refs (segment<<32 | offset,
+    chunks.go:113-116) across ALL of them on read."""
+    series = [
+        (
+            {"__name__": "m", "job": f"j{s}"},
+            [(k * 1000, float(s * 1_000 + k)) for k in range(600)],
+        )
+        for s in range(4)
+    ]
+    bd = str(tmp_path / "01SEG")
+    # ~600/120 = 5 chunks x 4 series; cap segments at 2 KiB so several
+    # segment files are required
+    tf.write_block_dir(bd, series, "01SEG", seg_max_bytes=2048)
+    import os
+
+    segs = sorted(os.listdir(os.path.join(bd, "chunks")))
+    assert len(segs) >= 2 and segs[0] == "000001"
+    # index refs must point past segment 1
+    entries = tf.read_index_series(os.path.join(bd, "index"))
+    assert any(
+        cm.ref >> 32 >= 2 for _, _, chunks in entries for cm in chunks
+    )
+    rows = converter.read_block_samples(bd)
+    assert len(rows) == 4 * 600
+    got = {(labels["job"], t): v for labels, t, v in rows}
+    assert got[("j3", 599_000)] == 3_599.0
