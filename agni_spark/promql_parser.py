@@ -41,7 +41,7 @@ Supported grammar (the workhorse subset):
     AGGOT     := {avg,sum,min,max,count}_over_time
     FUNC      := rate | rate_extrapolated | increase | irate | delta
                | resets | changes | deriv | last_over_time
-               | present_over_time
+               | present_over_time | absent_over_time (needs bounds)
                | {avg,sum,min,max,count,stddev,stdvar}_over_time
     math      := MATHFN "(" expr ("," NUM ("," NUM)?)? ")"
     MATHFN    := abs | ceil | floor | round | exp | ln | log2 | log10
