@@ -16,11 +16,14 @@ Supported grammar (the workhorse subset):
                  comparison operator (scalar broadcast); scalar-scalar
                  expressions are rejected. Any vector-vector operator
                  may carry matching modifiers:
-                   OP ("on" | "ignoring") "(" name ("," name)* ")"
-                      "group_left"?
+                   OP "bool"? ("on" | "ignoring")
+                      "(" name ("," name)* ")"
+                      ("group_left" | "group_right")?
                  on() restricts the match keys to the listed labels,
-                 ignoring() removes them, group_left allows
-                 many-to-one matching with left labels carried through.
+                 ignoring() removes them, group_left/group_right allow
+                 many-to-one matching with the MANY side's labels
+                 carried through; `bool` turns a comparison into a
+                 0/1-valued vector instead of a filter.
     term      := agg | func | math | labelfn | selector | NUM
                | "(" expr ")"
     agg       := AGGOP grouping? "(" expr ")"
@@ -219,6 +222,8 @@ class BinOp:
     match_mode: str | None = None  # 'on' | 'ignoring' | None
     match_labels: tuple = ()
     group_left: bool = False
+    group_right: bool = False
+    bool_mode: bool = False  # `> bool` etc.: 0/1 value, no filtering
 
 
 def parse(text: str) -> "Agg | Func | Selector | BinOp":
@@ -263,7 +268,12 @@ def _parse_binop(
         if t not in _PREC or _PREC[t] < min_prec:
             return left
         op = toks.next()
-        mode, labels, gl = None, (), False
+        mode, labels, gl, gr, bool_mode = None, (), False, False, False
+        if toks.peek() == "bool":
+            if op not in _CMP_FNS:
+                raise ValueError("bool modifier only applies to comparisons")
+            toks.next()
+            bool_mode = True
         if toks.peek() in ("on", "ignoring"):
             mode = toks.next()
             toks.expect("(")
@@ -277,6 +287,9 @@ def _parse_binop(
             if toks.peek() == "group_left":
                 toks.next()
                 gl = True
+            elif toks.peek() == "group_right":
+                toks.next()
+                gr = True
         right = _parse_binop(toks, _PREC[op] + 1)  # left-assoc
         if op in _SETOPS and (
             isinstance(left, float) or isinstance(right, float)
@@ -286,7 +299,7 @@ def _parse_binop(
             isinstance(left, float) or isinstance(right, float)
         ):
             raise ValueError("vector matching requires vector operands")
-        left = BinOp(op, left, right, mode, labels, gl)
+        left = BinOp(op, left, right, mode, labels, gl, gr, bool_mode)
 
 
 def _parse_operand(toks: _Tokens) -> "Agg | Func | Selector | BinOp | float":
@@ -1116,6 +1129,11 @@ def _compile_binop(
         v = F.col("value")
         a, b = (s, v) if lf else (v, s)
         if expr.op in _CMP_FNS:
+            if expr.bool_mode:
+                return vec.withColumn(
+                    "value",
+                    F.when(_CMP_FNS[expr.op](a, b), 1.0).otherwise(0.0),
+                )
             return vec.where(_CMP_FNS[expr.op](a, b))
         return vec.withColumn(
             "value", F.round(_ARITH_FNS[expr.op](a, b), promql.ROUND_AVG)
@@ -1125,7 +1143,7 @@ def _compile_binop(
         # rollup reuse is matching-mode-agnostic: it only rewrites the
         # OPERANDS (right := re-agg of left); join keys follow below
         merged = _rollup_sides(expr, querier, mint_ms, maxt_ms, cache)
-        if merged is None and expr.match_mode is None:
+        if merged is None and expr.match_mode is None and not expr.bool_mode:
             # the merged-scan rewrites assume natural (all-shared-
             # labels) matching; explicit on()/ignoring() falls through
             pivot = _merged_pivot_binop(expr, querier, mint_ms, maxt_ms, cache)
@@ -1172,25 +1190,45 @@ def _compile_binop(
             return l.unionByName(extra)
         how = "left_semi" if expr.op == "and" else "left_anti"
         return l.join(r.select(*keys).distinct(), keys, how)
-    # group_left: many-to-one matching — left's extra label columns
-    # carry through; the right ("one") side reduces to key+value and is
-    # the natural broadcast side (promql.binop_group_left's contract:
-    # right unique per key, enforced upstream by aggregation)
-    carry = (
-        [c for c in l.columns if c not in keys and c != "value"]
-        if expr.group_left
-        else []
-    )
-    rhs = r.withColumnRenamed("value", "_r").select(*keys, "_r")
-    if expr.group_left:
-        rhs = F.broadcast(rhs)
-    joined = l.withColumnRenamed("value", "_l").join(rhs, keys)
+    # group_left / group_right: many-to-one matching — the MANY side's
+    # extra label columns carry through; the "one" side reduces to
+    # key+value and is the natural broadcast side (unique per key,
+    # enforced upstream by aggregation)
+    if expr.group_right:
+        # mirror of group_left with the roles swapped; operand order
+        # in the value expression is preserved (left is the "one")
+        if expr.op in _CMP_FNS and not expr.bool_mode:
+            raise ValueError(
+                "comparison with group_right is unsupported (use bool)"
+            )
+        carry = [c for c in r.columns if c not in keys and c != "value"]
+        lhs = F.broadcast(
+            l.withColumnRenamed("value", "_l").select(*keys, "_l")
+        )
+        joined = r.withColumnRenamed("value", "_r").join(lhs, keys)
+    else:
+        carry = (
+            [c for c in l.columns if c not in keys and c != "value"]
+            if expr.group_left
+            else []
+        )
+        rhs = r.withColumnRenamed("value", "_r").select(*keys, "_r")
+        if expr.group_left:
+            rhs = F.broadcast(rhs)
+        joined = l.withColumnRenamed("value", "_l").join(rhs, keys)
     if expr.op in _CMP_FNS:
+        cmp = _CMP_FNS[expr.op](F.col("_l"), F.col("_r"))
+        if expr.bool_mode:
+            # `> bool`: no filtering; value = 1.0/0.0 per match
+            return joined.select(
+                *keys, *carry,
+                F.when(cmp, 1.0).otherwise(0.0).alias("value"),
+            )
         # vector comparison: keep left rows where the matched right
         # value satisfies the comparison; value = left's value
-        return joined.where(
-            _CMP_FNS[expr.op](F.col("_l"), F.col("_r"))
-        ).select(*keys, *carry, F.col("_l").alias("value"))
+        return joined.where(cmp).select(
+            *keys, *carry, F.col("_l").alias("value")
+        )
     return joined.select(
         *keys,
         *carry,

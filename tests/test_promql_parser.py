@@ -643,3 +643,36 @@ def test_at_modifier(querier):
     for r in rng.collect():
         assert r.bucket_ms <= T * 1000
         assert r.bucket_ms + 86_400_000 > T * 1000 - 86_400_000
+
+
+def test_bool_and_group_right(querier):
+    base = pql.query(querier, "sum by (job, env) (increase(event_error[1d]))")
+    b = pql.query(
+        querier, "sum by (job, env) (increase(event_error[1d])) > bool 50"
+    )
+    assert b.count() == base.count()  # bool never filters
+    assert {r.value for r in b.collect()} <= {0.0, 1.0}
+    # vector-vector bool through the generic path
+    bv = pql.query(
+        querier,
+        "sum by (job, env) (increase(event_error[1d]))"
+        " >= bool sum by (job, env) (increase(event_error[1d]))",
+    )
+    assert {r.value for r in bv.collect()} == {1.0}  # x >= x always
+    # group_right mirrors group_left with operand order preserved
+    gl = pql.query(
+        querier,
+        "sum by (job, env) (increase(event_error[1d]))"
+        " / ignoring(env) group_left sum by (job) (increase(event_error[1d]))",
+    )
+    gr = pql.query(
+        querier,
+        "sum by (job) (increase(event_error[1d]))"
+        " / ignoring(env) group_right sum by (job, env) (increase(event_error[1d]))",
+    )
+    gl_m = {(r.job, r.env, r.bucket_ms): r.value for r in gl.collect()}
+    gr_m = {(r.job, r.env, r.bucket_ms): 1 / r.value
+            for r in gr.collect() if r.value}
+    for k in gl_m:
+        if gl_m[k]:
+            assert abs(gl_m[k] - gr_m[k]) < 1e-4
