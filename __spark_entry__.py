@@ -542,6 +542,17 @@ def _q_promql_parsed_absent(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id", "bucket_ms")
 
 
+def _q_promql_bool_cmp(spark: SparkSession, sf: str) -> DataFrame:
+    # `> bool`: comparison as a 0/1 indicator vector (no filtering)
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job, env) (increase(event_error[1d])) > bool 50",
+    )
+    return out.orderBy("job", "env", "bucket_ms")
+
+
 def _q_promql_at_instant(spark: SparkSession, sf: str) -> DataFrame:
     # @ modifier, instant form: latest sample per series in the 5m
     # lookback before the fixed evaluation time
@@ -1121,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_timestamp_fn": _q_promql_timestamp_fn,
         "promql_at_instant": _q_promql_at_instant,
         "promql_parsed_absent": _q_promql_parsed_absent,
+        "promql_bool_cmp": _q_promql_bool_cmp,
         "promql_time_components": _q_promql_time_components,
         "promql_at_range": _q_promql_at_range,
         "promql_alert_filter": _q_promql_alert_filter,
@@ -2106,6 +2118,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM samples s JOIN series ser USING (series_id) "
             "WHERE ser.metric = 'event_click' AND ser.job = 'api' "
             "ORDER BY 1, 2"
+        ),
+        "promql_bool_cmp": q(
+            ", inc AS ("
+            "  SELECT ser.job, ser.env, s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN s.value >= prev THEN s.value - prev"
+            "            ELSE s.value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples) s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error' AND prev IS NOT NULL"
+            "  GROUP BY 1, 2, 3, 4)"
+            "SELECT job, env, bucket_ms,"
+            " CASE WHEN round(sum(value), 4) > 50 THEN 1.0 ELSE 0.0 END"
+            " AS value "
+            "FROM inc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
         ),
         "promql_parsed_absent": q(
             ", sel AS (SELECT series_id FROM series"
