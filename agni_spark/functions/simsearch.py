@@ -121,9 +121,14 @@ def ivf_centroids(
             )
         )
     # n_centroids rows, but with a Lloyd-round lineage (full assignment
-    # pass) — persist so the quantizer computes once however many
-    # branches (cells, probes, dedup sweep) reference it
-    return cents.persist()
+    # pass) — persist AND eagerly materialize. persist() alone is lazy:
+    # the consumers broadcast this table (`F.broadcast(cents)`), and a
+    # broadcast build over an unmaterialized cache re-runs the Lloyd
+    # lineage per broadcast exchange. The count() pins the 8-row result
+    # before any consumer plans against it.
+    cents = cents.persist()
+    cents.count()
+    return cents
 
 
 def _nearest_centroids(

@@ -49,18 +49,24 @@ def _occurrences(text: Column, word: str) -> Column:
     ).cast("long")
 
 
-def doc_stats(docs: DataFrame) -> DataFrame:
+def doc_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-document quality metrics: counts + ratios + a quality score.
 
     quality = penalties for very short docs, high punctuation density
     and stopword stuffing — the usual cheap pre-filter ahead of
-    model-based scoring."""
+    model-based scoring.
+
+    `keep` names extra input columns carried through unchanged, so a
+    composite pipeline (e.g. quality gate + dedup hash) can fold its
+    own columns into this single scan instead of re-reading the
+    corpus."""
     text = F.col("text")
     n_words = word_count(text)
     n_stop = sum(_occurrences(text, w) for w in STOPWORDS)
     punct = F.regexp_count(text, F.lit("[^A-Za-z0-9\\s]"))
     out = docs.select(
         "doc_id",
+        *keep,
         F.length(text).alias("n_chars_measured"),
         n_words.alias("n_words"),
         token_count(text).alias("n_tokens"),
@@ -115,13 +121,15 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """Global top-k word n-grams: explode + one shuffle on the n-gram
     key (map-side combine), deterministic tie-break on the n-gram."""
-    words = F.split(F.col("text"), " ")
+    # split once into a materialized array — lambdas are interpreted,
+    # so an inline split would re-split per window position (O(n^2))
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(w, i, {n})))"
     )
     return (
-        docs.where(F.size(words) >= n)
+        docs.select(F.split(F.col("text"), " ").alias("w"))
+        .where(F.size(F.col("w")) >= n)
         .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -140,14 +148,21 @@ def repeated_passages(
     explode + one shuffle on the window hash — no pairwise work.
 
     Returns the top-k repeated windows by document frequency with a
-    sample window text (deterministic min), ordered for hashing."""
+    sample window text (deterministic min), ordered for hashing.
+
+    Words are split ONCE into a materialized array column; putting the
+    split inside the transform lambda would re-split per window
+    position (lambdas are interpreted — no subexpression elimination),
+    i.e. O(words^2) character work per document."""
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {window - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i, {window})))"
+        f"transform(sequence(1, greatest(size(w) - {window - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(w, i, {window})))"
     )
-    exploded = docs.where(
-        F.size(F.split(F.col("text"), " ")) >= window
-    ).select("doc_id", F.explode(grams).alias("passage"))
+    exploded = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .where(F.size(F.col("w")) >= window)
+        .select("doc_id", F.explode(grams).alias("passage"))
+    )
     # no pre-distinct: countDistinct dedupes (passage, doc) in the same
     # shuffle — a separate distinct would add a full extra exchange
     return (
@@ -232,11 +247,12 @@ def contamination_scan(
         spark.createDataFrame([(p,) for p in probes], "probe string")
     )
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(w, i, {n})))"
     )
     exploded = (
-        docs.where(F.size(F.split(F.col("text"), " ")) >= n)
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .where(F.size(F.col("w")) >= n)
         .select("doc_id", F.explode(grams).alias("gram"))
         .distinct()
     )

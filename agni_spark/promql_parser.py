@@ -593,12 +593,26 @@ def compile_expr(
 def _compile(
     expr, querier: Querier, mint_ms, maxt_ms, cache: dict
 ) -> DataFrame:
+    """Memoized compile. A subtree referenced MORE THAN ONCE is
+    persisted on its second reference: the memo alone returns the same
+    DataFrame object, but consumers prune different column sets, so the
+    two physical subtrees diverge and Spark's ReusedExchange never
+    fires — each reference re-scans the facts. Persisting pins one
+    materialization (MEMORY_AND_DISK) that every reference shares.
+    Only Func/Agg nodes are persisted — range-func and aggregate
+    outputs are bucket-compacted (orders of magnitude smaller than raw
+    samples); a raw Selector is the full sample stream and is cheaper
+    to re-scan than to cache at 100 TB."""
     key = repr(expr)
     hit = cache.get(key)
     if hit is not None:
-        return hit
+        df, shared = hit
+        if not shared and isinstance(expr, (Func, Agg)):
+            df = df.persist()
+            cache[key] = (df, True)
+        return df
     df = _compile_inner(expr, querier, mint_ms, maxt_ms, cache)
-    cache[key] = df
+    cache[key] = (df, False)
     return df
 
 
@@ -983,6 +997,13 @@ def _rollup_sides(expr: BinOp, querier, mint_ms, maxt_ms, cache):
     if not set(by_r) < set(by_l):
         return None
     l = _compile(a_l, querier, mint_ms, maxt_ms, cache)
+    # persist the finer aggregate: the re-agg side prunes fewer columns
+    # than the left operand, so without a pinned materialization the
+    # optimizer compiles two divergent subtrees (two fact scans, two
+    # window shuffles) that ReusedExchange cannot dedupe. The persisted
+    # table is POST-aggregation — a few rows per (by-labels, bucket) —
+    # so caching it is safe at any corpus size.
+    l = l.persist()
     time_cols = [c for c in ("bucket_ms", "ts_ms") if c in l.columns]
     r = l.groupBy(*by_r, *time_cols).agg(
         _ROLLUP_OPS[a_l.op]("value").alias("value")

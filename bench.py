@@ -69,11 +69,21 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Median-of-N per query (default 3): single-shot timing cannot
+    # distinguish a regression from host noise (+-30% observed between
+    # rounds on shared hosts). The median of three runs of the SAME
+    # plan is stable to one noisy run while still measuring end-to-end
+    # planning + execution (nothing of the measured SF is cached —
+    # each run re-plans and re-scans).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     results: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        results[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            times.append(time.time() - t0)
+        results[name] = round(sorted(times)[len(times) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
