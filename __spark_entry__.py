@@ -450,6 +450,43 @@ def _q_promql_parsed_group_left(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "env", "bucket_ms")
 
 
+def _q_promql_parsed_histquant(spark: SparkSession, sf: str) -> DataFrame:
+    # parser-level histogram_quantile over a VIRTUAL _bucket metric:
+    # the store keeps raw observations, so increase(M_bucket{le}[r])
+    # compiles to conditional-count cumulative buckets over M's samples
+    # (promql_parser.HistQuant).
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "histogram_quantile(0.9,"
+        " sum by (job, le) (increase(event_error_bucket[1d])))",
+    )
+    return out.orderBy("job", "bucket_ms")
+
+
+def _q_promql_parsed_scalar_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    # scalar() scaffolding: each job's share of the all-up total via a
+    # per-timestep scalar broadcast (no vector-matching join)
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job) (increase(event_error[1d]))"
+        " / scalar(sum(increase(event_error[1d])))",
+    )
+    return out.orderBy("job", "bucket_ms")
+
+
+def _q_promql_parsed_time_fn(spark: SparkSession, sf: str) -> DataFrame:
+    # time() scaffolding: the staleness-alert idiom — eval time minus a
+    # recent aggregate; time() resolves to the vector's bucket (secs)
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(_querier(spark, sf), "time() - max_over_time(event_error[1d])")
+    return out.orderBy("series_id", "bucket_ms")
+
+
 def _q_promql_parsed_subquery(spark: SparkSession, sf: str) -> DataFrame:
     # PromQL subquery: daily max of 6-hourly per-job increase sums
     from agni_spark import promql_parser as pql
@@ -1170,6 +1207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_binop_group_left": _q_promql_binop_group_left,
         "promql_absent": _q_promql_absent,
         "promql_parsed_subquery": _q_promql_parsed_subquery,
+        "promql_parsed_histquant": _q_promql_parsed_histquant,
+        "promql_parsed_scalar_ratio": _q_promql_parsed_scalar_ratio,
+        "promql_parsed_time_fn": _q_promql_parsed_time_fn,
         "promql_parsed_quantile_ot": _q_promql_parsed_quantile_ot,
         "promql_parsed_predict_linear": _q_promql_parsed_predict_linear,
         "promql_holt_winters": _q_promql_holt_winters,
@@ -2030,6 +2070,67 @@ def oracle_sql() -> dict[str, str]:
             "FROM part p JOIN tot t"
             " ON p.job = t.job AND p.bucket_ms = t.bucket_ms "
             "ORDER BY p.job, p.env, p.bucket_ms"
+        ),
+        # virtual-_bucket parser path: identical bucket arithmetic to
+        # promql_histogram_quantile, restricted to the selector's base
+        # metric, output column aliased `value` (parser convention)
+        "promql_parsed_histquant": q(
+            ", les AS (SELECT unnest([25.0, 50.0, 100.0, 250.0, 500.0,"
+            "                         'inf'::DOUBLE]) AS le),"
+            "hb AS ("
+            "  SELECT s2.job, CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000"
+            "    AS bucket_ms, l.le,"
+            "  CAST(sum(CASE WHEN s.value <= l.le THEN 1 ELSE 0 END) AS BIGINT)"
+            "    AS cum"
+            "  FROM samples s JOIN series s2 USING (series_id)"
+            "  CROSS JOIN les l WHERE s2.metric = 'event_error'"
+            "  GROUP BY 1, 2, 3),"
+            "hq AS ("
+            "  SELECT job, bucket_ms, le, cum,"
+            "  coalesce(lag(cum) OVER w, 0) AS prev_cum,"
+            "  coalesce(lag(le) OVER w, 0.0) AS prev_le,"
+            "  max(cum) OVER (PARTITION BY job, bucket_ms) AS total,"
+            "  max(CASE WHEN le <> 'inf'::DOUBLE THEN le END)"
+            "    OVER (PARTITION BY job, bucket_ms) AS max_fin"
+            "  FROM hb WINDOW w AS (PARTITION BY job, bucket_ms ORDER BY le))"
+            "SELECT job, bucket_ms,"
+            "  floor((CASE WHEN le = 'inf'::DOUBLE THEN max_fin"
+            "         ELSE prev_le + (le - prev_le) * (0.9::DOUBLE * total - prev_cum)"
+            "              / (cum - prev_cum) END) * 1e6 + 0.5) / 1e6 AS value "
+            "FROM hq WHERE cum >= 0.9::DOUBLE * total"
+            " AND prev_cum < 0.9::DOUBLE * total "
+            "ORDER BY 1, 2"
+        ),
+        "promql_parsed_scalar_ratio": q(
+            ", inc AS ("
+            "  SELECT ser.job, s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN s.value >= prev THEN s.value - prev"
+            "            ELSE s.value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples) s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error' AND prev IS NOT NULL"
+            "  GROUP BY 1, 2, 3),"
+            "part AS (SELECT job, bucket_ms, round(sum(value), 4) AS value"
+            " FROM inc GROUP BY 1, 2),"
+            "tot AS (SELECT bucket_ms, round(sum(value), 4) AS value"
+            " FROM inc GROUP BY 1)"
+            "SELECT p.job, p.bucket_ms,"
+            " round(CASE WHEN t.value <> 0 THEN p.value / t.value END, 6)"
+            " AS value "
+            "FROM part p JOIN tot t ON p.bucket_ms = t.bucket_ms "
+            "ORDER BY p.job, p.bucket_ms"
+        ),
+        "promql_parsed_time_fn": q(
+            "SELECT s.series_id,"
+            " CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            " round(CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 / 1000.0"
+            "       - max(s.value), 6) AS value "
+            "FROM samples s JOIN series ser USING (series_id) "
+            "WHERE ser.metric = 'event_error' "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "promql_parsed_quantile_ot": q(
             "SELECT s.series_id, "

@@ -51,6 +51,19 @@ Supported grammar (the workhorse subset):
                | sqrt | sgn | clamp_min | clamp_max | clamp
                | sort | sort_desc | timestamp
                | hour | minute | day_of_week    (values as epoch secs)
+    histq     := "histogram_quantile" "(" NUM ","
+                 ("sum" grouping)? "(" ("rate"|"increase")
+                 "(" selector ")" ")" ")"
+                 The selector metric must end in `_bucket` and resolves
+                 as a VIRTUAL bucket metric over the base metric's raw
+                 observations (grouping must include `le` when `by`);
+                 see HistQuant.
+    scaffold  := "time" "(" ")"        (scalar: eval time in seconds —
+                 valid only against a vector operand in a binop)
+               | "scalar" "(" expr ")" (per-timestep value of a one-
+                 element vector; != 1 elements -> NULL)
+               | "vector" "(" NUM ")"  (constant one-element vector at
+                 the query's evaluation time)
     labelfn   := "label_replace" "(" expr "," STRING{4} ")"
                | "label_join" "(" expr "," STRING{2,} ")"
     selector  := metric? ("{" matcher ("," matcher)* "}")?
@@ -203,6 +216,52 @@ class Agg:
 
 
 @dataclass
+class HistQuant:
+    """histogram_quantile(q, sum by (L..., le) (rate(M_bucket[r]))).
+
+    The store keeps RAW observations, not pre-bucketed cumulative
+    counters, so `M_bucket` resolves as a VIRTUAL metric over base
+    metric M: `increase(M_bucket{le}[r])` — the per-window growth of a
+    cumulative `le` bucket counter — is by definition the number of
+    raw observations <= le inside the window, which is exactly what a
+    conditional count over M's samples computes (and `rate` is that
+    divided by the window, which cancels out of the quantile's rank
+    arithmetic — both compile identically). This is strictly MORE
+    accurate than Prometheus reading pre-aggregated buckets.
+    """
+
+    q: float
+    mode: str | None  # 'by' | 'without' | None (grouping incl. 'le')
+    labels: tuple  # grouping labels as written (le removed at compile)
+    func: "Func"  # the inner range func; .arg.metric ends in _bucket
+
+
+@dataclass
+class TimeFn:
+    """time() — the evaluation timestamp in seconds. Scalar-valued:
+    only meaningful against a vector operand in a binary expression,
+    where it resolves to the vector's own time column."""
+
+
+@dataclass
+class ScalarFn:
+    """scalar(v) — the value of a one-element vector as a per-timestep
+    scalar. Groups the compiled inner vector by its time column; a
+    timestep with != 1 elements yields NULL (the engine's stand-in for
+    Prometheus's NaN)."""
+
+    arg: "Agg | Func | Selector | BinOp"
+
+
+@dataclass
+class VectorFn:
+    """vector(s) — a constant one-element vector with no labels,
+    reported at the query's evaluation time (maxt_ms)."""
+
+    s: float
+
+
+@dataclass
 class MathFunc:
     name: str  # abs | ceil | floor | round | exp | ln | log2 | log10
     #          | sqrt | sgn | clamp_min | clamp_max | clamp
@@ -231,8 +290,11 @@ def parse(text: str) -> "Agg | Func | Selector | BinOp":
     expr = _parse_binop(toks)
     if toks.peek() is not None:
         raise ValueError(f"trailing input: {toks.items[toks.pos:]}")
-    if isinstance(expr, float):
-        raise ValueError("expression is a bare scalar, not a vector")
+    if isinstance(expr, (float, TimeFn, ScalarFn)):
+        raise ValueError(
+            "expression is scalar-valued, not a vector (wrap in vector() "
+            "or combine with a vector operand)"
+        )
     return expr
 
 
@@ -380,6 +442,59 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
         if name == "clamp" and (scalar is None or scalar2 is None):
             raise ValueError("clamp() needs min and max scalars")
         return MathFunc(name, arg, scalar, scalar2)
+    if t == "histogram_quantile":
+        toks.next()
+        toks.expect("(")
+        qv = float(toks.next())
+        toks.expect(",")
+        inner = _parse_expr(toks)
+        toks.expect(")")
+        mode, labels = None, ()
+        if isinstance(inner, Agg):
+            if inner.op != "sum" or inner.mode is None:
+                raise ValueError(
+                    "histogram_quantile inner aggregation must be "
+                    "sum by (...)/without (...)"
+                )
+            if inner.mode == "by" and "le" not in inner.labels:
+                raise ValueError(
+                    "histogram_quantile needs 'le' in the by() grouping"
+                )
+            mode, labels = inner.mode, tuple(inner.labels)
+            inner = inner.arg
+        if not (
+            isinstance(inner, Func)
+            and inner.name in ("rate", "increase")
+            and isinstance(inner.arg, Selector)
+        ):
+            raise ValueError(
+                "histogram_quantile needs rate()/increase() over a "
+                "_bucket range selector"
+            )
+        if not (inner.arg.metric or "").endswith("_bucket"):
+            raise ValueError(
+                "histogram_quantile selector metric must end in _bucket"
+            )
+        return HistQuant(qv, mode, labels, inner)
+    if t == "time":
+        toks.next()
+        toks.expect("(")
+        toks.expect(")")
+        return TimeFn()
+    if t == "scalar":
+        toks.next()
+        toks.expect("(")
+        inner = _parse_binop(toks)
+        toks.expect(")")
+        if isinstance(inner, float):
+            raise ValueError("scalar() needs a vector argument")
+        return ScalarFn(inner)
+    if t == "vector":
+        toks.next()
+        toks.expect("(")
+        s = float(toks.next())
+        toks.expect(")")
+        return VectorFn(s)
     if t in _SCALAR_FIRST_FUNCS:
         toks.next()
         toks.expect("(")
@@ -697,6 +812,48 @@ def _ratio_shape(expr):
 def _compile_inner(
     expr, querier: Querier, mint_ms, maxt_ms, cache: dict
 ) -> DataFrame:
+    if isinstance(expr, HistQuant):
+        # virtual _bucket metric (see HistQuant docstring): select the
+        # BASE metric's raw samples through the normal selector path
+        # (bounds, offset, @ all apply), then conditional-count
+        # cumulative le buckets + rank interpolation.
+        f = expr.func
+        base = Selector(
+            f.arg.metric.removesuffix("_bucket"),
+            list(f.arg.matchers),
+            f.arg.range_ms,
+            f.arg.offset_ms,
+            f.arg.at_ms,
+        )
+        samples = _compile(base, querier, mint_ms, maxt_ms, cache)
+        label_cols = _label_cols(querier)
+        if expr.mode == "by":
+            by = [l for l in expr.labels if l != "le"]
+            bad = [l for l in by if l not in label_cols]
+            if bad:
+                raise ValueError(f"histogram_quantile by() labels absent: {bad}")
+        elif expr.mode == "without":
+            drop = set(expr.labels) | {"le"}
+            by = [c for c in label_cols if c not in drop]
+        else:
+            by = label_cols
+        buckets = promql.histogram_buckets(
+            samples, querier.series, by, f.arg.range_ms
+        )
+        return promql.histogram_quantile(
+            buckets, expr.q, by
+        ).withColumnRenamed("quantile", "value")
+    if isinstance(expr, VectorFn):
+        # constant one-element instant vector at the evaluation time
+        ts = maxt_ms if maxt_ms is not None else 0
+        return querier.samples.sparkSession.createDataFrame(
+            [(ts, float(expr.s))], "ts_ms long, value double"
+        )
+    if isinstance(expr, (TimeFn, ScalarFn)):
+        raise ValueError(
+            f"{type(expr).__name__.removesuffix('Fn').lower()}() is "
+            "scalar-valued — combine it with a vector operand"
+        )
     if isinstance(expr, Selector):
         matchers = list(expr.matchers)
         if expr.metric is not None:
@@ -1137,6 +1294,70 @@ def _merged_pivot_binop(
 def _compile_binop(
     expr: BinOp, querier: Querier, mint_ms, maxt_ms, cache: dict
 ) -> DataFrame:
+    lt_, rt_ = isinstance(expr.left, TimeFn), isinstance(expr.right, TimeFn)
+    if lt_ or rt_:
+        # time() OP vector: the scalar resolves to the vector's own
+        # time column (seconds) — the staleness-alert idiom
+        # `time() - max_over_time(m[r])`
+        if lt_ and rt_:
+            raise ValueError("time() on both sides is scalar-scalar")
+        other = expr.right if lt_ else expr.left
+        if isinstance(other, (float, ScalarFn, VectorFn)):
+            raise ValueError("time() needs a vector operand")
+        vec = _compile(other, querier, mint_ms, maxt_ms, cache)
+        tc = _timecol(vec)
+        if tc is None:
+            raise ValueError("time() operand has no time column")
+        t_expr, v = F.col(tc) / F.lit(1000.0), F.col("value")
+        a, b = (t_expr, v) if lt_ else (v, t_expr)
+        if expr.op in _CMP_FNS:
+            if expr.bool_mode:
+                return vec.withColumn(
+                    "value",
+                    F.when(_CMP_FNS[expr.op](a, b), 1.0).otherwise(0.0),
+                )
+            return vec.where(_CMP_FNS[expr.op](a, b))
+        return vec.withColumn(
+            "value", F.round(_ARITH_FNS[expr.op](a, b), promql.ROUND_AVG)
+        )
+    ls_, rs_ = isinstance(expr.left, ScalarFn), isinstance(expr.right, ScalarFn)
+    if ls_ or rs_:
+        # scalar(v) OP vector: reduce the inner vector to one value per
+        # timestep (NULL when the timestep has != 1 elements — the
+        # engine's NaN stand-in), broadcast it, join on the time column
+        if ls_ and rs_:
+            raise ValueError("scalar() on both sides is scalar-scalar")
+        node, other = (
+            (expr.left, expr.right) if ls_ else (expr.right, expr.left)
+        )
+        if isinstance(other, (float, TimeFn, VectorFn)):
+            raise ValueError("scalar() needs a vector operand")
+        inner = _compile(node.arg, querier, mint_ms, maxt_ms, cache)
+        tci = _timecol(inner)
+        if tci is None:
+            raise ValueError("scalar() argument has no time column")
+        sdf = inner.groupBy(tci).agg(
+            F.when(F.count(F.lit(1)) == 1, F.max("value")).alias("_s")
+        )
+        vec = _compile(other, querier, mint_ms, maxt_ms, cache)
+        tcv = _timecol(vec)
+        if tcv is None:
+            raise ValueError("vector operand has no time column")
+        joined = vec.join(
+            F.broadcast(sdf.withColumnRenamed(tci, tcv)), tcv
+        )
+        s, v = F.col("_s"), F.col("value")
+        a, b = (s, v) if ls_ else (v, s)
+        if expr.op in _CMP_FNS:
+            if expr.bool_mode:
+                return joined.withColumn(
+                    "value",
+                    F.when(_CMP_FNS[expr.op](a, b), 1.0).otherwise(0.0),
+                ).drop("_s")
+            return joined.where(_CMP_FNS[expr.op](a, b)).drop("_s")
+        return joined.withColumn(
+            "value", F.round(_ARITH_FNS[expr.op](a, b), promql.ROUND_AVG)
+        ).drop("_s")
     lf, rf = isinstance(expr.left, float), isinstance(expr.right, float)
     if lf and rf:
         raise ValueError("scalar-scalar expressions are unsupported")

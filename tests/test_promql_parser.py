@@ -676,3 +676,74 @@ def test_bool_and_group_right(querier):
     for k in gl_m:
         if gl_m[k]:
             assert abs(gl_m[k] - gr_m[k]) < 1e-4
+
+
+def test_histogram_quantile_parsed(querier):
+    """Parser-level histogram_quantile over a virtual _bucket metric
+    must equal the hand-composed histogram_buckets + histogram_quantile
+    pipeline (rate and increase compile identically — the window factor
+    cancels out of the rank arithmetic)."""
+    parsed = pql.query(
+        querier,
+        "histogram_quantile(0.9,"
+        " sum by (job, le) (increase(event_error_bucket[1d])))",
+    )
+    sel = querier.select(
+        [Matcher("=", "__name__", "event_error")], sort=False
+    )
+    manual = promql.histogram_quantile(
+        promql.histogram_buckets(sel, querier.series, ["job"], 86_400_000),
+        0.9,
+        ["job"],
+    ).withColumnRenamed("quantile", "value")
+    assert _rows(parsed) == _rows(manual)
+    via_rate = pql.query(
+        querier,
+        "histogram_quantile(0.9,"
+        " sum by (job, le) (rate(event_error_bucket[1d])))",
+    )
+    assert _rows(via_rate) == _rows(parsed)
+
+
+def test_histogram_quantile_grammar_errors():
+    with pytest.raises(ValueError):  # by() without le
+        pql.parse(
+            "histogram_quantile(0.9, sum by (job) (rate(event_error_bucket[1d])))"
+        )
+    with pytest.raises(ValueError):  # metric must end in _bucket
+        pql.parse("histogram_quantile(0.9, rate(event_error[1d]))")
+    with pytest.raises(ValueError):  # only rate/increase inside
+        pql.parse(
+            "histogram_quantile(0.9, delta(event_error_bucket[1d]))"
+        )
+
+
+def test_time_scalar_vector_scaffolding(querier):
+    # time() resolves to the vector's own bucket time in seconds
+    t = pql.query(querier, "time() - max_over_time(event_error[1d])")
+    mx = pql.query(querier, "max_over_time(event_error[1d])")
+    exp = {
+        (r.series_id, r.bucket_ms): round(r.bucket_ms / 1000.0 - r.value, 6)
+        for r in mx.collect()
+    }
+    got = {(r.series_id, r.bucket_ms): r.value for r in t.collect()}
+    assert got == pytest.approx(exp)
+    # scalar(): per-bucket shares sum to ~1 across jobs
+    sr = pql.query(
+        querier,
+        "sum by (job) (increase(event_error[1d]))"
+        " / scalar(sum(increase(event_error[1d])))",
+    )
+    by_bucket: dict = {}
+    for r in sr.collect():
+        by_bucket.setdefault(r.bucket_ms, 0.0)
+        by_bucket[r.bucket_ms] += r.value or 0.0
+    assert all(abs(v - 1.0) < 1e-3 for v in by_bucket.values())
+    # vector(): constant one-element vector
+    v = pql.query(querier, "vector(2.5)").collect()
+    assert len(v) == 1 and v[0].value == 2.5
+    # scalar-valued expressions are rejected standalone
+    with pytest.raises(ValueError):
+        pql.parse("time()")
+    with pytest.raises(ValueError):
+        pql.parse("scalar(sum(increase(event_error[1d])))")
