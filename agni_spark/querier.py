@@ -267,11 +267,21 @@ def validate_block_sequence(blocks: DataFrame) -> DataFrame:
 def merge_on_read(samples: DataFrame) -> DataFrame:
     """Duplicate-sample resolution at read time: one value per
     (series_id, ts_ms). The reference's storage can hold the same
-    timestamp in overlapping sources; TSDB keeps the LAST ingested —
-    without an ingest-order column the deterministic stand-in is max
-    value (vendor tsdb mergedSeriesSet keeps one of the equal points).
-    One shuffle on the natural key; at scale this folds into the same
-    exchange as any downstream (series, time) aggregation."""
+    timestamp in overlapping sources; TSDB keeps the LAST ingested
+    (vendor tsdb mergedSeriesSet). Stores written through
+    `layout.write_blocks(..., seq=)` / `stream_ship` carry an `_seq`
+    ingest-sequence column, and the highest sequence wins — true
+    last-ingested semantics (value is the deterministic tie-break
+    within one sequence). Legacy stores without `_seq` fall back to
+    max value. One shuffle on the natural key either way; at scale
+    this folds into the same exchange as any downstream (series, time)
+    aggregation."""
+    if "_seq" in samples.columns:
+        return samples.groupBy("series_id", "ts_ms").agg(
+            F.max_by(
+                "value", F.struct(F.col("_seq"), F.col("value"))
+            ).alias("value")
+        )
     return samples.groupBy("series_id", "ts_ms").agg(
         F.max("value").alias("value")
     )

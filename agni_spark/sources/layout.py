@@ -89,11 +89,22 @@ def write_blocks(
     block_ms: int = BLOCK_MS,
     mode: str = "overwrite",
     level: int = 1,
+    seq: int | None = None,
 ) -> None:
     """Shipper-equivalent sink (S9): write samples time-partitioned,
     then commit by (re)writing the registry LAST — the marker-key
     protocol. Files are sorted by (series_id, ts_ms): parquet row
-    groups become the 'chunks'."""
+    groups become the 'chunks'.
+
+    `seq` stamps an `_seq` ingest-sequence column (monotone per
+    append) so `querier.merge_on_read` can resolve duplicate
+    (series, ts) points LAST-INGESTED-WINS, matching TSDB's
+    mergedSeriesSet. A pre-existing `_seq` column is carried through
+    unchanged. Write a store consistently with or without seq —
+    parquet schema inference across mixed partitions would drop the
+    column silently."""
+    if seq is not None and "_seq" not in samples.columns:
+        samples = samples.withColumn("_seq", F.lit(int(seq)).cast("long"))
     data_path = os.path.join(path, "data")
     (
         samples.withColumn("block_id", block_id_col(block_ms))
@@ -429,7 +440,11 @@ def repair_overlaps(spark: SparkSession, path: str, block_ms: int = BLOCK_MS) ->
     with registry recommit. Returns the number of rows after repair."""
     from agni_spark.querier import merge_on_read
 
-    df = read_samples(spark, path).select("series_id", "ts_ms", "value")
+    cols = ["series_id", "ts_ms", "value"]
+    df = read_samples(spark, path)
+    # keep the ingest sequence when the store has one: the repair then
+    # resolves collisions last-ingested-wins instead of max-value
+    df = df.select(*cols, *(["_seq"] if "_seq" in df.columns else []))
     clean = merge_on_read(df)
     # Spark cannot overwrite its own lazy input: repair lands in a
     # staging store first, then swaps in (the write itself is the

@@ -235,8 +235,12 @@ def stream_ship(
     stream = spark.readStream.schema(SAMPLES_SCHEMA).parquet(src_dir)
 
     def _ship(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_id is monotone across the stream (checkpoint-stable on
+        # replay) — the natural ingest sequence for last-wins
+        # merge-on-read
         layout.write_blocks(
-            batch_df, store_path, block_ms=block_ms, mode="append"
+            batch_df, store_path, block_ms=block_ms, mode="append",
+            seq=batch_id,
         )
 
     writer = (

@@ -340,3 +340,49 @@ def test_lifecycle_non_local_scheme(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "MOCKFS_LIFECYCLE_OK" in proc.stdout
+
+
+def test_merge_on_read_last_wins(spark, tmp_path):
+    """Stores written with an ingest sequence resolve duplicate
+    (series, ts) points LAST-INGESTED-WINS (TSDB mergedSeriesSet
+    semantics), even when the later value is SMALLER — the case where
+    the legacy max-value fallback would answer differently."""
+    from agni_spark.querier import merge_on_read
+
+    path = str(tmp_path / "store")
+    first = spark.createDataFrame(
+        [(1, 100, 50.0), (1, 200, 10.0), (2, 100, 7.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(first, path, block_ms=1000, seq=0)
+    # re-ingest (1, 100) with a SMALLER value and (1, 300) as new data
+    second = spark.createDataFrame(
+        [(1, 100, 3.0), (1, 300, 1.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(second, path, block_ms=1000, mode="append", seq=1)
+
+    got = {
+        (r.series_id, r.ts_ms): r.value
+        for r in merge_on_read(layout.read_samples(spark, path)).collect()
+    }
+    assert got == {
+        (1, 100): 3.0,  # last-ingested, NOT max (50.0)
+        (1, 200): 10.0,
+        (1, 300): 1.0,
+        (2, 100): 7.0,
+    }
+    # fallback without _seq keeps max value
+    legacy = spark.createDataFrame(
+        [(1, 100, 50.0), (1, 100, 3.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    assert merge_on_read(legacy).collect()[0].value == 50.0
+    # repair keeps the sequence resolution: collapse the duplicates
+    n = layout.repair_overlaps(spark, path, block_ms=1000)
+    assert n == 4
+    after = {
+        (r.series_id, r.ts_ms): r.value
+        for r in layout.read_samples(spark, path).collect()
+    }
+    assert after[(1, 100)] == 3.0
