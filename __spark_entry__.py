@@ -898,6 +898,23 @@ def _q_simsearch_ivf_stored(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
+    # incremental index maintenance: build on the even half, append the
+    # odd half against the FROZEN quantizer (new commit partition +
+    # manifest-last commit), then probe the combined index
+    import tempfile
+
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_ivf_app_")
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), path,
+                              n_centroids=8)
+    simsearch.append_ivf_index(spark, path, e.where(F.col("vec_id") % 2 == 1))
+    return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_simsearch_pq(spark: SparkSession, sf: str) -> DataFrame:
     # product-quantization ADC top-k: codes + table lookups, no raw
     # embeddings in the scoring scan (approximate; deterministic, so
@@ -1267,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stratified_sample": _q_text_stratified_sample,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_embedding_cosine": _q_dedup_embedding,
+        "simsearch_ivf_append": _q_simsearch_ivf_append,
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_audio_windows": _q_multimodal_audio,  # rows-only
@@ -1518,10 +1536,12 @@ ORDER BY 1, 2
 # Shared quantizer mirror: seeded-sample init (md5-hash order), one
 # Lloyd round (assign to argmax-cosine centroid, then element-wise cell
 # mean rounded to 6dp) — must stay in lockstep with
-# simsearch.ivf_centroids(iters=1).
-_SQL_KMEANS_CENTS = """
+# simsearch.ivf_centroids(iters=1). `src` is the TRAINING corpus (the
+# append oracle trains on the build half only — frozen quantizer).
+def _sql_kmeans_cents(src: str = "embeddings") -> str:
+    return f"""
 cents0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-           FROM embeddings
+           FROM {src}
            ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                     vec_id
            LIMIT 8),
@@ -1531,7 +1551,7 @@ asg0 AS (
       row_number() OVER (PARTITION BY c.vec_id ORDER BY
         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
           DESC, ct.centroid_id ASC) AS rn
-    FROM embeddings c CROSS JOIN cents0 ct) WHERE rn = 1),
+    FROM {src} c CROSS JOIN cents0 ct) WHERE rn = 1),
 cmeans AS (
   SELECT centroid_id, pos, round(avg(val), 6) AS m FROM (
     SELECT centroid_id,
@@ -1541,6 +1561,9 @@ cmeans AS (
   GROUP BY 1, 2),
 cents AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
           FROM cmeans GROUP BY centroid_id)"""
+
+
+_SQL_KMEANS_CENTS = _sql_kmeans_cents()
 
 # IVF-flat mirror: k-means coarse quantizer (shared CTE), each corpus
 # vector in its argmax-cosine cell, queries probe 2 cells.
@@ -1603,8 +1626,12 @@ WHERE rk <= 10 ORDER BY query_id, rk
 """
 
 
-_SQL_SIMSEARCH_IVF = f"""
-WITH {_SQL_KMEANS_CENTS},
+def _sql_simsearch_ivf(cents_src: str = "embeddings") -> str:
+    """IVF probe mirror; `cents_src` is the quantizer's training corpus
+    (cells/probes always cover ALL of `embeddings` — the append oracle
+    assigns everything to the frozen build-half centroids)."""
+    return f"""
+WITH {_sql_kmeans_cents(cents_src)},
 cells AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT c.vec_id, c.embedding, ct.centroid_id,
@@ -1632,6 +1659,12 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
 WHERE rk <= 10 ORDER BY query_id, rk
 """
+
+
+_SQL_SIMSEARCH_IVF = _sql_simsearch_ivf()
+_SQL_SIMSEARCH_IVF_APPEND = _sql_simsearch_ivf(
+    "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
+)
 
 
 # SemDeDup-shaped mirror: same k-means cells; keep v iff no lower-id
@@ -2971,6 +3004,7 @@ def oracle_sql() -> dict[str, str]:
         # simsearch_lsh_ann: approximate, intentionally rows-only
         "simsearch_ivf_ann": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
+        "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
         "dedup_semantic": _SQL_SEMDEDUP,
         "multimodal_meta": _SQL_MM_META,

@@ -325,27 +325,80 @@ def semantic_dedup_keep(
 # its routing key, so a probe query's scan touches nprobe partitions
 # (dynamic partition pruning) instead of the whole corpus.
 # ---------------------------------------------------------------------------
+def _write_index_manifest(spark, path: str, commits: list[int]) -> None:
+    """Commit marker (block-store registry pattern): the manifest lists
+    the committed `commit=` partitions and is rewritten LAST, after the
+    data lands. Readers filter to manifest-listed commits, so a crashed
+    append's partial partition is never served."""
+    spark.createDataFrame(
+        [(int(c),) for c in sorted(commits)], "commit long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def _committed(spark, path: str) -> list[int]:
+    return sorted(
+        r.commit for r in spark.read.parquet(f"{path}/manifest").collect()
+    )
+
+
 def write_ivf_index(
-    corpus: DataFrame, path: str, n_centroids: int = 8, iters: int = 1
+    corpus: DataFrame, path: str, n_centroids: int = 8, iters: int = 1,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Build + persist an IVF-flat index: `cells/` parquet partitioned
-    by centroid_id (each vector in exactly one cell) and `centroids/`
-    (tiny). Directory-per-cell means a probe reads nprobe/n_centroids
-    of the data — the Spark equivalent of per-list IVF files."""
-    cents = ivf_centroids(corpus, n_centroids, iters)
+    by (commit, centroid_id) — each vector in exactly one cell, each
+    build/append in its own commit partition — plus `centroids/`
+    (tiny) and `manifest/` (the commit marker, written LAST).
+    Directory-per-cell means a probe reads nprobe/n_centroids of the
+    data — the Spark equivalent of per-list IVF files.
+
+    `centroids` pins a precomputed coarse quantizer instead of
+    training one from this corpus (used by tests to rebuild an index
+    equivalent to build+append)."""
+    spark = corpus.sparkSession
+    cents = (
+        centroids if centroids is not None
+        else ivf_centroids(corpus, n_centroids, iters)
+    )
     cells = _nearest_centroids(
         corpus.select("vec_id", F.col("embedding").alias("ce")),
         cents, "vec_id", "ce", 1,
     )
     (
-        cells.repartition("centroid_id")
-        .write.partitionBy("centroid_id")
+        cells.withColumn("commit", F.lit(0).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
         .mode("overwrite")
         .parquet(f"{path}/cells")
     )
     cents.select(
         "centroid_id", F.col("cvec").cast("array<double>").alias("cvec")
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_index_manifest(spark, path, [0])
+
+
+def append_ivf_index(spark, path: str, new_vectors: DataFrame) -> None:
+    """Incremental index maintenance: assign ONLY the new vectors to
+    the index's FROZEN centroids (standard IVF add() semantics — the
+    coarse quantizer is not retrained) and land them in a fresh
+    `commit=` partition; the manifest rewrite LAST is the commit
+    point. No existing data is read or rewritten — the append's cost
+    is O(new rows), not O(index)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    commits = _committed(spark, path)
+    nxt = max(commits) + 1
+    cells = _nearest_centroids(
+        new_vectors.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    (
+        cells.withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .mode("append")
+        .parquet(f"{path}/cells")
+    )
+    _write_index_manifest(spark, path, commits + [nxt])
 
 
 def ivf_ann_stored(
@@ -357,13 +410,18 @@ def ivf_ann_stored(
     Catalyst plans dynamic partition pruning — the cells scan reads
     only the probed centroid_id directories (plan-asserted in
     tests/test_plans.py). Results are identical to ivf_ann() built
-    from the same corpus/params."""
+    from the same corpus/params; only manifest-committed commit
+    partitions are served (static partition pruning on the IN list)."""
     cents = spark.read.parquet(f"{path}/centroids")
     probes = _nearest_centroids(
         queries.select("query_id", F.col("embedding").alias("qe")),
         cents, "query_id", "qe", nprobe,
     )
-    cells = spark.read.parquet(f"{path}/cells")
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("commit").isin(_committed(spark, path)))
+        .drop("commit")
+    )
     scored = (
         cells.join(probes, "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -383,8 +441,9 @@ def ivf_ann_stored(
 def write_lsh_index(
     corpus: DataFrame, path: str, n_planes: int = 8, dim: int = 64
 ) -> None:
-    """Persist the sign-LSH table partitioned by bucket (2^n_planes
-    directories; each vector in exactly one)."""
+    """Persist the sign-LSH table partitioned by (commit, bucket)
+    (2^n_planes bucket dirs; each vector in exactly one) with a
+    manifest commit marker written LAST."""
     planes = hyperplanes(dim, n_planes)
     c = corpus.select(
         "vec_id",
@@ -392,11 +451,39 @@ def write_lsh_index(
         _bucket(F.col("embedding"), planes).alias("bucket"),
     )
     (
-        c.repartition("bucket")
-        .write.partitionBy("bucket")
+        c.withColumn("commit", F.lit(0).cast("long"))
+        .repartition("bucket")
+        .write.partitionBy("commit", "bucket")
         .mode("overwrite")
         .parquet(f"{path}/buckets")
     )
+    _write_index_manifest(corpus.sparkSession, path, [0])
+
+
+def append_lsh_index(
+    spark, path: str, new_vectors: DataFrame,
+    n_planes: int = 8, dim: int = 64,
+) -> None:
+    """Incremental LSH maintenance: bucket only the new vectors with
+    the SAME deterministic hyperplanes (the hash family is the frozen
+    quantizer) into a fresh commit partition, manifest rewrite last.
+    O(new rows), no index rewrite."""
+    planes = hyperplanes(dim, n_planes)
+    commits = _committed(spark, path)
+    nxt = max(commits) + 1
+    c = new_vectors.select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        _bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    (
+        c.withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("bucket")
+        .write.partitionBy("commit", "bucket")
+        .mode("append")
+        .parquet(f"{path}/buckets")
+    )
+    _write_index_manifest(spark, path, commits + [nxt])
 
 
 def lsh_ann_stored(
@@ -425,7 +512,11 @@ def lsh_ann_stored(
             "query_id", F.col("embedding").alias("qe"), probes.alias("bucket")
         )
     )
-    c = spark.read.parquet(f"{path}/buckets")
+    c = (
+        spark.read.parquet(f"{path}/buckets")
+        .where(F.col("commit").isin(_committed(spark, path)))
+        .drop("commit")
+    )
     scored = (
         c.join(q, "bucket")
         .where(F.col("vec_id") != F.col("query_id"))

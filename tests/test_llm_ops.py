@@ -302,7 +302,11 @@ def test_stored_ivf_index_prunes_and_matches(spark, tmp_path):
     path = str(tmp_path / "ivf")
     simsearch.write_ivf_index(emb, path, n_centroids=8)
     import os
-    cell_dirs = [d for d in os.listdir(f"{path}/cells") if d.startswith("centroid_id=")]
+    cell_dirs = [
+        d
+        for d in os.listdir(f"{path}/cells/commit=0")
+        if d.startswith("centroid_id=")
+    ]
     assert len(cell_dirs) == 8  # one directory per cell
     out = simsearch.ivf_ann_stored(spark, path, queries, k=5, nprobe=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -383,3 +387,48 @@ def test_curation_split_sample_pack(spark):
     assert over.count() == 0
     assert packed.where("seq_pos > 512").count() == 0
     assert packed.count() == docs.count()
+
+
+def test_stored_index_append_equals_rebuild(spark, tmp_path):
+    """Appending vectors to a stored index (frozen quantizer, new
+    commit partition, manifest rewritten last) must serve exactly the
+    same probe results as an index REBUILT over the union with the
+    same quantizer — and the append must not retrain centroids."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # IVF: build on half, append the rest
+    path = str(tmp_path / "ivf")
+    simsearch.write_ivf_index(first, path, n_centroids=8)
+    cents_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    simsearch.append_ivf_index(spark, path, second)
+    cents_after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assert cents_before == cents_after  # quantizer frozen
+    appended = simsearch.ivf_ann_stored(spark, path, queries, k=5, nprobe=2)
+    # rebuild from scratch over the union, pinning the same quantizer
+    path2 = str(tmp_path / "ivf_rebuilt")
+    simsearch.write_ivf_index(
+        emb, path2, centroids=spark.read.parquet(f"{path}/centroids")
+    )
+    rebuilt = simsearch.ivf_ann_stored(spark, path2, queries, k=5, nprobe=2)
+    assert appended.collect() == rebuilt.collect()
+
+    # LSH: the hash family is deterministic, so append == rebuild
+    lpath = str(tmp_path / "lsh")
+    simsearch.write_lsh_index(first, lpath, n_planes=3)
+    simsearch.append_lsh_index(spark, lpath, second, n_planes=3)
+    lappended = simsearch.lsh_ann_stored(spark, lpath, queries, k=5, n_planes=3)
+    lpath2 = str(tmp_path / "lsh_rebuilt")
+    simsearch.write_lsh_index(emb, lpath2, n_planes=3)
+    lrebuilt = simsearch.lsh_ann_stored(spark, lpath2, queries, k=5, n_planes=3)
+    assert lappended.collect() == lrebuilt.collect()
