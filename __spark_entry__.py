@@ -487,6 +487,20 @@ def _q_promql_parsed_time_fn(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id", "bucket_ms")
 
 
+def _q_promql_range_sliding_rate(spark: SparkSession, sf: str) -> DataFrame:
+    # /query_range shape through the parser: 1d rate window evaluated
+    # on a 6h step grid (window > step -> sliding windows, one row per
+    # step), then label aggregation over the sliding output
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job) (rate(event_error[1d]))",
+        step_ms=H6_MS,
+    )
+    return out.orderBy("job", "bucket_ms")
+
+
 def _q_promql_parsed_subquery(spark: SparkSession, sf: str) -> DataFrame:
     # PromQL subquery: daily max of 6-hourly per-job increase sums
     from agni_spark import promql_parser as pql
@@ -1227,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_histquant": _q_promql_parsed_histquant,
         "promql_parsed_scalar_ratio": _q_promql_parsed_scalar_ratio,
         "promql_parsed_time_fn": _q_promql_parsed_time_fn,
+        "promql_range_sliding_rate": _q_promql_range_sliding_rate,
         "promql_parsed_quantile_ot": _q_promql_parsed_quantile_ot,
         "promql_parsed_predict_linear": _q_promql_parsed_predict_linear,
         "promql_holt_winters": _q_promql_holt_winters,
@@ -2163,6 +2178,31 @@ def oracle_sql() -> dict[str, str]:
             "       - max(s.value), 6) AS value "
             "FROM samples s JOIN series ser USING (series_id) "
             "WHERE ser.metric = 'event_error' "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # sliding 1d window on a 6h step grid: each reset-corrected
+        # per-sample delta (attributed to the later sample) lands in
+        # window/step = 4 overlapping windows
+        "promql_range_sliding_rate": q(
+            ", inc AS ("
+            "  SELECT s.series_id, s.ts_ms,"
+            "  CASE WHEN s.value >= prev THEN s.value - prev"
+            "       ELSE s.value END AS delta"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM samples) s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error' AND prev IS NOT NULL),"
+            "expl AS ("
+            "  SELECT series_id,"
+            "  CAST(ts_ms // 21600000 AS BIGINT) * 21600000"
+            "    - k.k * 21600000 AS ws, delta"
+            "  FROM inc CROSS JOIN (SELECT unnest(range(4)) AS k) k),"
+            "persr AS ("
+            "  SELECT series_id, ws, round(sum(delta), 4) / 86400.0 AS value"
+            "  FROM expl GROUP BY 1, 2)"
+            "SELECT ser.job, p.ws AS bucket_ms, round(sum(p.value), 4) AS value "
+            "FROM persr p JOIN series ser USING (series_id) "
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "promql_parsed_quantile_ot": q(

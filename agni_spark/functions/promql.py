@@ -558,6 +558,53 @@ def range_agg_sliding(
     )
 
 
+def range_rate_sliding(
+    samples: DataFrame, window_ms: int, step_ms: int
+) -> DataFrame:
+    """rate()/increase() on a /query_range step grid with window >
+    step (the PromQL range-query shape). Per-sample reset-corrected
+    deltas are computed ONCE with the global series lag (the delta is
+    attributed to the LATER sample's timestamp, matching the tumbling
+    increase()), then each delta lands in its window_ms/step_ms
+    overlapping windows via F.window's slide expansion — map-side
+    explode, ONE shuffle on (series, window). Output one row per
+    (series, window start): increase = sum of deltas, rate =
+    increase / window seconds."""
+    if window_ms % step_ms != 0:
+        raise ValueError("window_ms must be a multiple of step_ms")
+    lagw = Window.partitionBy("series_id").orderBy("ts_ms", "value")
+    d = (
+        samples.withColumn("prev", F.lag("value").over(lagw))
+        .where(F.col("prev").isNotNull())
+        .withColumn(
+            "delta",
+            F.when(
+                F.col("value") >= F.col("prev"),
+                F.col("value") - F.col("prev"),
+            ).otherwise(F.col("value")),
+        )
+    )
+    w = F.window(
+        F.timestamp_millis(F.col("ts_ms")),
+        f"{window_ms} milliseconds",
+        f"{step_ms} milliseconds",
+    )
+    inc = F.round(F.sum("delta"), ROUND_SUM)
+    return (
+        d.groupBy("series_id", w.alias("w"))
+        .agg(
+            inc.alias("increase"),
+            (inc / F.lit(window_ms / 1000.0)).alias("rate"),
+        )
+        .select(
+            "series_id",
+            F.unix_millis(F.col("w.start")).alias("wstart_ms"),
+            "increase",
+            "rate",
+        )
+    )
+
+
 def rate_extrapolated(samples: DataFrame, bucket_ms: int) -> DataFrame:
     """Prometheus's actual rate() semantics (promql extrapolatedRate):
     the raw counter delta over the window is extrapolated to the window

@@ -683,11 +683,37 @@ _FUNC_IMPL = {
 }
 
 
+def _sliding(col: str, via):
+    def impl(df, window_ms, step_ms):
+        return via(df, window_ms, step_ms).select(
+            "series_id",
+            # the step-grid window start IS the bucket label — keeping
+            # the bucket_ms name lets aggregation/binop stages compose
+            # with sliding output unchanged
+            F.col("wstart_ms").alias("bucket_ms"),
+            F.col(col).cast("double").alias("value"),
+        )
+
+    return impl
+
+
+# range funcs with a window>step sliding evaluation (/query_range);
+# see compile_expr(step_ms=...)
+_SLIDING_IMPL = {
+    "rate": _sliding("rate", promql.range_rate_sliding),
+    "increase": _sliding("increase", promql.range_rate_sliding),
+    "sum_over_time": _sliding("sum_value", promql.range_agg_sliding),
+    "avg_over_time": _sliding("avg_value", promql.range_agg_sliding),
+    "count_over_time": _sliding("n", promql.range_agg_sliding),
+}
+
+
 def compile_expr(
     expr: Agg | Func | Selector,
     querier: Querier,
     mint_ms: int | None = None,
     maxt_ms: int | None = None,
+    step_ms: int | None = None,
 ) -> DataFrame:
     """Compile a parsed expression against a Querier.
 
@@ -701,8 +727,20 @@ def compile_expr(
     memo), and the ratio-of-two-metrics shape (same range func + same
     matchers, different metric) compiles both sides from ONE merged
     selector scan, so Spark's ReusedExchange runs the scan + window
-    shuffle once."""
-    return _compile(expr, querier, mint_ms, maxt_ms, {})
+    shuffle once.
+
+    `step_ms` is the /query_range evaluation step: when given and
+    smaller than a range function's window, rate/increase and the
+    sum/avg/count over_time family evaluate on the SLIDING step grid
+    (window > step — one output row per step, each sample in
+    window/step overlapping windows) instead of tumbling buckets. The
+    window start is reported as bucket_ms so grouping/binop stages
+    compose unchanged."""
+    cache: dict = {}
+    if step_ms is not None:
+        # reserved key — never collides with a dataclass repr
+        cache["__step_ms__"] = int(step_ms)
+    return _compile(expr, querier, mint_ms, maxt_ms, cache)
 
 
 def _compile(
@@ -923,6 +961,16 @@ def _compile_inner(
                 "series_id", "bucket_ms",
                 F.col("absent").cast("double").alias("value"),
             )
+        step = cache.get("__step_ms__")
+        if (
+            step is not None
+            and expr.name in _SLIDING_IMPL
+            and isinstance(expr.arg, Selector)
+            and expr.arg.range_ms is not None
+            and expr.arg.range_ms != step
+        ):
+            sel = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
+            return _SLIDING_IMPL[expr.name](sel, expr.arg.range_ms, step)
         sel = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
         if expr.name == "quantile_over_time":
             return promql.quantile_over_time(
@@ -1485,6 +1533,9 @@ def query(
     text: str,
     mint_ms: int | None = None,
     maxt_ms: int | None = None,
+    step_ms: int | None = None,
 ) -> DataFrame:
-    """Parse + compile in one call."""
-    return compile_expr(parse(text), querier, mint_ms, maxt_ms)
+    """Parse + compile in one call. `step_ms` is the /query_range
+    evaluation step (sliding windows when smaller than a range
+    function's window — see compile_expr)."""
+    return compile_expr(parse(text), querier, mint_ms, maxt_ms, step_ms)

@@ -747,3 +747,28 @@ def test_time_scalar_vector_scaffolding(querier):
         pql.parse("time()")
     with pytest.raises(ValueError):
         pql.parse("scalar(sum(increase(event_error[1d])))")
+
+
+def test_sliding_step_grid_rate(querier):
+    """step_ms < window -> sliding evaluation; at window-aligned starts
+    the sliding window covers exactly one tumbling bucket, so those
+    rows must equal the tumbling rate()."""
+    DAY, H6 = 86_400_000, 21_600_000
+    sliding = pql.query(querier, "rate(event_error[1d])", step_ms=H6)
+    tumbling = pql.query(querier, "rate(event_error[1d])")
+    s = {
+        (r.series_id, r.bucket_ms): r.value
+        for r in sliding.collect()
+        if r.bucket_ms % DAY == 0
+    }
+    t = {(r.series_id, r.bucket_ms): r.value for r in tumbling.collect()}
+    assert s == t
+    # 4x as many distinct window starts as tumbling buckets (minus grid
+    # edges): every step offset appears
+    starts = {r.bucket_ms % DAY for r in sliding.collect()}
+    assert starts == {0, H6, 2 * H6, 3 * H6}
+    # step == window (or no step) keeps the tumbling path
+    same = pql.query(querier, "rate(event_error[1d])", step_ms=DAY)
+    assert {tuple(r) for r in same.collect()} == {
+        tuple(r) for r in tumbling.collect()
+    }
