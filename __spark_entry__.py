@@ -3001,12 +3001,14 @@ def oracle_sql() -> dict[str, str]:
             "unnest(regexp_split_to_array(lower(text), '\\s+')) AS w "
             "FROM documents), "
             "w2 AS (SELECT * FROM wds WHERE w <> ''), "
-            "freq AS (SELECT w, count(*) AS cnt FROM w2 GROUP BY 1), "
+            "dw AS (SELECT doc_id, w, count(*) AS k FROM w2 GROUP BY 1, 2), "
+            "freq AS (SELECT w, sum(k) AS cnt FROM dw GROUP BY 1), "
             "tot AS (SELECT sum(cnt) AS total FROM freq) "
             "SELECT doc_id, "
-            "round(-avg(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) "
-            "AS nll10, CAST(count(*) AS BIGINT) AS n_words "
-            "FROM w2 JOIN freq USING (w) CROSS JOIN tot "
+            "round(-sum(k * log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))"
+            " / sum(k), 6) "
+            "AS nll10, CAST(sum(k) AS BIGINT) AS n_words "
+            "FROM dw JOIN freq USING (w) CROSS JOIN tot "
             "GROUP BY 1 ORDER BY doc_id"
         ),
         "text_contamination": (

@@ -279,27 +279,35 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     standard LM-perplexity filtering signal with the corpus as its own
     model (swap in an external KenLM table offline for the real thing).
 
-    Scale: one explode + one groupBy(word) builds the model (vocab is
-    tiny relative to the corpus); scoring joins words to the model on
-    the word key (hash join, broadcastable up to large vocabularies)
-    and aggregates per doc — two shuffles total. Word probabilities are
-    exact rationals (integer counts), so per-word log10 values are
-    bit-identical across engines; only the per-doc mean needs rounding.
-    """
+    Scale: the exploded words collapse to (doc, word) COUNTS first —
+    one map-side-combining shuffle — so the model join and everything
+    downstream runs over the distinct-per-doc vocabulary (bounded by
+    vocab x docs) instead of the raw occurrence stream; at 100 TB that
+    keeps the corpus's token volume out of the join entirely. The model
+    itself is a groupBy over those counts (vocab-sized); scoring is a
+    hash join on the word key and one per-doc weighted-mean
+    aggregation. Word probabilities are exact rationals (integer
+    counts), so per-word log10 values are bit-identical across
+    engines; only the per-doc mean needs rounding (the weighted-sum
+    formulation is mirrored verbatim in the DuckDB oracle so the
+    float accumulation agrees)."""
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("w"),
     ).where(F.col("w") != "")
-    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_word = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
+    freq = doc_word.groupBy("w").agg(F.sum("k").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))  # exact integer
-    scored = words.join(freq, "w").crossJoin(F.broadcast(total))
+    scored = doc_word.join(freq, "w").crossJoin(F.broadcast(total))
     return (
         scored.groupBy("doc_id")
         .agg(
             F.round(
-                -F.avg(F.log10(F.col("cnt") / F.col("total"))), 6
+                -F.sum(F.col("k") * F.log10(F.col("cnt") / F.col("total")))
+                / F.sum("k"),
+                6,
             ).alias("nll10"),
-            F.count(F.lit(1)).alias("n_words"),
+            F.sum("k").alias("n_words"),
         )
         .orderBy("doc_id")
     )
