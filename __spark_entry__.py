@@ -863,6 +863,16 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(_docs(spark, sf), k=3, threshold=0.7)
 
 
+def _q_dedup_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
+    # MinHash pairs -> alternating large-star/small-star connected
+    # components -> whole-corpus cluster assignment (keep = min doc_id).
+    # Oracle: DuckDB recursive-CTE transitive closure over the same
+    # pairs — an INDEPENDENT algorithm arriving at the same fixpoint.
+    d = _docs(spark, sf)
+    pairs = dedup.minhash_dedup_pairs(d, k=3, threshold=0.7)
+    return dedup.cluster_dedup(d, pairs)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf))
 
@@ -1298,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_assign": _q_text_split_assign,
         "text_stratified_sample": _q_text_stratified_sample,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_cluster_assign": _q_dedup_cluster_assign,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "simsearch_ivf_append": _q_simsearch_ivf_append,
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
@@ -1392,7 +1403,7 @@ def _sql_lang_id() -> str:
     )
 
 
-_SQL_MINHASH_LSH = _SQL_SHINGLES + """
+_SQL_MINHASH_BODY = _SQL_SHINGLES + """
 , shp AS (
   SELECT doc_id,
          ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hp
@@ -1425,8 +1436,35 @@ est AS (
   JOIN sig sa ON sa.doc_id = c.doc_a
   JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
   GROUP BY 1, 2)
+"""
+
+_SQL_MINHASH_LSH = _SQL_MINHASH_BODY + """
 SELECT doc_a, doc_b, est_jaccard FROM est
 WHERE est_jaccard >= 0.7 ORDER BY doc_a, doc_b
+"""
+
+# Transitive closure over the minhash candidate pairs: DuckDB's
+# recursive CTE IS the independent oracle for the alternating-star
+# connected-components algorithm (min-reachable-node per node).
+_SQL_CLUSTER_ASSIGN = _SQL_MINHASH_BODY.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + """
+, pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.7),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+comp AS (SELECT node AS doc_id, min(comp) AS component_id
+         FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component_id, d.doc_id) AS component_id,
+       CAST(CASE WHEN coalesce(c.component_id, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
 _SQL_JACCARD = _SQL_SHINGLES + """
@@ -3040,6 +3078,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _SQL_JACCARD,
         "dedup_jaccard_prefix": _SQL_JACCARD,  # exact: same oracle
         "dedup_minhash_lsh": _SQL_MINHASH_LSH,
+        "dedup_cluster_assign": _SQL_CLUSTER_ASSIGN,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
         "simsearch_cosine_topk": _SQL_SIMSEARCH_TOPK,

@@ -275,6 +275,143 @@ def minhash_dedup_pairs(
     )
 
 
+# -- connected components (duplicate-cluster assignment) --------------------
+def _canonical_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Distinct edges in canonical (src > dst) orientation."""
+    return (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("src"),
+            F.least(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: connect every strictly-larger neighbor of u to the
+    minimum of u's neighborhood (including u itself)."""
+    adj = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = adj.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
+    return (
+        adj.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: for each u, connect u and all its smaller neighbors
+    to the minimum of that (smaller-neighbor) set. Operates directly on
+    the canonical src>dst edge list — dst IS the smaller neighborhood."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    emitted = (
+        edges.join(mins, "src")
+        .select(F.col("dst").alias("v"), F.col("m"))
+        .union(mins.select(F.col("src").alias("v"), F.col("m")))
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+    return emitted
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Distributed connected components by alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — the published O(log^2 n)-round
+    MapReduce algorithm; in practice a handful of rounds). Returns
+    `(node, component_id)` for every node appearing in `pairs`, where
+    component_id is the minimum node id of the component — the standard
+    representative for duplicate-cluster "keep the smallest doc_id"
+    policies.
+
+    Spark shape: each star pass is one groupBy-min over the (symmetric)
+    adjacency plus one equi-join — min is a map-side-combining
+    aggregate, so a hub node NEVER materializes its whole neighborhood
+    in a single task (no collect_set/collect_list anywhere). Per-round
+    persist + eager count truncates the iterative lineage (same pattern
+    as the IVF Lloyd loop); the count doubles as the O(1) convergence
+    probe. 100 TB: edge tables stay fully distributed; round count
+    grows logarithmically, not with data volume.
+    """
+    cur = _canonical_edges(pairs, a_col, b_col).persist()
+    prev_sig = None
+    try:
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("src", "dst").cast("long")), F.lit(0)).alias("h"),
+        ).first()
+        for _ in range(max_rounds):
+            nxt = _small_star(_large_star(cur)).persist()
+            nsig = nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.hash("src", "dst").cast("long")), F.lit(0)
+                ).alias("h"),
+            ).first()
+            cur.unpersist()
+            cur, prev_sig, sig = nxt, sig, nsig
+            if (nsig["n"], nsig["h"]) == (prev_sig["n"], prev_sig["h"]):
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
+        # Converged: every edge points a node at its component min.
+        # min-aggregate defensively (a node may briefly hold two edges
+        # when the fixpoint edge set is reached mid-round), and label
+        # the minima themselves.
+        comp = cur.groupBy("src").agg(F.min("dst").alias("component_id"))
+        reps = comp.select(F.col("component_id").alias("src")).distinct()
+        out = (
+            comp.select(F.col("src").alias("node"), "component_id")
+            .union(
+                reps.select(
+                    F.col("src").alias("node"), F.col("src").alias("component_id")
+                )
+            )
+            .distinct()
+        )
+        # Materialize before unpersisting the edge cache the plan reads.
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        cur.unpersist()
+
+
+def cluster_dedup(
+    docs: DataFrame, pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Duplicate-cluster assignment for the WHOLE corpus: transitive
+    closure over candidate `pairs`, singletons are their own component,
+    `is_kept` marks the per-cluster representative (minimum doc_id).
+    This is the canonical MinHash->clusters->keep-one pipeline tail
+    (e.g. the public deduplicate-text-datasets / BigCode pipelines)."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("is_kept", (F.col("doc_id") == F.col("component_id")).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 # -- SimHash ----------------------------------------------------------------
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-document SimHash over word features: bit b of the signature
