@@ -838,6 +838,15 @@ def _q_text_contamination(spark: SparkSession, sf: str) -> DataFrame:
     return text.contamination_scan(docs, probes, 6)
 
 
+BM25_TERMS = ["spark", "query", "fast"]
+
+
+def _q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return text.bm25_topk(_docs(spark, sf), BM25_TERMS, k=10).withColumnRenamed(
+        "rank", "rk"
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     groups = dedup.exact_dup_groups(d)
@@ -1305,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": _q_text_pii_scan,
         "text_contamination": _q_text_contamination,
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(_docs(s, d)),
+        "text_bm25_topk": _q_text_bm25_topk,  # oracle below
         "text_split_assign": _q_text_split_assign,
         "text_stratified_sample": _q_text_stratified_sample,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
@@ -3049,6 +3059,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM dw JOIN freq USING (w) CROSS JOIN tot "
             "GROUP BY 1 ORDER BY doc_id"
         ),
+        "text_bm25_topk": """
+WITH wz AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+w2 AS (SELECT doc_id, w FROM wz WHERE w <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM w2 GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM w2
+       WHERE w IN ('spark', 'query', 'fast') GROUP BY doc_id, w),
+dft AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * (dl.dl / avgdl))))
+               * 1e6 + 0.5) / 1e6 AS s
+  FROM tf JOIN dft USING (w) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats),
+total AS (SELECT doc_id, floor(sum(s) * 1e6 + 0.5) / 1e6 AS score
+          FROM scored GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+           FROM total)
+SELECT doc_id, score, rk FROM ranked WHERE rk <= 10 ORDER BY rk
+""",
         "text_contamination": (
             "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "
             "FROM documents), "

@@ -339,56 +339,46 @@ def connected_components(
     Spark shape: each star pass is one groupBy-min over the (symmetric)
     adjacency plus one equi-join — min is a map-side-combining
     aggregate, so a hub node NEVER materializes its whole neighborhood
-    in a single task (no collect_set/collect_list anywhere). Per-round
-    persist + eager count truncates the iterative lineage (same pattern
-    as the IVF Lloyd loop); the count doubles as the O(1) convergence
-    probe. 100 TB: edge tables stay fully distributed; round count
-    grows logarithmically, not with data volume.
+    in a single task (no collect_set/collect_list anywhere). Each round
+    ends in an eager localCheckpoint: persist() alone caches DATA but
+    the logical plan still references the previous round ~4x (adjacency
+    union + two min-joins), i.e. 4^rounds plan nodes — the checkpoint
+    truncates lineage so round r plans against a flat scan of round
+    r-1 (on a multi-executor cluster, swap in `checkpoint()` against a
+    reliable dir for fault tolerance). 100 TB: edge tables stay fully
+    distributed; round count grows logarithmically, not with volume.
     """
-    cur = _canonical_edges(pairs, a_col, b_col).persist()
-    prev_sig = None
-    try:
-        sig = cur.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.hash("src", "dst").cast("long")), F.lit(0)).alias("h"),
-        ).first()
-        for _ in range(max_rounds):
-            nxt = _small_star(_large_star(cur)).persist()
-            nsig = nxt.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.sum(F.hash("src", "dst").cast("long")), F.lit(0)
-                ).alias("h"),
-            ).first()
-            cur.unpersist()
-            cur, prev_sig, sig = nxt, sig, nsig
-            if (nsig["n"], nsig["h"]) == (prev_sig["n"], prev_sig["h"]):
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_rounds} rounds"
-            )
-        # Converged: every edge points a node at its component min.
-        # min-aggregate defensively (a node may briefly hold two edges
-        # when the fixpoint edge set is reached mid-round), and label
-        # the minima themselves.
-        comp = cur.groupBy("src").agg(F.min("dst").alias("component_id"))
-        reps = comp.select(F.col("component_id").alias("src")).distinct()
-        out = (
-            comp.select(F.col("src").alias("node"), "component_id")
-            .union(
-                reps.select(
-                    F.col("src").alias("node"), F.col("src").alias("component_id")
-                )
-            )
-            .distinct()
+    _sig = lambda df: df.agg(  # noqa: E731 — O(1)-row convergence probe
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.hash("src", "dst").cast("long")), F.lit(0)).alias("h"),
+    ).first()
+    cur = _canonical_edges(pairs, a_col, b_col).localCheckpoint(eager=True)
+    sig = _sig(cur)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nsig = _sig(nxt)
+        cur, prev_sig, sig = nxt, sig, nsig
+        if (nsig["n"], nsig["h"]) == (prev_sig["n"], prev_sig["h"]):
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
         )
-        # Materialize before unpersisting the edge cache the plan reads.
-        out = out.persist()
-        out.count()
-        return out
-    finally:
-        cur.unpersist()
+    # Converged: every edge points a node at its component min.
+    # min-aggregate defensively (a node may briefly hold two edges
+    # when the fixpoint edge set is reached mid-round), and label
+    # the minima themselves.
+    comp = cur.groupBy("src").agg(F.min("dst").alias("component_id"))
+    reps = comp.select(F.col("component_id").alias("src")).distinct()
+    return (
+        comp.select(F.col("src").alias("node"), "component_id")
+        .union(
+            reps.select(
+                F.col("src").alias("node"), F.col("src").alias("component_id")
+            )
+        )
+        .distinct()
+    )
 
 
 def cluster_dedup(

@@ -448,3 +448,77 @@ def pack_sequences(
         )
         .orderBy(*(part), "doc_id")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword search over the corpus (Robertson/Sparck-Jones
+    probabilistic ranking, Lucene-style idf = ln(1 + (N-df+0.5)/
+    (df+0.5))): top-k documents for a bag of query terms.
+
+    Spark shape: ONE explode of the corpus feeds both the doc-length
+    table and the (early-filtered) query-term postings; df-per-term and
+    the corpus stats are tiny aggregates that broadcast back into the
+    scoring join — so the only full-corpus work is the explode + two
+    groupBys, and everything downstream is proportional to the posting
+    lists of the query terms (exactly an inverted index probe). At
+    100 TB the words explode is the map side of the doc-length agg;
+    no shuffle carries more than (doc, matched-term) rows.
+
+    Determinism: per-(doc,term) scores and the final sum are
+    discretized with floor(x*1e6 + 0.5)/1e6 (identical IEEE expression
+    tree in the DuckDB oracle) so cross-engine sum-order cannot flip a
+    6dp rounding tie."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    # persist: feeds doc-lengths AND the postings probe — one explode
+    words = words.persist()
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        words.where(F.col("w").isin(list(query_terms)))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    term_score = F.floor(
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        * 1e6
+        + 0.5
+    ) / 1e6
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("s"))
+    )
+    total = scored.groupBy("doc_id").agg(
+        (F.floor(F.sum("s") * 1e6 + 0.5) / 1e6).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .orderBy("rank")
+    )

@@ -432,3 +432,56 @@ def test_stored_index_append_equals_rebuild(spark, tmp_path):
     simsearch.write_lsh_index(emb, lpath2, n_planes=3)
     lrebuilt = simsearch.lsh_ann_stored(spark, lpath2, queries, k=5, n_planes=3)
     assert lappended.collect() == lrebuilt.collect()
+
+
+def test_connected_components_chain_and_star(spark):
+    # chain 1-2-3-4 (needs transitive closure), star 10-{11,12},
+    # singleton edge 20-21; components labeled by their minimum.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (10, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.node: r.component_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # worst-case topology for label propagation: one long path;
+    # alternating star rounds converge logarithmically
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = dedup.connected_components(pairs).collect()
+    assert len(got) == n + 1
+    assert {r.component_id for r in got} == {0}
+
+
+def test_cluster_dedup_assignment(spark, docs):
+    pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
+    out = dedup.cluster_dedup(docs, pairs).collect()
+    comp = {r.doc_id: r.component_id for r in out}
+    kept = {r.doc_id for r in out if r.is_kept == 1}
+    assert comp[0] == comp[3] == 0  # exact dups share a cluster
+    assert comp[2] == 2  # unrelated doc is a singleton
+    assert 0 in kept and 2 in kept and 3 not in kept
+
+
+def test_bm25_ranks_matching_docs(spark):
+    rows = [
+        (0, "spark spark spark engine"),
+        (1, "spark engine of analytics"),
+        (2, "nothing relevant here at all"),
+        (3, "query engine fast and lean fast"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.bm25_topk(df, ["spark", "fast"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 2 not in ids  # no query term -> never scored
+    assert set(ids) == {0, 1, 3}
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[0] > scores[1]  # higher tf on the rarer term wins
+    assert out[0].rank == 1 and out[0].score == max(scores.values())
