@@ -1308,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_active": lambda s, d: relational.events_daily_active(s, d),
         "events_retention": lambda s, d: relational.events_retention(s, d),
         "events_props_stats": lambda s, d: relational.events_props_stats(s, d),
+        "events_asof_join": lambda s, d: relational.events_asof_view(s, d),
         "text_fingerprint": _q_text_fingerprint,
         "text_top_ngrams": _q_text_top_ngrams,
         "text_gopher_rules": _q_text_gopher_rules,
@@ -2913,6 +2914,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, "
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
             "FROM events) GROUP BY 1 ORDER BY 1"
+        ),
+        "events_asof_join": (
+            "WITH base AS (SELECT event_id, user_id, "
+            "CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value "
+            "FROM events), "
+            "p AS (SELECT event_id, user_id, ts_ms, value FROM base "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT user_id, ts_ms AS view_ts_ms, "
+            "max(event_id) AS view_event_id FROM base "
+            "WHERE event_type = 'view' GROUP BY user_id, ts_ms) "
+            "SELECT p.event_id, p.user_id, p.ts_ms, p.value, "
+            "v.view_ts_ms, v.view_event_id "
+            "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id "
+            "AND p.ts_ms >= v.view_ts_ms ORDER BY p.event_id"
         ),
         "events_funnel": (
             "WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type "

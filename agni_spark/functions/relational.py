@@ -1028,3 +1028,111 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts_ms",
+    right_ts: str = "ts_ms",
+    right_order: str | None = None,
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """Distributed left as-of join: for every left row, attach the
+    right row with the greatest `right_ts` <= `left_ts` within the same
+    `on` key (the kdb aj / pandas merge_asof / DuckDB ASOF JOIN
+    operator; Spark has no built-in).
+
+    NOT a range-explode or a per-key loop: both sides are union-tagged
+    into ONE frame, shuffled ONCE on the key, and the match is a
+    running last(ignorenulls) carry-forward window over (ts, side) —
+    O(n log n) in the partition, no candidate blowup however dense the
+    right side is. At 100 TB this is the only as-of strategy that
+    survives: a range join would produce |left| x |matching-window|
+    intermediates.
+
+    `right_order` (a right-side column) breaks ties deterministically
+    when several right rows share (key, right_ts): the LARGEST value
+    wins. Right columns other than `on`/`right_ts` must not collide
+    with left columns (pre-rename on the caller side). With
+    `tolerance_ms`, matches older than left_ts - tolerance_ms are
+    discarded (row kept, right side NULL — merge_asof semantics)."""
+    rpay = [c for c in right.columns if c not in set(on)]
+    rstruct = F.struct(*[F.col(c) for c in rpay])
+    rtype = right.select(rstruct.alias("_r")).schema["_r"].dataType
+    rord = (
+        F.col(right_order) if right_order is not None else F.lit(0)
+    ).cast("long")
+    l2 = left.select(
+        *on,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_rord"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(rtype).alias("_r"),
+    )
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        rord.alias("_rord"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+            ).schema["_l"].dataType
+        ).alias("_l"),
+        rstruct.alias("_r"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_rord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(F.when(F.col("_side") == 0, F.col("_r")), ignorenulls=True).over(w)
+    out = (
+        l2.unionByName(r2)
+        .withColumn("_m", matched)
+        .where(F.col("_side") == 1)
+    )
+    if tolerance_ms is not None:
+        out = out.withColumn(
+            "_m",
+            F.when(
+                F.col("_ats") - F.col("_m").getField(right_ts) <= tolerance_ms,
+                F.col("_m"),
+            ),
+        )
+    return out.select(
+        *[F.col("_l").getField(c).alias(c) for c in left.columns],
+        *[F.col("_m").getField(c).alias(c) for c in rpay],
+    )
+
+
+def events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined as-of to the user's most recent view at or
+    before the purchase time (ties on view ts -> largest event_id).
+    Oracle: DuckDB's native ASOF LEFT JOIN — an independent engine
+    implementation of the same operator."""
+    _ev = load(spark, sf_dir, "events")
+    base = _ev.select(
+        "event_id", "user_id", dm.ms_col(_ev, "ts").alias("ts_ms"),
+        "event_type", "value",
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms", "value"
+    )
+    # one row per (user, ts) so the as-of match is engine-independent
+    views = (
+        base.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts_ms").alias("view_ts_ms"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts_ms",
+        right_ts="view_ts_ms",
+        right_order="view_event_id",
+    ).orderBy("event_id")

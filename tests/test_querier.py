@@ -166,3 +166,33 @@ def test_int64_timestamp_unit_dispatch(spark, tmp_path):
         out = q.select([], mint_ms=base_ms + 2000, maxt_ms=base_ms + 5000,
                        sort=False)
         assert sorted(r.series_id for r in out.collect()) == [2, 3, 4, 5], unit
+
+
+def test_asof_join_semantics(spark):
+    from agni_spark.functions.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+        "k long, ts_ms long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 7, 0.5), (1, 200, 8, 0.6), (1, 200, 9, 0.7), (2, 60, 1, 0.1)],
+        "k long, r_ts long, rid long, rv double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts_ms", right_ts="r_ts",
+        right_order="rid",
+    ).collect()
+    got = {r.tag: (r.r_ts, r.rid, r.rv) for r in out}
+    assert got["a"] == (100, 7, 0.5)  # match at equal ts (inclusive)
+    assert got["b"] == (200, 9, 0.7)  # tie on r_ts -> largest rid wins
+    assert got["c"] == (None, None, None)  # right row is in the future
+    assert got["d"] == (None, None, None)  # key has no right rows
+
+    tol = asof_join(
+        left, right, on=["k"], left_ts="ts_ms", right_ts="r_ts",
+        right_order="rid", tolerance_ms=4,
+    ).collect()
+    tgot = {r.tag: r.rid for r in tol}
+    assert tgot["a"] == 7  # age 0 <= 4
+    assert tgot["b"] is None  # age 5 > tolerance -> NULLed, row kept
