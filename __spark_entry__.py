@@ -1309,6 +1309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": lambda s, d: relational.events_retention(s, d),
         "events_props_stats": lambda s, d: relational.events_props_stats(s, d),
         "events_asof_join": lambda s, d: relational.events_asof_view(s, d),
+        "events_interval_join": lambda s, d: relational.events_purchases_in_session(
+            s, d
+        ),
         "text_fingerprint": _q_text_fingerprint,
         "text_top_ngrams": _q_text_top_ngrams,
         "text_gopher_rules": _q_text_gopher_rules,
@@ -2928,6 +2931,26 @@ def oracle_sql() -> dict[str, str]:
             "v.view_ts_ms, v.view_event_id "
             "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id "
             "AND p.ts_ms >= v.view_ts_ms ORDER BY p.event_id"
+        ),
+        "events_interval_join": (
+            "WITH ev AS (SELECT user_id, event_id, "
+            "CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value FROM events), "
+            "flagged AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER "
+            "(PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000 "
+            "THEN 1 ELSE 0 END AS new_sess FROM ev), "
+            "sess AS (SELECT *, CAST(sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts_ms, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM flagged), "
+            "s AS (SELECT user_id, session_no, min(ts_ms) AS start_ms, "
+            "max(ts_ms) AS end_ms FROM sess GROUP BY user_id, session_no), "
+            "p AS (SELECT event_id, user_id, "
+            "CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.event_id, p.user_id, p.ts_ms, "
+            "s.session_no, s.start_ms, s.end_ms "
+            "FROM p JOIN s ON p.user_id = s.user_id "
+            "AND p.ts_ms BETWEEN s.start_ms AND s.end_ms "
+            "ORDER BY p.event_id"
         ),
         "events_funnel": (
             "WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type "

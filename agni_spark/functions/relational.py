@@ -1136,3 +1136,63 @@ def events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="view_ts_ms",
         right_order="view_event_id",
     ).orderBy("event_id")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str = "ts_ms",
+    start: str = "start_ms",
+    end: str = "end_ms",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Point-in-interval range join: left rows matched to every right
+    interval with start <= ts <= end on the same `on` key — WITHOUT a
+    nested-loop/theta join. Both sides are mapped onto a time-bucket
+    grid: a point lands in exactly ONE bucket, an interval explodes to
+    the buckets it covers, and the match becomes an equi-join on
+    (key, bucket) + a residual BETWEEN filter.
+
+    Scale: the only shuffle is the equi-join; interval replication is
+    bounded by ceil(interval_len / bucket_ms) + 1 (pick bucket_ms near
+    the typical interval length), and because a point has exactly one
+    bucket each (point, interval) pair meets exactly once — no
+    dedup pass. Hot buckets are ordinary join skew — AQE splits them.
+    Catalyst alone would plan BroadcastNestedLoop for this shape, which
+    dies at 100 TB unless one side is tiny."""
+    lb = left.withColumn("_b", F.floor(F.col(ts) / F.lit(bucket_ms)))
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / F.lit(bucket_ms)),
+                F.floor(F.col(end) / F.lit(bucket_ms)),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, [*on, "_b"])
+        .where(F.col(ts).between(F.col(start), F.col(end)))
+        .drop("_b")
+    )
+
+
+def events_purchases_in_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event attached to its containing session interval
+    (sessions from the gap-based sessionizer) via the bucketed
+    interval join. Oracle: plain SQL BETWEEN join over the same session
+    CTE — DuckDB plans it as an IEJoin, an independent range-join
+    algorithm."""
+    _ev = load(spark, sf_dir, "events")
+    purchases = _ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", dm.ms_col(_ev, "ts").alias("ts_ms")
+    )
+    sessions = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_no", "start_ms", "end_ms"
+    )
+    return interval_join(
+        purchases, sessions, on=["user_id"], ts="ts_ms"
+    ).select(
+        "event_id", "user_id", "ts_ms", "session_no", "start_ms", "end_ms"
+    ).orderBy("event_id")

@@ -196,3 +196,30 @@ def test_asof_join_semantics(spark):
     tgot = {r.tag: r.rid for r in tol}
     assert tgot["a"] == 7  # age 0 <= 4
     assert tgot["b"] is None  # age 5 > tolerance -> NULLed, row kept
+
+
+def test_interval_join_bucketing_exact(spark):
+    from agni_spark.functions.relational import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 50), (1, 150), (1, 7250), (2, 100)], "k long, ts_ms long"
+    )
+    ivs = spark.createDataFrame(
+        # [0,100] and [100,200] overlap at 100; [7000,7300] spans a
+        # bucket boundary at bucket_ms=3600; [0,100] on k=2
+        [(1, 0, 100, "i1"), (1, 100, 200, "i2"), (1, 7000, 7300, "i3"),
+         (2, 0, 10, "i4")],
+        "k long, start_ms long, end_ms long, name string",
+    )
+    out = interval_join(pts, ivs, on=["k"], bucket_ms=3600).collect()
+    got = sorted((r.ts_ms, r.name) for r in out)
+    # ts=50 -> i1; ts=150 -> i2; ts=7250 -> i3 exactly once despite the
+    # interval covering two buckets; ts=100@k=2 matches nothing
+    assert got == [(50, "i1"), (150, "i2"), (7250, "i3")]
+
+    # boundary point in BOTH adjacent intervals
+    out2 = interval_join(
+        spark.createDataFrame([(1, 100)], "k long, ts_ms long"),
+        ivs, on=["k"], bucket_ms=3600,
+    ).collect()
+    assert sorted(r.name for r in out2) == ["i1", "i2"]
