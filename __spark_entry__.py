@@ -882,6 +882,23 @@ def _q_dedup_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.cluster_dedup(d, pairs)
 
 
+def _q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # continuous-ingest dedup: index docs with doc_id%5 in {1,2}, APPEND
+    # {3,4} as a second commit (manifest-last), then dedup-check the
+    # incoming %5==0 batch against the stored inverted index only
+    import tempfile
+
+    d = _docs(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_mh_idx_")
+    dedup.write_minhash_index(d.where((F.col("doc_id") % 5).isin(1, 2)), path)
+    dedup.append_minhash_index(
+        spark, path, d.where((F.col("doc_id") % 5).isin(3, 4))
+    )
+    return dedup.incremental_dup_pairs(
+        spark, path, d.where(F.col("doc_id") % 5 == 0), threshold=0.7
+    )
+
+
 def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf))
 
@@ -1215,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_incremental": _q_dedup_incremental,
         # --- Text (4) ---
         "text_doc_stats": _q_text_doc_stats,
         "text_repeated_passages": _q_text_repeated_passages,
@@ -1310,6 +1328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": lambda s, d: relational.events_props_stats(s, d),
         "events_asof_join": lambda s, d: relational.events_asof_view(s, d),
         "events_interval_join": lambda s, d: relational.events_purchases_in_session(
+            s, d
+        ),
+        "events_value_percentiles": lambda s, d: relational.events_value_percentiles(
             s, d
         ),
         "text_fingerprint": _q_text_fingerprint,
@@ -2932,6 +2953,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id "
             "AND p.ts_ms >= v.view_ts_ms ORDER BY p.event_id"
         ),
+        "events_value_percentiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.9), 6) AS p90, "
+            "round(quantile_cont(value, 0.99), 6) AS p99, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "round(avg(value), 6) AS avg_value "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
         "events_interval_join": (
             "WITH ev AS (SELECT user_id, event_id, "
             "CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value FROM events), "
@@ -3151,6 +3181,16 @@ SELECT doc_id, score, rk FROM ranked WHERE rk <= 10 ORDER BY rk
         "dedup_jaccard_prefix": _SQL_JACCARD,  # exact: same oracle
         "dedup_minhash_lsh": _SQL_MINHASH_LSH,
         "dedup_cluster_assign": _SQL_CLUSTER_ASSIGN,
+        # signatures are per-doc, so computing them over ALL documents
+        # and filtering at the candidate stage equals the split
+        # index-then-probe computation
+        "dedup_incremental": _SQL_MINHASH_BODY.replace(
+            "AND x.doc_id < y.doc_id",
+            "AND x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0",
+        ) + """
+SELECT doc_a AS doc_old, doc_b AS doc_new, est_jaccard FROM est
+WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
+""",
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
         "simsearch_cosine_topk": _SQL_SIMSEARCH_TOPK,

@@ -188,15 +188,11 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def minhash_buckets(
     sigs: DataFrame, bands: int = 4, rows: int = 4
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidates.
-    bands*rows must equal the signature width. All bands explode into
-    one (band, bucket) table and candidates come from a SINGLE
-    self-join on the composite key — one shuffle of bands*n rows
-    instead of `bands` separate joins + union (same output; distinct
-    dedupes docs colliding in multiple bands)."""
+    """(doc_id, band, bucket) LSH bucket table from a signature table:
+    bucket = md5 over the band's `rows` signature components."""
     keys = F.array(
         *[
             F.struct(
@@ -214,9 +210,21 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    bucketed = sigs.select("doc_id", F.explode(keys).alias("bk")).select(
+    return sigs.select("doc_id", F.explode(keys).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates.
+    bands*rows must equal the signature width. All bands explode into
+    one (band, bucket) table and candidates come from a SINGLE
+    self-join on the composite key — one shuffle of bands*n rows
+    instead of `bands` separate joins + union (same output; distinct
+    dedupes docs colliding in multiple bands)."""
+    bucketed = minhash_buckets(sigs, bands, rows)
     x = bucketed.alias("x")
     y = bucketed.alias("y")
     return (
@@ -272,6 +280,130 @@ def minhash_dedup_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# -- stored MinHash signature index (incremental corpus dedup) --------------
+def write_minhash_index(
+    docs: DataFrame, path: str, k: int = 3, bands: int = 4, rows: int = 4
+) -> None:
+    """Persist the corpus's MinHash state so NEW batches can be
+    dedup-checked without re-reading the corpus: `sigs/` (one row per
+    doc) and `buckets/` (bands x docs, partitioned by band) under
+    `commit=` partitions with a manifest written LAST (block-store
+    registry pattern — a crashed build/append is never served).
+
+    At 100 TB the buckets table is the inverted index of the corpus;
+    an incoming batch probes it with a join keyed on (band, bucket),
+    touching only colliding buckets."""
+    from agni_spark.functions.simsearch import _write_index_manifest
+
+    sigs = minhash_signatures(docs, k, bands * rows)
+    (
+        sigs.withColumn("commit", F.lit(0).cast("long"))
+        .write.partitionBy("commit")
+        .mode("overwrite")
+        .parquet(f"{path}/sigs")
+    )
+    (
+        minhash_buckets(sigs, bands, rows)
+        .withColumn("commit", F.lit(0).cast("long"))
+        .repartition("band")
+        .write.partitionBy("commit", "band")
+        .mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+    _write_index_manifest(docs.sparkSession, path, [0])
+
+
+def append_minhash_index(
+    spark, path: str, new_docs: DataFrame, k: int = 3, bands: int = 4,
+    rows: int = 4,
+) -> None:
+    """Register a new batch in the signature index: O(batch) work, no
+    existing partition read or rewritten; manifest rewrite LAST is the
+    commit point."""
+    from agni_spark.functions.simsearch import _committed, _write_index_manifest
+
+    commits = _committed(spark, path)
+    nxt = max(commits) + 1
+    sigs = minhash_signatures(new_docs, k, bands * rows)
+    (
+        sigs.withColumn("commit", F.lit(nxt).cast("long"))
+        .write.partitionBy("commit")
+        .mode("append")
+        .parquet(f"{path}/sigs")
+    )
+    (
+        minhash_buckets(sigs, bands, rows)
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("band")
+        .write.partitionBy("commit", "band")
+        .mode("append")
+        .parquet(f"{path}/buckets")
+    )
+    _write_index_manifest(spark, path, commits + [nxt])
+
+
+def incremental_dup_pairs(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.7,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """Dedup-check an incoming batch against the STORED corpus index:
+    the batch's buckets join the stored inverted index on (band,
+    bucket), candidates refine by estimated Jaccard against the stored
+    signatures. Returns (doc_old, doc_new, est_jaccard >= threshold).
+    Corpus-side cost is proportional to colliding buckets, not corpus
+    size; the batch side is small by definition — this is the
+    production shape of continuous-ingest dedup (check-before-admit).
+    Ids must be disjoint between index and batch (caller contract)."""
+    from agni_spark.functions.simsearch import _committed
+
+    commits = _committed(spark, path)
+    n = bands * rows
+    new_sigs = minhash_signatures(new_docs, k, n).persist()
+    new_buckets = minhash_buckets(new_sigs, bands, rows)
+    stored_buckets = (
+        spark.read.parquet(f"{path}/buckets")
+        .where(F.col("commit").isin(commits))
+    )
+    cands = (
+        stored_buckets.join(new_buckets.withColumnRenamed("doc_id", "doc_new"),
+                            ["band", "bucket"])
+        .select(F.col("doc_id").alias("doc_old"), "doc_new")
+        .distinct()
+    )
+    stored_sigs = (
+        spark.read.parquet(f"{path}/sigs")
+        .where(F.col("commit").isin(commits))
+        .select(
+            F.col("doc_id").alias("doc_old"),
+            *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n)],
+        )
+    )
+    bsig = new_sigs.select(
+        F.col("doc_id").alias("doc_new"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n)],
+    )
+    est = (
+        sum(
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(n)
+        )
+        / F.lit(float(n))
+    )
+    return (
+        cands.join(stored_sigs, "doc_old")
+        .join(bsig, "doc_new")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_old", "doc_new", "est_jaccard")
+        .orderBy("doc_old", "doc_new")
     )
 
 

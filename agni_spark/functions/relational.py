@@ -1196,3 +1196,28 @@ def events_purchases_in_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", "user_id", "ts_ms", "session_no", "start_ms", "end_ms"
     ).orderBy("event_id")
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of event value per type: Spark's sort-based
+    `percentile` (linear interpolation at rank (n-1)*p — the same
+    definition as SQL quantile_cont, which is the oracle). One shuffle
+    on the tiny grouping key; at 100 TB swap in approx_percentile
+    (t-digest sketch, mergeable map-side) where 6dp exactness isn't
+    contractual — same plan shape."""
+    ev = load(spark, sf_dir, "events")
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(value, {p})"), 6
+    )
+    return (
+        ev.select("event_type", "value")
+        .groupBy("event_type")
+        .agg(
+            pct(0.5).alias("p50"),
+            pct(0.9).alias("p90"),
+            pct(0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -485,3 +485,26 @@ def test_bm25_ranks_matching_docs(spark):
     scores = {r.doc_id: r.score for r in out}
     assert scores[0] > scores[1]  # higher tf on the rarer term wins
     assert out[0].rank == 1 and out[0].score == max(scores.values())
+
+
+def test_incremental_minhash_index_equals_batch(spark, docs, tmp_path):
+    # index docs 0 and 2, append doc 1, then probe with doc 3 (exact
+    # dup of 0): incremental result == the full-batch pairs restricted
+    # to (stored, new)
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "mh_idx")
+    dedup.write_minhash_index(docs.where(F.col("doc_id").isin(0, 2)), path)
+    dedup.append_minhash_index(
+        spark, path, docs.where(F.col("doc_id") == 1)
+    )
+    got = dedup.incremental_dup_pairs(
+        spark, path, docs.where(F.col("doc_id") == 3), threshold=0.5
+    ).collect()
+    full = {
+        (p.doc_a, p.doc_b): p.est_jaccard
+        for p in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        if p.doc_b == 3
+    }
+    assert {(r.doc_old, r.doc_new): r.est_jaccard for r in got} == full
+    assert (0, 3) in full  # the exact dup is found via the stored index
