@@ -1259,6 +1259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_label_values_for": _q_m5_label_values_for,
         "promql_delta": _q_promql_delta,
         "promql_agg_over_time": _q_promql_agg_over_time,
+        "tsdb_downsample_ohlc": lambda s, d: promql.downsample_ohlc(
+            _querier(s, d).samples, H6_MS
+        ).orderBy("series_id", "bucket_ms"),
         "promql_ext_over_time": _q_promql_ext_over_time,
         "promql_time_functions": _q_promql_time_functions,
         "promql_instant": _q_promql_instant,
@@ -1340,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_text_contamination,
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(_docs(s, d)),
         "text_bm25_topk": _q_text_bm25_topk,  # oracle below
+        "text_tfidf_keywords": lambda s, d: text.tfidf_keywords(_docs(s, d)),
         "text_split_assign": _q_text_split_assign,
         "text_stratified_sample": _q_text_stratified_sample,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
@@ -1946,6 +1950,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms, "
             "round(avg(value), 6) AS avg_value, min(value) AS min_value, "
             "max(value) AS max_value, round(sum(value), 4) AS sum_value, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "tsdb_downsample_ohlc": q(
+            "SELECT series_id, "
+            "CAST(ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms, "
+            "(min(struct_pack(ts_ms := ts_ms, value := value))).value "
+            "AS open_value, "
+            "max(value) AS high_value, min(value) AS low_value, "
+            "(max(struct_pack(ts_ms := ts_ms, value := value))).value "
+            "AS close_value, "
+            "round(avg(value), 6) AS avg_value, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
         ),
@@ -3150,6 +3166,27 @@ ranked AS (SELECT doc_id, score,
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
            FROM total)
 SELECT doc_id, score, rk FROM ranked WHERE rk <= 10 ORDER BY rk
+""",
+        "text_tfidf_keywords": """
+WITH wz AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+w2 AS (SELECT doc_id, w FROM wz WHERE w <> ''),
+tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM w2
+       GROUP BY doc_id, w),
+dfreq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+       FROM documents),
+scored AS (
+  SELECT doc_id, w AS term,
+         floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1e6 + 0.5)
+           / 1e6 AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN nd),
+ranked AS (SELECT doc_id, term, score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term) AS INT) AS rk
+           FROM scored)
+SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
 """,
         "text_contamination": (
             "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "

@@ -804,3 +804,23 @@ def binop_group_left(
         *carry,
         F.round(ops[op](F.col("_l"), F.col("_r")), ROUND_AVG).alias("result"),
     )
+
+
+def downsample_ohlc(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """Continuous-aggregate downsample (the TimescaleDB rollup shape —
+    candlestick first/last plus extrema): per (series, bucket) the
+    OPEN (value at min ts), HIGH, LOW, CLOSE (value at max ts), mean
+    and count. First/last are min/max over a (ts, value) struct —
+    lexicographic struct ordering makes ties on ts deterministic on
+    every engine, and the whole rollup stays ONE map-side-combining
+    aggregation (no window, no second shuffle). This is the rollup
+    you materialize once at 100 TB and serve dashboards from."""
+    t = F.struct(F.col("ts_ms"), F.col("value"))
+    return samples.groupBy("series_id", bucket_start(bucket_ms)).agg(
+        F.min(t).getField("value").alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(t).getField("value").alias("close_value"),
+        F.round(F.avg("value"), ROUND_AVG).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

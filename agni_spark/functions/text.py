@@ -522,3 +522,41 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .orderBy("rank")
     )
+
+
+def tfidf_keywords(docs: DataFrame, top: int = 3) -> DataFrame:
+    """Top-N characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing — never
+    divides by zero, never goes negative). The whole corpus statistics
+    pass is two map-side-combining aggregations over one explode; the
+    per-doc top-N is a window over only (doc, distinct-term) rows.
+    Deterministic: ties break on the term string; scores discretized
+    at 6dp with the same floor(x*1e6+0.5) expression as the oracle."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = docs.select(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    score = F.floor(
+        F.col("tf")
+        * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        * 1e6
+        + 0.5
+    ) / 1e6
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= top)
+        .select("doc_id", F.col("w").alias("term"), "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
