@@ -450,6 +450,15 @@ def _q_promql_parsed_group_left(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "env", "bucket_ms")
 
 
+def _q_promql_parsed_topk_by(spark: SparkSession, sf: str) -> DataFrame:
+    # grouped selection: 2 busiest series per job (rank window
+    # partitioned on the grouping label, not a global limit)
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(_querier(spark, sf), "topk by (job) (2, event_click)")
+    return out.orderBy("job", "rk")
+
+
 def _q_promql_parsed_histquant(spark: SparkSession, sf: str) -> DataFrame:
     # parser-level histogram_quantile over a VIRTUAL _bucket metric:
     # the store keeps raw observations, so increase(M_bucket{le}[r])
@@ -1218,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_rate": _q_promql_rate,
         "promql_sum_by": _q_promql_sum_by,
         "promql_topk": _q_promql_topk,
+        "promql_parsed_topk_by": _q_promql_parsed_topk_by,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_parsed_expression": _q_promql_parsed,
         "promql_parsed_binop": _q_promql_parsed_binop,
@@ -1995,6 +2005,19 @@ def oracle_sql() -> dict[str, str]:
             f"row_number() OVER (ORDER BY sum(value) DESC, series_id ASC) AS rk "
             f"FROM samples WHERE ts_ms BETWEEN {T1} AND {T2} GROUP BY series_id) "
             f"WHERE rk <= 5 ORDER BY rk"
+        ),
+        "promql_parsed_topk_by": q(
+            ", sel AS (SELECT s.series_id, s.value FROM samples s "
+            "JOIN series ser USING (series_id) "
+            "WHERE ser.metric = 'event_click'), "
+            "per AS (SELECT series_id, round(sum(value), 4) AS value "
+            "FROM sel GROUP BY series_id), "
+            "r AS (SELECT p.series_id, ser.job, p.value, "
+            "CAST(row_number() OVER (PARTITION BY ser.job "
+            "ORDER BY p.value DESC, p.series_id) AS INT) AS rk "
+            "FROM per p JOIN series ser ON ser.series_id = p.series_id) "
+            "SELECT series_id, job, value, rk FROM r WHERE rk <= 2 "
+            "ORDER BY job, rk"
         ),
         "promql_instant": q(
             f"SELECT series_id, ts_ms, value FROM ("

@@ -27,7 +27,7 @@ Supported grammar (the workhorse subset):
     term      := agg | func | math | labelfn | selector | NUM
                | "(" expr ")"
     agg       := AGGOP grouping? "(" expr ")"
-               | ("topk" | "bottomk") "(" INT "," expr ")"
+               | ("topk" | "bottomk") grouping? "(" INT "," expr ")"
                | "quantile" grouping? "(" NUM "," expr ")"
                | "count_values" grouping? "(" STRING "," expr ")"
     AGGOP     := "sum" | "avg" | "min" | "max" | "count" | "stddev"
@@ -380,12 +380,21 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
         return inner
     if t in ("topk", "bottomk"):
         op = toks.next()
+        mode, labels = None, []
+        if toks.peek() in ("by", "without"):
+            mode = toks.next()
+            toks.expect("(")
+            while toks.peek() != ")":
+                labels.append(toks.next())
+                if toks.peek() == ",":
+                    toks.next()
+            toks.expect(")")
         toks.expect("(")
         k = int(toks.next())
         toks.expect(",")
         arg = _parse_expr(toks)
         toks.expect(")")
-        return Agg(op, None, [], arg, k=k)
+        return Agg(op, mode, labels, arg, k=k)
     if t == "quantile":
         toks.next()
         mode, labels = None, []
@@ -1054,6 +1063,28 @@ def _compile_inner(
                 else F.col("value").asc(),
                 F.col("series_id").asc(),
             ]
+            if expr.mode:
+                # grouped form `topk by (L) (k, v)`: k winners PER
+                # group — a rank window partitioned on the grouping
+                # labels (broadcast series dim), not a global limit
+                label_cols = [
+                    c for c in querier.series.columns if c != "series_id"
+                ]
+                if expr.mode == "by":
+                    by = [l for l in expr.labels if l in label_cols]
+                else:
+                    by = [c for c in label_cols if c not in set(expr.labels)]
+                dim = F.broadcast(querier.series.select("series_id", *by))
+                w = Window.partitionBy(*by).orderBy(*order)
+                return (
+                    per_series.join(dim, "series_id")
+                    .withColumn("rk", F.row_number().over(w))
+                    .where(F.col("rk") <= (expr.k or 1))
+                    .select(
+                        "series_id", *by, "value",
+                        F.col("rk").cast("int").alias("rk"),
+                    )
+                )
             # orderBy().limit(k) -> TakeOrderedAndProject (distributed
             # k-row heaps); the rank window only sees <=k rows
             return (
