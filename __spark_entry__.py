@@ -1201,28 +1201,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # surface, not just the TSDB core. Keep new queries AFTER entry 50
     # unless swapping a representative.
     return {
-        # --- TSDB core (20) ---
+        # --- TSDB core (16) ---
         "s3_block_overlap_check": _q_s3_overlap,
         "s9_block_store_roundtrip": _q_s9_block_store,
         "e1_tsdb_ingest_roundtrip": _q_e1_tsdb_ingest,
         "e2_tsdb_export_roundtrip": _q_e2_tsdb_export,
         "s6_series_lookup": _q_s6_series_lookup,
-        "s10_level1_filter": _q_s10_level1,
         "p1_time_prune": _q_p1_time_prune,
         "p2_eq_matcher": _q_p2_eq,
         "p3_regex_matcher": _q_p3_regex,
         "p4_neq_matcher": _q_p4_neq,
-        "p5_prefix_matcher": _q_p5_prefix,
-        "p6_absent_matcher": _q_p6_absent,
         "p7_select_samples": _q_p7_select,
         "p9_tombstone_filter": _q_p9_tombstones,
         "s13_matrix_assembly": _q_s13_matrix_assembly,
         "a1_intersect": _q_a1_intersect,
-        "a2_union": _q_a2_union,
         "m1_merge_sorted": _q_m1_merge,
         "merge_on_read_dedup": _q_merge_on_read,
-        "m4_label_values": _q_m4_label_values,
-        # --- PromQL (8) ---
+        # --- PromQL (9) ---
         "promql_increase": _q_promql_increase,
         "promql_rate": _q_promql_rate,
         "promql_sum_by": _q_promql_sum_by,
@@ -1237,32 +1232,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
         "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
-        # --- Dedup (4) ---
+        # --- Dedup (6) ---
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
-        # --- Text (4) ---
+        "dedup_cluster_assign": _q_dedup_cluster_assign,
+        # --- Text (5) ---
         "text_doc_stats": _q_text_doc_stats,
         "text_repeated_passages": _q_text_repeated_passages,
         "text_pack_sequences": _q_text_pack_sequences,
         "text_lang_id": _q_text_lang_id,
+        "text_bm25_topk": _q_text_bm25_topk,
         # --- Simsearch (5) ---
         "simsearch_cosine_topk": _q_simsearch_topk,
         "simsearch_ivf_ann": _q_simsearch_ivf,
         "simsearch_ivf_stored": _q_simsearch_ivf_stored,
         "simsearch_pq_adc": _q_simsearch_pq,
         "dedup_semantic": _q_dedup_semantic,
-        # --- Events (2) ---
+        # --- Events (3) ---
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
         "events_funnel": lambda s, d: relational.events_funnel(s, d),
+        "events_asof_join": lambda s, d: relational.events_asof_view(s, d),
         # --- Streaming (2) ---
         "streaming_windowed_sum": _q_streaming_windowed_sum,
         "streaming_increase": _q_streaming_increase,
         # --- Multimodal (1) — entry #50 ---
         "multimodal_meta": _q_multimodal_meta,
         # ------ end of driver-checked window (50) ------
+        "p5_prefix_matcher": _q_p5_prefix,
+        "p6_absent_matcher": _q_p6_absent,
+        "a2_union": _q_a2_union,
+        "m4_label_values": _q_m4_label_values,
+        "s10_level1_filter": _q_s10_level1,
         "sql_direct": _q_sql_direct,
         "m2_chained_series": _q_m2_chained,
         "m4_label_names": _q_m4_label_names,
