@@ -459,6 +459,20 @@ def _q_promql_parsed_topk_by(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "rk")
 
 
+def _q_promql_parsed_limitk(spark: SparkSession, sf: str) -> DataFrame:
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(_querier(spark, sf), "limitk(5, event_click)")
+    return out.orderBy("series_id")
+
+
+def _q_promql_parsed_limit_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(_querier(spark, sf), "limit_ratio(0.3, event_click)")
+    return out.orderBy("series_id")
+
+
 def _q_promql_parsed_histquant(spark: SparkSession, sf: str) -> DataFrame:
     # parser-level histogram_quantile over a VIRTUAL _bucket metric:
     # the store keeps raw observations, so increase(M_bucket{le}[r])
@@ -1291,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_binop_group_left": _q_promql_binop_group_left,
         "promql_absent": _q_promql_absent,
         "promql_parsed_subquery": _q_promql_parsed_subquery,
+        "promql_parsed_limitk": _q_promql_parsed_limitk,
+        "promql_parsed_limit_ratio": _q_promql_parsed_limit_ratio,
         "promql_parsed_histquant": _q_promql_parsed_histquant,
         "promql_parsed_scalar_ratio": _q_promql_parsed_scalar_ratio,
         "promql_parsed_time_fn": _q_promql_parsed_time_fn,
@@ -1363,6 +1379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assign": _q_dedup_cluster_assign,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "simsearch_ivf_append": _q_simsearch_ivf_append,
+        "simsearch_label_centroids": lambda s, d: simsearch.label_centroids(
+            _emb(s, d)
+        ),
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_audio_windows": _q_multimodal_audio,  # rows-only
@@ -2008,6 +2027,22 @@ def oracle_sql() -> dict[str, str]:
             f"row_number() OVER (ORDER BY sum(value) DESC, series_id ASC) AS rk "
             f"FROM samples WHERE ts_ms BETWEEN {T1} AND {T2} GROUP BY series_id) "
             f"WHERE rk <= 5 ORDER BY rk"
+        ),
+        "promql_parsed_limitk": q(
+            ", sel AS (SELECT s.series_id, s.value FROM samples s "
+            "JOIN series ser USING (series_id) "
+            "WHERE ser.metric = 'event_click') "
+            "SELECT series_id, round(sum(value), 4) AS value FROM sel "
+            "GROUP BY series_id ORDER BY series_id LIMIT 5"
+        ),
+        "promql_parsed_limit_ratio": q(
+            ", sel AS (SELECT s.series_id, s.value FROM samples s "
+            "JOIN series ser USING (series_id) "
+            "WHERE ser.metric = 'event_click') "
+            "SELECT series_id, round(sum(value), 4) AS value FROM sel "
+            "GROUP BY series_id HAVING "
+            "('0x' || substr(md5(CAST(series_id AS VARCHAR)), 1, 15))::BIGINT"
+            " % 1000 < 300 ORDER BY series_id"
         ),
         "promql_parsed_topk_by": q(
             ", sel AS (SELECT s.series_id, s.value FROM samples s "
@@ -3262,6 +3297,25 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
+        "simsearch_label_centroids": """
+WITH e AS (SELECT label, embedding FROM embeddings),
+pos AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM e, unnest(generate_series(1, len(embedding))) AS t(i)),
+means AS (SELECT label, pos, round(avg(v), 6) AS m FROM pos
+          GROUP BY label, pos),
+cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM means
+         GROUP BY label),
+nrm AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM e),
+stats AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+          round(avg(nrm), 6) AS avg_norm FROM nrm GROUP BY label)
+SELECT c.label, c.centroid, s.n_vectors, s.avg_norm
+FROM cent c JOIN stats s USING (label) ORDER BY c.label
+""",
         "dedup_semantic": _SQL_SEMDEDUP,
         "multimodal_meta": _SQL_MM_META,
         "multimodal_frame_sample": _SQL_MM_FRAMES,

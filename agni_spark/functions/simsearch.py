@@ -697,3 +697,40 @@ def pq_search(
         .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
         .orderBy("query_id", "rk")
     )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label cluster profile: element-wise centroid vector, member
+    count, and mean vector norm — the embedding-space groupBy that
+    backs dataset cartography / cluster QA dashboards.
+
+    Shape: ONE posexplode feeds a (label, pos) mean aggregation
+    (map-side combining, dim x n_labels result), reassembled into an
+    array column by a per-label sort of the (pos, mean) structs; norms
+    are a narrow projection aggregated in the same pass over the
+    un-exploded frame. No window, no join on the fact side; the only
+    shuffles are the two tiny label-keyed aggregations."""
+    e = emb.select(
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    pos = e.select("label", F.posexplode("v"))
+    means = pos.groupBy("label", "pos").agg(
+        F.round(F.avg("col"), 6).alias("m")
+    )
+    cent = (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "label",
+            F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    stats = e.select("label", norm.alias("nrm")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+    )
+    return cent.join(stats, "label").orderBy("label")

@@ -28,6 +28,9 @@ Supported grammar (the workhorse subset):
                | "(" expr ")"
     agg       := AGGOP grouping? "(" expr ")"
                | ("topk" | "bottomk") grouping? "(" INT "," expr ")"
+               | "limitk" "(" INT "," expr ")"
+               | "limit_ratio" "(" NUM "," expr ")"   (deterministic:
+                 k smallest series_ids / md5-hash gate — never rand())
                | "quantile" grouping? "(" NUM "," expr ")"
                | "count_values" grouping? "(" STRING "," expr ")"
     AGGOP     := "sum" | "avg" | "min" | "max" | "count" | "stddev"
@@ -378,6 +381,18 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
         inner = _parse_binop(toks)
         toks.expect(")")
         return inner
+    if t in ("limitk", "limit_ratio"):
+        op = toks.next()
+        toks.expect("(")
+        val = toks.next()
+        toks.expect(",")
+        arg = _parse_expr(toks)
+        toks.expect(")")
+        return Agg(
+            op, None, [], arg,
+            k=int(val) if op == "limitk" else None,
+            q=float(val) if op == "limit_ratio" else None,
+        )
     if t in ("topk", "bottomk"):
         op = toks.next()
         mode, labels = None, []
@@ -1049,6 +1064,26 @@ def _compile_inner(
             )
             return inner.groupBy(*keys, vstr.alias(expr.vlabel)).agg(
                 F.count(F.lit(1)).cast("double").alias("value")
+            )
+        if expr.op in ("limitk", "limit_ratio"):
+            # Prometheus 2.50 sampling operators, made DETERMINISTIC:
+            # limitk keeps the k smallest series_ids (TakeOrdered heap);
+            # limit_ratio gates on the 60-bit md5 hash of the series id
+            # (the split_assign pattern — never rand(), so the sample is
+            # stable across retries, engines, and partitionings)
+            from agni_spark.functions.dedup import hash60
+
+            inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
+            per_series = inner.groupBy("series_id").agg(
+                F.round(F.sum("value"), promql.ROUND_SUM).alias("value")
+            )
+            if expr.op == "limitk":
+                return per_series.orderBy("series_id").limit(expr.k or 1)
+            gate = F.pmod(
+                hash60(F.col("series_id").cast("string")), F.lit(1000)
+            )
+            return per_series.where(
+                gate < int(round((expr.q or 0.0) * 1000))
             )
         if expr.op in ("topk", "bottomk"):
             inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
