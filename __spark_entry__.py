@@ -473,6 +473,25 @@ def _q_promql_parsed_limit_ratio(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id")
 
 
+def _q_promql_rule_group(spark: SparkSession, sf: str) -> DataFrame:
+    # recording-rule group: 3 rules evaluated in ONE batch with a
+    # SHARED compile cache — the ratio rule's operands are byte-equal
+    # to its sibling rules' expressions, so they compile (and scan)
+    # exactly once for the whole group
+    from agni_spark import promql_parser as pql
+
+    out = pql.rule_group(
+        _querier(spark, sf),
+        {
+            "job:errors:increase1d": "sum by (job) (increase(event_error[1d]))",
+            "job:clicks:increase1d": "sum by (job) (increase(event_click[1d]))",
+            "job:error_ratio": "sum by (job) (increase(event_error[1d]))"
+            " / sum by (job) (increase(event_click[1d]))",
+        },
+    )
+    return out.orderBy("rule", "job", "bucket_ms")
+
+
 def _q_promql_parsed_histquant(spark: SparkSession, sf: str) -> DataFrame:
     # parser-level histogram_quantile over a VIRTUAL _bucket metric:
     # the store keeps raw observations, so increase(M_bucket{le}[r])
@@ -1307,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_subquery": _q_promql_parsed_subquery,
         "promql_parsed_limitk": _q_promql_parsed_limitk,
         "promql_parsed_limit_ratio": _q_promql_parsed_limit_ratio,
+        "promql_rule_group": _q_promql_rule_group,
         "promql_parsed_histquant": _q_promql_parsed_histquant,
         "promql_parsed_scalar_ratio": _q_promql_parsed_scalar_ratio,
         "promql_parsed_time_fn": _q_promql_parsed_time_fn,
@@ -2027,6 +2047,37 @@ def oracle_sql() -> dict[str, str]:
             f"row_number() OVER (ORDER BY sum(value) DESC, series_id ASC) AS rk "
             f"FROM samples WHERE ts_ms BETWEEN {T1} AND {T2} GROUP BY series_id) "
             f"WHERE rk <= 5 ORDER BY rk"
+        ),
+        "promql_rule_group": q(
+            ", inc AS ("
+            "  SELECT ser.metric, ser.job,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  s.series_id, s.ts_ms, s.value,"
+            "  lag(s.value) OVER (PARTITION BY s.series_id"
+            "                     ORDER BY s.ts_ms, s.value) AS prev"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric IN ('event_error', 'event_click')),"
+            "persr AS ("
+            "  SELECT metric, job, series_id, bucket_ms,"
+            "  round(sum(CASE WHEN value >= prev THEN value - prev"
+            "            ELSE value END), 4) AS value"
+            "  FROM inc WHERE prev IS NOT NULL GROUP BY 1, 2, 3, 4),"
+            "agg AS ("
+            "  SELECT metric, job, bucket_ms, round(sum(value), 4) AS value"
+            "  FROM persr GROUP BY 1, 2, 3),"
+            "ratio AS (SELECT l.job, l.bucket_ms,"
+            "  round(CASE WHEN r.value <> 0 THEN l.value / r.value END, 6)"
+            "   AS value"
+            "  FROM agg l JOIN agg r ON l.job = r.job"
+            "  AND l.bucket_ms = r.bucket_ms"
+            "  AND l.metric = 'event_error' AND r.metric = 'event_click')"
+            "SELECT 'job:clicks:increase1d' AS rule, job, bucket_ms, value"
+            " FROM agg WHERE metric = 'event_click' "
+            "UNION ALL SELECT 'job:error_ratio', job, bucket_ms, value"
+            " FROM ratio "
+            "UNION ALL SELECT 'job:errors:increase1d', job, bucket_ms, value"
+            " FROM agg WHERE metric = 'event_error' "
+            "ORDER BY rule, job, bucket_ms"
         ),
         "promql_parsed_limitk": q(
             ", sel AS (SELECT s.series_id, s.value FROM samples s "

@@ -1605,3 +1605,37 @@ def query(
     evaluation step (sliding windows when smaller than a range
     function's window — see compile_expr)."""
     return compile_expr(parse(text), querier, mint_ms, maxt_ms, step_ms)
+
+
+def rule_group(
+    querier,
+    rules: dict[str, str],
+    mint_ms: int | None = None,
+    maxt_ms: int | None = None,
+    step_ms: int | None = None,
+) -> DataFrame:
+    """Evaluate a Prometheus recording-rule GROUP as one batch job
+    (the ruler's evaluation cycle, batched): each rule's expression
+    compiles against a SHARED memo cache, so selectors and whole
+    subexpressions repeated across rules — the normal case in real rule
+    files, where a ratio rule reuses the aggregates its sibling rules
+    record — compile to the same DataFrame object and are persisted on
+    second reference (one fact scan + one window shuffle per distinct
+    subtree for the WHOLE group, not per rule). Output: each rule's
+    result tagged with a `rule` column, unioned by name (rules may
+    produce different label sets; missing columns null-fill).
+
+    At 100 TB a rule group is exactly a multi-query batch: sharing
+    scans across the group is the difference between N passes over the
+    store and one."""
+    cache: dict = {}
+    if step_ms is not None:
+        cache["__step_ms__"] = int(step_ms)
+    outs = []
+    for name in sorted(rules):
+        df = _compile(parse(rules[name]), querier, mint_ms, maxt_ms, cache)
+        outs.append(df.withColumn("rule", F.lit(name)))
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
