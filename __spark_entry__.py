@@ -656,6 +656,20 @@ def _q_promql_at_instant(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id")
 
 
+def _q_promql_at_end(spark: SparkSession, sf: str) -> DataFrame:
+    # @ end(): the sentinel resolves to the query's own maxt bound —
+    # same plan as a literal @, no data dependence at parse time
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        '{env="prod"} @ end()',
+        mint_ms=T1,
+        maxt_ms=1705505099000,
+    )
+    return out.orderBy("series_id")
+
+
 def _q_promql_at_range(spark: SparkSession, sf: str) -> DataFrame:
     # @ modifier, range form: the range function's data window is
     # pinned to (at - range, at] regardless of query bounds
@@ -1343,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_bool_cmp": _q_promql_bool_cmp,
         "promql_time_components": _q_promql_time_components,
         "promql_at_range": _q_promql_at_range,
+        "promql_at_end": _q_promql_at_end,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -2561,6 +2576,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY 1, 2"
         ),
         "promql_at_instant": q(
+            "SELECT series_id, CAST(1705505099000 AS BIGINT) AS ts_ms, value "
+            "FROM ("
+            "  SELECT s.series_id, s.value, row_number() OVER ("
+            "    PARTITION BY s.series_id ORDER BY s.ts_ms DESC, s.value DESC"
+            "  ) AS rn"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.env = 'prod'"
+            "  AND s.ts_ms BETWEEN 1705504799001 AND 1705505099000) "
+            "WHERE rn = 1 ORDER BY series_id"
+        ),
+        "promql_at_end": q(
             "SELECT series_id, CAST(1705505099000 AS BIGINT) AS ts_ms, value "
             "FROM ("
             "  SELECT s.series_id, s.value, row_number() OVER ("

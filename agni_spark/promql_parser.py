@@ -73,7 +73,8 @@ Supported grammar (the workhorse subset):
                  range? offset? at?
     matcher   := name OP STRING      OP: = != =~ !~
     range     := "[" INT UNIT "]"    offset := "offset" INT UNIT
-    at        := "@" NUM             (fixed eval time, epoch seconds:
+    at        := "@" (NUM | "start" "(" ")" | "end" "(" ")")
+                                     (fixed eval time, epoch seconds:
                  instant -> latest lookback sample per series at that
                  time; range -> data window pinned to (at-range, at])
     UNIT      := s m h d
@@ -124,7 +125,12 @@ _MATH_NO_SCALAR = {
 # range funcs with a leading scalar arg: f(s, m[r])
 _SCALAR_FIRST_FUNCS = {"quantile_over_time"}
 # range funcs with trailing scalar arg(s): f(m[r], s[, s2])
-_SCALAR_AFTER_FUNCS = {"predict_linear": 1, "holt_winters": 2}
+_SCALAR_AFTER_FUNCS = {
+    "predict_linear": 1,
+    "holt_winters": 2,
+    # Prometheus 3.0 rename of holt_winters (same recurrence)
+    "double_exponential_smoothing": 2,
+}
 _LABEL_FUNCS = {"label_replace", "label_join"}
 
 
@@ -168,7 +174,9 @@ class Selector:
     matchers: list[Matcher] = field(default_factory=list)
     range_ms: int | None = None
     offset_ms: int = 0
-    at_ms: int | None = None  # @ modifier: fixed evaluation time
+    # @ modifier: fixed evaluation time (epoch ms), or the sentinel
+    # "start"/"end" (@ start()/@ end() — resolved to the query bounds)
+    at_ms: int | str | None = None
 
 
 @dataclass
@@ -545,7 +553,10 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
             toks.expect(",")
             s2 = float(toks.next())
         toks.expect(")")
-        return Func(t, inner, scalar=s, scalar2=s2)
+        return Func(
+            "holt_winters" if t == "double_exponential_smoothing" else t,
+            inner, scalar=s, scalar2=s2,
+        )
     if t in _LABEL_FUNCS:
         toks.next()
         toks.expect("(")
@@ -648,7 +659,13 @@ def _parse_selector(toks: _Tokens) -> Selector:
         sel.offset_ms = n * _UNIT_MS[unit]
     if toks.peek() == "@":
         toks.next()
-        sel.at_ms = int(float(toks.next()) * 1000)
+        nxt = toks.next()
+        if nxt in ("start", "end"):
+            toks.expect("(")
+            toks.expect(")")
+            sel.at_ms = nxt  # sentinel; resolved to the query bounds
+        else:
+            sel.at_ms = int(float(nxt) * 1000)
     return sel
 
 
@@ -926,7 +943,16 @@ def _compile_inner(
             # -> latest sample per series within the 5m lookback
             # (Prometheus defaults), reported AT the eval time. offset
             # shifts the data window back, as with plain selectors.
-            eval_ms = expr.at_ms - expr.offset_ms
+            # @ start()/@ end() resolve to the query's own bounds.
+            at_ms = expr.at_ms
+            if at_ms in ("start", "end"):
+                bound = mint_ms if at_ms == "start" else maxt_ms
+                if bound is None:
+                    raise ValueError(
+                        f"@ {at_ms}() requires explicit query bounds"
+                    )
+                at_ms = bound
+            eval_ms = at_ms - expr.offset_ms
             span = expr.range_ms or _LOOKBACK_MS
             df = querier.select(
                 matchers,
@@ -950,7 +976,7 @@ def _compile_inner(
                 .where(F.col("_rn") == 1)
                 .select(
                     "series_id",
-                    F.lit(expr.at_ms).alias("ts_ms"),
+                    F.lit(at_ms).alias("ts_ms"),
                     "value",
                 )
             )

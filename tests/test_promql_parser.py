@@ -772,3 +772,27 @@ def test_sliding_step_grid_rate(querier):
     assert {tuple(r) for r in same.collect()} == {
         tuple(r) for r in tumbling.collect()
     }
+
+
+def test_parse_limitk_grouped_topk_and_at_sentinels():
+    from agni_spark.promql_parser import parse
+
+    a = parse("limitk(5, event_click)")
+    assert a.op == "limitk" and a.k == 5
+    r = parse("limit_ratio(0.25, event_click)")
+    assert r.op == "limit_ratio" and r.q == 0.25
+    t = parse("topk by (job) (2, event_click)")
+    assert (t.op, t.mode, t.labels, t.k) == ("topk", "by", ["job"], 2)
+    s = parse("event_click @ end()")
+    assert s.at_ms == "end"
+    hw = parse("double_exponential_smoothing(event_click[1h], 0.5, 0.3)")
+    assert hw.name == "holt_winters" and hw.scalar == 0.5 and hw.scalar2 == 0.3
+
+
+def test_at_sentinel_requires_bounds(querier):
+    import pytest as _pytest
+
+    from agni_spark import promql_parser as pql
+
+    with _pytest.raises(ValueError, match="requires explicit query bounds"):
+        pql.query(querier, "event_click @ start()").collect()
