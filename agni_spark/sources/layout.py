@@ -179,7 +179,18 @@ def refresh_registry(
                 "num_series", "data_mint_ms", "data_maxt_ms", "compaction_level",
             )
         )
-    reg.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "registry"))
+    reg = reg.coalesce(1)
+    reg.write.mode("overwrite").parquet(os.path.join(path, "registry"))
+    # snapshot history: every commit ALSO lands as an immutable
+    # registry_history/version=N partition (after the live registry —
+    # the live write stays the commit point; history is the audit/
+    # time-travel surface). O(#blocks) rows per version, negligible
+    # next to the data.
+    vs = registry_versions(spark, path)
+    nxt = (max(vs) + 1) if vs else 0
+    reg.withColumn("version", F.lit(nxt).cast("long")).write.partitionBy(
+        "version"
+    ).mode("append").parquet(os.path.join(path, "registry_history"))
 
 
 def read_samples(spark: SparkSession, path: str) -> DataFrame:
@@ -188,9 +199,53 @@ def read_samples(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "data"))
 
 
-def read_registry(spark: SparkSession, path: str) -> DataFrame:
-    """Block registry = the meta.json/marker listing (S2/S4)."""
-    return spark.read.parquet(os.path.join(path, "registry"))
+def read_registry(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Block registry = the meta.json/marker listing (S2/S4).
+    `version` time-travels to a past commit's registry snapshot
+    (see snapshot_samples for what that does and doesn't pin)."""
+    if version is None:
+        return spark.read.parquet(os.path.join(path, "registry"))
+    return (
+        spark.read.parquet(os.path.join(path, "registry_history"))
+        .where(F.col("version") == int(version))
+        .drop("version")
+    )
+
+
+def registry_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed registry snapshot versions, oldest first."""
+    hist = os.path.join(path, "registry_history")
+    if not _fs_exists(spark, hist):
+        return []
+    return sorted(
+        r.version
+        for r in spark.read.parquet(hist).select("version").distinct().collect()
+    )
+
+
+def snapshot_samples(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame:
+    """Time-travel read: the store's samples AS OF registry commit
+    `version` — the scan is filtered to that snapshot's block ids
+    (partition pruning on the IN list, no data copied at commit time).
+
+    What this pins: block MEMBERSHIP (appends after the snapshot are
+    invisible; blocks dropped by retention since then still resolve if
+    their partitions remain). What it does not pin: in-place rewrites
+    — compaction/delete rewrite block partitions under the same
+    block_id, and the snapshot then serves the rewritten bytes (the
+    same contract as Prometheus block ULID listings; immutable-rewrite
+    stores get full fidelity for free)."""
+    ids = [
+        r.block_id
+        for r in read_registry(spark, path, version).select("block_id").collect()
+    ]
+    return read_samples(spark, path).where(
+        F.col("block_id").cast("long").isin(ids)
+    )
 
 
 def time_pruned(

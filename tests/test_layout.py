@@ -386,3 +386,29 @@ def test_merge_on_read_last_wins(spark, tmp_path):
         for r in layout.read_samples(spark, path).collect()
     }
     assert after[(1, 100)] == 3.0
+
+
+def test_registry_time_travel_snapshot(spark, tmp_path):
+    path = str(tmp_path / "tt_store")
+    s1 = spark.createDataFrame(
+        [(s, t, 1.0) for s in range(2) for t in range(0, 2000, 250)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(s1, path, block_ms=BLOCK)  # version 0: blocks 0,1
+    s2 = spark.createDataFrame(
+        [(s, t, 2.0) for s in range(2) for t in range(2000, 4000, 250)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(s2, path, block_ms=BLOCK, mode="append")  # v1: 0-3
+
+    assert layout.registry_versions(spark, path) == [0, 1]
+    v0 = layout.read_registry(spark, path, version=0).orderBy("block_id").collect()
+    assert [r.block_id for r in v0] == [0, 1]
+    live = layout.read_registry(spark, path).orderBy("block_id").collect()
+    assert [r.block_id for r in live] == [0, 1, 2, 3]
+
+    # snapshot read sees only the first commit's data
+    snap = layout.snapshot_samples(spark, path, version=0)
+    assert snap.count() == 16
+    assert snap.agg(F.max("ts_ms")).first()[0] == 1750
+    assert layout.read_samples(spark, path).count() == 32
