@@ -705,6 +705,22 @@ def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "env", "bucket_ms")
 
 
+def _q_promql_alert_for(spark: SparkSession, sf: str) -> DataFrame:
+    # full alert-rule evaluation: condition vector on a 6h step grid,
+    # then the `for: 18h` clause — firing iff the condition held at
+    # every step of the trailing window (one range window, no gaps-
+    # and-islands machinery)
+    from agni_spark import promql_parser as pql
+
+    cond = pql.query(
+        _querier(spark, sf),
+        "sum by (job) (count_over_time(event_error[6h])) > 10",
+    )
+    return promql.alert_for_state(
+        cond, ["job"], for_ms=3 * H6_MS, step_ms=H6_MS
+    ).orderBy("job", "bucket_ms")
+
+
 def _q_promql_sum_without(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     # without (instance, pod, metric) == by (job, env)
@@ -1358,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_time_components": _q_promql_time_components,
         "promql_at_range": _q_promql_at_range,
         "promql_at_end": _q_promql_at_end,
+        "promql_alert_for": _q_promql_alert_for,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -2585,6 +2602,22 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE ser.env = 'prod'"
             "  AND s.ts_ms BETWEEN 1705504799001 AND 1705505099000) "
             "WHERE rn = 1 ORDER BY series_id"
+        ),
+        "promql_alert_for": q(
+            ", sel AS (SELECT s.series_id, s.ts_ms, ser.job "
+            "FROM samples s JOIN series ser USING (series_id) "
+            "WHERE ser.metric = 'event_error'), "
+            "cnt AS (SELECT series_id, job, "
+            "CAST(ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms, "
+            "CAST(count(*) AS DOUBLE) AS value FROM sel GROUP BY 1, 2, 3), "
+            "agg AS (SELECT job, bucket_ms, round(sum(value), 4) AS value "
+            "FROM cnt GROUP BY 1, 2), "
+            "cond AS (SELECT * FROM agg WHERE value > 10) "
+            "SELECT job, bucket_ms, value, "
+            "CASE WHEN count(*) OVER (PARTITION BY job ORDER BY bucket_ms "
+            "RANGE BETWEEN 43200000 PRECEDING AND CURRENT ROW) >= 3 "
+            "THEN 'firing' ELSE 'pending' END AS state "
+            "FROM cond ORDER BY job, bucket_ms"
         ),
         "promql_at_end": q(
             "SELECT series_id, CAST(1705505099000 AS BIGINT) AS ts_ms, value "

@@ -824,3 +824,33 @@ def downsample_ohlc(samples: DataFrame, bucket_ms: int) -> DataFrame:
         F.round(F.avg("value"), ROUND_AVG).alias("avg_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def alert_for_state(
+    cond: DataFrame, keys: list[str], for_ms: int, step_ms: int
+) -> DataFrame:
+    """Prometheus alert `for:` clause over a step grid: an alert
+    element is FIRING at step t iff its condition held at EVERY step
+    of the trailing `for_ms` window, else PENDING (rows exist only
+    where the condition holds — comparison filters drop the rest,
+    matching PromQL vector semantics).
+
+    The run-length check is ONE range window (count of condition rows
+    in (t-for, t] == for/step) — no self-join, no gaps-and-islands
+    subquery; grid regularity turns "held continuously" into a count.
+    Scale: partitioned by alert keys, ordered by the grid — the same
+    shuffle the condition aggregation already produced."""
+    from pyspark.sql import Window
+
+    need = int(for_ms // step_ms)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_ms")
+        .rangeBetween(-(for_ms - step_ms), 0)
+    )
+    return cond.withColumn(
+        "state",
+        F.when(F.count(F.lit(1)).over(w) >= need, F.lit("firing")).otherwise(
+            F.lit("pending")
+        ),
+    )

@@ -173,3 +173,20 @@ def test_rate_extrapolated_prometheus_semantics(spark):
         [(1, 1000, 5.0)], "series_id long, ts_ms long, value double"
     )
     assert promql.rate_extrapolated(one, 10_000).count() == 0
+
+
+def test_alert_for_state_requires_continuous_hold(spark):
+    from agni_spark.functions import promql
+
+    # steps 0,100,200 continuous -> firing at 200 (need=3); gap at 400
+    # resets the run, so 500,600 are pending even though 3 rows exist
+    cond = spark.createDataFrame(
+        [("a", 0), ("a", 100), ("a", 200), ("a", 500), ("a", 600)],
+        "job string, bucket_ms long",
+    )
+    out = promql.alert_for_state(cond, ["job"], for_ms=300, step_ms=100)
+    got = {r.bucket_ms: r.state for r in out.collect()}
+    assert got == {
+        0: "pending", 100: "pending", 200: "firing",
+        500: "pending", 600: "pending",
+    }
