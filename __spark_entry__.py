@@ -705,6 +705,24 @@ def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "env", "bucket_ms")
 
 
+def _q_tsdb_downsample_route(spark: SparkSession, sf: str) -> DataFrame:
+    # downsampled rollup tier (Thanos pattern): materialize 3h and 6h
+    # partial-aggregate resolutions, answer a 12h agg_over_time from
+    # the COARSEST fitting rollup (6h) by algebraic re-aggregation —
+    # the oracle computes the same answer from raw samples
+    import tempfile
+
+    from agni_spark.sources import downsample
+
+    q = _querier(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_ds_")
+    downsample.write_downsampled(q.samples, path, H6_MS // 2)
+    downsample.write_downsampled(q.samples, path, H6_MS)
+    return downsample.agg_over_time_routed(spark, path, 2 * H6_MS).orderBy(
+        "series_id", "bucket_ms"
+    )
+
+
 def _q_promql_alert_for(spark: SparkSession, sf: str) -> DataFrame:
     # full alert-rule evaluation: condition vector on a 6h step grid,
     # then the `for: 18h` clause — firing iff the condition held at
@@ -1375,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_at_range": _q_promql_at_range,
         "promql_at_end": _q_promql_at_end,
         "promql_alert_for": _q_promql_alert_for,
+        "tsdb_downsample_route": _q_tsdb_downsample_route,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -2602,6 +2621,15 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE ser.env = 'prod'"
             "  AND s.ts_ms BETWEEN 1705504799001 AND 1705505099000) "
             "WHERE rn = 1 ORDER BY series_id"
+        ),
+        "tsdb_downsample_route": q(
+            "SELECT series_id, "
+            "CAST(ts_ms // 43200000 AS BIGINT) * 43200000 AS bucket_ms, "
+            "round(sum(value) / count(*), 6) AS avg_value, "
+            "min(value) AS min_value, max(value) AS max_value, "
+            "round(sum(value), 4) AS sum_value, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "promql_alert_for": q(
             ", sel AS (SELECT s.series_id, s.ts_ms, ser.job "

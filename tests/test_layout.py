@@ -412,3 +412,29 @@ def test_registry_time_travel_snapshot(spark, tmp_path):
     assert snap.count() == 16
     assert snap.agg(F.max("ts_ms")).first()[0] == 1750
     assert layout.read_samples(spark, path).count() == 32
+
+
+def test_downsample_routing_picks_coarsest_divisor(spark, tmp_path):
+    from agni_spark.sources import downsample
+
+    samples = spark.createDataFrame(
+        [(0, t, float(t)) for t in range(0, 1200, 100)],
+        "series_id long, ts_ms long, value double",
+    )
+    path = str(tmp_path / "ds")
+    downsample.write_downsampled(samples, path, 100)
+    downsample.write_downsampled(samples, path, 300)
+    downsample.write_downsampled(samples, path, 400)
+    assert downsample.resolutions(spark, path) == [100, 300, 400]
+    assert downsample.route(spark, path, 600)[0] == 300  # 400 doesn't divide
+    assert downsample.route(spark, path, 400)[0] == 400
+    with pytest.raises(ValueError):
+        downsample.route(spark, path, 250)
+
+    out = {
+        r.bucket_ms: (r.n, r.sum_value, r.min_value, r.max_value, r.avg_value)
+        for r in downsample.agg_over_time_routed(spark, path, 600).collect()
+    }
+    # 0..500 and 600..1100: exact re-aggregation from 300ms partials
+    assert out[0] == (6, 1500.0, 0.0, 500.0, 250.0)
+    assert out[600] == (6, 5100.0, 600.0, 1100.0, 850.0)
