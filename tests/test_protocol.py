@@ -484,3 +484,75 @@ def test_http_query_range_cross_metric_ratio(served_querier):
         assert series == {(("job", "api"),): [[0.0, "0.333333"]]}
     finally:
         srv.stop()
+
+
+def test_exposition_parse_golden(spark):
+    import hashlib
+
+    from agni_spark.protocol.exposition import parse_exposition
+
+    text = [
+        "# HELP http_requests_total Total requests.",
+        "# TYPE http_requests_total counter",
+        'http_requests_total{method="get",code="200"} 1027 1700000000123',
+        'http_requests_total{method="post",code="200"} 3 1700000000123',
+        "process_open_fds 7",
+        'latency_bucket{le="0.5"} 4 1700000000123',
+        'rq_nan NaN',
+        'rq_inf{x="y"} +Inf',
+        "",
+    ]
+    lines = spark.createDataFrame([(s,) for s in text], "line string")
+    samples, series = parse_exposition(lines, default_ts_ms=42)
+    s = {r.series_id: r for r in samples.collect()}
+    lab = {r.series_id: dict(r.labels) for r in series.collect()}
+    assert len(s) == 6 and len(lab) == 6
+
+    # series id matches the remote-write receiver's python-side hash
+    key = ",".join(
+        f"{n}={v}"
+        for n, v in sorted(
+            [("__name__", "http_requests_total"), ("code", "200"),
+             ("method", "get")]
+        )
+    )
+    sid = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    assert sid in s and s[sid].value == 1027.0
+    assert s[sid].ts_ms == 1700000000123
+    assert lab[sid]["method"] == "get" and lab[sid]["__name__"] == (
+        "http_requests_total"
+    )
+
+    fds_sid = int(
+        hashlib.md5(b"__name__=process_open_fds").hexdigest()[:15], 16
+    )
+    assert s[fds_sid].ts_ms == 42  # default scrape time
+    bucket = [r for r in lab.values() if r.get("le") == "0.5"]
+    assert bucket and bucket[0]["__name__"] == "latency_bucket"
+    import math
+
+    vals = [r.value for r in s.values()]
+    assert any(math.isnan(v) for v in vals)
+    assert any(math.isinf(v) for v in vals)
+
+
+def test_exposition_ingest_roundtrip(spark, tmp_path):
+    from agni_spark.protocol.exposition import ingest_exposition
+    from agni_spark.sources import layout
+
+    scrape = tmp_path / "scrape.txt"
+    scrape.write_text(
+        'm{a="1"} 1.5 1000\n'
+        'm{a="2"} 2.5 8000000\n'
+        "# comment\n"
+        'm{a="1"} 3.5 9000000\n'
+    )
+    store = str(tmp_path / "store")
+    n = ingest_exposition(spark, str(scrape), store)
+    assert n == 3
+    assert layout.registry_block_ids(spark, store) == [0, 1]
+    got = sorted(
+        (r.ts_ms, r.value)
+        for r in layout.read_samples(spark, store).collect()
+    )
+    assert got == [(1000, 1.5), (8000000, 2.5), (9000000, 3.5)]
