@@ -113,3 +113,45 @@ def ingest_exposition(
     series.write.mode("append").parquet(f"{store_path}/series")
     layout.refresh_registry(spark, store_path, block_ms)
     return samples.count()
+
+
+def format_exposition(
+    samples: DataFrame, series: DataFrame, with_ts: bool = True
+) -> DataFrame:
+    """The inverse: (samples, series) -> exposition text lines (a
+    distributed /metrics exporter / federation endpoint body). Label
+    pairs are sorted canonically; __name__ becomes the metric name.
+    Output: one `line` column, ordered by (series_id, ts_ms) for
+    deterministic bodies. parse_exposition(format_exposition(x)) == x
+    for the supported subset (round-trip pinned in tests)."""
+    lbl = F.filter(
+        F.array_sort(F.map_entries(F.col("labels"))),
+        lambda e: e.getField("key") != "__name__",
+    )
+    blob = F.array_join(
+        F.transform(
+            lbl,
+            lambda e: F.concat(
+                e.getField("key"), F.lit('="'), e.getField("value"), F.lit('"')
+            ),
+        ),
+        ",",
+    )
+    name = F.col("labels").getItem("__name__")
+    head = F.when(F.size(lbl) > 0, F.concat(name, F.lit("{"), blob, F.lit("}"))).otherwise(name)
+    # %.17g-style shortest-roundtrip formatting isn't reachable from
+    # Spark SQL; cast(double as string) is Java's shortest repr, which
+    # parses back to the identical double — exactly what we need
+    val = F.when(F.isnan(F.col("value")), F.lit("NaN")).when(
+        F.col("value") == float("inf"), F.lit("+Inf")
+    ).when(F.col("value") == float("-inf"), F.lit("-Inf")).otherwise(
+        F.col("value").cast("string")
+    )
+    line = F.concat_ws(" ", head, val, *(
+        [F.col("ts_ms").cast("string")] if with_ts else []
+    ))
+    return (
+        samples.join(series, "series_id")
+        .orderBy("series_id", "ts_ms")
+        .select(line.alias("line"))
+    )

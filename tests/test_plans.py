@@ -282,3 +282,34 @@ def test_parsed_rollup_binop_single_fact_pass(querier):
         .split("== Initial Plan ==")[0]
     )
     assert final.count("Window") == 1
+
+
+def test_asof_join_plans_no_join_operator(spark):
+    # as-of = union + carry-forward window: the plan must contain NO
+    # join at all (a range/theta join here would be the 100 TB killer)
+    from agni_spark.functions.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, ts_ms long, t string")
+    right = spark.createDataFrame([(1, 5, 2.0)], "k long, r_ts long, v double")
+    plan = _formatted(
+        asof_join(left, right, on=["k"], left_ts="ts_ms", right_ts="r_ts")
+    )
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+              "CartesianProduct"):
+        assert j not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    # bucketed interval join must plan an EQUI join (hash/sort-merge on
+    # key+bucket), never BroadcastNestedLoop/cartesian
+    from agni_spark.functions.relational import interval_join
+
+    pts = spark.createDataFrame([(1, 10)], "k long, ts_ms long")
+    ivs = spark.createDataFrame(
+        [(1, 0, 100)], "k long, start_ms long, end_ms long"
+    )
+    plan = _formatted(interval_join(pts, ivs, on=["k"], bucket_ms=50))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)

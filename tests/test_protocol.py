@@ -556,3 +556,20 @@ def test_exposition_ingest_roundtrip(spark, tmp_path):
         for r in layout.read_samples(spark, store).collect()
     )
     assert got == [(1000, 1.5), (8000000, 2.5), (9000000, 3.5)]
+
+
+def test_exposition_roundtrip_format_then_parse(spark):
+    from agni_spark.protocol.exposition import (
+        format_exposition,
+        parse_exposition,
+    )
+
+    text = [
+        'jobs_total{env="prod",job="api"} 12.5 1000',
+        'jobs_total{env="dev",job="api"} 0.25 2000',
+        "uptime_seconds 3.0 1000",
+    ]
+    lines = spark.createDataFrame([(s,) for s in text], "line string")
+    samples, series = parse_exposition(lines)
+    out = [r.line for r in format_exposition(samples, series).collect()]
+    assert sorted(out) == sorted(text)
