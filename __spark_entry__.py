@@ -705,6 +705,35 @@ def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "env", "bucket_ms")
 
 
+def _q_federated_read(spark: SparkSession, sf: str) -> DataFrame:
+    # Thanos-style fan-in: store B is an HA replica that re-ingested a
+    # tenth of the series with corrected values at a HIGHER _seq; the
+    # federated read must prefer B's rows per (series, ts) and union
+    # the rest — the oracle applies the same correction analytically
+    from agni_spark.querier import federated_querier
+
+    q = _querier(spark, sf)
+    a = Querier(
+        q.samples.withColumn("_seq", F.lit(1).cast("long")),
+        q.series, q.series_labels,
+    )
+    b = Querier(
+        q.samples.where(F.col("series_id") % 10 == 0)
+        .withColumn("value", F.col("value") + F.lit(1.0))
+        .withColumn("_seq", F.lit(2).cast("long")),
+        q.series, q.series_labels,
+    )
+    fed = federated_querier([a, b])
+    return (
+        fed.samples.groupBy("series_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("series_id")
+    )
+
+
 def _q_tsdb_downsample_route(spark: SparkSession, sf: str) -> DataFrame:
     # downsampled rollup tier (Thanos pattern): materialize 3h and 6h
     # partial-aggregate resolutions, answer a 12h agg_over_time from
@@ -1394,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_at_end": _q_promql_at_end,
         "promql_alert_for": _q_promql_alert_for,
         "tsdb_downsample_route": _q_tsdb_downsample_route,
+        "federated_read": _q_federated_read,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -2621,6 +2651,14 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE ser.env = 'prod'"
             "  AND s.ts_ms BETWEEN 1705504799001 AND 1705505099000) "
             "WHERE rn = 1 ORDER BY series_id"
+        ),
+        "federated_read": q(
+            ", d AS (SELECT series_id, ts_ms, max(value) AS value "
+            "FROM samples GROUP BY 1, 2) "
+            "SELECT series_id, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(CASE WHEN series_id % 10 = 0 THEN value + 1.0 "
+            "ELSE value END), 4) AS sum_value "
+            "FROM d GROUP BY series_id ORDER BY series_id"
         ),
         "tsdb_downsample_route": q(
             "SELECT series_id, "

@@ -285,3 +285,38 @@ def merge_on_read(samples: DataFrame) -> DataFrame:
     return samples.groupBy("series_id", "ts_ms").agg(
         F.max("value").alias("value")
     )
+
+
+def federated_querier(queriers: list[Querier], dedupe: bool = True) -> Querier:
+    """Fan-in over N stores (the Thanos Store-API / agni multi-tenant
+    read pattern: every Prometheus ships its own block store; queries
+    see one logical TSDB). Samples/series/postings union lazily —
+    Catalyst pushes matcher predicates and time bounds into EVERY
+    store's scan independently, so federation adds no shuffle of its
+    own; with `dedupe`, overlapping stores (HA pairs shipping the same
+    samples) resolve per (series, ts) through merge_on_read's
+    last-ingested-wins before use.
+
+    Stores with and without `_seq` can mix: rows lacking a sequence
+    union in as NULL, and NULLs lose to any real sequence under
+    max_by's struct ordering — replicas that stamp sequences win over
+    legacy writes, which is the conservative choice."""
+    if not queriers:
+        raise ValueError("federated_querier needs at least one store")
+    samples = queriers[0].samples
+    for q in queriers[1:]:
+        samples = samples.unionByName(q.samples, allowMissingColumns=True)
+    series = queriers[0].series
+    for q in queriers[1:]:
+        series = series.unionByName(q.series, allowMissingColumns=True)
+    labels = queriers[0].series_labels
+    for q in queriers[1:]:
+        labels = labels.unionByName(q.series_labels)
+    blocks = None
+    if all(q.blocks is not None for q in queriers):
+        blocks = queriers[0].blocks
+        for q in queriers[1:]:
+            blocks = blocks.unionByName(q.blocks, allowMissingColumns=True)
+    if dedupe:
+        samples = merge_on_read(samples)
+    return Querier(samples, series.distinct(), labels.distinct(), blocks)

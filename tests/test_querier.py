@@ -223,3 +223,44 @@ def test_interval_join_bucketing_exact(spark):
         ivs, on=["k"], bucket_ms=3600,
     ).collect()
     assert sorted(r.name for r in out2) == ["i1", "i2"]
+
+
+def test_federated_querier_dedupes_last_wins(spark):
+    from pyspark.sql import functions as F
+
+    from agni_spark.querier import federated_querier
+
+    def mk(rows, seq=None):
+        s = spark.createDataFrame(
+            rows, "series_id long, ts_ms long, value double"
+        )
+        if seq is not None:
+            s = s.withColumn("_seq", F.lit(seq).cast("long"))
+        series = spark.createDataFrame([(1,), (2,)], "series_id long")
+        sl = spark.createDataFrame(
+            [(1, "job", "api"), (2, "job", "web")],
+            "series_id long, name string, value string",
+        )
+        return Querier(s, series, sl)
+
+    # HA pair: store B re-ingested (1,100) with a different value and a
+    # HIGHER sequence; store A alone has (2,150)
+    a = mk([(1, 100, 1.0), (2, 150, 9.0)], seq=1)
+    b = mk([(1, 100, 5.0)], seq=2)
+    fed = federated_querier([a, b])
+    got = {
+        (r.series_id, r.ts_ms): r.value
+        for r in fed.samples.collect()
+    }
+    assert got == {(1, 100): 5.0, (2, 150): 9.0}  # seq 2 wins, no dupes
+    # matcher selection works over the federated postings
+    sel = fed.select([eq("job", "api")]).collect()
+    assert [(r.series_id, r.value) for r in sel] == [(1, 5.0)]
+    # legacy store without _seq loses to any sequenced replica
+    c = Querier(
+        spark.createDataFrame([(1, 100, 99.0)], "series_id long, ts_ms long, value double"),
+        spark.createDataFrame([(1,)], "series_id long"),
+        spark.createDataFrame([(1, "job", "api")], "series_id long, name string, value string"),
+    )
+    fed2 = federated_querier([c, b])
+    assert {r.value for r in fed2.samples.collect()} == {5.0}
