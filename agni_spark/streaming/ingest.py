@@ -251,3 +251,99 @@ def stream_ship(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ship_exposition(
+    spark: SparkSession,
+    src_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    block_ms: int = 7_200_000,
+    available_now: bool = True,
+):
+    """Streaming scrape ingest: a directory of exposition-format text
+    files (each scrape drop = one file) parsed with the SAME JVM-side
+    expressions as the batch path (protocol.exposition) and shipped
+    into the registry-committed block store. The series dim appends
+    per batch (ids are deterministic label-set hashes, so replays and
+    re-scrapes land identical ids and merge-on-read dedupes)."""
+    from agni_spark.protocol.exposition import parse_exposition
+    from agni_spark.sources import layout
+
+    stream = (
+        spark.readStream.format("text")
+        .load(src_dir)
+        .withColumnRenamed("value", "line")
+    )
+
+    def _ship(batch_df: DataFrame, batch_id: int) -> None:
+        samples, series = parse_exposition(batch_df)
+        series.write.mode("append").parquet(f"{store_path}/series")
+        layout.write_blocks(
+            samples, store_path, block_ms=block_ms, mode="append",
+            seq=batch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_ship)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_downsample(
+    spark: SparkSession,
+    src_dir: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    res_ms: int,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Continuously-maintained downsample tier: the streaming twin of
+    sources.downsample.write_downsampled. Partial aggregates per
+    (series, res-bucket) accumulate in streaming state behind a
+    watermark; each FINALIZED bucket appends once to the rollup store
+    (append output mode — closed windows only, so the store never
+    holds a bucket twice). Algebraic partials (n/sum/min/max/
+    first/last) re-aggregate downstream exactly like batch-built
+    resolutions."""
+    t = F.struct(F.col("ts_ms"), F.col("value"))
+    stream = (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", watermark)
+    )
+    rolled = (
+        stream.groupBy(
+            "series_id",
+            F.window("ts", f"{res_ms} milliseconds").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min(t).getField("value").alias("first_value"),
+            F.max(t).getField("value").alias("last_value"),
+        )
+        .select(
+            "series_id",
+            F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+            "n", "sum_value", "min_value", "max_value",
+            "first_value", "last_value",
+        )
+    )
+    writer = (
+        rolled.writeStream.format("parquet")
+        .option("path", f"{rollup_path}/res={res_ms}")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

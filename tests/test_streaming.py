@@ -246,3 +246,76 @@ def test_stream_ship_registry_commit(spark, tmp_path):
     df = layout.read_samples(spark, store)
     assert df.count() == 70
     assert df.where("series_id = 9").count() == 10
+
+
+def test_stream_ship_exposition(spark, tmp_path):
+    from agni_spark.sources import layout
+    from agni_spark.streaming.ingest import stream_ship_exposition
+
+    src = tmp_path / "scrapes"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "scrape1.txt").write_text(
+        'up{job="api"} 1 100\nup{job="api"} 1 1100\nup{job="web"} 0 150\n'
+    )
+    q = stream_ship_exposition(spark, str(src), store, ckpt, block_ms=1000)
+    q.awaitTermination(120)
+    assert layout.registry_block_ids(spark, store) == [0, 1]
+    got = layout.read_samples(spark, store)
+    assert got.count() == 3
+    series = spark.read.parquet(f"{store}/series")
+    labs = {tuple(sorted(dict(r.labels).items())) for r in series.collect()}
+    assert (("__name__", "up"), ("job", "api")) in labs
+
+    # second scrape file: incremental, checkpointed
+    (src / "scrape2.txt").write_text('up{job="api"} 1 2100\n')
+    q2 = stream_ship_exposition(spark, str(src), store, ckpt, block_ms=1000)
+    q2.awaitTermination(120)
+    assert layout.registry_block_ids(spark, store) == [0, 1, 2]
+
+
+def test_stream_downsample_matches_batch_rollup(spark, tmp_path):
+    from agni_spark.sources import downsample
+    from agni_spark.streaming.ingest import stream_downsample
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(s, t, float(s * 10 + t % 7)) for s in range(2)
+            for t in range(0, 4000, 250)]
+    df = spark.createDataFrame(
+        rows, "series_id long, ts_ms long, value double"
+    )
+    df.coalesce(1).write.parquet(str(src / "f1"))
+    # a late marker row far ahead closes all earlier windows past the
+    # watermark so append mode emits them
+    spark.createDataFrame(
+        [(0, 100_000_000, 0.0)], "series_id long, ts_ms long, value double"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream_path = str(tmp_path / "roll_stream")
+    q = stream_downsample(
+        spark, f"{src}/*", stream_path, str(tmp_path / "ckpt"),
+        res_ms=1000, watermark="1 milliseconds",
+    )
+    q.awaitTermination(120)
+
+    batch_path = str(tmp_path / "roll_batch")
+    downsample.write_downsampled(df, batch_path, 1000)
+
+    s = {
+        (r.series_id, r.bucket_ms): (
+            r.n, r.sum_value, r.min_value, r.max_value,
+            r.first_value, r.last_value,
+        )
+        for r in spark.read.parquet(f"{stream_path}/res=1000").collect()
+        if r.bucket_ms < 10_000  # drop the marker's own bucket if closed
+    }
+    b = {
+        (r.series_id, r.bucket_ms): (
+            r.n, r.sum_value, r.min_value, r.max_value,
+            r.first_value, r.last_value,
+        )
+        for r in spark.read.parquet(f"{batch_path}/res=1000").collect()
+    }
+    assert s == b  # streaming-maintained partials == batch-built
