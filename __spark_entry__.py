@@ -1382,6 +1382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_label_values_for": _q_m5_label_values_for,
         "promql_delta": _q_promql_delta,
         "promql_agg_over_time": _q_promql_agg_over_time,
+        "promql_mad_over_time": lambda s, d: promql.mad_over_time(
+            _querier(s, d).samples, H6_MS
+        ).orderBy("series_id", "bucket_ms"),
         "tsdb_downsample_ohlc": lambda s, d: promql.downsample_ohlc(
             _querier(s, d).samples, H6_MS
         ).orderBy("series_id", "bucket_ms"),
@@ -2085,6 +2088,17 @@ def oracle_sql() -> dict[str, str]:
             "max(value) AS max_value, round(sum(value), 4) AS sum_value, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "promql_mad_over_time": q(
+            ", b AS (SELECT series_id, "
+            "CAST(ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms, "
+            "value FROM samples), "
+            "med AS (SELECT series_id, bucket_ms, "
+            "quantile_cont(value, 0.5) AS med FROM b GROUP BY 1, 2) "
+            "SELECT b.series_id, b.bucket_ms, "
+            "round(quantile_cont(abs(b.value - med.med), 0.5), 6) AS mad "
+            "FROM b JOIN med USING (series_id, bucket_ms) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "tsdb_downsample_ohlc": q(
             "SELECT series_id, "

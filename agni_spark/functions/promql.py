@@ -854,3 +854,23 @@ def alert_for_state(
             F.lit("pending")
         ),
     )
+
+
+def mad_over_time(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """mad_over_time (Prometheus experimental): median absolute
+    deviation of values per (series, bucket). Two passes over the same
+    bucket key — per-bucket median (exact interpolated percentile),
+    then the median of |x - median| — the second groupBy reuses the
+    first's partitioning, so AQE plans one real exchange."""
+    med = samples.groupBy("series_id", bucket_start(bucket_ms)).agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    joined = samples.select(
+        "series_id", bucket_start(bucket_ms), "value"
+    ).join(med, ["series_id", "bucket_ms"])
+    return joined.groupBy("series_id", "bucket_ms").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+            ROUND_AVG,
+        ).alias("mad")
+    )
