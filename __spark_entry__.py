@@ -1469,6 +1469,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": lambda s, d: relational.events_value_percentiles(
             s, d
         ),
+        "documents_profile": lambda s, d: relational.profile_columns(
+            _docs(s, d), ["doc_id", "lang", "source", "n_chars"]
+        ),
+        # rows-only by declaration: HLL++ is approximate — the sketch
+        # answer has no SQL-equal twin; the 2% rsd bound vs exact
+        # countDistinct is pinned in tests/test_querier.py
+        "events_approx_users": lambda s, d: dm.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        )
+        .orderBy("event_type"),
         "text_fingerprint": _q_text_fingerprint,
         "text_top_ngrams": _q_text_top_ngrams,
         "text_gopher_rules": _q_text_gopher_rules,
@@ -1477,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(_docs(s, d)),
         "text_bm25_topk": _q_text_bm25_topk,  # oracle below
         "text_tfidf_keywords": lambda s, d: text.tfidf_keywords(_docs(s, d)),
+        "text_pmi_bigrams": lambda s, d: text.pmi_bigrams(_docs(s, d)),
         "text_split_assign": _q_text_split_assign,
         "text_stratified_sample": _q_text_stratified_sample,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
@@ -3220,6 +3233,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id "
             "AND p.ts_ms >= v.view_ts_ms ORDER BY p.event_id"
         ),
+        "documents_profile": """
+WITH p AS (
+  SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_null,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+    CAST(min(doc_id) AS VARCHAR) AS min_str,
+    CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents
+  UNION ALL
+  SELECT 'lang', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT lang) AS BIGINT),
+    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'source', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT source) AS BIGINT),
+    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT n_chars) AS BIGINT),
+    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+  FROM documents)
+SELECT * FROM p ORDER BY "column"
+""",
         "events_value_percentiles": (
             "SELECT event_type, "
             "round(quantile_cont(value, 0.5), 6) AS p50, "
@@ -3438,6 +3478,29 @@ ranked AS (SELECT doc_id, term, score,
            FROM scored)
 SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
 ORDER BY doc_id, rk
+""",
+        "text_pmi_bigrams": """
+WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM
+        (SELECT unnest(w) AS t FROM w) WHERE t <> '' GROUP BY t),
+bi AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS c_ab FROM
+       (SELECT w[i] AS a, w[i + 1] AS b FROM
+        (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM w))
+       WHERE a <> '' AND b <> '' GROUP BY a, b
+       HAVING count(*) >= 5),
+tot AS (SELECT (SELECT sum(c) FROM uni) AS n_uni,
+               (SELECT sum(c_ab) FROM bi) AS n_bi),
+scored AS (
+  SELECT bi.a, bi.b, bi.c_ab,
+         floor(ln((bi.c_ab / n_bi)
+               / ((ua.c / n_uni) * (ub.c / n_uni))) * 1e6 + 0.5) / 1e6
+           AS pmi
+  FROM bi JOIN uni ua ON ua.t = bi.a JOIN uni ub ON ub.t = bi.b
+  CROSS JOIN tot),
+ranked AS (SELECT a, b, CAST(c_ab AS BIGINT) AS n, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS INT) AS rk
+           FROM scored)
+SELECT a, b, n, pmi, rk FROM ranked WHERE rk <= 20 ORDER BY rk
 """,
         "text_contamination": (
             "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "

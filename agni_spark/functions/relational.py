@@ -1221,3 +1221,38 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile (the Deequ/Great-Expectations analyzer
+    shape): per column — row count, null count, distinct count, min,
+    max (min/max cast to string so heterogeneous column types share
+    one result schema). ONE pass over the data: all per-column
+    aggregates evaluate in a single Aggregate node (no per-column
+    scans), then a tiny unpivot on the 1-row result."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nulls").alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )

@@ -560,3 +560,60 @@ def tfidf_keywords(docs: DataFrame, top: int = 3) -> DataFrame:
         .select("doc_id", F.col("w").alias("term"), "score", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+def pmi_bigrams(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(a,b) = ln( (c_ab/B) / ((c_a/N)(c_b/N)) ) over corpus bigram/
+    unigram counts (the classic Church & Hanks association measure).
+    Whole pipeline = one explode for unigrams + one for bigrams, two
+    map-side-combining counts, broadcast scalars; 6dp floor-discretized
+    so cross-engine division order can't flip the ranking ties (rank
+    breaks on the pair text anyway)."""
+    from pyspark.sql import Window
+
+    w = docs.select(F.split(F.col("text"), " ").alias("w"))
+    uni = (
+        w.select(F.explode("w").alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    bi = (
+        w.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS a, "
+                    "element_at(w, i + 1) AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .where((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("n_bi"))
+    )
+    pmi = F.floor(
+        F.log(
+            (F.col("c_ab") / F.col("n_bi"))
+            / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
+        )
+        * 1e6
+        + 0.5
+    ) / 1e6
+    win = Window.orderBy(F.col("pmi").desc(), "a", "b")
+    return (
+        bi.join(uni.select(F.col("t").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("t").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("pmi", pmi)
+        .withColumn("rk", F.row_number().over(win).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("a", "b", F.col("c_ab").cast("long").alias("n"), "pmi", "rk")
+        .orderBy("rk")
+    )

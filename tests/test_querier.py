@@ -264,3 +264,16 @@ def test_federated_querier_dedupes_last_wins(spark):
     )
     fed2 = federated_querier([c, b])
     assert {r.value for r in fed2.samples.collect()} == {5.0}
+
+
+def test_approx_count_distinct_error_bound(spark):
+    # HLL++ at rsd=0.02 must land within 5% of exact on a 10k-key set
+    from pyspark.sql import functions as F
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 10_000).alias("k")
+    )
+    approx = df.agg(
+        F.approx_count_distinct("k", rsd=0.02).alias("a")
+    ).first()["a"]
+    assert abs(approx - 10_000) / 10_000 < 0.05
