@@ -459,6 +459,20 @@ def _q_promql_parsed_topk_by(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "rk")
 
 
+def _q_promql_parsed_group_left_carry(spark: SparkSession, sf: str) -> DataFrame:
+    # group_left(metric): the label-carry list — labels COPIED from the
+    # "one" side onto the many side's output rows
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job, env) (increase(event_error[1d]))"
+        " / on(job) group_left(metric)"
+        " max by (job, metric) (increase(event_click[1d]))",
+    )
+    return out.orderBy("job", "env", "bucket_ms")
+
+
 def _q_promql_parsed_limitk(spark: SparkSession, sf: str) -> DataFrame:
     from agni_spark import promql_parser as pql
 
@@ -1407,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_limitk": _q_promql_parsed_limitk,
         "promql_parsed_limit_ratio": _q_promql_parsed_limit_ratio,
         "promql_rule_group": _q_promql_rule_group,
+        "promql_parsed_group_left_carry": _q_promql_parsed_group_left_carry,
         "promql_parsed_histquant": _q_promql_parsed_histquant,
         "promql_parsed_scalar_ratio": _q_promql_parsed_scalar_ratio,
         "promql_parsed_time_fn": _q_promql_parsed_time_fn,
@@ -2186,6 +2201,33 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'job:errors:increase1d', job, bucket_ms, value"
             " FROM agg WHERE metric = 'event_error' "
             "ORDER BY rule, job, bucket_ms"
+        ),
+        "promql_parsed_group_left_carry": q(
+            ", inc AS ("
+            "  SELECT ser.metric, ser.job, ser.env, s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  s.ts_ms, s.value,"
+            "  lag(s.value) OVER (PARTITION BY s.series_id"
+            "                     ORDER BY s.ts_ms, s.value) AS prev"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric IN ('event_error', 'event_click')),"
+            "persr AS ("
+            "  SELECT metric, job, env, series_id, bucket_ms,"
+            "  round(sum(CASE WHEN value >= prev THEN value - prev"
+            "            ELSE value END), 4) AS value"
+            "  FROM inc WHERE prev IS NOT NULL GROUP BY 1, 2, 3, 4, 5),"
+            "many AS ("
+            "  SELECT job, env, bucket_ms, round(sum(value), 4) AS value"
+            "  FROM persr WHERE metric = 'event_error' GROUP BY 1, 2, 3),"
+            "one AS ("
+            "  SELECT job, metric, bucket_ms, max(value) AS value"
+            "  FROM persr WHERE metric = 'event_click' GROUP BY 1, 2, 3)"
+            "SELECT m.job, m.env, m.bucket_ms, o.metric,"
+            " round(CASE WHEN o.value <> 0 THEN m.value / o.value END, 6)"
+            "  AS value "
+            "FROM many m JOIN one o ON m.job = o.job"
+            " AND m.bucket_ms = o.bucket_ms "
+            "ORDER BY m.job, m.env, m.bucket_ms"
         ),
         "promql_parsed_limitk": q(
             ", sel AS (SELECT s.series_id, s.value FROM samples s "

@@ -294,6 +294,9 @@ class BinOp:
     group_left: bool = False
     group_right: bool = False
     bool_mode: bool = False  # `> bool` etc.: 0/1 value, no filtering
+    # group_left(l1, ...) / group_right(l1, ...): labels COPIED from
+    # the "one" side onto the result (Prometheus label-carry list)
+    carry_labels: tuple = ()
 
 
 def parse(text: str) -> "Agg | Func | Selector | BinOp":
@@ -342,6 +345,7 @@ def _parse_binop(
             return left
         op = toks.next()
         mode, labels, gl, gr, bool_mode = None, (), False, False, False
+        carry_labels: tuple = ()
         if toks.peek() == "bool":
             if op not in _CMP_FNS:
                 raise ValueError("bool modifier only applies to comparisons")
@@ -363,6 +367,15 @@ def _parse_binop(
             elif toks.peek() == "group_right":
                 toks.next()
                 gr = True
+            if (gl or gr) and toks.peek() == "(":
+                toks.next()
+                cl = []
+                while toks.peek() != ")":
+                    cl.append(toks.next())
+                    if toks.peek() == ",":
+                        toks.next()
+                toks.expect(")")
+                carry_labels = tuple(cl)
         right = _parse_binop(toks, _PREC[op] + 1)  # left-assoc
         if op in _SETOPS and (
             isinstance(left, float) or isinstance(right, float)
@@ -372,7 +385,9 @@ def _parse_binop(
             isinstance(left, float) or isinstance(right, float)
         ):
             raise ValueError("vector matching requires vector operands")
-        left = BinOp(op, left, right, mode, labels, gl, gr, bool_mode)
+        left = BinOp(
+            op, left, right, mode, labels, gl, gr, bool_mode, carry_labels
+        )
 
 
 def _parse_operand(toks: _Tokens) -> "Agg | Func | Selector | BinOp | float":
@@ -1575,7 +1590,8 @@ def _compile_binop(
     # group_left / group_right: many-to-one matching — the MANY side's
     # extra label columns carry through; the "one" side reduces to
     # key+value and is the natural broadcast side (unique per key,
-    # enforced upstream by aggregation)
+    # enforced upstream by aggregation). group_left(l1,...) ALSO copies
+    # the listed labels from the "one" side (Prometheus label carry).
     if expr.group_right:
         # mirror of group_left with the roles swapped; operand order
         # in the value expression is preserved (left is the "one")
@@ -1584,20 +1600,28 @@ def _compile_binop(
                 "comparison with group_right is unsupported (use bool)"
             )
         carry = [c for c in r.columns if c not in keys and c != "value"]
+        picked = _pick_carry(expr.carry_labels, l, r, keys, carry)
         lhs = F.broadcast(
-            l.withColumnRenamed("value", "_l").select(*keys, "_l")
+            l.withColumnRenamed("value", "_l").select(*keys, *picked, "_l")
         )
         joined = r.withColumnRenamed("value", "_r").join(lhs, keys)
+        carry += picked
     else:
         carry = (
             [c for c in l.columns if c not in keys and c != "value"]
             if expr.group_left
             else []
         )
-        rhs = r.withColumnRenamed("value", "_r").select(*keys, "_r")
+        picked = (
+            _pick_carry(expr.carry_labels, r, l, keys, carry)
+            if expr.group_left
+            else []
+        )
+        rhs = r.withColumnRenamed("value", "_r").select(*keys, *picked, "_r")
         if expr.group_left:
             rhs = F.broadcast(rhs)
         joined = l.withColumnRenamed("value", "_l").join(rhs, keys)
+        carry += picked
     if expr.op in _CMP_FNS:
         cmp = _CMP_FNS[expr.op](F.col("_l"), F.col("_r"))
         if expr.bool_mode:
@@ -1618,6 +1642,24 @@ def _compile_binop(
             _ARITH_FNS[expr.op](F.col("_l"), F.col("_r")), promql.ROUND_AVG
         ).alias("value"),
     )
+
+
+def _pick_carry(requested, one, many, keys, existing) -> list[str]:
+    """Validate a group_left/right label-carry list against the ONE
+    side's columns (must exist there; must not collide with what the
+    MANY side already contributes)."""
+    picked = []
+    for lbl in requested:
+        if lbl not in one.columns:
+            raise ValueError(
+                f"carry label {lbl!r} absent from the one side"
+            )
+        if lbl in keys or lbl in existing or lbl in many.columns:
+            raise ValueError(
+                f"carry label {lbl!r} collides with an output column"
+            )
+        picked.append(lbl)
+    return picked
 
 
 def query(
