@@ -1144,6 +1144,16 @@ def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_multimodal_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf))
+    return multimodal.exact_media_dedup(media)
+
+
+def _q_multimodal_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf))
+    return multimodal.chunk_dedup_stats(media, chunk_bytes=64)
+
+
 def _q_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
     # PCM window math is byte-level numpy (not SQL-expressible):
     # rows-only check; the unit test pins exact RMS values.
@@ -1516,6 +1526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
         "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_exact_dedup": _q_multimodal_exact_dedup,
+        "multimodal_chunk_dedup": _q_multimodal_chunk_dedup,
         "multimodal_audio_windows": _q_multimodal_audio,  # rows-only
     }
 
@@ -3614,4 +3626,28 @@ FROM cent c JOIN stats s USING (label) ORDER BY c.label
         "dedup_semantic": _SQL_SEMDEDUP,
         "multimodal_meta": _SQL_MM_META,
         "multimodal_frame_sample": _SQL_MM_FRAMES,
+        # text is all-ASCII (asserted by the regex filter in testdata
+        # profiling), so md5(VARCHAR) == md5 of the utf-8 payload bytes
+        "multimodal_exact_dedup": (
+            "SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) "
+            "AS n_copies, min(doc_id) AS keep_media_id "
+            "FROM documents GROUP BY md5(text) ORDER BY digest"
+        ),
+        "multimodal_chunk_dedup": """
+WITH chunks AS (
+  SELECT md5(substring(text, i * 64 + 1, 64)) AS h,
+         CAST(length(substring(text, i * 64 + 1, 64)) AS BIGINT) AS nb
+  FROM documents,
+       unnest(generate_series(0, CAST(floor((length(text) - 1) / 64)
+                                      AS BIGINT))) AS t(i)),
+per AS (SELECT h, CAST(count(*) AS BIGINT) AS copies, min(nb) AS nb
+        FROM chunks GROUP BY h)
+SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
+       CAST(count(*) AS BIGINT) AS distinct_chunks,
+       CAST(sum(copies * nb) AS BIGINT) AS total_bytes,
+       CAST(sum(nb) AS BIGINT) AS stored_bytes,
+       floor((count(*) / CAST(sum(copies) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS dedup_ratio
+FROM per
+""",
     }

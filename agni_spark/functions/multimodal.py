@@ -174,3 +174,59 @@ def audio_windows(
         "media_id long, window_idx int, start_ms double, "
         "n_samples int, rms double",
     )
+
+
+def exact_media_dedup(media: DataFrame) -> DataFrame:
+    """Payload-identical media dedup: one md5 digest per blob (JVM-side
+    — binary md5 is a built-in, no Python worker), keep the smallest
+    media_id per digest. The binary twin of dedup.dedup_exact; at
+    100 TB this is the first pass of any media-corpus ingest."""
+    return (
+        media.groupBy(F.md5(F.col("payload")).alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("keep_media_id"),
+        )
+        .orderBy("digest")
+    )
+
+
+def chunk_dedup_stats(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
+    """Content-addressable chunk store statistics (the backup-system /
+    blob-CDN dedup model): payloads split into fixed-size chunks, each
+    chunk addressed by its md5 — corpus-level totals vs distinct
+    chunks = the storage the CAS would actually hold.
+
+    Spark shape: sequence+explode generates chunk indices (bounded by
+    payload length — no UDF), substring slices the binary in place,
+    ONE groupBy on the chunk digest. dedup_ratio is 6dp-discretized."""
+    chunks = media.select(
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length(F.col("payload")) - 1) / chunk_bytes),
+            )
+        ).alias("i"),
+    ).select(
+        F.md5(
+            F.expr(f"substring(payload, i * {chunk_bytes} + 1, {chunk_bytes})")
+        ).alias("h"),
+        F.length(
+            F.expr(f"substring(payload, i * {chunk_bytes} + 1, {chunk_bytes})")
+        ).alias("nb"),
+    )
+    per = chunks.groupBy("h").agg(
+        F.count(F.lit(1)).alias("copies"), F.min("nb").alias("nb")
+    )
+    return per.agg(
+        F.sum("copies").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum(F.col("copies") * F.col("nb")).alias("total_bytes"),
+        F.sum("nb").alias("stored_bytes"),
+        (
+            F.floor(
+                (F.count(F.lit(1)) / F.sum("copies")) * 1e6 + 0.5
+            ) / 1e6
+        ).alias("dedup_ratio"),
+    )
