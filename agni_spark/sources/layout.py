@@ -510,3 +510,30 @@ def repair_overlaps(spark: SparkSession, path: str, block_ms: int = BLOCK_MS) ->
     _fs_delete(spark, path)
     _fs_rename(spark, stage, path)
     return n
+
+
+def vacuum_store(spark: SparkSession, path: str) -> list[int]:
+    """GC orphaned data partitions: block dirs present under `data/`
+    but ABSENT from the registry — exactly the debris a crashed write
+    leaves behind under the marker-key-last protocol (data landed,
+    registry rewrite never happened, so no reader has ever seen them).
+    This is the one lifecycle op that MUST list the data dir (orphans
+    are by definition unlisted); everything goes through the Hadoop
+    FileSystem API so it runs against s3a:// unchanged. Registry is
+    untouched — vacuum removes only what was never committed. Returns
+    the orphaned block ids removed."""
+    data_path = os.path.join(path, "data")
+    fs, P = _hfs(spark, data_path)
+    if not fs.exists(P(data_path)):
+        return []
+    committed = set(registry_block_ids(spark, path))
+    removed = []
+    for st in fs.listStatus(P(data_path)):
+        name = st.getPath().getName()
+        if not name.startswith("block_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid not in committed:
+            _fs_delete(spark, os.path.join(data_path, name))
+            removed.append(bid)
+    return sorted(removed)

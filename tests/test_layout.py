@@ -438,3 +438,26 @@ def test_downsample_routing_picks_coarsest_divisor(spark, tmp_path):
     # 0..500 and 600..1100: exact re-aggregation from 300ms partials
     assert out[0] == (6, 1500.0, 0.0, 500.0, 250.0)
     assert out[600] == (6, 5100.0, 600.0, 1100.0, 850.0)
+
+
+def test_vacuum_removes_only_uncommitted_orphans(spark, tmp_path):
+    path = str(tmp_path / "vac_store")
+    samples = spark.createDataFrame(
+        [(0, t, 1.0) for t in range(0, 2000, 250)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(samples, path, block_ms=BLOCK)
+    # simulate a crashed write: a data partition that never got its
+    # registry commit
+    orphan = spark.createDataFrame(
+        [(0, 9500, 7.0)], "series_id long, ts_ms long, value double"
+    ).withColumn("block_id", F.lit(9).cast("long"))
+    orphan.write.partitionBy("block_id").mode("append").parquet(
+        f"{path}/data"
+    )
+    assert layout.registry_block_ids(spark, path) == [0, 1]
+    # readers listing the whole dir would see the orphan; vacuum it
+    assert layout.vacuum_store(spark, path) == [9]
+    assert layout.read_samples(spark, path).count() == 8
+    assert layout.registry_block_ids(spark, path) == [0, 1]
+    assert layout.vacuum_store(spark, path) == []  # idempotent
