@@ -537,3 +537,60 @@ def vacuum_store(spark: SparkSession, path: str) -> list[int]:
             _fs_delete(spark, os.path.join(data_path, name))
             removed.append(bid)
     return sorted(removed)
+
+
+# ---------------------------------------------------------------------------
+# multi-tenancy: one REGISTRY-COMMITTED store per tenant under a common
+# root (the Cortex/Thanos layout — tenant isolation is directory
+# isolation, so per-tenant retention/compaction/vacuum reuse the
+# single-store ops unchanged and a tenant's query can never scan
+# another tenant's bytes).
+# ---------------------------------------------------------------------------
+_TENANT_OK = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_"
+
+
+def tenant_path(root: str, tenant: str) -> str:
+    """Validated per-tenant store path (reject separators — a tenant
+    name must never traverse out of the root)."""
+    if not tenant or any(c not in _TENANT_OK for c in tenant):
+        raise ValueError(f"invalid tenant name {tenant!r}")
+    return os.path.join(root, f"tenant={tenant}")
+
+
+def write_tenant_blocks(
+    samples: DataFrame, root: str, tenant: str, **kwargs
+) -> None:
+    write_blocks(samples, tenant_path(root, tenant), **kwargs)
+
+
+def tenants(spark: SparkSession, root: str) -> list[str]:
+    fs, P = _hfs(spark, root)
+    if not fs.exists(P(root)):
+        return []
+    return sorted(
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(P(root))
+        if st.getPath().getName().startswith("tenant=")
+    )
+
+
+def cross_tenant_samples(
+    spark: SparkSession, root: str, only: list[str] | None = None
+) -> DataFrame:
+    """Federated read across tenants, each row tagged with its tenant
+    (the cross-tenant admin/billing query shape). The union is lazy —
+    per-tenant scans keep their own pruning, and an `only` list is a
+    directory choice, not a filter over everyone's data."""
+    names = only if only is not None else tenants(spark, root)
+    if not names:
+        raise ValueError("no tenants found")
+    parts = [
+        read_samples(spark, tenant_path(root, t)).withColumn(
+            "tenant", F.lit(t)
+        )
+        for t in names
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

@@ -461,3 +461,32 @@ def test_vacuum_removes_only_uncommitted_orphans(spark, tmp_path):
     assert layout.read_samples(spark, path).count() == 8
     assert layout.registry_block_ids(spark, path) == [0, 1]
     assert layout.vacuum_store(spark, path) == []  # idempotent
+
+
+def test_tenant_stores_isolated_and_federated(spark, tmp_path):
+    root = str(tmp_path / "tenants")
+    a = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 1100, 2.0)],
+        "series_id long, ts_ms long, value double",
+    )
+    b = spark.createDataFrame(
+        [(2, 100, 9.0)], "series_id long, ts_ms long, value double"
+    )
+    layout.write_tenant_blocks(a, root, "acme", block_ms=BLOCK)
+    layout.write_tenant_blocks(b, root, "globex", block_ms=BLOCK)
+    assert layout.tenants(spark, root) == ["acme", "globex"]
+    # isolation: a tenant's store is its own registry-committed world
+    assert layout.registry_block_ids(
+        spark, layout.tenant_path(root, "acme")
+    ) == [0, 1]
+    assert layout.read_samples(
+        spark, layout.tenant_path(root, "globex")
+    ).count() == 1
+    # cross-tenant admin read tags provenance
+    x = layout.cross_tenant_samples(spark, root)
+    assert x.count() == 3
+    assert {r.tenant for r in x.collect()} == {"acme", "globex"}
+    only = layout.cross_tenant_samples(spark, root, only=["acme"])
+    assert only.count() == 2
+    with pytest.raises(ValueError):
+        layout.tenant_path(root, "../escape")
