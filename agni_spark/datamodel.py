@@ -266,3 +266,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     t.blocks.createOrReplaceTempView("blocks")
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def label_set_key(labels_map: Column) -> Column:
+    """Canonical sorted `n=v,...` string of a labels map — the
+    engine-wide series identity (same bytes every ingest path hashes:
+    remote-write receiver, exposition parser, rule materializer)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(labels_map)),
+            lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
+        ),
+        ",",
+    )
+
+
+def label_set_id(labels_map: Column) -> Column:
+    """Deterministic 60-bit series id of a labels map (md5 of the
+    canonical key — `server.decode_write`'s python twin, JVM-side)."""
+    from agni_spark.functions.dedup import hash60
+
+    return hash60(label_set_key(labels_map))

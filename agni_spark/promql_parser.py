@@ -1707,3 +1707,48 @@ def rule_group(
     for df in outs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def materialize_rules(
+    querier,
+    rules: dict[str, str],
+    store_path: str,
+    block_ms: int = 7_200_000,
+    mint_ms: int | None = None,
+    maxt_ms: int | None = None,
+    step_ms: int | None = None,
+) -> None:
+    """The ruler's WRITE-BACK: evaluate a recording-rule group (shared
+    compile memo, see rule_group) and persist the results as new
+    series in a registry-committed block store — `__name__` = the rule
+    name, labels = the rule's grouping columns, series ids from the
+    engine-wide canonical label-set hash (the same identity every
+    ingest path derives). The store is then queryable like any other
+    (`querier_from_store`), closing the evaluate -> persist -> query
+    loop. Rules must produce the (labels..., bucket_ms, value) shape;
+    NULL values (e.g. division by an absent denominator) are not
+    recorded, matching Prometheus (no sample, not NaN)."""
+    from agni_spark.datamodel import label_set_id
+    from agni_spark.sources import layout
+
+    out = rule_group(querier, rules, mint_ms, maxt_ms, step_ms)
+    label_cols = [
+        c for c in out.columns if c not in ("rule", "bucket_ms", "value")
+    ]
+    pairs = [F.lit("__name__"), F.col("rule")]
+    for c in label_cols:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    labels = F.map_filter(
+        F.create_map(*pairs), lambda k, v: v.isNotNull()
+    )
+    tagged = (
+        out.where(F.col("value").isNotNull())
+        .withColumn("labels", labels)
+        .withColumn("series_id", label_set_id(F.col("labels")))
+    )
+    series = tagged.select("series_id", "labels").dropDuplicates(["series_id"])
+    samples = tagged.select(
+        "series_id", F.col("bucket_ms").alias("ts_ms"), "value"
+    )
+    series.write.mode("append").parquet(f"{store_path}/series")
+    layout.write_blocks(samples, store_path, block_ms=block_ms, mode="append")

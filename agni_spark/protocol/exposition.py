@@ -63,13 +63,9 @@ def parse_exposition(
         F.create_map(F.lit("__name__"), F.col("name")),
     )
     # canonical sorted "n=v" join == decode_write's python-side key
-    key = F.array_join(
-        F.transform(
-            F.array_sort(F.map_entries(F.col("labels"))),
-            lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
-        ),
-        ",",
-    )
+    from agni_spark.datamodel import label_set_key
+
+    key = label_set_key(F.col("labels"))
     value = F.when(F.col("raw_value") == "+Inf", F.lit(float("inf"))).when(
         F.col("raw_value") == "-Inf", F.lit(float("-inf"))
     ).otherwise(F.col("raw_value").cast("double"))

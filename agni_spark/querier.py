@@ -320,3 +320,43 @@ def federated_querier(queriers: list[Querier], dedupe: bool = True) -> Querier:
     if dedupe:
         samples = merge_on_read(samples)
     return Querier(samples, series.distinct(), labels.distinct(), blocks)
+
+
+def querier_from_store(spark, path: str) -> Querier:
+    """Open a self-describing store — one written by ANY ingest path
+    that lands `data/` + a map-form `series/` dim (remote-write
+    receiver, exposition shipper, rule materializer) — as a Querier.
+
+    The label vocabulary is discovered once from the series dim
+    (O(#distinct label names) driver work, never touches the fact
+    table) and widened into label COLUMNS (`__name__` -> `metric`,
+    the engine's series-dim convention); the postings table is the
+    map exploded. Samples read through the registry-committed data
+    dir with merge-on-read left to the caller's selects."""
+    from agni_spark.sources import layout
+
+    samples = layout.read_samples(spark, path)
+    cols = ["series_id", "ts_ms", "value"] + (
+        ["_seq"] if "_seq" in samples.columns else []
+    )
+    samples = samples.select(*cols)
+    ser = spark.read.parquet(f"{path}/series").dropDuplicates(["series_id"])
+    names = sorted(
+        r.k
+        for r in ser.select(
+            F.explode(F.map_keys(F.col("labels"))).alias("k")
+        ).distinct().collect()
+    )
+    wide = ser.select(
+        "series_id",
+        *[
+            F.col("labels").getItem(k).alias(
+                "metric" if k == "__name__" else k
+            )
+            for k in names
+        ],
+    )
+    labels_long = ser.select(
+        "series_id", F.explode(F.col("labels"))
+    ).withColumnsRenamed({"key": "name"})
+    return Querier(samples, wide, labels_long)

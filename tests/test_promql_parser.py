@@ -796,3 +796,32 @@ def test_at_sentinel_requires_bounds(querier):
 
     with _pytest.raises(ValueError, match="requires explicit query bounds"):
         pql.query(querier, "event_click @ start()").collect()
+
+
+def test_materialize_rules_roundtrip(spark, querier, tmp_path):
+    # evaluate -> persist -> query-back: the ruler loop
+    from pyspark.sql import functions as F
+
+    from agni_spark import promql_parser as pql
+    from agni_spark.matchers import eq
+    from agni_spark.querier import querier_from_store
+
+    store = str(tmp_path / "rules_store")
+    rules = {
+        "job:clicks:increase1d": "sum by (job) (increase(event_click[1d]))",
+    }
+    pql.materialize_rules(querier, rules, store)
+
+    back = querier_from_store(spark, store)
+    # the recorded metric is selectable by its rule name like any metric
+    got = back.select([eq("__name__", "job:clicks:increase1d")])
+    direct = pql.query(querier, "sum by (job) (increase(event_click[1d]))")
+    d = {
+        (r.job, r.bucket_ms): r.value
+        for r in direct.where(F.col("value").isNotNull()).collect()
+    }
+    jobs = {r.series_id: r.job for r in back.series.collect()}
+    g = {(jobs[r.series_id], r.ts_ms): r.value for r in got.collect()}
+    assert g == d and len(g) > 0
+    # label API works over the store-backed querier
+    assert back.label_values("job") is not None
