@@ -719,6 +719,15 @@ def _q_promql_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("job", "env", "bucket_ms")
 
 
+def _q_events_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    # generalized N-step funnel (arbitrary ordered step list)
+    ev = dm.load(spark, sf, "events")
+    base = ev.select("user_id", dm.ms_col(ev, "ts").alias("ts_ms"), "event_type")
+    return relational.funnel_steps(
+        base, ["view", "click", "purchase", "signup"], gap_ms=86_400_000
+    )
+
+
 def _q_federated_read(spark: SparkSession, sf: str) -> DataFrame:
     # Thanos-style fan-in: store B is an HA replica that re-ingested a
     # tenth of the series with corrected values at a HIGHER _seq; the
@@ -1406,6 +1415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_label_values_for": _q_m5_label_values_for,
         "promql_delta": _q_promql_delta,
         "promql_agg_over_time": _q_promql_agg_over_time,
+        "promql_zscore_anomaly": lambda s, d: promql.zscore_over_time(
+            _querier(s, d).samples, H6_MS
+        ).orderBy("series_id", "ts_ms", "value"),
         "promql_mad_over_time": lambda s, d: promql.mad_over_time(
             _querier(s, d).samples, H6_MS
         ).orderBy("series_id", "bucket_ms"),
@@ -1452,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_alert_for": _q_promql_alert_for,
         "tsdb_downsample_route": _q_tsdb_downsample_route,
         "federated_read": _q_federated_read,
+        "events_funnel_steps": _q_events_funnel_steps,
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -2129,6 +2142,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n "
             "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "promql_zscore_anomaly": q(
+            "SELECT series_id, ts_ms, value, "
+            "CASE WHEN v2 - m * m > 0 THEN "
+            "round((value - m) / sqrt(v2 - m * m), 6) END AS zscore "
+            "FROM (SELECT series_id, ts_ms, value, "
+            "avg(value) OVER w AS m, avg(value * value) OVER w AS v2 "
+            "FROM samples WINDOW w AS (PARTITION BY series_id ORDER BY ts_ms "
+            "RANGE BETWEEN 21600000 PRECEDING AND 1 PRECEDING)) "
+            "ORDER BY series_id, ts_ms, value"
+        ),
         "promql_mad_over_time": q(
             ", b AS (SELECT series_id, "
             "CAST(ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms, "
@@ -2732,6 +2755,29 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE ser.env = 'prod'"
             "  AND s.ts_ms BETWEEN 1705504799001 AND 1705505099000) "
             "WHERE rn = 1 ORDER BY series_id"
+        ),
+        "events_funnel_steps": (
+            "WITH base AS (SELECT user_id, "
+            "CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events), "
+            "s1 AS (SELECT user_id, min(ts_ms) AS t FROM base "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT b.user_id, min(b.ts_ms) AS t FROM base b "
+            "JOIN s1 USING (user_id) WHERE b.event_type = 'click' "
+            "AND b.ts_ms > s1.t AND b.ts_ms <= s1.t + 86400000 GROUP BY 1), "
+            "s3 AS (SELECT b.user_id, min(b.ts_ms) AS t FROM base b "
+            "JOIN s2 USING (user_id) WHERE b.event_type = 'purchase' "
+            "AND b.ts_ms > s2.t AND b.ts_ms <= s2.t + 86400000 GROUP BY 1), "
+            "s4 AS (SELECT b.user_id, min(b.ts_ms) AS t FROM base b "
+            "JOIN s3 USING (user_id) WHERE b.event_type = 'signup' "
+            "AND b.ts_ms > s3.t AND b.ts_ms <= s3.t + 86400000 GROUP BY 1) "
+            "SELECT CAST(1 AS INT) AS step, 'view' AS event_type, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users "
+            "UNION ALL SELECT 2, 'click', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM s2) "
+            "UNION ALL SELECT 3, 'purchase', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM s3) "
+            "UNION ALL SELECT 4, 'signup', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM s4) ORDER BY step"
         ),
         "federated_read": q(
             ", d AS (SELECT series_id, ts_ms, max(value) AS value "

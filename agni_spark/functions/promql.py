@@ -874,3 +874,32 @@ def mad_over_time(samples: DataFrame, bucket_ms: int) -> DataFrame:
             ROUND_AVG,
         ).alias("mad")
     )
+
+
+def zscore_over_time(samples: DataFrame, window_ms: int) -> DataFrame:
+    """Per-sample anomaly score: z = (v - mean) / stddev against the
+    series' TRAILING window (t-window, t) — current sample excluded,
+    so a spike scores against history, not itself. One range window
+    per series (the partitioning every downstream agg reuses); samples
+    with under-2-point or zero-variance history yield NULL, matching
+    'not enough evidence' rather than 0. Variance via explicit moments
+    (E[x^2]-E[x]^2) so the floats match the SQL oracle bit-for-bit
+    before the 6dp round."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-window_ms, -1)
+    )
+    m = F.avg("value").over(w)
+    v2 = F.avg(F.col("value") * F.col("value")).over(w)
+    var = v2 - m * m
+    return samples.select(
+        "series_id",
+        "ts_ms",
+        "value",
+        F.when(
+            var > 0, F.round((F.col("value") - m) / F.sqrt(var), ROUND_AVG)
+        ).alias("zscore"),
+    )

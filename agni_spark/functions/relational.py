@@ -1256,3 +1256,56 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         .select("p.*")
         .orderBy("column")
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    gap_ms: int = 86_400_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Generalized N-step conversion funnel: per user, step i counts
+    iff an event of type steps[i] occurred strictly after — and within
+    `gap_ms` of — the user's (earliest qualifying) step i-1 event.
+    Returns (step, event_type, n_users), one row per step.
+
+    Shape: the per-user frontier table (user, earliest qualifying ts)
+    flows through one equi-join + min-aggregate per step — no window
+    over event history, no collect_list, no self-join blowup; each
+    stage shrinks the frontier. The per-step counts are tiny aggregates
+    unioned at the end (one job, not N actions)."""
+    stage = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    outs = [
+        stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("step"),
+            F.lit(steps[0]).alias("event_type"),
+            "n_users",
+        )
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        stage = (
+            events.where(F.col(type_col) == st)
+            .select(user_col, F.col(ts_col).alias("_ts"))
+            .join(stage, user_col)
+            .where(
+                (F.col("_ts") > F.col("t"))
+                & (F.col("_ts") <= F.col("t") + gap_ms)
+            )
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias("t"))
+        )
+        outs.append(
+            stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step"), F.lit(st).alias("event_type"), "n_users"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")

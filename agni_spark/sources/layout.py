@@ -594,3 +594,42 @@ def cross_tenant_samples(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def audit_store(spark: SparkSession, path: str) -> DataFrame:
+    """Integrity audit: reconcile the registry against the data
+    partitions — per block, registered vs actual sample/series counts.
+    status: 'ok' (counts match), 'count_mismatch' (tampered/partial
+    partition), 'missing_data' (registered block with no partition —
+    lost data), 'uncommitted' (partition with no registry row — vacuum
+    candidate). One scan + one tiny full-outer join; run it after any
+    lifecycle operation or on a schedule against s3a:// unchanged."""
+    reg = read_registry(spark, path).select(
+        "block_id",
+        F.col("num_samples").alias("reg_samples"),
+        F.col("num_series").alias("reg_series"),
+    )
+    actual = (
+        read_samples(spark, path)
+        .withColumn("block_id", F.col("block_id").cast("long"))
+        .groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).alias("act_samples"),
+            F.countDistinct("series_id").alias("act_series"),
+        )
+    )
+    joined = reg.join(actual, "block_id", "full_outer")
+    status = (
+        F.when(F.col("reg_samples").isNull(), F.lit("uncommitted"))
+        .when(F.col("act_samples").isNull(), F.lit("missing_data"))
+        .when(
+            (F.col("reg_samples") == F.col("act_samples"))
+            & (F.col("reg_series") == F.col("act_series")),
+            F.lit("ok"),
+        )
+        .otherwise(F.lit("count_mismatch"))
+    )
+    return joined.select(
+        "block_id", "reg_samples", "act_samples", "reg_series", "act_series",
+        status.alias("status"),
+    ).orderBy("block_id")

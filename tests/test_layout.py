@@ -490,3 +490,23 @@ def test_tenant_stores_isolated_and_federated(spark, tmp_path):
     assert only.count() == 2
     with pytest.raises(ValueError):
         layout.tenant_path(root, "../escape")
+
+
+def test_audit_store_statuses(spark, tmp_path):
+    path = str(tmp_path / "audit_store")
+    samples = spark.createDataFrame(
+        [(0, t, 1.0) for t in range(0, 2000, 250)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(samples, path, block_ms=BLOCK)
+    ok = layout.audit_store(spark, path).collect()
+    assert [r.status for r in ok] == ["ok", "ok"]
+
+    # orphan partition -> 'uncommitted'
+    spark.createDataFrame(
+        [(0, 9500, 7.0)], "series_id long, ts_ms long, value double"
+    ).withColumn("block_id", F.lit(9).cast("long")).write.partitionBy(
+        "block_id"
+    ).mode("append").parquet(f"{path}/data")
+    got = {r.block_id: r.status for r in layout.audit_store(spark, path).collect()}
+    assert got == {0: "ok", 1: "ok", 9: "uncommitted"}
