@@ -132,8 +132,14 @@ class RemoteReadServer:
                 from urllib.parse import parse_qs, urlparse
 
                 parsed = urlparse(self.path)
+                ctype = "application/json"
                 try:
-                    if parsed.path == "/api/v1/query_range":
+                    if parsed.path == "/federate":
+                        payload = handle_federate(
+                            outer.querier, parse_qs(parsed.query)
+                        )
+                        ctype = "text/plain; version=0.0.4"
+                    elif parsed.path == "/api/v1/query_range":
                         payload = handle_query_range(
                             outer.querier, parse_qs(parsed.query)
                         )
@@ -156,7 +162,7 @@ class RemoteReadServer:
                     self.send_error(400, str(e)[:200])
                     return
                 self.send_response(200)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
@@ -464,3 +470,40 @@ def handle_query(querier: Querier, params: dict) -> bytes:
     except ValueError as e:
         body = {"status": "error", "errorType": "bad_data", "error": str(e)}
     return json.dumps(body).encode()
+
+
+def handle_federate(querier: Querier, params: dict) -> bytes:
+    """GET /federate?match[]=... — Prometheus's federation endpoint:
+    the LATEST sample of every matching series, as exposition text
+    (scrapeable by another Prometheus; the inverse of our exposition
+    ingest). Evaluation is one Catalyst plan: matcher select, per-
+    series argmax-ts, series labels re-assembled into a map and
+    formatted by protocol.exposition.format_exposition. The collect is
+    the serving edge writing the HTTP body."""
+    from pyspark.sql import Window
+
+    from agni_spark.protocol.exposition import format_exposition
+
+    matchers = _parse_selector_matchers(params.get("match[]", []))
+    if not matchers:
+        raise ValueError("federate requires at least one match[]")
+    sel = querier.select(matchers, sort=False)
+    w = Window.partitionBy("series_id").orderBy(
+        F.col("ts_ms").desc(), F.col("value").desc()
+    )
+    latest = (
+        sel.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("series_id", "ts_ms", "value")
+    )
+    lbls = (
+        querier.series_labels.groupBy("series_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("name", "value")))
+            ).alias("labels")
+        )
+    )
+    lines = format_exposition(latest, lbls)
+    body = "\n".join(r.line for r in lines.collect())
+    return (body + "\n").encode() if body else b""

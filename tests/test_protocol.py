@@ -573,3 +573,32 @@ def test_exposition_roundtrip_format_then_parse(spark):
     samples, series = parse_exposition(lines)
     out = [r.line for r in format_exposition(samples, series).collect()]
     assert sorted(out) == sorted(text)
+
+
+def test_http_federate_endpoint(served_querier):
+    import urllib.request
+
+    from agni_spark.protocol.server import RemoteReadServer
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/federate?"
+            "match%5B%5D=up%7Bjob%3D%22api%22%7D",
+            timeout=60,
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        # latest sample of series 0 only, full label set, scrapeable
+        assert body == 'up{env="prod",job="api"} 2.0 200\n'
+        # no match[] -> 400
+        import pytest as _pytest
+        from urllib.error import HTTPError
+
+        with _pytest.raises(HTTPError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/federate", timeout=60
+            )
+    finally:
+        srv.stop()
