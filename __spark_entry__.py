@@ -473,6 +473,18 @@ def _q_promql_parsed_group_left_carry(spark: SparkSession, sf: str) -> DataFrame
     return out.orderBy("job", "env", "bucket_ms")
 
 
+def _q_promql_sort_by_label(spark: SparkSession, sf: str) -> DataFrame:
+    # Prometheus 3.0 sort_by_label, with the ordering surfaced as a
+    # hash-checked `ord` rank rather than unobservable row order
+    from agni_spark import promql_parser as pql
+
+    return pql.query(
+        _querier(spark, sf),
+        'sort_by_label(sum by (job, env) (increase(event_error[1d])),'
+        ' "env", "job")',
+    )
+
+
 def _q_promql_parsed_limitk(spark: SparkSession, sf: str) -> DataFrame:
     from agni_spark import promql_parser as pql
 
@@ -1444,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_limit_ratio": _q_promql_parsed_limit_ratio,
         "promql_rule_group": _q_promql_rule_group,
         "promql_parsed_group_left_carry": _q_promql_parsed_group_left_carry,
+        "promql_sort_by_label": _q_promql_sort_by_label,
         "promql_parsed_histquant": _q_promql_parsed_histquant,
         "promql_parsed_scalar_ratio": _q_promql_parsed_scalar_ratio,
         "promql_parsed_time_fn": _q_promql_parsed_time_fn,
@@ -1536,6 +1549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_append": _q_simsearch_ivf_append,
         "simsearch_label_centroids": lambda s, d: simsearch.label_centroids(
             _emb(s, d)
+        ),
+        "simsearch_knn_graph": lambda s, d: simsearch.knn_graph(
+            _emb(s, d), k=5
         ),
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -1907,10 +1923,16 @@ WHERE rk <= 10 ORDER BY query_id, rk
 """
 
 
-def _sql_simsearch_ivf(cents_src: str = "embeddings") -> str:
+def _sql_simsearch_ivf(
+    cents_src: str = "embeddings",
+    query_where: str = "vec_id < 5",
+    k: int = 10,
+) -> str:
     """IVF probe mirror; `cents_src` is the quantizer's training corpus
     (cells/probes always cover ALL of `embeddings` — the append oracle
-    assigns everything to the frozen build-half centroids)."""
+    assigns everything to the frozen build-half centroids).
+    `query_where`/`k` parameterize the probe set (the kNN-graph oracle
+    probes with the WHOLE corpus)."""
     return f"""
 WITH {_sql_kmeans_cents(cents_src)},
 cells AS (
@@ -1921,7 +1943,7 @@ cells AS (
           DESC, ct.centroid_id ASC) AS rn
     FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-      WHERE vec_id < 5),
+      WHERE {query_where}),
 probes AS (
   SELECT query_id, qe, centroid_id FROM (
     SELECT q.query_id, q.qe, ct.centroid_id,
@@ -1938,7 +1960,7 @@ scored AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
 SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
-WHERE rk <= 10 ORDER BY query_id, rk
+WHERE rk <= {k} ORDER BY query_id, rk
 """
 
 
@@ -1946,6 +1968,7 @@ _SQL_SIMSEARCH_IVF = _sql_simsearch_ivf()
 _SQL_SIMSEARCH_IVF_APPEND = _sql_simsearch_ivf(
     "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
 )
+_SQL_SIMSEARCH_KNN_GRAPH = _sql_simsearch_ivf(query_where="TRUE", k=5)
 
 
 # SemDeDup-shaped mirror: same k-means cells; keep v iff no lower-id
@@ -2236,6 +2259,27 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'job:errors:increase1d', job, bucket_ms, value"
             " FROM agg WHERE metric = 'event_error' "
             "ORDER BY rule, job, bucket_ms"
+        ),
+        "promql_sort_by_label": q(
+            ", inc AS ("
+            "  SELECT ser.job, ser.env, s.series_id,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  s.ts_ms, s.value,"
+            "  lag(s.value) OVER (PARTITION BY s.series_id"
+            "                     ORDER BY s.ts_ms, s.value) AS prev"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error'),"
+            "persr AS ("
+            "  SELECT job, env, series_id, bucket_ms,"
+            "  round(sum(CASE WHEN value >= prev THEN value - prev"
+            "            ELSE value END), 4) AS value"
+            "  FROM inc WHERE prev IS NOT NULL GROUP BY 1, 2, 3, 4),"
+            "agg AS ("
+            "  SELECT job, env, bucket_ms, round(sum(value), 4) AS value"
+            "  FROM persr GROUP BY 1, 2, 3)"
+            "SELECT job, env, bucket_ms, value, "
+            "CAST(row_number() OVER (ORDER BY env, job, bucket_ms) AS INT)"
+            " AS ord FROM agg ORDER BY ord"
         ),
         "promql_parsed_group_left_carry": q(
             ", inc AS ("
@@ -3649,6 +3693,7 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_ann": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
+        "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
         "simsearch_label_centroids": """
 WITH e AS (SELECT label, embedding FROM embeddings),

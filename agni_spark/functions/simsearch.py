@@ -734,3 +734,23 @@ def label_centroids(emb: DataFrame) -> DataFrame:
         F.round(F.avg("nrm"), 6).alias("avg_norm"),
     )
     return cent.join(stats, "label").orderBy("label")
+
+
+def knn_graph(
+    corpus: DataFrame, k: int = 5, n_centroids: int = 8, nprobe: int = 2
+) -> DataFrame:
+    """Approximate k-NN GRAPH: every corpus vector is also a query over
+    the IVF structure — probe nprobe cells, rerank exactly inside them.
+    The all-points analogue of ivf_ann (one row per (point, neighbor,
+    rank)); feeds graph-based downstreams (kNN clustering, SNN, label
+    propagation). Deterministic (seeded quantizer), so the DuckDB
+    mirror is a FULL oracle, not a recall bound. Scale: probes are a
+    corpus-sized table but join cells on the partition key — never a
+    broadcast of the corpus; work is nprobe/n_cells of the naive n^2."""
+    return ivf_ann(
+        corpus,
+        corpus.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+    )

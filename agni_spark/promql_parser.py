@@ -131,7 +131,13 @@ _SCALAR_AFTER_FUNCS = {
     # Prometheus 3.0 rename of holt_winters (same recurrence)
     "double_exponential_smoothing": 2,
 }
-_LABEL_FUNCS = {"label_replace", "label_join"}
+_LABEL_FUNCS = {
+    "label_replace", "label_join",
+    # Prometheus 3.0 experimental: presentation sort by label values;
+    # compiled with an explicit `ord` rank so the ordering is a
+    # CHECKABLE output, not just row order
+    "sort_by_label", "sort_by_label_desc",
+}
 
 
 @dataclass
@@ -584,7 +590,7 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
                 raise ValueError(f"{t}() string argument expected, got {s!r}")
             params.append(s[1:-1])
         toks.expect(")")
-        n_min = 4 if t == "label_replace" else 2
+        n_min = {"label_replace": 4, "label_join": 2}.get(t, 1)
         if len(params) < n_min:
             raise ValueError(f"{t}() needs at least {n_min} string arguments")
         return LabelFunc(t, arg, tuple(params))
@@ -1054,6 +1060,20 @@ def _compile_inner(
         inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)
         if "series_id" in inner.columns:
             inner = _resolve_labels(inner, querier)
+        if expr.name in ("sort_by_label", "sort_by_label_desc"):
+            from pyspark.sql import Window
+
+            missing = [s for s in expr.params if s not in inner.columns]
+            if missing:
+                raise ValueError(f"sort_by_label labels absent: {missing}")
+            desc = expr.name.endswith("_desc")
+            order = [
+                (F.col(c).desc_nulls_last() if desc else F.col(c).asc_nulls_first())
+                for c in expr.params
+            ] + [F.col(c) for c in inner.columns if c != "value"]
+            return inner.withColumn(
+                "ord", F.row_number().over(Window.orderBy(*order)).cast("int")
+            ).orderBy("ord")
         if expr.name == "label_join":
             dst, sep, *srcs = expr.params
             missing = [s for s in srcs if s not in inner.columns]
