@@ -1478,6 +1478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_downsample_route": _q_tsdb_downsample_route,
         "federated_read": _q_federated_read,
         "events_funnel_steps": _q_events_funnel_steps,
+        "events_transition_matrix": lambda s, d: (
+            relational.events_transition_matrix(s, d)
+        ),
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -1552,6 +1555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simsearch_knn_graph": lambda s, d: simsearch.knn_graph(
             _emb(s, d), k=5
+        ),
+        "simsearch_mutual_knn_clusters": lambda s, d: (
+            simsearch.mutual_knn_clusters(_emb(s, d), k=5, threshold=0.3)
         ),
         "simsearch_lsh_ann": _q_simsearch_lsh,  # approximate: rows-only check
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -2800,6 +2806,20 @@ def oracle_sql() -> dict[str, str]:
             "  AND s.ts_ms BETWEEN 1705504799001 AND 1705505099000) "
             "WHERE rn = 1 ORDER BY series_id"
         ),
+        "events_transition_matrix": (
+            "WITH ev AS (SELECT user_id, event_id, "
+            "CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events), "
+            "pairs AS (SELECT event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts_ms, event_id) AS to_type FROM ev), "
+            "counts AS (SELECT from_type, to_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM pairs "
+            "WHERE to_type IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, "
+            "floor(n / (sum(n) OVER (PARTITION BY from_type)) * 1e6 + 0.5)"
+            " / 1e6 AS p "
+            "FROM counts ORDER BY from_type, to_type"
+        ),
         "events_funnel_steps": (
             "WITH base AS (SELECT user_id, "
             "CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events), "
@@ -3694,6 +3714,33 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
+        # the kNN oracle + mutual-edge join + recursive closure: an
+        # independent path to the same clustering fixpoint
+        "simsearch_mutual_knn_clusters": (
+            _SQL_SIMSEARCH_KNN_GRAPH.replace("WITH ", "WITH RECURSIVE ", 1)
+            .replace(
+                "SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r\n"
+                "WHERE rk <= 5 ORDER BY query_id, rk",
+                """, g AS (SELECT query_id, vec_id FROM r
+     WHERE rk <= 5 AND cos >= 0.3),
+mutual AS (
+  SELECT a.query_id AS u, a.vec_id AS v FROM g a
+  JOIN g b ON b.query_id = a.vec_id AND b.vec_id = a.query_id
+  WHERE a.query_id < a.vec_id),
+edges AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, rr.comp FROM reach rr JOIN edges e ON e.u = rr.node),
+comp AS (SELECT node AS vec_id, min(comp) AS cluster_id
+         FROM reach GROUP BY node)
+SELECT em.vec_id,
+       coalesce(c.cluster_id, em.vec_id) AS cluster_id
+FROM embeddings em LEFT JOIN comp c ON c.vec_id = em.vec_id
+ORDER BY em.vec_id""",
+            )
+        ),
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
         "simsearch_label_centroids": """
 WITH e AS (SELECT label, embedding FROM embeddings),

@@ -1309,3 +1309,34 @@ def funnel_steps(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("step")
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) estimated from adjacent event
+    pairs (user timeline order, event_id tie-break). One shuffle on
+    user_id for the lead window, one tiny (a, b) count — the
+    sequence-mining primitive behind flow/sankey dashboards."""
+    _ev = load(spark, sf_dir, "events")
+    ev = _ev.select(
+        "user_id", "event_id", dm.ms_col(_ev, "ts").alias("ts_ms"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p",
+            F.floor(
+                F.col("n") / F.sum("n").over(tot) * 1e6 + 0.5
+            ) / 1e6,
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -754,3 +754,43 @@ def knn_graph(
         n_centroids=n_centroids,
         nprobe=nprobe,
     )
+
+
+def mutual_knn_clusters(
+    corpus: DataFrame,
+    k: int = 5,
+    threshold: float = 0.3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Mutual-kNN clustering: an edge (a, b) exists iff a is in b's
+    approximate k-NN AND b is in a's (both with cosine >= threshold) —
+    the standard noise-robust sparsification — then alternating-star
+    connected components label each vector with its cluster's minimum
+    id; singletons are their own cluster. Ties the ANN tier to the
+    graph tier: one kNN-graph pass, one self-join on the reversed edge
+    (equi-join on both endpoints), log-round components."""
+    from agni_spark.functions.dedup import connected_components
+
+    g = knn_graph(corpus, k, n_centroids, nprobe).where(
+        F.col("cos") >= threshold
+    )
+    e = g.select("query_id", "vec_id")
+    rev = e.select(
+        F.col("vec_id").alias("query_id"), F.col("query_id").alias("vec_id")
+    )
+    mutual = e.join(rev, ["query_id", "vec_id"]).where(
+        F.col("query_id") < F.col("vec_id")
+    )
+    comp = connected_components(mutual, "query_id", "vec_id")
+    return (
+        corpus.select("vec_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component_id"), F.col("vec_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .orderBy("vec_id")
+    )
