@@ -740,6 +740,21 @@ def _q_events_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tsdb_downsample_delta(spark: SparkSession, sf: str) -> DataFrame:
+    # gauge delta served FROM the rollup tier: first/last partials
+    # compose across sub-buckets, oracle computes from raw samples
+    import tempfile
+
+    from agni_spark.sources import downsample
+
+    q = _querier(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_dsd_")
+    downsample.write_downsampled(q.samples, path, H6_MS)
+    return downsample.delta_over_time_routed(spark, path, 2 * H6_MS).orderBy(
+        "series_id", "bucket_ms"
+    )
+
+
 def _q_federated_read(spark: SparkSession, sf: str) -> DataFrame:
     # Thanos-style fan-in: store B is an HA replica that re-ingested a
     # tenth of the series with corrected values at a HIGHER _seq; the
@@ -1476,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_at_end": _q_promql_at_end,
         "promql_alert_for": _q_promql_alert_for,
         "tsdb_downsample_route": _q_tsdb_downsample_route,
+        "tsdb_downsample_delta": _q_tsdb_downsample_delta,
         "federated_read": _q_federated_read,
         "events_funnel_steps": _q_events_funnel_steps,
         "events_transition_matrix": lambda s, d: (
@@ -1547,6 +1563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_assign": _q_text_split_assign,
         "text_stratified_sample": _q_text_stratified_sample,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_containment": lambda s, d: dedup.containment_pairs(
+            _docs(s, d), k=3, threshold=0.6
+        ),
         "dedup_cluster_assign": _q_dedup_cluster_assign,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "simsearch_ivf_append": _q_simsearch_ivf_append,
@@ -1715,6 +1734,24 @@ SELECT d.doc_id,
             THEN 1 ELSE 0 END AS INT) AS is_kept
 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+_SQL_CONTAINMENT = _SQL_SHINGLES + """
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+c AS (
+  SELECT doc_a, doc_b, n_common,
+         round(n_common / sa.n_sh, 6) AS containment_a_in_b,
+         round(n_common / sb.n_sh, 6) AS containment_b_in_a
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT * FROM c
+WHERE containment_a_in_b >= 0.6 OR containment_b_in_a >= 0.6
+ORDER BY doc_a, doc_b
 """
 
 _SQL_JACCARD = _SQL_SHINGLES + """
@@ -2851,6 +2888,14 @@ def oracle_sql() -> dict[str, str]:
             "ELSE value END), 4) AS sum_value "
             "FROM d GROUP BY series_id ORDER BY series_id"
         ),
+        "tsdb_downsample_delta": q(
+            "SELECT series_id, "
+            "CAST(ts_ms // 43200000 AS BIGINT) * 43200000 AS bucket_ms, "
+            "round((max(struct_pack(ts_ms := ts_ms, value := value))).value"
+            " - (min(struct_pack(ts_ms := ts_ms, value := value))).value, 6)"
+            " AS delta "
+            "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "tsdb_downsample_route": q(
             "SELECT series_id, "
             "CAST(ts_ms // 43200000 AS BIGINT) * 43200000 AS bucket_ms, "
@@ -3693,6 +3738,7 @@ SELECT a, b, n, pmi, rk FROM ranked WHERE rk <= 20 ORDER BY rk
             "count(*) AS n FROM documents GROUP BY 1)"
         ),
         "dedup_jaccard_pairs": _SQL_JACCARD,
+        "dedup_containment": _SQL_CONTAINMENT,
         "dedup_jaccard_prefix": _SQL_JACCARD,  # exact: same oracle
         "dedup_minhash_lsh": _SQL_MINHASH_LSH,
         "dedup_cluster_assign": _SQL_CLUSTER_ASSIGN,

@@ -171,6 +171,64 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: containment C(A in B) =
+    |A ∩ B| / |A| over k-shingle sets — catches a small document
+    embedded in a larger one, which symmetric Jaccard misses (J shrinks
+    with the size gap; C doesn't). Emits ordered pairs where the
+    SMALLER-keyed side's shingles are >= threshold contained in the
+    other, both directions scored from one shingle join. Same hot-
+    shingle `max_df` cap and AQE-sized joins as jaccard_pairs."""
+    sh = shingles(docs, k)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment_a_in_b",
+            F.round(F.col("n_common") / F.col("n_a"), 6),
+        )
+        .withColumn(
+            "containment_b_in_a",
+            F.round(F.col("n_common") / F.col("n_b"), 6),
+        )
+        .where(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .select(
+            "doc_a", "doc_b", "n_common",
+            "containment_a_in_b", "containment_b_in_a",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 def minhash_signatures(
     docs: DataFrame, k: int = 3, n_hashes: int = N_MINHASH

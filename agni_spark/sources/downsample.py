@@ -89,3 +89,31 @@ def agg_over_time_routed(
             F.sum("n").alias("n"),
         )
     )
+
+
+def delta_over_time_routed(
+    spark: SparkSession, path: str, step_ms: int
+) -> DataFrame:
+    """last-minus-first per (series, step) served from the rollup tier:
+    first/last partials COMPOSE across sub-buckets (the first of the
+    earliest sub-bucket is the first of the step — bucket order is time
+    order), so gauge delta/rate at any coarser step never touches raw
+    samples. No counter-reset correction — partials can't see inside a
+    sub-bucket — so this is the GAUGE path; counters go through
+    promql.increase on raw (documented trade, same as Thanos
+    downsampled rate)."""
+    _res, roll = route(spark, path, step_ms)
+    return (
+        roll.groupBy("series_id", bucket_start(step_ms, "bucket_ms"))
+        .agg(
+            F.min_by("first_value", "bucket_ms").alias("first_value"),
+            F.max_by("last_value", "bucket_ms").alias("last_value"),
+        )
+        .select(
+            "series_id",
+            "bucket_ms",
+            F.round(F.col("last_value") - F.col("first_value"), 6).alias(
+                "delta"
+            ),
+        )
+    )

@@ -508,3 +508,25 @@ def test_incremental_minhash_index_equals_batch(spark, docs, tmp_path):
     }
     assert {(r.doc_old, r.doc_new): r.est_jaccard for r in got} == full
     assert (0, 3) in full  # the exact dup is found via the stored index
+
+
+def test_containment_catches_embedded_doc(spark):
+    # doc 1 is a strict substring of doc 0: containment(1 in 0) == 1.0
+    # while Jaccard is well below a high threshold — the asymmetric
+    # case the symmetric measure misses
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "gamma delta epsilon zeta"),
+        (2, "totally unrelated words about spark engines here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.containment_a_in_b, r.containment_b_in_a)
+        for r in dedup.containment_pairs(df, k=3, threshold=0.9).collect()
+    }
+    assert (0, 1) in got
+    a_in_b, b_in_a = got[(0, 1)]
+    assert b_in_a == 1.0 and a_in_b < 0.9
+    assert not any(2 in p for p in got)
+    jac = dedup.jaccard_pairs(df, k=3, threshold=0.9).collect()
+    assert not jac  # symmetric jaccard misses the embedding entirely
