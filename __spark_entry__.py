@@ -1560,6 +1560,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": _q_text_bm25_topk,  # oracle below
         "text_tfidf_keywords": lambda s, d: text.tfidf_keywords(_docs(s, d)),
         "text_pmi_bigrams": lambda s, d: text.pmi_bigrams(_docs(s, d)),
+        "text_keyword_snippets": lambda s, d: text.keyword_snippets(
+            _docs(s, d), "spark", context=3
+        ),
+        "text_mixture_sample": lambda s, d: text.mixture_sample(
+            _docs(s, d),
+            {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        ),
         "text_split_assign": _q_text_split_assign,
         "text_stratified_sample": _q_text_stratified_sample,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
@@ -3687,6 +3694,34 @@ ranked AS (SELECT doc_id, term, score,
            FROM scored)
 SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
 ORDER BY doc_id, rk
+""",
+        "text_keyword_snippets": """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(list_position(string_split(text, ' '), 'spark') AS BIGINT)
+           AS pos
+  FROM documents)
+SELECT doc_id, pos,
+       array_to_string(
+         w[greatest(pos - 3, 1):least(pos + 3, len(w))], ' ') AS snippet
+FROM s WHERE pos IS NOT NULL AND pos > 0 ORDER BY doc_id
+""",
+        "text_mixture_sample": """
+WITH w AS (SELECT * FROM (VALUES
+  ('de', 0.2), ('en', 0.4), ('es', 0.2), ('fr', 0.1), ('zh', 0.1))
+  t(lang, wt)),
+counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+           GROUP BY lang),
+feas AS (SELECT min(n / wt) AS t FROM counts JOIN w USING (lang)),
+quota AS (SELECT lang, CAST(floor(wt * t) AS BIGINT) AS quota
+          FROM w CROSS JOIN feas),
+ranked AS (
+  SELECT d.doc_id, d.lang, q.quota,
+         row_number() OVER (PARTITION BY d.lang ORDER BY
+           ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT, d.doc_id) AS rk
+  FROM documents d JOIN quota q ON q.lang = d.lang)
+SELECT doc_id, lang FROM ranked WHERE rk <= quota ORDER BY doc_id
 """,
         "text_pmi_bigrams": """
 WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -617,3 +617,81 @@ def pmi_bigrams(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFrame:
         .select("a", "b", F.col("c_ab").cast("long").alias("n"), "pmi", "rk")
         .orderBy("rk")
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic mixture sampling: subsample the corpus so stratum
+    proportions hit `targets` (the data-mixture step of LLM training
+    recipes — e.g. rebalance languages/domains to recipe weights)
+    WITHOUT upsampling: the feasible total is min_s(n_s / w_s), each
+    stratum keeps floor(w_s * T) documents, chosen by md5-hash rank
+    (stable across runs/engines/partitionings — never rand()).
+
+    One count aggregate + one broadcast of the O(#strata) quota table +
+    one rank window per stratum. Strata absent from `targets` are
+    dropped (weight 0)."""
+    from pyspark.sql import Window
+
+    from agni_spark.functions.dedup import hash60
+
+    spark = docs.sparkSession
+    w = spark.createDataFrame(
+        sorted(targets.items()), f"{stratum_col} string, wt double"
+    )
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
+    feas = (
+        counts.join(w, stratum_col)
+        .agg(F.min(F.col("n") / F.col("wt")).alias("t"))
+    )
+    quota = (
+        w.crossJoin(F.broadcast(feas))
+        .select(
+            stratum_col,
+            F.floor(F.col("wt") * F.col("t")).cast("long").alias("quota"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(
+            hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(quota), stratum_col)
+        .withColumn("_rk", rk)
+        .where(F.col("_rk") <= F.col("quota"))
+        .select("doc_id", stratum_col)
+        .orderBy("doc_id")
+    )
+
+
+def keyword_snippets(
+    docs: DataFrame, term: str, context: int = 3
+) -> DataFrame:
+    """Keyword-in-context snippets (search-result highlighting): for
+    every document containing `term` as a whole word, the ±`context`
+    words around its FIRST occurrence. Pure array expressions —
+    split once, array_position finds the hit, slice cuts the window —
+    no regex backtracking, no UDF; at scale this is a narrow map over
+    only the matching docs (the filter prunes first)."""
+    pos = F.array_position(F.col("w"), term)  # 1-based, 0 = absent
+    start = F.greatest(F.col("pos") - context, F.lit(1))
+    # slice length: from start through pos+context, clamped by size
+    length = F.least(F.col("pos") + context, F.size(F.col("w"))) - start + 1
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .withColumn("pos", pos)
+        .where(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.concat_ws(
+                " ", F.slice(F.col("w"), start, length)
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )
