@@ -93,10 +93,12 @@ class RemoteReadServer:
         port: int = 0,
         write_store: str | None = None,
         spark=None,
+        alert_rules: list[dict] | None = None,
     ):
         """write_store + spark enable POST /write (remote-write receive
         into that block store); without them /write returns 404 — the
-        reference's exact read-only posture (server.go:51-52)."""
+        reference's exact read-only posture (server.go:51-52).
+        `alert_rules` configures GET /api/v1/rules (see handle_rules)."""
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -139,6 +141,10 @@ class RemoteReadServer:
                             outer.querier, parse_qs(parsed.query)
                         )
                         ctype = "text/plain; version=0.0.4"
+                    elif parsed.path == "/api/v1/rules":
+                        payload = handle_rules(
+                            outer.querier, outer.alert_rules
+                        )
                     elif parsed.path == "/api/v1/query_range":
                         payload = handle_query_range(
                             outer.querier, parse_qs(parsed.query)
@@ -173,6 +179,7 @@ class RemoteReadServer:
         self.querier = querier
         self.write_store = write_store
         self.spark = spark
+        self.alert_rules = alert_rules
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_port
         self._thread: threading.Thread | None = None
@@ -507,3 +514,80 @@ def handle_federate(querier: Querier, params: dict) -> bytes:
     lines = format_exposition(latest, lbls)
     body = "\n".join(r.line for r in lines.collect())
     return (body + "\n").encode() if body else b""
+
+
+def handle_rules(
+    querier: Querier, alert_rules: list[dict] | None
+) -> bytes:
+    """GET /api/v1/rules — evaluate the server's configured alerting
+    rules and report each alert element's CURRENT state (the
+    Prometheus rules API shape, evaluated on demand: condition vector
+    on the rule's step grid -> `for:` run-length check -> the LATEST
+    step decides firing/pending; an element with no current row is
+    inactive and alerts list only active elements).
+
+    Each rule: {"name", "expr", "for_ms" (0 = fire immediately),
+    "step_ms"}. Evaluation is one Catalyst plan per rule; the collect
+    is the serving edge building the JSON body."""
+    import json
+
+    from agni_spark import promql_parser as pql
+    from agni_spark.functions import promql as pf
+
+    groups = []
+    for rule in alert_rules or []:
+        step_ms = int(rule.get("step_ms", 3_600_000))
+        for_ms = int(rule.get("for_ms", 0))
+        cond = pql.query(querier, rule["expr"], step_ms=step_ms)
+        keys = [
+            c for c in cond.columns if c not in ("bucket_ms", "value")
+        ]
+        has_grid = "bucket_ms" in cond.columns
+        if for_ms > 0 and has_grid:
+            st = pf.alert_for_state(cond, keys, for_ms, step_ms)
+        else:
+            # instant-shaped condition (no step grid) or for: 0 —
+            # any present element is immediately firing
+            st = cond.withColumn("state", F.lit("firing"))
+        if has_grid:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col("bucket_ms").desc())
+            latest = (
+                st.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+            )
+        else:
+            latest = st.withColumn("bucket_ms", F.lit(None).cast("long"))
+        alerts = []
+        for r in latest.collect():  # serving edge
+            alerts.append(
+                {
+                    "labels": {
+                        k: r[k] for k in keys if r[k] is not None
+                    },
+                    "state": r["state"],
+                    "value": r["value"],
+                    "activeAt_ms": r["bucket_ms"],
+                }
+            )
+        state = (
+            "firing"
+            if any(a["state"] == "firing" for a in alerts)
+            else ("pending" if alerts else "inactive")
+        )
+        groups.append(
+            {
+                "name": rule["name"],
+                "query": rule["expr"],
+                "duration_ms": for_ms,
+                "state": state,
+                "alerts": alerts,
+            }
+        )
+    return json.dumps(
+        {
+            "status": "success",
+            "data": {"groups": [{"name": "default", "rules": groups}]},
+        }
+    ).encode()

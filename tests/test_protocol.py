@@ -602,3 +602,33 @@ def test_http_federate_endpoint(served_querier):
             )
     finally:
         srv.stop()
+
+
+def test_http_rules_endpoint(served_querier):
+    import json
+    import urllib.request
+
+    from agni_spark.protocol.server import RemoteReadServer
+
+    rules = [
+        # series 0 has samples at ts 100 and 200 -> count >= 1 per 1s
+        # step; for_ms=0 fires immediately
+        {"name": "UpSeen", "expr": "count by (job) (event_up)", "for_ms": 0,
+         "step_ms": 1000},
+    ]
+    # served_querier's metric label is 'up'/'down'; adjust expr to match
+    rules[0]["expr"] = "count by (job) (up)"
+    srv = RemoteReadServer(served_querier, alert_rules=rules)
+    srv.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/rules", timeout=60
+        ) as r:
+            body = json.loads(r.read())
+        rule = body["data"]["groups"][0]["rules"][0]
+        assert rule["name"] == "UpSeen" and rule["state"] == "firing"
+        jobs = {a["labels"]["job"] for a in rule["alerts"]}
+        assert jobs == {"api", "web"}
+        assert all(a["state"] == "firing" for a in rule["alerts"])
+    finally:
+        srv.stop()
