@@ -347,3 +347,70 @@ def stream_downsample(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_alert_for(
+    stream: DataFrame,
+    threshold: float,
+    need: int,
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Continuous alert evaluation with the `for:` clause as STREAMING
+    STATE: per series, bucket samples on a fixed grid (count per
+    bucket as the condition value), and track the run of CONSECUTIVE
+    above-threshold buckets across micro-batches in
+    applyInPandasWithState — state is two ints per series (last bucket,
+    run length), the streaming twin of promql.alert_for_state's range
+    window. Emits one row per evaluated bucket with pending/firing; a
+    gap bucket or a below-threshold bucket resets the run (and emits
+    nothing for silent buckets, matching the batch op's
+    condition-rows-only shape). Requires per-key bucket-ordered arrival
+    (the shape a watermarked upstream produces); late buckets older
+    than the state's frontier are ignored rather than corrupting the
+    run."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as _pd
+
+        (series_id,) = key
+        last_bucket, run = state.get if state.exists else (None, 0)
+        out_b, out_v, out_s = [], [], []
+        counts: dict[int, int] = {}
+        for pdf in pdf_iter:
+            for ts in pdf["ts_ms"]:
+                b = (int(ts) // bucket_ms) * bucket_ms
+                counts[b] = counts.get(b, 0) + 1
+        for b in sorted(counts):
+            if last_bucket is not None and b <= last_bucket:
+                continue  # late bucket behind the frontier: ignore
+            v = float(counts[b])
+            if v > threshold:
+                if last_bucket is not None and b == last_bucket + bucket_ms:
+                    run += 1
+                else:
+                    run = 1
+                out_b.append(b)
+                out_v.append(v)
+                out_s.append("firing" if run >= need else "pending")
+            else:
+                run = 0
+            last_bucket = b
+        state.update((last_bucket, run))
+        yield _pd.DataFrame(
+            {
+                "series_id": [series_id] * len(out_b),
+                "bucket_ms": out_b,
+                "value": out_v,
+                "state": out_s,
+            }
+        )
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "series_id long, bucket_ms long, value double, state string"
+        ),
+        stateStructType="last_bucket long, run long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -319,3 +319,44 @@ def test_stream_downsample_matches_batch_rollup(spark, tmp_path):
         for r in spark.read.parquet(f"{batch_path}/res=1000").collect()
     }
     assert s == b  # streaming-maintained partials == batch-built
+
+
+def test_streaming_alert_for_runs_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    B = 1000
+    # batch 1: buckets 0,1 have 2 samples each (> threshold 1);
+    # batch 2: bucket 2 hot (run reaches 3 -> firing), bucket 3 cold
+    # (reset), bucket 4 hot again (pending)
+    _write_src(
+        spark, src,
+        [(7, 10, 1.0), (7, 20, 1.0), (7, 1010, 1.0), (7, 1020, 1.0)],
+    )
+    _write_src(
+        spark, src,
+        [(7, 2010, 1.0), (7, 2020, 1.0), (7, 3010, 1.0),
+         (7, 4010, 1.0), (7, 4020, 1.0)],
+    )
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming.streaming_alert_for(
+        stream, threshold=1.0, need=3, bucket_ms=B
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("alert_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.bucket_ms: r.state for r in spark.table("alert_test").collect()
+    }
+    # run: b0 pending, b1 pending, b2 firing (3rd consecutive, state
+    # carried across the micro-batch boundary); b3 silent (below
+    # threshold -> no row); b4 pending (run restarted)
+    assert got == {
+        0: "pending", 1000: "pending", 2000: "firing", 4000: "pending"
+    }
