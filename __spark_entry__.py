@@ -1497,6 +1497,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_matrix": lambda s, d: (
             relational.events_transition_matrix(s, d)
         ),
+        "events_rfm": lambda s, d: relational.events_rfm(s, d),
+        "text_bigram_logprob": lambda s, d: text.bigram_logprob(_docs(s, d)),
+        "simsearch_range_search": lambda s, d: simsearch.range_search(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            threshold=0.35,
+        ),
         "promql_alert_filter": _q_promql_alert_filter,
         "promql_sum_without": _q_promql_sum_without,
         "promql_quantile_over_time": _q_promql_quantile_over_time,
@@ -2849,6 +2858,56 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE ser.env = 'prod'"
             "  AND s.ts_ms BETWEEN 1705504799001 AND 1705505099000) "
             "WHERE rn = 1 ORDER BY series_id"
+        ),
+        "events_rfm": (
+            "WITH ev AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) "
+            "AS ts_ms, event_type, value FROM events), "
+            "h AS (SELECT max(ts_ms) AS t_max FROM ev), "
+            "pu AS (SELECT user_id, max(ts_ms) AS t_last, "
+            "CAST(count(*) AS BIGINT) AS frequency, "
+            "round(sum(value), 4) AS monetary FROM ev "
+            "WHERE event_type = 'purchase' GROUP BY user_id), "
+            "base AS (SELECT user_id, "
+            "CAST(floor((t_max - t_last) / 86400000) AS BIGINT) "
+            "AS recency_days, frequency, monetary FROM pu CROSS JOIN h) "
+            "SELECT user_id, recency_days, frequency, monetary, "
+            "CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT)"
+            " AS r_score, "
+            "CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT)"
+            " AS f_score, "
+            "CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT)"
+            " AS m_score "
+            "FROM base ORDER BY user_id"
+        ),
+        "text_bigram_logprob": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+doc_bi AS (
+  SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS k FROM
+    (SELECT doc_id, w[i] AS a, w[i + 1] AS b FROM
+     (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM w))
+  WHERE a <> '' AND b <> '' GROUP BY doc_id, a, b),
+corpus_bi AS (SELECT a, b, sum(k) AS cab FROM doc_bi GROUP BY a, b),
+ctx AS (SELECT a, sum(cab) AS ctx FROM corpus_bi GROUP BY a),
+vocab AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM
+          (SELECT unnest(w) AS t FROM w) WHERE t <> '')
+SELECT d.doc_id,
+       round(-sum(d.k * log10((cb.cab + 1.0) / (cx.ctx + vocab.v)))
+             / sum(d.k), 6) AS nll10_bigram,
+       CAST(sum(d.k) AS BIGINT) AS n_bigrams
+FROM doc_bi d JOIN corpus_bi cb USING (a, b) JOIN ctx cx USING (a)
+CROSS JOIN vocab
+GROUP BY d.doc_id ORDER BY d.doc_id
+""",
+        "simsearch_range_search": (
+            "SELECT q.vec_id AS query_id, c.vec_id, "
+            "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(c.embedding AS DOUBLE[])), 6) AS cos "
+            "FROM embeddings c CROSS JOIN "
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q "
+            "WHERE round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+            " CAST(c.embedding AS DOUBLE[])), 6) >= 0.35 "
+            "AND c.vec_id <> q.vec_id ORDER BY query_id, c.vec_id"
         ),
         "events_transition_matrix": (
             "WITH ev AS (SELECT user_id, event_id, "

@@ -1340,3 +1340,45 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events: per user the
+    Recency (days since last purchase, relative to the corpus's last
+    event), Frequency (purchase count) and Monetary (value sum), each
+    scored into quintiles with ntile over a fully deterministic order
+    (metric, then user_id — ties can't float between buckets). One
+    shuffle on user_id + three tiny rank windows."""
+    _ev = load(spark, sf_dir, "events")
+    ev = _ev.select(
+        "user_id", dm.ms_col(_ev, "ts").alias("ts_ms"), "event_type", "value"
+    )
+    horizon = ev.agg(F.max("ts_ms").alias("t_max"))
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts_ms").alias("t_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .withColumn(
+            "recency_days",
+            F.floor((F.col("t_max") - F.col("t_last")) / 86_400_000).cast(
+                "long"
+            ),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    ).orderBy("user_id")

@@ -794,3 +794,24 @@ def mutual_knn_clusters(
         )
         .orderBy("vec_id")
     )
+
+
+def range_search(
+    corpus: DataFrame, queries: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Cosine RANGE query: ALL corpus vectors with similarity >=
+    threshold to each query (the radius-neighbor API next to top-k).
+    Queries broadcast (bounded set by contract); the corpus scan stays
+    partition-local — one narrow pass, no shuffle but the output sort.
+    For corpus-vs-corpus radius search use the blocked grid ε-join
+    (dedup.embedding_neardup_pairs_blocked) instead."""
+    scored = corpus.crossJoin(
+        F.broadcast(queries.select(F.col("query_id"), F.col("embedding").alias("qe")))
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+    )
+    return scored.where(
+        (F.col("cos") >= threshold) & (F.col("vec_id") != F.col("query_id"))
+    ).orderBy("query_id", "vec_id")

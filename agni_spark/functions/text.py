@@ -695,3 +695,57 @@ def keyword_snippets(
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram language-model quality score (the CCNet/perplexity-filter
+    idea one order up from unigram_logprob): per-doc mean negative
+    log10 likelihood under an add-one-smoothed corpus bigram model,
+    P(b|a) = (c(a,b) + 1) / (ctx(a) + V), ctx(a) = a's count as a
+    predecessor, V = vocabulary size. All counts are exact integers
+    joined once per (doc, a, b) — the explode never shuffles twice —
+    and the two scalar stats broadcast. Lower = more natural text under
+    the corpus's own statistics."""
+    w = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    doc_bi = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS a, "
+                    "element_at(w, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+        .where((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    corpus_bi = doc_bi.groupBy("a", "b").agg(F.sum("k").alias("cab"))
+    ctx = corpus_bi.groupBy("a").agg(F.sum("cab").alias("ctx"))
+    vocab = (
+        w.select(F.explode("w").alias("t"))
+        .where(F.col("t") != "")
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    nll = -F.sum(
+        F.col("k")
+        * F.log10(
+            (F.col("cab") + 1.0) / (F.col("ctx") + F.col("v"))
+        )
+    ) / F.sum("k")
+    return (
+        doc_bi.join(corpus_bi, ["a", "b"])
+        .join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(nll, 6).alias("nll10_bigram"),
+            F.sum("k").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
