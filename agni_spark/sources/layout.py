@@ -633,3 +633,39 @@ def audit_store(spark: SparkSession, path: str) -> DataFrame:
         "block_id", "reg_samples", "act_samples", "reg_series", "act_series",
         status.alias("status"),
     ).orderBy("block_id")
+
+
+def rollback_store(spark: SparkSession, path: str, version: int) -> None:
+    """Restore the LIVE registry to a historical snapshot — the undo
+    for a bad compaction/retention/ingest commit (data partitions are
+    untouched; blocks the snapshot doesn't list become orphans that
+    `vacuum_store` can then GC, and blocks it lists must still exist —
+    validated before anything is overwritten). The restore itself
+    lands with the same tmp+rename commit as every registry rewrite,
+    and is recorded as a NEW history version (audit trail keeps
+    moving forward — time travel, not history rewriting)."""
+    snap = read_registry(spark, path, version)
+    snap.cache().count()
+    want = [r.block_id for r in snap.select("block_id").collect()]
+    data_path = os.path.join(path, "data")
+    missing = [
+        b for b in want
+        if not _fs_exists(spark, os.path.join(data_path, f"block_id={b}"))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot roll back to version {version}: data partitions "
+            f"missing for blocks {missing}"
+        )
+    snap.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "registry_tmp")
+    )
+    _fs_delete(spark, os.path.join(path, "registry"))
+    _fs_rename(
+        spark, os.path.join(path, "registry_tmp"), os.path.join(path, "registry")
+    )
+    vs = registry_versions(spark, path)
+    nxt = (max(vs) + 1) if vs else 0
+    snap.withColumn("version", F.lit(nxt).cast("long")).write.partitionBy(
+        "version"
+    ).mode("append").parquet(os.path.join(path, "registry_history"))

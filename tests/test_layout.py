@@ -510,3 +510,28 @@ def test_audit_store_statuses(spark, tmp_path):
     ).mode("append").parquet(f"{path}/data")
     got = {r.block_id: r.status for r in layout.audit_store(spark, path).collect()}
     assert got == {0: "ok", 1: "ok", 9: "uncommitted"}
+
+
+def test_rollback_store_restores_snapshot(spark, tmp_path):
+    path = str(tmp_path / "rb_store")
+    s1 = spark.createDataFrame(
+        [(0, t, 1.0) for t in range(0, 2000, 500)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(s1, path, block_ms=BLOCK)  # v0: blocks 0,1
+    s2 = spark.createDataFrame(
+        [(0, t, 2.0) for t in range(2000, 3000, 500)],
+        "series_id long, ts_ms long, value double",
+    )
+    layout.write_blocks(s2, path, block_ms=BLOCK, mode="append")  # v1: 0-2
+
+    layout.rollback_store(spark, path, version=0)
+    # live registry back to blocks 0,1; block 2's data is now an orphan
+    assert layout.registry_block_ids(spark, path) == [0, 1]
+    audit = {r.block_id: r.status for r in layout.audit_store(spark, path).collect()}
+    assert audit == {0: "ok", 1: "ok", 2: "uncommitted"}
+    assert layout.vacuum_store(spark, path) == [2]
+    # rollback is itself a recorded history version
+    assert layout.registry_versions(spark, path) == [0, 1, 2]
+    with pytest.raises(ValueError, match="missing"):
+        layout.rollback_store(spark, path, version=1)  # block 2 GC'd

@@ -530,3 +530,44 @@ def test_containment_catches_embedded_doc(spark):
     assert not any(2 in p for p in got)
     jac = dedup.jaccard_pairs(df, k=3, threshold=0.9).collect()
     assert not jac  # symmetric jaccard misses the embedding entirely
+
+
+def test_connected_components_property_random_graphs(spark):
+    # property: alternating-star CC == a plain python union-find on
+    # random edge lists (30 seeded graphs of varying density)
+    import random
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(1234)
+    for trial in range(30):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        want = uf_components(edges, nodes)
+        got = {
+            r.node: r.component_id
+            for r in dedup.connected_components(
+                spark.createDataFrame(edges, "doc_a long, doc_b long")
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: {edges}"
