@@ -755,6 +755,30 @@ def _q_tsdb_downsample_delta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def _q_pipeline_curate_v2(spark: SparkSession, sf: str) -> DataFrame:
+    # the full training-data curation chain, every stage a first-class
+    # op: Gopher rule gate -> MinHash+LSH pairs -> connected-component
+    # cluster dedup (keep min doc_id) -> mixture-sample survivors to
+    # the recipe's language weights. The oracle replays the SAME chain
+    # in one recursive-CTE SQL statement.
+    docs = _docs(spark, sf)
+    gated = docs.join(
+        text.gopher_rules(docs)
+        .where(F.col("gopher_pass"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    pairs = dedup.minhash_dedup_pairs(gated, k=3, threshold=0.7)
+    assign = dedup.cluster_dedup(gated, pairs)
+    kept = gated.join(
+        assign.where(F.col("is_kept") == 1).select("doc_id"), "doc_id"
+    )
+    return text.mixture_sample(kept, MIX_WEIGHTS)
+
+
 def _q_federated_read(spark: SparkSession, sf: str) -> DataFrame:
     # Thanos-style fan-in: store B is an HA replica that re-ingested a
     # tenth of the series with corrected values at a HIGHER _seq; the
@@ -1493,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_downsample_route": _q_tsdb_downsample_route,
         "tsdb_downsample_delta": _q_tsdb_downsample_delta,
         "federated_read": _q_federated_read,
+        "pipeline_curate_v2": _q_pipeline_curate_v2,
         "events_funnel_steps": _q_events_funnel_steps,
         "events_transition_matrix": lambda s, d: (
             relational.events_transition_matrix(s, d)
@@ -2945,6 +2970,56 @@ GROUP BY d.doc_id ORDER BY d.doc_id
             "(SELECT CAST(count(*) AS BIGINT) FROM s3) "
             "UNION ALL SELECT 4, 'signup', "
             "(SELECT CAST(count(*) AS BIGINT) FROM s4) ORDER BY step"
+        ),
+        "pipeline_curate_v2": (
+            "WITH RECURSIVE gated AS ("
+            "SELECT d.* FROM documents d JOIN ("
+            "SELECT doc_id FROM (SELECT doc_id, "
+            "len(string_split(text, ' ')) AS nw, "
+            "length(replace(text, ' ', '')) "
+            "/ len(string_split(text, ' ')) AS mwl, "
+            "len(regexp_extract_all(text, "
+            "'[#*\\.]{1,}|[^A-Za-z0-9\\s]')) AS sym, "
+            f"({_occ_sql('the')} + {_occ_sql('a')} + {_occ_sql('b')})"
+            " AS nstop "
+            "FROM documents) "
+            "WHERE (nw >= 8 AND nw <= 100000) "
+            "AND (mwl >= 1.0 AND mwl <= 12.0) "
+            "AND (sym / nw <= 0.5) AND (nstop >= 1)) g USING (doc_id)), "
+            + _SQL_SHINGLES.strip()[len("WITH "):].replace(
+                "FROM documents", "FROM gated"
+            )
+            + _SQL_MINHASH_BODY[len(_SQL_SHINGLES):]
+            + """
+, pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.7),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+comp AS (SELECT node AS doc_id, min(comp) AS component_id
+         FROM reach GROUP BY node),
+kept AS (SELECT g.doc_id, g.lang FROM gated g
+         LEFT JOIN comp c ON c.doc_id = g.doc_id
+         WHERE coalesce(c.component_id, g.doc_id) = g.doc_id),
+w8 AS (SELECT * FROM (VALUES
+  ('de', 0.2), ('en', 0.4), ('es', 0.2), ('fr', 0.1), ('zh', 0.1))
+  t(lang, wt)),
+kcounts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM kept
+            GROUP BY lang),
+feas AS (SELECT min(n / wt) AS t FROM kcounts JOIN w8 USING (lang)),
+quota AS (SELECT lang, CAST(floor(wt * t) AS BIGINT) AS quota
+          FROM w8 CROSS JOIN feas),
+ranked AS (
+  SELECT k.doc_id, k.lang, q.quota,
+         row_number() OVER (PARTITION BY k.lang ORDER BY
+           ('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT, k.doc_id) AS rk
+  FROM kept k JOIN quota q ON q.lang = k.lang)
+SELECT doc_id, lang FROM ranked WHERE rk <= quota ORDER BY doc_id
+"""
         ),
         "federated_read": q(
             ", d AS (SELECT series_id, ts_ms, max(value) AS value "
