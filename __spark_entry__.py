@@ -1466,6 +1466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_label_values_for": _q_m5_label_values_for,
         "promql_delta": _q_promql_delta,
         "promql_agg_over_time": _q_promql_agg_over_time,
+        "tsdb_native_histogram": lambda s, d: promql.native_histogram(
+            _querier(s, d).samples, DAY_MS
+        ).orderBy("series_id", "bucket_ms", "bucket_idx"),
+        "tsdb_native_hist_quantile": lambda s, d: promql.native_hist_quantile(
+            _querier(s, d).samples, DAY_MS, 0.9
+        ).orderBy("series_id", "bucket_ms"),
         "promql_zscore_anomaly": lambda s, d: promql.zscore_over_time(
             _querier(s, d).samples, H6_MS
         ).orderBy("series_id", "ts_ms", "value"),
@@ -2248,6 +2254,34 @@ def oracle_sql() -> dict[str, str]:
             "max(value) AS max_value, round(sum(value), 4) AS sum_value, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM samples GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "tsdb_native_histogram": q(
+            "SELECT series_id, "
+            "CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "CAST(ceil(ln(value) / ln(2)) AS BIGINT) AS bucket_idx, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM samples WHERE value > 0 "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "tsdb_native_hist_quantile": q(
+            ", hb AS (SELECT series_id, "
+            "CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "CAST(ceil(ln(value) / ln(2)) AS BIGINT) AS bucket_idx, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM samples WHERE value > 0 GROUP BY 1, 2, 3), "
+            "c AS (SELECT *, sum(n) OVER (PARTITION BY series_id, bucket_ms "
+            "ORDER BY bucket_idx ROWS UNBOUNDED PRECEDING) AS cum, "
+            "sum(n) OVER (PARTITION BY series_id, bucket_ms) AS total "
+            "FROM hb), "
+            "r AS (SELECT *, 0.9 * total AS rank, row_number() OVER ("
+            "PARTITION BY series_id, bucket_ms ORDER BY bucket_idx) AS rn "
+            "FROM c WHERE cum >= 0.9 * total) "
+            "SELECT series_id, bucket_ms, "
+            "round(pow(2.0, bucket_idx - 1) + "
+            "(pow(2.0, bucket_idx) - pow(2.0, bucket_idx - 1)) * "
+            "((rank - (cum - n)) / n), 6) AS quantile, "
+            "CAST(total AS BIGINT) AS n_obs "
+            "FROM r WHERE rn = 1 ORDER BY series_id, bucket_ms"
         ),
         "promql_zscore_anomaly": q(
             "SELECT series_id, ts_ms, value, "

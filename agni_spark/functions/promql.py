@@ -903,3 +903,63 @@ def zscore_over_time(samples: DataFrame, window_ms: int) -> DataFrame:
             var > 0, F.round((F.col("value") - m) / F.sqrt(var), ROUND_AVG)
         ).alias("zscore"),
     )
+
+
+def native_histogram(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """Native-histogram-style SKETCH of raw observations: Prometheus
+    native histograms (schema 0) bucket a positive value v into the
+    exponential bucket i = ceil(log2 v), i.e. (2^(i-1), 2^i]. Per
+    (series, window, bucket): observation count — a mergeable sparse
+    sketch whose size grows with the value RANGE's log, not the sample
+    count (the 100 TB rollup you'd actually store for latency data).
+    Non-positive values are excluded (the zero-bucket; events values
+    are positive by construction — documented contract).
+
+    The log2 arithmetic is the identical IEEE expression in the DuckDB
+    oracle, so bucket boundaries land identically on both engines."""
+    idx = F.ceil(F.log(2.0, F.col("value"))).cast("long")
+    return (
+        samples.where(F.col("value") > 0)
+        .groupBy("series_id", bucket_start(bucket_ms), idx.alias("bucket_idx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def native_hist_quantile(
+    samples: DataFrame, bucket_ms: int, q: float = 0.9
+) -> DataFrame:
+    """Quantile from the exponential sketch, Prometheus-native-style:
+    walk the cumulative bucket counts to the bucket holding rank
+    q*total, interpolate linearly inside its (2^(i-1), 2^i] bounds.
+    One shuffle builds the sketch; the walk is a window over the
+    (tiny) per-group bucket list. Estimates are within one bucket's
+    relative width of the exact quantile by construction."""
+    from pyspark.sql import Window
+
+    hb = native_histogram(samples, bucket_ms)
+    w = (
+        Window.partitionBy("series_id", "bucket_ms")
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("series_id", "bucket_ms")
+    cum = (
+        hb.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(tot))
+        .withColumn("rank", F.lit(q) * F.col("total"))
+    )
+    hit = cum.where(F.col("cum") >= F.col("rank")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("series_id", "bucket_ms").orderBy("bucket_idx")
+        ),
+    ).where(F.col("rn") == 1)
+    lower = F.pow(F.lit(2.0), F.col("bucket_idx") - 1)
+    upper = F.pow(F.lit(2.0), F.col("bucket_idx"))
+    pos = (F.col("rank") - (F.col("cum") - F.col("n"))) / F.col("n")
+    return hit.select(
+        "series_id",
+        "bucket_ms",
+        F.round(lower + (upper - lower) * pos, 6).alias("quantile"),
+        F.col("total").cast("long").alias("n_obs"),
+    )
