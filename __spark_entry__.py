@@ -1529,6 +1529,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational.events_transition_matrix(s, d)
         ),
         "events_rfm": lambda s, d: relational.events_rfm(s, d),
+        "events_cohort_matrix": lambda s, d: relational.events_cohort_matrix(
+            s, d
+        ),
+        "tsdb_series_correlation": lambda s, d: relational.series_correlation(
+            s, d
+        ),
         "text_bigram_logprob": lambda s, d: text.bigram_logprob(_docs(s, d)),
         "simsearch_range_search": lambda s, d: simsearch.range_search(
             _emb(s, d),
@@ -2917,6 +2923,36 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE ser.env = 'prod'"
             "  AND s.ts_ms BETWEEN 1705504799001 AND 1705505099000) "
             "WHERE rn = 1 ORDER BY series_id"
+        ),
+        "events_cohort_matrix": (
+            "WITH act AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS p FROM events), "
+            "f AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY 1), "
+            "sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort "
+            "FROM f GROUP BY 1), "
+            "cells AS (SELECT f.cohort, a.p - f.cohort AS period_offset, "
+            "CAST(count(*) AS BIGINT) AS n_active "
+            "FROM act a JOIN f USING (user_id) GROUP BY 1, 2) "
+            "SELECT cohort * 604800000 AS cohort_ms, period_offset, n_cohort, "
+            "n_active, round(n_active / n_cohort, 6) AS retention "
+            "FROM cells JOIN sizes USING (cohort) "
+            "ORDER BY cohort_ms, period_offset"
+        ),
+        "tsdb_series_correlation": q(
+            ", cb AS (SELECT ser.job, "
+            "CAST(s.ts_ms // 3600000 AS BIGINT) AS h, "
+            "sum(CASE WHEN ser.metric = 'event_click' THEN s.value "
+            "ELSE 0.0 END) AS x, "
+            "sum(CASE WHEN ser.metric = 'event_error' THEN s.value "
+            "ELSE 0.0 END) AS y "
+            "FROM samples s JOIN series ser USING (series_id) "
+            "WHERE ser.metric IN ('event_click', 'event_error') "
+            "GROUP BY 1, 2) "
+            "SELECT job, CAST(count(*) AS BIGINT) AS n_hours, "
+            "round((avg(x * y) - avg(x) * avg(y)) / "
+            "(sqrt(avg(x * x) - avg(x) * avg(x)) * "
+            "sqrt(avg(y * y) - avg(y) * avg(y))), 6) AS click_error_corr "
+            "FROM cb GROUP BY job ORDER BY job"
         ),
         "events_rfm": (
             "WITH ev AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) "

@@ -1382,3 +1382,82 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(f_w).cast("int").alias("f_score"),
         F.ntile(5).over(m_w).cast("int").alias("m_score"),
     ).orderBy("user_id")
+
+
+def events_cohort_matrix(
+    spark: SparkSession, sf_dir: str, period_ms: int = 7 * 86_400_000
+) -> DataFrame:
+    """Cohort retention MATRIX (the product-analytics heatmap): users
+    cohorted by first-activity period, each cell = fraction of the
+    cohort active again k periods later. Built entirely from the
+    distinct (user, period) activity table: first-activity via one
+    min-aggregate, the matrix via one join back (cohort x offset
+    cells, all counts — no per-cell queries)."""
+    ev = load(spark, sf_dir, "events")
+    period = (dm.ms_col(ev, "ts") / F.lit(period_ms)).cast("long")
+    act = ev.select("user_id", period.alias("p")).distinct()
+    first = act.groupBy("user_id").agg(F.min("p").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    cells = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort", (F.col("p") - F.col("cohort")).alias("period_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "cohort")
+        .select(
+            (F.col("cohort") * period_ms).alias("cohort_ms"),
+            "period_offset",
+            "n_cohort",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_ms", "period_offset")
+    )
+
+
+def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-metric correlation — the analytics query PromQL cannot
+    express: per job, the Pearson correlation of hourly click volume
+    vs hourly error volume. Hourly sums pivot via conditional
+    aggregation (one shuffle); the correlation is computed from
+    EXPLICIT moments (E[xy], E[x], E[y], E[x^2], E[y^2]) so the float
+    path matches the SQL oracle exactly (built-in corr() accumulates
+    Welford-style and diverges in the last ulp)."""
+    tsdb = dm.derive_tsdb(spark, sf_dir)
+    hour = (F.col("ts_ms") / F.lit(3_600_000)).cast("long")
+    base = (
+        tsdb.samples.join(
+            tsdb.series.select("series_id", "metric", "job"), "series_id"
+        )
+        .where(F.col("metric").isin("event_click", "event_error"))
+        .groupBy("job", hour.alias("h"))
+        .agg(
+            F.sum(
+                F.when(F.col("metric") == "event_click", F.col("value"))
+                .otherwise(0.0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("metric") == "event_error", F.col("value"))
+                .otherwise(0.0)
+            ).alias("y"),
+        )
+    )
+    exy = F.avg(F.col("x") * F.col("y"))
+    ex, ey = F.avg("x"), F.avg("y")
+    ex2, ey2 = F.avg(F.col("x") * F.col("x")), F.avg(F.col("y") * F.col("y"))
+    corr = (exy - ex * ey) / (
+        F.sqrt(ex2 - ex * ex) * F.sqrt(ey2 - ey * ey)
+    )
+    return (
+        base.groupBy("job")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(corr, 6).alias("click_error_corr"),
+        )
+        .orderBy("job")
+    )
