@@ -1413,7 +1413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_on_read_dedup": _q_merge_on_read,
         # --- PromQL (9) ---
         "promql_increase": _q_promql_increase,
-        "promql_rate": _q_promql_rate,
+        "tsdb_native_hist_quantile": lambda s, d: promql.native_hist_quantile(
+            _querier(s, d).samples, DAY_MS, 0.9
+        ).orderBy("series_id", "bucket_ms"),
         "promql_sum_by": _q_promql_sum_by,
         "promql_topk": _q_promql_topk,
         "promql_parsed_topk_by": _q_promql_parsed_topk_by,
@@ -1429,7 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Dedup (6) ---
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
+        "pipeline_curate_v2": _q_pipeline_curate_v2,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_cluster_assign": _q_dedup_cluster_assign,
@@ -1455,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Multimodal (1) — entry #50 ---
         "multimodal_meta": _q_multimodal_meta,
         # ------ end of driver-checked window (50) ------
+        "promql_rate": _q_promql_rate,
+        "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "p5_prefix_matcher": _q_p5_prefix,
         "p6_absent_matcher": _q_p6_absent,
         "a2_union": _q_a2_union,

@@ -4,7 +4,8 @@ The driver registers only the testdata tables as DuckDB views, so every
 oracle query for a TSDB operator starts from this CTE prelude, which
 derives `samples` / `series` / `series_labels` / `blocks` / `tombstones`
 from `events` with EXACTLY the mapping in datamodel.derive_tsdb (keep
-the two in sync — tests/test_datamodel.py diff-checks them)."""
+the two in sync — every TSDB oracle row in the differential gate
+diff-checks them end-to-end)."""
 
 PRELUDE = """
 WITH ev AS (
