@@ -2071,6 +2071,46 @@ _SQL_SIMSEARCH_IVF_APPEND = _sql_simsearch_ivf(
 _SQL_SIMSEARCH_KNN_GRAPH = _sql_simsearch_ivf(query_where="TRUE", k=5)
 
 
+def _sql_simsearch_lsh(n_planes: int = 4, dim: int = 64) -> str:
+    """Sign-LSH mirror: the SAME md5-derived hyperplanes the Spark op
+    uses, emitted as SQL literals — the op is fully deterministic, so
+    (like IVF) it gets a FULL oracle, not just a recall bound. The dot
+    products fold over identically-ordered arrays on both engines."""
+    from agni_spark.functions.simsearch import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+
+    def bucket_expr(col: str) -> str:
+        terms = [
+            f"CASE WHEN list_inner_product(CAST({col} AS DOUBLE[]), "
+            f"[{', '.join(repr(v) for v in p)}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe,
+             {bucket_expr('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+           AS cos
+  FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
+WHERE rk <= 10 ORDER BY query_id, rk
+"""
+
+
+_SQL_SIMSEARCH_LSH = _sql_simsearch_lsh()
+
+
 # SemDeDup-shaped mirror: same k-means cells; keep v iff no lower-id
 # near-dup (cos >= 0.4) in its cell. The Spark op's cell_cap sub-split
 # never binds at oracle scale (every cell < 4096 members), so the
@@ -4003,6 +4043,7 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
+        "simsearch_lsh_ann": _SQL_SIMSEARCH_LSH,
         # the kNN oracle + mutual-edge join + recursive closure: an
         # independent path to the same clustering fixpoint
         "simsearch_mutual_knn_clusters": (
