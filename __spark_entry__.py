@@ -1215,8 +1215,8 @@ def _q_multimodal_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
-    # PCM window math is byte-level numpy (not SQL-expressible):
-    # rows-only check; the unit test pins exact RMS values.
+    # numpy PCM windows, hash-checked against a pure-SQL byte-math
+    # mirror (ASCII payloads keep the int16 arithmetic sign-free)
     media = multimodal.media_from_documents(_docs(spark, sf))
     return multimodal.audio_windows(media, 16_000, 256).orderBy(
         "media_id", "window_idx"
@@ -1639,7 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "multimodal_chunk_dedup": _q_multimodal_chunk_dedup,
-        "multimodal_audio_windows": _q_multimodal_audio,  # rows-only
+        "multimodal_audio_windows": _q_multimodal_audio,
     }
 
 
@@ -4096,6 +4096,31 @@ FROM cent c JOIN stats s USING (label) ORDER BY c.label
         "multimodal_frame_sample": _SQL_MM_FRAMES,
         # text is all-ASCII (asserted by the regex filter in testdata
         # profiling), so md5(VARCHAR) == md5 of the utf-8 payload bytes
+        # full oracle for the numpy PCM op: text is all-ASCII, so byte
+        # i == ord(char i) and the little-endian int16 c1 + 256*c2
+        # never crosses the sign bit (both bytes < 128) — the SQL
+        # arithmetic is a genuinely independent path to the same RMS
+        "multimodal_audio_windows": """
+WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+lens AS (SELECT media_id, text,
+         CAST(length(text) // 2 AS BIGINT) AS n_pcm FROM m),
+win AS (SELECT media_id, text, n_pcm,
+        unnest(generate_series(0, (n_pcm - 1) // 256)) AS w
+        FROM lens WHERE n_pcm > 0),
+pcm AS (
+  SELECT media_id, w,
+         ord(substring(text, CAST(2 * i + 1 AS BIGINT), 1))
+         + 256 * ord(substring(text, CAST(2 * i + 2 AS BIGINT), 1)) AS v
+  FROM (SELECT media_id, text, n_pcm, w,
+        unnest(generate_series(w * 256,
+                               least((w + 1) * 256, n_pcm) - 1)) AS i
+        FROM win))
+SELECT media_id, CAST(w AS INT) AS window_idx,
+       round(w * 256 * 1000.0 / 16000, 3) AS start_ms,
+       CAST(count(*) AS INT) AS n_samples,
+       round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms
+FROM pcm GROUP BY media_id, w ORDER BY media_id, window_idx
+""",
         "multimodal_exact_dedup": (
             "SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) "
             "AS n_copies, min(doc_id) AS keep_media_id "
