@@ -555,6 +555,23 @@ def _q_promql_parsed_time_fn(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id", "bucket_ms")
 
 
+def _q_promql_parsed_trig(spark: SparkSession, sf: str) -> DataFrame:
+    # trig family through the parser: tanh/sin/rad chained over an
+    # aggregate vector. The hyperbolics compile to the exp() identity
+    # (see promql_parser MathFunc) so the oracle can restate the exact
+    # float path; final round(6) absorbs the <1-ulp libm-vs-Java
+    # difference of sin() itself.
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "tanh(sin(rad(sum by (job) (increase(event_click[1d])))))",
+    )
+    return out.withColumn("value", F.round("value", 6)).orderBy(
+        "job", "bucket_ms"
+    )
+
+
 def _q_promql_range_sliding_rate(spark: SparkSession, sf: str) -> DataFrame:
     # /query_range shape through the parser: 1d rate window evaluated
     # on a 6h step grid (window > step -> sliding windows, one row per
@@ -1640,6 +1657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "multimodal_chunk_dedup": _q_multimodal_chunk_dedup,
         "multimodal_audio_windows": _q_multimodal_audio,
+        "events_top_paths": lambda s, d: relational.events_top_paths(s, d),
+        "tsdb_autocorrelation": lambda s, d: (
+            relational.series_autocorrelation(s, d)
+        ),
+        "promql_parsed_trig": _q_promql_parsed_trig,
     }
 
 
@@ -4143,4 +4165,65 @@ SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
          AS dedup_ratio
 FROM per
 """,
+        "events_top_paths": """
+WITH ev AS (SELECT user_id, event_id,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events),
+s1 AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+         (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+       THEN 1 ELSE 0 END AS new_sess FROM ev),
+s2 AS (SELECT *, sum(new_sess) OVER
+         (PARTITION BY user_id ORDER BY ts_ms, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_no FROM s1),
+s3 AS (SELECT *, row_number() OVER
+         (PARTITION BY user_id, session_no ORDER BY ts_ms, event_id)
+       AS rn FROM s2),
+paths AS (SELECT user_id, session_no,
+          string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM s3 WHERE rn <= 8 GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths
+GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
+""",
+        "tsdb_autocorrelation": q(
+            ", hourly AS ("
+            "  SELECT series_id, CAST(ts_ms // 3600000 AS BIGINT) AS h,"
+            "  sum(value) AS v FROM samples GROUP BY 1, 2),"
+            "pairs AS ("
+            "  SELECT series_id, v AS x,"
+            "  lead(v) OVER (PARTITION BY series_id ORDER BY h) AS y,"
+            "  lead(h) OVER (PARTITION BY series_id ORDER BY h) - h AS dh"
+            "  FROM hourly),"
+            "m AS ("
+            "  SELECT series_id, CAST(count(*) AS BIGINT) AS n_pairs,"
+            "  avg(x*y) AS exy, avg(x) AS ex, avg(y) AS ey,"
+            "  avg(x*x) AS ex2, avg(y*y) AS ey2"
+            "  FROM pairs WHERE y IS NOT NULL AND dh = 1 GROUP BY 1) "
+            "SELECT series_id, n_pairs,"
+            " round((exy - ex*ey) / sqrt((ex2 - ex*ex) * (ey2 - ey*ey)), 6)"
+            "   AS autocorr_lag1 "
+            "FROM m WHERE n_pairs >= 3 AND ex2 - ex*ex > 0"
+            "  AND ey2 - ey*ey > 0 ORDER BY series_id"
+        ),
+        "promql_parsed_trig": q(
+            ", sel AS ("
+            "  SELECT s.* FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_click'),"
+            "inc AS ("
+            "  SELECT series_id,"
+            "  CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN value >= prev THEN value - prev"
+            "            ELSE value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM sel)"
+            "  WHERE prev IS NOT NULL GROUP BY 1, 2),"
+            "agg AS ("
+            "  SELECT ser.job, i.bucket_ms, round(sum(i.value), 4) AS v"
+            "  FROM inc i JOIN series ser USING (series_id)"
+            "  GROUP BY 1, 2) "
+            "SELECT job, bucket_ms,"
+            " round((exp(sin(radians(v))) - exp(-sin(radians(v))))"
+            "     / (exp(sin(radians(v))) + exp(-sin(radians(v)))), 6)"
+            "   AS value "
+            "FROM agg ORDER BY 1, 2"
+        ),
     }

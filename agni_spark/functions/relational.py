@@ -1461,3 +1461,113 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("job")
     )
+
+
+def events_top_paths(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_ms: int = 30 * 60_000,
+    max_len: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k session paths (sequence mining over user journeys): each
+    session's first `max_len` event types joined into an ordered
+    `a>b>c` path string, counted across all sessions. Builds on the
+    same gap-based sessionization as events_sessionize — one shuffle
+    on user_id for the session windows, one tiny shuffle on the path
+    string for the count. The path string is assembled with
+    array_sort(collect_list(struct(rn, type))) so its order is the
+    session order regardless of aggregation order (collect_list alone
+    has no ordering contract under partial aggs)."""
+    _ev = load(spark, sf_dir, "events")
+    ev = _ev.select(
+        "user_id", "event_id", dm.ms_col(_ev, "ts").alias("ts_ms"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    sess = ev.withColumn(
+        "new_sess",
+        F.when((F.col("ts_ms") - F.lag("ts_ms").over(w)) > gap_ms, 1)
+        .otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wn = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts_ms", "event_id"
+    )
+    steps = sess.withColumn("rn", F.row_number().over(wn)).where(
+        F.col("rn") <= max_len
+    )
+    paths = steps.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )
+
+
+def series_autocorrelation(
+    spark: SparkSession, sf_dir: str, bucket_ms: int = 3_600_000
+) -> DataFrame:
+    """Per-series lag-1 autocorrelation of the hourly-summed signal —
+    the seasonality/persistence diagnostic behind anomaly dashboards.
+    Hourly sums (one shuffle, map-side partials), consecutive-bucket
+    pairs via one lead() window (stays within the series partition),
+    Pearson from EXPLICIT moments (same reason as series_correlation:
+    built-in corr() accumulates Welford-style and diverges from the
+    SQL oracle in the last ulp). Series with < 3 buckets or zero
+    variance on either side are dropped (corr undefined)."""
+    tsdb = dm.derive_tsdb(spark, sf_dir)
+    hourly = tsdb.samples.groupBy(
+        "series_id",
+        (F.col("ts_ms") / F.lit(bucket_ms)).cast("long").alias("h"),
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("series_id").orderBy("h")
+    pairs = (
+        hourly.select(
+            "series_id",
+            F.col("v").alias("x"),
+            F.lead("v").over(w).alias("y"),
+            (F.lead("h").over(w) - F.col("h")).alias("dh"),
+        )
+        # only ADJACENT buckets form a lag-1 pair (gaps break the lag)
+        .where(F.col("y").isNotNull() & (F.col("dh") == 1))
+    )
+    moments = pairs.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(F.col("x") * F.col("y")).alias("exy"),
+        F.avg("x").alias("ex"),
+        F.avg("y").alias("ey"),
+        F.avg(F.col("x") * F.col("x")).alias("ex2"),
+        F.avg(F.col("y") * F.col("y")).alias("ey2"),
+    )
+    vx = F.col("ex2") - F.col("ex") * F.col("ex")
+    vy = F.col("ey2") - F.col("ey") * F.col("ey")
+    # variance guard BEFORE the division: 0/0 is NULL in Spark but a
+    # FP error class in other engines — filter on the moments so the
+    # Spark plan and the SQL oracle drop exactly the same rows.
+    return (
+        moments.where((F.col("n_pairs") >= 3) & (vx > 0) & (vy > 0))
+        .select(
+            "series_id",
+            "n_pairs",
+            F.round(
+                (F.col("exy") - F.col("ex") * F.col("ey"))
+                / F.sqrt(vx * vy),
+                6,
+            ).alias("autocorr_lag1"),
+        )
+        .orderBy("series_id")
+    )

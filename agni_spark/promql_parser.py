@@ -52,6 +52,9 @@ Supported grammar (the workhorse subset):
     math      := MATHFN "(" expr ("," NUM ("," NUM)?)? ")"
     MATHFN    := abs | ceil | floor | round | exp | ln | log2 | log10
                | sqrt | sgn | clamp_min | clamp_max | clamp
+               | sin | cos | tan | asin | acos | atan
+               | sinh | cosh | tanh | deg | rad      ("pi" "(" ")" is
+                 a NUM literal)
                | sort | sort_desc | timestamp
                | hour | minute | day_of_week    (values as epoch secs)
     histq     := "histogram_quantile" "(" NUM ","
@@ -87,6 +90,7 @@ Everything lands on operators that are themselves oracle-checked.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -116,11 +120,16 @@ _MATH_FUNCS = {
     "abs", "clamp_min", "clamp_max", "clamp", "ceil", "floor", "round",
     "exp", "ln", "log2", "log10", "sqrt", "sgn", "sort", "sort_desc",
     "timestamp", "hour", "minute", "day_of_week",
+    # trigonometric family (Prometheus 2.31 experimental, now standard)
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "deg", "rad",
 }
 # funcs that take no scalar argument after the expression
 _MATH_NO_SCALAR = {
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
     "sort", "sort_desc", "timestamp", "hour", "minute", "day_of_week",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "deg", "rad",
 }
 # range funcs with a leading scalar arg: f(s, m[r])
 _SCALAR_FIRST_FUNCS = {"quantile_over_time"}
@@ -534,6 +543,11 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
         toks.expect("(")
         toks.expect(")")
         return TimeFn()
+    if t == "pi":
+        toks.next()
+        toks.expect("(")
+        toks.expect(")")
+        return float(math.pi)
     if t == "scalar":
         toks.next()
         toks.expect("(")
@@ -545,7 +559,13 @@ def _parse_expr(toks: _Tokens) -> "Agg | Func | Selector | BinOp":
     if t == "vector":
         toks.next()
         toks.expect("(")
-        s = float(toks.next())
+        if toks.peek() == "pi":
+            toks.next()
+            toks.expect("(")
+            toks.expect(")")
+            s = float(math.pi)
+        else:
+            s = float(toks.next())
         toks.expect(")")
         return VectorFn(s)
     if t in _SCALAR_FIRST_FUNCS:
@@ -1239,6 +1259,21 @@ def _compile_inner(
             "clamp_min": lambda v: F.greatest(v, F.lit(s)),
             "clamp_max": lambda v: F.least(v, F.lit(s)),
             "clamp": lambda v: F.least(F.greatest(v, F.lit(s)), F.lit(s2)),
+            "sin": F.sin,
+            "cos": F.cos,
+            "tan": F.tan,
+            "asin": F.asin,
+            "acos": F.acos,
+            "atan": F.atan,
+            # hyperbolics via exp so the formula (and its float path)
+            # is restatable verbatim in any SQL oracle — libm sinh()
+            # and (e^x - e^-x)/2 differ in the last ulp
+            "sinh": lambda v: (F.exp(v) - F.exp(-v)) / F.lit(2.0),
+            "cosh": lambda v: (F.exp(v) + F.exp(-v)) / F.lit(2.0),
+            "tanh": lambda v: (F.exp(v) - F.exp(-v))
+            / (F.exp(v) + F.exp(-v)),
+            "deg": F.degrees,
+            "rad": F.radians,
         }
         return inner.withColumn("value", fns[expr.name](F.col("value")))
     if isinstance(expr, Subquery):

@@ -825,3 +825,45 @@ def test_materialize_rules_roundtrip(spark, querier, tmp_path):
     assert g == d and len(g) > 0
     # label API works over the store-backed querier
     assert back.label_values("job") is not None
+
+
+def test_trig_functions(spark, querier):
+    import math
+
+    # deg(rad(x)) is the identity up to float noise; pi() folds to a NUM
+    base = pql.query(querier, "sum by (job) (increase(event_click[1d]))")
+    ident = pql.query(
+        querier, "deg(rad(sum by (job) (increase(event_click[1d]))))"
+    )
+    b = {(r.job, r.bucket_ms): r.value for r in base.collect()}
+    i = {(r.job, r.bucket_ms): r.value for r in ident.collect()}
+    assert b.keys() == i.keys() and len(b) > 0
+    assert all(
+        abs(b[k] - i[k]) < 1e-6 for k in b if b[k] is not None
+    )
+    # sin through the parser equals sin applied to the base vector
+    got = pql.query(
+        querier, "sin(sum by (job) (increase(event_click[1d])))"
+    )
+    g = {(r.job, r.bucket_ms): r.value for r in got.collect()}
+    assert all(
+        abs(g[k] - math.sin(b[k])) < 1e-9 for k in b if b[k] is not None
+    )
+    # pi() parses to a scalar literal usable in arithmetic (a bare
+    # scalar is rejected at the top level like any NUM — wrap it)
+    e = pql.parse("vector(pi())")
+    assert abs(e.s - math.pi) < 1e-15
+    # hyperbolics use the exp() identity (oracle-restatable float path)
+    th = pql.query(
+        querier, "tanh(sum by (job) (increase(event_click[1d])))"
+    )
+    t = {(r.job, r.bucket_ms): r.value for r in th.collect()}
+    assert all(
+        abs(
+            t[k]
+            - (math.exp(b[k]) - math.exp(-b[k]))
+            / (math.exp(b[k]) + math.exp(-b[k]))
+        ) < 1e-9
+        for k in b
+        if b[k] is not None and abs(b[k]) < 700
+    )
