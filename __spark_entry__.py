@@ -1057,6 +1057,55 @@ def _q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tsdb_relabel(spark: SparkSession, sf: str) -> DataFrame:
+    # Prometheus relabel_config chain over the series registry: keep by
+    # metric regex, composite replace into a new label, hashmod
+    # sharding, prefix-strip replace, uppercase, labeldrop — each rule
+    # reading the previous rule's output (relabel.go order semantics)
+    from agni_spark.functions.relabel import RelabelRule, relabel
+
+    q = _querier(spark, sf)
+    rules = [
+        RelabelRule(
+            action="keep", source_labels=("metric",),
+            regex="event_(click|error|view)",
+        ),
+        RelabelRule(
+            action="replace", source_labels=("env", "job"), separator="/",
+            regex="prod/(.*)", target_label="tier", replacement="fe-$1",
+        ),
+        RelabelRule(
+            action="hashmod", source_labels=("instance",),
+            target_label="shard", modulus=8,
+        ),
+        RelabelRule(
+            action="replace", source_labels=("metric",),
+            regex="event_(.*)", target_label="kind", replacement="$1",
+        ),
+        RelabelRule(
+            action="uppercase", source_labels=("job",),
+            target_label="job_uc",
+        ),
+        RelabelRule(action="labeldrop", regex="pod"),
+    ]
+    return relabel(q.series, rules).orderBy("series_id")
+
+
+def _q_text_index_search(spark: SparkSession, sf: str) -> DataFrame:
+    # stored inverted index: build on the even docs, append the odd
+    # docs (fresh commit partition, manifest-last), then serve BM25
+    # from the postings store — the probe scan prunes to the bucket
+    # dirs of the query terms, never touching the corpus. Same oracle
+    # as text_bm25_topk: index-served == scan-served.
+    import tempfile
+
+    d = _docs(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_text_idx_")
+    text.write_text_index(d.where(F.col("doc_id") % 2 == 0), path)
+    text.append_text_index(spark, path, d.where(F.col("doc_id") % 2 == 1))
+    return text.bm25_topk_indexed(spark, path, BM25_TERMS, k=10)
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     groups = dedup.exact_dup_groups(d)
@@ -1657,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "multimodal_chunk_dedup": _q_multimodal_chunk_dedup,
         "multimodal_audio_windows": _q_multimodal_audio,
+        "text_index_search": _q_text_index_search,
+        "tsdb_relabel": _q_tsdb_relabel,
         "events_top_paths": lambda s, d: relational.events_top_paths(s, d),
         "tsdb_autocorrelation": lambda s, d: (
             relational.series_autocorrelation(s, d)
@@ -2155,6 +2206,32 @@ dup AS (
 SELECT c.centroid_id, c.vec_id FROM cells c
 ANTI JOIN dup d ON c.vec_id = d.vec_id
 ORDER BY c.vec_id
+"""
+
+
+_SQL_BM25 = """
+WITH wz AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+w2 AS (SELECT doc_id, w FROM wz WHERE w <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM w2 GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM w2
+       WHERE w IN ('spark', 'query', 'fast') GROUP BY doc_id, w),
+dft AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * (dl.dl / avgdl))))
+               * 1e6 + 0.5) / 1e6 AS s
+  FROM tf JOIN dft USING (w) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats),
+total AS (SELECT doc_id, floor(sum(s) * 1e6 + 0.5) / 1e6 AS score
+          FROM scored GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+           FROM total)
+SELECT doc_id, score, rk FROM ranked WHERE rk <= 10 ORDER BY rk
 """
 
 
@@ -3920,30 +3997,10 @@ SELECT * FROM p ORDER BY "column"
             "FROM dw JOIN freq USING (w) CROSS JOIN tot "
             "GROUP BY 1 ORDER BY doc_id"
         ),
-        "text_bm25_topk": """
-WITH wz AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-w2 AS (SELECT doc_id, w FROM wz WHERE w <> ''),
-dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM w2 GROUP BY doc_id),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM w2
-       WHERE w IN ('spark', 'query', 'fast') GROUP BY doc_id, w),
-dft AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
-scored AS (
-  SELECT tf.doc_id,
-         floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                * (tf * 2.2)
-                / (tf + 1.2 * (0.25 + 0.75 * (dl.dl / avgdl))))
-               * 1e6 + 0.5) / 1e6 AS s
-  FROM tf JOIN dft USING (w) JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats),
-total AS (SELECT doc_id, floor(sum(s) * 1e6 + 0.5) / 1e6 AS score
-          FROM scored GROUP BY doc_id),
-ranked AS (SELECT doc_id, score,
-           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
-           FROM total)
-SELECT doc_id, score, rk FROM ranked WHERE rk <= 10 ORDER BY rk
-""",
+        "text_bm25_topk": _SQL_BM25,
+        # index-served BM25 == scan-served BM25 (same corpus, same
+        # terms): the stored-postings probe shares the oracle
+        "text_index_search": _SQL_BM25,
         "text_tfidf_keywords": """
 WITH wz AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -4165,6 +4222,23 @@ SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
          AS dedup_ratio
 FROM per
 """,
+        "tsdb_relabel": q(
+            "SELECT series_id, metric, job, env, instance,"
+            " CASE WHEN regexp_matches(env || '/' || job,"
+            "   '^(?:prod/(.*))$')"
+            "  THEN regexp_replace(env || '/' || job,"
+            "   '^(?:prod/(.*))$', 'fe-\\1') END AS tier,"
+            " CAST(('0x' || substr(md5(instance), 1, 15))::BIGINT % 8"
+            "   AS VARCHAR) AS shard,"
+            " CASE WHEN regexp_matches(metric, '^(?:event_(.*))$')"
+            "  THEN regexp_replace(metric, '^(?:event_(.*))$', '\\1')"
+            "  END AS kind,"
+            " upper(job) AS job_uc "
+            "FROM series "
+            "WHERE regexp_matches(metric,"
+            " '^(?:event_(click|error|view))$') "
+            "ORDER BY series_id"
+        ),
         "events_top_paths": """
 WITH ev AS (SELECT user_id, event_id,
             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events),

@@ -749,3 +749,166 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- stored inverted index ---------------------------------------------------
+# The TSDB tier materializes its postings (label -> series) as the
+# index section of a block; this is the same design at the documents
+# tier: term postings written physically partitioned on a hash bucket
+# of the term, manifest-committed like the block store, so a k-term
+# search scans <= k bucket directories instead of the corpus.
+def write_text_index(docs: DataFrame, path: str, n_buckets: int = 16) -> None:
+    """Build + persist an inverted text index:
+      postings/  parquet partitioned by (commit, bucket): (w, doc_id, tf)
+      doclens/   partitioned by commit: (doc_id, dl)
+      meta/      (n_buckets) — probe-side bucket routing
+      manifest/  commit marker, written LAST (block-store registry
+                 pattern: a crashed build/append is never served)
+    bucket = pmod(xxhash64(w), n_buckets): a term's ENTIRE posting list
+    lives in one bucket directory, so probes prune statically on the
+    bucket list of the query terms. BM25 corpus stats (df, n_docs,
+    avgdl) are NOT stored — they are recomputed from the committed
+    partitions at probe time, so appends stay exactly consistent."""
+    from agni_spark.functions.simsearch import _write_index_manifest
+
+    spark = docs.sparkSession
+    _append_postings(docs, path, n_buckets, commit=0, mode="overwrite")
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_index_manifest(spark, path, [0])
+
+
+def _append_postings(
+    docs: DataFrame, path: str, n_buckets: int, commit: int, mode: str
+) -> None:
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    words = words.persist()  # feeds postings AND doclens — one explode
+    tf = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("w"), F.lit(n_buckets)).cast("int"),
+        )
+        .withColumn("commit", F.lit(commit).cast("long"))
+    )
+    (
+        tf.repartition("bucket")
+        .write.partitionBy("commit", "bucket")
+        .mode(mode)
+        .parquet(f"{path}/postings")
+    )
+    (
+        words.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("dl"))
+        .withColumn("commit", F.lit(commit).cast("long"))
+        .write.partitionBy("commit")
+        .mode(mode)
+        .parquet(f"{path}/doclens")
+    )
+    words.unpersist()
+
+
+def append_text_index(spark, path: str, new_docs: DataFrame) -> None:
+    """Incremental index maintenance: posting lists + doc lengths of
+    ONLY the new documents land in a fresh commit partition; the
+    manifest rewrite LAST is the commit point. Nothing existing is
+    read or rewritten — append cost is O(new docs), not O(index)."""
+    from agni_spark.functions.simsearch import (
+        _committed,
+        _write_index_manifest,
+    )
+
+    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
+    commits = _committed(spark, path)
+    nxt = max(commits) + 1
+    _append_postings(new_docs, path, n_buckets, commit=nxt, mode="append")
+    _write_index_manifest(spark, path, commits + [nxt])
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 search served FROM the stored index: identical results (and
+    oracle) to bm25_topk over the same corpus, but the corpus is never
+    scanned — the postings read statically prunes to the <= len(terms)
+    bucket directories of the query terms (term -> bucket via the same
+    xxhash64 the writer used, computed in a 1-row-per-term Spark job so
+    driver and store can never disagree on the hash)."""
+    from pyspark.sql import Window
+
+    from agni_spark.functions.simsearch import _committed
+
+    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
+    commits = _committed(spark, path)
+    buckets = sorted(
+        {
+            r.bucket
+            for r in spark.createDataFrame(
+                [(t,) for t in query_terms], "w string"
+            )
+            .select(
+                F.pmod(F.xxhash64("w"), F.lit(n_buckets))
+                .cast("int")
+                .alias("bucket")
+            )
+            .collect()
+        }
+    )
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("commit").isin(commits) & F.col("bucket").isin(buckets))
+        .where(F.col("w").isin(list(query_terms)))
+        .select("doc_id", "w", "tf")
+    )
+    post = post.persist()  # feeds df-per-term AND the scoring join
+    dl = (
+        spark.read.parquet(f"{path}/doclens")
+        .where(F.col("commit").isin(commits))
+        .select("doc_id", "dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_t = post.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    term_score = F.floor(
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        * 1e6
+        + 0.5
+    ) / 1e6
+    scored = (
+        post.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("s"))
+    )
+    total = scored.groupBy("doc_id").agg(
+        (F.floor(F.sum("s") * 1e6 + 0.5) / 1e6).alias("score")
+    )
+    w_rk = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        total.withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .where(F.col("rk") <= k)
+        .orderBy("rk")
+    )

@@ -571,3 +571,57 @@ def test_connected_components_property_random_graphs(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}: {edges}"
+
+
+def test_text_index_search_equals_scan_bm25(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "spark spark spark engine",
+                "spark engine of analytics",
+                "nothing relevant here at all",
+                "query engine fast and lean fast",
+                "fast query spark stream",
+                "the quick brown fox",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "text_idx")
+    # build on evens, append odds: stats must recompute over BOTH
+    text.write_text_index(df.where(F.col("doc_id") % 2 == 0), path)
+    text.append_text_index(spark, path, df.where(F.col("doc_id") % 2 == 1))
+    terms = ["spark", "fast"]
+    got = text.bm25_topk_indexed(spark, path, terms, k=10)
+    want = text.bm25_topk(df, terms, k=10)
+    g = [(r.doc_id, r.score, r.rk) for r in got.collect()]
+    w = [(r.doc_id, r.score, r["rank"]) for r in want.collect()]
+    assert g == w and len(g) == 4
+
+    # the probe scan prunes statically to the buckets of the query
+    # terms — never the whole postings store
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_text_index_uncommitted_append_not_served(spark, tmp_path):
+    # manifest-last commit: postings that landed without a manifest
+    # rewrite are invisible to probes (crash-safety contract)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "spark engine"), (1, "spark spark fast")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "text_idx2")
+    text.write_text_index(df.where(F.col("doc_id") == 0), path)
+    # simulate a crashed append: data lands, manifest does NOT move
+    text._append_postings(
+        df.where(F.col("doc_id") == 1), path, 16, commit=1, mode="append"
+    )
+    got = text.bm25_topk_indexed(spark, path, ["spark"], k=10).collect()
+    assert [r.doc_id for r in got] == [0]
