@@ -1057,6 +1057,37 @@ def _q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_events_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
+    # Z-order clustering demo: events rewritten Morton-clustered on
+    # (user_id, hour), then a 2-D rectangle aggregate reads back from
+    # the clustered store. Results must equal the same aggregate over
+    # the raw table (layout is performance-only); the file-skipping
+    # win is asserted in tests/test_layout.py.
+    import tempfile
+
+    from agni_spark.sources import layout
+
+    _ev = dm.load(spark, sf, "events")
+    ev = _ev.select(
+        "event_id",
+        "user_id",
+        dm.ms_col(_ev, "ts").alias("ts_ms"),
+        "value",
+    ).withColumn("hour", (F.col("ts_ms") / F.lit(3_600_000)).cast("long"))
+    path = tempfile.mkdtemp(prefix="agni_zorder_")
+    layout.zorder_write(ev, path, "user_id", "hour")
+    back = spark.read.parquet(path)
+    rect = back.where(
+        F.col("user_id").between(100, 300)
+        & F.col("hour").between(473_568, 473_592)
+    )
+    return rect.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def _q_tsdb_relabel(spark: SparkSession, sf: str) -> DataFrame:
     # Prometheus relabel_config chain over the series registry: keep by
     # metric regex, composite replace into a new label, hashmod
@@ -1698,6 +1729,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_knn_graph": lambda s, d: simsearch.knn_graph(
             _emb(s, d), k=5
         ),
+        "simsearch_pagerank": lambda s, d: simsearch.pagerank(
+            simsearch.knn_graph(_emb(s, d), k=5).select(
+                F.col("query_id").alias("src"),
+                F.col("vec_id").alias("dst"),
+            )
+        ),
         "simsearch_mutual_knn_clusters": lambda s, d: (
             simsearch.mutual_knn_clusters(_emb(s, d), k=5, threshold=0.3)
         ),
@@ -1708,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_windows": _q_multimodal_audio,
         "text_index_search": _q_text_index_search,
         "tsdb_relabel": _q_tsdb_relabel,
+        "events_zorder_prune": _q_events_zorder_prune,
         "events_top_paths": lambda s, d: relational.events_top_paths(s, d),
         "tsdb_autocorrelation": lambda s, d: (
             relational.series_autocorrelation(s, d)
@@ -2142,6 +2180,37 @@ _SQL_SIMSEARCH_IVF_APPEND = _sql_simsearch_ivf(
     "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
 )
 _SQL_SIMSEARCH_KNN_GRAPH = _sql_simsearch_ivf(query_where="TRUE", k=5)
+
+# PageRank over the kNN graph: the SAME 3 chained power iterations the
+# Spark loop runs, each discretized at 1e-9; float constants written as
+# the identical IEEE expressions ((1.0-0.85), 0.85 * x) with ::DOUBLE
+# casts so DuckDB's DECIMAL literal parsing cannot take an exact path.
+_SQL_PAGERANK_ITER = """
+r{i} AS (
+  SELECT nd.node,
+    floor(((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+           + 0.85::DOUBLE * coalesce(inf.inflow, 0.0::DOUBLE))
+          * 1e9 + 0.5) / 1e9 AS r
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(p.r / d.deg) AS inflow
+             FROM edges e JOIN deg d USING (src)
+             JOIN r{prev} p ON p.node = e.src
+             GROUP BY e.dst) inf USING (node))"""
+
+_SQL_PAGERANK = (
+    "WITH edges AS (SELECT query_id AS src, vec_id AS dst FROM ("
+    + _SQL_SIMSEARCH_KNN_GRAPH
+    + ")), "
+    "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), "
+    "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+    "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges "
+    "GROUP BY src), "
+    "r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS r FROM nodes CROSS JOIN nn),"
+    + ",".join(
+        _SQL_PAGERANK_ITER.format(i=i, prev=i - 1) for i in (1, 2, 3)
+    )
+    + " SELECT node, round(r, 6) AS rank FROM r3 ORDER BY rank DESC, node"
+)
 
 
 def _sql_simsearch_lsh(n_planes: int = 4, dim: int = 64) -> str:
@@ -4122,6 +4191,7 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
+        "simsearch_pagerank": _SQL_PAGERANK,
         "simsearch_lsh_ann": _SQL_SIMSEARCH_LSH,
         # the kNN oracle + mutual-edge join + recursive closure: an
         # independent path to the same clustering fixpoint
@@ -4222,6 +4292,14 @@ SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
          AS dedup_ratio
 FROM per
 """,
+        "events_zorder_prune": (
+            "SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,"
+            " round(sum(value), 4) AS sum_value "
+            "FROM events WHERE user_id BETWEEN 100 AND 300"
+            " AND CAST(epoch_ms(ts) // 3600000 AS BIGINT)"
+            "     BETWEEN 473568 AND 473592"
+        ),
         "tsdb_relabel": q(
             "SELECT series_id, metric, job, env, instance,"
             " CASE WHEN regexp_matches(env || '/' || job,"

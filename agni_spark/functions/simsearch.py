@@ -815,3 +815,57 @@ def range_search(
     return scored.where(
         (F.col("cos") >= threshold) & (F.col("vec_id") != F.col("query_id"))
     ).orderBy("query_id", "vec_id")
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, iters: int = 3
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list (src, dst) — the
+    centrality downstream of knn_graph (hub documents/vectors in the
+    similarity graph). Classic simplified recurrence
+        r'(v) = (1-d)/N + d * sum_{u->v} r(u) / outdeg(u)
+    from a uniform 1/N start; nodes without out-edges leak their mass
+    (the textbook power-iteration simplification — documented, and the
+    kNN graph has k out-edges everywhere so nothing leaks there).
+
+    Spark shape: one groupBy(dst) shuffle per iteration; the degree
+    table joins on src (AQE decides broadcast); no collect beyond the
+    O(1) node count. Determinism: each iteration's ranks are
+    discretized to 1e-9 (floor(x*1e9+0.5)/1e9, the repo-wide
+    cross-engine rounding idiom) so an independent SQL restatement of
+    the same 3 chained iterations cannot drift off the float path;
+    final output rounds to 6dp."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    for _ in range(iters):
+        inflow = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.floor(
+                    (
+                        F.lit(base)
+                        + damping * F.coalesce("inflow", F.lit(0.0))
+                    )
+                    * 1e9
+                    + 0.5
+                )
+                / 1e9
+            ).alias("r"),
+        )
+    return ranks.select(
+        "node", F.round("r", 6).alias("rank")
+    ).orderBy(F.col("rank").desc(), "node")

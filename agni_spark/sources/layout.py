@@ -669,3 +669,48 @@ def rollback_store(spark: SparkSession, path: str, version: int) -> None:
     snap.withColumn("version", F.lit(nxt).cast("long")).write.partitionBy(
         "version"
     ).mode("append").parquet(os.path.join(path, "registry_history"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — multi-dimensional file/row-group pruning
+# ---------------------------------------------------------------------------
+def morton_col(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative int columns
+    (truncated to `bits` bits each): bit i of x lands at position 2i,
+    bit i of y at 2i+1. Pure shift/mask arithmetic — constant-folded
+    into whole-stage codegen, no UDF."""
+    xm = F.col(x) if isinstance(x, str) else x
+    ym = F.col(y) if isinstance(y, str) else y
+    xm = xm.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    ym = ym.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(
+                F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame, path: str, c1: str, c2: str,
+    n_files: int = 16, bits: int = 16,
+) -> None:
+    """Write `df` clustered on the Morton curve of (c1, c2): range-
+    partition on the z value, sort within files, drop the helper
+    column. The effect is the Delta/Iceberg OPTIMIZE ZORDER layout:
+    parquet footer min/max on BOTH columns become tight per file/row
+    group, so a 2-D rectangle predicate skips most files — linear
+    sorting can only ever prune one of the two dimensions. The write
+    itself is one range shuffle; no reader-side change is needed
+    (pruning falls out of ordinary parquet stats + pushed filters)."""
+    (
+        df.withColumn("_z", morton_col(c1, c2, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

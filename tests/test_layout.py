@@ -535,3 +535,56 @@ def test_rollback_store_restores_snapshot(spark, tmp_path):
     assert layout.registry_versions(spark, path) == [0, 1, 2]
     with pytest.raises(ValueError, match="missing"):
         layout.rollback_store(spark, path, version=1)  # block 2 GC'd
+
+
+def test_morton_col_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "x long, y long"
+    )
+    out = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", layout.morton_col("x", "y", bits=4)
+        ).collect()
+    }
+    # bit i of x -> position 2i, bit i of y -> 2i+1
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1 and out[(0, 1)] == 2
+    assert out[(1, 1)] == 3
+    # x=3 (0b011) interleaved with y=5 (0b101): 0b100111 = 39
+    assert out[(3, 5)] == 0b100111
+
+
+def test_zorder_prunes_2d_rectangle(spark, tmp_path):
+    # grid of (x, y) points; a balanced 2-D rectangle must touch far
+    # fewer files under z-order clustering than under a linear x-sort
+    # (which can only cluster one dimension)
+    n, files = 128, 16
+    pts = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    layout.zorder_write(pts, zpath, "x", "y", n_files=files, bits=8)
+    (
+        pts.repartitionByRange(files, "x", "y")
+        .sortWithinPartitions("x", "y")
+        .write.parquet(lpath)
+    )
+
+    def files_touched(path, cond):
+        df = spark.read.parquet(path).where(cond)
+        return df.select(F.input_file_name()).distinct().count()
+
+    # the discriminating query is the one the linear sort CANNOT serve:
+    # a slab on the SECOND dimension. Linear (x, y) order spreads every
+    # y value across all files (16/16 touched); the z-curve confines a
+    # 16/128 y-slab to a handful (4/16 measured at these sizes).
+    y_slab = F.col("y").between(8, 23)
+    zf, lf = files_touched(zpath, y_slab), files_touched(lpath, y_slab)
+    assert zf * 2 <= lf, (zf, lf)
+    assert lf == files  # linear layout cannot prune y at all
+    # and on x-slabs the z layout stays within ~2x of the x-sort
+    x_slab = F.col("x").between(8, 23)
+    assert files_touched(zpath, x_slab) <= 2 * files_touched(lpath, x_slab)
+    # layout is performance-only: the data itself is identical
+    rect = x_slab & y_slab
+    assert spark.read.parquet(zpath).where(rect).count() == 16 * 16

@@ -625,3 +625,21 @@ def test_text_index_uncommitted_append_not_served(spark, tmp_path):
     )
     got = text.bm25_topk_indexed(spark, path, ["spark"], k=10).collect()
     assert [r.doc_id for r in got] == [0]
+
+
+def test_pagerank_star_graph(spark):
+    # spokes all point at the hub; hub points back at one spoke. The
+    # hub must dominate, and with no dangling nodes total mass is
+    # conserved at ~1.
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)],
+        "src long, dst long",
+    )
+    out = simsearch.pagerank(edges, iters=3).collect()
+    ranks = {r.node: r["rank"] for r in out}
+    assert max(ranks, key=ranks.get) == 0
+    assert ranks[1] > ranks[2]  # spoke 1 also receives the hub's mass
+    assert ranks[2] == ranks[3] == ranks[4]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    # output is rank-descending
+    assert [r.node for r in out][0] == 0
