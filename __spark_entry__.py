@@ -1746,6 +1746,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_search": _q_text_index_search,
         "tsdb_relabel": _q_tsdb_relabel,
         "events_zorder_prune": _q_events_zorder_prune,
+        "tsdb_native_hist_fraction": lambda s, d: (
+            promql.native_hist_fraction(
+                _querier(s, d).samples, DAY_MS, 10.0, 100.0
+            )
+        ),
+        "text_redact": lambda s, d: text.redact_terms(
+            _docs(s, d), ["spark", "fast"]
+        ).orderBy("doc_id"),
+        "text_chunk_windows": lambda s, d: text.chunk_windows(_docs(s, d)),
         "events_top_paths": lambda s, d: relational.events_top_paths(s, d),
         "tsdb_autocorrelation": lambda s, d: (
             relational.series_autocorrelation(s, d)
@@ -4291,6 +4300,45 @@ SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
        floor((count(*) / CAST(sum(copies) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS dedup_ratio
 FROM per
+""",
+        "tsdb_native_hist_fraction": q(
+            ", hb AS (SELECT series_id, "
+            "CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "CAST(ceil(ln(value) / ln(2)) AS BIGINT) AS bucket_idx, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM samples WHERE value > 0 GROUP BY 1, 2, 3) "
+            "SELECT series_id, bucket_ms, "
+            "floor(sum(n * greatest(0.0::DOUBLE,"
+            " least(100.0::DOUBLE, pow(2.0, bucket_idx))"
+            " - greatest(10.0::DOUBLE, pow(2.0, bucket_idx - 1)))"
+            " / (pow(2.0, bucket_idx) - pow(2.0, bucket_idx - 1)))"
+            " / sum(n) * 1e6 + 0.5) / 1e6 AS fraction, "
+            "CAST(sum(n) AS BIGINT) AS n_obs "
+            "FROM hb GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "text_redact": (
+            "SELECT doc_id,"
+            " regexp_replace(text, '\\b(spark|fast)\\b', '[REDACTED]', 'g')"
+            "   AS redacted,"
+            " CAST(len(regexp_split_to_array(text, '\\b(spark|fast)\\b'))"
+            "   - 1 AS INT) AS n_redactions "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "text_chunk_windows": """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           greatest(0, CAST(ceil((length(text) - 120) / 80.0) AS BIGINT))))
+           AS chunk_idx
+  FROM documents)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 80 AS BIGINT) AS start_char,
+       substring(text, CAST(chunk_idx * 80 + 1 AS INT), 120) AS chunk,
+       CAST(length(substring(text, CAST(chunk_idx * 80 + 1 AS INT), 120))
+            AS INT) AS n_chars
+FROM c
+WHERE length(substring(text, CAST(chunk_idx * 80 + 1 AS INT), 120)) > 0
+ORDER BY doc_id, chunk_idx
 """,
         "events_zorder_prune": (
             "SELECT CAST(count(*) AS BIGINT) AS n,"

@@ -963,3 +963,35 @@ def native_hist_quantile(
         F.round(lower + (upper - lower) * pos, 6).alias("quantile"),
         F.col("total").cast("long").alias("n_obs"),
     )
+
+
+def native_hist_fraction(
+    samples: DataFrame, bucket_ms: int, lo: float, hi: float
+) -> DataFrame:
+    """histogram_fraction(lo, hi, sketch) over the exponential sketch:
+    the estimated fraction of observations in (lo, hi], linearly
+    interpolating inside the two boundary buckets (Prometheus
+    histogram_fraction semantics for native histograms). Per-bucket
+    overlap of (lo, hi] with (2^(i-1), 2^i] is a pure projection; one
+    aggregate per (series, window) — the sketch is already tiny.
+    Fractions are exact when lo/hi fall on bucket boundaries."""
+    hb = native_histogram(samples, bucket_ms)
+    lower = F.pow(F.lit(2.0), F.col("bucket_idx") - 1)
+    upper = F.pow(F.lit(2.0), F.col("bucket_idx"))
+    covered = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(hi), upper) - F.greatest(F.lit(lo), lower),
+    ) / (upper - lower)
+    return (
+        hb.groupBy("series_id", "bucket_ms")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("n") * covered) / F.sum("n") * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("fraction"),
+            F.sum("n").cast("long").alias("n_obs"),
+        )
+        .orderBy("series_id", "bucket_ms")
+    )

@@ -912,3 +912,60 @@ def bm25_topk_indexed(
         .where(F.col("rk") <= k)
         .orderBy("rk")
     )
+
+
+def redact_terms(
+    docs: DataFrame, terms: list[str], placeholder: str = "[REDACTED]"
+) -> DataFrame:
+    """Blocklist redaction — the masking pass of a curation pipeline
+    (PII shapes are covered by pii_scan; this is the term-level
+    variant used for denylisted strings). Word-boundary alternation,
+    global replace, plus the per-doc redaction count. One regex
+    projection, no shuffle; the pattern stays in the Java∩RE2∩DuckDB
+    subset (alternation + \\b only)."""
+    pat = "\\b(" + "|".join(terms) + ")\\b"
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(text, pat, placeholder).alias("redacted"),
+        F.regexp_count(text, F.lit(pat)).alias("n_redactions"),
+    )
+
+
+def chunk_windows(
+    docs: DataFrame, size: int = 120, stride: int = 80
+) -> DataFrame:
+    """RAG-style chunking: overlapping character windows per document
+    with their offsets — (doc_id, chunk_idx, start_char, chunk, n_chars).
+    One sequence-explode (no shuffle); chunk count per doc is
+    ceil((len - overlap) / stride) so every char is covered and the
+    final partial window is kept. At 100 TB this is the classic
+    pipelines-with-the-scan map; downstreams (embedding, indexing) key
+    on (doc_id, chunk_idx)."""
+    n = F.length(F.col("text"))
+    last = F.greatest(
+        F.lit(0), F.ceil((n - F.lit(size)) / F.lit(stride)).cast("long")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), last)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("start_char"),
+            F.col("text")
+            .substr(
+                (F.col("chunk_idx") * stride + 1).cast("int"),
+                F.lit(size),
+            )
+            .alias("chunk"),
+        )
+        .withColumn("n_chars", F.length("chunk"))
+        .where(F.col("n_chars") > 0)
+        .orderBy("doc_id", "chunk_idx")
+    )

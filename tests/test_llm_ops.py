@@ -643,3 +643,42 @@ def test_pagerank_star_graph(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-4
     # output is rank-descending
     assert [r.node for r in out][0] == 0
+
+
+def test_chunk_windows_cover_and_roundtrip(spark):
+    rows = [(0, "a" * 300), (1, "b" * 120), (2, "c" * 50), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.chunk_windows(df, size=120, stride=80).collect()
+    texts = dict(rows)
+    for r in out:
+        assert r.chunk == texts[r.doc_id][r.start_char : r.start_char + 120]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every char covered; final partial window kept; empty doc skipped
+    assert 3 not in by_doc
+    for d, chunks in by_doc.items():
+        assert max(c.start_char + c.n_chars for c in chunks) == len(texts[d])
+    assert len(by_doc[0]) == 4 and len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+
+
+def test_redact_terms(spark):
+    df = spark.createDataFrame(
+        [(0, "spark is fast and sparkly"), (1, "nothing here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.redact_terms(df, ["spark", "fast"]).collect()}
+    # word boundaries: 'sparkly' survives
+    assert out[0].redacted == "[REDACTED] is [REDACTED] and sparkly"
+    assert out[0].n_redactions == 2 and out[1].n_redactions == 0
+
+
+def test_native_hist_fraction_aligned_is_exact(spark):
+    from agni_spark.functions import promql
+
+    # values in buckets (1,2](x2) and (4,8](x2): fraction in (2, 8]
+    # with aligned bounds is exactly 0.5
+    rows = [(1, 0, 1.5), (1, 1, 2.0), (1, 2, 5.0), (1, 3, 8.0)]
+    df = spark.createDataFrame(rows, "series_id long, ts_ms long, value double")
+    out = promql.native_hist_fraction(df, 86_400_000, 2.0, 8.0).collect()
+    assert len(out) == 1 and out[0].fraction == 0.5 and out[0].n_obs == 4
