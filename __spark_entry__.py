@@ -1729,6 +1729,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_knn_graph": lambda s, d: simsearch.knn_graph(
             _emb(s, d), k=5
         ),
+        "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10, n_centroids=8, nprobe=2, m=16, ksub=16,
+        ),
         "simsearch_pagerank": lambda s, d: simsearch.pagerank(
             simsearch.knn_graph(_emb(s, d), k=5).select(
                 F.col("query_id").alias("src"),
@@ -2189,6 +2196,84 @@ _SQL_SIMSEARCH_IVF_APPEND = _sql_simsearch_ivf(
     "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
 )
 _SQL_SIMSEARCH_KNN_GRAPH = _sql_simsearch_ivf(query_where="TRUE", k=5)
+
+# IVF-PQ mirror: the IVF cells/probes candidate prune composed with the
+# PQ codes/ADC scoring — candidates only (never all pairs), global
+# codebooks (flat-encoding variant, matching simsearch.ivfpq_search).
+_SQL_SIMSEARCH_IVFPQ = f"""
+WITH {_sql_kmeans_cents()},
+cells AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, ct.centroid_id,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, ct.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round(list_cosine_similarity(q.qe, ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents ct) WHERE rn <= 2),
+cand AS (SELECT p.query_id, ce.vec_id
+         FROM cells ce JOIN probes p USING (centroid_id)
+         WHERE ce.vec_id <> p.query_id),
+cb0 AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e,
+    row_number() OVER (ORDER BY
+      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      vec_id) AS cid
+  FROM embeddings
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT 16),
+subs AS (SELECT unnest(range(16)) AS sub),
+cb AS (
+  SELECT s.sub, c.cid,
+    c.e[s.sub * (len(c.e) // 16) + 1 : (s.sub + 1) * (len(c.e) // 16)] AS cvec
+  FROM cb0 c CROSS JOIN subs s),
+sv AS (
+  SELECT c.vec_id, s.sub,
+    CAST(c.embedding AS DOUBLE[])
+      [s.sub * (len(c.embedding) // 16) + 1
+       : (s.sub + 1) * (len(c.embedding) // 16)] AS v
+  FROM embeddings c CROSS JOIN subs s),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT sv.vec_id, sv.sub, cb.cid,
+      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+        ORDER BY round(list_inner_product(sv.v, cb.cvec), 6) DESC,
+                 cb.cid ASC) AS rn
+    FROM sv JOIN cb USING (sub)) WHERE rn = 1),
+cnorm AS (SELECT sub, cid, list_inner_product(cvec, cvec) AS c2 FROM cb),
+vnorm AS (SELECT vec_id, sum(c2) AS vn2
+          FROM codes JOIN cnorm USING (sub, cid) GROUP BY 1),
+qnorm AS (SELECT query_id, sqrt(list_inner_product(qe, qe)) AS qn FROM q),
+qtab AS (
+  SELECT q.query_id, cb.sub, cb.cid,
+    list_inner_product(
+      q.qe[cb.sub * (len(q.qe) // 16) + 1
+           : (cb.sub + 1) * (len(q.qe) // 16)], cb.cvec) AS pd
+  FROM q CROSS JOIN cb),
+adc AS (
+  SELECT ca.query_id, c.vec_id, sum(t.pd) AS dot
+  FROM codes c JOIN cand ca USING (vec_id)
+  JOIN qtab t ON t.query_id = ca.query_id
+             AND t.sub = c.sub AND t.cid = c.cid
+  GROUP BY 1, 2),
+scored AS (
+  SELECT a.query_id, a.vec_id,
+    round(a.dot / (qn.qn * sqrt(v.vn2)), 6) AS cos
+  FROM adc a JOIN vnorm v USING (vec_id) JOIN qnorm qn USING (query_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
+WHERE rk <= 10 ORDER BY query_id, rk
+"""
+
 
 # PageRank over the kNN graph: the SAME 3 chained power iterations the
 # Spark loop runs, each discretized at 1e-9; float constants written as
@@ -4230,6 +4315,7 @@ ORDER BY em.vec_id""",
             )
         ),
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
+        "simsearch_ivfpq": _SQL_SIMSEARCH_IVFPQ,
         "simsearch_label_centroids": """
 WITH e AS (SELECT label, embedding FROM embeddings),
 pos AS (

@@ -682,3 +682,30 @@ def test_native_hist_fraction_aligned_is_exact(spark):
     df = spark.createDataFrame(rows, "series_id long, ts_ms long, value double")
     out = promql.native_hist_fraction(df, 86_400_000, 2.0, 8.0).collect()
     assert len(out) == 1 and out[0].fraction == 0.5 and out[0].n_obs == 4
+
+
+def test_ivfpq_candidates_and_recall(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in simsearch.cosine_topk(emb, queries, k=5).collect()}
+    got = {(r.query_id, r.vec_id)
+           for r in simsearch.ivfpq_search(
+               emb, queries, k=5, nprobe=2, m=16, ksub=16
+           ).collect()}
+    assert len(exact & got) / len(exact) >= 0.2
+    # IVFPQ results must come from the IVF candidate set: probing every
+    # cell makes IVFPQ equal plain PQ ADC (the prune is the only delta)
+    all_cells = {(r.query_id, r.vec_id)
+                 for r in simsearch.ivfpq_search(
+                     emb, queries, k=5, nprobe=8, m=16, ksub=16
+                 ).collect()}
+    pq = {(r.query_id, r.vec_id)
+          for r in simsearch.pq_search(
+              emb, queries, k=5, m=16, ksub=16
+          ).collect()}
+    assert all_cells == pq
