@@ -1057,6 +1057,26 @@ def _q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_promql_frontend_cache(spark: SparkSession, sf: str) -> DataFrame:
+    # query-frontend results cache: a 4-day range query warms the
+    # cache, then a 10-day query over the same expression recomputes
+    # only the 6 uncovered days and serves the rest from the store.
+    # The returned result must equal whole-range evaluation (the SQL
+    # oracle computes it directly); hit/miss accounting is asserted in
+    # tests/test_frontend.py.
+    import tempfile
+
+    from agni_spark.frontend import ResultsCache
+
+    fc = ResultsCache(
+        _querier(spark, sf), tempfile.mkdtemp(prefix="agni_frontend_")
+    )
+    expr = "sum by (job) (sum_over_time(event_error[1d]))"
+    fc.query_range(expr, T1, T1 + 4 * DAY_MS).count()  # warm 4 days
+    out = fc.query_range(expr, T1, T2)  # overlaps: 4 hits + 6 misses
+    return out.orderBy("job", "bucket_ms")
+
+
 def _q_events_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
     # Z-order clustering demo: events rewritten Morton-clustered on
     # (user_id, hour), then a 2-D rectangle aggregate reads back from
@@ -1753,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_search": _q_text_index_search,
         "tsdb_relabel": _q_tsdb_relabel,
         "events_zorder_prune": _q_events_zorder_prune,
+        "promql_frontend_cache": _q_promql_frontend_cache,
         "tsdb_native_hist_fraction": lambda s, d: (
             promql.native_hist_fraction(
                 _querier(s, d).samples, DAY_MS, 10.0, 100.0
@@ -4387,6 +4408,21 @@ SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
          AS dedup_ratio
 FROM per
 """,
+        # the cache-served union must equal whole-range evaluation of
+        # the same expression over the same days
+        "promql_frontend_cache": q(
+            f", ot AS ("
+            f"  SELECT s.series_id,"
+            f"  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            f"  round(sum(s.value), 4) AS v"
+            f"  FROM samples s JOIN series ser USING (series_id)"
+            f"  WHERE ser.metric = 'event_error'"
+            f"    AND s.ts_ms BETWEEN {T1} AND {T2}"
+            f"  GROUP BY 1, 2) "
+            f"SELECT ser.job, o.bucket_ms, round(sum(o.v), 4) AS value "
+            f"FROM ot o JOIN series ser USING (series_id) "
+            f"GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "tsdb_native_hist_fraction": q(
             ", hb AS (SELECT series_id, "
             "CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "

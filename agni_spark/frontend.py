@@ -1,0 +1,146 @@
+"""Query-frontend tier: split-by-interval + results cache for range
+queries (the Cortex/Thanos/Mimir query-frontend, re-expressed on the
+block-store commit idiom).
+
+A /query_range over [mint, maxt) splits into day-aligned partial
+queries. Each partial's RESULT lands in a parquet results cache keyed
+by (canonical-expression hash, day) with a manifest-last commit — the
+same crash-safe registry pattern as the block store and the stored ANN
+indexes (agni shipper.go:252-325 marker-last ordering). A later query
+overlapping the same expression recomputes ONLY the uncovered days and
+serves the rest from the cache.
+
+Correctness of the split: the engine's bucketed model keys every range
+function's output by day `bucket_ms`. Each partial is evaluated with an
+extra `lookback_ms` of input (Cortex's range-vector start adjustment)
+and filtered to its own bucket. Day-split results EQUAL whole-range
+results unconditionally for per-bucket window functions
+(sum/avg/min/max/count_over_time — they never read across a boundary),
+and for lag-based functions (increase/rate/delta) whenever inter-sample
+gaps stay within `lookback_ms` — the engine's lag crosses arbitrary
+gaps, so a series silent longer than the lookback would lose its
+boundary delta (same caveat as Prometheus's own range-vector horizon).
+Both cases are asserted in tests/test_frontend.py; the driver oracle
+pins the unconditional case.
+
+Scale: the cache stores aggregated results (thousands of rows/day, not
+samples); the win is skipping the fact-table scan for cached days —
+precisely the production value of a query frontend in front of a
+100 TB store.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DAY_MS = 86_400_000
+
+
+def _expr_key(expr: str) -> str:
+    """Canonical cache key: whitespace-normalized expression text,
+    md5-hashed (same canonicalization the rule materializer uses)."""
+    return hashlib.md5(" ".join(expr.split()).encode()).hexdigest()[:16]
+
+
+class ResultsCache:
+    """Split-by-interval range-query evaluator with a parquet results
+    cache. `hits`/`misses` count cache-served vs computed days (the
+    frontend's own observability — asserted in tests)."""
+
+    def __init__(
+        self,
+        querier,
+        path: str,
+        lookback_ms: int = DAY_MS,
+        split_ms: int = DAY_MS,
+    ) -> None:
+        self.querier = querier
+        self.spark: SparkSession = querier.samples.sparkSession
+        self.path = path.rstrip("/")
+        self.lookback_ms = lookback_ms
+        self.split_ms = split_ms
+        self.hits = 0
+        self.misses = 0
+
+    # -- manifest (registry-last commit, block-store idiom) ----------
+    def _manifest_path(self, key: str) -> str:
+        return f"{self.path}/{key}/manifest"
+
+    def _committed_days(self, key: str) -> set[int]:
+        try:
+            return {
+                r.day
+                for r in self.spark.read.parquet(
+                    self._manifest_path(key)
+                ).collect()
+            }
+        except Exception:
+            return set()
+
+    def _commit_days(self, key: str, days: set[int]) -> None:
+        self.spark.createDataFrame(
+            [(int(d),) for d in sorted(days)], "day long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            self._manifest_path(key)
+        )
+
+    # -- evaluation ----------------------------------------------------
+    def query_range(
+        self, expr: str, mint_ms: int, maxt_ms: int
+    ) -> DataFrame:
+        """Evaluate `expr` over [mint_ms, maxt_ms): day-split, cached.
+        Returns the union of cached + freshly-computed day partials,
+        identical to evaluating the whole range at once."""
+        from agni_spark import promql_parser as pql
+
+        key = _expr_key(expr)
+        d0 = mint_ms // self.split_ms
+        d1 = (maxt_ms + self.split_ms - 1) // self.split_ms
+        wanted = set(range(d0, d1))
+        have = self._committed_days(key)
+        missing = sorted(wanted - have)
+        self.hits += len(wanted & have)
+        self.misses += len(missing)
+
+        for d in missing:
+            # evaluate the split with the lookback prepended (range
+            # vectors read back across the split boundary), keep only
+            # this split's bucket
+            start = d * self.split_ms
+            out = pql.query(
+                self.querier,
+                expr,
+                mint_ms=start - self.lookback_ms,
+                maxt_ms=(d + 1) * self.split_ms - 1,
+            )
+            if "bucket_ms" not in out.columns:
+                raise ValueError(
+                    "only bucketed (range-function / aggregated) "
+                    "expressions are split-cacheable"
+                )
+            part = out.where(F.col("bucket_ms") == start)
+            # overwrite the day's OWN partition directory: a crashed
+            # earlier attempt's rows are replaced, not appended next to
+            # (append would resurrect uncommitted orphans once the day
+            # finally commits)
+            part.write.mode("overwrite").parquet(
+                f"{self.path}/{key}/data/day={d}"
+            )
+        if missing:
+            # manifest rewrite LAST: a crashed partial write is never
+            # served (and is overwritten by the next attempt's append
+            # being filtered through the manifest)
+            self._commit_days(key, have | set(missing))
+
+        served = self._committed_days(key) & wanted
+        try:
+            data = self.spark.read.parquet(f"{self.path}/{key}/data")
+        except Exception:
+            # every wanted day evaluated empty: nothing was ever
+            # written — an empty frame of the compiled schema
+            out = pql.query(self.querier, expr, mint_ms=0, maxt_ms=0)
+            return out.where(F.lit(False))
+        return data.where(F.col("day").isin(sorted(served))).drop("day")
