@@ -1779,6 +1779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _querier(s, d).samples, DAY_MS, 10.0, 100.0
             )
         ),
+        "text_dedup_rewrite": lambda s, d: text.dedup_passages_rewrite(
+            _docs(s, d)
+        ),
         "text_redact": lambda s, d: text.redact_terms(
             _docs(s, d), ["spark", "fast"]
         ).orderBy("doc_id"),
@@ -4438,6 +4441,32 @@ FROM per
             "CAST(sum(n) AS BIGINT) AS n_obs "
             "FROM hb GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "text_dedup_rewrite": """
+WITH w0 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+words AS (
+  SELECT doc_id, i AS pos, w[i] AS word
+  FROM w0, unnest(generate_series(1, len(w))) AS t(i)),
+occ AS (
+  SELECT doc_id, i, array_to_string(w[i : i + 7], ' ') AS passage
+  FROM w0, unnest(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8),
+rep AS (SELECT passage FROM occ GROUP BY passage
+        HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT o.doc_id, p AS pos
+        FROM occ o JOIN rep USING (passage),
+             unnest(generate_series(o.i, o.i + 7)) AS t(p)),
+kept AS (SELECT wd.doc_id, wd.pos, wd.word FROM words wd
+         ANTI JOIN cov ON cov.doc_id = wd.doc_id AND cov.pos = wd.pos),
+reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+        CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+        FROM words GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_kept, 0) AS n_kept,
+       t.n_words - coalesce(r.n_kept, 0) AS n_removed
+FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id
+""",
         "text_redact": (
             "SELECT doc_id,"
             " regexp_replace(text, '\\b(spark|fast)\\b', '[REDACTED]', 'g')"

@@ -969,3 +969,78 @@ def chunk_windows(
         .where(F.col("n_chars") > 0)
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def dedup_passages_rewrite(
+    docs: DataFrame, window: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """ExactSubstr REWRITE (the action to repeated_passages' report):
+    strip from every document the word positions covered by any
+    `window`-gram that occurs in >= min_docs distinct documents — the
+    'Deduplicating Training Data Makes Language Models Better'
+    boilerplate-removal pass, strip-all variant (every occurrence is
+    removed; the keep-one-copy variant is a policy layer on top).
+
+    Spark shape: one windows explode finds the repeated grams (same
+    single shuffle as repeated_passages, no top-k cap), one positions
+    explode marks covered word slots, one anti-join keeps the rest,
+    one ordered re-agg rebuilds the text. Everything keys on
+    (doc_id, position) or the gram hash — no pairwise doc work at any
+    scale."""
+    words = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " "))
+    ).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("w")
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(w) - {window - 1}, 0)), "
+        f"i -> struct(i AS i, concat_ws(' ', slice(w, i, {window})) "
+        f"AS passage))"
+    )
+    occ = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .where(F.size(F.col("w")) >= window)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.passage"))
+    )
+    occ = occ.persist()  # feeds the frequency count AND the cover join
+    repeated = (
+        occ.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("passage")
+    )
+    covered = (
+        occ.join(repeated, "passage", "semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = words.join(covered, ["doc_id", "pos"], "anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s.getField("w"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    total = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    return (
+        total.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -709,3 +709,20 @@ def test_ivfpq_candidates_and_recall(spark):
               emb, queries, k=5, m=16, ksub=16
           ).collect()}
     assert all_cells == pq
+
+
+def test_dedup_passages_rewrite(spark):
+    boiler = "x1 x2 x3 x4 x5 x6 x7 x8"
+    rows = [
+        (0, f"alpha {boiler} beta"),
+        (1, f"gamma {boiler} delta"),
+        (2, "totally unique words only here now right yes ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.dedup_passages_rewrite(df).collect()}
+    # the shared 8-gram is stripped from BOTH docs; unique words stay
+    assert out[0].clean_text == "alpha beta"
+    assert out[1].clean_text == "gamma delta"
+    assert out[0].n_removed == 8 and out[0].n_kept == 2
+    # a doc with no repeated windows is untouched
+    assert out[2].clean_text == rows[2][1] and out[2].n_removed == 0
