@@ -309,6 +309,15 @@ def _q_promql_irate(spark: SparkSession, sf: str) -> DataFrame:
     return promql.irate(q.samples, DAY_MS).orderBy("series_id", "bucket_ms")
 
 
+def _q_promql_idelta(spark: SparkSession, sf: str) -> DataFrame:
+    # gauge twin of irate, exercised THROUGH the parser grammar
+    from agni_spark import promql_parser as pql
+
+    return pql.query(_querier(spark, sf), "idelta(event_view[1d])").orderBy(
+        "series_id", "bucket_ms"
+    )
+
+
 def _q_promql_deriv(spark: SparkSession, sf: str) -> DataFrame:
     q = _querier(spark, sf)
     return promql.deriv(q.samples, DAY_MS).orderBy("series_id", "bucket_ms")
@@ -1057,6 +1066,25 @@ def _q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tsdb_ha_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # HA replica election: series differing only in `pod` are
+    # redundant scrapers of one logical series; keep the smallest
+    # present replica per (logical series, hour). Summarized per
+    # elected physical series for a stable driver row count.
+    from agni_spark.querier import ha_dedup
+
+    q = _querier(spark, sf)
+    ded = ha_dedup(q.samples.select("series_id", "ts_ms", "value"), q.series)
+    return (
+        ded.groupBy("series_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("series_id")
+    )
+
+
 def _q_promql_frontend_cache(spark: SparkSession, sf: str) -> DataFrame:
     # query-frontend results cache: a 4-day range query warms the
     # cache, then a 10-day query over the same expression recomputes
@@ -1609,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_resets": _q_promql_resets,
         "promql_changes": _q_promql_changes,
         "promql_irate": _q_promql_irate,
+        "promql_idelta": _q_promql_idelta,
         "promql_deriv": _q_promql_deriv,
         "promql_predict_linear": _q_promql_predict_linear,
         "promql_quantile_by": _q_promql_quantile_by,
@@ -1774,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_relabel": _q_tsdb_relabel,
         "events_zorder_prune": _q_events_zorder_prune,
         "promql_frontend_cache": _q_promql_frontend_cache,
+        "tsdb_ha_dedup": _q_tsdb_ha_dedup,
         "tsdb_native_hist_fraction": lambda s, d: (
             promql.native_hist_fraction(
                 _querier(s, d).samples, DAY_MS, 10.0, 100.0
@@ -1787,6 +1817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id"),
         "text_chunk_windows": lambda s, d: text.chunk_windows(_docs(s, d)),
         "events_top_paths": lambda s, d: relational.events_top_paths(s, d),
+        "events_rollup_report": lambda s, d: (
+            relational.events_rollup_report(s, d)
+        ),
         "tsdb_autocorrelation": lambda s, d: (
             relational.series_autocorrelation(s, d)
         ),
@@ -2851,6 +2884,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT series_id, ts_ms, value, lag(value) OVER "
             "(PARTITION BY series_id ORDER BY ts_ms, value) AS prev FROM samples) "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "promql_idelta": q(
+            ", sel AS (SELECT s.* FROM samples s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_view'),"
+            "ranked AS (SELECT series_id, "
+            "CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "ts_ms, value, row_number() OVER (PARTITION BY series_id, "
+            "CAST(ts_ms // 86400000 AS BIGINT) ORDER BY ts_ms DESC, value DESC) "
+            "AS rn FROM sel), "
+            "pair AS (SELECT series_id, bucket_ms, "
+            "max(CASE WHEN rn = 1 THEN ts_ms END) AS t1, "
+            "max(CASE WHEN rn = 1 THEN value END) AS v1, "
+            "max(CASE WHEN rn = 2 THEN ts_ms END) AS t0, "
+            "max(CASE WHEN rn = 2 THEN value END) AS v0 "
+            "FROM ranked WHERE rn <= 2 GROUP BY 1, 2) "
+            "SELECT series_id, bucket_ms, round(v1 - v0, 6) AS value "
+            "FROM pair WHERE t0 IS NOT NULL AND t1 > t0 "
+            "ORDER BY series_id, bucket_ms"
         ),
         "promql_irate": q(
             ", ranked AS (SELECT series_id, "
@@ -4411,6 +4463,23 @@ SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
          AS dedup_ratio
 FROM per
 """,
+        "tsdb_ha_dedup": q(
+            ", reg AS (SELECT series_id,"
+            " concat_ws(',', coalesce(metric, ''), coalesce(job, ''),"
+            "  coalesce(env, ''), coalesce(instance, '')) AS lkey,"
+            " coalesce(pod, '') AS replica FROM series),"
+            "tagged AS (SELECT s.series_id, s.ts_ms, s.value, r.lkey,"
+            "  r.replica, CAST(s.ts_ms // 3600000 AS BIGINT) AS w"
+            "  FROM samples s JOIN reg r USING (series_id)),"
+            "elected AS (SELECT lkey, w, min(replica) AS e FROM tagged"
+            "  GROUP BY 1, 2),"
+            "ded AS (SELECT t.series_id, t.ts_ms, t.value FROM tagged t"
+            "  JOIN elected el ON el.lkey = t.lkey AND el.w = t.w"
+            "  AND t.replica = el.e) "
+            "SELECT series_id, CAST(count(*) AS BIGINT) AS n,"
+            " round(sum(value), 4) AS sum_value "
+            "FROM ded GROUP BY 1 ORDER BY 1"
+        ),
         # the cache-served union must equal whole-range evaluation of
         # the same expression over the same days
         "promql_frontend_cache": q(
@@ -4515,6 +4584,18 @@ ORDER BY doc_id, chunk_idx
             "WHERE regexp_matches(metric,"
             " '^(?:event_(click|error|view))$') "
             "ORDER BY series_id"
+        ),
+        "events_rollup_report": (
+            "SELECT event_type,"
+            " CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " round(sum(value), 4) AS sum_value,"
+            " CAST(GROUPING(event_type,"
+            "   CAST(epoch_ms(ts) // 86400000 AS BIGINT)) AS INT) AS gid "
+            "FROM events "
+            "GROUP BY ROLLUP (event_type,"
+            " CAST(epoch_ms(ts) // 86400000 AS BIGINT)) "
+            "ORDER BY 1, 2, 5"
         ),
         "events_top_paths": """
 WITH ev AS (SELECT user_id, event_id,

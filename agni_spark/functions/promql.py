@@ -242,6 +242,33 @@ def irate(samples: DataFrame, bucket_ms: int) -> DataFrame:
     )
 
 
+def idelta(samples: DataFrame, bucket_ms: int) -> DataFrame:
+    """idelta(): difference of the LAST TWO samples of each (series,
+    bucket) — the gauge twin of irate (no reset correction, no time
+    division). Same two-row window shape."""
+    w = Window.partitionBy("series_id", "bucket_ms").orderBy(
+        F.col("ts_ms").desc(), F.col("value").desc()
+    )
+    ranked = (
+        samples.withColumn("bucket_ms", bucket_start(bucket_ms))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+    )
+    pair = ranked.groupBy("series_id", "bucket_ms").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("ts_ms"))).alias("t1"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v1"),
+        F.max(F.when(F.col("rn") == 2, F.col("ts_ms"))).alias("t0"),
+        F.max(F.when(F.col("rn") == 2, F.col("value"))).alias("v0"),
+    )
+    return pair.where(
+        F.col("t0").isNotNull() & (F.col("t1") > F.col("t0"))
+    ).select(
+        "series_id",
+        "bucket_ms",
+        F.round(F.col("v1") - F.col("v0"), ROUND_AVG).alias("idelta"),
+    )
+
+
 def _regr_sums(samples: DataFrame, bucket_ms: int):
     """Shared least-squares sums per (series, bucket), x = seconds since
     bucket start (centering keeps the magnitudes small enough that the

@@ -1571,3 +1571,27 @@ def series_autocorrelation(
         )
         .orderBy("series_id")
     )
+
+
+def events_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal report in ONE pass (GROUP BY ROLLUP):
+    per (event_type, day) cells, per-event_type subtotals, and the
+    grand total. Spark compiles rollup() to a single Expand +
+    aggregation — one shuffle total, not three queries; grouping_id
+    disambiguates subtotal rows from data nulls (bit order matches
+    SQL GROUPING(event_type, day))."""
+    _ev = load(spark, sf_dir, "events")
+    ev = _ev.select(
+        "event_type",
+        (dm.ms_col(_ev, "ts") / F.lit(86_400_000)).cast("long").alias("day"),
+        "value",
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy("event_type", "day", "gid")
+    )

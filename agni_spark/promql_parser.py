@@ -110,7 +110,8 @@ _UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 _LOOKBACK_MS = 5 * 60_000  # instant-vector lookback delta (Prometheus default)
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group"}
 _RANGE_FUNCS = {
-    "rate", "rate_extrapolated", "increase", "irate", "delta", "resets",
+    "rate", "rate_extrapolated", "increase", "irate", "idelta",
+    "delta", "resets",
     "changes", "deriv", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
@@ -719,6 +720,9 @@ _FUNC_IMPL = {
     ),
     "irate": lambda df, ms: promql.irate(df, ms).withColumnRenamed(
         "irate", "value"
+    ),
+    "idelta": lambda df, ms: promql.idelta(df, ms).withColumnRenamed(
+        "idelta", "value"
     ),
     "delta": lambda df, ms: promql.delta(df, ms).withColumnRenamed(
         "delta", "value"

@@ -360,3 +360,53 @@ def querier_from_store(spark, path: str) -> Querier:
         "series_id", F.explode(F.col("labels"))
     ).withColumnsRenamed({"key": "name"})
     return Querier(samples, wide, labels_long)
+
+
+def ha_dedup(
+    samples: DataFrame,
+    series: DataFrame,
+    replica_label: str = "pod",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """HA-pair deduplication (the Cortex/Mimir distributor's replica
+    election, batch form): series identical except for the REPLICA
+    label are the same logical series scraped by redundant collectors;
+    per (logical series, time window) exactly one replica's samples
+    are kept. The elected replica is the lexicographically smallest
+    replica value present in that window — a deterministic stand-in
+    for the distributor's lease (which elects whoever wrote first;
+    order of arrival doesn't exist in batch).
+
+    Output: (series_id of the elected replica's series, ts_ms, value)
+    — downstream queries see one series per HA pair per window.
+
+    Spark shape: the logical-series key is a broadcast projection of
+    the registry (replica column dropped); election is one min()
+    window per (logical key, time bucket); the final semi-join keeps
+    only elected (series, window) sample rows. Two small shuffles on
+    the logical key; the samples fact table is never widened."""
+    label_cols = [
+        c for c in series.columns if c not in ("series_id", replica_label)
+    ]
+    key = F.concat_ws(
+        ",", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in label_cols]
+    )
+    reg = F.broadcast(
+        series.select(
+            "series_id",
+            key.alias("_lkey"),
+            F.coalesce(F.col(replica_label), F.lit("")).alias("_replica"),
+        )
+    )
+    tagged = samples.join(reg, "series_id").withColumn(
+        "_w", (F.col("ts_ms") / F.lit(bucket_ms)).cast("long")
+    )
+    elected = (
+        tagged.groupBy("_lkey", "_w")
+        .agg(F.min("_replica").alias("_elected"))
+    )
+    return (
+        tagged.join(elected, ["_lkey", "_w"])
+        .where(F.col("_replica") == F.col("_elected"))
+        .select("series_id", "ts_ms", "value")
+    )

@@ -277,3 +277,31 @@ def test_approx_count_distinct_error_bound(spark):
         F.approx_count_distinct("k", rsd=0.02).alias("a")
     ).first()["a"]
     assert abs(approx - 10_000) / 10_000 < 0.05
+
+
+def test_ha_dedup_elects_one_replica_per_window(spark):
+    from agni_spark.querier import ha_dedup
+
+    series = spark.createDataFrame(
+        [
+            (1, "m", "api", "prod", "i1", "pod-a"),
+            (2, "m", "api", "prod", "i1", "pod-b"),  # HA pair of 1
+            (3, "m", "web", "prod", "i2", "pod-c"),  # different logical
+        ],
+        "series_id long, metric string, job string, env string, "
+        "instance string, pod string",
+    )
+    h = 3_600_000
+    samples = spark.createDataFrame(
+        [
+            # hour 0: both replicas report -> pod-a (min) elected
+            (1, 10, 1.0), (2, 20, 2.0),
+            # hour 1: only pod-b reports -> pod-b elected (failover)
+            (2, h + 10, 3.0),
+            # the unrelated logical series always passes through
+            (3, 15, 9.0),
+        ],
+        "series_id long, ts_ms long, value double",
+    )
+    out = {(r.series_id, r.ts_ms) for r in ha_dedup(samples, series).collect()}
+    assert out == {(1, 10), (2, h + 10), (3, 15)}
