@@ -1778,6 +1778,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_knn_graph": lambda s, d: simsearch.knn_graph(
             _emb(s, d), k=5
         ),
+        "simsearch_random_projection": lambda s, d: (
+            simsearch.random_projection(_emb(s, d))
+        ),
+        "tsdb_seasonal_backtest": lambda s, d: (
+            relational.seasonal_backtest(s, d)
+        ),
         "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
             _emb(s, d),
             _emb(s, d)
@@ -2362,6 +2368,26 @@ _SQL_PAGERANK = (
     )
     + " SELECT node, round(r, 6) AS rank FROM r3 ORDER BY rank DESC, node"
 )
+
+
+def _sql_random_projection(k: int = 16, dim: int = 64) -> str:
+    """JL-projection mirror: the same md5-derived planes as SQL
+    literals; dots fold over identically-ordered arrays."""
+    import math
+
+    from agni_spark.functions.simsearch import hyperplanes
+
+    planes = hyperplanes(dim, k, seed="jl")
+    scale = repr(1.0 / math.sqrt(k))
+    comps = ", ".join(
+        f"round(list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(v) for v in p)}]::DOUBLE[]) * {scale}, 6)"
+        for p in planes
+    )
+    return (
+        f"SELECT vec_id, [{comps}] AS reduced FROM embeddings "
+        f"ORDER BY vec_id"
+    )
 
 
 def _sql_simsearch_lsh(n_planes: int = 4, dim: int = 64) -> str:
@@ -4392,6 +4418,19 @@ ORDER BY em.vec_id""",
         ),
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
         "simsearch_ivfpq": _SQL_SIMSEARCH_IVFPQ,
+        "simsearch_random_projection": _sql_random_projection(),
+        "tsdb_seasonal_backtest": q(
+            ", hourly AS (SELECT ser.job,"
+            " CAST(s.ts_ms // 3600000 AS BIGINT) AS h, sum(s.value) AS v"
+            " FROM samples s JOIN series ser USING (series_id)"
+            " GROUP BY 1, 2) "
+            "SELECT a.job, CAST(count(*) AS BIGINT) AS n_buckets,"
+            " round(avg(abs(a.v - b.v)), 6) AS mae,"
+            " round(avg(a.v - b.v), 6) AS bias "
+            "FROM hourly a JOIN hourly b"
+            " ON a.job = b.job AND a.h = b.h + 24 "
+            "GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1"
+        ),
         "simsearch_label_centroids": """
 WITH e AS (SELECT label, embedding FROM embeddings),
 pos AS (

@@ -1595,3 +1595,47 @@ def events_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day", "gid")
     )
+
+
+def seasonal_backtest(
+    spark: SparkSession, sf_dir: str,
+    season_buckets: int = 24, bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (yhat_t =
+    y_{t-season}, here: same hour yesterday) — the baseline every
+    fancier model must beat, and the obvious missing piece next to
+    predict_linear/holt_winters. Hourly sums (one shuffle), the
+    forecast is an equi-join of the bucket grid onto itself shifted by
+    the season (a join, not lag: gaps in the series must not slide the
+    season), then per-series MAE / bias over the covered buckets."""
+    tsdb = dm.derive_tsdb(spark, sf_dir)
+    # backtest the per-job signal: individual series are sparse on an
+    # hourly grid (no forecastable history), the job rollup is dense
+    hourly = (
+        tsdb.samples.join(
+            F.broadcast(tsdb.series.select("series_id", "job")), "series_id"
+        )
+        .groupBy(
+            "job",
+            (F.col("ts_ms") / F.lit(bucket_ms)).cast("long").alias("h"),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    prev = hourly.select(
+        "job",
+        (F.col("h") + season_buckets).alias("h"),
+        F.col("v").alias("yhat"),
+    )
+    scored = hourly.join(prev, ["job", "h"])
+    return (
+        scored.groupBy("job")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.avg(F.abs(F.col("v") - F.col("yhat"))), 6).alias(
+                "mae"
+            ),
+            F.round(F.avg(F.col("v") - F.col("yhat")), 6).alias("bias"),
+        )
+        .where(F.col("n_buckets") >= 3)
+        .orderBy("job")
+    )

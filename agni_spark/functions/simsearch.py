@@ -966,3 +966,37 @@ def ivfpq_search(
         )
         .orderBy("query_id", "rk")
     )
+
+
+def random_projection(emb: DataFrame, k: int = 16, dim: int = 64) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce dim -> k with
+    the deterministic md5-derived dense planes (same family as the
+    LSH hyperplanes, different seed), reduced[j] = dot(emb, plane_j)
+    / sqrt(k). Distance distortion is O(sqrt(log n / k)) w.h.p. — the
+    cheap pre-step before clustering/ANN when the raw dimension is
+    wasteful. Pure per-row arithmetic (JVM fold over the array), no
+    shuffle; planes are literals in the plan, so the SQL oracle
+    restates them verbatim."""
+    import math as _math
+
+    planes = hyperplanes(dim, k, seed="jl")
+    scale = 1.0 / _math.sqrt(k)
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale),
+            6,
+        )
+        for plane in planes
+    ]
+    return emb.select(
+        "vec_id", F.array(*comps).alias("reduced")
+    ).orderBy("vec_id")

@@ -726,3 +726,30 @@ def test_dedup_passages_rewrite(spark):
     assert out[0].n_removed == 8 and out[0].n_kept == 2
     # a doc with no repeated windows is untouched
     assert out[2].clean_text == rows[2][1] and out[2].n_removed == 0
+
+
+def test_random_projection_preserves_similarity(spark):
+    import math
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    red = {r.vec_id: list(r.reduced)
+           for r in simsearch.random_projection(emb, k=16).collect()}
+    raw = {r.vec_id: [float(x) for x in r.embedding]
+           for r in emb.where("vec_id < 20").collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    ids = sorted(raw)
+    errs = [
+        abs(cos(raw[a], raw[b]) - cos(red[a], red[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    ]
+    # JL with k=16 on 64-dim unitish vectors: distortion is bounded in
+    # expectation; assert the mean error is moderate and shape is right
+    assert len(red[ids[0]]) == 16
+    assert sum(errs) / len(errs) < 0.25
