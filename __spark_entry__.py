@@ -1826,6 +1826,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_report": lambda s, d: (
             relational.events_rollup_report(s, d)
         ),
+        "events_cumulative_users": lambda s, d: (
+            relational.events_cumulative_users(s, d)
+        ),
+        "tsdb_native_hist_stats": lambda s, d: promql.native_hist_stats(
+            _querier(s, d).samples, DAY_MS
+        ),
         "tsdb_autocorrelation": lambda s, d: (
             relational.series_autocorrelation(s, d)
         ),
@@ -4623,6 +4629,31 @@ ORDER BY doc_id, chunk_idx
             "WHERE regexp_matches(metric,"
             " '^(?:event_(click|error|view))$') "
             "ORDER BY series_id"
+        ),
+        "events_cumulative_users": (
+            "WITH first AS (SELECT user_id,"
+            " CAST(min(epoch_ms(ts) // 86400000) AS BIGINT) AS first_day"
+            " FROM events GROUP BY 1),"
+            "daily AS (SELECT first_day AS day,"
+            " CAST(count(*) AS BIGINT) AS new_users FROM first GROUP BY 1) "
+            "SELECT day, new_users,"
+            " CAST(sum(new_users) OVER (ORDER BY day"
+            "   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
+            "FROM daily ORDER BY day"
+        ),
+        "tsdb_native_hist_stats": q(
+            ", hb AS (SELECT series_id, "
+            "CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms, "
+            "CAST(ceil(ln(value) / ln(2)) AS BIGINT) AS bucket_idx, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM samples WHERE value > 0 GROUP BY 1, 2, 3) "
+            "SELECT series_id, bucket_ms,"
+            " CAST(sum(n) AS BIGINT) AS hist_count,"
+            " floor(sum(n * (0.75::DOUBLE * pow(2.0, bucket_idx)))"
+            "   * 1e6 + 0.5) / 1e6 AS hist_sum_est,"
+            " floor(sum(n * (0.75::DOUBLE * pow(2.0, bucket_idx)))"
+            "   / sum(n) * 1e6 + 0.5) / 1e6 AS hist_avg_est "
+            "FROM hb GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_rollup_report": (
             "SELECT event_type,"

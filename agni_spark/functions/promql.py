@@ -992,6 +992,30 @@ def native_hist_quantile(
     )
 
 
+def native_hist_stats(
+    samples: DataFrame, bucket_ms: int
+) -> DataFrame:
+    """histogram_count / histogram_sum / histogram_avg from the
+    exponential sketch: count is EXACT (sketch preserves counts); sum
+    and avg are midpoint estimates (each bucket's mass at the
+    geometric center 0.75 * 2^i of (2^(i-1), 2^i] — the standard
+    sketch estimator, within one bucket width relatively)."""
+    hb = native_histogram(samples, bucket_ms)
+    mid = F.lit(0.75) * F.pow(F.lit(2.0), F.col("bucket_idx"))
+    est = F.sum(F.col("n") * mid)
+    return (
+        hb.groupBy("series_id", "bucket_ms")
+        .agg(
+            F.sum("n").cast("long").alias("hist_count"),
+            (F.floor(est * 1e6 + 0.5) / 1e6).alias("hist_sum_est"),
+            (
+                F.floor(est / F.sum("n") * 1e6 + 0.5) / 1e6
+            ).alias("hist_avg_est"),
+        )
+        .orderBy("series_id", "bucket_ms")
+    )
+
+
 def native_hist_fraction(
     samples: DataFrame, bucket_ms: int, lo: float, hi: float
 ) -> DataFrame:

@@ -1639,3 +1639,34 @@ def seasonal_backtest(
         .where(F.col("n_buckets") >= 3)
         .orderBy("job")
     )
+
+
+def events_cumulative_users(
+    spark: SparkSession, sf_dir: str, period_ms: int = 86_400_000
+) -> DataFrame:
+    """Growth accounting: per day, NEW users (first ever activity) and
+    the cumulative registered-user total. Running COUNT(DISTINCT) is
+    not incrementally computable, so it is reformulated exactly: first
+    activity day per user (one aggregate), then new-users-per-day and
+    a running sum window — the standard growth-curve rewrite that
+    scales (the window runs over #days rows, not events)."""
+    ev = load(spark, sf_dir, "events")
+    first = (
+        ev.select(
+            "user_id",
+            (dm.ms_col(ev, "ts") / F.lit(period_ms)).cast("long").alias("d"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_day"))
+    )
+    daily = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
