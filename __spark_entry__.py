@@ -1563,7 +1563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("series_id", "bucket_ms"),
         "promql_sum_by": _q_promql_sum_by,
         "promql_topk": _q_promql_topk,
-        "promql_parsed_topk_by": _q_promql_parsed_topk_by,
+        # frontend results cache replaced parsed_topk_by in the window:
+        # topk-by stays oracle-gated after #50; the cache is a whole
+        # new serving tier the external gate should see
+        "promql_frontend_cache": _q_promql_frontend_cache,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         "promql_parsed_expression": _q_promql_parsed,
         "promql_parsed_binop": _q_promql_parsed_binop,
@@ -1584,13 +1587,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_stats": _q_text_doc_stats,
         "text_repeated_passages": _q_text_repeated_passages,
         "text_pack_sequences": _q_text_pack_sequences,
-        "text_lang_id": _q_text_lang_id,
+        # stored inverted index replaced lang_id in the window (lang_id
+        # stays oracle-gated after #50): index-served search is the
+        # richer external signal (build + append + pruned probe)
+        "text_index_search": _q_text_index_search,
         "text_bm25_topk": _q_text_bm25_topk,
         # --- Simsearch (5) ---
         "simsearch_cosine_topk": _q_simsearch_topk,
         "simsearch_ivf_ann": _q_simsearch_ivf,
         "simsearch_ivf_stored": _q_simsearch_ivf_stored,
-        "simsearch_pq_adc": _q_simsearch_pq,
+        # IVF-PQ replaced plain PQ-ADC in the window (pq_adc stays
+        # oracle-gated after #50): the composite exercises both the
+        # coarse prune and the ADC path in one externally-checked row
+        "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10, n_centroids=8, nprobe=2, m=16, ksub=16,
+        ),
         "dedup_semantic": _q_dedup_semantic,
         # --- Events (3) ---
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
@@ -1602,6 +1617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Multimodal (1) — entry #50 ---
         "multimodal_meta": _q_multimodal_meta,
         # ------ end of driver-checked window (50) ------
+        # swapped out of the window above, still fully oracle-gated:
+        "promql_parsed_topk_by": _q_promql_parsed_topk_by,
+        "text_lang_id": _q_text_lang_id,
+        "simsearch_pq_adc": _q_simsearch_pq,
         "promql_rate": _q_promql_rate,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "p5_prefix_matcher": _q_p5_prefix,

@@ -835,6 +835,11 @@ def pagerank(
     cross-engine rounding idiom) so an independent SQL restatement of
     the same 3 chained iterations cannot drift off the float path;
     final output rounds to 6dp."""
+    # persist the edge list: the power loop references it every
+    # iteration, and an unpersisted upstream (e.g. the whole kNN-graph
+    # build) would otherwise recompute per iteration — PLANS.md showed
+    # 18 scans / 60 shuffles before this pin, 4 / 24 after
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -842,7 +847,7 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(iters):
