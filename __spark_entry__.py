@@ -1800,6 +1800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_random_projection": lambda s, d: (
             simsearch.random_projection(_emb(s, d))
         ),
+        "simsearch_knn_classify": lambda s, d: simsearch.knn_classify(
+            _emb(s, d), k=5
+        ),
+        "tsdb_series_churn": lambda s, d: relational.series_churn(s, d),
         "tsdb_seasonal_backtest": lambda s, d: (
             relational.seasonal_backtest(s, d)
         ),
@@ -4444,6 +4448,41 @@ ORDER BY em.vec_id""",
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
         "simsearch_ivfpq": _SQL_SIMSEARCH_IVFPQ,
         "simsearch_random_projection": _sql_random_projection(),
+        "simsearch_knn_classify": (
+            "WITH g AS (SELECT query_id, vec_id FROM ("
+            + _SQL_SIMSEARCH_KNN_GRAPH
+            + ")), "
+            "votes AS (SELECT g.query_id AS vec_id, e.label AS nb_label,"
+            " CAST(count(*) AS BIGINT) AS nv FROM g"
+            " JOIN embeddings e ON e.vec_id = g.vec_id GROUP BY 1, 2),"
+            "pred AS (SELECT vec_id, nb_label AS pred_label FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY vec_id"
+            "  ORDER BY nv DESC, nb_label ASC) AS rn FROM votes)"
+            " WHERE rn = 1) "
+            "SELECT p.vec_id, e.label, p.pred_label,"
+            " CAST(CASE WHEN e.label = p.pred_label THEN 1 ELSE 0 END"
+            "   AS INT) AS correct "
+            "FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id "
+            "ORDER BY p.vec_id"
+        ),
+        "tsdb_series_churn": q(
+            ", act AS (SELECT DISTINCT series_id,"
+            "  CAST(ts_ms // 86400000 AS BIGINT) AS d FROM samples),"
+            "prev AS (SELECT series_id, d + 1 AS d FROM act),"
+            "nw AS (SELECT a.d, CAST(count(*) AS BIGINT) AS new_series"
+            "  FROM act a ANTI JOIN prev p"
+            "  ON p.series_id = a.series_id AND p.d = a.d GROUP BY 1),"
+            "chu AS (SELECT p.d, CAST(count(*) AS BIGINT) AS churned_series"
+            "  FROM prev p ANTI JOIN act a"
+            "  ON a.series_id = p.series_id AND a.d = p.d GROUP BY 1),"
+            "tot AS (SELECT d, CAST(count(*) AS BIGINT) AS active_series"
+            "  FROM act GROUP BY 1) "
+            "SELECT t.d AS day, t.active_series,"
+            " coalesce(n.new_series, 0) AS new_series,"
+            " coalesce(c.churned_series, 0) AS churned_series "
+            "FROM tot t LEFT JOIN nw n ON n.d = t.d"
+            " LEFT JOIN chu c ON c.d = t.d ORDER BY 1"
+        ),
         "tsdb_seasonal_backtest": q(
             ", hourly AS (SELECT ser.job,"
             " CAST(s.ts_ms // 3600000 AS BIGINT) AS h, sum(s.value) AS v"

@@ -1670,3 +1670,40 @@ def events_cumulative_users(
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+def series_churn(
+    spark: SparkSession, sf_dir: str, period_ms: int = 86_400_000
+) -> DataFrame:
+    """Series churn per day — the cardinality-health diagnostic behind
+    'why did my TSDB blow up': per period, how many distinct series are
+    active, how many are NEW (absent the previous period) and how many
+    CHURNED (present previous period, absent now). Built from one
+    distinct (series, period) activity table self-joined onto its
+    shifted grid — counts only, no window over history."""
+    tsdb = dm.derive_tsdb(spark, sf_dir)
+    act = tsdb.samples.select(
+        "series_id",
+        (F.col("ts_ms") / F.lit(period_ms)).cast("long").alias("d"),
+    ).distinct()
+    prev = act.select("series_id", (F.col("d") + 1).alias("d"))
+    new = act.join(prev, ["series_id", "d"], "anti").groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_series")
+    )
+    churned = prev.join(act, ["series_id", "d"], "anti").groupBy("d").agg(
+        F.count(F.lit(1)).alias("churned_series")
+    )
+    totals = act.groupBy("d").agg(F.count(F.lit(1)).alias("active_series"))
+    days = act.select("d").distinct()
+    return (
+        days.join(totals, "d", "left")
+        .join(new, "d", "left")
+        .join(churned, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("active_series", F.lit(0)).alias("active_series"),
+            F.coalesce("new_series", F.lit(0)).alias("new_series"),
+            F.coalesce("churned_series", F.lit(0)).alias("churned_series"),
+        )
+        .orderBy("day")
+    )

@@ -1005,3 +1005,48 @@ def random_projection(emb: DataFrame, k: int = 16, dim: int = 64) -> DataFrame:
     return emb.select(
         "vec_id", F.array(*comps).alias("reduced")
     ).orderBy("vec_id")
+
+
+def knn_classify(emb: DataFrame, k: int = 5) -> DataFrame:
+    """kNN label prediction over the ANN graph: each vector's label is
+    predicted as the majority label of its k approximate nearest
+    neighbors (ties -> smallest label id), reported against the true
+    label — the standard embedding-quality probe (kNN accuracy) run
+    entirely inside the engine. Reuses the IVF kNN graph (bounded
+    candidate generation); the vote is one count + one rank window
+    over k*n rows."""
+    g = knn_graph(emb, k=k)
+    votes = (
+        g.join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id"), F.col("label").alias("nb_label")
+                )
+            ),
+            "vec_id",
+        )
+        .groupBy(F.col("query_id").alias("vec_id"), "nb_label")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("nv").desc(), F.col("nb_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("nb_label").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            F.broadcast(emb.select("vec_id", "label")), "vec_id"
+        )
+        .select(
+            "vec_id",
+            "label",
+            "pred_label",
+            (F.col("label") == F.col("pred_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
