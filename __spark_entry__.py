@@ -1085,6 +1085,26 @@ def _q_tsdb_ha_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_promql_alert_inhibit(spark: SparkSession, sf: str) -> DataFrame:
+    # Alertmanager inhibition: two thresholds over the same signal
+    # produce critical + warning alert streams; warnings are suppressed
+    # wherever a critical fires on the same (job, bucket)
+    from agni_spark import promql_parser as pql
+
+    base = pql.query(
+        _querier(spark, sf), "sum by (job) (increase(event_error[1d]))"
+    )
+    crit = base.where(F.col("value") > 1100).withColumn(
+        "severity", F.lit("critical")
+    )
+    warn = base.where(F.col("value") > 700).withColumn(
+        "severity", F.lit("warning")
+    )
+    return promql.alert_inhibit(crit.unionByName(warn)).orderBy(
+        "severity", "job", "bucket_ms"
+    )
+
+
 def _q_promql_frontend_cache(spark: SparkSession, sf: str) -> DataFrame:
     # query-frontend results cache: a 4-day range query warms the
     # cache, then a 10-day query over the same expression recomputes
@@ -1804,6 +1824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), k=5
         ),
         "tsdb_series_churn": lambda s, d: relational.series_churn(s, d),
+        "promql_alert_inhibit": _q_promql_alert_inhibit,
+        "text_vocab_coverage": lambda s, d: text.vocab_coverage(
+            _docs(s, d), k=100
+        ),
         "tsdb_seasonal_backtest": lambda s, d: (
             relational.seasonal_backtest(s, d)
         ),
@@ -4465,6 +4489,44 @@ ORDER BY em.vec_id""",
             "FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id "
             "ORDER BY p.vec_id"
         ),
+        "promql_alert_inhibit": q(
+            ", sel AS (SELECT s.* FROM samples s"
+            "  JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error'),"
+            "inc AS (SELECT series_id,"
+            "  CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(CASE WHEN value >= prev THEN value - prev"
+            "            ELSE value END), 4) AS value"
+            "  FROM (SELECT series_id, ts_ms, value, lag(value) OVER"
+            "        (PARTITION BY series_id ORDER BY ts_ms, value) AS prev"
+            "        FROM sel)"
+            "  WHERE prev IS NOT NULL GROUP BY 1, 2),"
+            "agg0 AS (SELECT ser.job, i.bucket_ms,"
+            "  round(sum(i.value), 4) AS value"
+            "  FROM inc i JOIN series ser USING (series_id) GROUP BY 1, 2),"
+            "crit AS (SELECT job, bucket_ms, value,"
+            "  'critical' AS severity FROM agg0 WHERE value > 1100),"
+            "warn AS (SELECT w.job, w.bucket_ms, w.value,"
+            "  'warning' AS severity FROM"
+            "  (SELECT * FROM agg0 WHERE value > 700) w"
+            "  ANTI JOIN crit c ON c.job = w.job"
+            "  AND c.bucket_ms = w.bucket_ms) "
+            "SELECT job, bucket_ms, value, severity FROM crit "
+            "UNION ALL SELECT job, bucket_ms, value, severity FROM warn "
+            "ORDER BY severity, job, bucket_ms"
+        ),
+        "text_vocab_coverage": """
+WITH wz AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+counts AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM wz
+           WHERE w <> '' GROUP BY w),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM counts),
+top AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rank
+        FROM counts)
+SELECT CAST(rank AS INT) AS rank, w AS word, n,
+       floor(sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+             / tot * 1e6 + 0.5) / 1e6 AS coverage
+FROM top CROSS JOIN tot WHERE rank <= 100 ORDER BY rank
+""",
         "tsdb_series_churn": q(
             ", act AS (SELECT DISTINCT series_id,"
             "  CAST(ts_ms // 86400000 AS BIGINT) AS d FROM samples),"

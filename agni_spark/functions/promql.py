@@ -992,6 +992,26 @@ def native_hist_quantile(
     )
 
 
+def alert_inhibit(
+    alerts: DataFrame,
+    severity_col: str = "severity",
+    equal: tuple = ("job", "bucket_ms"),
+    source: str = "critical",
+    target: str = "warning",
+) -> DataFrame:
+    """Alertmanager inhibition: suppress `target`-severity alerts
+    whenever a `source`-severity alert is firing with EQUAL values on
+    the `equal` labels (alertmanager inhibit_rules semantics — the
+    dedup layer between paging and noise). One anti-join on the equal
+    keys; critical alerts always pass through."""
+    crit = alerts.where(F.col(severity_col) == source)
+    warn = alerts.where(F.col(severity_col) == target)
+    kept_warn = warn.join(
+        crit.select(*equal).distinct(), list(equal), "anti"
+    )
+    return crit.unionByName(kept_warn)
+
+
 def native_hist_stats(
     samples: DataFrame, bucket_ms: int
 ) -> DataFrame:

@@ -1044,3 +1044,37 @@ def dedup_passages_rewrite(
         )
         .orderBy("doc_id")
     )
+
+
+def vocab_coverage(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Vocabulary coverage curve: the top-k corpus words by frequency
+    with each prefix's cumulative share of ALL tokens — the
+    tokenizer-budget diagnostic (how much of the corpus a k-entry
+    vocab covers). One explode + one word-count shuffle; the running
+    sum is a window over k rows, and the total is a broadcast scalar.
+    Coverage is floor-discretized at 1e6 (cross-engine tie rule)."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("tot"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("w"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(total))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("w").alias("word"),
+        "n",
+        (
+            F.floor(F.sum("n").over(w_cum) / F.col("tot") * 1e6 + 0.5)
+            / 1e6
+        ).alias("coverage"),
+    ).orderBy("rank")
