@@ -190,3 +190,24 @@ def test_alert_for_state_requires_continuous_hold(spark):
         0: "pending", 100: "pending", 200: "firing",
         500: "pending", 600: "pending",
     }
+
+
+def test_alert_inhibit(spark):
+    from agni_spark.functions import promql
+
+    alerts = spark.createDataFrame(
+        [
+            ("api", 0, 1200.0, "critical"),
+            ("api", 0, 1200.0, "warning"),   # suppressed by the critical
+            ("web", 0, 800.0, "warning"),    # no critical -> passes
+            ("api", 1, 900.0, "warning"),    # other bucket -> passes
+        ],
+        "job string, bucket_ms long, value double, severity string",
+    )
+    out = {(r.job, r.bucket_ms, r.severity)
+           for r in promql.alert_inhibit(alerts).collect()}
+    assert out == {
+        ("api", 0, "critical"),
+        ("web", 0, "warning"),
+        ("api", 1, "warning"),
+    }
