@@ -1823,6 +1823,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_knn_classify": lambda s, d: simsearch.knn_classify(
             _emb(s, d), k=5
         ),
+        "simsearch_reduced_rerank": lambda s, d: (
+            simsearch.reduced_rerank_topk(
+                _emb(s, d),
+                _emb(s, d)
+                .where(F.col("vec_id") < 5)
+                .select(F.col("vec_id").alias("query_id"), "embedding"),
+                k=10, shortlist=50, rk=16,
+            )
+        ),
         "tsdb_series_churn": lambda s, d: relational.series_churn(s, d),
         "promql_alert_inhibit": _q_promql_alert_inhibit,
         "text_vocab_coverage": lambda s, d: text.vocab_coverage(
@@ -2441,6 +2450,49 @@ def _sql_random_projection(k: int = 16, dim: int = 64) -> str:
         f"SELECT vec_id, [{comps}] AS reduced FROM embeddings "
         f"ORDER BY vec_id"
     )
+
+
+def _sql_reduced_rerank(
+    k: int = 10, shortlist: int = 50, rk: int = 16, dim: int = 64
+) -> str:
+    """Two-stage retrieval mirror: the same JL planes as literals, the
+    same 6dp stage-1 shortlist, exact rerank on full vectors."""
+    import math
+
+    from agni_spark.functions.simsearch import hyperplanes
+
+    planes = hyperplanes(dim, rk, seed="jl")
+    scale = repr(1.0 / math.sqrt(rk))
+
+    def red(col: str) -> str:
+        comps = ", ".join(
+            f"round(list_inner_product(CAST({col} AS DOUBLE[]), "
+            f"[{', '.join(repr(v) for v in p)}]::DOUBLE[]) * {scale}, 6)"
+            for p in planes
+        )
+        return f"[{comps}]"
+
+    return f"""
+WITH redc AS (SELECT vec_id, {red('embedding')} AS rc FROM embeddings),
+redq AS (SELECT vec_id AS query_id, {red('embedding')} AS rq
+         FROM embeddings WHERE vec_id < 5),
+s1 AS (SELECT q.query_id, c.vec_id,
+       round(list_cosine_similarity(q.rq, c.rc), 6) AS rcos
+       FROM redc c CROSS JOIN redq q WHERE c.vec_id <> q.query_id),
+short AS (SELECT query_id, vec_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY rcos DESC, vec_id ASC) AS rn FROM s1) WHERE rn <= {shortlist}),
+s2 AS (SELECT sh.query_id, sh.vec_id,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 6) AS cos
+       FROM short sh
+       JOIN embeddings c ON c.vec_id = sh.vec_id
+       JOIN embeddings q ON q.vec_id = sh.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id ASC) AS rk FROM s2)
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
+WHERE rk <= {k} ORDER BY query_id, rk
+"""
 
 
 def _sql_simsearch_lsh(n_planes: int = 4, dim: int = 64) -> str:
@@ -4472,6 +4524,7 @@ ORDER BY em.vec_id""",
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
         "simsearch_ivfpq": _SQL_SIMSEARCH_IVFPQ,
         "simsearch_random_projection": _sql_random_projection(),
+        "simsearch_reduced_rerank": _sql_reduced_rerank(),
         "simsearch_knn_classify": (
             "WITH g AS (SELECT query_id, vec_id FROM ("
             + _SQL_SIMSEARCH_KNN_GRAPH

@@ -1050,3 +1050,62 @@ def knn_classify(emb: DataFrame, k: int = 5) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def reduced_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    rk: int = 16,
+) -> DataFrame:
+    """Two-stage retrieval: shortlist by cosine in the JL-REDUCED space
+    (rk dims instead of D), exact rerank of the shortlist on the full
+    vectors — the dimension-reduced prefilter every large retrieval
+    stack runs before its expensive scorer. Deterministic end-to-end
+    (md5 planes, 6dp-rounded stage-1 scores, id tie-breaks), so the
+    SQL twin is a FULL oracle. At 100 TB stage 1 reads rk/D of the
+    vector bytes; stage 2 touches only shortlist*|queries| full rows."""
+    red_c = random_projection(emb, k=rk).withColumnRenamed("reduced", "rc")
+    red_q = F.broadcast(
+        random_projection(
+            queries.select(
+                F.col("query_id").alias("vec_id"), "embedding"
+            ),
+            k=rk,
+        ).select(F.col("vec_id").alias("query_id"), F.col("reduced").alias("rq"))
+    )
+    s1 = (
+        red_c.crossJoin(red_q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rcos", F.round(cosine(F.col("rq"), F.col("rc")), 6))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rcos").desc(), F.col("vec_id").asc()
+    )
+    short = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    full_q = F.broadcast(
+        queries.select("query_id", F.col("embedding").alias("qe"))
+    )
+    s2 = (
+        short.join(
+            emb.select("vec_id", F.col("embedding").alias("ce")), "vec_id"
+        )
+        .join(full_q, "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        s2.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk")
+        )
+        .orderBy("query_id", "rk")
+    )
