@@ -1093,7 +1093,7 @@ def _q_promql_alert_inhibit(spark: SparkSession, sf: str) -> DataFrame:
 
     base = pql.query(
         _querier(spark, sf), "sum by (job) (increase(event_error[1d]))"
-    )
+    ).persist()  # two threshold consumers share one evaluation
     crit = base.where(F.col("value") > 1100).withColumn(
         "severity", F.lit("critical")
     )

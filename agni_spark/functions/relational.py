@@ -1682,10 +1682,12 @@ def series_churn(
     distinct (series, period) activity table self-joined onto its
     shifted grid — counts only, no window over history."""
     tsdb = dm.derive_tsdb(spark, sf_dir)
+    # persisted: the activity table feeds prev/new/churned/totals/days
+    # — five consumers over one distinct, not five fact scans
     act = tsdb.samples.select(
         "series_id",
         (F.col("ts_ms") / F.lit(period_ms)).cast("long").alias("d"),
-    ).distinct()
+    ).distinct().persist()
     prev = act.select("series_id", (F.col("d") + 1).alias("d"))
     new = act.join(prev, ["series_id", "d"], "anti").groupBy("d").agg(
         F.count(F.lit(1)).alias("new_series")
