@@ -1156,6 +1156,23 @@ def _q_events_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_multimodal_phash_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    # the synthetic corpus has no natural near-dups (min pairwise
+    # hamming 9), so the query unions in 5 perturbed copies (first 8
+    # bytes overwritten) whose hashes land 1-5 bits away — the banded
+    # join must find exactly what the oracle's brute-force pair scan
+    # finds (pigeonhole-exact for hamming <= 7)
+    d = _docs(spark, sf)
+    pert = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("z" * 8), F.expr("substring(text, 9)")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(pert)
+    return multimodal.phash_near_dups(
+        multimodal.media_from_documents(corpus), max_hamming=6
+    )
+
+
 def _q_tsdb_relabel(spark: SparkSession, sf: str) -> DataFrame:
     # Prometheus relabel_config chain over the series registry: keep by
     # metric regex, composite replace into a new label, hashmod
@@ -1861,6 +1878,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_exact_dedup": _q_multimodal_exact_dedup,
         "multimodal_chunk_dedup": _q_multimodal_chunk_dedup,
         "multimodal_audio_windows": _q_multimodal_audio,
+        "multimodal_phash": lambda s, d: multimodal.blockmean_phash(
+            multimodal.media_from_documents(_docs(s, d))
+        ).orderBy("media_id"),
+        "multimodal_phash_neardups": _q_multimodal_phash_neardups,
         "text_index_search": _q_text_index_search,
         "tsdb_relabel": _q_tsdb_relabel,
         "events_zorder_prune": _q_events_zorder_prune,
@@ -2583,6 +2604,36 @@ ranked AS (SELECT doc_id, score,
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
            FROM total)
 SELECT doc_id, score, rk FROM ranked WHERE rk <= 10 ORDER BY rk
+"""
+
+
+# Block-mean perceptual hash mirror: identical byte math via
+# ord(substring()) — chars exploded once, per-block means joined on the
+# floor-split ranges, bit sum in HUGEINT then wrapped to signed 64.
+_SQL_PHASH_CTE = """
+WITH m AS (SELECT doc_id AS media_id, text,
+           CAST(length(text) AS BIGINT) AS n FROM documents),
+chars AS (SELECT media_id, i,
+          CAST(ord(substring(text, CAST(i AS INT), 1)) AS DOUBLE) AS v
+          FROM m, unnest(generate_series(1, n)) t(i)),
+gm AS (SELECT media_id, avg(v) AS g FROM chars GROUP BY 1),
+blk AS (SELECT media_id, i, (i * n) // 64 AS lo, ((i + 1) * n) // 64 AS hi
+        FROM m, unnest(generate_series(0, 63)) t(i)),
+bm AS (SELECT b.media_id, b.i, avg(c.v) AS bmean
+       FROM blk b JOIN chars c ON c.media_id = b.media_id
+         AND c.i - 1 >= b.lo AND c.i - 1 < b.hi
+       GROUP BY 1, 2),
+bits AS (SELECT bm.media_id, bm.i FROM bm JOIN gm USING (media_id)
+         WHERE bm.bmean > gm.g),
+hs AS (SELECT media_id, sum(CAST(1 AS HUGEINT) << CAST(i AS INT)) AS h
+       FROM bits GROUP BY 1),
+ph AS (SELECT m.media_id,
+       CAST(CASE WHEN h IS NULL THEN 0
+            WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+            THEN h - CAST('18446744073709551616' AS HUGEINT)
+            ELSE h END AS BIGINT) AS phash,
+       m.n AS n_bytes
+       FROM m LEFT JOIN hs USING (media_id))
 """
 
 
@@ -4659,6 +4710,20 @@ SELECT media_id, CAST(w AS INT) AS window_idx,
        round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms
 FROM pcm GROUP BY media_id, w ORDER BY media_id, window_idx
 """,
+        "multimodal_phash": _SQL_PHASH_CTE
+        + "SELECT media_id, phash, n_bytes FROM ph ORDER BY media_id",
+        "multimodal_phash_neardups": _SQL_PHASH_CTE.replace(
+            "FROM documents)",
+            "FROM (SELECT doc_id, text FROM documents UNION ALL"
+            " SELECT doc_id + 100000 AS doc_id,"
+            " 'zzzzzzzz' || substring(text, 9) AS text"
+            " FROM documents WHERE doc_id < 5))",
+            1,
+        )
+        + "SELECT a.media_id AS id_a, b.media_id AS id_b,"
+          " CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming"
+          " FROM ph a JOIN ph b ON a.media_id < b.media_id"
+          " WHERE bit_count(xor(a.phash, b.phash)) <= 6 ORDER BY 1, 2",
         "multimodal_exact_dedup": (
             "SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) "
             "AS n_copies, min(doc_id) AS keep_media_id "

@@ -230,3 +230,107 @@ def chunk_dedup_stats(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
             ) / 1e6
         ).alias("dedup_ratio"),
     )
+
+
+def blockmean_phash(media: DataFrame, bits: int = 64) -> DataFrame:
+    """Block-mean perceptual hash over binary payloads (the pHash
+    family's simplest member, byte-domain): the payload is cut into
+    `bits` equal blocks; bit i is 1 iff block i's mean byte value
+    exceeds the payload's global mean. Near-identical payloads (small
+    local edits) agree on most bits — the content-aware complement to
+    exact digest dedup. Arrow-batched numpy per partition (the decode
+    tier's pattern); the SQL oracle recomputes the identical byte math
+    via ord(substring(..)) — a genuinely independent path.
+
+    Output: (media_id, phash long, n_bytes long). Payloads shorter
+    than `bits` bytes hash on their full length with repeated-block
+    boundaries (floor splits); empty payloads hash to 0."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            out_ids, out_h, out_n = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                h = 0
+                if n > 0:
+                    g = float(b.mean())
+                    # block i covers [i*n//bits, (i+1)*n//bits); empty
+                    # blocks (n < bits) inherit bit 0
+                    for i in range(64):
+                        lo = i * n // 64
+                        hi = (i + 1) * n // 64
+                        if hi > lo and float(b[lo:hi].mean()) > g:
+                            h |= 1 << i
+                out_ids.append(mid)
+                # mask to signed 64-bit for Spark's LongType
+                out_h.append(h - (1 << 64) if h >= (1 << 63) else h)
+                out_n.append(n)
+            yield pd_.DataFrame(
+                {"media_id": out_ids, "phash": out_h, "n_bytes": out_n}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, "media_id long, phash long, n_bytes long"
+    )
+
+
+def phash_near_dups(
+    media: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance:
+    the 64-bit phash splits into 8 one-byte bands; by PIGEONHOLE a
+    pair with <= 7 differing bits MUST agree on at least one full band
+    (8 bands, at most 7 can be hit), so candidates = same
+    (band_idx, band_value) with ZERO false negatives for
+    max_hamming <= 7 — the LSH banding trick on hash bits as an EXACT
+    candidate generator, never all pairs. Exact Hamming verify
+    (bit_count of XOR) filters the candidates; results equal the
+    brute-force all-pairs scan, which is therefore the oracle."""
+    if max_hamming > 7:
+        raise ValueError("8-band pigeonhole guarantee needs max_hamming <= 7")
+    hashed = blockmean_phash(media)
+    bands = hashed.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("bv"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", F.col("b.band"), F.col("b.bv"))
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.select(
+            "id_a", "id_b", ham.cast("int").alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -753,3 +753,29 @@ def test_random_projection_preserves_similarity(spark):
     # expectation; assert the mean error is moderate and shape is right
     assert len(red[ids[0]]) == 16
     assert sum(errs) / len(errs) < 0.25
+
+
+def test_blockmean_phash_properties(spark):
+    rows = [
+        (0, "a" * 64 + "Z" * 64),       # half low, half high bytes
+        (1, "a" * 64 + "Z" * 64),       # identical twin
+        (2, "x" + "a" * 63 + "Z" * 64), # tiny edit -> tiny hamming
+        (3, ""),                        # empty payload -> hash 0
+    ]
+    media = multimodal.media_from_documents(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    h = {r.media_id: r.phash for r in multimodal.blockmean_phash(media).collect()}
+    assert h[0] == h[1] and h[3] == 0
+    assert bin((h[0] ^ h[2]) & ((1 << 64) - 1)).count("1") <= 6
+    # 'a' (97) > 'Z' (90): the FIRST 32 blocks sit above the mean, so
+    # exactly the low 32 bits are set
+    assert h[0] == 0xFFFFFFFF
+
+    pairs = multimodal.phash_near_dups(media, max_hamming=6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        multimodal.phash_near_dups(media, max_hamming=8)
