@@ -1850,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "tsdb_series_churn": lambda s, d: relational.series_churn(s, d),
+        "tpch_basket_lift": lambda s, d: relational.basket_lift(s, d),
         "promql_alert_inhibit": _q_promql_alert_inhibit,
         "text_vocab_coverage": lambda s, d: text.vocab_coverage(
             _docs(s, d), k=100
@@ -4593,6 +4594,24 @@ ORDER BY em.vec_id""",
             "FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id "
             "ORDER BY p.vec_id"
         ),
+        "tpch_basket_lift": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+no AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+       FROM li),
+pn AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+       FROM li GROUP BY 1),
+pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+          CAST(count(*) AS BIGINT) AS n_co
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT part_a, part_b, n_co,
+  floor(CAST(n_co AS DOUBLE) * n_orders / (na.n_part * nb.n_part)
+        * 1e6 + 0.5) / 1e6 AS lift
+FROM pairs JOIN pn na ON na.l_partkey = part_a
+JOIN pn nb ON nb.l_partkey = part_b CROSS JOIN no
+ORDER BY n_co DESC, part_a, part_b LIMIT 50
+""",
         "promql_alert_inhibit": q(
             ", sel AS (SELECT s.* FROM samples s"
             "  JOIN series ser USING (series_id)"

@@ -1709,3 +1709,62 @@ def series_churn(
         )
         .orderBy("day")
     )
+
+
+def basket_lift(
+    spark: SparkSession, sf_dir: str, min_pairs: int = 3, k: int = 50
+) -> DataFrame:
+    """Market-basket analysis over orders: part pairs co-purchased in
+    >= min_pairs orders, with support and lift — the association-rule
+    primitive (lift > 1 = parts bought together more than chance).
+    The pair generator is a self-join WITHIN orders (each order has a
+    handful of lineitems, so the blowup is bounded by the max basket
+    size, never corpus-quadratic); part frequencies broadcast back.
+    Lift is floor-discretized at 1e6 (cross-engine tie rule)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = li.persist()  # feeds totals, part counts AND the pair join
+    n_orders = li.select("l_orderkey").distinct().count()
+    part_n = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= min_pairs)
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    lift = (
+        F.col("n_co").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            (F.floor(lift * 1e6 + 0.5) / 1e6).alias("lift"),
+        )
+        .orderBy(F.col("n_co").desc(), "part_a", "part_b")
+        .limit(k)
+    )
