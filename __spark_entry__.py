@@ -1851,6 +1851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "tsdb_series_churn": lambda s, d: relational.series_churn(s, d),
         "tpch_basket_lift": lambda s, d: relational.basket_lift(s, d),
+        "tsdb_series_gaps": lambda s, d: relational.series_gaps(s, d),
+        "tpch_open_orders_timeline": lambda s, d: (
+            relational.open_orders_timeline(s, d)
+        ),
         "promql_alert_inhibit": _q_promql_alert_inhibit,
         "text_vocab_coverage": lambda s, d: text.vocab_coverage(
             _docs(s, d), k=100
@@ -4594,6 +4598,31 @@ ORDER BY em.vec_id""",
             "FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id "
             "ORDER BY p.vec_id"
         ),
+        "tsdb_series_gaps": q(
+            ", deltas AS (SELECT series_id,"
+            " ts_ms - lag(ts_ms) OVER (PARTITION BY series_id"
+            "   ORDER BY ts_ms, value) AS dt FROM samples) "
+            "SELECT series_id, CAST(count(*) + 1 AS BIGINT) AS n_samples,"
+            " round(quantile_cont(dt, 0.5), 6) AS median_interval_ms,"
+            " max(dt) AS max_gap_ms "
+            "FROM deltas WHERE dt IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_open_orders_timeline": """
+WITH o AS (SELECT o_orderkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+             AS open_m FROM orders),
+cl AS (SELECT l_orderkey,
+       CAST(max(year(l_shipdate) * 12 + month(l_shipdate)) AS BIGINT)
+         AS close_m FROM lineitem GROUP BY 1),
+ev AS (SELECT o.open_m, coalesce(cl.close_m, o.open_m) AS close_m
+       FROM o LEFT JOIN cl ON cl.l_orderkey = o.o_orderkey),
+d AS (SELECT m, CAST(sum(dd) AS BIGINT) AS delta FROM (
+  SELECT open_m AS m, 1 AS dd FROM ev
+  UNION ALL SELECT close_m + 1, -1 FROM ev) GROUP BY 1)
+SELECT m, CAST(sum(delta) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS open_orders
+FROM d ORDER BY m
+""",
         "tpch_basket_lift": """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 no AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders

@@ -1768,3 +1768,87 @@ def basket_lift(
         .orderBy(F.col("n_co").desc(), "part_a", "part_b")
         .limit(k)
     )
+
+
+def series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape-health diagnostic per series: observed sample count, the
+    MEDIAN inter-sample interval (the de-facto scrape interval) and the
+    largest gap — what staleness/absent alerting is tuned against.
+    One lag window inside the series partition, one aggregate; the
+    median is exact percentile (percentile_cont twin in the oracle)."""
+    tsdb = dm.derive_tsdb(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("ts_ms", "value")
+    deltas = (
+        tsdb.samples.select("series_id", "ts_ms", "value")
+        .withColumn("dt", F.col("ts_ms") - F.lag("ts_ms").over(w))
+        .where(F.col("dt").isNotNull())
+    )
+    return (
+        deltas.groupBy("series_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_samples"),
+            F.round(F.percentile("dt", F.lit(0.5)), 6).alias(
+                "median_interval_ms"
+            ),
+            F.max("dt").alias("max_gap_ms"),
+        )
+        .orderBy("series_id")
+    )
+
+
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time (the interval-counting pattern):
+    an order opens at o_orderdate and closes at its LAST l_shipdate;
+    per month boundary, how many orders are open. Computed sweep-line
+    style — +1/-1 events at open/close months, one sort-free running
+    sum over the tiny month axis — never an explode of order x month
+    (the version that dies at 100 TB)."""
+    _ord = load(spark, sf_dir, "orders")
+    orders = _ord.select(
+        "o_orderkey",
+        (
+            F.year(ts_col(_ord, "o_orderdate")) * 12
+            + F.month(ts_col(_ord, "o_orderdate"))
+        ).alias("open_m"),
+    )
+    _li = load(spark, sf_dir, "lineitem")
+    closes = (
+        _li.select(
+            "l_orderkey",
+            (
+                F.year(ts_col(_li, "l_shipdate")) * 12
+                + F.month(ts_col(_li, "l_shipdate"))
+            ).alias("m"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("m").alias("close_m"))
+    )
+    ev = (
+        orders.join(
+            closes, orders.o_orderkey == closes.l_orderkey, "left"
+        )
+        .select(
+            "open_m",
+            F.coalesce("close_m", F.col("open_m")).alias("close_m"),
+        )
+    )
+    deltas = (
+        ev.select(F.col("open_m").alias("m"), F.lit(1).alias("d"))
+        .unionByName(
+            # close takes effect the month AFTER the last shipment
+            ev.select(
+                (F.col("close_m") + 1).alias("m"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("m")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deltas.select(
+            "m", F.sum("delta").over(w).cast("long").alias("open_orders")
+        )
+        .orderBy("m")
+    )
