@@ -957,6 +957,15 @@ def _q_streaming_increase(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream(spark, sf, streaming.streaming_increase).orderBy("series_id")
 
 
+def _q_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # stateful per-window top-k (bounded state = per-series sums); the
+    # availableNow replay makes the single emission exact, so the
+    # batch groupBy+rank twin is a full oracle
+    return _run_stream(
+        spark, sf, lambda s: streaming.streaming_topk(s, k=5)
+    ).orderBy("bucket_ms", "rk")
+
+
 def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # dedup on the full row (deterministic regardless of arrival order);
     # the huge watermark keeps state over the whole replay so the
@@ -1852,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_series_churn": lambda s, d: relational.series_churn(s, d),
         "tpch_basket_lift": lambda s, d: relational.basket_lift(s, d),
         "tsdb_series_gaps": lambda s, d: relational.series_gaps(s, d),
+        "streaming_topk": _q_streaming_topk,
         "tpch_open_orders_timeline": lambda s, d: (
             relational.open_orders_timeline(s, d)
         ),
@@ -4597,6 +4607,16 @@ ORDER BY em.vec_id""",
             "   AS INT) AS correct "
             "FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id "
             "ORDER BY p.vec_id"
+        ),
+        "streaming_topk": q(
+            ", sums AS (SELECT"
+            " CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            " series_id, round(sum(value), 4) AS sum_value"
+            " FROM samples GROUP BY 1, 2),"
+            "r AS (SELECT *, row_number() OVER (PARTITION BY bucket_ms"
+            "  ORDER BY sum_value DESC, series_id) AS rk FROM sums) "
+            "SELECT bucket_ms, series_id, sum_value, CAST(rk AS INT) AS rk "
+            "FROM r WHERE rk <= 5 ORDER BY bucket_ms, rk"
         ),
         "tsdb_series_gaps": q(
             ", deltas AS (SELECT series_id,"

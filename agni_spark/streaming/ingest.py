@@ -414,3 +414,59 @@ def streaming_alert_for(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_topk(
+    stream: DataFrame, k: int = 5, bucket_ms: int = 86_400_000
+) -> DataFrame:
+    """Stateful per-window top-k series by summed value
+    (applyInPandasWithState): state = the window's per-series running
+    sums (bounded by series CARDINALITY — a dimension, not the stream
+    volume), each batch emitting the window's current top-k. Under an
+    availableNow replay there is one batch, so the emission is the
+    exact window top-k and the batch twin (groupBy sums + rank window)
+    is a full oracle. Ranking uses the 4dp-ROUNDED sum with a
+    series_id tie-break so rank order is engine-independent.
+
+    The closure is self-contained (workers never import agni_spark)."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as _pd
+
+        (bucket,) = key
+        if state.exists:
+            sids, sums = state.get
+            acc = dict(zip(sids, sums))
+        else:
+            acc = {}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["series_id", "ts_ms", "value"])
+            for sid, v in zip(pdf["series_id"], pdf["value"]):
+                acc[int(sid)] = acc.get(int(sid), 0.0) + float(v)
+        state.update((list(acc.keys()), list(acc.values())))
+        top = sorted(
+            ((round(v, 4), sid) for sid, v in acc.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        yield _pd.DataFrame(
+            {
+                "bucket_ms": [bucket] * len(top),
+                "series_id": [sid for _, sid in top],
+                "sum_value": [v for v, _ in top],
+                "rk": list(range(1, len(top) + 1)),
+            }
+        )
+
+    bucketed = stream.withColumn(
+        "bucket_ms",
+        (F.col("ts_ms") / F.lit(bucket_ms)).cast("long") * bucket_ms,
+    )
+    return bucketed.groupBy("bucket_ms").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "bucket_ms long, series_id long, sum_value double, rk int"
+        ),
+        stateStructType="sids array<long>, sums array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
