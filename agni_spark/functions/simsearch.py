@@ -134,10 +134,41 @@ def ivf_centroids(
 def _nearest_centroids(
     df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, n: int
 ) -> DataFrame:
-    """Top-n centroids by cosine for each vector (broadcast cross join +
-    window rank; ties broken by centroid_id for determinism)."""
-    scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
+    """Top-n centroids by cosine for each vector.
+
+    Broadcast cross join against the BOUNDED centroid table
+    (n_centroids rows — a model parameter, not data) + rank window,
+    with both norms precomputed ONCE per side so the per-pair fold is
+    the dot product alone (1 array fold per pair instead of 3).
+    Bit-identical to folding the full cosine per pair: the score is
+    still dot / sqrt(na*nb) over the same sequentially-accumulated
+    doubles, rounded to 6dp, ties broken by centroid_id ASC."""
+
+    def _sq_norm(col):
+        return F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+
+    cents2 = cents.select(
+        "centroid_id", "cvec", _sq_norm(F.col("cvec")).alias("_nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cvec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        df.withColumn("_na", _sq_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents2))
+        .withColumn(
+            "sim", F.round(dot / F.sqrt(F.col("_na") * F.col("_nb")), 6)
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("sim").desc(), F.col("centroid_id").asc()
@@ -145,7 +176,7 @@ def _nearest_centroids(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n)
-        .drop("sim", "rn", "cvec")
+        .drop("sim", "rn", "cvec", "_na", "_nb")
     )
 
 
