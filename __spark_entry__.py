@@ -1130,7 +1130,9 @@ def _q_promql_frontend_cache(spark: SparkSession, sf: str) -> DataFrame:
     )
     expr = "sum by (job) (sum_over_time(event_error[1d]))"
     fc.query_range(expr, T1, T1 + 4 * DAY_MS).count()  # warm 4 days
-    out = fc.query_range(expr, T1, T2)  # overlaps: 4 hits + 6 misses
+    # [T1, T2] is inclusive; query_range takes an exclusive, split-
+    # aligned end — T2 + 1 is exactly the day boundary
+    out = fc.query_range(expr, T1, T2 + 1)  # overlaps: 4 hits + 6 misses
     return out.orderBy("job", "bucket_ms")
 
 

@@ -39,16 +39,38 @@ from pyspark.sql import functions as F
 DAY_MS = 86_400_000
 
 
-def _expr_key(expr: str) -> str:
-    """Canonical cache key: whitespace-normalized expression text,
-    md5-hashed (same canonicalization the rule materializer uses)."""
-    return hashlib.md5(" ".join(expr.split()).encode()).hexdigest()[:16]
+def _expr_key(expr: str, version: str) -> str:
+    """Canonical cache key: whitespace-normalized expression text plus
+    the STORE VERSION, md5-hashed. Folding the version in means any
+    write that commits a new registry snapshot (backfill, HA replay,
+    compaction rewrite — the normal TSDB write pattern) invalidates
+    every cached partial wholesale: a day whose block set changed can
+    never serve its stale pre-write result. Old-version partials stay
+    on disk (harmless, vacuumable) exactly like superseded block-store
+    commits."""
+    return hashlib.md5(
+        (" ".join(expr.split()) + "@" + version).encode()
+    ).hexdigest()[:16]
 
 
 class ResultsCache:
     """Split-by-interval range-query evaluator with a parquet results
     cache. `hits`/`misses` count cache-served vs computed days (the
-    frontend's own observability — asserted in tests)."""
+    frontend's own observability — asserted in tests).
+
+    `store_path` points at the block store the querier was opened from
+    (`querier_from_store`): the cache key then carries the registry's
+    committed version, so appending a block and reopening recomputes
+    affected days instead of serving stale partials (asserted in
+    tests/test_frontend.py). `version_token` pins an explicit version
+    for queriers not backed by a registry store (e.g. raw parquet
+    testdata, which the driver never mutates mid-round).
+
+    Range bounds MUST be split-aligned: each cached partial is a whole
+    split-interval bucket, so a non-aligned [mint, maxt) has no exact
+    representation in the cache (Cortex's split-by-interval makes the
+    same alignment demand of its step). Unaligned bounds raise rather
+    than silently widening to bucket granularity."""
 
     def __init__(
         self,
@@ -56,14 +78,32 @@ class ResultsCache:
         path: str,
         lookback_ms: int = DAY_MS,
         split_ms: int = DAY_MS,
+        store_path: str | None = None,
+        version_token: str | None = None,
     ) -> None:
         self.querier = querier
         self.spark: SparkSession = querier.samples.sparkSession
         self.path = path.rstrip("/")
         self.lookback_ms = lookback_ms
         self.split_ms = split_ms
+        self.store_path = store_path
+        self.version_token = version_token
         self.hits = 0
         self.misses = 0
+
+    def _store_version(self) -> str:
+        """Version component of the cache key. Registry-backed stores
+        report their latest committed snapshot version (O(#versions)
+        metadata read, never the fact table); otherwise the pinned
+        token; otherwise 'static' (immutable inputs)."""
+        if self.store_path is not None:
+            from agni_spark.sources import layout
+
+            vs = layout.registry_versions(self.spark, self.store_path)
+            return f"v{max(vs)}" if vs else "v0"
+        if self.version_token is not None:
+            return str(self.version_token)
+        return "static"
 
     # -- manifest (registry-last commit, block-store idiom) ----------
     def _manifest_path(self, key: str) -> str:
@@ -93,10 +133,17 @@ class ResultsCache:
     ) -> DataFrame:
         """Evaluate `expr` over [mint_ms, maxt_ms): day-split, cached.
         Returns the union of cached + freshly-computed day partials,
-        identical to evaluating the whole range at once."""
+        identical to evaluating the whole range at once. Bounds must be
+        split-aligned (see class docstring)."""
         from agni_spark import promql_parser as pql
 
-        key = _expr_key(expr)
+        if mint_ms % self.split_ms or maxt_ms % self.split_ms:
+            raise ValueError(
+                f"query_range bounds must be multiples of split_ms="
+                f"{self.split_ms} (got [{mint_ms}, {maxt_ms})): cached "
+                "partials are whole split buckets"
+            )
+        key = _expr_key(expr, self._store_version())
         d0 = mint_ms // self.split_ms
         d1 = (maxt_ms + self.split_ms - 1) // self.split_ms
         wanted = set(range(d0, d1))

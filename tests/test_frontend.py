@@ -82,7 +82,7 @@ def test_uncommitted_partial_not_served(querier, tmp_path):
     # simulate a crashed partial: data for day d lands, manifest stays
     from agni_spark.frontend import _expr_key
 
-    key = _expr_key(expr)
+    key = _expr_key(expr, "static")
     spark = querier.samples.sparkSession
     orphan = fc.query_range(expr, t0, t0 + DAY_MS)
     orphan.write.mode("overwrite").parquet(
@@ -93,3 +93,72 @@ def test_uncommitted_partial_not_served(querier, tmp_path):
     # the crashed attempt's partition (for this future day: with
     # nothing), so the orphan rows never surface
     assert served.count() == 0
+
+
+def test_unaligned_bounds_raise(querier, tmp_path):
+    fc = ResultsCache(querier, str(tmp_path / "cache4"))
+    expr = "sum by (job) (sum_over_time(event_error[1d]))"
+    t0 = 19732 * DAY_MS
+    with pytest.raises(ValueError, match="split_ms"):
+        fc.query_range(expr, t0 + 1, t0 + 2 * DAY_MS)
+    with pytest.raises(ValueError, match="split_ms"):
+        fc.query_range(expr, t0, t0 + 2 * DAY_MS - 1)
+
+
+def _store_with_series(spark, path, rows):
+    from agni_spark.sources import layout
+
+    samples = spark.createDataFrame(
+        rows, "series_id long, ts_ms long, value double"
+    )
+    layout.write_blocks(samples, path, mode="append", seq=None)
+    spark.createDataFrame(
+        [(1, {"__name__": "event_error", "job": "api"}),
+         (2, {"__name__": "event_error", "job": "web"})],
+        "series_id long, labels map<string,string>",
+    ).write.mode("overwrite").parquet(f"{path}/series")
+
+
+def test_backfill_invalidates_cached_day(spark, tmp_path):
+    """The round-5 stale-serving hazard: append a late block into an
+    already-cached day — the registry version in the cache key forces
+    a recompute; without it the old partial would serve forever."""
+    from agni_spark.querier import querier_from_store
+
+    store = str(tmp_path / "store")
+    t0 = 19732 * DAY_MS
+    rows = [
+        (sid, t0 + d * DAY_MS + h * 21_600_000, 1.0)
+        for sid in (1, 2)
+        for d in range(3)
+        for h in range(4)
+    ]
+    _store_with_series(spark, store, rows)
+    expr = "sum by (job) (sum_over_time(event_error[1d]))"
+
+    fc = ResultsCache(
+        querier_from_store(spark, store),
+        str(tmp_path / "cache5"),
+        store_path=store,
+    )
+    before = fc.query_range(expr, t0, t0 + 3 * DAY_MS)
+    b = {(r.job, r.bucket_ms): r.value for r in before.collect()}
+    assert b[("api", t0)] == 4.0
+    assert (fc.hits, fc.misses) == (0, 3)
+
+    # backfill: 2 more samples for series 1 land in day 0 (a new block
+    # commit -> registry version bumps)
+    late = [(1, t0 + 1_000, 5.0), (1, t0 + 2_000, 5.0)]
+    _store_with_series(spark, store, late)
+
+    fc2 = ResultsCache(
+        querier_from_store(spark, store),
+        str(tmp_path / "cache5"),  # SAME cache dir
+        store_path=store,
+    )
+    after = fc2.query_range(expr, t0, t0 + 3 * DAY_MS)
+    a = {(r.job, r.bucket_ms): r.value for r in after.collect()}
+    # recompute observed (all 3 days missed under the new version key)
+    assert fc2.misses == 3 and fc2.hits == 0
+    assert a[("api", t0)] == 14.0  # 4 originals + 2x5.0 backfilled
+    assert a[("api", t0 + DAY_MS)] == 4.0
