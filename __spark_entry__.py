@@ -958,12 +958,17 @@ def _q_streaming_increase(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
-    # stateful per-window top-k (bounded state = per-series sums); the
-    # availableNow replay makes the single emission exact, so the
-    # batch groupBy+rank twin is a full oracle
-    return _run_stream(
+    # stateful per-window top-k with SHARDED state (8 state keys per
+    # window, not one): the stream emits per-shard cumulative partials,
+    # the merge keeps each shard's latest emission and ranks globally —
+    # exact under any micro-batch split, so the batch groupBy+rank twin
+    # is a full oracle
+    partials = _run_stream(
         spark, sf, lambda s: streaming.streaming_topk(s, k=5)
-    ).orderBy("bucket_ms", "rk")
+    )
+    return streaming.streaming_topk_merge(partials, k=5).orderBy(
+        "bucket_ms", "rk"
+    )
 
 
 def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:

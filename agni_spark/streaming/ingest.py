@@ -417,33 +417,49 @@ def streaming_alert_for(
 
 
 def streaming_topk(
-    stream: DataFrame, k: int = 5, bucket_ms: int = 86_400_000
+    stream: DataFrame,
+    k: int = 5,
+    bucket_ms: int = 86_400_000,
+    n_shards: int = 8,
 ) -> DataFrame:
-    """Stateful per-window top-k series by summed value
-    (applyInPandasWithState): state = the window's per-series running
-    sums (bounded by series CARDINALITY — a dimension, not the stream
-    volume), each batch emitting the window's current top-k. Under an
-    availableNow replay there is one batch, so the emission is the
-    exact window top-k and the batch twin (groupBy sums + rank window)
-    is a full oracle. Ranking uses the 4dp-ROUNDED sum with a
-    series_id tie-break so rank order is engine-independent.
+    """Stateful per-window top-k, SHARDED: emits per-shard cumulative
+    top-k PARTIALS; `streaming_topk_merge` folds them into the final
+    per-window top-k.
 
-    The closure is self-contained (workers never import agni_spark)."""
+    State is keyed on (bucket_ms, pmod(hash(series_id), n_shards)), so
+    a window's per-series running sums spread over n_shards state
+    objects / tasks instead of funnelling through one (the round-5
+    single-task hot spot): at 100 TB a day bucket with millions of
+    active series costs each task only its shard's slice. Per-shard
+    top-k partials are EXACT inputs to the global top-k because a
+    series lives wholly inside one shard (hash on series_id): any
+    global top-k member ranks <= k within its own shard under the same
+    (rounded sum DESC, series_id ASC) order.
+
+    Each batch re-emits a shard's current cumulative partial stamped
+    with a monotone `emit` counter from the state; the merge keeps only
+    each shard's LATEST emission, so the result is correct even when
+    the file source splits the replay into multiple micro-batches
+    (maxFilesPerTrigger) — stale intermediate rows are superseded, not
+    trusted. Sums round to 4dp before ranking so order is
+    engine-independent. The closure is self-contained (workers never
+    import agni_spark)."""
 
     def fn(key, pdf_iter, state):
         import pandas as _pd
 
-        (bucket,) = key
+        bucket, shard = key
         if state.exists:
-            sids, sums = state.get
+            sids, sums, emit = state.get
             acc = dict(zip(sids, sums))
         else:
-            acc = {}
+            acc, emit = {}, 0
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["series_id", "ts_ms", "value"])
             for sid, v in zip(pdf["series_id"], pdf["value"]):
                 acc[int(sid)] = acc.get(int(sid), 0.0) + float(v)
-        state.update((list(acc.keys()), list(acc.values())))
+        emit += 1
+        state.update((list(acc.keys()), list(acc.values()), emit))
         top = sorted(
             ((round(v, 4), sid) for sid, v in acc.items()),
             key=lambda t: (-t[0], t[1]),
@@ -451,22 +467,49 @@ def streaming_topk(
         yield _pd.DataFrame(
             {
                 "bucket_ms": [bucket] * len(top),
+                "shard": [shard] * len(top),
                 "series_id": [sid for _, sid in top],
                 "sum_value": [v for v, _ in top],
-                "rk": list(range(1, len(top) + 1)),
+                "emit": [emit] * len(top),
             }
         )
 
     bucketed = stream.withColumn(
         "bucket_ms",
         (F.col("ts_ms") / F.lit(bucket_ms)).cast("long") * bucket_ms,
+    ).withColumn(
+        "shard", F.pmod(F.hash("series_id"), F.lit(n_shards)).cast("int")
     )
-    return bucketed.groupBy("bucket_ms").applyInPandasWithState(
+    return bucketed.groupBy("bucket_ms", "shard").applyInPandasWithState(
         fn,
         outputStructType=(
-            "bucket_ms long, series_id long, sum_value double, rk int"
+            "bucket_ms long, shard int, series_id long, "
+            "sum_value double, emit long"
         ),
-        stateStructType="sids array<long>, sums array<double>",
+        stateStructType="sids array<long>, sums array<double>, emit long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_topk_merge(partials: DataFrame, k: int = 5) -> DataFrame:
+    """Fold streaming_topk's per-shard partials into the final
+    per-window top-k (batch side, over the sink table): keep each
+    (bucket, shard)'s latest emission, then one rank window over the
+    <= k * n_shards surviving rows per bucket — O(k * n_shards) work
+    per window, independent of series cardinality."""
+    from pyspark.sql import Window
+
+    latest = F.max("emit").over(
+        Window.partitionBy("bucket_ms", "shard")
+    )
+    w = Window.partitionBy("bucket_ms").orderBy(
+        F.col("sum_value").desc(), F.col("series_id").asc()
+    )
+    return (
+        partials.withColumn("_mx", latest)
+        .where(F.col("emit") == F.col("_mx"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("bucket_ms", "series_id", "sum_value", "rk")
     )

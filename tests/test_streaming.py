@@ -360,3 +360,78 @@ def test_streaming_alert_for_runs_across_batches(spark, tmp_path):
     assert got == {
         0: "pending", 1000: "pending", 2000: "firing", 4000: "pending"
     }
+
+
+def test_streaming_topk_sharded_state_and_multibatch(spark, tmp_path):
+    """Round-6 fix for the single-task-per-window hot spot: state keys
+    on (bucket, shard-of-series-hash). Asserts (a) a window's state
+    spreads over >1 shard, (b) the merged result equals the batch
+    groupBy+rank twin, (c) correctness holds when the replay splits
+    into MULTIPLE micro-batches (maxFilesPerTrigger=1) — stale
+    intermediate emissions are superseded via the emit counter."""
+    src = str(tmp_path / "src")
+    day = 86_400_000
+    # 40 series x 2 samples across 2 days, split over two files so
+    # maxFilesPerTrigger=1 yields two micro-batches
+    rows1 = [(sid, d * day + 1000, float(sid + d))
+             for sid in range(40) for d in (0, 1)]
+    rows2 = [(sid, d * day + 2000, float(2 * sid))
+             for sid in range(40) for d in (0, 1)]
+    _write_src(spark, src, rows1)
+    _write_src(spark, src, rows2)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming.streaming_topk(stream, k=5)
+        .writeStream.format("memory")
+        .queryName("topk_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.table("topk_test")
+    # (a) state spread: >1 shard key per bucket
+    shards_per_bucket = {
+        r.bucket_ms: r.n
+        for r in partials.groupBy("bucket_ms")
+        .agg(F.countDistinct("shard").alias("n"))
+        .collect()
+    }
+    assert all(n > 1 for n in shards_per_bucket.values())
+    # (c) two batches ran: some shard emitted twice
+    assert partials.agg(F.max("emit")).first()[0] >= 2
+
+    got = sorted(
+        tuple(r)
+        for r in streaming.streaming_topk_merge(partials, k=5).collect()
+    )
+    # (b) batch twin
+    from pyspark.sql import Window
+
+    batch = spark.createDataFrame(rows1 + rows2, SCHEMA)
+    sums = (
+        batch.withColumn(
+            "bucket_ms", (F.col("ts_ms") / day).cast("long") * day
+        )
+        .groupBy("bucket_ms", "series_id")
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    w = Window.partitionBy("bucket_ms").orderBy(
+        F.col("sum_value").desc(), F.col("series_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in sums.withColumn(
+            "rk", F.row_number().over(w).cast("int")
+        )
+        .where(F.col("rk") <= 5)
+        .select("bucket_ms", "series_id", "sum_value", "rk")
+        .collect()
+    )
+    assert got == want and len(got) == 10
