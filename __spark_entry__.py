@@ -1690,9 +1690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_native_histogram": lambda s, d: promql.native_histogram(
             _querier(s, d).samples, DAY_MS
         ).orderBy("series_id", "bucket_ms", "bucket_idx"),
-        "tsdb_native_hist_quantile": lambda s, d: promql.native_hist_quantile(
-            _querier(s, d).samples, DAY_MS, 0.9
-        ).orderBy("series_id", "bucket_ms"),
         "promql_zscore_anomaly": lambda s, d: promql.zscore_over_time(
             _querier(s, d).samples, H6_MS
         ).orderBy("series_id", "ts_ms", "value"),
@@ -1745,7 +1742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_downsample_route": _q_tsdb_downsample_route,
         "tsdb_downsample_delta": _q_tsdb_downsample_delta,
         "federated_read": _q_federated_read,
-        "pipeline_curate_v2": _q_pipeline_curate_v2,
         "events_funnel_steps": _q_events_funnel_steps,
         "events_transition_matrix": lambda s, d: (
             relational.events_transition_matrix(s, d)
@@ -1800,7 +1796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_active": lambda s, d: relational.events_daily_active(s, d),
         "events_retention": lambda s, d: relational.events_retention(s, d),
         "events_props_stats": lambda s, d: relational.events_props_stats(s, d),
-        "events_asof_join": lambda s, d: relational.events_asof_view(s, d),
         "events_interval_join": lambda s, d: relational.events_purchases_in_session(
             s, d
         ),
@@ -1825,7 +1820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": _q_text_pii_scan,
         "text_contamination": _q_text_contamination,
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(_docs(s, d)),
-        "text_bm25_topk": _q_text_bm25_topk,  # oracle below
         "text_tfidf_keywords": lambda s, d: text.tfidf_keywords(_docs(s, d)),
         "text_pmi_bigrams": lambda s, d: text.pmi_bigrams(_docs(s, d)),
         "text_keyword_snippets": lambda s, d: text.keyword_snippets(
@@ -1841,7 +1835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": lambda s, d: dedup.containment_pairs(
             _docs(s, d), k=3, threshold=0.6
         ),
-        "dedup_cluster_assign": _q_dedup_cluster_assign,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "simsearch_ivf_append": _q_simsearch_ivf_append,
         "simsearch_label_centroids": lambda s, d: simsearch.label_centroids(
@@ -1879,13 +1872,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_seasonal_backtest": lambda s, d: (
             relational.seasonal_backtest(s, d)
         ),
-        "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
-            _emb(s, d),
-            _emb(s, d)
-            .where(F.col("vec_id") < 5)
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-            k=10, n_centroids=8, nprobe=2, m=16, ksub=16,
-        ),
         "simsearch_pagerank": lambda s, d: simsearch.pagerank(
             simsearch.knn_graph(_emb(s, d), k=5).select(
                 F.col("query_id").alias("src"),
@@ -1904,10 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.media_from_documents(_docs(s, d))
         ).orderBy("media_id"),
         "multimodal_phash_neardups": _q_multimodal_phash_neardups,
-        "text_index_search": _q_text_index_search,
         "tsdb_relabel": _q_tsdb_relabel,
         "events_zorder_prune": _q_events_zorder_prune,
-        "promql_frontend_cache": _q_promql_frontend_cache,
         "tsdb_ha_dedup": _q_tsdb_ha_dedup,
         "tsdb_native_hist_fraction": lambda s, d: (
             promql.native_hist_fraction(

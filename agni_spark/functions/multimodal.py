@@ -244,7 +244,10 @@ def blockmean_phash(media: DataFrame, bits: int = 64) -> DataFrame:
 
     Output: (media_id, phash long, n_bytes long). Payloads shorter
     than `bits` bytes hash on their full length with repeated-block
-    boundaries (floor splits); empty payloads hash to 0."""
+    boundaries (floor splits); empty payloads hash to 0. `bits` must
+    be in [1, 64] (the hash lands in a LongType)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64] (LongType hash)")
 
     def gen(batches):
         import numpy as np
@@ -260,13 +263,14 @@ def blockmean_phash(media: DataFrame, bits: int = 64) -> DataFrame:
                     g = float(b.mean())
                     # block i covers [i*n//bits, (i+1)*n//bits); empty
                     # blocks (n < bits) inherit bit 0
-                    for i in range(64):
-                        lo = i * n // 64
-                        hi = (i + 1) * n // 64
+                    for i in range(bits):
+                        lo = i * n // bits
+                        hi = (i + 1) * n // bits
                         if hi > lo and float(b[lo:hi].mean()) > g:
                             h |= 1 << i
                 out_ids.append(mid)
-                # mask to signed 64-bit for Spark's LongType
+                # mask to signed 64-bit for Spark's LongType (only a
+                # bits=64 hash can set the sign bit)
                 out_h.append(h - (1 << 64) if h >= (1 << 63) else h)
                 out_n.append(n)
             yield pd_.DataFrame(

@@ -922,8 +922,34 @@ def redact_terms(
     variant used for denylisted strings). Word-boundary alternation,
     global replace, plus the per-doc redaction count. One regex
     projection, no shuffle; the pattern stays in the Java∩RE2∩DuckDB
-    subset (alternation + \\b only)."""
-    pat = "\\b(" + "|".join(terms) + ")\\b"
+    subset (alternation + \\b only). Terms are treated as LITERAL
+    strings: regex metacharacters are escaped (a denylist entry like
+    'c++' or 'a.b' must not corrupt the alternation or miscount), and
+    an empty/blank term list is rejected rather than compiling the
+    degenerate pattern '\\b()\\b'."""
+    if not terms or any(t == "" for t in terms):
+        raise ValueError("redact_terms needs at least one non-empty term")
+
+    def _esc(t: str) -> str:
+        # conservative escape set valid in Java, RE2 and DuckDB regex
+        return "".join(
+            ("\\" + c) if c in "\\.^$|?*+()[]{}" else c for c in t
+        )
+
+    def _word(c: str) -> bool:
+        return c.isalnum() or c == "_"
+
+    def _alt(t: str) -> str:
+        # \b only binds between a word and a non-word char, so anchor
+        # each term edge only where the edge IS a word char ('c++'
+        # gets a leading \b and no trailing one)
+        return (
+            ("\\b" if _word(t[0]) else "")
+            + _esc(t)
+            + ("\\b" if _word(t[-1]) else "")
+        )
+
+    pat = "(" + "|".join(_alt(t) for t in terms) + ")"
     text = F.col("text")
     return docs.select(
         "doc_id",

@@ -116,3 +116,34 @@ def test_full_lifecycle_tsdb_to_matrix(spark, tmp_path):
         (3.0, BLOCK_MS + 1_000),
         (4.0, BLOCK_MS + 2_000),
     ]
+
+
+def test_queries_dict_has_no_duplicate_keys():
+    """The first 50 entries of queries() are the driver-checked window
+    — a positional contract. A duplicate key later in the dict literal
+    silently drops one binding and can silently diverge; guard at the
+    AST level (runtime dict construction can't see literal dups)."""
+    import ast
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    tree = ast.parse(open(path).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "queries",
+            "oracle_sql",
+        ):
+            for stmt in ast.walk(node):
+                if isinstance(stmt, ast.Dict):
+                    keys = [
+                        k.value
+                        for k in stmt.keys
+                        if isinstance(k, ast.Constant)
+                    ]
+                    dups = sorted(
+                        {k for k in keys if keys.count(k) > 1}
+                    )
+                    assert not dups, f"duplicate keys in {node.name}: {dups}"

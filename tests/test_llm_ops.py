@@ -779,3 +779,46 @@ def test_blockmean_phash_properties(spark):
 
     with _pt.raises(ValueError):
         multimodal.phash_near_dups(media, max_hamming=8)
+
+
+def test_redact_terms_escapes_metacharacters(spark):
+    from agni_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "use c++ or a.b today", 20, "en", "web")],
+        "doc_id long, text string, n_chars long, lang string, source string",
+    )
+    out = {r.doc_id: r for r in T.redact_terms(docs, ["c++", "a.b"]).collect()}
+    assert out[1].redacted == "use [REDACTED] or [REDACTED] today"
+    assert out[1].n_redactions == 2
+    # 'a.b' must not match 'aXb'
+    docs2 = spark.createDataFrame(
+        [(2, "axb stays", 9, "en", "web")],
+        "doc_id long, text string, n_chars long, lang string, source string",
+    )
+    assert T.redact_terms(docs2, ["a.b"]).first().n_redactions == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        T.redact_terms(docs, [])
+    with _pt.raises(ValueError):
+        T.redact_terms(docs, [""])
+
+
+def test_blockmean_phash_honors_bits(spark):
+    from agni_spark.functions import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, bytearray([0, 0, 255, 255, 0, 0, 255, 255]))],
+        "media_id long, payload binary",
+    )
+    h16 = M.blockmean_phash(media, bits=16).first().phash
+    h64 = M.blockmean_phash(media, bits=64).first().phash
+    assert 0 <= h16 < (1 << 16)  # a 16-bit hash fits in 16 bits
+    assert h16 != h64
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        M.blockmean_phash(media, bits=0)
+    with _pt.raises(ValueError):
+        M.blockmean_phash(media, bits=65)
