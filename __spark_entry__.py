@@ -1802,6 +1802,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": lambda s, d: relational.events_value_percentiles(
             s, d
         ),
+        # rows-only by declaration: the GK sketch's answer has no
+        # SQL-equal twin; the rank-error bound vs the exact percentile
+        # is pinned in tests/test_querier.py (the 100 TB swap-in
+        # ARCHITECTURE.md §2 names)
+        "events_value_percentiles_approx": lambda s, d: (
+            relational.events_value_percentiles_approx(s, d)
+        ),
         "documents_profile": lambda s, d: relational.profile_columns(
             _docs(s, d), ["doc_id", "lang", "source", "n_chars"]
         ),

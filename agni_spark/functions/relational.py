@@ -1223,6 +1223,35 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB percentile path: `approx_percentile` (Greenwald-
+    Khanna sketch — mergeable, map-side combining, bounded memory
+    1/accuracy rank error) over the same grouping as the exact twin
+    `events_value_percentiles`. At scale the exact sort-based
+    percentile buffers every group's values on one reducer; the sketch
+    keeps O(accuracy * log n) per partition and merges. Approximate BY
+    DESIGN, so the query is declared rows-only for the driver (no
+    value-hash oracle, like events_approx_users); the error bound vs
+    the exact twin is pinned in tests/test_querier.py instead."""
+    ev = load(spark, sf_dir, "events")
+    apct = lambda p: F.round(  # noqa: E731
+        F.expr(f"approx_percentile(value, {p}, {accuracy})"), 6
+    )
+    return (
+        ev.select("event_type", "value")
+        .groupBy("event_type")
+        .agg(
+            apct(0.5).alias("p50"),
+            apct(0.9).alias("p90"),
+            apct(0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Data-quality profile (the Deequ/Great-Expectations analyzer
     shape): per column — row count, null count, distinct count, min,

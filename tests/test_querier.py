@@ -305,3 +305,34 @@ def test_ha_dedup_elects_one_replica_per_window(spark):
     )
     out = {(r.series_id, r.ts_ms) for r in ha_dedup(samples, series).collect()}
     assert out == {(1, 10), (2, h + 10), (3, 15)}
+
+
+def test_approx_percentile_error_bound(spark):
+    """Pins the 100 TB percentile swap-in: approx_percentile (GK
+    sketch, accuracy=10000 -> rank error <= 1/10000) against the exact
+    interpolated percentile on the real testdata. GK returns an actual
+    element at most eps*n ranks away, so |approx - exact| is bounded by
+    the value spread across that rank window; on this data 1% relative
+    error is a comfortable pin."""
+    from agni_spark.functions import relational
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r.event_type: r
+        for r in relational.events_value_percentiles(spark, sf).collect()
+    }
+    approx = {
+        r.event_type: r
+        for r in relational.events_value_percentiles_approx(
+            spark, sf
+        ).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for et, e in exact.items():
+        a = approx[et]
+        assert a.n == e.n
+        for col in ("p50", "p90", "p99"):
+            ev, av = getattr(e, col), getattr(a, col)
+            assert abs(av - ev) <= 0.01 * max(abs(ev), 1e-9), (
+                et, col, ev, av
+            )
