@@ -2368,6 +2368,12 @@ cells AS (
         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
           DESC, ct.centroid_id ASC) AS rn
     FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
+resid AS (
+  SELECT c.vec_id, ce.centroid_id,
+    list_transform(generate_series(1, len(c.embedding)),
+      i -> CAST(c.embedding AS DOUBLE[])[i] - ct.cvec[i]) AS r
+  FROM embeddings c JOIN cells ce USING (vec_id)
+  JOIN cents ct USING (centroid_id)),
 q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
       FROM embeddings WHERE vec_id < 5),
 probes AS (
@@ -2377,40 +2383,79 @@ probes AS (
         round(list_cosine_similarity(q.qe, ct.cvec), 6)
           DESC, ct.centroid_id ASC) AS rn
     FROM q CROSS JOIN cents ct) WHERE rn <= 2),
-cand AS (SELECT p.query_id, ce.vec_id
+cand AS (SELECT p.query_id, ce.vec_id, ce.centroid_id
          FROM cells ce JOIN probes p USING (centroid_id)
          WHERE ce.vec_id <> p.query_id),
 cb0 AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS e,
+  SELECT r.r AS e,
     row_number() OVER (ORDER BY
-      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-      vec_id) AS cid
-  FROM embeddings
-  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-           vec_id
+      ('0x' || substr(md5(CAST(r.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      r.vec_id) AS cid
+  FROM resid r
+  ORDER BY ('0x' || substr(md5(CAST(r.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           r.vec_id
   LIMIT 16),
 subs AS (SELECT unnest(range(16)) AS sub),
-cb AS (
+cbs AS (
   SELECT s.sub, c.cid,
     c.e[s.sub * (len(c.e) // 16) + 1 : (s.sub + 1) * (len(c.e) // 16)] AS cvec
   FROM cb0 c CROSS JOIN subs s),
-sv AS (
-  SELECT c.vec_id, s.sub,
-    CAST(c.embedding AS DOUBLE[])
-      [s.sub * (len(c.embedding) // 16) + 1
-       : (s.sub + 1) * (len(c.embedding) // 16)] AS v
-  FROM embeddings c CROSS JOIN subs s),
+rv AS (
+  SELECT r.vec_id, s.sub,
+    r.r[s.sub * (len(r.r) // 16) + 1
+        : (s.sub + 1) * (len(r.r) // 16)] AS v
+  FROM resid r CROSS JOIN subs s),
+encd0 AS (
+  SELECT vec_id, sub, cid, round(list_inner_product(dv, dv), 6) AS d2
+  FROM (
+    SELECT rv.vec_id, rv.sub, cbs.cid,
+      list_transform(generate_series(1, len(rv.v)),
+        i -> rv.v[i] - cbs.cvec[i]) AS dv
+    FROM rv JOIN cbs USING (sub))),
+codes0 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT e.vec_id, e.sub, e.cid,
+      row_number() OVER (PARTITION BY e.vec_id, e.sub
+        ORDER BY e.d2 ASC, e.cid ASC) AS rn
+    FROM encd0 e) WHERE rn = 1),
+cbmeans AS (
+  SELECT sub, cid, pos, round(avg(val), 6) AS mv FROM (
+    SELECT c0.sub, c0.cid,
+      generate_subscripts(rv.v, 1) AS pos, unnest(rv.v) AS val
+    FROM codes0 c0 JOIN rv USING (vec_id, sub))
+  GROUP BY 1, 2, 3),
+cbtrained AS (SELECT sub, cid, list(mv ORDER BY pos) AS tv
+              FROM cbmeans GROUP BY sub, cid),
+cb AS (
+  SELECT cbs.sub, cbs.cid, coalesce(t.tv, cbs.cvec) AS cvec
+  FROM cbs LEFT JOIN cbtrained t ON t.sub = cbs.sub AND t.cid = cbs.cid),
+encd AS (
+  SELECT vec_id, sub, cid, round(list_inner_product(dv, dv), 6) AS d2
+  FROM (
+    SELECT rv.vec_id, rv.sub, cb.cid,
+      list_transform(generate_series(1, len(rv.v)),
+        i -> rv.v[i] - cb.cvec[i]) AS dv
+    FROM rv JOIN cb USING (sub))),
 codes AS (
   SELECT vec_id, sub, cid FROM (
-    SELECT sv.vec_id, sv.sub, cb.cid,
-      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-        ORDER BY round(list_inner_product(sv.v, cb.cvec), 6) DESC,
-                 cb.cid ASC) AS rn
-    FROM sv JOIN cb USING (sub)) WHERE rn = 1),
-cnorm AS (SELECT sub, cid, list_inner_product(cvec, cvec) AS c2 FROM cb),
-vnorm AS (SELECT vec_id, sum(c2) AS vn2
-          FROM codes JOIN cnorm USING (sub, cid) GROUP BY 1),
+    SELECT e.vec_id, e.sub, e.cid,
+      row_number() OVER (PARTITION BY e.vec_id, e.sub
+        ORDER BY e.d2 ASC, e.cid ASC) AS rn
+    FROM encd e) WHERE rn = 1),
+r2 AS (SELECT sub, cid, list_inner_product(cvec, cvec) AS r2 FROM cb),
+csubs AS (
+  SELECT ct.centroid_id, s.sub,
+    ct.cvec[s.sub * (len(ct.cvec) // 16) + 1
+            : (s.sub + 1) * (len(ct.cvec) // 16)] AS cs
+  FROM cents ct CROSS JOIN subs s),
+cr AS (SELECT cs.centroid_id, cs.sub, cb.cid,
+         list_inner_product(cs.cs, cb.cvec) AS cr
+       FROM csubs cs JOIN cb USING (sub)),
+c2 AS (SELECT centroid_id, list_inner_product(cvec, cvec) AS c2 FROM cents),
 qnorm AS (SELECT query_id, sqrt(list_inner_product(qe, qe)) AS qn FROM q),
+qc AS (SELECT q.query_id, ct.centroid_id,
+         list_inner_product(q.qe, ct.cvec) AS qc
+       FROM q CROSS JOIN cents ct),
 qtab AS (
   SELECT q.query_id, cb.sub, cb.cid,
     list_inner_product(
@@ -2418,15 +2463,23 @@ qtab AS (
            : (cb.sub + 1) * (len(q.qe) // 16)], cb.cvec) AS pd
   FROM q CROSS JOIN cb),
 adc AS (
-  SELECT ca.query_id, c.vec_id, sum(t.pd) AS dot
+  SELECT ca.query_id, c.vec_id, ca.centroid_id,
+    sum(t.pd) AS rdot, sum(cr.cr) AS crs, sum(r2.r2) AS r2s
   FROM codes c JOIN cand ca USING (vec_id)
   JOIN qtab t ON t.query_id = ca.query_id
              AND t.sub = c.sub AND t.cid = c.cid
-  GROUP BY 1, 2),
+  JOIN cr ON cr.centroid_id = ca.centroid_id
+         AND cr.sub = c.sub AND cr.cid = c.cid
+  JOIN r2 ON r2.sub = c.sub AND r2.cid = c.cid
+  GROUP BY 1, 2, 3),
 scored AS (
   SELECT a.query_id, a.vec_id,
-    round(a.dot / (qn.qn * sqrt(v.vn2)), 6) AS cos
-  FROM adc a JOIN vnorm v USING (vec_id) JOIN qnorm qn USING (query_id)),
+    round((qc.qc + a.rdot)
+          / (qn.qn * sqrt(c2.c2 + 2 * a.crs + a.r2s)), 6) AS cos
+  FROM adc a
+  JOIN qc ON qc.query_id = a.query_id AND qc.centroid_id = a.centroid_id
+  JOIN c2 ON c2.centroid_id = a.centroid_id
+  JOIN qnorm qn ON qn.query_id = a.query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
 SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
