@@ -183,6 +183,65 @@ def _q_s13_matrix_assembly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_s14_streamed_remote_read(spark: SparkSession, sf: str) -> DataFrame:
+    # STREAMED_XOR_CHUNKS wire round trip (S13's modern sibling —
+    # prometheus >= 2.13 negotiates this): encode a ReadRequest
+    # accepting the chunked response, serve it through the negotiated
+    # read path (frames: uvarint len + CRC-32C + snappy proto), decode
+    # every frame and XOR chunk back, and summarize per series. The
+    # oracle recomputes the summaries straight from the samples table —
+    # if any byte of the chunk pipeline lied, counts/bounds/sums drift.
+    from agni_spark.protocol import remote_pb as pb
+    from agni_spark.protocol import snappy_codec as snappy
+    from agni_spark.protocol.server import (
+        CONTENT_TYPE_STREAMED,
+        handle_read_negotiated,
+        read_chunked_frames,
+    )
+    from agni_spark.sources.tsdb_format import decode_xor_chunk
+
+    q = _querier(spark, sf)
+    req = pb.ReadRequest(
+        [
+            pb.Query(
+                T1, T2,
+                [
+                    pb.LabelMatcher(0, "job", "api"),
+                    pb.LabelMatcher(0, "env", "prod"),
+                ],
+            )
+        ],
+        accepted_response_types=[pb.RESPONSE_STREAMED_XOR_CHUNKS],
+    )
+    payload, ctype = handle_read_negotiated(
+        q, snappy.compress(pb.encode_read_request(req))
+    )
+    assert ctype == CONTENT_TYPE_STREAMED
+    rows = []
+    for f in read_chunked_frames(payload):
+        msg = pb.decode_chunked_read_response(snappy.decompress(f))
+        for cs in msg.chunked_series:
+            key = ",".join(f"{n}={v}" for n, v in sorted(cs.labels))
+            pts = [
+                p for ch in cs.chunks for p in decode_xor_chunk(ch.data)
+            ]
+            rows.append(
+                (
+                    key,
+                    len(cs.chunks),
+                    len(pts),
+                    pts[0][0],
+                    pts[-1][0],
+                    round(sum(v for _, v in pts), 4),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "series_key string, n_chunks int, n_samples long, "
+        "min_ts long, max_ts long, sum_value double",
+    ).orderBy("series_key")
+
+
 def _q_a1_intersect(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _querier(spark, sf)
@@ -1926,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational.series_autocorrelation(s, d)
         ),
         "promql_parsed_trig": _q_promql_parsed_trig,
+        "s14_streamed_remote_read": _q_s14_streamed_remote_read,
     }
 
 
@@ -2799,6 +2859,22 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY s.series_id, s.ts_ms, s.value"
         ),
         "sql_direct": q(_SQL_DIRECT),
+        "s14_streamed_remote_read": q(
+            f"SELECT '__name__=' || se.metric || ',env=' || se.env "
+            f"|| ',instance=' || se.instance || ',job=' || se.job "
+            f"|| coalesce(',pod=' || se.pod, '') AS series_key, "
+            f"CAST(ceil(count(*) / 120.0) AS INT) AS n_chunks, "
+            f"CAST(count(*) AS BIGINT) AS n_samples, "
+            f"min(s.ts_ms) AS min_ts, max(s.ts_ms) AS max_ts, "
+            f"round(sum(s.value), 4) AS sum_value "
+            f"FROM samples s JOIN series se USING (series_id) "
+            f"WHERE se.job = 'api' AND se.env = 'prod' "
+            f"AND s.ts_ms BETWEEN {T1} AND {T2} "
+            # one row per SERIES (the wire streams one ChunkedSeries
+            # per series_id; distinct series can share a visible label
+            # set when pod is absent)
+            f"GROUP BY se.series_id, 1 ORDER BY 1"
+        ),
         "s13_matrix_assembly": q(
             f"SELECT series_id, to_json(list(struct_pack(ts_ms := ts_ms, "
             f"value := value) ORDER BY ts_ms, value))::VARCHAR AS pts "

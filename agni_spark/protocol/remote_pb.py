@@ -44,6 +44,16 @@ class Query:
 @dataclass
 class ReadRequest:
     queries: list[Query] = field(default_factory=list)
+    # remote.proto ReadRequest.accepted_response_types (field 2):
+    # SAMPLES = 0, STREAMED_XOR_CHUNKS = 1. Empty means SAMPLES-only
+    # (the pre-negotiation client); the server picks the FIRST
+    # supported entry (prometheus storage/remote/codec.go
+    # NegotiateResponseType).
+    accepted_response_types: list[int] = field(default_factory=list)
+
+
+RESPONSE_SAMPLES = 0
+RESPONSE_STREAMED_XOR_CHUNKS = 1
 
 
 @dataclass
@@ -55,6 +65,31 @@ class TimeSeries:
 @dataclass
 class ReadResponse:
     results: list[list[TimeSeries]] = field(default_factory=list)
+
+
+# -- chunked (streamed) remote read: remote.proto ChunkedReadResponse -------
+@dataclass
+class Chunk:
+    """prompb Chunk { int64 min_time_ms=1; int64 max_time_ms=2;
+    Encoding type=3 (XOR=1); bytes data=4 }. `data` is the SAME byte
+    layout as a TSDB XOR chunk body (tsdb_format.encode_xor_chunk)."""
+
+    min_time_ms: int
+    max_time_ms: int
+    type: int
+    data: bytes
+
+
+@dataclass
+class ChunkedSeries:
+    labels: list[tuple[str, str]] = field(default_factory=list)
+    chunks: list[Chunk] = field(default_factory=list)
+
+
+@dataclass
+class ChunkedReadResponse:
+    chunked_series: list[ChunkedSeries] = field(default_factory=list)
+    query_index: int = 0
 
 
 # -- primitive writers ------------------------------------------------------
@@ -135,13 +170,25 @@ def encode_read_request(req: ReadRequest) -> bytes:
             mb += _ld(2, m.name.encode()) + _ld(3, m.value.encode())
             qb += _ld(3, mb)
         out += _ld(1, qb)
+    if req.accepted_response_types:
+        # proto3 repeated enum is PACKED by default (one LD field)
+        out += _ld(2, b"".join(_uv(t) for t in req.accepted_response_types))
     return out
 
 
 def decode_read_request(buf: bytes) -> ReadRequest:
     req = ReadRequest()
     for fno, wt, v in _fields(buf):
-        if fno == 1 and wt == 2:
+        if fno == 2 and wt == 2:
+            # packed accepted_response_types
+            pos = 0
+            while pos < len(v):
+                t, pos = _read_uv(v, pos)
+                req.accepted_response_types.append(t)
+        elif fno == 2 and wt == 0:
+            # unpacked (proto2-style) encoding is equally legal
+            req.accepted_response_types.append(v)
+        elif fno == 1 and wt == 2:
             q = Query(0, 0)
             for qf, qwt, qv in _fields(v):
                 if qf == 1 and qwt == 0:
@@ -206,6 +253,60 @@ def decode_read_response(buf: bytes) -> ReadResponse:
                             ts.samples.append((val, t))
                     result.append(ts)
             resp.results.append(result)
+    return resp
+
+
+def encode_chunked_read_response(resp: ChunkedReadResponse) -> bytes:
+    out = b""
+    for cs in resp.chunked_series:
+        csb = b""
+        for name, value in cs.labels:
+            csb += _ld(1, _ld(1, name.encode()) + _ld(2, value.encode()))
+        for ch in cs.chunks:
+            chb = b""
+            if ch.min_time_ms:
+                chb += _varint_field(1, ch.min_time_ms)
+            if ch.max_time_ms:
+                chb += _varint_field(2, ch.max_time_ms)
+            if ch.type:
+                chb += _varint_field(3, ch.type)
+            chb += _ld(4, ch.data)
+            csb += _ld(2, chb)
+        out += _ld(1, csb)
+    if resp.query_index:
+        out += _varint_field(2, resp.query_index)
+    return out
+
+
+def decode_chunked_read_response(buf: bytes) -> ChunkedReadResponse:
+    resp = ChunkedReadResponse()
+    for fno, wt, v in _fields(buf):
+        if fno == 1 and wt == 2:
+            cs = ChunkedSeries()
+            for cf, cwt, cv in _fields(v):
+                if cf == 1 and cwt == 2:
+                    name = value = ""
+                    for lf, lwt, lv in _fields(cv):
+                        if lf == 1 and lwt == 2:
+                            name = lv.decode()
+                        elif lf == 2 and lwt == 2:
+                            value = lv.decode()
+                    cs.labels.append((name, value))
+                elif cf == 2 and cwt == 2:
+                    ch = Chunk(0, 0, 0, b"")
+                    for hf, hwt, hv in _fields(cv):
+                        if hf == 1 and hwt == 0:
+                            ch.min_time_ms = _signed64(hv)
+                        elif hf == 2 and hwt == 0:
+                            ch.max_time_ms = _signed64(hv)
+                        elif hf == 3 and hwt == 0:
+                            ch.type = hv
+                        elif hf == 4 and hwt == 2:
+                            ch.data = hv
+                    cs.chunks.append(ch)
+            resp.chunked_series.append(cs)
+        elif fno == 2 and wt == 0:
+            resp.query_index = _signed64(v)
     return resp
 
 

@@ -83,6 +83,144 @@ def handle_read(querier: Querier, body: bytes) -> bytes:
     return snappy.compress(pb.encode_read_response(resp))
 
 
+# -- streamed remote read (STREAMED_XOR_CHUNKS) ------------------------------
+# The response type modern Prometheus (>= 2.13) negotiates: instead of
+# one giant sampled Matrix, the server streams framed
+# ChunkedReadResponse messages whose payloads are TSDB XOR chunks (the
+# E1 encoder reused verbatim). Content negotiation + wire framing
+# follow prometheus storage/remote/codec.go NegotiateResponseType and
+# storage/remote/chunked.go ChunkedWriter: each frame is
+#   uvarint(len(data)) + BE u32 CRC-32C(data) + data,
+# data = snappy(marshal(ChunkedReadResponse)).
+
+CONTENT_TYPE_SAMPLES = "application/x-protobuf"
+CONTENT_TYPE_STREAMED = (
+    "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse"
+)
+_SAMPLES_PER_CHUNK = 120  # tsdb's target chunk fill (head.go appender)
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def write_chunked_frame(data: bytes) -> bytes:
+    """One ChunkedWriter frame: uvarint length, CRC-32C, payload."""
+    from agni_spark.sources.tsdb_format import _crc32c
+
+    import struct as _struct
+
+    return _uvarint(len(data)) + _struct.pack(">I", _crc32c(data)) + data
+
+
+def read_chunked_frames(stream: bytes) -> list[bytes]:
+    """Split a framed byte stream back into payloads, verifying CRCs
+    (the ChunkedReader side of chunked.go)."""
+    import struct as _struct
+
+    from agni_spark.protocol.remote_pb import _read_uv
+    from agni_spark.sources.tsdb_format import _crc32c
+
+    out, pos = [], 0
+    while pos < len(stream):
+        ln, pos = _read_uv(stream, pos)
+        (crc,) = _struct.unpack(">I", stream[pos : pos + 4])
+        pos += 4
+        data = stream[pos : pos + ln]
+        pos += ln
+        if _crc32c(data) != crc:
+            raise ValueError("chunked frame CRC mismatch")
+        out.append(data)
+    return out
+
+
+def evaluate_query_chunked(
+    querier: Querier, q: pb.Query, query_index: int
+) -> list[bytes]:
+    """One remote-read Query -> framed ChunkedReadResponse messages,
+    one frame per series (codec.go StreamChunkedReadResponses flushes
+    on a per-series budget; per-series is the natural Spark batch).
+    Samples re-encode into XOR chunks of <= 120 samples — the same
+    Gorilla bytes a TSDB block would hold, so a chunk-native client
+    decodes with its existing path."""
+    from agni_spark.sources.tsdb_format import ENC_XOR, encode_xor_chunk
+
+    sel = querier.select(
+        matchers_from_proto(q.matchers), mint_ms=q.start_ms, maxt_ms=q.end_ms
+    )
+    per_series = (
+        sel.groupBy("series_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_ms", "value"))
+            ).alias("pts")
+        )
+        .join(querier.series, "series_id")
+        .orderBy("series_id")
+    )
+    label_cols = [c for c in querier.series.columns if c != "series_id"]
+    frames = []
+    for row in per_series.collect():  # serving edge: results only
+        labels = []
+        for c in label_cols:
+            v = row[c]
+            if v is not None:
+                labels.append(("__name__" if c == "metric" else c, v))
+        labels.sort()
+        pts = [(p.ts_ms, p.value) for p in row.pts]
+        chunks = []
+        for i in range(0, len(pts), _SAMPLES_PER_CHUNK):
+            part = pts[i : i + _SAMPLES_PER_CHUNK]
+            chunks.append(
+                pb.Chunk(
+                    min_time_ms=part[0][0],
+                    max_time_ms=part[-1][0],
+                    type=ENC_XOR,
+                    data=encode_xor_chunk(part),
+                )
+            )
+        msg = pb.ChunkedReadResponse(
+            chunked_series=[pb.ChunkedSeries(labels=labels, chunks=chunks)],
+            query_index=query_index,
+        )
+        frames.append(
+            write_chunked_frame(
+                snappy.compress(pb.encode_chunked_read_response(msg))
+            )
+        )
+    return frames
+
+
+def handle_read_negotiated(
+    querier: Querier, body: bytes
+) -> tuple[bytes, str]:
+    """POST /read with content negotiation: returns (payload,
+    content_type). STREAMED_XOR_CHUNKS is served when the client
+    accepts it (first supported entry wins, codec.go semantics);
+    otherwise the sampled-Matrix path — byte-identical to before for
+    pre-negotiation clients."""
+    req = pb.decode_read_request(snappy.decompress(body))
+    if pb.RESPONSE_STREAMED_XOR_CHUNKS in req.accepted_response_types:
+        stream = b"".join(
+            frame
+            for i, q in enumerate(req.queries)
+            for frame in evaluate_query_chunked(querier, q, i)
+        )
+        return stream, CONTENT_TYPE_STREAMED
+    resp = pb.ReadResponse(
+        results=[evaluate_query(querier, q) for q in req.queries]
+    )
+    return (
+        snappy.compress(pb.encode_read_response(resp)),
+        CONTENT_TYPE_SAMPLES,
+    )
+
+
 class RemoteReadServer:
     """Threaded HTTP server exposing POST /read (server.go:51)."""
 
@@ -118,14 +256,21 @@ class RemoteReadServer:
                     if self.path == "/write":
                         n = handle_write(outer.spark, body, outer.write_store)
                         payload = str(n).encode()
+                        ctype = "application/x-protobuf"
                     else:
-                        payload = handle_read(outer.querier, body)
+                        payload, ctype = handle_read_negotiated(
+                            outer.querier, body
+                        )
                 except Exception as e:  # decode/eval error -> 400
                     self.send_error(400, str(e)[:200])
                     return
                 self.send_response(200)
-                self.send_header("Content-Type", "application/x-protobuf")
-                self.send_header("Content-Encoding", "snappy")
+                self.send_header("Content-Type", ctype)
+                if ctype == CONTENT_TYPE_SAMPLES:
+                    # frames of a streamed response are internally
+                    # snappy-compressed; only the sampled body is
+                    # whole-message snappy (chunked.go vs codec.go)
+                    self.send_header("Content-Encoding", "snappy")
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)

@@ -632,3 +632,115 @@ def test_http_rules_endpoint(served_querier):
         assert all(a["state"] == "firing" for a in rule["alerts"])
     finally:
         srv.stop()
+
+
+# -- streamed remote read (STREAMED_XOR_CHUNKS) -------------------------------
+def test_chunked_read_response_golden_decode():
+    # Hand-assembled ChunkedReadResponse: one ChunkedSeries with one
+    # label ("job","api") and one Chunk{min=100, max=200, type=XOR(1),
+    # data=0xDEAD}, query_index=3 — bytes built from remote.proto field
+    # numbers, independent of our encoder.
+    label = bytes([0x0A, 0x03]) + b"job" + bytes([0x12, 0x03]) + b"api"
+    chunk = (
+        bytes([0x08, 100])          # min_time_ms = 100
+        + bytes([0x10, 0xC8, 0x01])  # max_time_ms = 200
+        + bytes([0x18, 0x01])        # type = XOR
+        + bytes([0x22, 0x02, 0xDE, 0xAD])  # data
+    )
+    series = (
+        bytes([0x0A, len(label)]) + label
+        + bytes([0x12, len(chunk)]) + chunk
+    )
+    golden = bytes([0x0A, len(series)]) + series + bytes([0x10, 0x03])
+    dec = pb.decode_chunked_read_response(golden)
+    assert dec.query_index == 3
+    [cs] = dec.chunked_series
+    assert cs.labels == [("job", "api")]
+    [ch] = cs.chunks
+    assert (ch.min_time_ms, ch.max_time_ms, ch.type, ch.data) == (
+        100, 200, 1, b"\xde\xad",
+    )
+    # our encoder reproduces the same bytes
+    assert pb.encode_chunked_read_response(dec) == golden
+
+
+def test_read_request_response_type_negotiation_bytes():
+    # accepted_response_types encodes packed (field 2, LD) and decodes
+    # both packed and unpacked forms
+    req = pb.ReadRequest(
+        [pb.Query(0, 1000)], accepted_response_types=[1, 0]
+    )
+    enc = pb.encode_read_request(req)
+    assert bytes([0x12, 0x02, 0x01, 0x00]) in enc  # packed field 2
+    dec = pb.decode_read_request(enc)
+    assert dec.accepted_response_types == [1, 0]
+    # unpacked form: two varint fields
+    unpacked = enc.replace(
+        bytes([0x12, 0x02, 0x01, 0x00]),
+        bytes([0x10, 0x01, 0x10, 0x00]),
+    )
+    assert pb.decode_read_request(unpacked).accepted_response_types == [1, 0]
+
+
+def test_chunked_frame_roundtrip_and_crc():
+    from agni_spark.protocol import server as srv
+
+    frames = [b"hello", b"", b"x" * 300]
+    stream = b"".join(srv.write_chunked_frame(f) for f in frames)
+    assert srv.read_chunked_frames(stream) == frames
+    # corrupt one payload byte -> CRC failure
+    bad = bytearray(stream)
+    bad[6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        srv.read_chunked_frames(bytes(bad))
+
+
+def test_http_streamed_read_end_to_end(served_querier):
+    """Negotiated STREAMED_XOR_CHUNKS: frames decode back to the exact
+    samples the sampled path serves, through the real XOR chunk
+    decoder; the sampled path stays byte-compatible for clients that
+    don't negotiate."""
+    from agni_spark.protocol.server import (
+        CONTENT_TYPE_STREAMED, RemoteReadServer, read_chunked_frames,
+    )
+    from agni_spark.sources.tsdb_format import decode_xor_chunk
+
+    srv = RemoteReadServer(served_querier)
+    srv.start()
+    try:
+        req = pb.ReadRequest(
+            [pb.Query(0, 1000, [pb.LabelMatcher(0, "env", "prod")])],
+            accepted_response_types=[pb.RESPONSE_STREAMED_XOR_CHUNKS],
+        )
+        body = snappy.compress(pb.encode_read_request(req))
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/read", data=body, method="POST"
+            ),
+            timeout=120,
+        )
+        assert r.status == 200
+        assert r.headers["Content-Type"] == CONTENT_TYPE_STREAMED
+        got = {}
+        frames = read_chunked_frames(r.read())
+        assert len(frames) == 2  # one per matching series
+        for f in frames:
+            msg = pb.decode_chunked_read_response(snappy.decompress(f))
+            assert msg.query_index == 0
+            [cs] = msg.chunked_series
+            pts = []
+            for ch in cs.chunks:
+                assert ch.type == 1  # XOR
+                dec = decode_xor_chunk(ch.data)
+                assert dec[0][0] == ch.min_time_ms
+                assert dec[-1][0] == ch.max_time_ms
+                pts.extend(dec)
+            got[tuple(cs.labels)] = pts
+        assert got[
+            (("__name__", "up"), ("env", "prod"), ("job", "api"))
+        ] == [(100, 1.0), (200, 2.0)]
+        assert got[
+            (("__name__", "up"), ("env", "prod"), ("job", "web"))
+        ] == [(150, 5.0)]
+    finally:
+        srv.stop()
