@@ -1986,6 +1986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "promql_parsed_trig": _q_promql_parsed_trig,
         "s14_streamed_remote_read": _q_s14_streamed_remote_read,
+        "simsearch_graph_ann": lambda s, d: simsearch.graph_ann(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10, knn=5, beam=8, hops=3,
+        ),
     }
 
 
@@ -2416,9 +2423,54 @@ _SQL_SIMSEARCH_IVF_APPEND = _sql_simsearch_ivf(
 )
 _SQL_SIMSEARCH_KNN_GRAPH = _sql_simsearch_ivf(query_where="TRUE", k=5)
 
+# Graph-ANN mirror: the kNN-graph beam search unrolled hop by hop
+# (like the PageRank oracle's unrolled power iterations) — entry point,
+# then per hop: expand along edges, score only unseen nodes, beam-prune
+# the new frontier; final top-k over everything scored.
+def _sql_graph_ann(k: int = 10, beam: int = 8, hops: int = 3) -> str:
+    hop_tpl = """
+c{i} AS (SELECT DISTINCT f.query_id, ed.dst AS node
+         FROM f{prev} f JOIN edges ed USING (node)),
+n{i} AS (SELECT c.query_id, c.node FROM c{i} c
+         WHERE NOT EXISTS (SELECT 1 FROM s{prev} s
+                           WHERE s.query_id = c.query_id
+                             AND s.node = c.node)),
+sc{i} AS (SELECT nn.query_id, nn.node,
+            round(list_cosine_similarity(q.qe, nd.ce), 6) AS cos
+          FROM n{i} nn JOIN q USING (query_id) JOIN nodes nd USING (node)),
+s{i} AS (SELECT * FROM s{prev} UNION ALL SELECT * FROM sc{i}),
+f{i} AS (SELECT query_id, node FROM (
+           SELECT sc.*, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, node ASC) AS rn FROM sc{i} sc)
+         WHERE rn <= {beam})"""
+    hops_sql = ",".join(
+        hop_tpl.format(i=i, prev=i - 1, beam=beam)
+        for i in range(1, hops + 1)
+    )
+    return (
+        "WITH edges AS (SELECT query_id AS node, vec_id AS dst FROM ("
+        + _SQL_SIMSEARCH_KNN_GRAPH
+        + ")), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+        "FROM embeddings WHERE vec_id < 5), "
+        "nodes AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS ce "
+        "FROM embeddings), "
+        "entry AS (SELECT min(vec_id) AS node FROM embeddings), "
+        "s0 AS (SELECT q.query_id, e.node, "
+        "round(list_cosine_similarity(q.qe, nd.ce), 6) AS cos "
+        "FROM q CROSS JOIN entry e JOIN nodes nd USING (node)), "
+        "f0 AS (SELECT query_id, node FROM s0)," + hops_sql +
+        f" SELECT query_id, node AS vec_id, cos, CAST(rk AS INT) AS rk "
+        f"FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cos DESC, node ASC) AS rk FROM s{hops} s "
+        f"WHERE node <> query_id) WHERE rk <= {k} ORDER BY query_id, rk"
+    )
+
+
 # IVF-PQ mirror: the IVF cells/probes candidate prune composed with the
-# PQ codes/ADC scoring — candidates only (never all pairs), global
-# codebooks (flat-encoding variant, matching simsearch.ivfpq_search).
+# PQ codes/ADC scoring over RESIDUALS (vector - cell centroid), with
+# one Lloyd round on the codebooks — matching simsearch.ivfpq_search's
+# by_residual semantics; candidates only (never all pairs).
 _SQL_SIMSEARCH_IVFPQ = f"""
 WITH {_sql_kmeans_cents()},
 cells AS (
@@ -4685,6 +4737,7 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
+        "simsearch_graph_ann": _sql_graph_ann(),
         "simsearch_pagerank": _SQL_PAGERANK,
         "simsearch_lsh_ann": _SQL_SIMSEARCH_LSH,
         # the kNN oracle + mutual-edge join + recursive closure: an

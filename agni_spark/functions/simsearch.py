@@ -1148,6 +1148,92 @@ def ivfpq_search(
     )
 
 
+def graph_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    knn: int = 5,
+    beam: int = 8,
+    hops: int = 3,
+) -> DataFrame:
+    """Graph-based ANN: greedy BEAM SEARCH over the kNN neighbor graph
+    — the NSW/HNSW search idea (Malkov & Yashunin, single-layer
+    variant) re-expressed as a fixed number of relational hops:
+
+      frontier_0 = the deterministic entry point (min vec_id — HNSW's
+                   fixed top-layer entry);
+      each hop: expand frontier along graph edges, score ONLY the
+      newly-seen nodes against the query (anti-join on the visited
+      set), keep the `beam` best new nodes as the next frontier;
+      answer: top-k of everything scored, self-matches excluded.
+
+    Fixed hop count + 6dp-rounded scores + (cos DESC, node ASC)
+    tie-breaks make the walk fully deterministic, so the DuckDB
+    mirror (unrolled hops, like the PageRank oracle) is a FULL
+    oracle, not a recall bound. Recall floor vs exact is pinned in
+    tests/test_llm_ops.py alongside ivf/ivfpq/lsh.
+
+    Scale: the graph (n*knn edges) is the stored artifact — the only
+    corpus-sized tables in flight are edge joins keyed on the node id
+    (partitionable); per hop the per-query work is <= beam*knn
+    candidate rows, independent of corpus size. That is precisely the
+    graph-ANN value proposition: O(hops * beam * knn) scored nodes
+    instead of nprobe/n_cells of the corpus."""
+    edges = (
+        knn_graph(corpus, k=knn)
+        .select(F.col("query_id").alias("node"), F.col("vec_id").alias("dst"))
+        .persist()  # hops re-join the same edge table
+    )
+    q = queries.select(
+        "query_id", F.col("embedding").alias("qe")
+    )
+    nodes = corpus.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("ce")
+    )
+    entry = corpus.agg(F.min("vec_id").alias("node"))
+
+    def _score(fr: DataFrame) -> DataFrame:
+        return (
+            fr.join(nodes, "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "node",
+                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+            )
+        )
+
+    frontier = q.select("query_id").crossJoin(F.broadcast(entry))
+    scored = _score(frontier).persist()
+    frontier = scored.select("query_id", "node")
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("node").asc()
+    )
+    for _ in range(hops):
+        cand = (
+            frontier.join(edges, "node")
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = cand.join(scored, ["query_id", "node"], "left_anti")
+        sc = _score(new)
+        scored = scored.unionByName(sc).persist()
+        frontier = (
+            sc.withColumn("rn", F.row_number().over(w_beam))
+            .where(F.col("rn") <= beam)
+            .select("query_id", "node")
+        )
+    out = scored.where(F.col("node") != F.col("query_id"))
+    return (
+        out.withColumn("rk", F.row_number().over(w_beam))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", F.col("node").alias("vec_id"), "cos",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
 def random_projection(emb: DataFrame, k: int = 16, dim: int = 64) -> DataFrame:
     """Johnson-Lindenstrauss random projection: reduce dim -> k with
     the deterministic md5-derived dense planes (same family as the
