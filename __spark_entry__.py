@@ -1664,7 +1664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_neq_matcher": _q_p4_neq,
         "p7_select_samples": _q_p7_select,
         "p9_tombstone_filter": _q_p9_tombstones,
-        "s13_matrix_assembly": _q_s13_matrix_assembly,
+        # streamed remote read replaced the sampled matrix assembly in
+        # the window (s13 stays oracle-gated after #50): the chunked
+        # path exercises matrix assembly AND the XOR chunk + framing
+        # wire format in one externally-checked row
+        "s14_streamed_remote_read": _q_s14_streamed_remote_read,
         "a1_intersect": _q_a1_intersect,
         "m1_merge_sorted": _q_m1_merge,
         "merge_on_read_dedup": _q_merge_on_read,
@@ -1680,7 +1684,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new serving tier the external gate should see
         "promql_frontend_cache": _q_promql_frontend_cache,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
-        "promql_parsed_expression": _q_promql_parsed,
+        # graph-ANN beam search replaced the basic parsed expression in
+        # the window (parsed_binop/group_left are the stricter parser
+        # signals; promql_parsed_expression stays gated after #50)
+        "simsearch_graph_ann": lambda s, d: simsearch.graph_ann(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10, knn=5, beam=8, hops=3,
+        ),
         "promql_parsed_binop": _q_promql_parsed_binop,
         "promql_parsed_group_left": _q_promql_parsed_group_left,
         # --- TPC-H (4) ---
@@ -1694,7 +1707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_v2": _q_pipeline_curate_v2,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
-        "dedup_cluster_assign": _q_dedup_cluster_assign,
+        # round-6 sharded-state streaming top-k replaced cluster-assign
+        # in the window (dedup_cluster_assign stays gated after #50)
+        "streaming_topk": _q_streaming_topk,
         # --- Text (5) ---
         "text_doc_stats": _q_text_doc_stats,
         "text_repeated_passages": _q_text_repeated_passages,
@@ -1730,6 +1745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         # ------ end of driver-checked window (50) ------
         # swapped out of the window above, still fully oracle-gated:
+        "s13_matrix_assembly": _q_s13_matrix_assembly,
+        "promql_parsed_expression": _q_promql_parsed,
+        "dedup_cluster_assign": _q_dedup_cluster_assign,
         "promql_parsed_topk_by": _q_promql_parsed_topk_by,
         "text_lang_id": _q_text_lang_id,
         "simsearch_pq_adc": _q_simsearch_pq,
@@ -1927,7 +1945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_series_churn": lambda s, d: relational.series_churn(s, d),
         "tpch_basket_lift": lambda s, d: relational.basket_lift(s, d),
         "tsdb_series_gaps": lambda s, d: relational.series_gaps(s, d),
-        "streaming_topk": _q_streaming_topk,
         "tpch_open_orders_timeline": lambda s, d: (
             relational.open_orders_timeline(s, d)
         ),
@@ -1985,13 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational.series_autocorrelation(s, d)
         ),
         "promql_parsed_trig": _q_promql_parsed_trig,
-        "s14_streamed_remote_read": _q_s14_streamed_remote_read,
-        "simsearch_graph_ann": lambda s, d: simsearch.graph_ann(
-            _emb(s, d),
-            _emb(s, d)
-            .where(F.col("vec_id") < 5)
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-            k=10, knn=5, beam=8, hops=3,
+        "dedup_split_leakage": lambda s, d: dedup.split_leakage(
+            _docs(s, d), test_pct=10, threshold=0.5
         ),
     }
 
@@ -4718,6 +4730,18 @@ SELECT a, b, n, pmi, rk FROM ranked WHERE rk <= 20 ORDER BY rk
         "dedup_containment": _SQL_CONTAINMENT,
         "dedup_jaccard_prefix": _SQL_JACCARD,  # exact: same oracle
         "dedup_minhash_lsh": _SQL_MINHASH_LSH,
+        "dedup_split_leakage": _SQL_MINHASH_BODY + """
+, splt AS (SELECT doc_id, CASE WHEN
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+    % 100 < 10 THEN 'test' ELSE 'train' END AS split FROM documents)
+SELECT CASE WHEN x.split = 'test' THEN e.doc_a ELSE e.doc_b END AS test_doc,
+       CASE WHEN x.split = 'test' THEN e.doc_b ELSE e.doc_a END AS train_doc,
+       e.est_jaccard
+FROM est e JOIN splt x ON x.doc_id = e.doc_a
+JOIN splt y ON y.doc_id = e.doc_b
+WHERE e.est_jaccard >= 0.5 AND x.split <> y.split
+ORDER BY 1, 2
+""",
         "dedup_cluster_assign": _SQL_CLUSTER_ASSIGN,
         # signatures are per-doc, so computing them over ALL documents
         # and filtering at the candidate stage equals the split

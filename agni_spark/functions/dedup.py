@@ -341,6 +341,55 @@ def minhash_dedup_pairs(
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    test_pct: int = 10,
+    k: int = 3,
+    threshold: float = 0.7,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that CROSS the
+    deterministic hash split — a test document with a train near-dup
+    inflates eval scores without the model generalizing (the
+    decontamination check every training pipeline needs before a split
+    ships; cf. GPT-3 appendix C / Dodge et al. C4 audit methodology,
+    run INSIDE the engine instead of ad hoc).
+
+    Composition, all existing machinery: split_assign's stable
+    md5-bucket split (never rand() — a reshuffle would itself leak) ×
+    MinHash-LSH candidate pairs refined by estimated Jaccard. Output:
+    one row per (test_doc, train_doc) offending pair. Scale: identical
+    to minhash_dedup_pairs (banded bucket joins, candidates only) plus
+    two projection-only split joins."""
+    from agni_spark.functions.text import split_assign
+
+    pairs = minhash_dedup_pairs(docs, k, threshold, bands, rows)
+    split = split_assign(docs, test_pct)
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    test_first = F.col("split_a") == "test"
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(test_first, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("test_doc"),
+            F.when(test_first, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("train_doc"),
+            "est_jaccard",
+        )
+        .orderBy("test_doc", "train_doc")
+    )
+
+
 # -- stored MinHash signature index (incremental corpus dedup) --------------
 def write_minhash_index(
     docs: DataFrame, path: str, k: int = 3, bands: int = 4, rows: int = 4

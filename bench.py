@@ -41,6 +41,18 @@ HEADLINE = [
     "simsearch_cosine_topk",
     "simsearch_ivf_ann",
     "pipeline_curate",
+    # round-6 widening: the newest (and most expensive) tiers are
+    # tracked round-over-round from here on. TOTALS ARE NOT COMPARABLE
+    # to rounds <= 5 (the note field records the harness change);
+    # per-query times of the original 21 still are.
+    "simsearch_ivfpq",
+    "simsearch_pagerank",
+    "simsearch_graph_ann",
+    "dedup_cluster_assign",
+    "text_index_search",
+    "pipeline_curate_v2",
+    "streaming_topk",
+    "s14_streamed_remote_read",
 ]
 
 
@@ -94,6 +106,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "note": (
+                    "headline set widened in round 6 (+8 queries: ivfpq, "
+                    "pagerank, graph_ann, cluster_assign, text_index, "
+                    "curate_v2, streaming_topk, streamed_read); totals "
+                    "not comparable to rounds <= 5 — compare per-query"
+                ),
             }
         )
     )
