@@ -2005,6 +2005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_split_leakage": lambda s, d: dedup.split_leakage(
             _docs(s, d), test_pct=10, threshold=0.5
         ),
+        "text_repetition_signals": lambda s, d: text.repetition_signals(
+            _docs(s, d)
+        ),
     }
 
 
@@ -4730,6 +4733,41 @@ SELECT a, b, n, pmi, rk FROM ranked WHERE rk <= 20 ORDER BY rk
         "dedup_containment": _SQL_CONTAINMENT,
         "dedup_jaccard_prefix": _SQL_JACCARD,  # exact: same oracle
         "dedup_minhash_lsh": _SQL_MINHASH_LSH,
+        "text_repetition_signals": """
+WITH w AS (SELECT doc_id, length(text) AS n_chars_doc,
+                  string_split(text, ' ') AS w FROM documents),
+tagged AS (
+  SELECT doc_id, n_chars_doc, n,
+         array_to_string(w[i : i + n - 1], ' ') AS gram
+  FROM (SELECT doc_id, n_chars_doc, w, t.n,
+               unnest(generate_series(1, len(w) - t.n + 1)) AS i
+        FROM w CROSS JOIN (VALUES (2), (3), (4), (5)) t(n))),
+counts AS (SELECT doc_id, n_chars_doc, n, gram, count(*) AS cnt
+           FROM tagged GROUP BY 1, 2, 3, 4),
+per_doc AS (
+  SELECT doc_id,
+    round(max(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END)
+          / n_chars_doc, 6) AS top2gram_frac,
+    round(max(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END)
+          / n_chars_doc, 6) AS top3gram_frac,
+    round(max(CASE WHEN n = 4 THEN cnt * length(gram) ELSE 0 END)
+          / n_chars_doc, 6) AS top4gram_frac,
+    round(least(sum(CASE WHEN n = 5 AND cnt > 1
+                         THEN cnt * length(gram) ELSE 0 END)
+                / n_chars_doc, 1.0::DOUBLE), 6) AS dup5gram_frac
+  FROM counts GROUP BY doc_id, n_chars_doc)
+SELECT d.doc_id,
+  coalesce(p.top2gram_frac, 0.0::DOUBLE) AS top2gram_frac,
+  coalesce(p.top3gram_frac, 0.0::DOUBLE) AS top3gram_frac,
+  coalesce(p.top4gram_frac, 0.0::DOUBLE) AS top4gram_frac,
+  coalesce(p.dup5gram_frac, 0.0::DOUBLE) AS dup5gram_frac,
+  (coalesce(p.top2gram_frac, 0.0::DOUBLE) <= 0.20::DOUBLE
+   AND coalesce(p.top3gram_frac, 0.0::DOUBLE) <= 0.18::DOUBLE
+   AND coalesce(p.top4gram_frac, 0.0::DOUBLE) <= 0.16::DOUBLE
+   AND coalesce(p.dup5gram_frac, 0.0::DOUBLE) <= 0.15::DOUBLE)
+    AS repetition_pass
+FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id
+""",
         "dedup_split_leakage": _SQL_MINHASH_BODY + """
 , splt AS (SELECT doc_id, CASE WHEN
     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

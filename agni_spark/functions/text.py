@@ -914,6 +914,95 @@ def bm25_topk_indexed(
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher REPETITION filters (Rae et al. 2021 Table A1 — the
+    within-document half gopher_rules doesn't cover): per doc,
+      - top_{2,3,4}gram_frac: fraction of the document's characters
+        contained in its single most frequent word n-gram
+        (count * n-gram length / doc length), thresholds 0.20/0.18/0.16
+      - dup_5gram_frac: fraction of characters contained in 5-grams
+        that occur more than once (sum of count * length over duplicated
+        grams / doc length, capped at 1 — overlapping occurrences are
+        counted per occurrence, the standard simplification),
+        threshold 0.15
+    plus `repetition_pass`, the conjunction. Docs shorter than n words
+    score 0 for that n (nothing repeats).
+
+    ONE explode over all four n levels tagged by n, one (doc, n, gram)
+    count, one per-doc conditional aggregation — two shuffles total
+    regardless of how many n levels are measured."""
+    w = docs.select(
+        "doc_id",
+        F.length(F.col("text")).alias("n_chars_doc"),
+        F.split(F.col("text"), " ").alias("w"),
+    )
+    levels = []
+    for n in (2, 3, 4, 5):
+        grams = F.when(
+            F.size("w") >= n,
+            F.expr(
+                f"transform(sequence(1, size(w) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(w, i, {n})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        levels.append(
+            F.struct(F.lit(n).alias("n"), grams.alias("grams"))
+        )
+    tagged = (
+        w.select(
+            "doc_id", "n_chars_doc", F.explode(F.array(*levels)).alias("lv")
+        )
+        .select(
+            "doc_id", "n_chars_doc", F.col("lv.n").alias("n"),
+            F.explode(F.col("lv.grams")).alias("gram"),
+        )
+    )
+    counts = tagged.groupBy("doc_id", "n_chars_doc", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    covered = F.col("cnt") * F.length(F.col("gram"))
+
+    def _top(n: int):
+        return F.round(
+            F.max(F.when(F.col("n") == n, covered).otherwise(F.lit(0)))
+            / F.col("n_chars_doc"),
+            6,
+        )
+
+    dup5 = F.round(
+        F.least(
+            F.sum(
+                F.when(
+                    (F.col("n") == 5) & (F.col("cnt") > 1), covered
+                ).otherwise(F.lit(0))
+            )
+            / F.col("n_chars_doc"),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    per_doc = counts.groupBy("doc_id", "n_chars_doc").agg(
+        _top(2).alias("top2gram_frac"),
+        _top(3).alias("top3gram_frac"),
+        _top(4).alias("top4gram_frac"),
+        dup5.alias("dup5gram_frac"),
+    )
+    # left join back so word-poor docs (no grams at any level) still
+    # report zeros instead of disappearing
+    out = (
+        docs.select("doc_id")
+        .join(per_doc.drop("n_chars_doc"), "doc_id", "left")
+        .fillna(0.0)
+    )
+    passes = (
+        (F.col("top2gram_frac") <= 0.20)
+        & (F.col("top3gram_frac") <= 0.18)
+        & (F.col("top4gram_frac") <= 0.16)
+        & (F.col("dup5gram_frac") <= 0.15)
+    )
+    return out.withColumn("repetition_pass", passes).orderBy("doc_id")
+
+
 def redact_terms(
     docs: DataFrame, terms: list[str], placeholder: str = "[REDACTED]"
 ) -> DataFrame:
