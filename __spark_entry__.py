@@ -641,17 +641,23 @@ def _q_promql_parsed_trig(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_promql_range_sliding_rate(spark: SparkSession, sf: str) -> DataFrame:
-    # /query_range shape through the parser: 1d rate window evaluated
-    # on a 6h step grid (window > step -> sliding windows, one row per
-    # step), then label aggregation over the sliding output
+    # /query_range shape through the parser: per-series 1d rate window
+    # evaluated on a 6h step grid (window > step -> sliding windows,
+    # one row per step). Per-series on purpose: summing rate values
+    # across series puts 1/86400-scaled doubles into a 4dp round whose
+    # ties Spark (shortest-string) and DuckDB (binary) break
+    # differently — a real sf0.1 tie hit in round 6. Label-aggregated
+    # sliding output is covered tie-robustly by promql_range_sliding's
+    # sum-of-increase shape (grid-valued summands, no division before
+    # the outer sum).
     from agni_spark import promql_parser as pql
 
     out = pql.query(
         _querier(spark, sf),
-        "sum by (job) (rate(event_error[1d]))",
+        "rate(event_error[1d])",
         step_ms=H6_MS,
     )
-    return out.orderBy("job", "bucket_ms")
+    return out.orderBy("series_id", "bucket_ms")
 
 
 def _q_promql_parsed_subquery(spark: SparkSession, sf: str) -> DataFrame:
@@ -3509,7 +3515,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # sliding 1d window on a 6h step grid: each reset-corrected
         # per-sample delta (attributed to the later sample) lands in
-        # window/step = 4 overlapping windows
+        # window/step = 4 overlapping windows; per-series rate =
+        # rounded window increase / window seconds (identical doubles
+        # both sides — no cross-series sum of divided values, whose
+        # 4dp ties the engines break differently)
         "promql_range_sliding_rate": q(
             ", inc AS ("
             "  SELECT s.series_id, s.ts_ms,"
@@ -3524,13 +3533,10 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT series_id,"
             "  CAST(ts_ms // 21600000 AS BIGINT) * 21600000"
             "    - k.k * 21600000 AS ws, delta"
-            "  FROM inc CROSS JOIN (SELECT unnest(range(4)) AS k) k),"
-            "persr AS ("
-            "  SELECT series_id, ws, round(sum(delta), 4) / 86400.0 AS value"
-            "  FROM expl GROUP BY 1, 2)"
-            "SELECT ser.job, p.ws AS bucket_ms, round(sum(p.value), 4) AS value "
-            "FROM persr p JOIN series ser USING (series_id) "
-            "GROUP BY 1, 2 ORDER BY 1, 2"
+            "  FROM inc CROSS JOIN (SELECT unnest(range(4)) AS k) k)"
+            "SELECT series_id, ws AS bucket_ms,"
+            " round(sum(delta), 4) / 86400.0 AS value"
+            " FROM expl GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "promql_parsed_quantile_ot": q(
             "SELECT s.series_id, "

@@ -698,17 +698,19 @@ def test_ivfpq_candidates_and_recall(spark):
                emb, queries, k=5, nprobe=2, m=16, ksub=16
            ).collect()}
     assert len(exact & got) / len(exact) >= 0.2
-    # IVFPQ results must come from the IVF candidate set: probing every
-    # cell makes IVFPQ equal plain PQ ADC (the prune is the only delta)
+    # With residual encoding full-probe IVFPQ is NOT plain pq_search
+    # (codes quantize x - c(cell) per cell; flat PQ quantizes raw x —
+    # the round-5 flat variant asserted set equality here), and recall
+    # is not monotone in nprobe under an approximate scorer (a badly
+    # quantized far vector can displace a true neighbor). Pin a recall
+    # floor for the full probe and full-k results for both.
     all_cells = {(r.query_id, r.vec_id)
                  for r in simsearch.ivfpq_search(
                      emb, queries, k=5, nprobe=8, m=16, ksub=16
                  ).collect()}
-    pq = {(r.query_id, r.vec_id)
-          for r in simsearch.pq_search(
-              emb, queries, k=5, m=16, ksub=16
-          ).collect()}
-    assert all_cells == pq
+    assert len(exact & all_cells) / len(exact) >= 0.15
+    # every query gets its full k even under the prune
+    assert len(all_cells) == len(got) == 3 * 5
 
 
 def test_dedup_passages_rewrite(spark):
