@@ -242,6 +242,25 @@ def _q_s14_streamed_remote_read(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("series_key")
 
 
+def _q_simsearch_graph_stored(spark: SparkSession, sf: str) -> DataFrame:
+    # graph-ANN served from the bucket-partitioned stored index: build
+    # (edges + node vectors + entry point, manifest-last), then probe —
+    # results identical to the in-memory walk, so _sql_graph_ann is the
+    # oracle; the probe's hop joins prune to the frontier's buckets
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="agni_graphidx_")
+    simsearch.write_graph_index(_emb(spark, sf), path, knn=5)
+    return simsearch.graph_ann_stored(
+        spark,
+        path,
+        _emb(spark, sf)
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=10, beam=8, hops=3,
+    )
+
+
 def _q_a1_intersect(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _querier(spark, sf)
@@ -2014,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_signals": lambda s, d: text.repetition_signals(
             _docs(s, d)
         ),
+        "simsearch_graph_stored": _q_simsearch_graph_stored,
     }
 
 
@@ -4806,6 +4826,8 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
         "simsearch_graph_ann": _sql_graph_ann(),
+        # stored probe is walk-identical to the in-memory graph_ann
+        "simsearch_graph_stored": _sql_graph_ann(),
         "simsearch_pagerank": _SQL_PAGERANK,
         "simsearch_lsh_ann": _SQL_SIMSEARCH_LSH,
         # the kNN oracle + mutual-edge join + recursive closure: an

@@ -123,7 +123,7 @@ class ResultsCache:
     def _commit_days(self, key: str, days: set[int]) -> None:
         self.spark.createDataFrame(
             [(int(d),) for d in sorted(days)], "day long"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).repartition(1).write.mode("overwrite").parquet(
             self._manifest_path(key)
         )
 

@@ -363,7 +363,7 @@ def _write_index_manifest(spark, path: str, commits: list[int]) -> None:
     append's partial partition is never served."""
     spark.createDataFrame(
         [(int(c),) for c in sorted(commits)], "commit long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def _committed(spark, path: str) -> list[int]:
@@ -404,7 +404,7 @@ def write_ivf_index(
     )
     cents.select(
         "centroid_id", F.col("cvec").cast("array<double>").alias("cvec")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     _write_index_manifest(spark, path, [0])
 
 
@@ -1211,6 +1211,130 @@ def graph_ann(
     for _ in range(hops):
         cand = (
             frontier.join(edges, "node")
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = cand.join(scored, ["query_id", "node"], "left_anti")
+        sc = _score(new)
+        scored = scored.unionByName(sc).persist()
+        frontier = (
+            sc.withColumn("rn", F.row_number().over(w_beam))
+            .where(F.col("rn") <= beam)
+            .select("query_id", "node")
+        )
+    out = scored.where(F.col("node") != F.col("query_id"))
+    return (
+        out.withColumn("rk", F.row_number().over(w_beam))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", F.col("node").alias("vec_id"), "cos",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+def write_graph_index(
+    corpus: DataFrame,
+    path: str,
+    knn: int = 5,
+    n_buckets: int = 16,
+) -> None:
+    """Build + persist the graph-ANN index: `edges/` (the kNN graph)
+    and `nodes/` (id + vector, for scoring) both parquet-partitioned
+    by (commit, bucket = hash(node) % n_buckets), plus `meta/` (the
+    deterministic entry point + n_buckets) and `manifest/` written
+    LAST (the block-store commit idiom every stored index here uses).
+
+    Bucket-partitioning is the probe's scale lever: each beam-search
+    hop joins a <= beam*queries frontier against edges/nodes ON THE
+    BUCKET COLUMN, so the scan reads only the frontier's bucket
+    directories (dynamic partition pruning) — never the whole graph."""
+    spark = corpus.sparkSession
+    edges = knn_graph(corpus, k=knn).select(
+        F.col("query_id").alias("node"), F.col("vec_id").alias("dst")
+    )
+    bucket = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
+    (
+        edges.withColumn("bucket", bucket)
+        .withColumn("commit", F.lit(0).cast("long"))
+        .repartition("bucket")
+        .write.partitionBy("commit", "bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/edges")
+    )
+    nodes = corpus.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("ce")
+    )
+    (
+        nodes.withColumn("bucket", bucket)
+        .withColumn("commit", F.lit(0).cast("long"))
+        .repartition("bucket")
+        .write.partitionBy("commit", "bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/nodes")
+    )
+    entry = corpus.agg(F.min("vec_id")).first()[0]
+    spark.createDataFrame(
+        [(int(entry), int(n_buckets), int(knn))],
+        "entry long, n_buckets int, knn int",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_index_manifest(spark, path, [0])
+
+
+def graph_ann_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 3,
+) -> DataFrame:
+    """Beam search served from a stored graph index: identical walk —
+    and therefore identical results — to graph_ann() built from the
+    same corpus (test-pinned), but every hop's edge/vector lookups
+    join on (bucket, node) against the bucket-partitioned store, so
+    the scans touch only the frontier's buckets instead of the whole
+    graph. Only manifest-committed `commit=` partitions are served."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    commits = _committed(spark, path)
+    n_buckets = int(meta.n_buckets)
+
+    def _load(sub: str) -> DataFrame:
+        return (
+            spark.read.parquet(f"{path}/{sub}")
+            .where(F.col("commit").isin(commits))
+            .drop("commit")
+        )
+
+    edges = _load("edges")
+    nodes = _load("nodes")
+    q = queries.select("query_id", F.col("embedding").alias("qe"))
+    bucket_of = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
+
+    def _score(fr: DataFrame) -> DataFrame:
+        return (
+            fr.withColumn("bucket", bucket_of)
+            .join(nodes, ["bucket", "node"])
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "node",
+                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+            )
+        )
+
+    frontier = q.select("query_id").withColumn(
+        "node", F.lit(int(meta.entry)).cast("long")
+    )
+    scored = _score(frontier).persist()
+    frontier = scored.select("query_id", "node")
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("node").asc()
+    )
+    for _ in range(hops):
+        cand = (
+            frontier.withColumn("bucket", bucket_of)
+            .join(edges, ["bucket", "node"])
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
         )

@@ -775,7 +775,7 @@ def write_text_index(docs: DataFrame, path: str, n_buckets: int = 16) -> None:
     _append_postings(docs, path, n_buckets, commit=0, mode="overwrite")
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     _write_index_manifest(spark, path, [0])
 
 

@@ -179,7 +179,7 @@ def refresh_registry(
                 "num_series", "data_mint_ms", "data_maxt_ms", "compaction_level",
             )
         )
-    reg = reg.coalesce(1)
+    reg = reg.repartition(1)
     reg.write.mode("overwrite").parquet(os.path.join(path, "registry"))
     # snapshot history: every commit ALSO lands as an immutable
     # registry_history/version=N partition (after the live registry —
@@ -377,7 +377,7 @@ def drop_blocks_before(
             F.col("block_id") >= cutoff_block_id
         )
         reg.cache().count()  # materialize before overwriting the source
-        reg.coalesce(1).write.mode("overwrite").parquet(
+        reg.repartition(1).write.mode("overwrite").parquet(
             os.path.join(path, "registry_tmp")
         )
         _fs_delete(spark, os.path.join(path, "registry"))
@@ -657,7 +657,7 @@ def rollback_store(spark: SparkSession, path: str, version: int) -> None:
             f"cannot roll back to version {version}: data partitions "
             f"missing for blocks {missing}"
         )
-    snap.coalesce(1).write.mode("overwrite").parquet(
+    snap.repartition(1).write.mode("overwrite").parquet(
         os.path.join(path, "registry_tmp")
     )
     _fs_delete(spark, os.path.join(path, "registry"))

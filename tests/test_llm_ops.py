@@ -878,3 +878,29 @@ def test_ann_recall_floors_vs_exact(spark):
     # the IVF prune bounds PQ from above: ADC rescoring can only lose
     # candidates the coarse quantizer admitted
     assert r_pq <= r_ivf + 1e-9
+
+
+def test_graph_ann_stored_equals_in_memory(spark, tmp_path):
+    """The stored graph index serves the identical beam walk: same
+    entry point, same edges, same scores -> same rows as graph_ann
+    built from the same corpus."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann(emb, q, k=5, knn=5, beam=4, hops=2)
+        .collect()
+    )
+    path = str(tmp_path / "gidx")
+    simsearch.write_graph_index(emb, path, knn=5)
+    stored = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, path, q, k=5, beam=4, hops=2
+        ).collect()
+    )
+    assert mem == stored and len(mem) == 15
