@@ -650,13 +650,10 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int = 4) -> DataFrame:
     scored = sv.join(F.broadcast(codebooks), "sub").withColumn(
         "d", F.round(_subdot(F.col("v"), F.col("cvec")), 6)
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("d").desc(), F.col("cid").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "sub", "cid")
+    # argmax-dot with ties to the lowest cid, as a map-side-combining
+    # max_by over struct(d, -cid) — no per-group sort shuffle
+    return scored.groupBy("vec_id", "sub").agg(
+        F.max_by("cid", F.struct(F.col("d"), -F.col("cid"))).alias("cid")
     )
 
 
@@ -1024,18 +1021,16 @@ def ivfpq_search(
     ).persist()  # consumed by the Lloyd round AND the final encode
 
     def _assign(cbk: DataFrame) -> DataFrame:
-        """Per (vector, sub): the argmin-L2 codeword (6dp, ties low)."""
+        """Per (vector, sub): the argmin-L2 codeword (6dp, ties to the
+        lowest cid) via min_by over struct(d2, cid) — a map-side-
+        combining aggregation instead of a rank window (no per-group
+        sort shuffle; same result, struct order IS (d2 ASC, cid ASC))."""
         dv = F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: x - y)
         enc = rv.join(F.broadcast(cbk), "sub").withColumn(
             "d2", F.round(_subdot(dv, dv), 6)
         )
-        w_enc = Window.partitionBy("vec_id", "sub").orderBy(
-            F.col("d2").asc(), F.col("cid").asc()
-        )
-        return (
-            enc.withColumn("rn", F.row_number().over(w_enc))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "sub", "cid")
+        return enc.groupBy("vec_id", "sub").agg(
+            F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
         )
 
     # one fixed Lloyd round on the codebooks: each codeword moves to
