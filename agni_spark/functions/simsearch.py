@@ -1169,11 +1169,13 @@ def graph_ann(
     tests/test_llm_ops.py alongside ivf/ivfpq/lsh.
 
     Scale: the graph (n*knn edges) is the stored artifact — the only
-    corpus-sized tables in flight are edge joins keyed on the node id
-    (partitionable); per hop the per-query work is <= beam*knn
-    candidate rows, independent of corpus size. That is precisely the
-    graph-ANN value proposition: O(hops * beam * knn) scored nodes
-    instead of nprobe/n_cells of the corpus."""
+    corpus-sized tables in flight are the edge and node scans, and the
+    frontier/visited sets (parameter-bounded: <= queries * (1 + hops *
+    beam * knn) rows) BROADCAST into them, so no corpus-sized shuffle
+    ever happens; per hop the per-query work is <= beam*knn candidate
+    rows, independent of corpus size. That is precisely the graph-ANN
+    value proposition: O(hops * beam * knn) scored nodes instead of
+    nprobe/n_cells of the corpus."""
     edges = (
         knn_graph(corpus, k=knn)
         .select(F.col("query_id").alias("node"), F.col("vec_id").alias("dst"))
@@ -1188,8 +1190,10 @@ def graph_ann(
     entry = corpus.agg(F.min("vec_id").alias("node"))
 
     def _score(fr: DataFrame) -> DataFrame:
+        # corpus-sized nodes scan on the left, bounded frontier
+        # broadcast on the right — never a shuffle of the corpus
         return (
-            fr.join(nodes, "node")
+            nodes.join(F.broadcast(fr), "node")
             .join(F.broadcast(q), "query_id")
             .select(
                 "query_id", "node",
@@ -1205,11 +1209,15 @@ def graph_ann(
     )
     for _ in range(hops):
         cand = (
-            frontier.join(edges, "node")
+            edges.join(F.broadcast(frontier), "node")
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
         )
-        new = cand.join(scored, ["query_id", "node"], "left_anti")
+        new = cand.join(
+            F.broadcast(scored.select("query_id", "node")),
+            ["query_id", "node"],
+            "left_anti",
+        )
         sc = _score(new)
         scored = scored.unionByName(sc).persist()
         frontier = (
@@ -1308,9 +1316,14 @@ def graph_ann_stored(
     bucket_of = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
 
     def _score(fr: DataFrame) -> DataFrame:
+        # store scan on the left, bounded frontier broadcast on the
+        # right: the (bucket, node) join key starts with the partition
+        # column, so the scan prunes to the frontier's bucket dirs
         return (
-            fr.withColumn("bucket", bucket_of)
-            .join(nodes, ["bucket", "node"])
+            nodes.join(
+                F.broadcast(fr.withColumn("bucket", bucket_of)),
+                ["bucket", "node"],
+            )
             .join(F.broadcast(q), "query_id")
             .select(
                 "query_id", "node",
@@ -1328,12 +1341,18 @@ def graph_ann_stored(
     )
     for _ in range(hops):
         cand = (
-            frontier.withColumn("bucket", bucket_of)
-            .join(edges, ["bucket", "node"])
+            edges.join(
+                F.broadcast(frontier.withColumn("bucket", bucket_of)),
+                ["bucket", "node"],
+            )
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
         )
-        new = cand.join(scored, ["query_id", "node"], "left_anti")
+        new = cand.join(
+            F.broadcast(scored.select("query_id", "node")),
+            ["query_id", "node"],
+            "left_anti",
+        )
         sc = _score(new)
         scored = scored.unionByName(sc).persist()
         frontier = (
