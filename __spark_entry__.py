@@ -679,6 +679,30 @@ def _q_promql_range_sliding_rate(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("series_id", "bucket_ms")
 
 
+def _q_promql_range_sliding_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    # /query_range gauge family with window > step: per-series
+    # max/min/last_over_time on the 6h step grid, one joined result so
+    # one externally-checked row covers all three sliding reducers
+    from agni_spark import promql_parser as pql
+
+    q = _querier(spark, sf)
+    mx = pql.query(q, "max_over_time(event_click[1d])", step_ms=H6_MS)
+    mn = pql.query(q, "min_over_time(event_click[1d])", step_ms=H6_MS)
+    lv = pql.query(q, "last_over_time(event_click[1d])", step_ms=H6_MS)
+    return (
+        mx.withColumnRenamed("value", "max_value")
+        .join(
+            mn.withColumnRenamed("value", "min_value"),
+            ["series_id", "bucket_ms"],
+        )
+        .join(
+            lv.withColumnRenamed("value", "last_value"),
+            ["series_id", "bucket_ms"],
+        )
+        .orderBy("series_id", "bucket_ms")
+    )
+
+
 def _q_promql_parsed_subquery(spark: SparkSession, sf: str) -> DataFrame:
     # PromQL subquery: daily max of 6-hourly per-job increase sums
     from agni_spark import promql_parser as pql
@@ -1269,6 +1293,22 @@ def _q_multimodal_phash_neardups(spark: SparkSession, sf: str) -> DataFrame:
     )
     corpus = d.select("doc_id", "text").unionByName(pert)
     return multimodal.phash_near_dups(
+        multimodal.media_from_documents(corpus), max_hamming=6
+    )
+
+
+def _q_multimodal_phash_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # visual-asset clustering over the same perturbed corpus as the
+    # near-dup pairs: banded Hamming pairs -> connected components ->
+    # keep-one; the oracle replays brute-force pairs + a recursive-CTE
+    # closure
+    d = _docs(spark, sf)
+    pert = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("z" * 8), F.expr("substring(text, 9)")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(pert)
+    return multimodal.phash_clusters(
         multimodal.media_from_documents(corpus), max_hamming=6
     )
 
@@ -2034,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "simsearch_graph_stored": _q_simsearch_graph_stored,
+        "promql_range_sliding_minmax": _q_promql_range_sliding_minmax,
+        "multimodal_phash_clusters": _q_multimodal_phash_clusters,
     }
 
 
@@ -3558,6 +3600,19 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(delta), 4) / 86400.0 AS value"
             " FROM expl GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "promql_range_sliding_minmax": q(
+            ", expl AS ("
+            "  SELECT s.series_id,"
+            "  CAST(s.ts_ms // 21600000 AS BIGINT) * 21600000"
+            "    - k.k * 21600000 AS ws, s.ts_ms, s.value"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  CROSS JOIN (SELECT unnest(range(4)) AS k) k"
+            "  WHERE ser.metric = 'event_click')"
+            "SELECT series_id, ws AS bucket_ms,"
+            " max(value) AS max_value, min(value) AS min_value,"
+            " max(struct_pack(t := ts_ms, v := value))['v'] AS last_value"
+            " FROM expl GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "promql_parsed_quantile_ot": q(
             "SELECT s.series_id, "
             "CAST(s.ts_ms // 21600000 AS BIGINT) * 21600000 AS bucket_ms, "
@@ -5062,6 +5117,35 @@ FROM pcm GROUP BY media_id, w ORDER BY media_id, window_idx
           " CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming"
           " FROM ph a JOIN ph b ON a.media_id < b.media_id"
           " WHERE bit_count(xor(a.phash, b.phash)) <= 6 ORDER BY 1, 2",
+        "multimodal_phash_clusters": _SQL_PHASH_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ).replace(
+            "FROM documents)",
+            "FROM (SELECT doc_id, text FROM documents UNION ALL"
+            " SELECT doc_id + 100000 AS doc_id,"
+            " 'zzzzzzzz' || substring(text, 9) AS text"
+            " FROM documents WHERE doc_id < 5))",
+            1,
+        )
+        + """
+, pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+            FROM ph a JOIN ph b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+cedges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+cnodes AS (SELECT DISTINCT u AS node FROM cedges),
+reach(node, comp) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN cedges e ON e.u = r.node),
+comp AS (SELECT node AS media_id, min(comp) AS component_id
+         FROM reach GROUP BY node)
+SELECT m.media_id,
+       coalesce(c.component_id, m.media_id) AS component_id,
+       CAST(CASE WHEN coalesce(c.component_id, m.media_id) = m.media_id
+            THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM ph m LEFT JOIN comp c USING (media_id) ORDER BY m.media_id
+""",
         "multimodal_exact_dedup": (
             "SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) "
             "AS n_copies, min(doc_id) AS keep_media_id "

@@ -282,6 +282,39 @@ def blockmean_phash(media: DataFrame, bits: int = 64) -> DataFrame:
     )
 
 
+def phash_clusters(
+    media: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate MEDIA clustering: the text pipeline's
+    pairs -> transitive-closure -> keep-one tail applied to perceptual
+    hashes — resized/re-encoded/watermarked copies of one visual asset
+    collapse to a single representative (min media_id). Pairs come
+    from the pigeonhole-exact banded Hamming join (phash_near_dups);
+    the closure reuses the alternating-star connected components, so
+    cost is O(log n) rounds over candidate pairs, never all pairs."""
+    from agni_spark.functions.dedup import connected_components
+
+    pairs = phash_near_dups(media, max_hamming)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        media.select("media_id")
+        .join(
+            comp.withColumnRenamed("node", "media_id"), "media_id", "left"
+        )
+        .select(
+            "media_id",
+            F.coalesce(F.col("component_id"), F.col("media_id")).alias(
+                "component_id"
+            ),
+        )
+        .withColumn(
+            "is_kept",
+            (F.col("media_id") == F.col("component_id")).cast("int"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def phash_near_dups(
     media: DataFrame, max_hamming: int = 6
 ) -> DataFrame:

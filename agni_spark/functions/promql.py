@@ -574,6 +574,12 @@ def range_agg_sliding(
             F.round(F.sum("value"), ROUND_SUM).alias("sum_value"),
             F.round(F.avg("value"), ROUND_AVG).alias("avg_value"),
             F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            # last sample in the window (ties by value, deterministic)
+            F.max_by(
+                "value", F.struct(F.col("ts_ms"), F.col("value"))
+            ).alias("last_value"),
         )
         .select(
             "series_id",
@@ -581,6 +587,9 @@ def range_agg_sliding(
             "sum_value",
             "avg_value",
             "n",
+            "min_value",
+            "max_value",
+            "last_value",
         )
     )
 

@@ -791,6 +791,9 @@ _SLIDING_IMPL = {
     "sum_over_time": _sliding("sum_value", promql.range_agg_sliding),
     "avg_over_time": _sliding("avg_value", promql.range_agg_sliding),
     "count_over_time": _sliding("n", promql.range_agg_sliding),
+    "min_over_time": _sliding("min_value", promql.range_agg_sliding),
+    "max_over_time": _sliding("max_value", promql.range_agg_sliding),
+    "last_over_time": _sliding("last_value", promql.range_agg_sliding),
 }
 
 

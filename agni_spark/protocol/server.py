@@ -418,6 +418,9 @@ def eval_promql(
         "sum_over_time": "sum_value",
         "avg_over_time": "avg_value",
         "count_over_time": "n",
+        "min_over_time": "min_value",
+        "max_over_time": "max_value",
+        "last_over_time": "last_value",
     }
     if (
         step_ms
