@@ -703,6 +703,36 @@ def _q_promql_range_sliding_minmax(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_promql_parsed_offset(spark: SparkSession, sf: str) -> DataFrame:
+    # offset modifier through the parser, in the expression it exists
+    # for: day-over-day comparison — today's increase over yesterday's
+    # (the offset side's windows evaluate one day back and report at
+    # the current bucket, Prometheus offset semantics)
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job) (increase(event_error[1d]))"
+        " / sum by (job) (increase(event_error[1d] offset 1d))",
+    )
+    return out.orderBy("job", "bucket_ms")
+
+
+def _q_promql_parsed_setop(spark: SparkSession, sf: str) -> DataFrame:
+    # PromQL set operator through the parser: error totals per job-day
+    # UNLESS the same job-day's click totals clear a threshold — the
+    # "alert only where traffic is low" shape; `unless` is the anti-
+    # semi-join on the shared (job, bucket) identity
+    from agni_spark import promql_parser as pql
+
+    out = pql.query(
+        _querier(spark, sf),
+        "sum by (job) (sum_over_time(event_error[1d])) unless "
+        "(sum by (job) (sum_over_time(event_click[1d])) > 1000)",
+    )
+    return out.orderBy("job", "bucket_ms")
+
+
 def _q_promql_parsed_subquery(spark: SparkSession, sf: str) -> DataFrame:
     # PromQL subquery: daily max of 6-hourly per-job increase sums
     from agni_spark import promql_parser as pql
@@ -2076,6 +2106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_graph_stored": _q_simsearch_graph_stored,
         "promql_range_sliding_minmax": _q_promql_range_sliding_minmax,
         "multimodal_phash_clusters": _q_multimodal_phash_clusters,
+        "promql_parsed_offset": _q_promql_parsed_offset,
+        "promql_parsed_setop": _q_promql_parsed_setop,
     }
 
 
@@ -3489,6 +3521,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM agg l JOIN agg r ON l.job = r.job"
             " AND l.bucket_ms = r.bucket_ms"
             " AND l.metric = 'event_error' AND r.metric = 'event_click' "
+            "ORDER BY 1, 2"
+        ),
+        "promql_parsed_offset": q(
+            ", inc AS ("
+            "  SELECT ser.job,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  s.series_id, s.value,"
+            "  lag(s.value) OVER (PARTITION BY s.series_id"
+            "                     ORDER BY s.ts_ms, s.value) AS prev"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric = 'event_error'),"
+            "persr AS ("
+            "  SELECT job, series_id, bucket_ms,"
+            "  round(sum(CASE WHEN value >= prev THEN value - prev"
+            "            ELSE value END), 4) AS value"
+            "  FROM inc WHERE prev IS NOT NULL GROUP BY 1, 2, 3),"
+            "agg AS ("
+            "  SELECT job, bucket_ms, round(sum(value), 4) AS value"
+            "  FROM persr GROUP BY 1, 2)"
+            "SELECT l.job, l.bucket_ms,"
+            " round(CASE WHEN r.value <> 0 THEN l.value / r.value END, 6)"
+            "  AS value "
+            "FROM agg l JOIN agg r ON l.job = r.job"
+            " AND l.bucket_ms = r.bucket_ms + 86400000 "
+            "ORDER BY 1, 2"
+        ),
+        "promql_parsed_setop": q(
+            ", agg AS ("
+            "  SELECT ser.metric, ser.job,"
+            "  CAST(s.ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
+            "  round(sum(s.value), 4) AS value"
+            "  FROM samples s JOIN series ser USING (series_id)"
+            "  WHERE ser.metric IN ('event_error', 'event_click')"
+            "  GROUP BY 1, 2, 3)"
+            "SELECT l.job, l.bucket_ms, l.value FROM agg l "
+            "WHERE l.metric = 'event_error' AND NOT EXISTS ("
+            "  SELECT 1 FROM agg r WHERE r.metric = 'event_click'"
+            "  AND r.job = l.job AND r.bucket_ms = l.bucket_ms"
+            "  AND r.value > 1000) "
             "ORDER BY 1, 2"
         ),
         "promql_parsed_group_left": q(
