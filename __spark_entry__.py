@@ -1327,6 +1327,31 @@ def _q_multimodal_phash_neardups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_source_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # JSONL landing-format roundtrip: export the documents table as
+    # JSONL, drop two malformed lines next to it, re-ingest with the
+    # quarantining reader — every good row survives bit-exact (the
+    # oracle is the original table) and the bad lines quarantine
+    # (count folded into every row so the driver hash pins it)
+    import tempfile
+
+    from agni_spark.sources import jsonl
+
+    d = _docs(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="agni_jsonl_")
+    jsonl.write_documents_jsonl(d, f"{tmp}/dump")
+    spark.createDataFrame(
+        [("{not json",), ('{"doc_id": "notanum"}',)], "value string"
+    ).write.mode("append").text(f"{tmp}/dump")
+    good, bad = jsonl.read_documents_jsonl(spark, f"{tmp}/dump")
+    n_bad = bad.count()
+    return (
+        good.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("n_quarantined", F.lit(n_bad).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_multimodal_phash_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # visual-asset clustering over the same perturbed corpus as the
     # near-dup pairs: banded Hamming pairs -> connected components ->
@@ -2108,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_clusters": _q_multimodal_phash_clusters,
         "promql_parsed_offset": _q_promql_parsed_offset,
         "promql_parsed_setop": _q_promql_parsed_setop,
+        "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
     }
 
 
@@ -5217,6 +5243,11 @@ SELECT m.media_id,
             THEN 1 ELSE 0 END AS INT) AS is_kept
 FROM ph m LEFT JOIN comp c USING (media_id) ORDER BY m.media_id
 """,
+        "source_jsonl_roundtrip": (
+            "SELECT doc_id, lang, source, n_chars, "
+            "CAST(2 AS BIGINT) AS n_quarantined "
+            "FROM documents ORDER BY doc_id"
+        ),
         "multimodal_exact_dedup": (
             "SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) "
             "AS n_copies, min(doc_id) AS keep_media_id "

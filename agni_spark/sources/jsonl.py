@@ -1,0 +1,60 @@
+"""JSONL document ingest — the raw landing format of most LLM
+training-data pipelines (one JSON object per line: web dumps, Common
+Crawl derivatives, vendor deliveries).
+
+Spark-first shape: `spark.read.json` with an EXPLICIT schema (schema
+inference over 100 TB of JSONL is a full extra pass — never at scale)
+in PERMISSIVE mode with a corrupt-record column, so malformed lines
+quarantine into a reviewable side table instead of failing the job or
+silently disappearing. The scan parallelizes per file/split like any
+text source; downstream operators see the same columns as the parquet
+documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, n_chars long, lang string, source string"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL document dump -> (good, quarantined).
+
+    good: rows matching `schema` (fields beyond it are ignored —
+    forward compatibility with enriched dumps). quarantined: the raw
+    text of every malformed line (unparseable JSON), for audit/replay.
+    A line that parses but has a wrong TYPE for a declared field also
+    lands in quarantine (Spark nulls the row and keeps the raw text in
+    the corrupt column)."""
+    df = (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark refuses queries that reference ONLY the corrupt column
+        # (the raw line isn't materialized unless the parse ran in the
+        # same scan); caching the parsed frame is the documented
+        # pattern — and the quarantine split reads it twice anyway
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    quarantined = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantined
+
+
+def write_documents_jsonl(docs: DataFrame, path: str) -> None:
+    """Export documents as JSONL (the interchange inverse — handoff to
+    non-Spark consumers). One file per partition, gzip-friendly."""
+    docs.write.mode("overwrite").json(path)

@@ -904,3 +904,23 @@ def test_graph_ann_stored_equals_in_memory(spark, tmp_path):
         ).collect()
     )
     assert mem == stored and len(mem) == 15
+
+
+def test_jsonl_quarantine(spark, tmp_path):
+    from agni_spark.sources import jsonl
+
+    dump = str(tmp_path / "dump")
+    docs = spark.createDataFrame(
+        [(1, "hello", 5, "en", "web"), (2, "welt", 4, "de", "web")],
+        jsonl.DOCUMENTS_SCHEMA,
+    )
+    jsonl.write_documents_jsonl(docs, dump)
+    spark.createDataFrame(
+        [("{broken",), ('{"doc_id": "NaNo"}',), ('{"doc_id": 3, "text": "ok", "n_chars": 2, "lang": "en", "source": "w"}',)],
+        "value string",
+    ).write.mode("append").text(dump)
+    good, bad = jsonl.read_documents_jsonl(spark, dump)
+    ids = sorted(r.doc_id for r in good.collect())
+    assert ids == [1, 2, 3]  # the extra VALID line ingests too
+    raws = sorted(r.raw_line for r in bad.collect())
+    assert raws == ['{"doc_id": "NaNo"}', "{broken"]
