@@ -943,6 +943,57 @@ def _q_pipeline_curate_v2(spark: SparkSession, sf: str) -> DataFrame:
     return text.mixture_sample(kept, MIX_WEIGHTS)
 
 
+def _q_pipeline_curate_v3(spark: SparkSession, sf: str) -> DataFrame:
+    # round-6 curation chain with DECONTAMINATION: quality gate
+    # (Gopher rules AND repetition filters) -> cluster dedup at
+    # J>=0.8 (keep min doc_id) -> deterministic split -> drop TRAIN
+    # docs that near-duplicate (J>=0.5) a kept TEST doc — the two-
+    # threshold pattern (dedup strict, decontaminate loose) every
+    # production pipeline runs; ONE signature pass feeds both
+    # thresholds. Output: the shippable (doc, split) manifest.
+    docs = _docs(spark, sf)
+    g1 = (
+        text.gopher_rules(docs).where(F.col("gopher_pass")).select("doc_id")
+    )
+    g2 = (
+        text.repetition_signals(docs)
+        .where(F.col("repetition_pass"))
+        .select("doc_id")
+    )
+    gated = docs.join(g1, "doc_id").join(g2, "doc_id")
+    pairs = dedup.minhash_dedup_pairs(gated, k=3, threshold=0.5).persist()
+    assign = dedup.cluster_dedup(
+        gated, pairs.where(F.col("est_jaccard") >= 0.8)
+    )
+    kept = gated.join(
+        assign.where(F.col("is_kept") == 1).select("doc_id"), "doc_id"
+    )
+    split = text.split_assign(kept, 10)
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    leaked_train = (
+        pairs.join(sa, "doc_a")  # joins keep only pairs with BOTH ends kept
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "train", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    return (
+        kept.join(split, "doc_id")
+        .join(leaked_train, "doc_id", "left_anti")
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    )
+
+
 def _q_federated_read(spark: SparkSession, sf: str) -> DataFrame:
     # Thanos-style fan-in: store B is an HA replica that re-ingested a
     # tenth of the series with corrected values at a HIGHER _seq; the
@@ -2134,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_offset": _q_promql_parsed_offset,
         "promql_parsed_setop": _q_promql_parsed_setop,
         "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
+        "pipeline_curate_v3": _q_pipeline_curate_v3,
     }
 
 
@@ -2953,6 +3005,43 @@ ph AS (SELECT m.media_id,
             ELSE h END AS BIGINT) AS phash,
        m.n AS n_bytes
        FROM m LEFT JOIN hs USING (media_id))
+"""
+
+
+_SQL_REPETITION = """
+WITH w AS (SELECT doc_id, length(text) AS n_chars_doc,
+                  string_split(text, ' ') AS w FROM documents),
+tagged AS (
+  SELECT doc_id, n_chars_doc, n,
+         array_to_string(w[i : i + n - 1], ' ') AS gram
+  FROM (SELECT doc_id, n_chars_doc, w, t.n,
+               unnest(generate_series(1, len(w) - t.n + 1)) AS i
+        FROM w CROSS JOIN (VALUES (2), (3), (4), (5)) t(n))),
+counts AS (SELECT doc_id, n_chars_doc, n, gram, count(*) AS cnt
+           FROM tagged GROUP BY 1, 2, 3, 4),
+per_doc AS (
+  SELECT doc_id,
+    round(max(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END)
+          / n_chars_doc, 6) AS top2gram_frac,
+    round(max(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END)
+          / n_chars_doc, 6) AS top3gram_frac,
+    round(max(CASE WHEN n = 4 THEN cnt * length(gram) ELSE 0 END)
+          / n_chars_doc, 6) AS top4gram_frac,
+    round(least(sum(CASE WHEN n = 5 AND cnt > 1
+                         THEN cnt * length(gram) ELSE 0 END)
+                / n_chars_doc, 1.0::DOUBLE), 6) AS dup5gram_frac
+  FROM counts GROUP BY doc_id, n_chars_doc)
+SELECT d.doc_id,
+  coalesce(p.top2gram_frac, 0.0::DOUBLE) AS top2gram_frac,
+  coalesce(p.top3gram_frac, 0.0::DOUBLE) AS top3gram_frac,
+  coalesce(p.top4gram_frac, 0.0::DOUBLE) AS top4gram_frac,
+  coalesce(p.dup5gram_frac, 0.0::DOUBLE) AS dup5gram_frac,
+  (coalesce(p.top2gram_frac, 0.0::DOUBLE) <= 0.20::DOUBLE
+   AND coalesce(p.top3gram_frac, 0.0::DOUBLE) <= 0.18::DOUBLE
+   AND coalesce(p.top4gram_frac, 0.0::DOUBLE) <= 0.16::DOUBLE
+   AND coalesce(p.dup5gram_frac, 0.0::DOUBLE) <= 0.15::DOUBLE)
+    AS repetition_pass
+FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id
 """
 
 
@@ -4042,6 +4131,57 @@ ranked AS (
 SELECT doc_id, lang FROM ranked WHERE rk <= quota ORDER BY doc_id
 """
         ),
+        "pipeline_curate_v3": (
+            "WITH RECURSIVE gated AS ("
+            "SELECT d.* FROM documents d JOIN ("
+            "SELECT doc_id FROM (SELECT doc_id, "
+            "len(string_split(text, ' ')) AS nw, "
+            "length(replace(text, ' ', '')) "
+            "/ len(string_split(text, ' ')) AS mwl, "
+            "len(regexp_extract_all(text, "
+            "'[#*\\.]{1,}|[^A-Za-z0-9\\s]')) AS sym, "
+            f"({_occ_sql('the')} + {_occ_sql('a')} + {_occ_sql('b')})"
+            " AS nstop "
+            "FROM documents) "
+            "WHERE (nw >= 8 AND nw <= 100000) "
+            "AND (mwl >= 1.0 AND mwl <= 12.0) "
+            "AND (sym / nw <= 0.5) AND (nstop >= 1)) g USING (doc_id) "
+            "JOIN (SELECT doc_id FROM (" + _SQL_REPETITION + ") "
+            "WHERE repetition_pass) g2 USING (doc_id)), "
+            + _SQL_SHINGLES.strip()[len("WITH "):].replace(
+                "FROM documents", "FROM gated"
+            )
+            + _SQL_MINHASH_BODY[len(_SQL_SHINGLES):]
+            + """
+, pairs08 AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.8),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs08
+          UNION SELECT doc_b, doc_a FROM pairs08),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+comp AS (SELECT node AS doc_id, min(comp) AS component_id
+         FROM reach GROUP BY node),
+kept AS (SELECT g.doc_id, g.lang FROM gated g
+         LEFT JOIN comp c ON c.doc_id = g.doc_id
+         WHERE coalesce(c.component_id, g.doc_id) = g.doc_id),
+splt AS (SELECT doc_id, CASE WHEN
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+    % 100 < 10 THEN 'test' ELSE 'train' END AS split FROM kept),
+leaked AS (SELECT DISTINCT CASE WHEN x.split = 'train'
+             THEN p.doc_a ELSE p.doc_b END AS doc_id
+           FROM (SELECT doc_a, doc_b FROM est
+                 WHERE est_jaccard >= 0.5) p
+           JOIN splt x ON x.doc_id = p.doc_a
+           JOIN splt y ON y.doc_id = p.doc_b
+           WHERE x.split <> y.split)
+SELECT k.doc_id, k.lang, s.split
+FROM kept k JOIN splt s USING (doc_id)
+WHERE k.doc_id NOT IN (SELECT doc_id FROM leaked)
+ORDER BY k.doc_id
+"""
+        ),
         "federated_read": q(
             ", d AS (SELECT series_id, ts_ms, max(value) AS value "
             "FROM samples GROUP BY 1, 2) "
@@ -4911,41 +5051,7 @@ SELECT a, b, n, pmi, rk FROM ranked WHERE rk <= 20 ORDER BY rk
         "dedup_containment": _SQL_CONTAINMENT,
         "dedup_jaccard_prefix": _SQL_JACCARD,  # exact: same oracle
         "dedup_minhash_lsh": _SQL_MINHASH_LSH,
-        "text_repetition_signals": """
-WITH w AS (SELECT doc_id, length(text) AS n_chars_doc,
-                  string_split(text, ' ') AS w FROM documents),
-tagged AS (
-  SELECT doc_id, n_chars_doc, n,
-         array_to_string(w[i : i + n - 1], ' ') AS gram
-  FROM (SELECT doc_id, n_chars_doc, w, t.n,
-               unnest(generate_series(1, len(w) - t.n + 1)) AS i
-        FROM w CROSS JOIN (VALUES (2), (3), (4), (5)) t(n))),
-counts AS (SELECT doc_id, n_chars_doc, n, gram, count(*) AS cnt
-           FROM tagged GROUP BY 1, 2, 3, 4),
-per_doc AS (
-  SELECT doc_id,
-    round(max(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END)
-          / n_chars_doc, 6) AS top2gram_frac,
-    round(max(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END)
-          / n_chars_doc, 6) AS top3gram_frac,
-    round(max(CASE WHEN n = 4 THEN cnt * length(gram) ELSE 0 END)
-          / n_chars_doc, 6) AS top4gram_frac,
-    round(least(sum(CASE WHEN n = 5 AND cnt > 1
-                         THEN cnt * length(gram) ELSE 0 END)
-                / n_chars_doc, 1.0::DOUBLE), 6) AS dup5gram_frac
-  FROM counts GROUP BY doc_id, n_chars_doc)
-SELECT d.doc_id,
-  coalesce(p.top2gram_frac, 0.0::DOUBLE) AS top2gram_frac,
-  coalesce(p.top3gram_frac, 0.0::DOUBLE) AS top3gram_frac,
-  coalesce(p.top4gram_frac, 0.0::DOUBLE) AS top4gram_frac,
-  coalesce(p.dup5gram_frac, 0.0::DOUBLE) AS dup5gram_frac,
-  (coalesce(p.top2gram_frac, 0.0::DOUBLE) <= 0.20::DOUBLE
-   AND coalesce(p.top3gram_frac, 0.0::DOUBLE) <= 0.18::DOUBLE
-   AND coalesce(p.top4gram_frac, 0.0::DOUBLE) <= 0.16::DOUBLE
-   AND coalesce(p.dup5gram_frac, 0.0::DOUBLE) <= 0.15::DOUBLE)
-    AS repetition_pass
-FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id
-""",
+        "text_repetition_signals": _SQL_REPETITION,
         "dedup_split_leakage": _SQL_MINHASH_BODY + """
 , splt AS (SELECT doc_id, CASE WHEN
     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
