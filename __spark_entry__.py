@@ -4330,8 +4330,11 @@ ORDER BY k.doc_id
         "promql_range_sliding": q(
             "SELECT series_id, wstart_ms, round(sum(value), 4) AS sum_value, "
             "round(avg(value), 6) AS avg_value, "
-            "CAST(count(*) AS BIGINT) AS n FROM ("
-            "SELECT series_id, value, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "min(value) AS min_value, max(value) AS max_value, "
+            "max(struct_pack(t := ts_ms, v := value))['v'] AS last_value "
+            "FROM ("
+            "SELECT series_id, ts_ms, value, "
             "CAST((ts_ms // 10800000 - k) * 10800000 AS BIGINT) AS wstart_ms "
             "FROM samples CROSS JOIN (VALUES (0), (1)) t(k)) "
             "GROUP BY 1, 2 ORDER BY 1, 2"

@@ -39,18 +39,16 @@ from pyspark.sql import functions as F
 DAY_MS = 86_400_000
 
 
-def _expr_key(expr: str, version: str) -> str:
-    """Canonical cache key: whitespace-normalized expression text plus
-    the STORE VERSION, md5-hashed. Folding the version in means any
-    write that commits a new registry snapshot (backfill, HA replay,
-    compaction rewrite — the normal TSDB write pattern) invalidates
-    every cached partial wholesale: a day whose block set changed can
-    never serve its stale pre-write result. Old-version partials stay
-    on disk (harmless, vacuumable) exactly like superseded block-store
-    commits."""
-    return hashlib.md5(
-        (" ".join(expr.split()) + "@" + version).encode()
-    ).hexdigest()[:16]
+def _expr_key(expr: str) -> str:
+    """Canonical cache key: whitespace-normalized expression text,
+    md5-hashed. The STORE VERSION is a separate `ver=` directory level
+    above the key (not folded into the hash): any write that commits a
+    new registry snapshot (backfill, HA replay, compaction rewrite —
+    the normal TSDB write pattern) moves the cache root, so a day whose
+    block set changed can never serve its stale pre-write result — and
+    superseded versions stay enumerable for `vacuum()`, exactly like
+    superseded block-store commits."""
+    return hashlib.md5(" ".join(expr.split()).encode()).hexdigest()[:16]
 
 
 class ResultsCache:
@@ -90,8 +88,18 @@ class ResultsCache:
         self.version_token = version_token
         self.hits = 0
         self.misses = 0
+        # Resolve the store version ONCE, here, alongside the already-
+        # opened querier. The querier's data-file listing was snapshot
+        # when querier_from_store opened it; re-reading the registry per
+        # query would let a block commit land between open and query, so
+        # partials computed from pre-commit data would be keyed (and
+        # later served) under the post-commit version — a TOCTOU stale-
+        # cache hazard. Pinning at construction keeps key and data in
+        # lockstep; reopening the store (new querier + new cache) is the
+        # path that picks up new commits.
+        self._version = self._resolve_store_version()
 
-    def _store_version(self) -> str:
+    def _resolve_store_version(self) -> str:
         """Version component of the cache key. Registry-backed stores
         report their latest committed snapshot version (O(#versions)
         metadata read, never the fact table); otherwise the pinned
@@ -106,26 +114,54 @@ class ResultsCache:
         return "static"
 
     # -- manifest (registry-last commit, block-store idiom) ----------
-    def _manifest_path(self, key: str) -> str:
-        return f"{self.path}/{key}/manifest"
+    def _key_path(self, expr: str) -> str:
+        """{path}/ver={version}/{exprhash}: version as a directory
+        level, so superseded versions are enumerable for vacuum."""
+        return f"{self.path}/ver={self._version}/{_expr_key(expr)}"
 
-    def _committed_days(self, key: str) -> set[int]:
+    def _manifest_path(self, base: str) -> str:
+        return f"{base}/manifest"
+
+    def _committed_days(self, base: str) -> set[int]:
         try:
             return {
                 r.day
                 for r in self.spark.read.parquet(
-                    self._manifest_path(key)
+                    self._manifest_path(base)
                 ).collect()
             }
         except Exception:
             return set()
 
-    def _commit_days(self, key: str, days: set[int]) -> None:
+    def _commit_days(self, base: str, days: set[int]) -> None:
         self.spark.createDataFrame(
             [(int(d),) for d in sorted(days)], "day long"
         ).repartition(1).write.mode("overwrite").parquet(
-            self._manifest_path(key)
+            self._manifest_path(base)
         )
+
+    def vacuum(self) -> list[str]:
+        """GC cached partials of SUPERSEDED store versions: every
+        registry commit moves the live cache under a new `ver=` dir and
+        strands the previous version's partials — harmless but
+        unbounded on a long-lived store (one orphaned copy of every
+        cached day per append). Deletes all `ver=` dirs except this
+        cache's pinned version; goes through the Hadoop FileSystem API
+        (s3a-safe), O(#versions) listing, never touches live data.
+        Returns the removed version dir names. The results-cache twin
+        of layout.vacuum_store."""
+        from agni_spark.sources.layout import _fs_delete, _hfs
+
+        fs, P = _hfs(self.spark, self.path)
+        if not fs.exists(P(self.path)):
+            return []
+        removed = []
+        for st in fs.listStatus(P(self.path)):
+            name = st.getPath().getName()
+            if name.startswith("ver=") and name != f"ver={self._version}":
+                _fs_delete(self.spark, f"{self.path}/{name}")
+                removed.append(name)
+        return sorted(removed)
 
     # -- evaluation ----------------------------------------------------
     def query_range(
@@ -143,11 +179,11 @@ class ResultsCache:
                 f"{self.split_ms} (got [{mint_ms}, {maxt_ms})): cached "
                 "partials are whole split buckets"
             )
-        key = _expr_key(expr, self._store_version())
+        base = self._key_path(expr)
         d0 = mint_ms // self.split_ms
         d1 = (maxt_ms + self.split_ms - 1) // self.split_ms
         wanted = set(range(d0, d1))
-        have = self._committed_days(key)
+        have = self._committed_days(base)
         missing = sorted(wanted - have)
         self.hits += len(wanted & have)
         self.misses += len(missing)
@@ -174,17 +210,17 @@ class ResultsCache:
             # (append would resurrect uncommitted orphans once the day
             # finally commits)
             part.write.mode("overwrite").parquet(
-                f"{self.path}/{key}/data/day={d}"
+                f"{base}/data/day={d}"
             )
         if missing:
             # manifest rewrite LAST: a crashed partial write is never
             # served (and is overwritten by the next attempt's append
             # being filtered through the manifest)
-            self._commit_days(key, have | set(missing))
+            self._commit_days(base, have | set(missing))
 
-        served = self._committed_days(key) & wanted
+        served = self._committed_days(base) & wanted
         try:
-            data = self.spark.read.parquet(f"{self.path}/{key}/data")
+            data = self.spark.read.parquet(f"{base}/data")
         except Exception:
             # every wanted day evaluated empty: nothing was ever
             # written — an empty frame of the compiled schema

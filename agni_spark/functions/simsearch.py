@@ -617,6 +617,21 @@ def pq_codebooks(corpus: DataFrame, m: int = 4, ksub: int = 8) -> DataFrame:
     )
 
 
+def _finalize(result: DataFrame, intermediates: list[DataFrame]) -> DataFrame:
+    """Materialize a parameter-BOUNDED result (top-k rows per query)
+    eagerly — localCheckpoint computes it NOW, while the build-time
+    caches are hot, and truncates its lineage — then release every
+    intermediate persist. Without this, repeated probes in one session
+    accumulate executor storage memory (the r6 advisor finding): each
+    graph_ann call pinned hops+1 growing `scored` unions plus the edge
+    table forever. Only for results whose size is independent of the
+    corpus (q*k rows here); corpus-sized frames must stay lazy."""
+    out = result.localCheckpoint(eager=True)
+    for df_ in intermediates:
+        df_.unpersist()
+    return out
+
+
 def _subdot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),
@@ -1133,13 +1148,14 @@ def ivfpq_search(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
-    return (
+    return _finalize(
         adc.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select(
             "query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk")
         )
-        .orderBy("query_id", "rk")
+        .orderBy("query_id", "rk"),
+        [resid, rv, cb],
     )
 
 
@@ -1203,6 +1219,7 @@ def graph_ann(
 
     frontier = q.select("query_id").crossJoin(F.broadcast(entry))
     scored = _score(frontier).persist()
+    held = [edges, scored]
     frontier = scored.select("query_id", "node")
     w_beam = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("node").asc()
@@ -1220,20 +1237,22 @@ def graph_ann(
         )
         sc = _score(new)
         scored = scored.unionByName(sc).persist()
+        held.append(scored)
         frontier = (
             sc.withColumn("rn", F.row_number().over(w_beam))
             .where(F.col("rn") <= beam)
             .select("query_id", "node")
         )
     out = scored.where(F.col("node") != F.col("query_id"))
-    return (
+    return _finalize(
         out.withColumn("rk", F.row_number().over(w_beam))
         .where(F.col("rk") <= k)
         .select(
             "query_id", F.col("node").alias("vec_id"), "cos",
             F.col("rk").cast("int").alias("rk"),
         )
-        .orderBy("query_id", "rk")
+        .orderBy("query_id", "rk"),
+        held,
     )
 
 
@@ -1335,6 +1354,7 @@ def graph_ann_stored(
         "node", F.lit(int(meta.entry)).cast("long")
     )
     scored = _score(frontier).persist()
+    held = [scored]
     frontier = scored.select("query_id", "node")
     w_beam = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("node").asc()
@@ -1355,20 +1375,22 @@ def graph_ann_stored(
         )
         sc = _score(new)
         scored = scored.unionByName(sc).persist()
+        held.append(scored)
         frontier = (
             sc.withColumn("rn", F.row_number().over(w_beam))
             .where(F.col("rn") <= beam)
             .select("query_id", "node")
         )
     out = scored.where(F.col("node") != F.col("query_id"))
-    return (
+    return _finalize(
         out.withColumn("rk", F.row_number().over(w_beam))
         .where(F.col("rk") <= k)
         .select(
             "query_id", F.col("node").alias("vec_id"), "cos",
             F.col("rk").cast("int").alias("rk"),
         )
-        .orderBy("query_id", "rk")
+        .orderBy("query_id", "rk"),
+        held,
     )
 
 

@@ -205,7 +205,21 @@ def handle_read_negotiated(
     otherwise the sampled-Matrix path — byte-identical to before for
     pre-negotiation clients."""
     req = pb.decode_read_request(snappy.decompress(body))
-    if pb.RESPONSE_STREAMED_XOR_CHUNKS in req.accepted_response_types:
+    # codec.go NegotiateResponseType: scan the client's preference
+    # list IN ORDER and serve the first type we support; an empty list
+    # means the legacy default [SAMPLES]. A client sending
+    # [SAMPLES, STREAMED_XOR_CHUNKS] prefers SAMPLES and must NOT get
+    # a streamed body it would misparse as a snappy ReadResponse.
+    accepted = req.accepted_response_types or [pb.RESPONSE_SAMPLES]
+    chosen = next(
+        (
+            t
+            for t in accepted
+            if t in (pb.RESPONSE_SAMPLES, pb.RESPONSE_STREAMED_XOR_CHUNKS)
+        ),
+        pb.RESPONSE_SAMPLES,
+    )
+    if chosen == pb.RESPONSE_STREAMED_XOR_CHUNKS:
         stream = b"".join(
             frame
             for i, q in enumerate(req.queries)

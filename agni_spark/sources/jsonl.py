@@ -33,23 +33,32 @@ def read_documents_jsonl(
     text of every malformed line (unparseable JSON), for audit/replay.
     A line that parses but has a wrong TYPE for a declared field also
     lands in quarantine (Spark nulls the row and keeps the raw text in
-    the corrupt column)."""
+    the corrupt column).
+
+    Caching: Spark refuses queries that reference ONLY the corrupt
+    column, so the quarantine split needs the parsed frame cached — but
+    a cache held for the session leaks executor storage per call (the
+    r6 advisor finding). The quarantine side is the SMALL one
+    (malformed lines), so it is materialized eagerly here
+    (localCheckpoint) and the cache released before returning: `good`
+    keeps plain lazy scan lineage (its filter references parsed
+    columns, which is allowed uncached), and callers hold no hidden
+    resident state."""
     df = (
         spark.read.schema(schema + ", _corrupt_record string")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
-        # Spark refuses queries that reference ONLY the corrupt column
-        # (the raw line isn't materialized unless the parse ran in the
-        # same scan); caching the parsed frame is the documented
-        # pattern — and the quarantine split reads it twice anyway
         .cache()
     )
+    quarantined = (
+        df.where(F.col("_corrupt_record").isNotNull())
+        .select(F.col("_corrupt_record").alias("raw_line"))
+        .localCheckpoint(eager=True)
+    )
+    df.unpersist()
     good = df.where(F.col("_corrupt_record").isNull()).drop(
         "_corrupt_record"
-    )
-    quarantined = df.where(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
     )
     return good, quarantined
 

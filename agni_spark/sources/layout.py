@@ -696,7 +696,7 @@ def morton_col(x, y, bits: int = 16):
 
 def zorder_write(
     df: DataFrame, path: str, c1: str, c2: str,
-    n_files: int = 16, bits: int = 16,
+    n_files: int = 16, bits: int = 16, sample_rows: int = 1_000_000,
 ) -> None:
     """Write `df` clustered on the Morton curve of (c1, c2): range-
     partition on the z value, sort within files, drop the helper
@@ -705,12 +705,32 @@ def zorder_write(
     group, so a 2-D rectangle predicate skips most files — linear
     sorting can only ever prune one of the two dimensions. The write
     itself is one range shuffle; no reader-side change is needed
-    (pruning falls out of ordinary parquet stats + pushed filters)."""
-    (
-        df.withColumn("_z", morton_col(c1, c2, bits))
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    (pruning falls out of ordinary parquet stats + pushed filters).
+
+    Range boundaries: RangePartitioner normally *samples* ~100 rows
+    per input partition, so file boundaries (and thus which files a
+    slab predicate touches) shift run to run. We raise
+    sampleSizePerPartition for the duration of this write so that any
+    input partition up to `sample_rows` rows is sketched exhaustively
+    — boundaries become the exact _z quantiles, and the layout is
+    deterministic for a given input. At 100 TB the sketch is still
+    bounded (sample_rows per partition, collected once on the driver),
+    the same knob Delta/Iceberg OPTIMIZE jobs turn."""
+    spark = df.sparkSession
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(sample_rows))
+    try:
+        (
+            df.withColumn("_z", morton_col(c1, c2, bits))
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -80,13 +80,9 @@ def test_uncommitted_partial_not_served(querier, tmp_path):
     t0 = 19732 * DAY_MS
     fc.query_range(expr, t0, t0 + 2 * DAY_MS).count()
     # simulate a crashed partial: data for day d lands, manifest stays
-    from agni_spark.frontend import _expr_key
-
-    key = _expr_key(expr, "static")
-    spark = querier.samples.sparkSession
     orphan = fc.query_range(expr, t0, t0 + DAY_MS)
     orphan.write.mode("overwrite").parquet(
-        f"{fc.path}/{key}/data/day=19999"
+        f"{fc._key_path(expr)}/data/day=19999"
     )
     served = fc.query_range(expr, 19_999 * DAY_MS, 20_000 * DAY_MS)
     # the orphan day is not in the manifest: the recompute OVERWRITES
@@ -162,3 +158,72 @@ def test_backfill_invalidates_cached_day(spark, tmp_path):
     assert fc2.misses == 3 and fc2.hits == 0
     assert a[("api", t0)] == 14.0  # 4 originals + 2x5.0 backfilled
     assert a[("api", t0 + DAY_MS)] == 4.0
+
+    # vacuum: the pre-backfill version's partials are stranded on disk;
+    # vacuum removes exactly that ver= dir, keeps the live one, and the
+    # cache still serves (all hits — manifests untouched)
+    import os
+
+    assert len(os.listdir(str(tmp_path / "cache5"))) == 2
+    removed = fc2.vacuum()
+    assert len(removed) == 1 and removed[0].startswith("ver=")
+    assert os.listdir(str(tmp_path / "cache5")) == [f"ver={fc2._version}"]
+    again = fc2.query_range(expr, t0, t0 + 3 * DAY_MS)
+    assert {(r.job, r.bucket_ms): r.value for r in again.collect()} == a
+    assert fc2.misses == 3 and fc2.hits == 3
+    # idempotent
+    assert fc2.vacuum() == []
+
+
+def test_version_pinned_at_construction(spark, tmp_path):
+    """TOCTOU guard: the cache key's version is resolved ONCE alongside
+    the querier it serves. A block commit landing AFTER the cache was
+    constructed must not move the cache key mid-session — the querier's
+    file listing is pinned at open, so partials computed from it must
+    commit under the version it was opened at, not the registry's
+    latest."""
+    from agni_spark.querier import querier_from_store
+
+    store = str(tmp_path / "store_pin")
+    t0 = 19732 * DAY_MS
+    rows = [
+        (sid, t0 + d * DAY_MS + h * 21_600_000, 1.0)
+        for sid in (1, 2)
+        for d in range(2)
+        for h in range(4)
+    ]
+    _store_with_series(spark, store, rows)
+    expr = "sum by (job) (sum_over_time(event_error[1d]))"
+    fc = ResultsCache(
+        querier_from_store(spark, store),
+        str(tmp_path / "cache6"),
+        store_path=store,
+    )
+    v0 = fc._version
+    fc.query_range(expr, t0, t0 + DAY_MS).count()
+    # a block commit lands between construction and the next query
+    # (append-only: the pinned querier's already-opened files survive)
+    from agni_spark.sources import layout
+
+    layout.write_blocks(
+        spark.createDataFrame(
+            [(1, t0 + 1_000, 5.0)],
+            "series_id long, ts_ms long, value double",
+        ),
+        store,
+        mode="append",
+        seq=None,
+    )
+    fc.query_range(expr, t0 + DAY_MS, t0 + 2 * DAY_MS).count()
+    # both partials live under the PINNED version, not the new one
+    assert fc._version == v0
+    assert fc._committed_days(fc._key_path(expr)) == {19732, 19733}
+    # a reopened cache sees the new version and recomputes from scratch
+    fc2 = ResultsCache(
+        querier_from_store(spark, store),
+        str(tmp_path / "cache6"),
+        store_path=store,
+    )
+    assert fc2._version != v0
+    fc2.query_range(expr, t0, t0 + 2 * DAY_MS).count()
+    assert (fc2.hits, fc2.misses) == (0, 2)

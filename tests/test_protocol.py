@@ -695,6 +695,39 @@ def test_chunked_frame_roundtrip_and_crc():
         srv.read_chunked_frames(bytes(bad))
 
 
+def test_negotiation_first_accepted_wins(served_querier):
+    """codec.go NegotiateResponseType: the FIRST supported entry in
+    accepted_response_types wins. A client listing SAMPLES before
+    STREAMED_XOR_CHUNKS prefers the sampled body and must get it even
+    though it also accepts the streamed one; empty list defaults to
+    SAMPLES; unknown-first falls through to the first supported."""
+    from agni_spark.protocol.server import (
+        CONTENT_TYPE_SAMPLES, CONTENT_TYPE_STREAMED, handle_read_negotiated,
+    )
+
+    def negotiate(accepted):
+        req = pb.ReadRequest(
+            [pb.Query(0, 1000, [pb.LabelMatcher(0, "env", "prod")])],
+            accepted_response_types=accepted,
+        )
+        body = snappy.compress(pb.encode_read_request(req))
+        _, ctype = handle_read_negotiated(served_querier, body)
+        return ctype
+
+    assert negotiate(
+        [pb.RESPONSE_SAMPLES, pb.RESPONSE_STREAMED_XOR_CHUNKS]
+    ) == CONTENT_TYPE_SAMPLES
+    assert negotiate(
+        [pb.RESPONSE_STREAMED_XOR_CHUNKS, pb.RESPONSE_SAMPLES]
+    ) == CONTENT_TYPE_STREAMED
+    assert negotiate([]) == CONTENT_TYPE_SAMPLES
+    # hypothetical future type (99) is skipped, first supported wins
+    assert negotiate(
+        [99, pb.RESPONSE_STREAMED_XOR_CHUNKS]
+    ) == CONTENT_TYPE_STREAMED
+    assert negotiate([99]) == CONTENT_TYPE_SAMPLES
+
+
 def test_http_streamed_read_end_to_end(served_querier):
     """Negotiated STREAMED_XOR_CHUNKS: frames decode back to the exact
     samples the sampled path serves, through the real XOR chunk
