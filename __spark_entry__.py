@@ -5139,11 +5139,16 @@ ORDER BY em.vec_id""",
             "FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id "
             "ORDER BY p.vec_id"
         ),
+        # emit-on-window-close: only windows whose end passed the final
+        # watermark (max event time - 2h delay) ever emit — the same
+        # append-mode rule as streaming_windowed_sum.
         "streaming_topk": q(
             ", sums AS (SELECT"
             " CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
             " series_id, round(sum(value), 4) AS sum_value"
-            " FROM samples GROUP BY 1, 2),"
+            " FROM samples GROUP BY 1, 2"
+            " HAVING bucket_ms + 86400000 <="
+            " (SELECT max(ts_ms) - 7200000 FROM samples)),"
             "r AS (SELECT *, row_number() OVER (PARTITION BY bucket_ms"
             "  ORDER BY sum_value DESC, series_id) AS rk FROM sums) "
             "SELECT bucket_ms, series_id, sum_value, CAST(rk AS INT) AS rk "

@@ -421,95 +421,109 @@ def streaming_topk(
     k: int = 5,
     bucket_ms: int = 86_400_000,
     n_shards: int = 8,
+    watermark: str = "2 hours",
 ) -> DataFrame:
-    """Stateful per-window top-k, SHARDED: emits per-shard cumulative
-    top-k PARTIALS; `streaming_topk_merge` folds them into the final
+    """Stateful per-window top-k, SHARDED, EMIT-ON-WINDOW-CLOSE: each
+    (bucket, shard) state accumulates per-series running sums while
+    the window is open and emits its <= k partial EXACTLY ONCE — when
+    the event-time watermark passes the window end (EventTimeTimeout).
+    `streaming_topk_merge` folds the per-shard partials into the final
     per-window top-k.
 
     State is keyed on (bucket_ms, pmod(hash(series_id), n_shards)), so
     a window's per-series running sums spread over n_shards state
-    objects / tasks instead of funnelling through one (the round-5
-    single-task hot spot): at 100 TB a day bucket with millions of
-    active series costs each task only its shard's slice. Per-shard
-    top-k partials are EXACT inputs to the global top-k because a
-    series lives wholly inside one shard (hash on series_id): any
-    global top-k member ranks <= k within its own shard under the same
-    (rounded sum DESC, series_id ASC) order.
+    objects / tasks instead of funnelling through one: at 100 TB a day
+    bucket with millions of active series costs each task only its
+    shard's slice. Per-shard top-k partials are EXACT inputs to the
+    global top-k because a series lives wholly inside one shard (hash
+    on series_id): any global top-k member ranks <= k within its own
+    shard under the same (rounded sum DESC, series_id ASC) order.
 
-    Each batch re-emits a shard's current cumulative partial stamped
-    with a monotone `emit` counter from the state; the merge keeps only
-    each shard's LATEST emission, so the result is correct even when
-    the file source splits the replay into multiple micro-batches
-    (maxFilesPerTrigger) — stale intermediate rows are superseded, not
-    trusted. Sums round to 4dp before ranking so order is
+    Emission contract (the r6 design fix): the sink grows by
+    n_shards * <= k rows per CLOSED window, total — not per
+    micro-batch. A long-running continuous stream's sink is bounded by
+    windows, and the merge needs no supersession filtering. The flip
+    side is standard append-mode semantics: a window whose end hasn't
+    passed the final watermark (window_end > max event time -
+    watermark delay) never emits — same rule as windowed_sum, and the
+    state is dropped on emit, so late data beyond the watermark is
+    ignored by design. Multi-micro-batch replays stay correct: an open
+    window's state carries across batches and still emits once, at
+    close. Sums round to 4dp before ranking so order is
     engine-independent. The closure is self-contained (workers never
     import agni_spark)."""
 
     def fn(key, pdf_iter, state):
         import pandas as _pd
 
-        bucket, shard = key
-        if state.exists:
-            sids, sums, emit = state.get
-            acc = dict(zip(sids, sums))
-        else:
-            acc, emit = {}, 0
+        bucket, shard = int(key[0]), int(key[1])
+        if state.hasTimedOut:
+            # window closed: emit the final partial once, drop state
+            sids, sums = state.get
+            top = sorted(
+                ((round(v, 4), sid) for sid, v in zip(sids, sums)),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    "bucket_ms": [bucket] * len(top),
+                    "shard": [shard] * len(top),
+                    "series_id": [sid for _, sid in top],
+                    "sum_value": [v for v, _ in top],
+                }
+            )
+            return
+        acc = dict(zip(*state.get)) if state.exists else {}
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["series_id", "ts_ms", "value"])
             for sid, v in zip(pdf["series_id"], pdf["value"]):
                 acc[int(sid)] = acc.get(int(sid), 0.0) + float(v)
-        emit += 1
-        state.update((list(acc.keys()), list(acc.values()), emit))
-        top = sorted(
-            ((round(v, 4), sid) for sid, v in acc.items()),
-            key=lambda t: (-t[0], t[1]),
-        )[:k]
-        yield _pd.DataFrame(
-            {
-                "bucket_ms": [bucket] * len(top),
-                "shard": [shard] * len(top),
-                "series_id": [sid for _, sid in top],
-                "sum_value": [v for v, _ in top],
-                "emit": [emit] * len(top),
-            }
+        state.update((list(acc.keys()), list(acc.values())))
+        # close at window end; Spark requires the timeout to sit beyond
+        # the current watermark (data arriving with the watermark
+        # already past the end closes on the next no-data batch)
+        state.setTimeoutTimestamp(
+            max(bucket + bucket_ms, int(state.getCurrentWatermarkMs()) + 1)
         )
+        # nothing to emit while the window is open
 
-    bucketed = stream.withColumn(
-        "bucket_ms",
-        (F.col("ts_ms") / F.lit(bucket_ms)).cast("long") * bucket_ms,
-    ).withColumn(
-        "shard", F.pmod(F.hash("series_id"), F.lit(n_shards)).cast("int")
+    bucketed = (
+        stream.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", watermark)
+        .withColumn(
+            "bucket_ms",
+            (F.col("ts_ms") / F.lit(bucket_ms)).cast("long") * bucket_ms,
+        )
+        .withColumn(
+            "shard", F.pmod(F.hash("series_id"), F.lit(n_shards)).cast("int")
+        )
     )
     return bucketed.groupBy("bucket_ms", "shard").applyInPandasWithState(
         fn,
         outputStructType=(
-            "bucket_ms long, shard int, series_id long, "
-            "sum_value double, emit long"
+            "bucket_ms long, shard int, series_id long, sum_value double"
         ),
-        stateStructType="sids array<long>, sums array<double>, emit long",
+        stateStructType="sids array<long>, sums array<double>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
 def streaming_topk_merge(partials: DataFrame, k: int = 5) -> DataFrame:
     """Fold streaming_topk's per-shard partials into the final
-    per-window top-k (batch side, over the sink table): keep each
-    (bucket, shard)'s latest emission, then one rank window over the
-    <= k * n_shards surviving rows per bucket — O(k * n_shards) work
-    per window, independent of series cardinality."""
+    per-window top-k (batch side, over the sink table): one rank
+    window over the <= k * n_shards rows per bucket — O(k * n_shards)
+    work per window, independent of series cardinality. Each shard
+    emitted exactly once (at window close), so no supersession
+    filtering is needed."""
     from pyspark.sql import Window
 
-    latest = F.max("emit").over(
-        Window.partitionBy("bucket_ms", "shard")
-    )
     w = Window.partitionBy("bucket_ms").orderBy(
         F.col("sum_value").desc(), F.col("series_id").asc()
     )
     return (
-        partials.withColumn("_mx", latest)
-        .where(F.col("emit") == F.col("_mx"))
-        .withColumn("rk", F.row_number().over(w).cast("int"))
+        partials.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= k)
         .select("bucket_ms", "series_id", "sum_value", "rk")
     )

@@ -363,22 +363,28 @@ def test_streaming_alert_for_runs_across_batches(spark, tmp_path):
 
 
 def test_streaming_topk_sharded_state_and_multibatch(spark, tmp_path):
-    """Round-6 fix for the single-task-per-window hot spot: state keys
-    on (bucket, shard-of-series-hash). Asserts (a) a window's state
-    spreads over >1 shard, (b) the merged result equals the batch
-    groupBy+rank twin, (c) correctness holds when the replay splits
-    into MULTIPLE micro-batches (maxFilesPerTrigger=1) — stale
-    intermediate emissions are superseded via the emit counter."""
+    """Sharded emit-on-window-close top-k (r6 sharding + r7 emission
+    fix). Asserts (a) a window's state spreads over >1 shard, (b) the
+    merged result equals the batch groupBy+rank twin, (c) across >= 3
+    micro-batches (maxFilesPerTrigger=1) the sink holds EXACTLY ONE
+    emission of <= k rows per (closed window, shard) — no per-batch
+    cumulative re-emission, so a long-running stream's sink is bounded
+    by closed windows, and (d) a window still open at the final
+    watermark never emits."""
     src = str(tmp_path / "src")
     day = 86_400_000
     # 40 series x 2 samples across 2 days, split over two files so
-    # maxFilesPerTrigger=1 yields two micro-batches
+    # maxFilesPerTrigger=1 yields multiple micro-batches; a third
+    # sentinel file (written LAST -> processed last) advances the
+    # watermark past both day windows so they close and emit
     rows1 = [(sid, d * day + 1000, float(sid + d))
              for sid in range(40) for d in (0, 1)]
     rows2 = [(sid, d * day + 2000, float(2 * sid))
              for sid in range(40) for d in (0, 1)]
+    sentinel = [(999, 3 * day, 0.0)]
     _write_src(spark, src, rows1)
     _write_src(spark, src, rows2)
+    _write_src(spark, src, sentinel)
 
     stream = (
         spark.readStream.schema(SCHEMA)
@@ -396,6 +402,11 @@ def test_streaming_topk_sharded_state_and_multibatch(spark, tmp_path):
     )
     q.awaitTermination()
     partials = spark.table("topk_test")
+    # (d) only CLOSED windows in the sink: days 0 and 1 closed (the
+    # sentinel pushed the watermark past their ends); the sentinel's
+    # own day-3 window stayed open and must never have emitted
+    assert {r.bucket_ms for r in partials.select("bucket_ms").distinct()
+            .collect()} == {0, day}
     # (a) state spread: >1 shard key per bucket
     shards_per_bucket = {
         r.bucket_ms: r.n
@@ -404,8 +415,14 @@ def test_streaming_topk_sharded_state_and_multibatch(spark, tmp_path):
         .collect()
     }
     assert all(n > 1 for n in shards_per_bucket.values())
-    # (c) two batches ran: some shard emitted twice
-    assert partials.agg(F.max("emit")).first()[0] >= 2
+    # (c) exactly ONE emission of <= k rows per (window, shard), even
+    # though the replay ran >= 3 micro-batches: no (bucket, shard,
+    # series) duplicates, and each shard's partial is <= k rows
+    per_shard = partials.groupBy("bucket_ms", "shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("series_id").alias("nd"),
+    )
+    assert all(r.n <= 5 and r.n == r.nd for r in per_shard.collect())
 
     got = sorted(
         tuple(r)
