@@ -2186,6 +2186,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_parsed_setop": _q_promql_parsed_setop,
         "source_jsonl_roundtrip": _q_source_jsonl_roundtrip,
         "pipeline_curate_v3": _q_pipeline_curate_v3,
+        # multi-entry beam search (one kmeans-cell medoid per cell):
+        # the HNSW upper-layer idea; same deterministic walk contract
+        # as simsearch_graph_ann, so the unrolled-hop oracle is FULL
+        "simsearch_graph_ann_multi": lambda s, d: simsearch.graph_ann(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10, knn=5, beam=8, hops=3, n_entries=8,
+        ),
     }
 
 
@@ -2620,7 +2630,9 @@ _SQL_SIMSEARCH_KNN_GRAPH = _sql_simsearch_ivf(query_where="TRUE", k=5)
 # (like the PageRank oracle's unrolled power iterations) — entry point,
 # then per hop: expand along edges, score only unseen nodes, beam-prune
 # the new frontier; final top-k over everything scored.
-def _sql_graph_ann(k: int = 10, beam: int = 8, hops: int = 3) -> str:
+def _sql_graph_ann(
+    k: int = 10, beam: int = 8, hops: int = 3, n_entries: int = 1
+) -> str:
     hop_tpl = """
 c{i} AS (SELECT DISTINCT f.query_id, ed.dst AS node
          FROM f{prev} f JOIN edges ed USING (node)),
@@ -2640,6 +2652,28 @@ f{i} AS (SELECT query_id, node FROM (
         hop_tpl.format(i=i, prev=i - 1, beam=beam)
         for i in range(1, hops + 1)
     )
+    if n_entries > 1:
+        # one kmeans-cell MEDOID per cell (graph_entry_medoids): each
+        # vector's own cell is its argmax-cosine TRAINED centroid; the
+        # cell's entry is its best member (sim DESC, vec_id ASC)
+        entry_sql = (
+            _sql_kmeans_cents()
+            + """,
+asg AS (SELECT vec_id, centroid_id, sim FROM (
+    SELECT c.vec_id, ct.centroid_id,
+      round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                   ct.cvec), 6) AS sim,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                     ct.cvec), 6) DESC,
+        ct.centroid_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
+entry AS (SELECT DISTINCT node FROM (
+    SELECT vec_id AS node, row_number() OVER (PARTITION BY centroid_id
+      ORDER BY sim DESC, vec_id ASC) AS rn FROM asg) WHERE rn = 1), """
+        )
+    else:
+        entry_sql = "entry AS (SELECT min(vec_id) AS node FROM embeddings), "
     return (
         "WITH edges AS (SELECT query_id AS node, vec_id AS dst FROM ("
         + _SQL_SIMSEARCH_KNN_GRAPH
@@ -2648,7 +2682,7 @@ f{i} AS (SELECT query_id, node FROM (
         "FROM embeddings WHERE vec_id < 5), "
         "nodes AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS ce "
         "FROM embeddings), "
-        "entry AS (SELECT min(vec_id) AS node FROM embeddings), "
+        + entry_sql +
         "s0 AS (SELECT q.query_id, e.node, "
         "round(list_cosine_similarity(q.qe, nd.ce), 6) AS cos "
         "FROM q CROSS JOIN entry e JOIN nodes nd USING (node)), "
@@ -5089,6 +5123,7 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_graph_ann": _sql_graph_ann(),
         # stored probe is walk-identical to the in-memory graph_ann
         "simsearch_graph_stored": _sql_graph_ann(),
+        "simsearch_graph_ann_multi": _sql_graph_ann(n_entries=8),
         "simsearch_pagerank": _SQL_PAGERANK,
         "simsearch_lsh_ann": _SQL_SIMSEARCH_LSH,
         # the kNN oracle + mutual-edge join + recursive closure: an

@@ -1159,6 +1159,45 @@ def ivfpq_search(
     )
 
 
+def graph_entry_medoids(corpus: DataFrame, n_entries: int) -> DataFrame:
+    """Multi-entry points for graph ANN: the MEDOID of each of
+    `n_entries` seeded-kmeans cells (the cell member closest to its
+    centroid, ties to the lowest vec_id) — the HNSW upper-layer idea
+    with the coarse quantizer standing in for the layer hierarchy.
+    Why it matters: a kNN graph over CLUSTERED data is typically
+    disconnected (each cluster's edges stay inside it), so a single
+    entry can never walk into another cluster; one entry per cell
+    guarantees every query starts a beam inside (or near) its own
+    cluster. Deterministic: seeded centroids + 6dp rounding + id
+    tie-breaks. Returns <= n_entries `node` rows (bounded — always
+    broadcastable)."""
+    cents = ivf_centroids(corpus, n_entries)
+    sims = (
+        corpus.select("vec_id", F.col("embedding").alias("ce"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "centroid_id",
+            F.round(cosine(F.col("ce"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    # each vector's OWN cell (argmax sim), then each cell's best member
+    own = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(own))
+        .where(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.min_by(
+                "vec_id", F.struct((-F.col("sim")).alias("ns"), F.col("vec_id"))
+            ).alias("node")
+        )
+        .select("node")
+        .distinct()
+    )
+
+
 def graph_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1166,6 +1205,7 @@ def graph_ann(
     knn: int = 5,
     beam: int = 8,
     hops: int = 3,
+    n_entries: int = 1,
 ) -> DataFrame:
     """Graph-based ANN: greedy BEAM SEARCH over the kNN neighbor graph
     — the NSW/HNSW search idea (Malkov & Yashunin, single-layer
@@ -1203,7 +1243,14 @@ def graph_ann(
     nodes = corpus.select(
         F.col("vec_id").alias("node"), F.col("embedding").alias("ce")
     )
-    entry = corpus.agg(F.min("vec_id").alias("node"))
+    # n_entries=1 keeps the original deterministic min-id entry (and
+    # the unchanged oracle); >1 starts every query's beam from one
+    # medoid per kmeans cell — see graph_entry_medoids
+    entry = (
+        corpus.agg(F.min("vec_id").alias("node"))
+        if n_entries <= 1
+        else graph_entry_medoids(corpus, n_entries)
+    )
 
     def _score(fr: DataFrame) -> DataFrame:
         # corpus-sized nodes scan on the left, bounded frontier
@@ -1261,12 +1308,17 @@ def write_graph_index(
     path: str,
     knn: int = 5,
     n_buckets: int = 16,
+    n_entries: int = 1,
 ) -> None:
     """Build + persist the graph-ANN index: `edges/` (the kNN graph)
     and `nodes/` (id + vector, for scoring) both parquet-partitioned
     by (commit, bucket = hash(node) % n_buckets), plus `meta/` (the
-    deterministic entry point + n_buckets) and `manifest/` written
+    deterministic entry point(s) + n_buckets) and `manifest/` written
     LAST (the block-store commit idiom every stored index here uses).
+    `n_entries > 1` bakes one kmeans-cell medoid per cell as the entry
+    set (see graph_entry_medoids) — entry selection is a BUILD-time
+    decision, stored in meta, so every prober walks the same graph the
+    same way.
 
     Bucket-partitioning is the probe's scale lever: each beam-search
     hop joins a <= beam*queries frontier against edges/nodes ON THE
@@ -1296,10 +1348,16 @@ def write_graph_index(
         .mode("overwrite")
         .parquet(f"{path}/nodes")
     )
-    entry = corpus.agg(F.min("vec_id")).first()[0]
+    if n_entries <= 1:
+        entries = [int(corpus.agg(F.min("vec_id")).first()[0])]
+    else:
+        entries = sorted(
+            int(r.node)
+            for r in graph_entry_medoids(corpus, n_entries).collect()
+        )
     spark.createDataFrame(
-        [(int(entry), int(n_buckets), int(knn))],
-        "entry long, n_buckets int, knn int",
+        [(entries[0], entries, int(n_buckets), int(knn))],
+        "entry long, entries array<long>, n_buckets int, knn int",
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     _write_index_manifest(spark, path, [0])
 
@@ -1350,8 +1408,15 @@ def graph_ann_stored(
             )
         )
 
-    frontier = q.select("query_id").withColumn(
-        "node", F.lit(int(meta.entry)).cast("long")
+    entries = (
+        [int(e) for e in meta.entries]
+        if "entries" in meta.__fields__ and meta.entries
+        else [int(meta.entry)]
+    )
+    frontier = q.select("query_id").crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(e,) for e in entries], "node long")
+        )
     )
     scored = _score(frontier).persist()
     held = [scored]

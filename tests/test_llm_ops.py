@@ -880,6 +880,73 @@ def test_ann_recall_floors_vs_exact(spark):
     assert r_pq <= r_ivf + 1e-9
 
 
+def _clustered_embeddings(spark, n_clusters=8, per=40, dim=16):
+    """Deterministic clustered corpus: cluster c's members are the
+    basis vector e_c plus small md5-derived noise — the geometry real
+    embedding spaces have (tight clusters, wide gaps) and the habitat
+    graph-ANN is built for. No RNG state: every value derives from
+    md5(i:j), so the fixture is identical across runs/machines."""
+    import hashlib
+
+    def u(i, j):  # uniform [-0.15, 0.15), seeded by (i, j)
+        h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:12], 16)
+        return (h / float(1 << 48)) * 0.3 - 0.15
+
+    rows = []
+    for i in range(n_clusters * per):
+        c = i % n_clusters
+        vec = [
+            (1.0 if j == c else 0.0) + u(i, j) for j in range(dim)
+        ]
+        rows.append((i, vec, f"c{c}"))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+
+def test_graph_ann_clustered_habitat(spark):
+    """Graph-ANN on CLUSTERED embeddings — its actual habitat (the
+    near-orthogonal driver testdata gives greedy guidance nothing to
+    exploit; see test_ann_recall_floors_vs_exact). Two pins:
+
+    (a) multi-entry (one kmeans-cell medoid per cell) recall@10 >= 0.5
+        — well above the explored fraction (1 + hops*beam*knn = 121
+        nodes of 320 ~= 0.38 would be chance-level for an unguided
+        walk, and the walk is confined to reachable components);
+    (b) multi-entry beats single-entry on the same fixture: a kNN
+        graph over separated clusters is DISCONNECTED, so a single
+        min-id entry can never walk out of its own cluster — the
+        failure mode entry medoids exist to fix."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in simsearch.cosine_topk(emb, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(got.get(k, set()) & v) / len(v) for k, v in exact.items()
+        ) / len(exact)
+
+    r_multi = recall(
+        simsearch.graph_ann(
+            emb, q, k=10, knn=5, beam=8, hops=3, n_entries=8
+        )
+    )
+    r_single = recall(
+        simsearch.graph_ann(emb, q, k=10, knn=5, beam=8, hops=3)
+    )
+    assert r_multi >= 0.5, r_multi
+    assert r_multi > r_single, (r_multi, r_single)
+
+
 def test_graph_ann_stored_equals_in_memory(spark, tmp_path):
     """The stored graph index serves the identical beam walk: same
     entry point, same edges, same scores -> same rows as graph_ann
