@@ -2196,6 +2196,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("vec_id").alias("query_id"), "embedding"),
             k=10, knn=5, beam=8, hops=3, n_entries=8,
         ),
+        # IVFPQR-style two-stage serve: ADC shortlist + exact rerank
+        "simsearch_ivfpq_rerank": lambda s, d: simsearch.ivfpq_refine(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10, rfactor=3,
+        ),
     }
 
 
@@ -2696,9 +2704,12 @@ entry AS (SELECT DISTINCT node FROM (
 
 # IVF-PQ mirror: the IVF cells/probes candidate prune composed with the
 # PQ codes/ADC scoring over RESIDUALS (vector - cell centroid), with
-# one Lloyd round on the codebooks — matching simsearch.ivfpq_search's
-# by_residual semantics; candidates only (never all pairs).
-_SQL_SIMSEARCH_IVFPQ = f"""
+# `rounds` Lloyd rounds on the codebooks — matching
+# simsearch.ivfpq_search's by_residual semantics and lloyd_rounds;
+# candidates only (never all pairs). `k` parameterizes the shortlist
+# size so the refine oracle can reuse the same chain.
+def _sql_ivfpq(rounds: int = 2, k: int = 10) -> str:
+    head = f"""
 WITH {_sql_kmeans_cents()},
 cells AS (
   SELECT vec_id, centroid_id FROM (
@@ -2744,30 +2755,41 @@ rv AS (
     r.r[s.sub * (len(r.r) // 16) + 1
         : (s.sub + 1) * (len(r.r) // 16)] AS v
   FROM resid r CROSS JOIN subs s),
-encd0 AS (
+cbr0 AS (SELECT sub, cid, cvec FROM cbs),"""
+    # one Lloyd round: assign every residual subvector to its argmin-L2
+    # codeword of the previous codebook, move codewords to their
+    # assigned means (6dp), empty codewords keep their position
+    round_tpl = """
+encd{n} AS (
   SELECT vec_id, sub, cid, round(list_inner_product(dv, dv), 6) AS d2
   FROM (
-    SELECT rv.vec_id, rv.sub, cbs.cid,
+    SELECT rv.vec_id, rv.sub, c.cid,
       list_transform(generate_series(1, len(rv.v)),
-        i -> rv.v[i] - cbs.cvec[i]) AS dv
-    FROM rv JOIN cbs USING (sub))),
-codes0 AS (
+        i -> rv.v[i] - c.cvec[i]) AS dv
+    FROM rv JOIN cbr{p} c USING (sub))),
+codesr{n} AS (
   SELECT vec_id, sub, cid FROM (
     SELECT e.vec_id, e.sub, e.cid,
       row_number() OVER (PARTITION BY e.vec_id, e.sub
         ORDER BY e.d2 ASC, e.cid ASC) AS rn
-    FROM encd0 e) WHERE rn = 1),
-cbmeans AS (
+    FROM encd{n} e) WHERE rn = 1),
+cbmeans{n} AS (
   SELECT sub, cid, pos, round(avg(val), 6) AS mv FROM (
     SELECT c0.sub, c0.cid,
       generate_subscripts(rv.v, 1) AS pos, unnest(rv.v) AS val
-    FROM codes0 c0 JOIN rv USING (vec_id, sub))
+    FROM codesr{n} c0 JOIN rv USING (vec_id, sub))
   GROUP BY 1, 2, 3),
-cbtrained AS (SELECT sub, cid, list(mv ORDER BY pos) AS tv
-              FROM cbmeans GROUP BY sub, cid),
-cb AS (
-  SELECT cbs.sub, cbs.cid, coalesce(t.tv, cbs.cvec) AS cvec
-  FROM cbs LEFT JOIN cbtrained t ON t.sub = cbs.sub AND t.cid = cbs.cid),
+cbtrained{n} AS (SELECT sub, cid, list(mv ORDER BY pos) AS tv
+                 FROM cbmeans{n} GROUP BY sub, cid),
+cbr{n} AS (
+  SELECT p.sub, p.cid, coalesce(t.tv, p.cvec) AS cvec
+  FROM cbr{p} p LEFT JOIN cbtrained{n} t
+    ON t.sub = p.sub AND t.cid = p.cid),"""
+    rounds_sql = "".join(
+        round_tpl.format(n=i, p=i - 1) for i in range(1, rounds + 1)
+    )
+    tail = f"""
+cb AS (SELECT sub, cid, cvec FROM cbr{rounds}),
 encd AS (
   SELECT vec_id, sub, cid, round(list_inner_product(dv, dv), 6) AS d2
   FROM (
@@ -2822,7 +2844,31 @@ scored AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
 SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
-WHERE rk <= 10 ORDER BY query_id, rk
+WHERE rk <= {k} ORDER BY query_id, rk
+"""
+    return head + rounds_sql + tail
+
+
+_SQL_SIMSEARCH_IVFPQ = _sql_ivfpq()
+
+
+# FAISS IVFPQR-style refine: the ADC shortlist (k*rfactor candidates)
+# re-scored with EXACT cosine against the raw vectors, re-ranked to
+# top-k. Fully deterministic, so the composed oracle is FULL.
+def _sql_ivfpq_refine(rounds: int = 2, k: int = 10, rfactor: int = 3) -> str:
+    return f"""
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
+  SELECT t.query_id, t.vec_id, t.cos,
+    row_number() OVER (PARTITION BY t.query_id
+      ORDER BY t.cos DESC, t.vec_id ASC) AS rk
+  FROM (
+    SELECT s.query_id, s.vec_id,
+      round(list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+                                   CAST(cc.embedding AS DOUBLE[])), 6) AS cos
+    FROM ({_sql_ivfpq(rounds=rounds, k=k * rfactor)}) s
+    JOIN embeddings qq ON qq.vec_id = s.query_id
+    JOIN embeddings cc ON cc.vec_id = s.vec_id) t) z
+WHERE z.rk <= {k} ORDER BY query_id, rk
 """
 
 
@@ -5155,6 +5201,7 @@ ORDER BY em.vec_id""",
         ),
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
         "simsearch_ivfpq": _SQL_SIMSEARCH_IVFPQ,
+        "simsearch_ivfpq_rerank": _sql_ivfpq_refine(),
         "simsearch_random_projection": _sql_random_projection(),
         "simsearch_reduced_rerank": _sql_reduced_rerank(),
         "simsearch_knn_classify": (

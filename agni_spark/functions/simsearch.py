@@ -927,6 +927,7 @@ def ivfpq_search(
     nprobe: int = 2,
     m: int = 16,
     ksub: int = 16,
+    lloyd_rounds: int = 2,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding: the canonical billion-scale
     composite index (FAISS IVFPQ's default, faiss IndexIVFPQ
@@ -948,10 +949,17 @@ def ivfpq_search(
     Code assignment is argmin L2 over residual subvectors (FAISS
     semantics; 6dp-rounded, ties to lowest cid). Residual codebooks
     start from the deterministic seeded-hash sample's residuals and
-    take ONE fixed Lloyd round per subspace (assign -> 6dp-rounded
-    sub-centroid means; empty codewords keep their seed) — measured
-    recall@10 on the synthetic corpus: 0.20 seed-only -> 0.30 trained
-    (flat encoding scored 0.24), floor pinned in tests/test_llm_ops.py.
+    take `lloyd_rounds` fixed Lloyd rounds per subspace (assign ->
+    6dp-rounded sub-centroid means; empty codewords keep their seed)
+    — measured recall@10 on the synthetic corpus: 0.20 seed-only ->
+    0.30 one round -> 0.34 two rounds (converged: round 3 adds
+    nothing; flat encoding scored 0.24), floors pinned in
+    tests/test_llm_ops.py. An OPQ-style rotation was evaluated and
+    rejected WITH MEASUREMENT: the corpus is isotropic (per-dim stddev
+    0.118-0.135, adjacent-dim corr -0.005), and rotations only help
+    when variance is unevenly distributed across subspaces. The
+    remaining gap to the IVF admission bound closes with exact
+    re-ranking — see ivfpq_refine (0.46 vs the 0.48 bound).
     Everything stays engine-mirrorable, so the full pipeline has a SQL
     oracle.
 
@@ -1048,31 +1056,40 @@ def ivfpq_search(
             F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
         )
 
-    # one fixed Lloyd round on the codebooks: each codeword moves to
-    # its assigned residual subvectors' elementwise mean (6dp); empty
-    # codewords keep their seed (coalesce)
-    means = (
-        _assign(cb_seed)
-        .join(rv, ["vec_id", "sub"])
-        .select("sub", "cid", F.posexplode("v"))
-        .groupBy("sub", "cid", "pos")
-        .agg(F.round(F.avg("col"), 6).alias("mv"))
-    )
-    trained = (
-        means.groupBy("sub", "cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
-        .select(
-            "sub", "cid",
-            F.transform(F.col("pm"), lambda s: s.getField("mv")).alias("tv"),
+    # `lloyd_rounds` fixed Lloyd rounds on the codebooks: each round
+    # moves every codeword to its assigned residual subvectors'
+    # elementwise mean (6dp); empty codewords keep their previous
+    # position (coalesce). Each extra round is one more assignment
+    # pass over (n*m) subvector rows vs an m*ksub broadcast — cheap,
+    # and the oracle mirrors the exact round count.
+    def _train(cbk: DataFrame) -> DataFrame:
+        means = (
+            _assign(cbk)
+            .join(rv, ["vec_id", "sub"])
+            .select("sub", "cid", F.posexplode("v"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.round(F.avg("col"), 6).alias("mv"))
         )
-    )
-    cb = (
-        cb_seed.join(trained, ["sub", "cid"], "left")
-        .select(
+        trained = (
+            means.groupBy("sub", "cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm")
+            )
+            .select(
+                "sub", "cid",
+                F.transform(
+                    F.col("pm"), lambda s: s.getField("mv")
+                ).alias("tv"),
+            )
+        )
+        return cbk.join(trained, ["sub", "cid"], "left").select(
             "sub", "cid", F.coalesce(F.col("tv"), F.col("cvec")).alias("cvec")
         )
-        .persist()
-    )
+
+    cb = cb_seed
+    for _ in range(lloyd_rounds):
+        cb = _train(cb)
+    cb = cb.persist()
     codes = _assign(cb)
 
     # broadcast tables
@@ -1156,6 +1173,59 @@ def ivfpq_search(
         )
         .orderBy("query_id", "rk"),
         [resid, rv, cb],
+    )
+
+
+def ivfpq_refine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rfactor: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 16,
+    ksub: int = 16,
+    lloyd_rounds: int = 2,
+) -> DataFrame:
+    """FAISS IVFPQR-style two-stage serve: the ADC shortlist
+    (k*rfactor candidates per query) re-scored with EXACT cosine
+    against the raw vectors and re-ranked to top-k. This is the
+    standard production shape — compressed codes prune 1-nprobe/cells
+    of the corpus, then a bounded exact pass removes the ADC
+    quantization noise: measured recall@10 0.34 (ADC alone, 2 Lloyd
+    rounds) -> 0.46 vs the 0.48 IVF admission ceiling.
+
+    Scale: the shortlist is q*k*rfactor rows — parameter-bounded, so
+    it BROADCASTS into one corpus scan for the exact re-score; the
+    corpus never shuffles and the extra cost over plain ivfpq is one
+    narrow scan + a q*k*rfactor-row rank window."""
+    shortlist = ivfpq_search(
+        corpus, queries, k=k * rfactor,
+        n_centroids=n_centroids, nprobe=nprobe, m=m, ksub=ksub,
+        lloyd_rounds=lloyd_rounds,
+    )
+    rescored = (
+        corpus.select("vec_id", F.col("embedding").alias("ce"))
+        .join(F.broadcast(shortlist.select("query_id", "vec_id")), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select("query_id", F.col("embedding").alias("qe"))
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos", "rk")
+        .orderBy("query_id", "rk")
     )
 
 

@@ -831,9 +831,10 @@ def test_ann_recall_floors_vs_exact(spark):
     parameters on the real testdata — the judge-facing quality pin.
     Floors carry margin (the driver regenerates testdata between
     rounds) but sit well above chance (nprobe/n_cells = 0.25 for IVF):
-    measured on the round-6 corpus: ivf 0.48, ivfpq(residual, one
-    Lloyd round) 0.30 (seed-only codebooks scored 0.20, flat encoding
-    0.24 — training + residuals earn their keep), lsh 0.08."""
+    measured on the round-7 corpus: ivf 0.48, ivfpq(residual, two
+    Lloyd rounds) 0.34 (one round 0.30, seed-only 0.20, flat encoding
+    0.24 — training + residuals earn their keep), ivfpq+exact-rerank
+    0.46, lsh 0.08."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
@@ -861,6 +862,10 @@ def test_ann_recall_floors_vs_exact(spark):
             emb, q, k=10, n_centroids=8, nprobe=2, m=16, ksub=16
         )
     )
+    # IVFPQR refine: exact rerank of the 3x ADC shortlist recovers
+    # most of what quantization noise loses (measured 0.46 vs the
+    # 0.48 IVF admission ceiling; ADC alone 0.34 at 2 Lloyd rounds)
+    r_ref = recall(simsearch.ivfpq_refine(emb, q, k=10, rfactor=3))
     r_lsh = recall(
         simsearch.lsh_ann(emb, q, k=10, n_planes=8, multiprobe=True)
     )
@@ -872,12 +877,15 @@ def test_ann_recall_floors_vs_exact(spark):
         simsearch.graph_ann(emb, q, k=10, knn=5, beam=8, hops=3)
     )
     assert r_ivf >= 0.35, r_ivf
-    assert r_pq >= 0.22, r_pq
+    assert r_pq >= 0.26, r_pq
+    assert r_ref >= 0.38, r_ref
     assert r_lsh >= 0.04, r_lsh
     assert r_graph >= 0.10, r_graph
     # the IVF prune bounds PQ from above: ADC rescoring can only lose
-    # candidates the coarse quantizer admitted
-    assert r_pq <= r_ivf + 1e-9
+    # candidates the coarse quantizer admitted — and exact rerank can
+    # only recover within the same admitted set
+    assert r_pq <= r_ref + 1e-9
+    assert r_ref <= r_ivf + 1e-9
 
 
 def _clustered_embeddings(spark, n_clusters=8, per=40, dim=16):
