@@ -53,6 +53,9 @@ HEADLINE = [
     "pipeline_curate_v2",
     "streaming_topk",
     "s14_streamed_remote_read",
+    # round-7 widening: the new ANN serving shapes
+    "simsearch_ivfpq_rerank",
+    "simsearch_graph_ann_multi",
 ]
 
 
@@ -192,8 +195,9 @@ def main() -> None:
                     "headline set widened in round 6 (+8 queries: ivfpq, "
                     "pagerank, graph_ann, cluster_assign, text_index, "
                     "curate_v2, streaming_topk, streamed_read); round 7 "
-                    "adds *_build/*_probe rows splitting stored-index "
-                    "build from serving (probe rows are the serving SLO "
+                    "adds ivfpq_rerank + graph_ann_multi and "
+                    "*_build/*_probe rows splitting stored-index build "
+                    "from serving (probe rows are the serving SLO "
                     "signal). Totals not comparable to rounds <= 6 — "
                     "compare per-query"
                 ),

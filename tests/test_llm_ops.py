@@ -979,6 +979,24 @@ def test_graph_ann_stored_equals_in_memory(spark, tmp_path):
         ).collect()
     )
     assert mem == stored and len(mem) == 15
+    # multi-entry parity: entry medoids are a BUILD-time decision
+    # stored in meta.entries; the stored probe must replay the same
+    # multi-entry walk as the in-memory one
+    mem8 = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann(
+            emb, q, k=5, knn=5, beam=4, hops=2, n_entries=8
+        ).collect()
+    )
+    path8 = str(tmp_path / "gidx8")
+    simsearch.write_graph_index(emb, path8, knn=5, n_entries=8)
+    stored8 = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, path8, q, k=5, beam=4, hops=2
+        ).collect()
+    )
+    assert mem8 == stored8 and len(mem8) == 15
 
 
 def test_jsonl_quarantine(spark, tmp_path):
