@@ -1067,11 +1067,21 @@ def ivfpq_search(
         F.col("sc.cvec").alias("cvec"),
     )
 
-    rv = resid.select(
-        "vec_id", F.explode(_subs("r", "v")).alias("sc")
-    ).select(
-        "vec_id", F.col("sc.sub").alias("sub"), F.col("sc.v").alias("v")
-    ).persist()  # consumed by the Lloyd round AND the final encode
+    # consumed by every Lloyd round AND the final encode. The explicit
+    # repartition matters: resid reaches here through broadcast joins
+    # that PRESERVE the corpus scan's partitioning (often one parquet
+    # file -> one partition at test SFs), so without it every _assign's
+    # argmin-L2 folds — the training hot loop — would run nearly
+    # serial. One narrow shuffle of (vec_id, sub, subvector) rows buys
+    # full-width parallelism for all downstream passes.
+    rv = (
+        resid.select("vec_id", F.explode(_subs("r", "v")).alias("sc"))
+        .select(
+            "vec_id", F.col("sc.sub").alias("sub"), F.col("sc.v").alias("v")
+        )
+        .repartition(F.col("vec_id"), F.col("sub"))
+        .persist()
+    )
 
     def _assign(cbk: DataFrame) -> DataFrame:
         """Per (vector, sub): the argmin-L2 codeword (6dp, ties to the

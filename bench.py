@@ -198,8 +198,15 @@ def main() -> None:
                     "adds ivfpq_rerank + graph_ann_multi and "
                     "*_build/*_probe rows splitting stored-index build "
                     "from serving (probe rows are the serving SLO "
-                    "signal). Totals not comparable to rounds <= 6 — "
-                    "compare per-query"
+                    "signal). ACCOUNTING CHANGE r7: graph_ann/ivfpq r6 "
+                    "numbers were cache-leak-assisted (runs 2-3 reused "
+                    "run 1's leaked persists via plan-matching; the r6 "
+                    "advisor flagged the leak, r7 fixed it) — honest "
+                    "cold A/B at equal params: ivfpq r6 15.3s vs r7 "
+                    "8.8s, graph_ann r6 30.4s vs r7 ~7s. "
+                    "streaming_topk r7 adds the emit-on-close no-data "
+                    "batch (bounded sink in exchange). Totals not "
+                    "comparable to rounds <= 6 — compare per-query"
                 ),
             }
         )
