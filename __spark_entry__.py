@@ -1503,6 +1503,17 @@ def _q_dedup_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.cluster_dedup(d, pairs)
 
 
+def _q_dedup_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
+    # quality-aware representative per duplicate cluster (same pair
+    # generation + closure as dedup_cluster_assign; the selection
+    # policy is the new part — oracle re-derives it independently via
+    # a rank window over the recursive-CTE closure + doc-stats quality)
+    d = _docs(spark, sf)
+    pairs = dedup.minhash_dedup_pairs(d, k=3, threshold=0.7)
+    qual = text.doc_stats(d).select("doc_id", "quality")
+    return dedup.cluster_representatives(d, pairs, qual)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     # continuous-ingest dedup: index docs with doc_id%5 in {1,2}, APPEND
     # {3,4} as a second commit (manifest-last), then dedup-check the
@@ -2204,6 +2215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("vec_id").alias("query_id"), "embedding"),
             k=10, rfactor=3,
         ),
+        # curation: keep each dup cluster's BEST-quality member, not
+        # its arbitrary min-id one (clusters mix clean originals with
+        # boilerplate-wrapped copies)
+        "dedup_cluster_reps": _q_dedup_cluster_reps,
     }
 
 
@@ -2356,6 +2371,25 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+# cluster-representative selection: same recursive closure as
+# _SQL_CLUSTER_ASSIGN, then each cluster keeps its best-QUALITY member
+# (ties to the lowest doc_id) — quality from the shared doc-stats body.
+def _sql_cluster_reps() -> str:
+    return _SQL_CLUSTER_ASSIGN[: _SQL_CLUSTER_ASSIGN.rindex("SELECT d.doc_id")] + f"""
+, asg AS (SELECT d.doc_id,
+          coalesce(c.component_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT cluster_id, doc_id AS rep_doc_id, n_members, best_quality FROM (
+  SELECT a.cluster_id, a.doc_id,
+    row_number() OVER (PARTITION BY a.cluster_id
+      ORDER BY ds.quality DESC, a.doc_id ASC) AS rn,
+    CAST(count(*) OVER (PARTITION BY a.cluster_id) AS BIGINT) AS n_members,
+    max(ds.quality) OVER (PARTITION BY a.cluster_id) AS best_quality
+  FROM asg a JOIN ({_SQL_DOC_STATS}) ds USING (doc_id))
+WHERE rn = 1 ORDER BY cluster_id
+"""
+
 
 _SQL_CONTAINMENT = _SQL_SHINGLES + """
 , sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
@@ -5148,6 +5182,7 @@ WHERE e.est_jaccard >= 0.5 AND x.split <> y.split
 ORDER BY 1, 2
 """,
         "dedup_cluster_assign": _SQL_CLUSTER_ASSIGN,
+        "dedup_cluster_reps": _sql_cluster_reps(),
         # signatures are per-doc, so computing them over ALL documents
         # and filtering at the candidate stage equals the split
         # index-then-probe computation

@@ -641,6 +641,54 @@ def cluster_dedup(
     )
 
 
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Per-cluster representative selection by QUALITY: production
+    curation keeps each duplicate cluster's BEST document (highest
+    quality score, ties to the lowest doc_id), not its arbitrary
+    min-id member — near-dup clusters routinely mix a clean original
+    with boilerplate-wrapped or truncated copies, and min-id keeps
+    whichever was crawled first. `quality` is any (doc_id, quality)
+    frame (text.doc_stats output slots in directly). Returns one row
+    per cluster: (cluster_id, rep_doc_id, n_members, best_quality).
+    Singletons are their own cluster and representative.
+
+    Spark shape: transitive closure via the same log-round
+    connected_components as cluster_dedup, then ONE max_by groupBy —
+    map-side combining, no per-cluster row materialization; the
+    composite tie-break (quality DESC, doc_id ASC) rides in a single
+    struct ordering."""
+    comp = connected_components(pairs, a_col, b_col)
+    assigned = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .join(quality.select("doc_id", "quality"), "doc_id")
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd")),
+            ).alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("quality").alias("best_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # -- SimHash ----------------------------------------------------------------
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-document SimHash over word features: bit b of the signature

@@ -470,6 +470,33 @@ def test_cluster_dedup_assignment(spark, docs):
     assert 0 in kept and 2 in kept and 3 not in kept
 
 
+def test_cluster_representatives_by_quality(spark):
+    """Representative selection keeps the BEST-quality cluster member
+    (not min-id), ties to the lowest doc_id; singletons are their own
+    representative."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    # clusters: {0,1,4} (1 has the best quality), {2,5} (quality tie
+    # -> keep 2), {3} singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 4), (2, 5)], "doc_a long, doc_b long"
+    )
+    quality = spark.createDataFrame(
+        [(0, 0.2), (1, 0.9), (4, 0.5), (2, 0.7), (5, 0.7), (3, 0.1)],
+        "doc_id long, quality double",
+    )
+    out = {
+        r.cluster_id: (r.rep_doc_id, r.n_members, r.best_quality)
+        for r in dedup.cluster_representatives(docs, pairs, quality)
+        .collect()
+    }
+    assert out[0] == (1, 3, 0.9)   # best quality wins over min-id
+    assert out[2] == (2, 2, 0.7)   # quality tie -> lowest doc_id
+    assert out[3] == (3, 1, 0.1)   # singleton keeps itself
+    assert len(out) == 3
+
+
 def test_bm25_ranks_matching_docs(spark):
     rows = [
         (0, "spark spark spark engine"),
