@@ -1597,6 +1597,27 @@ def _q_simsearch_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_ivf_compacted(spark: SparkSession, sf: str) -> DataFrame:
+    # full index lifecycle: build -> append (two commits) -> COMPACT
+    # into one rewritten commit (manifest swap last) -> VACUUM the
+    # superseded commit dirs -> probe. Results must equal the
+    # append-path probe (same oracle): compaction moves bytes, never
+    # answers.
+    import tempfile
+
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_ivf_cmp_")
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), path,
+                              n_centroids=8)
+    simsearch.append_ivf_index(spark, path, e.where(F.col("vec_id") % 2 == 1))
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_simsearch_pq(spark: SparkSession, sf: str) -> DataFrame:
     # product-quantization ADC top-k: codes + table lookups, no raw
     # embeddings in the scoring scan (approximate; deterministic, so
@@ -2219,6 +2240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its arbitrary min-id one (clusters mix clean originals with
         # boilerplate-wrapped copies)
         "dedup_cluster_reps": _q_dedup_cluster_reps,
+        # index lifecycle: append commits compacted into one + vacuum,
+        # probe answers unchanged (same oracle as the append path)
+        "simsearch_ivf_compacted": _q_simsearch_ivf_compacted,
     }
 
 
@@ -5200,6 +5224,8 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_ann": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
+        # compaction moves bytes, never answers: same oracle as append
+        "simsearch_ivf_compacted": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
         "simsearch_graph_ann": _sql_graph_ann(),
         # stored probe is walk-identical to the in-memory graph_ann

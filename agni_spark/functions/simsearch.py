@@ -387,6 +387,79 @@ def _committed(spark, path: str) -> list[int]:
     )
 
 
+# stored-index subdir layouts: (subdir, routing partition column) — the
+# shared commit-partition convention every stored index here uses
+IVF_INDEX_SUBDIRS = [("cells", "centroid_id")]
+GRAPH_INDEX_SUBDIRS = [("edges", "bucket"), ("nodes", "bucket")]
+TEXT_INDEX_SUBDIRS = [("postings", "bucket"), ("doclens", None)]
+MINHASH_INDEX_SUBDIRS = [("sigs", None), ("buckets", "band")]
+
+
+def compact_index(spark, path: str, subdirs: list) -> int:
+    """Compact a stored index's committed `commit=` partitions into ONE
+    new commit — the index-tier twin of the block store's compaction.
+    Every append leaves its own commit partition, so a long-lived index
+    accumulates commits and each probe unions N partition dirs (and N
+    small-file sets); compaction rewrites the committed data into
+    commit = max+1, re-clustered on the routing column, and swaps the
+    manifest LAST. Crash-safe by the same marker-last argument as
+    build/append: until the manifest rewrite lands, readers serve the
+    old commits and the half-written new partition is invisible; after
+    it lands, the old commits are orphans for `vacuum_index`. Probe
+    results are identical before and after (test-pinned).
+
+    `subdirs` is a list of (subdir, routing_col_or_None) — use the
+    *_INDEX_SUBDIRS presets. Returns the new commit id (or the sole
+    existing commit when there is nothing to compact)."""
+    commits = _committed(spark, path)
+    if len(commits) <= 1:
+        return commits[0] if commits else -1
+    nxt = max(commits) + 1
+    for sub, routing in subdirs:
+        df = (
+            spark.read.parquet(f"{path}/{sub}")
+            .where(F.col("commit").isin(commits))
+            .drop("commit")
+            .withColumn("commit", F.lit(nxt).cast("long"))
+        )
+        part = ["commit"] + ([routing] if routing else [])
+        shaped = df.repartition(F.col(routing)) if routing else df.repartition(1)
+        # append-mode into the same root: only the NEW commit dir is
+        # written; the source partitions are never replaced, so the
+        # scan-while-write is safe
+        shaped.write.partitionBy(*part).mode("append").parquet(
+            f"{path}/{sub}"
+        )
+    _write_index_manifest(spark, path, [nxt])
+    return nxt
+
+
+def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
+    """GC commit partitions ABSENT from the manifest: superseded
+    pre-compaction commits and crashed-append debris. Hadoop FileSystem
+    API (s3a-safe), O(#commits) listing per subdir; the manifest is
+    untouched — vacuum removes only what no reader can see. Returns the
+    removed `sub/commit=N` names. Mirrors layout.vacuum_store /
+    frontend.ResultsCache.vacuum."""
+    from agni_spark.sources.layout import _fs_delete, _hfs
+
+    committed = set(_committed(spark, path))
+    removed = []
+    for sub, _ in subdirs:
+        base = f"{path}/{sub}"
+        fs, P = _hfs(spark, base)
+        if not fs.exists(P(base)):
+            continue
+        for st in fs.listStatus(P(base)):
+            name = st.getPath().getName()
+            if not name.startswith("commit="):
+                continue
+            if int(name.split("=", 1)[1]) not in committed:
+                _fs_delete(spark, f"{base}/{name}")
+                removed.append(f"{sub}/{name}")
+    return sorted(removed)
+
+
 def write_ivf_index(
     corpus: DataFrame, path: str, n_centroids: int = 8, iters: int = 1,
     centroids: DataFrame | None = None,

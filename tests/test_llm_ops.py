@@ -1026,6 +1026,85 @@ def test_graph_ann_stored_equals_in_memory(spark, tmp_path):
     assert mem8 == stored8 and len(mem8) == 15
 
 
+def test_index_compaction_and_vacuum(spark, tmp_path):
+    """Index-tier compaction lifecycle: build + append leave two
+    commits; compact rewrites them into one (manifest swapped LAST),
+    probe results are IDENTICAL before/after, and vacuum removes
+    exactly the superseded commit dirs while the probe keeps serving.
+    Covers both a routed subdir (cells/centroid_id, postings/bucket)
+    and an unrouted one (doclens)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from agni_spark.functions import text as T
+
+    # --- IVF ---
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfc")
+    simsearch.write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path)
+    simsearch.append_ivf_index(
+        spark, path, emb.where(F.col("vec_id") % 2 == 1)
+    )
+    before = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, path, q, k=5).collect()
+    )
+    assert simsearch._committed(spark, path) == [0, 1]
+    nxt = simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert nxt == 2 and simsearch._committed(spark, path) == [2]
+    after = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, path, q, k=5).collect()
+    )
+    assert before == after
+    removed = simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    )
+    assert removed == ["cells/commit=0", "cells/commit=1"]
+    assert [
+        d for d in sorted(os.listdir(f"{path}/cells"))
+        if d.startswith("commit=")
+    ] == ["commit=2"]
+    again = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, path, q, k=5).collect()
+    )
+    assert before == again
+    # idempotent / no-op on a single-commit index
+    assert simsearch.compact_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    ) == 2
+    assert simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    ) == []
+
+    # --- text (routed postings + unrouted doclens) ---
+    docs = spark.createDataFrame(
+        [(i, f"spark engine doc {i} fast query") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tpath = str(tmp_path / "txtc")
+    T.write_text_index(docs.where(F.col("doc_id") < 10), tpath)
+    T.append_text_index(spark, tpath, docs.where(F.col("doc_id") >= 10))
+    tb = sorted(
+        tuple(r)
+        for r in T.bm25_topk_indexed(spark, tpath, ["spark", "fast"], k=5)
+        .collect()
+    )
+    simsearch.compact_index(spark, tpath, simsearch.TEXT_INDEX_SUBDIRS)
+    simsearch.vacuum_index(spark, tpath, simsearch.TEXT_INDEX_SUBDIRS)
+    ta = sorted(
+        tuple(r)
+        for r in T.bm25_topk_indexed(spark, tpath, ["spark", "fast"], k=5)
+        .collect()
+    )
+    assert tb == ta
+
+
 def test_jsonl_quarantine(spark, tmp_path):
     from agni_spark.sources import jsonl
 
