@@ -1618,6 +1618,23 @@ def _q_simsearch_ivf_compacted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_graph_appended(spark: SparkSession, sf: str) -> DataFrame:
+    # incremental graph maintenance: build on the even half, NSW-insert
+    # the odd half (exact knn links vs committed nodes, forward +
+    # reverse, fresh commit, manifest-last), probe the appended graph.
+    # Full unrolled-hop oracle over the composed edge set.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_graph_app_")
+    simsearch.write_graph_index(e.where(F.col("vec_id") % 2 == 0), path, knn=5)
+    simsearch.append_graph_index(spark, path, e.where(F.col("vec_id") % 2 == 1))
+    return simsearch.graph_ann_stored(spark, path, q, k=10, beam=8, hops=3)
+
+
 def _q_simsearch_pq(spark: SparkSession, sf: str) -> DataFrame:
     # product-quantization ADC top-k: codes + table lookups, no raw
     # embeddings in the scoring scan (approximate; deterministic, so
@@ -2243,6 +2260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index lifecycle: append commits compacted into one + vacuum,
         # probe answers unchanged (same oracle as the append path)
         "simsearch_ivf_compacted": _q_simsearch_ivf_compacted,
+        # incremental NSW insertion into the stored graph index
+        "simsearch_graph_appended": _q_simsearch_graph_appended,
     }
 
 
@@ -2649,10 +2668,12 @@ def _sql_simsearch_ivf(
     cents_src: str = "embeddings",
     query_where: str = "vec_id < 5",
     k: int = 10,
+    corpus_src: str = "embeddings",
 ) -> str:
     """IVF probe mirror; `cents_src` is the quantizer's training corpus
-    (cells/probes always cover ALL of `embeddings` — the append oracle
-    assigns everything to the frozen build-half centroids).
+    (cells/probes default to ALL of `embeddings` — the append oracle
+    assigns everything to the frozen build-half centroids; the
+    graph-append oracle restricts `corpus_src` to the build half).
     `query_where`/`k` parameterize the probe set (the kNN-graph oracle
     probes with the WHOLE corpus)."""
     return f"""
@@ -2663,8 +2684,8 @@ cells AS (
       row_number() OVER (PARTITION BY c.vec_id ORDER BY
         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
           DESC, ct.centroid_id ASC) AS rn
-    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    FROM {corpus_src} c CROSS JOIN cents ct) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM {corpus_src}
       WHERE {query_where}),
 probes AS (
   SELECT query_id, qe, centroid_id FROM (
@@ -2697,7 +2718,11 @@ _SQL_SIMSEARCH_KNN_GRAPH = _sql_simsearch_ivf(query_where="TRUE", k=5)
 # then per hop: expand along edges, score only unseen nodes, beam-prune
 # the new frontier; final top-k over everything scored.
 def _sql_graph_ann(
-    k: int = 10, beam: int = 8, hops: int = 3, n_entries: int = 1
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 3,
+    n_entries: int = 1,
+    graph_sql: str | None = None,
 ) -> str:
     hop_tpl = """
 c{i} AS (SELECT DISTINCT f.query_id, ed.dst AS node
@@ -2740,10 +2765,14 @@ entry AS (SELECT DISTINCT node FROM (
         )
     else:
         entry_sql = "entry AS (SELECT min(vec_id) AS node FROM embeddings), "
+    if graph_sql is None:
+        graph_sql = (
+            "SELECT query_id AS node, vec_id AS dst FROM ("
+            + _SQL_SIMSEARCH_KNN_GRAPH
+            + ")"
+        )
     return (
-        "WITH edges AS (SELECT query_id AS node, vec_id AS dst FROM ("
-        + _SQL_SIMSEARCH_KNN_GRAPH
-        + ")), "
+        "WITH edges AS (" + graph_sql + "), "
         "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
         "FROM embeddings WHERE vec_id < 5), "
         "nodes AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS ce "
@@ -2758,6 +2787,33 @@ entry AS (SELECT DISTINCT node FROM (
         f"ORDER BY cos DESC, node ASC) AS rk FROM s{hops} s "
         f"WHERE node <> query_id) WHERE rk <= {k} ORDER BY query_id, rk"
     )
+
+
+# Graph-append mirror: edges = kNN graph over the BUILD half (even ids)
+# UNION the NSW insertion links — each odd node's exact top-knn among
+# the even nodes, forward AND reverse. The walk itself is the shared
+# unrolled-hop oracle. (The stored entry point is min of the even half
+# = 0 = min over all, so the default entry CTE is exact here.)
+def _sql_graph_appended(k: int = 10, beam: int = 8, hops: int = 3) -> str:
+    even = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
+    base = _sql_simsearch_ivf(
+        cents_src=even, corpus_src=even, query_where="TRUE", k=5
+    )
+    fwd = """
+SELECT node, dst FROM (
+  SELECT a.vec_id AS node, b.vec_id AS dst,
+    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) DESC,
+      b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0) WHERE rn <= 5"""
+    graph_sql = (
+        f"SELECT query_id AS node, vec_id AS dst FROM ({base}) "
+        f"UNION ALL SELECT node, dst FROM ({fwd}) "
+        f"UNION ALL SELECT dst AS node, node AS dst FROM ({fwd})"
+    )
+    return _sql_graph_ann(k=k, beam=beam, hops=hops, graph_sql=graph_sql)
 
 
 # IVF-PQ mirror: the IVF cells/probes candidate prune composed with the
@@ -5231,6 +5287,7 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         # stored probe is walk-identical to the in-memory graph_ann
         "simsearch_graph_stored": _sql_graph_ann(),
         "simsearch_graph_ann_multi": _sql_graph_ann(n_entries=8),
+        "simsearch_graph_appended": _sql_graph_appended(),
         "simsearch_pagerank": _SQL_PAGERANK,
         "simsearch_lsh_ann": _SQL_SIMSEARCH_LSH,
         # the kNN oracle + mutual-edge join + recursive closure: an

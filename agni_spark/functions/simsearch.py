@@ -1592,6 +1592,63 @@ def write_graph_index(
     _write_index_manifest(spark, path, [0])
 
 
+def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
+    """Incremental NSW insertion into a stored graph index: each new
+    node links to its EXACT top-knn among the COMMITTED nodes
+    (cosine_topk — the bounded new batch broadcasts into one scan of
+    the stored nodes; the store never shuffles), plus the REVERSE
+    links (NSW bidirectional insertion — old nodes' degree grows,
+    which is what keeps new nodes reachable from the old entry
+    points). New edges + node vectors land in a fresh `commit=`
+    partition; the manifest is appended LAST (a crashed append is
+    never served). knn/n_buckets come from the index meta, so append
+    composes with compact_index/vacuum_index unchanged.
+
+    Deterministic (6dp cosine, (cos DESC, id ASC) ties), so the probe
+    over the appended graph has a FULL unrolled-hop SQL oracle
+    (simsearch_graph_appended). Approximation note, as in NSW: old
+    nodes' ORIGINAL knn lists are not recomputed against the new
+    batch — insertion adds links, never rewrites history."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    n_buckets = int(meta.n_buckets)
+    knn = int(meta.knn)
+    commits = _committed(spark, path)
+    nxt = max(commits) + 1
+    old = (
+        spark.read.parquet(f"{path}/nodes")
+        .where(F.col("commit").isin(commits))
+        .select(F.col("node").alias("vec_id"), F.col("ce").alias("embedding"))
+    )
+    new = new_corpus.select("vec_id", "embedding")
+    fwd = cosine_topk(
+        old,
+        new.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=knn,
+    ).select(F.col("query_id").alias("node"), F.col("vec_id").alias("dst"))
+    edges_new = fwd.unionByName(
+        fwd.select(F.col("dst").alias("node"), F.col("node").alias("dst"))
+    )
+    bucket = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
+    (
+        edges_new.withColumn("bucket", bucket)
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("bucket")
+        .write.partitionBy("commit", "bucket")
+        .mode("append")
+        .parquet(f"{path}/edges")
+    )
+    (
+        new.select(F.col("vec_id").alias("node"), F.col("embedding").alias("ce"))
+        .withColumn("bucket", bucket)
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("bucket")
+        .write.partitionBy("commit", "bucket")
+        .mode("append")
+        .parquet(f"{path}/nodes")
+    )
+    _write_index_manifest(spark, path, commits + [nxt])
+
+
 def graph_ann_stored(
     spark,
     path: str,
