@@ -1635,6 +1635,33 @@ def _q_simsearch_graph_appended(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.graph_ann_stored(spark, path, q, k=10, beam=8, hops=3)
 
 
+def _q_streaming_ivf_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    # streaming index maintenance: build on the even half, STREAM the
+    # odd half in (2 files, maxFilesPerTrigger=1 -> >= 2 micro-batch
+    # commits via foreachBatch + append_ivf_index), then probe. The
+    # frozen quantizer makes the result independent of the batch
+    # split, so the append-path oracle is exact.
+    import tempfile
+
+    e = _emb(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="agni_sivf_")
+    src = f"{tmp}/src"
+    e.where(F.col("vec_id") % 2 == 1).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    path = f"{tmp}/idx"
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), path,
+                              n_centroids=8)
+    q = streaming.stream_ann_index(
+        spark, src, path, f"{tmp}/ckpt", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_simsearch_pq(spark: SparkSession, sf: str) -> DataFrame:
     # product-quantization ADC top-k: codes + table lookups, no raw
     # embeddings in the scoring scan (approximate; deterministic, so
@@ -2262,6 +2289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_compacted": _q_simsearch_ivf_compacted,
         # incremental NSW insertion into the stored graph index
         "simsearch_graph_appended": _q_simsearch_graph_appended,
+        # streaming ANN index maintenance (foreachBatch appends,
+        # exactly-once via same-commit dynamic overwrite on replay)
+        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
     }
 
 
@@ -5282,6 +5312,8 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
         # compaction moves bytes, never answers: same oracle as append
         "simsearch_ivf_compacted": _SQL_SIMSEARCH_IVF_APPEND,
+        # frozen quantizer => batch-split independent: append oracle
+        "streaming_ivf_ingest": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
         "simsearch_graph_ann": _sql_graph_ann(),
         # stored probe is walk-identical to the in-memory graph_ann

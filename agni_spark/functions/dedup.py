@@ -438,7 +438,8 @@ def append_minhash_index(
     (
         sigs.withColumn("commit", F.lit(nxt).cast("long"))
         .write.partitionBy("commit")
-        .mode("append")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(f"{path}/sigs")
     )
     (
@@ -446,7 +447,8 @@ def append_minhash_index(
         .withColumn("commit", F.lit(nxt).cast("long"))
         .repartition("band")
         .write.partitionBy("commit", "band")
-        .mode("append")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(f"{path}/buckets")
     )
     _write_index_manifest(spark, path, commits + [nxt])

@@ -411,11 +411,21 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     `subdirs` is a list of (subdir, routing_col_or_None) — use the
     *_INDEX_SUBDIRS presets. Returns the new commit id (or the sole
     existing commit when there is nothing to compact)."""
+    from agni_spark.sources.layout import _fs_delete, _hfs
+
     commits = _committed(spark, path)
     if len(commits) <= 1:
         return commits[0] if commits else -1
     nxt = max(commits) + 1
     for sub, routing in subdirs:
+        # a CRASHED earlier compact left an uncommitted commit=nxt dir
+        # (manifest still lists the old commits, so nxt recomputes to
+        # the same id) — delete it first, or the append below would
+        # double its rows and the final manifest swap would serve them
+        target = f"{path}/{sub}/commit={nxt}"
+        fs, P = _hfs(spark, target)
+        if fs.exists(P(target)):
+            _fs_delete(spark, target)
         df = (
             spark.read.parquet(f"{path}/{sub}")
             .where(F.col("commit").isin(commits))
@@ -510,11 +520,17 @@ def append_ivf_index(spark, path: str, new_vectors: DataFrame) -> None:
         new_vectors.select("vec_id", F.col("embedding").alias("ce")),
         cents, "vec_id", "ce", 1,
     )
+    # dynamic partition overwrite, not append: a crashed-then-replayed
+    # append recomputes the SAME commit id (manifest unchanged) and the
+    # same deterministic partitions — overwrite replaces the crashed
+    # attempt's files instead of doubling rows, which is what makes the
+    # streaming wrapper (stream_ann_index) exactly-once under replay
     (
         cells.withColumn("commit", F.lit(nxt).cast("long"))
         .repartition("centroid_id")
         .write.partitionBy("commit", "centroid_id")
-        .mode("append")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(f"{path}/cells")
     )
     _write_index_manifest(spark, path, commits + [nxt])
@@ -614,7 +630,8 @@ def append_lsh_index(
         c.withColumn("commit", F.lit(nxt).cast("long"))
         .repartition("bucket")
         .write.partitionBy("commit", "bucket")
-        .mode("append")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(f"{path}/buckets")
     )
     _write_index_manifest(spark, path, commits + [nxt])
@@ -1634,7 +1651,8 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
         .withColumn("commit", F.lit(nxt).cast("long"))
         .repartition("bucket")
         .write.partitionBy("commit", "bucket")
-        .mode("append")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(f"{path}/edges")
     )
     (
@@ -1643,7 +1661,8 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
         .withColumn("commit", F.lit(nxt).cast("long"))
         .repartition("bucket")
         .write.partitionBy("commit", "bucket")
-        .mode("append")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(f"{path}/nodes")
     )
     _write_index_manifest(spark, path, commits + [nxt])

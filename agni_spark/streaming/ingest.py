@@ -54,6 +54,61 @@ def stream_ingest(
     return writer.start()
 
 
+EMBEDDINGS_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def stream_ann_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """CONTINUOUS ANN INDEX MAINTENANCE: a file-source stream of new
+    embedding rows appends into an existing stored IVF index per
+    micro-batch (foreachBatch -> append_ivf_index) — each batch's
+    vectors are assigned to the index's FROZEN quantizer and land as
+    their own manifest-committed `commit=` partition, so probes serve
+    a consistent snapshot at every instant and never see a half-landed
+    batch.
+
+    Exactly-once across restarts WITHOUT idempotent-sink bookkeeping:
+    a replayed micro-batch recomputes the SAME commit id (the crashed
+    attempt never reached the manifest, so max(commits)+1 is
+    unchanged) and append_ivf_index writes with dynamic partition
+    overwrite — the replay replaces the crashed attempt's files
+    instead of doubling rows, and the manifest rewrite LAST remains
+    the single commit point. Empty batches are skipped (no empty
+    commit partitions). Probe results after the stream drain equal a
+    batch append of the same rows (append == rebuild is already
+    test-pinned for the IVF layout), independent of how the files
+    split into micro-batches. Returns the started StreamingQuery."""
+    from agni_spark.functions.simsearch import append_ivf_index
+
+    reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+
+    def _append(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        append_ivf_index(
+            batch_df.sparkSession, index_path,
+            batch_df.select("vec_id", "embedding"),
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_sum(
     stream: DataFrame,
     window: str = "1 hour",

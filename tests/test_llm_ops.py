@@ -1105,6 +1105,87 @@ def test_index_compaction_and_vacuum(spark, tmp_path):
     assert tb == ta
 
 
+def test_append_replay_is_idempotent(spark, tmp_path):
+    """Streaming exactly-once contract: a crashed-then-replayed append
+    recomputes the same commit id and its dynamic partition overwrite
+    REPLACES the crashed attempt's files — no doubled rows once the
+    manifest finally lands. Simulated by appending, rolling the
+    manifest back (as if the crash hit before the manifest rewrite),
+    and appending the same batch again."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfr")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    simsearch.write_ivf_index(even, path)
+    simsearch.append_ivf_index(spark, path, odd)
+    committed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/cells")
+        .where(F.col("commit") == 1)
+        .collect()
+    )
+    # crash simulation: manifest rolled back to pre-append state,
+    # data of the attempt still on disk
+    simsearch._write_index_manifest(spark, path, [0])
+    simsearch.append_ivf_index(spark, path, odd)  # the replay
+    replayed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/cells")
+        .where(F.col("commit") == 1)
+        .collect()
+    )
+    assert replayed == committed  # replaced, not doubled
+    assert simsearch._committed(spark, path) == [0, 1]
+    n_total = emb.count()
+    served = spark.read.parquet(f"{path}/cells").where(
+        F.col("commit").isin(simsearch._committed(spark, path))
+    )
+    assert served.count() == n_total
+    assert served.select("vec_id").distinct().count() == n_total
+
+
+def test_stream_ann_index_multibatch(spark, tmp_path):
+    """Streaming ANN maintenance drains a 2-file source into 2 commits
+    (maxFilesPerTrigger=1) and the probe equals a single batch append
+    of the same rows — the frozen quantizer makes results independent
+    of the micro-batch split."""
+    from pyspark.sql import functions as F
+
+    from agni_spark.streaming import ingest as streaming
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # batch twin
+    bpath = str(tmp_path / "ivf_batch")
+    simsearch.write_ivf_index(even, bpath)
+    simsearch.append_ivf_index(spark, bpath, odd)
+    want = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, bpath, q, k=5).collect()
+    )
+    # streamed
+    src = str(tmp_path / "src")
+    odd.repartition(2).write.mode("overwrite").parquet(src)
+    spath = str(tmp_path / "ivf_stream")
+    simsearch.write_ivf_index(even, spath)
+    sq = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    sq.awaitTermination()
+    assert len(simsearch._committed(spark, spath)) >= 3  # build + 2
+    got = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, spath, q, k=5).collect()
+    )
+    assert got == want
+
+
 def test_jsonl_quarantine(spark, tmp_path):
     from agni_spark.sources import jsonl
 
