@@ -786,6 +786,22 @@ def _append_postings(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).where(F.col("w") != "")
     words = words.persist()  # feeds postings AND doclens — one explode
+
+    def _write(df, part):
+        w = df.write.partitionBy(*part)
+        if mode == "append":
+            # dynamic partition overwrite, not raw append: a crashed-
+            # then-replayed append recomputes the same commit id and
+            # must REPLACE the crashed attempt's files, not double
+            # rows (same replay contract as the ivf/lsh/graph/minhash
+            # index appends)
+            w = w.option("partitionOverwriteMode", "dynamic").mode(
+                "overwrite"
+            )
+        else:
+            w = w.mode(mode)
+        return w
+
     tf = (
         words.groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
@@ -795,20 +811,15 @@ def _append_postings(
         )
         .withColumn("commit", F.lit(commit).cast("long"))
     )
-    (
-        tf.repartition("bucket")
-        .write.partitionBy("commit", "bucket")
-        .mode(mode)
-        .parquet(f"{path}/postings")
+    _write(tf.repartition("bucket"), ["commit", "bucket"]).parquet(
+        f"{path}/postings"
     )
-    (
+    _write(
         words.groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("double").alias("dl"))
-        .withColumn("commit", F.lit(commit).cast("long"))
-        .write.partitionBy("commit")
-        .mode(mode)
-        .parquet(f"{path}/doclens")
-    )
+        .withColumn("commit", F.lit(commit).cast("long")),
+        ["commit"],
+    ).parquet(f"{path}/doclens")
     words.unpersist()
 
 
