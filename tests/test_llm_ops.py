@@ -1105,6 +1105,43 @@ def test_index_compaction_and_vacuum(spark, tmp_path):
     assert tb == ta
 
 
+def test_graph_append_then_compact_probe_invariant(spark, tmp_path):
+    """Lifecycle composition across the graph index: build -> NSW
+    append -> compact -> vacuum; the beam-walk probe is identical at
+    every step after the append (compaction and vacuum move bytes,
+    never answers)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "gac")
+    simsearch.write_graph_index(
+        emb.where(F.col("vec_id") % 2 == 0), path, knn=5
+    )
+    simsearch.append_graph_index(
+        spark, path, emb.where(F.col("vec_id") % 2 == 1)
+    )
+
+    def probe():
+        return sorted(
+            tuple(r)
+            for r in simsearch.graph_ann_stored(
+                spark, path, q, k=5, beam=4, hops=2
+            ).collect()
+        )
+
+    appended = probe()
+    # appended graph must actually surface odd (inserted) nodes
+    assert any(r[1] % 2 == 1 for r in appended)
+    simsearch.compact_index(spark, path, simsearch.GRAPH_INDEX_SUBDIRS)
+    assert simsearch._committed(spark, path) == [2]
+    assert probe() == appended
+    simsearch.vacuum_index(spark, path, simsearch.GRAPH_INDEX_SUBDIRS)
+    assert probe() == appended
+
+
 def test_append_replay_is_idempotent(spark, tmp_path):
     """Streaming exactly-once contract: a crashed-then-replayed append
     recomputes the same commit id and its dynamic partition overwrite
