@@ -854,11 +854,12 @@ def pq_search(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
-    return (
+    return _finalize(
         adc.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk"))
-        .orderBy("query_id", "rk")
+        .orderBy("query_id", "rk"),
+        [cb],
     )
 
 
