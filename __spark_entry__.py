@@ -943,6 +943,28 @@ def _q_pipeline_curate_v2(spark: SparkSession, sf: str) -> DataFrame:
     return text.mixture_sample(kept, MIX_WEIGHTS)
 
 
+def _q_pipeline_curate_v4(spark: SparkSession, sf: str) -> DataFrame:
+    # quality-AWARE dedup curation: near-dup clusters keep their BEST
+    # member (cluster_representatives), then the quality gate — the
+    # r7 evolution of v1's keep-min-id chain (min-id keeps whichever
+    # copy was crawled first; best-quality keeps the clean original).
+    # Output: corpus-level manifest stats.
+    d = _docs(spark, sf)
+    pairs = dedup.minhash_dedup_pairs(d, k=3, threshold=0.7)
+    stats = text.doc_stats(d).select("doc_id", "quality", "n_tokens")
+    reps = dedup.cluster_representatives(d, pairs, stats)
+    kept = (
+        reps.select(F.col("rep_doc_id").alias("doc_id"))
+        .join(stats, "doc_id")
+        .where(F.col("quality") >= 0.3)
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
 def _q_pipeline_curate_v3(spark: SparkSession, sf: str) -> DataFrame:
     # round-6 curation chain with DECONTAMINATION: quality gate
     # (Gopher rules AND repetition filters) -> cluster dedup at
@@ -2292,6 +2314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming ANN index maintenance (foreachBatch appends,
         # exactly-once via same-commit dynamic overwrite on replay)
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
+        # quality-aware dedup curation (best-member representative)
+        "pipeline_curate_v4": _q_pipeline_curate_v4,
     }
 
 
@@ -5293,6 +5317,16 @@ ORDER BY 1, 2
 """,
         "dedup_cluster_assign": _SQL_CLUSTER_ASSIGN,
         "dedup_cluster_reps": _sql_cluster_reps(),
+        # curation over the representatives: count/token/quality stats
+        # of best-member reps passing the quality gate
+        "pipeline_curate_v4": (
+            f"SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(sum(ds.n_tokens) AS BIGINT) AS total_tokens, "
+            f"round(avg(ds.quality), 6) AS avg_quality "
+            f"FROM ({_sql_cluster_reps()}) r "
+            f"JOIN ({_SQL_DOC_STATS}) ds ON ds.doc_id = r.rep_doc_id "
+            f"WHERE ds.quality >= 0.3"
+        ),
         # signatures are per-doc, so computing them over ALL documents
         # and filtering at the candidate stage equals the split
         # index-then-probe computation
