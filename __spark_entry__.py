@@ -5406,14 +5406,18 @@ ORDER BY em.vec_id""",
             "ORDER BY p.vec_id"
         ),
         # emit-on-window-close: only windows whose end passed the final
-        # watermark (max event time - 2h delay) ever emit — the same
-        # append-mode rule as streaming_windowed_sum.
+        # watermark (max event time - 2h delay) ever emit. STRICT `<`:
+        # EventTimeTimeout fires only when the watermark strictly
+        # exceeds the timeout timestamp (= window end), so a window
+        # ending exactly AT the final watermark never emits — unlike
+        # streaming_windowed_sum's native append-mode windows, which
+        # evict at end <= watermark (inclusive).
         "streaming_topk": q(
             ", sums AS (SELECT"
             " CAST(ts_ms // 86400000 AS BIGINT) * 86400000 AS bucket_ms,"
             " series_id, round(sum(value), 4) AS sum_value"
             " FROM samples GROUP BY 1, 2"
-            " HAVING bucket_ms + 86400000 <="
+            " HAVING bucket_ms + 86400000 <"
             " (SELECT max(ts_ms) - 7200000 FROM samples)),"
             "r AS (SELECT *, row_number() OVER (PARTITION BY bucket_ms"
             "  ORDER BY sum_value DESC, series_id) AS rk FROM sums) "

@@ -145,20 +145,38 @@ class ResultsCache:
         registry commit moves the live cache under a new `ver=` dir and
         strands the previous version's partials — harmless but
         unbounded on a long-lived store (one orphaned copy of every
-        cached day per append). Deletes all `ver=` dirs except this
-        cache's pinned version; goes through the Hadoop FileSystem API
-        (s3a-safe), O(#versions) listing, never touches live data.
-        Returns the removed version dir names. The results-cache twin
-        of layout.vacuum_store."""
+        cached day per append). Deletes only `ver=` dirs STRICTLY
+        OLDER than this cache's pinned version (registry snapshot
+        versions are ordered): a stale cache instance — opened before
+        a later registry commit — must never delete a NEWER
+        concurrently-open cache's committed partials, so dirs it
+        cannot prove superseded (newer, or not version-ordered) are
+        left alone. Goes through the Hadoop FileSystem API (s3a-safe),
+        O(#versions) listing, never touches live data. Returns the
+        removed version dir names. The results-cache twin of
+        layout.vacuum_store."""
         from agni_spark.sources.layout import _fs_delete, _hfs
 
+        def _ord(v: str) -> int | None:
+            # registry-backed versions are "v<int>"; anything else
+            # (pinned tokens, "static") has no order -> never deleted
+            if v.startswith("v") and v[1:].isdigit():
+                return int(v[1:])
+            return None
+
+        mine = _ord(self._version)
+        if mine is None:
+            return []
         fs, P = _hfs(self.spark, self.path)
         if not fs.exists(P(self.path)):
             return []
         removed = []
         for st in fs.listStatus(P(self.path)):
             name = st.getPath().getName()
-            if name.startswith("ver=") and name != f"ver={self._version}":
+            if not name.startswith("ver="):
+                continue
+            other = _ord(name[len("ver="):])
+            if other is not None and other < mine:
                 _fs_delete(self.spark, f"{self.path}/{name}")
                 removed.append(name)
         return sorted(removed)

@@ -430,10 +430,18 @@ def append_minhash_index(
     """Register a new batch in the signature index: O(batch) work, no
     existing partition read or rewritten; manifest rewrite LAST is the
     commit point."""
-    from agni_spark.functions.simsearch import _committed, _write_index_manifest
+    from agni_spark.functions.simsearch import (
+        MINHASH_INDEX_SUBDIRS,
+        _clear_uncommitted_commit,
+        _committed,
+        _write_index_manifest,
+    )
 
     commits = _committed(spark, path)
     nxt = max(commits) + 1
+    # clear a crashed compact's uncommitted leftover under this id
+    # (dynamic overwrite below replaces only our own partitions)
+    _clear_uncommitted_commit(spark, path, MINHASH_INDEX_SUBDIRS, nxt)
     sigs = minhash_signatures(new_docs, k, bands * rows)
     (
         sigs.withColumn("commit", F.lit(nxt).cast("long"))

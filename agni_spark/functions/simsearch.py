@@ -371,25 +371,75 @@ def semantic_dedup_keep(
 # its routing key, so a probe query's scan touches nprobe partitions
 # (dynamic partition pruning) instead of the whole corpus.
 # ---------------------------------------------------------------------------
-def _write_index_manifest(spark, path: str, commits: list[int]) -> None:
+def _write_index_manifest(
+    spark, path: str, commits: list[int],
+    batch_ids: dict[int, int] | None = None,
+) -> None:
     """Commit marker (block-store registry pattern): the manifest lists
     the committed `commit=` partitions and is rewritten LAST, after the
     data lands. Readers filter to manifest-listed commits, so a crashed
-    append's partial partition is never served."""
+    append's partial partition is never served.
+
+    `batch_ids` maps commit -> the streaming micro-batch id that
+    produced it (None for batch-API commits). Recording it IN the
+    manifest makes the (data, provenance) pair commit atomically: a
+    replayed foreachBatch whose previous attempt DID reach the
+    manifest (crash between manifest write and checkpoint commit) sees
+    its batch id already applied and skips — the idempotent-sink
+    bookkeeping dynamic partition overwrite alone cannot provide."""
+    bids = batch_ids or {}
     spark.createDataFrame(
-        [(int(c),) for c in sorted(commits)], "commit long"
+        [(int(c), bids.get(int(c))) for c in sorted(commits)],
+        "commit long, batch_id long",
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/manifest")
 
 
-def _committed(spark, path: str) -> list[int]:
+def _manifest_rows(spark, path: str) -> list[tuple[int, int | None]]:
+    """(commit, batch_id|None) pairs, sorted by commit; tolerates
+    legacy manifests written before the batch_id column existed."""
+    df = spark.read.parquet(f"{path}/manifest")
+    has_bid = "batch_id" in df.columns
     return sorted(
-        r.commit for r in spark.read.parquet(f"{path}/manifest").collect()
+        (int(r.commit), int(r.batch_id) if has_bid and r.batch_id is not None
+         else None)
+        for r in df.collect()
     )
+
+
+def _committed(spark, path: str) -> list[int]:
+    return [c for c, _ in _manifest_rows(spark, path)]
+
+
+def _max_applied_batch(rows: list[tuple[int, int | None]]) -> int | None:
+    bids = [b for _, b in rows if b is not None]
+    return max(bids) if bids else None
+
+
+def _clear_uncommitted_commit(
+    spark, path: str, subdirs: list, nxt: int
+) -> None:
+    """Delete any UNCOMMITTED `commit=nxt` directory before writing
+    one: a crashed compact_index (or a crashed raw-append) can leave a
+    full data copy under the id this writer is about to reuse —
+    compaction and the appends share the max(committed)+1 id space —
+    and dynamic partition overwrite only replaces the partitions THIS
+    write produces, so the leftover's other partitions would be served
+    the moment the manifest commits the id. Safe by the manifest-last
+    contract: an id absent from the manifest is invisible to every
+    reader, so deleting its directory can never lose committed data."""
+    from agni_spark.sources.layout import _fs_delete, _hfs
+
+    for sub, _routing in subdirs:
+        target = f"{path}/{sub}/commit={nxt}"
+        fs, P = _hfs(spark, target)
+        if fs.exists(P(target)):
+            _fs_delete(spark, target)
 
 
 # stored-index subdir layouts: (subdir, routing partition column) — the
 # shared commit-partition convention every stored index here uses
 IVF_INDEX_SUBDIRS = [("cells", "centroid_id")]
+LSH_INDEX_SUBDIRS = [("buckets", "bucket")]
 GRAPH_INDEX_SUBDIRS = [("edges", "bucket"), ("nodes", "bucket")]
 TEXT_INDEX_SUBDIRS = [("postings", "bucket"), ("doclens", None)]
 MINHASH_INDEX_SUBDIRS = [("sigs", None), ("buckets", "band")]
@@ -411,21 +461,17 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     `subdirs` is a list of (subdir, routing_col_or_None) — use the
     *_INDEX_SUBDIRS presets. Returns the new commit id (or the sole
     existing commit when there is nothing to compact)."""
-    from agni_spark.sources.layout import _fs_delete, _hfs
-
-    commits = _committed(spark, path)
+    rows = _manifest_rows(spark, path)
+    commits = [c for c, _ in rows]
     if len(commits) <= 1:
         return commits[0] if commits else -1
     nxt = max(commits) + 1
+    # a CRASHED earlier compact left an uncommitted commit=nxt dir
+    # (manifest still lists the old commits, so nxt recomputes to
+    # the same id) — delete it first, or the append below would
+    # double its rows and the final manifest swap would serve them
+    _clear_uncommitted_commit(spark, path, subdirs, nxt)
     for sub, routing in subdirs:
-        # a CRASHED earlier compact left an uncommitted commit=nxt dir
-        # (manifest still lists the old commits, so nxt recomputes to
-        # the same id) — delete it first, or the append below would
-        # double its rows and the final manifest swap would serve them
-        target = f"{path}/{sub}/commit={nxt}"
-        fs, P = _hfs(spark, target)
-        if fs.exists(P(target)):
-            _fs_delete(spark, target)
         df = (
             spark.read.parquet(f"{path}/{sub}")
             .where(F.col("commit").isin(commits))
@@ -440,7 +486,15 @@ def compact_index(spark, path: str, subdirs: list) -> int:
         shaped.write.partitionBy(*part).mode("append").parquet(
             f"{path}/{sub}"
         )
-    _write_index_manifest(spark, path, [nxt])
+    # carry the max applied streaming batch id onto the compacted
+    # commit: the folded-in batches' provenance must survive
+    # compaction, or a replayed micro-batch landing just after a
+    # compact would re-append rows the compact already holds
+    applied = _max_applied_batch(rows)
+    _write_index_manifest(
+        spark, path, [nxt],
+        {nxt: applied} if applied is not None else None,
+    )
     return nxt
 
 
@@ -506,16 +560,32 @@ def write_ivf_index(
     _write_index_manifest(spark, path, [0])
 
 
-def append_ivf_index(spark, path: str, new_vectors: DataFrame) -> None:
+def append_ivf_index(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> None:
     """Incremental index maintenance: assign ONLY the new vectors to
     the index's FROZEN centroids (standard IVF add() semantics — the
     coarse quantizer is not retrained) and land them in a fresh
     `commit=` partition; the manifest rewrite LAST is the commit
     point. No existing data is read or rewritten — the append's cost
-    is O(new rows), not O(index)."""
+    is O(new rows), not O(index).
+
+    `batch_id` (streaming callers): recorded in the manifest row of
+    the new commit, atomically with the commit itself. A replay whose
+    previous attempt already reached the manifest (crash between
+    manifest write and streaming-checkpoint commit — the window
+    dynamic partition overwrite alone cannot cover, because
+    max(commits)+1 has advanced) is detected as batch_id <= the max
+    applied id and skipped. foreachBatch ids are monotone, which is
+    what makes the <= rule sufficient."""
+    rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return
     cents = spark.read.parquet(f"{path}/centroids")
-    commits = _committed(spark, path)
+    commits = [c for c, _ in rows]
     nxt = max(commits) + 1
+    _clear_uncommitted_commit(spark, path, IVF_INDEX_SUBDIRS, nxt)
     cells = _nearest_centroids(
         new_vectors.select("vec_id", F.col("embedding").alias("ce")),
         cents, "vec_id", "ce", 1,
@@ -533,7 +603,10 @@ def append_ivf_index(spark, path: str, new_vectors: DataFrame) -> None:
         .mode("overwrite")
         .parquet(f"{path}/cells")
     )
-    _write_index_manifest(spark, path, commits + [nxt])
+    bids = {c: b for c, b in rows if b is not None}
+    if batch_id is not None:
+        bids[nxt] = int(batch_id)
+    _write_index_manifest(spark, path, commits + [nxt], bids or None)
 
 
 def ivf_ann_stored(
@@ -619,8 +692,10 @@ def append_lsh_index(
     quantizer) into a fresh commit partition, manifest rewrite last.
     O(new rows), no index rewrite."""
     planes = hyperplanes(dim, n_planes)
-    commits = _committed(spark, path)
+    rows = _manifest_rows(spark, path)
+    commits = [c for c, _ in rows]
     nxt = max(commits) + 1
+    _clear_uncommitted_commit(spark, path, LSH_INDEX_SUBDIRS, nxt)
     c = new_vectors.select(
         "vec_id",
         F.col("embedding").alias("ce"),
@@ -1632,6 +1707,7 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
     knn = int(meta.knn)
     commits = _committed(spark, path)
     nxt = max(commits) + 1
+    _clear_uncommitted_commit(spark, path, GRAPH_INDEX_SUBDIRS, nxt)
     old = (
         spark.read.parquet(f"{path}/nodes")
         .where(F.col("commit").isin(commits))

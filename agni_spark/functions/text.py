@@ -829,6 +829,8 @@ def append_text_index(spark, path: str, new_docs: DataFrame) -> None:
     manifest rewrite LAST is the commit point. Nothing existing is
     read or rewritten — append cost is O(new docs), not O(index)."""
     from agni_spark.functions.simsearch import (
+        TEXT_INDEX_SUBDIRS,
+        _clear_uncommitted_commit,
         _committed,
         _write_index_manifest,
     )
@@ -836,6 +838,10 @@ def append_text_index(spark, path: str, new_docs: DataFrame) -> None:
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
     commits = _committed(spark, path)
     nxt = max(commits) + 1
+    # a crashed compact_index can leave a FULL uncommitted copy under
+    # this id; dynamic overwrite below replaces only OUR partitions,
+    # so clear the leftover first (shared guard, see simsearch)
+    _clear_uncommitted_commit(spark, path, TEXT_INDEX_SUBDIRS, nxt)
     _append_postings(new_docs, path, n_buckets, commit=nxt, mode="append")
     _write_index_manifest(spark, path, commits + [nxt])
 

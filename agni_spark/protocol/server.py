@@ -217,8 +217,17 @@ def handle_read_negotiated(
             for t in accepted
             if t in (pb.RESPONSE_SAMPLES, pb.RESPONSE_STREAMED_XOR_CHUNKS)
         ),
-        pb.RESPONSE_SAMPLES,
+        None,
     )
+    if chosen is None:
+        # a NON-EMPTY accepted list with no type we support is a
+        # protocol error (codec.go NegotiateResponseType returns an
+        # error) — serving SAMPLES anyway would hand the client a body
+        # it never agreed to parse. Handler maps this to HTTP 400.
+        raise ValueError(
+            f"server does not support any of accepted_response_types="
+            f"{accepted}"
+        )
     if chosen == pb.RESPONSE_STREAMED_XOR_CHUNKS:
         stream = b"".join(
             frame

@@ -73,17 +73,21 @@ def stream_ann_index(
     a consistent snapshot at every instant and never see a half-landed
     batch.
 
-    Exactly-once across restarts WITHOUT idempotent-sink bookkeeping:
-    a replayed micro-batch recomputes the SAME commit id (the crashed
-    attempt never reached the manifest, so max(commits)+1 is
-    unchanged) and append_ivf_index writes with dynamic partition
-    overwrite — the replay replaces the crashed attempt's files
-    instead of doubling rows, and the manifest rewrite LAST remains
-    the single commit point. Empty batches are skipped (no empty
-    commit partitions). Probe results after the stream drain equal a
-    batch append of the same rows (append == rebuild is already
-    test-pinned for the IVF layout), independent of how the files
-    split into micro-batches. Returns the started StreamingQuery."""
+    Exactly-once across restarts, covering BOTH crash windows: (a) a
+    crash BEFORE the manifest write — the replay recomputes the SAME
+    commit id (max(commits)+1 unchanged) and append_ivf_index's
+    dynamic partition overwrite replaces the crashed attempt's files
+    instead of doubling rows; (b) a crash AFTER the manifest write but
+    BEFORE the streaming checkpoint commit — here max(commits)+1 HAS
+    advanced, so the replay would land the same rows under a new
+    commit; append_ivf_index detects this because the micro-batch id
+    is recorded IN the manifest (atomically with the commit) and skips
+    any batch_id <= the max applied id (foreachBatch ids are
+    monotone). Empty batches are skipped (no empty commit
+    partitions). Probe results after the stream drain equal a batch
+    append of the same rows (append == rebuild is already test-pinned
+    for the IVF layout), independent of how the files split into
+    micro-batches. Returns the started StreamingQuery."""
     from agni_spark.functions.simsearch import append_ivf_index
 
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
@@ -97,6 +101,7 @@ def stream_ann_index(
         append_ivf_index(
             batch_df.sparkSession, index_path,
             batch_df.select("vec_id", "embedding"),
+            batch_id=batch_id,
         )
 
     writer = (

@@ -165,6 +165,11 @@ def test_backfill_invalidates_cached_day(spark, tmp_path):
     import os
 
     assert len(os.listdir(str(tmp_path / "cache5"))) == 2
+    # a STALE instance (pinned to the pre-backfill version) must never
+    # delete the newer live version's partials: vacuum removes only
+    # versions strictly OLDER than its own pin
+    assert fc.vacuum() == []
+    assert len(os.listdir(str(tmp_path / "cache5"))) == 2
     removed = fc2.vacuum()
     assert len(removed) == 1 and removed[0].startswith("ver=")
     assert os.listdir(str(tmp_path / "cache5")) == [f"ver={fc2._version}"]

@@ -1223,6 +1223,93 @@ def test_stream_ann_index_multibatch(spark, tmp_path):
     assert got == want
 
 
+def test_append_ivf_replay_after_manifest_commit(spark, tmp_path):
+    """The second exactly-once crash window: the previous attempt DID
+    reach the manifest (batch committed) but the streaming checkpoint
+    did not — the replay re-runs foreachBatch with the SAME batch_id
+    while max(commits)+1 has advanced. The batch_id recorded in the
+    manifest makes the replay a no-op instead of a duplicate commit."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_replay")
+    simsearch.write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    simsearch.append_ivf_index(spark, path, odd, batch_id=7)
+    assert simsearch._committed(spark, path) == [0, 1]
+    want = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, path, q, k=5).collect()
+    )
+    # replay of the already-applied batch: no new commit, no dup rows
+    simsearch.append_ivf_index(spark, path, odd, batch_id=7)
+    assert simsearch._committed(spark, path) == [0, 1]
+    got = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, path, q, k=5).collect()
+    )
+    assert got == want
+    # an earlier batch id (out-of-order replay) is also skipped; a
+    # NEWER batch id appends normally
+    simsearch.append_ivf_index(spark, path, odd.limit(1), batch_id=3)
+    assert simsearch._committed(spark, path) == [0, 1]
+    simsearch.append_ivf_index(spark, path, odd.limit(0), batch_id=8)
+    assert simsearch._committed(spark, path) == [0, 1, 2]
+    # provenance survives compaction: batch 8 stays applied afterwards
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    simsearch.append_ivf_index(spark, path, odd, batch_id=8)
+    assert simsearch._committed(spark, path) == [3]
+
+
+def test_append_clears_crashed_compact_leftover(spark, tmp_path):
+    """A crashed compact leaves a FULL uncommitted copy under
+    commit=max+1; a later append reuses that id and dynamic overwrite
+    replaces only the append's own partitions — without the clear-
+    first guard the manifest swap would serve the leftover's other
+    partitions (near-total duplication)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_crash")
+    even, odd = (
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )
+    simsearch.write_ivf_index(even, path)
+    # expected end state: a clean build + append of the same rows
+    clean = str(tmp_path / "ivf_clean")
+    simsearch.write_ivf_index(even, clean)
+    simsearch.append_ivf_index(spark, clean, odd)
+    want = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, clean, q, k=5).collect()
+    )
+    # simulate the crashed compact: a full uncommitted copy of the
+    # committed data under commit=1 (the id the next append will use)
+    shutil.copytree(f"{path}/cells/commit=0", f"{path}/cells/commit=1")
+    simsearch.append_ivf_index(spark, path, odd)
+    got = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, path, q, k=5).collect()
+    )
+    assert got == want
+    # and the served row count is exact (no doubled vectors)
+    n = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("commit").isin(simsearch._committed(spark, path)))
+        .count()
+    )
+    assert n == emb.count()
+
+
 def test_jsonl_quarantine(spark, tmp_path):
     from agni_spark.sources import jsonl
 

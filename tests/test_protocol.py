@@ -700,7 +700,10 @@ def test_negotiation_first_accepted_wins(served_querier):
     accepted_response_types wins. A client listing SAMPLES before
     STREAMED_XOR_CHUNKS prefers the sampled body and must get it even
     though it also accepts the streamed one; empty list defaults to
-    SAMPLES; unknown-first falls through to the first supported."""
+    SAMPLES; unknown-first falls through to the first supported; a
+    non-empty list with NO supported type is a protocol error (the
+    upstream codec errors too — serving SAMPLES would hand the client
+    a body it never agreed to parse)."""
     from agni_spark.protocol.server import (
         CONTENT_TYPE_SAMPLES, CONTENT_TYPE_STREAMED, handle_read_negotiated,
     )
@@ -725,7 +728,11 @@ def test_negotiation_first_accepted_wins(served_querier):
     assert negotiate(
         [99, pb.RESPONSE_STREAMED_XOR_CHUNKS]
     ) == CONTENT_TYPE_STREAMED
-    assert negotiate([99]) == CONTENT_TYPE_SAMPLES
+    # ONLY unsupported types -> error (HTTP 400 at the handler)
+    import pytest
+
+    with pytest.raises(ValueError, match="accepted_response_types"):
+        negotiate([99])
 
 
 def test_http_streamed_read_end_to_end(served_querier):
