@@ -1684,6 +1684,43 @@ def _q_streaming_ivf_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_ivfpq_stored(spark: SparkSession, sf: str) -> DataFrame:
+    # materialized IVF-PQ: the build trains once (same _ivfpq_train
+    # path as simsearch_ivfpq) and persists centroids/codebooks/packed
+    # codes partitioned by (commit, centroid_id); the probe prunes to
+    # nprobe partition dirs and reruns only the queries-sized ADC
+    # table builds. Identical results to the in-memory search ->
+    # identical full composed oracle.
+    import tempfile
+
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_pq_idx_")
+    simsearch.write_pq_index(e, path, n_centroids=8, m=16, ksub=16,
+                             lloyd_rounds=2)
+    return simsearch.ivfpq_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
+def _q_simsearch_ivfpq_stored_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    # stored two-stage serve: ADC shortlist from the codes store +
+    # exact rerank against the raw corpus (broadcast shortlist, one
+    # narrow scan) — matches ivfpq_refine, same full oracle
+    import tempfile
+
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_pqr_idx_")
+    simsearch.write_pq_index(e, path, n_centroids=8, m=16, ksub=16,
+                             lloyd_rounds=2)
+    return simsearch.ivfpq_stored_refine(
+        spark, path, e, queries_df, k=10, rfactor=3, nprobe=2
+    )
+
+
 def _q_simsearch_pq(spark: SparkSession, sf: str) -> DataFrame:
     # product-quantization ADC top-k: codes + table lookups, no raw
     # embeddings in the scoring scan (approximate; deterministic, so
@@ -2002,6 +2039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("vec_id").alias("query_id"), "embedding"),
             k=10, n_centroids=8, nprobe=2, m=16, ksub=16,
         ),
+        # train-once/probe-many PQ: write_pq_index persists the model
+        # + packed codes; the probe rebuilds only the queries-sized ADC
+        # tables — same training code path, so the full composed
+        # ivfpq oracle transfers unchanged
+        "simsearch_ivfpq_stored": _q_simsearch_ivfpq_stored,
         "dedup_semantic": _q_dedup_semantic,
         # --- Events (3) ---
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
@@ -2316,6 +2358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
         # quality-aware dedup curation (best-member representative)
         "pipeline_curate_v4": _q_pipeline_curate_v4,
+        # stored-PQ two-stage serve (ADC shortlist from the codes
+        # store + exact rerank) — matches ivfpq_refine's full oracle
+        "simsearch_ivfpq_stored_rerank": _q_simsearch_ivfpq_stored_rerank,
     }
 
 
@@ -5385,6 +5430,10 @@ ORDER BY em.vec_id""",
         ),
         "simsearch_pq_adc": _SQL_SIMSEARCH_PQ,
         "simsearch_ivfpq": _SQL_SIMSEARCH_IVFPQ,
+        # stored PQ probes share the in-memory search's training code
+        # path, so the same composed oracles transfer verbatim
+        "simsearch_ivfpq_stored": _SQL_SIMSEARCH_IVFPQ,
+        "simsearch_ivfpq_stored_rerank": _sql_ivfpq_refine(),
         "simsearch_ivfpq_rerank": _sql_ivfpq_refine(),
         "simsearch_random_projection": _sql_random_projection(),
         "simsearch_reduced_rerank": _sql_reduced_rerank(),

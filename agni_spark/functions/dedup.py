@@ -575,6 +575,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 16,
+    small_cutoff: int = 100_000,
 ) -> DataFrame:
     """Distributed connected components by alternating large-star /
     small-star rounds (Kiveris et al., "Connected Components in
@@ -596,13 +597,45 @@ def connected_components(
     r-1 (on a multi-executor cluster, swap in `checkpoint()` against a
     reliable dir for fault tolerance). 100 TB: edge tables stay fully
     distributed; round count grows logarithmically, not with volume.
-    """
+
+    Small-graph fast path: the FIRST convergence probe already counts
+    the canonical edges; when that count is <= `small_cutoff` (dup
+    pairs after LSH banding are usually a sliver of the corpus — 256
+    edges at sf0.1), the closure finishes with a driver-side
+    union-find in ONE pass instead of paying the multi-job star-round
+    tower, the same measured-bound driver-coordination trade the beam
+    walk makes (collect is bounded by the cutoff: ~1.6 MB at 100k
+    edges). Identical output — union-by-min-root makes every tree
+    root its component minimum (test-pinned against the distributed
+    path); above the cutoff nothing changes."""
     _sig = lambda df: df.agg(  # noqa: E731 — O(1)-row convergence probe
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.hash("src", "dst").cast("long")), F.lit(0)).alias("h"),
     ).first()
     cur = _canonical_edges(pairs, a_col, b_col).localCheckpoint(eager=True)
     sig = _sig(cur)
+    if sig["n"] <= small_cutoff:
+        parent: dict = {}
+
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in cur.collect():
+            a, b = int(r.src), int(r.dst)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                # attach the LARGER root under the smaller: the root
+                # of every tree is the component minimum by induction
+                parent[max(ra, rb)] = min(ra, rb)
+        return pairs.sparkSession.createDataFrame(
+            [(x, _find(x)) for x in parent],
+            "node long, component_id long",
+        )
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nsig = _sig(nxt)

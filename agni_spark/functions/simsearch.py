@@ -439,6 +439,7 @@ def _clear_uncommitted_commit(
 # stored-index subdir layouts: (subdir, routing partition column) — the
 # shared commit-partition convention every stored index here uses
 IVF_INDEX_SUBDIRS = [("cells", "centroid_id")]
+PQ_INDEX_SUBDIRS = [("codes", "centroid_id")]
 LSH_INDEX_SUBDIRS = [("buckets", "bucket")]
 GRAPH_INDEX_SUBDIRS = [("edges", "bucket"), ("nodes", "bucket")]
 TEXT_INDEX_SUBDIRS = [("postings", "bucket"), ("doclens", None)]
@@ -1115,57 +1116,20 @@ def pagerank(
     ).orderBy(F.col("rank").desc(), "node")
 
 
-def ivfpq_search(
+def _ivfpq_train(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 8,
-    nprobe: int = 2,
-    m: int = 16,
-    ksub: int = 16,
-    lloyd_rounds: int = 2,
-) -> DataFrame:
-    """IVF-PQ with RESIDUAL encoding: the canonical billion-scale
-    composite index (FAISS IVFPQ's default, faiss IndexIVFPQ
-    by_residual) — the coarse quantizer routes each query to nprobe
-    cells, and inside the probed cells the PQ codes quantize
-    RESIDUALS r = x − c(cell), not raw vectors: residuals are small
-    and centered, so the same code budget spends its precision on the
-    informative part (residual encoding is what makes high compression
-    usable; flat-encoding recall collapses — pinned in
-    tests/test_llm_ops.py recall floor).
-
-    Reconstruction x̂ = c + recon(r), so the ADC cosine decomposes
-    into broadcast-sized TABLES, all deterministic:
-      dot(q, x̂)  = dot(q, c)                  [qc: queries × cells]
-                  + Σ_sub pd(q, sub, code)    [qtab: ADC lookups]
-      |x̂|²       = |c|²                       [c2: per cell]
-                  + 2 Σ_sub cr(cell, sub, code)  [cell-code cross dots]
-                  + Σ_sub r2(sub, code)       [codeword norms]
-    Code assignment is argmin L2 over residual subvectors (FAISS
-    semantics; 6dp-rounded, ties to lowest cid). Residual codebooks
-    start from the deterministic seeded-hash sample's residuals and
-    take `lloyd_rounds` fixed Lloyd rounds per subspace (assign ->
-    6dp-rounded sub-centroid means; empty codewords keep their seed)
-    — measured recall@10 on the synthetic corpus: 0.20 seed-only ->
-    0.30 one round -> 0.34 two rounds (converged: round 3 adds
-    nothing; flat encoding scored 0.24), floors pinned in
-    tests/test_llm_ops.py. An OPQ-style rotation was evaluated and
-    rejected WITH MEASUREMENT: the corpus is isotropic (per-dim stddev
-    0.118-0.135, adjacent-dim corr -0.005), and rotations only help
-    when variance is unevenly distributed across subspaces. The
-    remaining gap to the IVF admission bound closes with exact
-    re-ranking — see ivfpq_refine (0.46 vs the 0.48 bound).
-    Everything stays engine-mirrorable, so the full pipeline has a SQL
-    oracle.
-
-    Spark shape: candidate generation is the cells⋈probes equi-join
-    (nprobe/n_centroids of the corpus per query — the IVF prune);
-    codes join candidates on vec_id, then the broadcast tables on
-    (query_id, sub, cid) / (centroid_id, sub, cid); one groupBy sums
-    the m partials. At 100 TB the only corpus-sized tables in flight
-    are `cells` (two ints per vector) and `codes` (m small ints per
-    vector) — raw embeddings are read once at build time."""
+    n_centroids: int,
+    m: int,
+    ksub: int,
+    lloyd_rounds: int,
+):
+    """Shared IVF-PQ TRAINING (coarse quantizer + residual codebooks +
+    code assignment) behind ivfpq_search and write_pq_index — one
+    implementation, so the stored index is guaranteed to serve the
+    exact results the in-memory search computes (test-pinned).
+    Returns (cents, cells, cb, codes, release) where release is the
+    list of persisted intermediates the caller must hand to _finalize
+    (or unpersist after materializing its outputs)."""
     from agni_spark.functions.dedup import hash60
 
     cents = ivf_centroids(corpus, n_centroids, 1)
@@ -1173,10 +1137,6 @@ def ivfpq_search(
         corpus.select("vec_id", F.col("embedding").alias("ce")),
         cents, "vec_id", "ce", 1,
     )
-    probes = _nearest_centroids(
-        queries.select("query_id", F.col("embedding").alias("qe")),
-        cents, "query_id", "qe", nprobe,
-    ).select("query_id", "centroid_id")
 
     # residuals r = x - c(cell): elementwise, exact (no accumulation)
     resid = (
@@ -1190,12 +1150,6 @@ def ivfpq_search(
             ).alias("r"),
         )
         .persist()  # consumed by codebook sample + encode
-    )
-    cand = (
-        resid.select("vec_id", "centroid_id")
-        .join(F.broadcast(probes), "centroid_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "centroid_id")
     )
 
     # residual codebooks: the ksub seeded-hash-sampled vectors'
@@ -1212,22 +1166,9 @@ def ivfpq_search(
             ),
         )
     )
-    sublen = (F.size("r") / m).cast("int")
-
-    def _subs(col_name: str, out: str):
-        ln = (F.size(col_name) / m).cast("int")
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice(col_name, s * ln + 1, ln).alias(out),
-                )
-                for s in range(m)
-            ]
-        )
 
     cb_seed = sample.select(
-        "cid", F.explode(_subs("r", "cvec")).alias("sc")
+        "cid", F.explode(_pq_subs("r", "cvec", m)).alias("sc")
     ).select(
         F.col("sc.sub").alias("sub"), "cid",
         F.col("sc.cvec").alias("cvec"),
@@ -1241,7 +1182,7 @@ def ivfpq_search(
     # serial. One narrow shuffle of (vec_id, sub, subvector) rows buys
     # full-width parallelism for all downstream passes.
     rv = (
-        resid.select("vec_id", F.explode(_subs("r", "v")).alias("sc"))
+        resid.select("vec_id", F.explode(_pq_subs("r", "v", m)).alias("sc"))
         .select(
             "vec_id", F.col("sc.sub").alias("sub"), F.col("sc.v").alias("v")
         )
@@ -1297,13 +1238,44 @@ def ivfpq_search(
         cb = _train(cb)
     cb = cb.persist()
     codes = _assign(cb)
+    return cents, cells, cb, codes, [resid, rv, cb]
 
-    # broadcast tables
+
+def _pq_subs(col_name: str, out: str, m: int):
+    """Split an array column into m equal subspace slices, tagged with
+    their subspace index: array of struct(sub, <out>)."""
+    ln = (F.size(col_name) / m).cast("int")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(col_name, s * ln + 1, ln).alias(out),
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def _ivfpq_adc(
+    cents: DataFrame,
+    cb: DataFrame,
+    cand_codes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int,
+) -> DataFrame:
+    """Shared ADC scoring + top-k behind ivfpq_search and
+    ivfpq_stored: `cand_codes` is the pruned candidate-code table
+    (query_id, vec_id, centroid_id, sub, cid); everything else is
+    broadcast-sized and rebuilt per query batch from the (tiny)
+    centroid/codebook tables — queries-sized work, cheap. The cosine
+    decomposition (see ivfpq_search) is deterministic (6dp, id
+    tie-breaks), so both callers share one FULL SQL oracle."""
     r2 = cb.select(
         "sub", "cid", _subdot(F.col("cvec"), F.col("cvec")).alias("r2")
     )
     csubs = cents.select(
-        "centroid_id", F.explode(_subs("cvec", "cs")).alias("sc")
+        "centroid_id", F.explode(_pq_subs("cvec", "cs", m)).alias("sc")
     ).select(
         "centroid_id", F.col("sc.sub").alias("sub"), F.col("sc.cs").alias("cs")
     )
@@ -1331,7 +1303,7 @@ def ivfpq_search(
         )
     )
     qtab = (
-        q.select("query_id", F.explode(_subs("qe", "qv")).alias("sc"))
+        q.select("query_id", F.explode(_pq_subs("qe", "qv", m)).alias("sc"))
         .select(
             "query_id", F.col("sc.sub").alias("sub"), F.col("sc.qv").alias("qv")
         )
@@ -1341,7 +1313,7 @@ def ivfpq_search(
     )
 
     adc = (
-        codes.join(cand, "vec_id")
+        cand_codes
         .join(F.broadcast(qtab), ["query_id", "sub", "cid"])
         .join(F.broadcast(cr), ["centroid_id", "sub", "cid"])
         .join(F.broadcast(r2), ["sub", "cid"])
@@ -1371,14 +1343,88 @@ def ivfpq_search(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
-    return _finalize(
+    return (
         adc.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select(
             "query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk")
         )
-        .orderBy("query_id", "rk"),
-        [resid, rv, cb],
+        .orderBy("query_id", "rk")
+    )
+
+
+def ivfpq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 16,
+    ksub: int = 16,
+    lloyd_rounds: int = 2,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding: the canonical billion-scale
+    composite index (FAISS IVFPQ's default, faiss IndexIVFPQ
+    by_residual) — the coarse quantizer routes each query to nprobe
+    cells, and inside the probed cells the PQ codes quantize
+    RESIDUALS r = x − c(cell), not raw vectors: residuals are small
+    and centered, so the same code budget spends its precision on the
+    informative part (residual encoding is what makes high compression
+    usable; flat-encoding recall collapses — pinned in
+    tests/test_llm_ops.py recall floor).
+
+    Reconstruction x̂ = c + recon(r), so the ADC cosine decomposes
+    into broadcast-sized TABLES, all deterministic:
+      dot(q, x̂)  = dot(q, c)                  [qc: queries × cells]
+                  + Σ_sub pd(q, sub, code)    [qtab: ADC lookups]
+      |x̂|²       = |c|²                       [c2: per cell]
+                  + 2 Σ_sub cr(cell, sub, code)  [cell-code cross dots]
+                  + Σ_sub r2(sub, code)       [codeword norms]
+    Code assignment is argmin L2 over residual subvectors (FAISS
+    semantics; 6dp-rounded, ties to lowest cid). Residual codebooks
+    start from the deterministic seeded-hash sample's residuals and
+    take `lloyd_rounds` fixed Lloyd rounds per subspace (assign ->
+    6dp-rounded sub-centroid means; empty codewords keep their seed)
+    — measured recall@10 on the synthetic corpus: 0.20 seed-only ->
+    0.30 one round -> 0.34 two rounds (converged: round 3 adds
+    nothing; flat encoding scored 0.24), floors pinned in
+    tests/test_llm_ops.py. An OPQ-style rotation was evaluated and
+    rejected WITH MEASUREMENT: the corpus is isotropic (per-dim stddev
+    0.118-0.135, adjacent-dim corr -0.005), and rotations only help
+    when variance is unevenly distributed across subspaces. The
+    remaining gap to the IVF admission bound closes with exact
+    re-ranking — see ivfpq_refine (0.46 vs the 0.48 bound).
+    Everything stays engine-mirrorable, so the full pipeline has a SQL
+    oracle.
+
+    Spark shape: candidate generation is the cells⋈probes equi-join
+    (nprobe/n_centroids of the corpus per query — the IVF prune);
+    codes join candidates on vec_id, then the broadcast tables on
+    (query_id, sub, cid) / (centroid_id, sub, cid); one groupBy sums
+    the m partials. At 100 TB the only corpus-sized tables in flight
+    are `cells` (two ints per vector) and `codes` (m small ints per
+    vector) — raw embeddings are read once at build time.
+
+    Training + scoring are shared with the STORED index
+    (write_pq_index / ivfpq_stored) via _ivfpq_train/_ivfpq_adc —
+    this per-call-training entry point is the one-shot path; repeated
+    serving should build the index once and probe it."""
+    cents, cells, cb, codes, release = _ivfpq_train(
+        corpus, n_centroids, m, ksub, lloyd_rounds
+    )
+    probes = _nearest_centroids(
+        queries.select("query_id", F.col("embedding").alias("qe")),
+        cents, "query_id", "qe", nprobe,
+    ).select("query_id", "centroid_id")
+    cand = (
+        cells.select("vec_id", "centroid_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "centroid_id")
+    )
+    return _finalize(
+        _ivfpq_adc(cents, cb, codes.join(cand, "vec_id"), queries, k, m),
+        release,
     )
 
 
@@ -1410,6 +1456,222 @@ def ivfpq_refine(
         n_centroids=n_centroids, nprobe=nprobe, m=m, ksub=ksub,
         lloyd_rounds=lloyd_rounds,
     )
+    rescored = (
+        corpus.select("vec_id", F.col("embedding").alias("ce"))
+        .join(F.broadcast(shortlist.select("query_id", "vec_id")), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select("query_id", F.col("embedding").alias("qe"))
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 16,
+    ksub: int = 16,
+    lloyd_rounds: int = 2,
+) -> None:
+    """Build + persist an IVF-PQ index — FAISS's train-once /
+    probe-many contract for the compressed-index family (every sibling
+    family here already has it; this closes the one gap where PQ — the
+    index designed FOR billion-scale — retrained per call).
+
+    Layout (the shared commit-partition idiom, manifest written LAST):
+      codes/      (vec_id, code array<int>) partitioned by
+                  (commit, centroid_id) — code[sub] is the vector's
+                  residual codeword in subspace `sub`, so a vector
+                  costs m small ints, not D floats; the partition
+                  column IS the IVF routing key, so a probe scans
+                  nprobe/n_centroids of the dirs (the per-list file
+                  layout of IndexIVFPQ, expressed as partition dirs)
+      centroids/  coarse quantizer (n_centroids rows, broadcast-sized)
+      codebooks/  residual PQ codebooks (m*ksub rows, broadcast-sized)
+      meta/       (n_centroids, m, ksub, lloyd_rounds) — probes and
+                  appends read the frozen model parameters from here
+      manifest/   the commit marker
+
+    Training is _ivfpq_train — the exact code path ivfpq_search runs —
+    so ivfpq_stored over this index returns byte-identical results to
+    the in-memory search (test-pinned), and the full composed SQL
+    oracle transfers unchanged. Raw embeddings are read at build time
+    ONLY; at 100 TB the index is ~m bytes/vector + two tiny model
+    tables, and probes never touch the corpus."""
+    spark = corpus.sparkSession
+    cents, cells, cb, codes, release = _ivfpq_train(
+        corpus, n_centroids, m, ksub, lloyd_rounds
+    )
+    packed = (
+        codes.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                lambda s: s.getField("cid"),
+            ).alias("code")
+        )
+        .join(cells.select("vec_id", "centroid_id"), "vec_id")
+    )
+    (
+        packed.withColumn("commit", F.lit(0).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    cents.select("centroid_id", F.col("cvec").cast("array<double>").alias("cvec")) \
+        .repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.select("sub", "cid", F.col("cvec").cast("array<double>").alias("cvec")) \
+        .repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(int(n_centroids), int(m), int(ksub), int(lloyd_rounds))],
+        "n_centroids int, m int, ksub int, lloyd_rounds int",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_index_manifest(spark, path, [0])
+    for df_ in release:
+        df_.unpersist()
+
+
+def append_pq_index(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> None:
+    """Incremental IVF-PQ maintenance (IndexIVFPQ.add_with_ids
+    semantics): assign ONLY the new vectors to the index's FROZEN
+    coarse quantizer, encode their residuals with the FROZEN
+    codebooks — nothing is retrained, matching FAISS's add() contract
+    — and land the packed codes in a fresh `commit=` partition;
+    manifest rewrite LAST is the commit point. O(new rows), no index
+    rewrite. `batch_id` gives streaming callers the same replay
+    idempotency as append_ivf_index (recorded atomically in the
+    manifest; <= max applied id -> skip)."""
+    rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m = int(meta.m)
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    commits = [c for c, _ in rows]
+    nxt = max(commits) + 1
+    _clear_uncommitted_commit(spark, path, PQ_INDEX_SUBDIRS, nxt)
+    cells = _nearest_centroids(
+        new_vectors.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    resid = cells.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with(
+            F.col("ce"), F.col("cvec"), lambda x, y: x.cast("double") - y
+        ).alias("r"),
+    )
+    rv = resid.select(
+        "vec_id", "centroid_id", F.explode(_pq_subs("r", "v", m)).alias("sc")
+    ).select(
+        "vec_id", "centroid_id",
+        F.col("sc.sub").alias("sub"), F.col("sc.v").alias("v"),
+    )
+    # frozen-codebook encode: same argmin-L2 (6dp, ties to lowest cid)
+    # min_by aggregation _ivfpq_train's _assign uses
+    dv = F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: x - y)
+    codes = (
+        rv.join(F.broadcast(cb), "sub")
+        .withColumn("d2", F.round(_subdot(dv, dv), 6))
+        .groupBy("vec_id", "centroid_id", "sub")
+        .agg(F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid"))
+    )
+    packed = codes.groupBy("vec_id", "centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+            lambda s: s.getField("cid"),
+        ).alias("code")
+    ).select("vec_id", "code", "centroid_id")
+    (
+        packed.withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    bids = {c: b for c, b in rows if b is not None}
+    if batch_id is not None:
+        bids[nxt] = int(batch_id)
+    _write_index_manifest(spark, path, commits + [nxt], bids or None)
+
+
+def ivfpq_stored(
+    spark, path: str, queries: DataFrame, k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """Probe a stored IVF-PQ index: route each query to its nprobe
+    nearest coarse centroids (broadcast centroid table), scan ONLY the
+    probed `centroid_id=` partition dirs of the codes store (the join
+    key is the partition column — dynamic partition pruning), unpack
+    the code arrays, and run the shared ADC decomposition
+    (_ivfpq_adc). All ADC factor tables are rebuilt per query batch
+    from the tiny stored codebooks — queries-sized work — and the only
+    corpus-sized table in flight is the pruned (ints-only) codes scan;
+    raw embeddings are never read. Results are identical to
+    ivfpq_search(corpus, queries, <build params>) — training is the
+    same code path — so the full composed SQL oracle transfers
+    unchanged (simsearch_ivfpq_stored), and the per-call cost drops
+    from a training job (~10s at sf0.1) to a probe."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m = int(meta.m)
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    probes = _nearest_centroids(
+        queries.select("query_id", F.col("embedding").alias("qe")),
+        cents, "query_id", "qe", nprobe,
+    ).select("query_id", "centroid_id")
+    cand_codes = (
+        spark.read.parquet(f"{path}/codes")
+        .where(F.col("commit").isin(_committed(spark, path)))
+        .join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "centroid_id",
+            F.posexplode("code").alias("sub", "cid"),
+        )
+    )
+    return _ivfpq_adc(cents, cb, cand_codes, queries, k, m)
+
+
+def ivfpq_stored_refine(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rfactor: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Two-stage serve from the stored index (FAISS IVFPQR shape):
+    ADC shortlist of k*rfactor candidates from the codes store, exact
+    cosine re-rank against the raw corpus. The shortlist is
+    parameter-bounded (q*k*rfactor rows), so it BROADCASTS into one
+    narrow corpus scan — the corpus never shuffles; total serving cost
+    is one pruned codes probe + one scan. Matches
+    ivfpq_refine(corpus, queries, <build params>) exactly."""
+    shortlist = ivfpq_stored(spark, path, queries, k=k * rfactor,
+                             nprobe=nprobe)
     rescored = (
         corpus.select("vec_id", F.col("embedding").alias("ce"))
         .join(F.broadcast(shortlist.select("query_id", "vec_id")), "vec_id")
@@ -1474,6 +1736,14 @@ def graph_entry_medoids(corpus: DataFrame, n_entries: int) -> DataFrame:
     )
 
 
+# Driver-state ceiling for _beam_walk: the frontier/visited dicts are
+# bounded by queries * (1 + hops*beam*degree) entries; above this the
+# walk SHARDS the query batch (walks are per-query independent, so
+# sharding is result-identical) instead of growing the driver heap.
+# ~5M entries ≈ a few hundred MB of dict — safe on any driver.
+_BEAM_MAX_STATE = 5_000_000
+
+
 def _beam_walk(
     spark,
     qids: list,
@@ -1483,12 +1753,13 @@ def _beam_walk(
     k: int,
     beam: int,
     hops: int,
+    max_degree: int = 8,
 ) -> DataFrame:
     """Driver-COORDINATED beam search shared by graph_ann and
     graph_ann_stored: the frontier/visited state is parameter-bounded
-    (<= queries * (1 + hops*beam*knn) rows — the exact bound that
-    already justified broadcasting it), so it lives on the driver and
-    each hop is ONE Spark job (expand frontier along edges + score
+    (<= queries * (1 + hops*beam*max_degree) rows — the exact bound
+    that already justified broadcasting it), so it lives on the driver
+    and each hop is ONE Spark job (expand frontier along edges + score
     candidates, both JVM-side and corpus-pruned). The DataFrame-loop
     alternative pays a broadcast-exchange + checkpoint job tower per
     hop — measured 8-10s per probe at sf0.01 vs ~1s here — and at
@@ -1496,43 +1767,63 @@ def _beam_walk(
     walk itself is identical: score entry points, then per hop score
     the unseen neighbors of the frontier and keep the beam best new
     nodes per query; ties (cos DESC, node ASC) and 6dp rounding make
-    it deterministic, so the unrolled-hop DuckDB oracle stays FULL."""
+    it deterministic, so the unrolled-hop DuckDB oracle stays FULL.
+
+    State-size contract (ENFORCED): the bound above is computed up
+    front from `max_degree` (the graph's knn fan-out, read from the
+    build params / index meta); if the full batch would exceed
+    _BEAM_MAX_STATE dict entries (a batch-recall job over ~1M queries,
+    say), the batch is SHARDED into query chunks that each fit — the
+    per-query walks never interact, so sharded output is identical
+    (test-pinned) and the driver heap stays bounded at serving-batch
+    size regardless of how many queries the caller throws in."""
 
     def fr_df(pairs):
         return spark.createDataFrame(pairs, "query_id long, node long")
 
-    scored: dict = {}
-    frontier = [(int(qd), int(n)) for qd in qids for n in entry_nodes]
-    for r in score_fn(fr_df(frontier)).collect():
-        scored[(r.query_id, r.node)] = r.cos
-    for _ in range(hops):
-        if not frontier:
-            break
-        new: dict = {}
-        for r in expand_fn(fr_df(frontier)).collect():
-            key = (r.query_id, r.node)
-            if key not in scored and key not in new:
-                new[key] = r.cos
-        scored.update(new)
-        by_q: dict = {}
-        for (qd, node), cos in new.items():
-            by_q.setdefault(qd, []).append((cos, node))
+    def _walk_chunk(chunk_qids: list) -> list:
+        scored: dict = {}
         frontier = [
-            (qd, node)
-            for qd, lst in by_q.items()
-            for cos, node in sorted(lst, key=lambda t: (-t[0], t[1]))[:beam]
+            (int(qd), int(n)) for qd in chunk_qids for n in entry_nodes
         ]
-    by_q = {}
-    for (qd, node), cos in scored.items():
-        if node != qd:
-            by_q.setdefault(qd, []).append((cos, node))
-    out = [
-        (qd, node, float(cos), rk)
-        for qd in sorted(by_q)
-        for rk, (cos, node) in enumerate(
-            sorted(by_q[qd], key=lambda t: (-t[0], t[1]))[:k], 1
-        )
-    ]
+        for r in score_fn(fr_df(frontier)).collect():
+            scored[(r.query_id, r.node)] = r.cos
+        for _ in range(hops):
+            if not frontier:
+                break
+            new: dict = {}
+            for r in expand_fn(fr_df(frontier)).collect():
+                key = (r.query_id, r.node)
+                if key not in scored and key not in new:
+                    new[key] = r.cos
+            scored.update(new)
+            by_q: dict = {}
+            for (qd, node), cos in new.items():
+                by_q.setdefault(qd, []).append((cos, node))
+            frontier = [
+                (qd, node)
+                for qd, lst in by_q.items()
+                for cos, node in sorted(
+                    lst, key=lambda t: (-t[0], t[1])
+                )[:beam]
+            ]
+        by_q = {}
+        for (qd, node), cos in scored.items():
+            if node != qd:
+                by_q.setdefault(qd, []).append((cos, node))
+        return [
+            (qd, node, float(cos), rk)
+            for qd in sorted(by_q)
+            for rk, (cos, node) in enumerate(
+                sorted(by_q[qd], key=lambda t: (-t[0], t[1]))[:k], 1
+            )
+        ]
+
+    per_q = 1 + hops * beam * max(1, max_degree)
+    chunk = max(1, _BEAM_MAX_STATE // per_q)
+    out = []
+    for i in range(0, len(qids), chunk):
+        out.extend(_walk_chunk(qids[i:i + chunk]))
     return spark.createDataFrame(
         out, "query_id long, vec_id long, cos double, rk int"
     ).orderBy("query_id", "rk")
@@ -1620,7 +1911,8 @@ def graph_ann(
     qids = [r.query_id for r in queries.select("query_id").collect()]
     entry_nodes = [r.node for r in entry.collect()]
     out = _beam_walk(
-        spark, qids, entry_nodes, _score, _expand, k, beam, hops
+        spark, qids, entry_nodes, _score, _expand, k, beam, hops,
+        max_degree=knn,
     )
     edges.unpersist()
     return out
@@ -1811,7 +2103,10 @@ def graph_ann_stored(
         else [int(meta.entry)]
     )
     qids = [r.query_id for r in queries.select("query_id").collect()]
-    return _beam_walk(spark, qids, entries, _score, _expand, k, beam, hops)
+    return _beam_walk(
+        spark, qids, entries, _score, _expand, k, beam, hops,
+        max_degree=int(meta.knn),
+    )
 
 
 def random_projection(emb: DataFrame, k: int = 16, dim: int = 64) -> DataFrame:

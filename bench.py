@@ -116,11 +116,44 @@ def _probe_specs():
             spark, path, entry_mod.BM25_TERMS, k=10
         ).count()
 
+    def pq_setup(spark, sf_dir):
+        e = entry_mod._emb(spark, sf_dir)
+        q = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        path = tempfile.mkdtemp(prefix="bench_pq_")
+        simsearch.write_pq_index(e, path, n_centroids=8, m=16, ksub=16,
+                                 lloyd_rounds=2)
+        return (path, q)
+
+    def pq_probe(spark, ctx):
+        path, q = ctx
+        simsearch.ivfpq_stored(spark, path, q, k=10, nprobe=2).count()
+
     return [
         ("simsearch_ivf_stored", ivf_setup, ivf_probe),
         ("simsearch_graph_stored", graph_setup, graph_probe),
         ("text_index", text_setup, text_probe),
+        # round-8: PQ finally amortizes — training (the ~10s
+        # simsearch_ivfpq row) moves into the one-time _build; the
+        # _probe row is the compressed-index serving SLO
+        ("simsearch_ivfpq_stored", pq_setup, pq_probe),
     ]
+
+
+def _cold(spark) -> None:
+    """Cache isolation between timed runs (round-8 protocol): drop the
+    SQL plan cache AND unpersist every still-pinned RDD (persist
+    leaks, localCheckpoints) so no run can warm the next through the
+    plan-matching CacheManager — the exact mechanism that silently
+    inflated the r6 ivfpq/graph medians (adjudicated in the r7
+    verdict). Median-of-N now measures N independent executions; a
+    future accidental persist leak costs its own run, never a
+    neighbor's."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist()
 
 
 def main() -> None:
@@ -159,6 +192,7 @@ def main() -> None:
     for name in HEADLINE:
         times = []
         for _ in range(runs):
+            _cold(spark)  # no run warms the next (see _cold)
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             times.append(time.time() - t0)
@@ -168,11 +202,13 @@ def main() -> None:
     # single-shot (one-time cost), probe is median-of-N (the SLO row)
     for name, setup, probe in _probe_specs():
         try:
+            _cold(spark)
             t0 = time.time()
             ctx = setup(spark, sf_dir)
             results[f"{name}_build"] = round(time.time() - t0, 3)
             times = []
             for _ in range(runs):
+                _cold(spark)
                 t0 = time.time()
                 probe(spark, ctx)
                 times.append(time.time() - t0)
@@ -192,21 +228,26 @@ def main() -> None:
                 "queries": results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "note": (
-                    "headline set widened in round 6 (+8 queries: ivfpq, "
-                    "pagerank, graph_ann, cluster_assign, text_index, "
-                    "curate_v2, streaming_topk, streamed_read); round 7 "
-                    "adds ivfpq_rerank + graph_ann_multi and "
-                    "*_build/*_probe rows splitting stored-index build "
-                    "from serving (probe rows are the serving SLO "
-                    "signal). ACCOUNTING CHANGE r7: graph_ann/ivfpq r6 "
-                    "numbers were cache-leak-assisted (runs 2-3 reused "
-                    "run 1's leaked persists via plan-matching; the r6 "
-                    "advisor flagged the leak, r7 fixed it) — honest "
-                    "cold A/B at equal params: ivfpq r6 15.3s vs r7 "
-                    "8.8s, graph_ann r6 30.4s vs r7 ~7s. "
-                    "streaming_topk r7 adds the emit-on-close no-data "
-                    "batch (bounded sink in exchange). Totals not "
-                    "comparable to rounds <= 6 — compare per-query"
+                    "COLD PROTOCOL (round 8): every timed run is "
+                    "preceded by catalog.clearCache() + unpersist of "
+                    "all pinned RDDs (bench._cold, test-asserted), so "
+                    "a persist leak can never warm a later run — the "
+                    "r6 accounting hazard is structurally closed; "
+                    "medians are N independent executions. Round 8 "
+                    "also adds simsearch_ivfpq_stored_build/_probe: "
+                    "PQ training amortizes into the one-time build "
+                    "(the ~10s simsearch_ivfpq headline row is the "
+                    "one-shot path kept for comparability; the _probe "
+                    "row is the serving SLO). dedup_cluster_assign "
+                    "repriced by the cold protocol (r6 1.73s/r7 2.18s "
+                    "were session-warmed; honest cold ~3.8s) and then "
+                    "cut to ~2.8s by the CC driver union-find fast "
+                    "path for sub-cutoff edge sets. Headline set "
+                    "history: "
+                    "round 6 +8 rows, round 7 +ivfpq_rerank/"
+                    "graph_ann_multi + build/probe splits. Totals not "
+                    "comparable across protocol changes — compare "
+                    "per-query"
                 ),
             }
         )

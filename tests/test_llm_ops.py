@@ -591,13 +591,18 @@ def test_connected_components_property_random_graphs(spark):
             continue
         nodes = sorted({x for e in edges for x in e})
         want = uf_components(edges, nodes)
+        # every 3rd trial forces the DISTRIBUTED star rounds
+        # (small_cutoff=0); the rest take the driver union-find fast
+        # path — both must match the reference exactly
+        cutoff = 0 if trial % 3 == 0 else 100_000
         got = {
             r.node: r.component_id
             for r in dedup.connected_components(
-                spark.createDataFrame(edges, "doc_a long, doc_b long")
+                spark.createDataFrame(edges, "doc_a long, doc_b long"),
+                small_cutoff=cutoff,
             ).collect()
         }
-        assert got == want, f"trial {trial}: {edges}"
+        assert got == want, f"trial {trial} (cutoff={cutoff}): {edges}"
 
 
 def test_text_index_search_equals_scan_bm25(spark, tmp_path):
@@ -1221,6 +1226,100 @@ def test_stream_ann_index_multibatch(spark, tmp_path):
         for r in simsearch.ivf_ann_stored(spark, spath, q, k=5).collect()
     )
     assert got == want
+
+
+def test_beam_walk_shards_large_query_batches(spark, monkeypatch):
+    """The beam walk's driver dict is bounded per query chunk; a batch
+    whose bound would exceed _BEAM_MAX_STATE is sharded into chunks
+    that fit. Per-query walks never interact, so sharded output is
+    IDENTICAL — pinned by forcing single-query chunks and comparing
+    against the unsharded run."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = [
+        tuple(r)
+        for r in simsearch.graph_ann(emb, q, k=10, knn=5, beam=8, hops=3)
+        .collect()
+    ]
+    # per_q bound = 1 + hops*beam*knn = 121; cap of 121 -> chunk = 1,
+    # i.e. five single-query walks
+    monkeypatch.setattr(simsearch, "_BEAM_MAX_STATE", 121)
+    got = [
+        tuple(r)
+        for r in simsearch.graph_ann(emb, q, k=10, knn=5, beam=8, hops=3)
+        .collect()
+    ]
+    assert got == want and len(got) == 50
+
+
+def test_pq_index_stored_matches_in_memory(spark, tmp_path):
+    """Train-once/probe-many PQ: the stored index (write_pq_index ->
+    ivfpq_stored) serves byte-identical results to the per-call
+    in-memory search — training is literally the same code path
+    (_ivfpq_train) — and the two-stage stored rerank matches
+    ivfpq_refine the same way."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pq")
+    simsearch.write_pq_index(emb, path, n_centroids=8, m=16, ksub=16,
+                             lloyd_rounds=2)
+    want = [tuple(r) for r in simsearch.ivfpq_search(emb, q, k=10).collect()]
+    got = [
+        tuple(r) for r in simsearch.ivfpq_stored(spark, path, q, k=10).collect()
+    ]
+    assert got == want and len(got) == 50
+    wr = [tuple(r) for r in simsearch.ivfpq_refine(emb, q, k=10).collect()]
+    gr = [
+        tuple(r)
+        for r in simsearch.ivfpq_stored_refine(
+            spark, path, emb, q, k=10
+        ).collect()
+    ]
+    assert gr == wr
+
+
+def test_pq_index_append_and_lifecycle(spark, tmp_path):
+    """IndexIVFPQ.add() semantics: an appended batch is encoded with
+    the FROZEN quantizer + codebooks (nothing retrained), lands as its
+    own manifest-committed partition, becomes retrievable, and the
+    generic compact/vacuum lifecycle leaves probe answers unchanged.
+    Replayed appends (same batch_id) are no-ops."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pq_app")
+    simsearch.write_pq_index(even, path, n_centroids=8, m=16, ksub=16)
+    simsearch.append_pq_index(spark, path, odd, batch_id=1)
+    assert simsearch._committed(spark, path) == [0, 1]
+    before = [
+        tuple(r) for r in simsearch.ivfpq_stored(spark, path, q, k=10).collect()
+    ]
+    # the appended half is actually served: some results come from odd
+    assert any(vec_id % 2 == 1 for _, vec_id, _, _ in before)
+    # replay is a no-op
+    simsearch.append_pq_index(spark, path, odd, batch_id=1)
+    assert simsearch._committed(spark, path) == [0, 1]
+    # compact + vacuum: probe-invariant
+    simsearch.compact_index(spark, path, simsearch.PQ_INDEX_SUBDIRS)
+    removed = simsearch.vacuum_index(spark, path, simsearch.PQ_INDEX_SUBDIRS)
+    assert removed == ["codes/commit=0", "codes/commit=1"]
+    after = [
+        tuple(r) for r in simsearch.ivfpq_stored(spark, path, q, k=10).collect()
+    ]
+    assert after == before
 
 
 def test_append_ivf_replay_after_manifest_commit(spark, tmp_path):
