@@ -1754,6 +1754,8 @@ def _beam_walk(
     beam: int,
     hops: int,
     max_degree: int = 8,
+    first_fn=None,
+    expand2_fn=None,
 ) -> DataFrame:
     """Driver-COORDINATED beam search shared by graph_ann and
     graph_ann_stored: the frontier/visited state is parameter-bounded
@@ -1776,37 +1778,125 @@ def _beam_walk(
     say), the batch is SHARDED into query chunks that each fit — the
     per-query walks never interact, so sharded output is identical
     (test-pinned) and the driver heap stays bounded at serving-batch
-    size regardless of how many queries the caller throws in."""
+    size regardless of how many queries the caller throws in.
+
+    `first_fn` (optional) FUSES the entry-scoring job with hop 1: one
+    plan computing score(entries) UNION expand(entries) — collected
+    rows whose node is an entry are the initial scores, the rest are
+    hop-1 candidates (a neighbor that IS an entry scores to the same
+    6dp value, so classification by membership loses nothing).
+
+    `expand2_fn` (optional) goes one further — SPECULATIVE DEPTH-2
+    expansion: one plan returning (query_id, src, node, cos, lvl)
+    where lvl=1 rows are the frontier's neighbors and lvl=2 rows are
+    the neighbors' neighbors, tagged with the lvl-1 node (`src`) they
+    hang off. The driver then runs TWO beam rounds off one job: hop h
+    selects its frontier from the lvl-1 news, and hop h+1's candidate
+    set — neighbors(frontier_h) — is exactly the lvl-2 rows whose
+    (query_id, src) is in frontier_h, already scored. Selection logic
+    is byte-identical to the sequential walk (same unseen-filter, same
+    tie-breaks; prefetching extra rows changes nothing — they are
+    dropped unless their src won the beam), so results and the FULL
+    unrolled-hop oracle are unchanged (test-pinned). Action count
+    drops from 1+hops to ~ceil(hops/2): each action is scheduling-
+    constant cost, and at the serving edge that constant IS the SLO.
+    State bound grows by one degree factor (lvl-2 rows): the chunk
+    guard uses q*(1 + hops*beam*deg*(1+deg))."""
 
     def fr_df(pairs):
         return spark.createDataFrame(pairs, "query_id long, node long")
+
+    entry_set = {int(n) for n in entry_nodes}
+
+    def _next_frontier(new: dict) -> list:
+        by_q: dict = {}
+        for (qd, node), cos in new.items():
+            by_q.setdefault(qd, []).append((cos, node))
+        return [
+            (qd, node)
+            for qd, lst in by_q.items()
+            for cos, node in sorted(lst, key=lambda t: (-t[0], t[1]))[:beam]
+        ]
+
+    def _two_rounds(scored: dict, rows1: list, rows2: list) -> list:
+        """Run two sequential beam rounds off prefetched rows: rows1 =
+        (key, cos) hop-h candidates, rows2 = (key, src, cos) hop-h+1
+        candidates tagged with their lvl-1 parent. Returns the next
+        frontier; mutates `scored` exactly as two expand rounds
+        would."""
+        new1: dict = {}
+        for key, cos in rows1:
+            if key not in scored and key not in new1:
+                new1[key] = cos
+        scored.update(new1)
+        fr1 = _next_frontier(new1)
+        fset = set(fr1)
+        new2: dict = {}
+        for key, src, cos in rows2:
+            if (
+                (key[0], src) in fset
+                and key not in scored
+                and key not in new2
+            ):
+                new2[key] = cos
+        scored.update(new2)
+        return _next_frontier(new2)
 
     def _walk_chunk(chunk_qids: list) -> list:
         scored: dict = {}
         frontier = [
             (int(qd), int(n)) for qd in chunk_qids for n in entry_nodes
         ]
-        for r in score_fn(fr_df(frontier)).collect():
-            scored[(r.query_id, r.node)] = r.cos
-        for _ in range(hops):
-            if not frontier:
-                break
+        remaining = hops
+        if expand2_fn is not None and hops >= 2 and frontier:
+            # fused action 1: entry scores + hop 1 + speculative hop 2
+            rows0, rows1, rows2 = [], [], []
+            for r in expand2_fn(fr_df(frontier), with_scores=True).collect():
+                key = (r.query_id, r.node)
+                if r.lvl == 0 or (r.lvl == 1 and r.node in entry_set):
+                    scored[key] = r.cos
+                elif r.lvl == 1:
+                    rows1.append((key, r.cos))
+                else:
+                    rows2.append((key, r.src, r.cos))
+            frontier = _two_rounds(scored, rows1, rows2)
+            remaining = hops - 2
+        elif first_fn is not None and hops > 0 and frontier:
             new: dict = {}
+            for r in first_fn(fr_df(frontier)).collect():
+                key = (r.query_id, r.node)
+                if r.node in entry_set:
+                    scored[key] = r.cos
+                elif key not in new:
+                    new[key] = r.cos
+            scored.update(new)
+            frontier = _next_frontier(new)
+            remaining = hops - 1
+        else:
+            for r in score_fn(fr_df(frontier)).collect():
+                scored[(r.query_id, r.node)] = r.cos
+        while remaining > 0 and frontier:
+            if expand2_fn is not None and remaining >= 2:
+                rows1, rows2 = [], []
+                for r in expand2_fn(
+                    fr_df(frontier), with_scores=False
+                ).collect():
+                    key = (r.query_id, r.node)
+                    if r.lvl == 1:
+                        rows1.append((key, r.cos))
+                    else:
+                        rows2.append((key, r.src, r.cos))
+                frontier = _two_rounds(scored, rows1, rows2)
+                remaining -= 2
+                continue
+            new = {}
             for r in expand_fn(fr_df(frontier)).collect():
                 key = (r.query_id, r.node)
                 if key not in scored and key not in new:
                     new[key] = r.cos
             scored.update(new)
-            by_q: dict = {}
-            for (qd, node), cos in new.items():
-                by_q.setdefault(qd, []).append((cos, node))
-            frontier = [
-                (qd, node)
-                for qd, lst in by_q.items()
-                for cos, node in sorted(
-                    lst, key=lambda t: (-t[0], t[1])
-                )[:beam]
-            ]
+            frontier = _next_frontier(new)
+            remaining -= 1
         by_q = {}
         for (qd, node), cos in scored.items():
             if node != qd:
@@ -1819,7 +1909,8 @@ def _beam_walk(
             )
         ]
 
-    per_q = 1 + hops * beam * max(1, max_degree)
+    deg = max(1, max_degree)
+    per_q = 1 + hops * beam * deg * ((1 + deg) if expand2_fn else 1)
     chunk = max(1, _BEAM_MAX_STATE // per_q)
     out = []
     for i in range(0, len(qids), chunk):
@@ -1908,11 +1999,50 @@ def graph_ann(
         # dropping it removes a shuffle stage from every hop's job
         return _score(cand)
 
+    def _expand2(fr: DataFrame, with_scores: bool) -> DataFrame:
+        # depth-2 speculative expansion (see graph_ann_stored._expand2
+        # — same shape without the bucket routing column)
+        c1 = (
+            edges.join(F.broadcast(fr), "node")
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        c2 = (
+            edges.join(F.broadcast(c1), "node")
+            .select(
+                "query_id", F.col("node").alias("src"),
+                F.col("dst").alias("node"),
+            )
+        )
+        s1 = _score(c1).select(
+            "query_id", F.lit(None).cast("long").alias("src"), "node",
+            "cos", F.lit(1).alias("lvl"),
+        )
+        s2 = (
+            nodes.join(F.broadcast(c2), "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "src", "node",
+                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+                F.lit(2).alias("lvl"),
+            )
+        )
+        out = s1.unionByName(s2)
+        if with_scores:
+            s0 = _score(fr).select(
+                "query_id", F.lit(None).cast("long").alias("src"), "node",
+                "cos", F.lit(0).alias("lvl"),
+            )
+            out = s0.unionByName(out)
+        return out
+
     qids = [r.query_id for r in queries.select("query_id").collect()]
     entry_nodes = [r.node for r in entry.collect()]
     out = _beam_walk(
         spark, qids, entry_nodes, _score, _expand, k, beam, hops,
         max_degree=knn,
+        first_fn=lambda fr: _score(fr).unionByName(_expand(fr)),
+        expand2_fn=_expand2,
     )
     edges.unpersist()
     return out
@@ -2037,9 +2167,48 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
     _write_index_manifest(spark, path, commits + [nxt])
 
 
+class GraphIndexHandle:
+    """An OPENED stored graph index: meta, committed-commit list, and
+    the edge/node scan DataFrames (whose file indexes Spark builds
+    once) resolved at open time. A serving system opens the index once
+    and probes many times — the per-probe cost drops to the walk's
+    actions alone, no repeated meta/manifest reads. The handle pins
+    the manifest SNAPSHOT read at open time (concurrent appends are
+    not served until reopen — the same read-your-snapshot contract
+    every reader of the commit-partition idiom gets)."""
+
+    def __init__(self, spark, path: str):
+        self.path = path
+        self.meta = spark.read.parquet(f"{path}/meta").first()
+        self.commits = _committed(spark, path)
+        self.n_buckets = int(self.meta.n_buckets)
+        self.knn = int(self.meta.knn)
+        self.entries = (
+            [int(e) for e in self.meta.entries]
+            if "entries" in self.meta.__fields__ and self.meta.entries
+            else [int(self.meta.entry)]
+        )
+        self.edges = (
+            spark.read.parquet(f"{path}/edges")
+            .where(F.col("commit").isin(self.commits))
+            .drop("commit")
+        )
+        self.nodes = (
+            spark.read.parquet(f"{path}/nodes")
+            .where(F.col("commit").isin(self.commits))
+            .drop("commit")
+        )
+
+
+def open_graph_index(spark, path: str) -> GraphIndexHandle:
+    """Open a stored graph index for repeated probing (see
+    GraphIndexHandle)."""
+    return GraphIndexHandle(spark, path)
+
+
 def graph_ann_stored(
     spark,
-    path: str,
+    index,
     queries: DataFrame,
     k: int = 10,
     beam: int = 8,
@@ -2050,22 +2219,18 @@ def graph_ann_stored(
     same corpus (test-pinned), but every hop's edge/vector lookups
     join on (bucket, node) against the bucket-partitioned store, so
     the scans touch only the frontier's buckets instead of the whole
-    graph. Only manifest-committed `commit=` partitions are served."""
-    meta = spark.read.parquet(f"{path}/meta").first()
-    commits = _committed(spark, path)
-    n_buckets = int(meta.n_buckets)
+    graph. Only manifest-committed `commit=` partitions are served.
 
-    def _load(sub: str) -> DataFrame:
-        return (
-            spark.read.parquet(f"{path}/{sub}")
-            .where(F.col("commit").isin(commits))
-            .drop("commit")
-        )
-
-    edges = _load("edges")
-    nodes = _load("nodes")
+    `index` is a path or an open GraphIndexHandle (serving callers
+    open once, probe many). The walk uses the depth-2 speculative
+    expansion (_beam_walk expand2_fn): ~ceil(hops/2) actions instead
+    of 1+hops, identical results."""
+    h = index if isinstance(index, GraphIndexHandle) else GraphIndexHandle(
+        spark, index
+    )
+    edges, nodes = h.edges, h.nodes
     q = queries.select("query_id", F.col("embedding").alias("qe"))
-    bucket_of = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
+    bucket_of = F.pmod(F.hash("node"), F.lit(h.n_buckets)).cast("int")
 
     def _score(fr: DataFrame) -> DataFrame:
         # store scan on the left, bounded frontier broadcast on the
@@ -2097,15 +2262,63 @@ def graph_ann_stored(
         # dropping it removes a shuffle stage from every hop's job
         return _score(cand)
 
-    entries = (
-        [int(e) for e in meta.entries]
-        if "entries" in meta.__fields__ and meta.entries
-        else [int(meta.entry)]
-    )
+    def _expand2(fr: DataFrame, with_scores: bool) -> DataFrame:
+        # depth-2 speculative expansion in ONE action: lvl-1 = the
+        # frontier's neighbors, lvl-2 = their neighbors tagged with
+        # the lvl-1 node they hang off (`src`) so the driver can apply
+        # the exact hop-h+1 adjacency restriction. All intermediates
+        # are parameter-bounded -> broadcast; every scan is bucket-
+        # pruned. `with_scores` adds the frontier's own scores (lvl 0)
+        # for the fused entry action.
+        c1 = (
+            edges.join(
+                F.broadcast(fr.withColumn("bucket", bucket_of)),
+                ["bucket", "node"],
+            )
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()  # bounds the lvl-2 broadcast (q*beam*knn rows)
+        )
+        c2 = (
+            edges.join(
+                F.broadcast(c1.withColumn("bucket", bucket_of)),
+                ["bucket", "node"],
+            )
+            .select(
+                "query_id", F.col("node").alias("src"),
+                F.col("dst").alias("node"),
+            )
+        )
+        s1 = _score(c1).select(
+            "query_id", F.lit(None).cast("long").alias("src"), "node",
+            "cos", F.lit(1).alias("lvl"),
+        )
+        s2 = (
+            nodes.join(
+                F.broadcast(c2.withColumn("bucket", bucket_of)),
+                ["bucket", "node"],
+            )
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "src", "node",
+                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+                F.lit(2).alias("lvl"),
+            )
+        )
+        out = s1.unionByName(s2)
+        if with_scores:
+            s0 = _score(fr).select(
+                "query_id", F.lit(None).cast("long").alias("src"), "node",
+                "cos", F.lit(0).alias("lvl"),
+            )
+            out = s0.unionByName(out)
+        return out
+
     qids = [r.query_id for r in queries.select("query_id").collect()]
     return _beam_walk(
-        spark, qids, entries, _score, _expand, k, beam, hops,
-        max_degree=int(meta.knn),
+        spark, qids, h.entries, _score, _expand, k, beam, hops,
+        max_degree=h.knn,
+        first_fn=lambda fr: _score(fr).unionByName(_expand(fr)),
+        expand2_fn=_expand2,
     )
 
 

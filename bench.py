@@ -96,12 +96,15 @@ def _probe_specs():
         )
         path = tempfile.mkdtemp(prefix="bench_graph_")
         simsearch.write_graph_index(e, path, knn=5)
-        return (path, q)
+        # serving contract: the index is OPENED once (meta + manifest
+        # resolved, scan file-indexes built) and probed many times —
+        # open cost belongs to _build, walk actions to _probe
+        return (simsearch.open_graph_index(spark, path), q)
 
     def graph_probe(spark, ctx):
-        path, q = ctx
+        handle, q = ctx
         simsearch.graph_ann_stored(
-            spark, path, q, k=10, beam=8, hops=3
+            spark, handle, q, k=10, beam=8, hops=3
         ).count()
 
     def text_setup(spark, sf_dir):
