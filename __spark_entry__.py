@@ -242,6 +242,97 @@ def _q_s14_streamed_remote_read(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("series_key")
 
 
+def _q_s15_remote_write_read(spark: SparkSession, sf: str) -> DataFrame:
+    # FULL protocol loop, write AND read (the write endpoint is the
+    # one the reference vendors but never serves — remote.proto:34-36
+    # vs server.go:51): the (job=api, env=prod) selection is encoded
+    # into TWO WriteRequest protos (split at the range midpoint),
+    # POSTed through handle_write into a fresh block store (registry
+    # commit per batch), and read BACK through the remote-read wire
+    # (ReadRequest -> snappy ReadResponse decode). Rows are the
+    # decoded wire samples; the oracle re-derives them straight from
+    # the samples table — any byte the proto/snappy/store pipeline
+    # drops or duplicates (e.g. a replayed batch) shows as a
+    # rowcount/hash drift.
+    import tempfile
+
+    from agni_spark.protocol import remote_pb as pb
+    from agni_spark.protocol import snappy_codec as snappy
+    from agni_spark.protocol import server as srv
+    from agni_spark.querier import querier_from_store
+
+    q = _querier(spark, sf)
+    # pod REQUIRED (prefix matcher): pod-absent series can share a
+    # visible label set, and identical label sets deliberately hash to
+    # one series id in the receiving store (decode_write's canonical
+    # key) — the roundtrip would merge them, which is correct store
+    # behavior but makes the per-sample oracle ambiguous at same-ts
+    # collisions. Pod-present label sets are unique (asserted at
+    # sf0.01: 75 series, 0 duplicate sets).
+    sel = q.select(
+        [eq("job", "api"), eq("env", "prod"), prefix("pod", "pod-")],
+        mint_ms=T1, maxt_ms=T2,
+    )
+    by_series: dict = {}
+    for r in sel.collect():  # bounded: one job+env slice of one range
+        by_series.setdefault(r.series_id, []).append(
+            (float(r.value), int(r.ts_ms))
+        )
+    labels: dict = {}
+    for r in (
+        q.series_labels.join(
+            sel.select("series_id").distinct(), "series_id"
+        ).collect()
+    ):
+        labels.setdefault(r.series_id, []).append((r.name, r.value))
+    mid = (T1 + T2) // 2
+
+    def _body(pred):
+        tss = [
+            pb.TimeSeries(
+                labels=sorted(labels[sid]),
+                samples=[
+                    (v, t)
+                    for v, t in sorted(by_series[sid], key=lambda p: p[1])
+                    if pred(t)
+                ],
+            )
+            for sid in sorted(by_series)
+        ]
+        return snappy.compress(
+            pb.encode_write_request(
+                pb.WriteRequest([ts for ts in tss if ts.samples])
+            )
+        )
+
+    store = tempfile.mkdtemp(prefix="agni_rw_") + "/store"
+    srv.handle_write(spark, _body(lambda t: t <= mid), store)
+    srv.handle_write(spark, _body(lambda t: t > mid), store)
+
+    req = pb.ReadRequest(
+        [pb.Query(T1, T2, [pb.LabelMatcher(0, "job", "api")])]
+    )
+    payload, _ctype = srv.handle_read_negotiated(
+        querier_from_store(spark, store),
+        snappy.compress(pb.encode_read_request(req)),
+    )
+    rows = [
+        (
+            ",".join(f"{n}={v}" for n, v in sorted(ts.labels)),
+            int(t),
+            float(v),
+        )
+        for result in pb.decode_read_response(
+            snappy.decompress(payload)
+        ).results
+        for ts in result
+        for v, t in ts.samples
+    ]
+    return spark.createDataFrame(
+        rows, "series_key string, ts_ms long, value double"
+    ).orderBy("series_key", "ts_ms", "value")
+
+
 def _q_simsearch_graph_stored(spark: SparkSession, sf: str) -> DataFrame:
     # graph-ANN served from the bucket-partitioned stored index: build
     # (edges + node vectors + entry point, manifest-last), then probe —
@@ -2361,6 +2452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stored-PQ two-stage serve (ADC shortlist from the codes
         # store + exact rerank) — matches ivfpq_refine's full oracle
         "simsearch_ivfpq_stored_rerank": _q_simsearch_ivfpq_stored_rerank,
+        # full protocol loop: remote-WRITE two batches into a fresh
+        # store, remote-READ the merged series back over the wire
+        "s15_remote_write_read": _q_s15_remote_write_read,
     }
 
 
@@ -3449,6 +3543,20 @@ def oracle_sql() -> dict[str, str]:
             # per series_id; distinct series can share a visible label
             # set when pod is absent)
             f"GROUP BY se.series_id, 1 ORDER BY 1"
+        ),
+        # write->read protocol loop: per-sample rows of the written
+        # slice, straight from the source samples table. pod required
+        # (label-set uniqueness — see the query's comment).
+        "s15_remote_write_read": q(
+            f"SELECT '__name__=' || se.metric || ',env=' || se.env "
+            f"|| ',instance=' || se.instance || ',job=' || se.job "
+            f"|| ',pod=' || se.pod AS series_key, "
+            f"s.ts_ms, s.value "
+            f"FROM samples s JOIN series se USING (series_id) "
+            f"WHERE se.job = 'api' AND se.env = 'prod' "
+            f"AND se.pod LIKE 'pod-%' "
+            f"AND s.ts_ms BETWEEN {T1} AND {T2} "
+            f"ORDER BY 1, 2, 3"
         ),
         "s13_matrix_assembly": q(
             f"SELECT series_id, to_json(list(struct_pack(ts_ms := ts_ms, "

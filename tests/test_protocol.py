@@ -184,6 +184,30 @@ def test_http_bad_body_is_400(served_querier):
         srv.stop()
 
 
+def test_write_request_golden_bytes():
+    """Hand-derived wire bytes for prompb.WriteRequest (remote.proto
+    field numbers: WriteRequest.timeseries=1; TimeSeries.labels=1,
+    .samples=2; Label.name=1,.value=2; Sample.value=1 (fixed64),
+    .timestamp=2 (varint)) — pins the encoder to the public protobuf
+    spec independently of the decoder, so an encode/decode pair of
+    mirrored bugs can't hide."""
+    w = pb.WriteRequest(
+        [pb.TimeSeries(labels=[("a", "b")], samples=[(1.5, 42)])]
+    )
+    golden = bytes.fromhex(
+        "0a15"            # WriteRequest.timeseries, len 21
+        "0a06"            # TimeSeries.labels, len 6
+        "0a0161120162"    # Label{name="a", value="b"}
+        "120b"            # TimeSeries.samples, len 11
+        "09000000000000f83f"  # Sample.value fixed64 double 1.5
+        "102a"            # Sample.timestamp varint 42
+    )
+    assert pb.encode_write_request(w) == golden
+    dec = pb.decode_write_request(golden)
+    assert dec.timeseries[0].labels == [("a", "b")]
+    assert dec.timeseries[0].samples == [(1.5, 42)]
+
+
 def test_remote_write_roundtrip(spark, tmp_path):
     """Write path (beyond reference): WriteRequest proto in -> block
     store -> selectable via the Querier -> identical samples out."""
