@@ -1731,6 +1731,27 @@ def _q_simsearch_ivf_compacted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_graph_hnsw(spark: SparkSession, sf: str) -> DataFrame:
+    # HNSW-layered stored graph: geometric upper layer (deterministic
+    # md5 levels) + medoid entries; probe descends the upper layer
+    # greedily (beam=1) then runs the layer-0 beam search seeded with
+    # the descent's best nodes. Keeps recall flat as the corpus grows
+    # without raising layer-0 hops (clustered-fixture pin in
+    # tests/test_llm_ops.py: flat multi-entry 0.425 vs layered 0.7875
+    # at 4x corpus). Fully deterministic -> full unrolled oracle.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_graph_hnsw_")
+    simsearch.write_graph_index(e, path, knn=5, n_entries=8, layers=2,
+                                layer_mult=8)
+    return simsearch.graph_ann_stored(spark, path, q, k=10, beam=8, hops=3,
+                                      hops_upper=2)
+
+
 def _q_simsearch_graph_appended(spark: SparkSession, sf: str) -> DataFrame:
     # incremental graph maintenance: build on the even half, NSW-insert
     # the odd half (exact knn links vs committed nodes, forward +
@@ -2455,6 +2476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full protocol loop: remote-WRITE two batches into a fresh
         # store, remote-READ the merged series back over the wire
         "s15_remote_write_read": _q_s15_remote_write_read,
+        # HNSW-layered stored graph probe (upper-layer greedy descent
+        # + layer-0 beam search) — full unrolled layered oracle
+        "simsearch_graph_hnsw": _q_simsearch_graph_hnsw,
     }
 
 
@@ -2910,6 +2934,31 @@ _SQL_SIMSEARCH_KNN_GRAPH = _sql_simsearch_ivf(query_where="TRUE", k=5)
 # (like the PageRank oracle's unrolled power iterations) — entry point,
 # then per hop: expand along edges, score only unseen nodes, beam-prune
 # the new frontier; final top-k over everything scored.
+def _sql_entry_ctes(n_entries: int) -> str:
+    """Entry-point CTEs shared by the graph-walk oracles. n_entries>1:
+    one kmeans-cell MEDOID per cell (graph_entry_medoids) — each
+    vector's own cell is its argmax-cosine TRAINED centroid; the
+    cell's entry is its best member (sim DESC, vec_id ASC)."""
+    if n_entries > 1:
+        return (
+            _sql_kmeans_cents()
+            + """,
+asg AS (SELECT vec_id, centroid_id, sim FROM (
+    SELECT c.vec_id, ct.centroid_id,
+      round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                   ct.cvec), 6) AS sim,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                     ct.cvec), 6) DESC,
+        ct.centroid_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
+entry AS (SELECT DISTINCT node FROM (
+    SELECT vec_id AS node, row_number() OVER (PARTITION BY centroid_id
+      ORDER BY sim DESC, vec_id ASC) AS rn FROM asg) WHERE rn = 1), """
+        )
+    return "entry AS (SELECT min(vec_id) AS node FROM embeddings), "
+
+
 def _sql_graph_ann(
     k: int = 10,
     beam: int = 8,
@@ -2936,28 +2985,7 @@ f{i} AS (SELECT query_id, node FROM (
         hop_tpl.format(i=i, prev=i - 1, beam=beam)
         for i in range(1, hops + 1)
     )
-    if n_entries > 1:
-        # one kmeans-cell MEDOID per cell (graph_entry_medoids): each
-        # vector's own cell is its argmax-cosine TRAINED centroid; the
-        # cell's entry is its best member (sim DESC, vec_id ASC)
-        entry_sql = (
-            _sql_kmeans_cents()
-            + """,
-asg AS (SELECT vec_id, centroid_id, sim FROM (
-    SELECT c.vec_id, ct.centroid_id,
-      round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                   ct.cvec), 6) AS sim,
-      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                     ct.cvec), 6) DESC,
-        ct.centroid_id ASC) AS rn
-    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
-entry AS (SELECT DISTINCT node FROM (
-    SELECT vec_id AS node, row_number() OVER (PARTITION BY centroid_id
-      ORDER BY sim DESC, vec_id ASC) AS rn FROM asg) WHERE rn = 1), """
-        )
-    else:
-        entry_sql = "entry AS (SELECT min(vec_id) AS node FROM embeddings), "
+    entry_sql = _sql_entry_ctes(n_entries)
     if graph_sql is None:
         graph_sql = (
             "SELECT query_id AS node, vec_id AS dst FROM ("
@@ -3007,6 +3035,108 @@ SELECT node, dst FROM (
         f"UNION ALL SELECT dst AS node, node AS dst FROM ({fwd})"
     )
     return _sql_graph_ann(k=k, beam=beam, hops=hops, graph_sql=graph_sql)
+
+
+# HNSW-layered mirror: the same unrolled walk, preceded by the upper-
+# layer greedy descent. Layer membership is the derandomized geometric
+# rule (hash60(vec_id) % layer_mult^l == 0), upper edges the exact kNN
+# among members + the medoid entries, descent = hops_upper beam=1
+# rounds, then the standard layer-0 hops seeded with the descent's
+# best `beam` nodes. Every stage is 6dp + id-tie deterministic, so the
+# whole layered probe keeps a FULL oracle.
+def _sql_graph_hnsw(
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 3,
+    hops_upper: int = 2,
+    n_entries: int = 8,
+    knn: int = 5,
+    layer_mult: int = 8,
+) -> str:
+    upper_tpl = """
+uc{i} AS (SELECT DISTINCT f.query_id, ed.dst AS node
+          FROM uf{prev} f JOIN uedges ed USING (node)),
+un{i} AS (SELECT c.query_id, c.node FROM uc{i} c
+          WHERE NOT EXISTS (SELECT 1 FROM us{prev} s
+                            WHERE s.query_id = c.query_id
+                              AND s.node = c.node)),
+usc{i} AS (SELECT nn.query_id, nn.node,
+             round(list_cosine_similarity(q.qe, nd.ce), 6) AS cos
+           FROM un{i} nn JOIN q USING (query_id) JOIN nodes nd USING (node)),
+us{i} AS (SELECT * FROM us{prev} UNION ALL SELECT * FROM usc{i}),
+uf{i} AS (SELECT query_id, node FROM (
+            SELECT sc.*, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, node ASC) AS rn FROM usc{i} sc)
+          WHERE rn = 1)"""
+    upper_sql = ",".join(
+        upper_tpl.format(i=i, prev=i - 1) for i in range(1, hops_upper + 1)
+    )
+    hop_tpl = """
+c{i} AS (SELECT DISTINCT f.query_id, ed.dst AS node
+         FROM f{prev} f JOIN edges ed USING (node)),
+n{i} AS (SELECT c.query_id, c.node FROM c{i} c
+         WHERE NOT EXISTS (SELECT 1 FROM s{prev} s
+                           WHERE s.query_id = c.query_id
+                             AND s.node = c.node)),
+sc{i} AS (SELECT nn.query_id, nn.node,
+            round(list_cosine_similarity(q.qe, nd.ce), 6) AS cos
+          FROM n{i} nn JOIN q USING (query_id) JOIN nodes nd USING (node)),
+s{i} AS (SELECT * FROM s{prev} UNION ALL SELECT * FROM sc{i}),
+f{i} AS (SELECT query_id, node FROM (
+           SELECT sc.*, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, node ASC) AS rn FROM sc{i} sc)
+         WHERE rn <= {beam})"""
+    hops_sql = ",".join(
+        hop_tpl.format(i=i, prev=i - 1, beam=beam)
+        for i in range(1, hops + 1)
+    )
+    return (
+        "WITH edges AS (SELECT query_id AS node, vec_id AS dst FROM ("
+        + _SQL_SIMSEARCH_KNN_GRAPH + ")), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+        "FROM embeddings WHERE vec_id < 5), "
+        "nodes AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS ce "
+        "FROM embeddings), "
+        + _sql_entry_ctes(n_entries) +
+        # upper-layer members: geometric level >= 1, plus the entries
+        # (HNSW promotes the entry to the top layer)
+        f"umem AS (SELECT vec_id FROM embeddings WHERE "
+        f"('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT "
+        f"% {layer_mult} = 0 "
+        f"UNION SELECT node AS vec_id FROM entry), "
+        # exact kNN among the members (cosine_topk semantics: 6dp,
+        # ties id ASC, self excluded)
+        f"uedges AS (SELECT node, dst FROM ("
+        f"  SELECT a.vec_id AS node, b.vec_id AS dst, "
+        f"    row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+        f"      round(list_cosine_similarity("
+        f"        CAST(ea.embedding AS DOUBLE[]), "
+        f"        CAST(eb.embedding AS DOUBLE[])), 6) DESC, "
+        f"      b.vec_id ASC) AS rn "
+        f"  FROM umem a JOIN umem b ON a.vec_id <> b.vec_id "
+        f"  JOIN embeddings ea ON ea.vec_id = a.vec_id "
+        f"  JOIN embeddings eb ON eb.vec_id = b.vec_id) WHERE rn <= {knn}), "
+        # entry scores + greedy start (best entry per query)
+        "us0 AS (SELECT q.query_id, e.node, "
+        "round(list_cosine_similarity(q.qe, nd.ce), 6) AS cos "
+        "FROM q CROSS JOIN entry e JOIN nodes nd USING (node)), "
+        "uf0 AS (SELECT query_id, node FROM ("
+        "  SELECT s.*, row_number() OVER (PARTITION BY query_id "
+        "    ORDER BY cos DESC, node ASC) AS rn FROM us0 s) WHERE rn = 1),"
+        + upper_sql + ", "
+        # transition: layer-0 frontier = best `beam` of the whole
+        # descent; the accumulated upper scores seed the visited set
+        f"s0 AS (SELECT * FROM us{hops_upper}), "
+        f"f0 AS (SELECT query_id, node FROM ("
+        f"  SELECT s.*, row_number() OVER (PARTITION BY query_id "
+        f"    ORDER BY cos DESC, node ASC) AS rn FROM s0 s) "
+        f"WHERE rn <= {beam}),"
+        + hops_sql +
+        f" SELECT query_id, node AS vec_id, cos, CAST(rk AS INT) AS rk "
+        f"FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cos DESC, node ASC) AS rk FROM s{hops} s "
+        f"WHERE node <> query_id) WHERE rk <= {k} ORDER BY query_id, rk"
+    )
 
 
 # IVF-PQ mirror: the IVF cells/probes candidate prune composed with the
@@ -5503,6 +5633,7 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "streaming_ivf_ingest": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
         "simsearch_graph_ann": _sql_graph_ann(),
+        "simsearch_graph_hnsw": _sql_graph_hnsw(),
         # stored probe is walk-identical to the in-memory graph_ann
         "simsearch_graph_stored": _sql_graph_ann(),
         "simsearch_graph_ann_multi": _sql_graph_ann(n_entries=8),

@@ -2048,12 +2048,29 @@ def graph_ann(
     return out
 
 
+def hnsw_level(layer_mult: int, layers: int):
+    """Deterministic geometric layer assignment (HNSW's level sampler,
+    derandomized): a node's max layer is the largest l < `layers` with
+    hash60(vec_id) divisible by layer_mult^l — P(level >= l) =
+    layer_mult^-l, the geometric distribution HNSW draws, but derived
+    from md5 so the DuckDB oracle restates it verbatim."""
+    from agni_spark.functions.dedup import hash60
+
+    h = hash60(F.col("vec_id").cast("string"))
+    e = F.lit(0)
+    for lvl in range(1, layers):
+        e = F.when(h % F.lit(layer_mult ** lvl) == 0, F.lit(lvl)).otherwise(e)
+    return e
+
+
 def write_graph_index(
     corpus: DataFrame,
     path: str,
     knn: int = 5,
     n_buckets: int = 16,
     n_entries: int = 1,
+    layers: int = 1,
+    layer_mult: int = 8,
 ) -> None:
     """Build + persist the graph-ANN index: `edges/` (the kNN graph)
     and `nodes/` (id + vector, for scoring) both parquet-partitioned
@@ -2065,14 +2082,46 @@ def write_graph_index(
     decision, stored in meta, so every prober walks the same graph the
     same way.
 
+    `layers > 1` adds HNSW-style UPPER LAYERS: every edge carries a
+    `layer` column; layer 0 is the full kNN graph, and layer l >= 1 is
+    an exact kNN graph over the nodes whose deterministic geometric
+    level (see hnsw_level) is >= l — plus the entry nodes, which HNSW
+    always promotes to the top so the descent can start there. Upper
+    layers hold ~layer_mult^-l of the corpus, so their links span
+    layer_mult^l-fold longer ranges: the probe greedily descends them
+    (beam=1) before the layer-0 beam search, which is what keeps
+    recall flat as the corpus grows WITHOUT raising layer-0 hops
+    (Malkov & Yashunin's log-length path argument). Everything stays
+    deterministic (md5 levels, 6dp, id tie-breaks) -> full SQL oracle.
+
     Bucket-partitioning is the probe's scale lever: each beam-search
     hop joins a <= beam*queries frontier against edges/nodes ON THE
     BUCKET COLUMN, so the scan reads only the frontier's bucket
     directories (dynamic partition pruning) — never the whole graph."""
     spark = corpus.sparkSession
+    if n_entries <= 1:
+        entries = [int(corpus.agg(F.min("vec_id")).first()[0])]
+    else:
+        entries = sorted(
+            int(r.node)
+            for r in graph_entry_medoids(corpus, n_entries).collect()
+        )
     edges = knn_graph(corpus, k=knn).select(
         F.col("query_id").alias("node"), F.col("vec_id").alias("dst")
-    )
+    ).withColumn("layer", F.lit(0))
+    for lvl in range(1, layers):
+        members = corpus.where(
+            (hnsw_level(layer_mult, layers) >= lvl)
+            | F.col("vec_id").isin(entries)
+        )
+        e_l = cosine_topk(
+            members,
+            members.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=knn,
+        ).select(
+            F.col("query_id").alias("node"), F.col("vec_id").alias("dst")
+        ).withColumn("layer", F.lit(lvl))
+        edges = edges.unionByName(e_l)
     bucket = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
     (
         edges.withColumn("bucket", bucket)
@@ -2093,16 +2142,13 @@ def write_graph_index(
         .mode("overwrite")
         .parquet(f"{path}/nodes")
     )
-    if n_entries <= 1:
-        entries = [int(corpus.agg(F.min("vec_id")).first()[0])]
-    else:
-        entries = sorted(
-            int(r.node)
-            for r in graph_entry_medoids(corpus, n_entries).collect()
-        )
     spark.createDataFrame(
-        [(entries[0], entries, int(n_buckets), int(knn))],
-        "entry long, entries array<long>, n_buckets int, knn int",
+        [(
+            entries[0], entries, int(n_buckets), int(knn), int(layers),
+            int(layer_mult),
+        )],
+        "entry long, entries array<long>, n_buckets int, knn int, "
+        "layers int, layer_mult int",
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     _write_index_manifest(spark, path, [0])
 
@@ -2141,9 +2187,12 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
         new.select(F.col("vec_id").alias("query_id"), "embedding"),
         k=knn,
     ).select(F.col("query_id").alias("node"), F.col("vec_id").alias("dst"))
+    # appended links land at LAYER 0 (base-layer NSW insertion); upper
+    # layers are refreshed by a rebuild/compact — an appended node is
+    # reachable through its base links either way
     edges_new = fwd.unionByName(
         fwd.select(F.col("dst").alias("node"), F.col("node").alias("dst"))
-    )
+    ).withColumn("layer", F.lit(0))
     bucket = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
     (
         edges_new.withColumn("bucket", bucket)
@@ -2183,6 +2232,11 @@ class GraphIndexHandle:
         self.commits = _committed(spark, path)
         self.n_buckets = int(self.meta.n_buckets)
         self.knn = int(self.meta.knn)
+        self.layers = (
+            int(self.meta.layers)
+            if "layers" in self.meta.__fields__ and self.meta.layers
+            else 1
+        )
         self.entries = (
             [int(e) for e in self.meta.entries]
             if "entries" in self.meta.__fields__ and self.meta.entries
@@ -2206,6 +2260,100 @@ def open_graph_index(spark, path: str) -> GraphIndexHandle:
     return GraphIndexHandle(spark, path)
 
 
+def _hnsw_walk(
+    spark,
+    qids: list,
+    entry_nodes: list,
+    score_fn,
+    upper_expands: list,
+    expand_fn,
+    k: int,
+    beam: int,
+    hops: int,
+    hops_upper: int,
+    max_degree: int = 8,
+) -> DataFrame:
+    """Layered (HNSW-style) driver-coordinated walk: greedy descent
+    through the upper layers — per layer, `hops_upper` beam=1 rounds
+    over that layer's edges — then the standard layer-0 beam search
+    seeded with the best `beam` nodes found so far (per query). The
+    descent's long-range links cut the remaining layer-0 path to
+    O(log n), which is what keeps recall flat as the corpus grows
+    without raising `hops`. Same determinism contract as _beam_walk
+    (6dp, (cos DESC, node ASC) ties, fixed round counts), so the
+    unrolled SQL mirror is a FULL oracle. State bound: q * (1 +
+    (layers-1)*hops_upper*deg + hops*beam*deg) — chunked above
+    _BEAM_MAX_STATE like _beam_walk."""
+
+    def fr_df(pairs):
+        return spark.createDataFrame(pairs, "query_id long, node long")
+
+    def _best(scored: dict, chunk_qids: list, n: int) -> list:
+        by_q: dict = {}
+        for (qd, node), cos in scored.items():
+            by_q.setdefault(qd, []).append((cos, node))
+        return [
+            (qd, node)
+            for qd in chunk_qids
+            for cos, node in sorted(
+                by_q.get(qd, []), key=lambda t: (-t[0], t[1])
+            )[:n]
+        ]
+
+    def _walk_chunk(chunk_qids: list) -> list:
+        scored: dict = {}
+        frontier = [
+            (int(qd), int(n)) for qd in chunk_qids for n in entry_nodes
+        ]
+        for r in score_fn(fr_df(frontier)).collect():
+            scored[(r.query_id, r.node)] = r.cos
+        for expand_u in upper_expands:  # top layer first
+            frontier = _best(scored, chunk_qids, 1)
+            for _ in range(hops_upper):
+                if not frontier:
+                    break
+                new: dict = {}
+                for r in expand_u(fr_df(frontier)).collect():
+                    key = (r.query_id, r.node)
+                    if key not in scored and key not in new:
+                        new[key] = r.cos
+                scored.update(new)
+                frontier = _best(new, chunk_qids, 1)
+        # layer 0: seed with the best `beam` nodes of the whole descent
+        frontier = _best(scored, chunk_qids, beam)
+        for _ in range(hops):
+            if not frontier:
+                break
+            new = {}
+            for r in expand_fn(fr_df(frontier)).collect():
+                key = (r.query_id, r.node)
+                if key not in scored and key not in new:
+                    new[key] = r.cos
+            scored.update(new)
+            frontier = _best(new, chunk_qids, beam)
+        by_q: dict = {}
+        for (qd, node), cos in scored.items():
+            if node != qd:
+                by_q.setdefault(qd, []).append((cos, node))
+        return [
+            (qd, node, float(cos), rk)
+            for qd in sorted(by_q)
+            for rk, (cos, node) in enumerate(
+                sorted(by_q[qd], key=lambda t: (-t[0], t[1]))[:k], 1
+            )
+        ]
+
+    deg = max(1, max_degree)
+    per_q = 1 + len(upper_expands) * hops_upper * deg + hops * beam * deg
+    chunk = max(1, _BEAM_MAX_STATE // per_q)
+    out = []
+    for i in range(0, len(qids), chunk):
+        out.extend(_walk_chunk(qids[i:i + chunk]))
+    return spark.createDataFrame(
+        out, "query_id long, vec_id long, cos double, rk int"
+    ).orderBy("query_id", "rk")
+
+
 def graph_ann_stored(
     spark,
     index,
@@ -2213,6 +2361,7 @@ def graph_ann_stored(
     k: int = 10,
     beam: int = 8,
     hops: int = 3,
+    hops_upper: int = 2,
 ) -> DataFrame:
     """Beam search served from a stored graph index: identical walk —
     and therefore identical results — to graph_ann() built from the
@@ -2224,11 +2373,19 @@ def graph_ann_stored(
     `index` is a path or an open GraphIndexHandle (serving callers
     open once, probe many). The walk uses the depth-2 speculative
     expansion (_beam_walk expand2_fn): ~ceil(hops/2) actions instead
-    of 1+hops, identical results."""
+    of 1+hops, identical results. An index built with layers > 1
+    probes through the HNSW descent instead (_hnsw_walk):
+    `hops_upper` beam=1 rounds per upper layer, then the layer-0 beam
+    search seeded with the descent's best nodes."""
     h = index if isinstance(index, GraphIndexHandle) else GraphIndexHandle(
         spark, index
     )
-    edges, nodes = h.edges, h.nodes
+    edges_all, nodes = h.edges, h.nodes
+    edges = (
+        edges_all.where(F.col("layer") == 0).drop("layer")
+        if "layer" in edges_all.columns
+        else edges_all
+    )
     q = queries.select("query_id", F.col("embedding").alias("qe"))
     bucket_of = F.pmod(F.hash("node"), F.lit(h.n_buckets)).cast("int")
 
@@ -2314,6 +2471,27 @@ def graph_ann_stored(
         return out
 
     qids = [r.query_id for r in queries.select("query_id").collect()]
+    if h.layers > 1:
+        def _upper_expand(lvl: int):
+            uedges = edges_all.where(F.col("layer") == lvl).drop("layer")
+
+            def _ex(fr: DataFrame) -> DataFrame:
+                cand = (
+                    uedges.join(
+                        F.broadcast(fr.withColumn("bucket", bucket_of)),
+                        ["bucket", "node"],
+                    )
+                    .select("query_id", F.col("dst").alias("node"))
+                )
+                return _score(cand)
+
+            return _ex
+
+        return _hnsw_walk(
+            spark, qids, h.entries, _score,
+            [_upper_expand(lvl) for lvl in range(h.layers - 1, 0, -1)],
+            _expand, k, beam, hops, hops_upper, max_degree=h.knn,
+        )
     return _beam_walk(
         spark, qids, h.entries, _score, _expand, k, beam, hops,
         max_degree=h.knn,

@@ -133,9 +133,28 @@ def _probe_specs():
         path, q = ctx
         simsearch.ivfpq_stored(spark, path, q, k=10, nprobe=2).count()
 
+    def hnsw_setup(spark, sf_dir):
+        e = entry_mod._emb(spark, sf_dir)
+        q = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        path = tempfile.mkdtemp(prefix="bench_hnsw_")
+        simsearch.write_graph_index(e, path, knn=5, n_entries=8, layers=2,
+                                    layer_mult=8)
+        return (simsearch.open_graph_index(spark, path), q)
+
+    def hnsw_probe(spark, ctx):
+        handle, q = ctx
+        simsearch.graph_ann_stored(
+            spark, handle, q, k=10, beam=8, hops=3, hops_upper=2
+        ).count()
+
     return [
         ("simsearch_ivf_stored", ivf_setup, ivf_probe),
         ("simsearch_graph_stored", graph_setup, graph_probe),
+        # round-8: layered (HNSW) probe — the recall-at-scale serving
+        # shape; upper descent + layer-0 beam, same layer-0 params
+        ("simsearch_graph_hnsw", hnsw_setup, hnsw_probe),
         ("text_index", text_setup, text_probe),
         # round-8: PQ finally amortizes — training (the ~10s
         # simsearch_ivfpq row) moves into the one-time _build; the
