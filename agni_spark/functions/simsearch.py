@@ -2272,6 +2272,8 @@ def _hnsw_walk(
     hops: int,
     hops_upper: int,
     max_degree: int = 8,
+    upper_expand2s: list | None = None,
+    expand2_fn=None,
 ) -> DataFrame:
     """Layered (HNSW-style) driver-coordinated walk: greedy descent
     through the upper layers — per layer, `hops_upper` beam=1 rounds
@@ -2282,8 +2284,17 @@ def _hnsw_walk(
     without raising `hops`. Same determinism contract as _beam_walk
     (6dp, (cos DESC, node ASC) ties, fixed round counts), so the
     unrolled SQL mirror is a FULL oracle. State bound: q * (1 +
-    (layers-1)*hops_upper*deg + hops*beam*deg) — chunked above
-    _BEAM_MAX_STATE like _beam_walk."""
+    (layers-1)*hops_upper*deg + hops*beam*deg) (one more deg factor
+    with speculation) — chunked above _BEAM_MAX_STATE like _beam_walk.
+
+    Action fusion (`upper_expand2s`/`expand2_fn`, same speculative
+    depth-2 trick as _beam_walk): lvl-1 rows are tagged with their
+    frontier parent (`src`), so ONE action can score the entries AND
+    prefetch two upper rounds — the driver picks the best entry, then
+    applies the exact parent restriction per round; unselected
+    prefetched rows are dropped. Selection is byte-identical to the
+    sequential descent (test- and oracle-pinned); the probe runs
+    ~1 + (layers-1)*ceil(hops_upper/2) + ceil(hops/2) actions."""
 
     def fr_df(pairs):
         return spark.createDataFrame(pairs, "query_id long, node long")
@@ -2300,18 +2311,77 @@ def _hnsw_walk(
             )[:n]
         ]
 
+    def _two_restricted(scored, rows1, rows2, frontier, chunk_qids, n):
+        """Two sequential rounds off prefetched src-tagged rows: round
+        A admits lvl-1 rows whose parent is in `frontier`, round B
+        admits lvl-2 rows whose parent won round A's beam — exactly
+        the sequential walk's candidate sets, just prefetched."""
+        fset = set(frontier)
+        newa: dict = {}
+        for key, src, cos in rows1:
+            if (key[0], src) in fset and key not in scored and key not in newa:
+                newa[key] = cos
+        scored.update(newa)
+        fra = _best(newa, chunk_qids, n)
+        aset = set(fra)
+        newb: dict = {}
+        for key, src, cos in rows2:
+            if (key[0], src) in aset and key not in scored and key not in newb:
+                newb[key] = cos
+        scored.update(newb)
+        return _best(newb, chunk_qids, n)
+
     def _walk_chunk(chunk_qids: list) -> list:
         scored: dict = {}
-        frontier = [
+        entries = [
             (int(qd), int(n)) for qd in chunk_qids for n in entry_nodes
         ]
-        for r in score_fn(fr_df(frontier)).collect():
-            scored[(r.query_id, r.node)] = r.cos
-        for expand_u in upper_expands:  # top layer first
+        fused_first = bool(upper_expand2s) and hops_upper >= 2 and entries
+        if fused_first:
+            # ONE action: entry scores + two prefetched rounds of the
+            # TOP layer, expanded from every entry (the driver then
+            # restricts to the best entry's chain — sequential
+            # semantics, prefetched superset)
+            rows1, rows2 = [], []
+            for r in upper_expand2s[0](
+                fr_df(entries), with_scores=True
+            ).collect():
+                key = (r.query_id, r.node)
+                if r.lvl == 0:
+                    scored[key] = r.cos
+                elif r.lvl == 1:
+                    rows1.append((key, r.src, r.cos))
+                else:
+                    rows2.append((key, r.src, r.cos))
             frontier = _best(scored, chunk_qids, 1)
-            for _ in range(hops_upper):
-                if not frontier:
-                    break
+            frontier = _two_restricted(
+                scored, rows1, rows2, frontier, chunk_qids, 1
+            )
+            done_first = 2
+        else:
+            for r in score_fn(fr_df(entries)).collect():
+                scored[(r.query_id, r.node)] = r.cos
+            frontier = []
+            done_first = 0
+        for li, expand_u in enumerate(upper_expands):  # top layer first
+            remaining = hops_upper - (done_first if li == 0 else 0)
+            if li > 0 or not fused_first:
+                frontier = _best(scored, chunk_qids, 1)
+            while remaining > 0 and frontier:
+                ex2 = upper_expand2s[li] if upper_expand2s else None
+                if ex2 is not None and remaining >= 2:
+                    rows1, rows2 = [], []
+                    for r in ex2(fr_df(frontier), with_scores=False).collect():
+                        key = (r.query_id, r.node)
+                        if r.lvl == 1:
+                            rows1.append((key, r.src, r.cos))
+                        else:
+                            rows2.append((key, r.src, r.cos))
+                    frontier = _two_restricted(
+                        scored, rows1, rows2, frontier, chunk_qids, 1
+                    )
+                    remaining -= 2
+                    continue
                 new: dict = {}
                 for r in expand_u(fr_df(frontier)).collect():
                     key = (r.query_id, r.node)
@@ -2319,11 +2389,26 @@ def _hnsw_walk(
                         new[key] = r.cos
                 scored.update(new)
                 frontier = _best(new, chunk_qids, 1)
+                remaining -= 1
         # layer 0: seed with the best `beam` nodes of the whole descent
         frontier = _best(scored, chunk_qids, beam)
-        for _ in range(hops):
-            if not frontier:
-                break
+        remaining = hops
+        while remaining > 0 and frontier:
+            if expand2_fn is not None and remaining >= 2:
+                rows1, rows2 = [], []
+                for r in expand2_fn(
+                    fr_df(frontier), with_scores=False
+                ).collect():
+                    key = (r.query_id, r.node)
+                    if r.lvl == 1:
+                        rows1.append((key, r.src, r.cos))
+                    else:
+                        rows2.append((key, r.src, r.cos))
+                frontier = _two_restricted(
+                    scored, rows1, rows2, frontier, chunk_qids, beam
+                )
+                remaining -= 2
+                continue
             new = {}
             for r in expand_fn(fr_df(frontier)).collect():
                 key = (r.query_id, r.node)
@@ -2331,6 +2416,7 @@ def _hnsw_walk(
                     new[key] = r.cos
             scored.update(new)
             frontier = _best(new, chunk_qids, beam)
+            remaining -= 1
         by_q: dict = {}
         for (qd, node), cos in scored.items():
             if node != qd:
@@ -2344,7 +2430,10 @@ def _hnsw_walk(
         ]
 
     deg = max(1, max_degree)
-    per_q = 1 + len(upper_expands) * hops_upper * deg + hops * beam * deg
+    spec = (1 + deg) if (upper_expand2s or expand2_fn) else 1
+    per_q = 1 + (
+        len(upper_expands) * hops_upper * deg + hops * beam * deg
+    ) * spec
     chunk = max(1, _BEAM_MAX_STATE // per_q)
     out = []
     for i in range(0, len(qids), chunk):
@@ -2419,56 +2508,67 @@ def graph_ann_stored(
         # dropping it removes a shuffle stage from every hop's job
         return _score(cand)
 
-    def _expand2(fr: DataFrame, with_scores: bool) -> DataFrame:
+    def _mk_expand2(edge_df: DataFrame):
         # depth-2 speculative expansion in ONE action: lvl-1 = the
-        # frontier's neighbors, lvl-2 = their neighbors tagged with
-        # the lvl-1 node they hang off (`src`) so the driver can apply
-        # the exact hop-h+1 adjacency restriction. All intermediates
-        # are parameter-bounded -> broadcast; every scan is bucket-
-        # pruned. `with_scores` adds the frontier's own scores (lvl 0)
-        # for the fused entry action.
-        c1 = (
-            edges.join(
-                F.broadcast(fr.withColumn("bucket", bucket_of)),
-                ["bucket", "node"],
+        # frontier's neighbors TAGGED with the frontier node they hang
+        # off (`src`), lvl-2 = the lvl-1 nodes' neighbors tagged the
+        # same way — the driver applies the exact per-round adjacency
+        # restriction off the tags. All intermediates are parameter-
+        # bounded -> broadcast; every scan is bucket-pruned.
+        # `with_scores` adds the frontier's own scores (lvl 0) for the
+        # fused entry action.
+        def _ex2(fr: DataFrame, with_scores: bool) -> DataFrame:
+            c1 = (
+                edge_df.join(
+                    F.broadcast(fr.withColumn("bucket", bucket_of)),
+                    ["bucket", "node"],
+                )
+                .select(
+                    "query_id", F.col("node").alias("src"),
+                    F.col("dst").alias("node"),
+                )
+                .distinct()  # bounds the lvl-2 broadcast
             )
-            .select("query_id", F.col("dst").alias("node"))
-            .distinct()  # bounds the lvl-2 broadcast (q*beam*knn rows)
-        )
-        c2 = (
-            edges.join(
-                F.broadcast(c1.withColumn("bucket", bucket_of)),
-                ["bucket", "node"],
+            c1n = c1.select("query_id", "node").distinct()
+            c2 = (
+                edge_df.join(
+                    F.broadcast(c1n.withColumn("bucket", bucket_of)),
+                    ["bucket", "node"],
+                )
+                .select(
+                    "query_id", F.col("node").alias("src"),
+                    F.col("dst").alias("node"),
+                )
             )
-            .select(
-                "query_id", F.col("node").alias("src"),
-                F.col("dst").alias("node"),
-            )
-        )
-        s1 = _score(c1).select(
-            "query_id", F.lit(None).cast("long").alias("src"), "node",
-            "cos", F.lit(1).alias("lvl"),
-        )
-        s2 = (
-            nodes.join(
-                F.broadcast(c2.withColumn("bucket", bucket_of)),
-                ["bucket", "node"],
-            )
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id", "src", "node",
-                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
-                F.lit(2).alias("lvl"),
-            )
-        )
-        out = s1.unionByName(s2)
-        if with_scores:
-            s0 = _score(fr).select(
-                "query_id", F.lit(None).cast("long").alias("src"), "node",
-                "cos", F.lit(0).alias("lvl"),
-            )
-            out = s0.unionByName(out)
-        return out
+
+            def _sc(cand: DataFrame, lvl: int) -> DataFrame:
+                return (
+                    nodes.join(
+                        F.broadcast(cand.withColumn("bucket", bucket_of)),
+                        ["bucket", "node"],
+                    )
+                    .join(F.broadcast(q), "query_id")
+                    .select(
+                        "query_id", "src", "node",
+                        F.round(
+                            cosine(F.col("qe"), F.col("ce")), 6
+                        ).alias("cos"),
+                        F.lit(lvl).alias("lvl"),
+                    )
+                )
+
+            out = _sc(c1, 1).unionByName(_sc(c2, 2))
+            if with_scores:
+                s0 = _score(fr).select(
+                    "query_id", F.lit(None).cast("long").alias("src"),
+                    "node", "cos", F.lit(0).alias("lvl"),
+                )
+                out = s0.unionByName(out)
+            return out
+
+        return _ex2
+
+    _expand2 = _mk_expand2(edges)
 
     qids = [r.query_id for r in queries.select("query_id").collect()]
     if h.layers > 1:
@@ -2487,10 +2587,17 @@ def graph_ann_stored(
 
             return _ex
 
+        upper_lvls = list(range(h.layers - 1, 0, -1))
         return _hnsw_walk(
             spark, qids, h.entries, _score,
-            [_upper_expand(lvl) for lvl in range(h.layers - 1, 0, -1)],
+            [_upper_expand(lvl) for lvl in upper_lvls],
             _expand, k, beam, hops, hops_upper, max_degree=h.knn,
+            upper_expand2s=[
+                _mk_expand2(edges_all.where(F.col("layer") == lvl)
+                            .drop("layer"))
+                for lvl in upper_lvls
+            ],
+            expand2_fn=_expand2,
         )
     return _beam_walk(
         spark, qids, h.entries, _score, _expand, k, beam, hops,

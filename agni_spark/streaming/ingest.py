@@ -64,13 +64,16 @@ def stream_ann_index(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    index_kind: str = "ivf",
 ):
     """CONTINUOUS ANN INDEX MAINTENANCE: a file-source stream of new
-    embedding rows appends into an existing stored IVF index per
-    micro-batch (foreachBatch -> append_ivf_index) — each batch's
-    vectors are assigned to the index's FROZEN quantizer and land as
-    their own manifest-committed `commit=` partition, so probes serve
-    a consistent snapshot at every instant and never see a half-landed
+    embedding rows appends into an existing stored index per
+    micro-batch (foreachBatch -> append_ivf_index / append_pq_index,
+    chosen by `index_kind` in {'ivf', 'pq'}) — each batch's vectors
+    are assigned to the index's FROZEN quantizer (and, for PQ, encoded
+    with the frozen codebooks) and land as their own
+    manifest-committed `commit=` partition, so probes serve a
+    consistent snapshot at every instant and never see a half-landed
     batch.
 
     Exactly-once across restarts, covering BOTH crash windows: (a) a
@@ -88,8 +91,12 @@ def stream_ann_index(
     append of the same rows (append == rebuild is already test-pinned
     for the IVF layout), independent of how the files split into
     micro-batches. Returns the started StreamingQuery."""
-    from agni_spark.functions.simsearch import append_ivf_index
+    from agni_spark.functions.simsearch import (
+        append_ivf_index,
+        append_pq_index,
+    )
 
+    append = {"ivf": append_ivf_index, "pq": append_pq_index}[index_kind]
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -98,7 +105,7 @@ def stream_ann_index(
     def _append(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        append_ivf_index(
+        append(
             batch_df.sparkSession, index_path,
             batch_df.select("vec_id", "embedding"),
             batch_id=batch_id,

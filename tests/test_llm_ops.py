@@ -1454,6 +1454,45 @@ def test_append_clears_crashed_compact_leftover(spark, tmp_path):
     assert n == emb.count()
 
 
+def test_stream_pq_index_multibatch(spark, tmp_path):
+    """Streaming maintenance of the stored IVF-PQ index: the drained
+    stream's probe equals a single batch append of the same rows — the
+    frozen quantizer + frozen codebooks make results independent of
+    the micro-batch split (same contract the IVF wrapper pins)."""
+    from pyspark.sql import functions as F
+
+    from agni_spark.streaming import ingest as streaming
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bpath = str(tmp_path / "pq_batch")
+    simsearch.write_pq_index(even, bpath)
+    simsearch.append_pq_index(spark, bpath, odd)
+    want = [
+        tuple(r)
+        for r in simsearch.ivfpq_stored(spark, bpath, q, k=5).collect()
+    ]
+    src = str(tmp_path / "src")
+    odd.repartition(2).write.mode("overwrite").parquet(src)
+    spath = str(tmp_path / "pq_stream")
+    simsearch.write_pq_index(even, spath)
+    sq = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, index_kind="pq",
+    )
+    sq.awaitTermination()
+    assert len(simsearch._committed(spark, spath)) >= 3  # build + 2
+    got = [
+        tuple(r)
+        for r in simsearch.ivfpq_stored(spark, spath, q, k=5).collect()
+    ]
+    assert got == want
+
+
 def test_jsonl_quarantine(spark, tmp_path):
     from agni_spark.sources import jsonl
 
