@@ -439,7 +439,9 @@ def _clear_uncommitted_commit(
 # stored-index subdir layouts: (subdir, routing partition column) — the
 # shared commit-partition convention every stored index here uses
 IVF_INDEX_SUBDIRS = [("cells", "centroid_id")]
-PQ_INDEX_SUBDIRS = [("codes", "centroid_id")]
+# `vectors/` is OPTIONAL (write_pq_index(store_vectors=True)) —
+# compact/vacuum skip absent subdirs
+PQ_INDEX_SUBDIRS = [("codes", "centroid_id"), ("vectors", "centroid_id")]
 LSH_INDEX_SUBDIRS = [("buckets", "bucket")]
 GRAPH_INDEX_SUBDIRS = [("edges", "bucket"), ("nodes", "bucket")]
 TEXT_INDEX_SUBDIRS = [("postings", "bucket"), ("doclens", None)]
@@ -473,6 +475,13 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     # double its rows and the final manifest swap would serve them
     _clear_uncommitted_commit(spark, path, subdirs, nxt)
     for sub, routing in subdirs:
+        # OPTIONAL subdirs (e.g. the PQ layout's `vectors/`) may be
+        # absent from a given index — skip, don't fail
+        from agni_spark.sources.layout import _hfs
+
+        fs, P = _hfs(spark, f"{path}/{sub}")
+        if not fs.exists(P(f"{path}/{sub}")):
+            continue
         df = (
             spark.read.parquet(f"{path}/{sub}")
             .where(F.col("commit").isin(commits))
@@ -1488,6 +1497,7 @@ def write_pq_index(
     m: int = 16,
     ksub: int = 16,
     lloyd_rounds: int = 2,
+    store_vectors: bool = False,
 ) -> None:
     """Build + persist an IVF-PQ index — FAISS's train-once /
     probe-many contract for the compressed-index family (every sibling
@@ -1513,7 +1523,14 @@ def write_pq_index(
     the in-memory search (test-pinned), and the full composed SQL
     oracle transfers unchanged. Raw embeddings are read at build time
     ONLY; at 100 TB the index is ~m bytes/vector + two tiny model
-    tables, and probes never touch the corpus."""
+    tables, and probes never touch the corpus.
+
+    `store_vectors=True` additionally persists `vectors/` (the raw
+    embeddings, same partitioning) so ivfpq_stored_refine can run the
+    exact rerank WITHOUT the source table — the self-contained
+    serving-node deployment (DiskANN's store-full-precision-alongside
+    trade): D floats/vector of extra storage buys corpus-free
+    two-stage serving."""
     spark = corpus.sparkSession
     cents, cells, cb, codes, release = _ivfpq_train(
         corpus, n_centroids, m, ksub, lloyd_rounds
@@ -1535,6 +1552,16 @@ def write_pq_index(
         .mode("overwrite")
         .parquet(f"{path}/codes")
     )
+    if store_vectors:
+        (
+            corpus.select("vec_id", "embedding")
+            .join(cells.select("vec_id", "centroid_id"), "vec_id")
+            .withColumn("commit", F.lit(0).cast("long"))
+            .repartition("centroid_id")
+            .write.partitionBy("commit", "centroid_id")
+            .mode("overwrite")
+            .parquet(f"{path}/vectors")
+        )
     cents.select("centroid_id", F.col("cvec").cast("array<double>").alias("cvec")) \
         .repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     cb.select("sub", "cid", F.col("cvec").cast("array<double>").alias("cvec")) \
@@ -1611,6 +1638,21 @@ def append_pq_index(
         .mode("overwrite")
         .parquet(f"{path}/codes")
     )
+    # a store_vectors=True index keeps its raw-vector sidecar in step
+    from agni_spark.sources.layout import _hfs
+
+    fs, P = _hfs(spark, f"{path}/vectors")
+    if fs.exists(P(f"{path}/vectors")):
+        (
+            new_vectors.select("vec_id", "embedding")
+            .join(cells.select("vec_id", "centroid_id"), "vec_id")
+            .withColumn("commit", F.lit(nxt).cast("long"))
+            .repartition("centroid_id")
+            .write.partitionBy("commit", "centroid_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{path}/vectors")
+        )
     bids = {c: b for c, b in rows if b is not None}
     if batch_id is not None:
         bids[nxt] = int(batch_id)
@@ -1657,7 +1699,7 @@ def ivfpq_stored(
 def ivfpq_stored_refine(
     spark,
     path: str,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     rfactor: int = 3,
@@ -1665,13 +1707,23 @@ def ivfpq_stored_refine(
 ) -> DataFrame:
     """Two-stage serve from the stored index (FAISS IVFPQR shape):
     ADC shortlist of k*rfactor candidates from the codes store, exact
-    cosine re-rank against the raw corpus. The shortlist is
+    cosine re-rank against the raw vectors. The shortlist is
     parameter-bounded (q*k*rfactor rows), so it BROADCASTS into one
-    narrow corpus scan — the corpus never shuffles; total serving cost
+    narrow vector scan — the corpus never shuffles; total serving cost
     is one pruned codes probe + one scan. Matches
-    ivfpq_refine(corpus, queries, <build params>) exactly."""
+    ivfpq_refine(corpus, queries, <build params>) exactly.
+
+    `corpus=None` reads the raw vectors from the index's own
+    `vectors/` sidecar (write_pq_index(store_vectors=True)) — fully
+    self-contained serving, no source table needed."""
     shortlist = ivfpq_stored(spark, path, queries, k=k * rfactor,
                              nprobe=nprobe)
+    if corpus is None:
+        corpus = (
+            spark.read.parquet(f"{path}/vectors")
+            .where(F.col("commit").isin(_committed(spark, path)))
+            .select("vec_id", "embedding")
+        )
     rescored = (
         corpus.select("vec_id", F.col("embedding").alias("ce"))
         .join(F.broadcast(shortlist.select("query_id", "vec_id")), "vec_id")

@@ -1367,6 +1367,47 @@ def test_pq_index_append_and_lifecycle(spark, tmp_path):
     assert after == before
 
 
+def test_pq_index_self_contained_refine(spark, tmp_path):
+    """write_pq_index(store_vectors=True) persists the raw-vector
+    sidecar, so the two-stage exact rerank runs with corpus=None —
+    the self-contained serving-node deployment. The sidecar stays in
+    step through append and compaction."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pq_sv")
+    simsearch.write_pq_index(even, path, store_vectors=True)
+    simsearch.append_pq_index(spark, path, odd)
+    want = [
+        tuple(r)
+        for r in simsearch.ivfpq_stored_refine(
+            spark, path, emb, q, k=10
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in simsearch.ivfpq_stored_refine(
+            spark, path, None, q, k=10
+        ).collect()
+    ]
+    assert got == want and len(got) == 50
+    simsearch.compact_index(spark, path, simsearch.PQ_INDEX_SUBDIRS)
+    removed = simsearch.vacuum_index(spark, path, simsearch.PQ_INDEX_SUBDIRS)
+    assert "vectors/commit=0" in removed  # sidecar compacts too
+    again = [
+        tuple(r)
+        for r in simsearch.ivfpq_stored_refine(
+            spark, path, None, q, k=10
+        ).collect()
+    ]
+    assert again == want
+
+
 def test_append_ivf_replay_after_manifest_commit(spark, tmp_path):
     """The second exactly-once crash window: the previous attempt DID
     reach the manifest (batch committed) but the streaming checkpoint
