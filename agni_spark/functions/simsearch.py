@@ -2593,30 +2593,32 @@ def graph_ann_stored(
                 )
             )
 
-            def _sc(cand: DataFrame, lvl: int) -> DataFrame:
-                return (
-                    nodes.join(
-                        F.broadcast(cand.withColumn("bucket", bucket_of)),
-                        ["bucket", "node"],
-                    )
-                    .join(F.broadcast(q), "query_id")
-                    .select(
-                        "query_id", "src", "node",
-                        F.round(
-                            cosine(F.col("qe"), F.col("ce")), 6
-                        ).alias("cos"),
-                        F.lit(lvl).alias("lvl"),
-                    )
-                )
-
-            out = _sc(c1, 1).unionByName(_sc(c2, 2))
+            # ONE scoring join for every level: the bounded candidate
+            # union (lvl 0/1/2, src-tagged) broadcasts into a single
+            # bucket-pruned nodes scan — one nodes pass and one
+            # frontier of broadcast exchanges instead of one per level
+            cand = c1.select(
+                "query_id", "src", "node", F.lit(1).alias("lvl")
+            ).unionByName(
+                c2.select("query_id", "src", "node", F.lit(2).alias("lvl"))
+            )
             if with_scores:
-                s0 = _score(fr).select(
+                cand = fr.select(
                     "query_id", F.lit(None).cast("long").alias("src"),
-                    "node", "cos", F.lit(0).alias("lvl"),
+                    "node", F.lit(0).alias("lvl"),
+                ).unionByName(cand)
+            return (
+                nodes.join(
+                    F.broadcast(cand.withColumn("bucket", bucket_of)),
+                    ["bucket", "node"],
                 )
-                out = s0.unionByName(out)
-            return out
+                .join(F.broadcast(q), "query_id")
+                .select(
+                    "query_id", "src", "node",
+                    F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+                    "lvl",
+                )
+            )
 
         return _ex2
 
