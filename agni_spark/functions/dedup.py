@@ -432,12 +432,13 @@ def append_minhash_index(
     commit point."""
     from agni_spark.functions.simsearch import (
         MINHASH_INDEX_SUBDIRS,
+        _append_manifest,
         _clear_uncommitted_commit,
-        _committed,
-        _write_index_manifest,
+        _manifest_rows,
     )
 
-    commits = _committed(spark, path)
+    mrows = _manifest_rows(spark, path)
+    commits = [c for c, _ in mrows]
     nxt = max(commits) + 1
     # clear a crashed compact's uncommitted leftover under this id
     # (dynamic overwrite below replaces only our own partitions)
@@ -459,7 +460,7 @@ def append_minhash_index(
         .mode("overwrite")
         .parquet(f"{path}/buckets")
     )
-    _write_index_manifest(spark, path, commits + [nxt])
+    _append_manifest(spark, path, mrows, nxt)
 
 
 def incremental_dup_pairs(

@@ -415,6 +415,20 @@ def _max_applied_batch(rows: list[tuple[int, int | None]]) -> int | None:
     return max(bids) if bids else None
 
 
+def _append_manifest(
+    spark, path: str, rows: list, nxt: int, batch_id: int | None = None
+) -> None:
+    """Manifest rewrite for an append: commits + the new id, PRESERVING
+    every recorded (commit, batch_id) provenance pair — an append of a
+    different kind on the same index must never erase the streaming
+    replay bookkeeping."""
+    commits = [c for c, _ in rows]
+    bids = {c: b for c, b in rows if b is not None}
+    if batch_id is not None:
+        bids[nxt] = int(batch_id)
+    _write_index_manifest(spark, path, commits + [nxt], bids or None)
+
+
 def _clear_uncommitted_commit(
     spark, path: str, subdirs: list, nxt: int
 ) -> None:
@@ -719,7 +733,7 @@ def append_lsh_index(
         .mode("overwrite")
         .parquet(f"{path}/buckets")
     )
-    _write_index_manifest(spark, path, commits + [nxt])
+    _append_manifest(spark, path, rows, nxt)
 
 
 def lsh_ann_stored(
@@ -2225,7 +2239,8 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
     meta = spark.read.parquet(f"{path}/meta").first()
     n_buckets = int(meta.n_buckets)
     knn = int(meta.knn)
-    commits = _committed(spark, path)
+    rows = _manifest_rows(spark, path)
+    commits = [c for c, _ in rows]
     nxt = max(commits) + 1
     _clear_uncommitted_commit(spark, path, GRAPH_INDEX_SUBDIRS, nxt)
     old = (
@@ -2265,7 +2280,7 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
         .mode("overwrite")
         .parquet(f"{path}/nodes")
     )
-    _write_index_manifest(spark, path, commits + [nxt])
+    _append_manifest(spark, path, rows, nxt)
 
 
 class GraphIndexHandle:

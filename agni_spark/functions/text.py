@@ -830,20 +830,21 @@ def append_text_index(spark, path: str, new_docs: DataFrame) -> None:
     read or rewritten — append cost is O(new docs), not O(index)."""
     from agni_spark.functions.simsearch import (
         TEXT_INDEX_SUBDIRS,
+        _append_manifest,
         _clear_uncommitted_commit,
-        _committed,
-        _write_index_manifest,
+        _manifest_rows,
     )
 
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
-    commits = _committed(spark, path)
+    rows = _manifest_rows(spark, path)
+    commits = [c for c, _ in rows]
     nxt = max(commits) + 1
     # a crashed compact_index can leave a FULL uncommitted copy under
     # this id; dynamic overwrite below replaces only OUR partitions,
     # so clear the leftover first (shared guard, see simsearch)
     _clear_uncommitted_commit(spark, path, TEXT_INDEX_SUBDIRS, nxt)
     _append_postings(new_docs, path, n_buckets, commit=nxt, mode="append")
-    _write_index_manifest(spark, path, commits + [nxt])
+    _append_manifest(spark, path, rows, nxt)
 
 
 def bm25_topk_indexed(
