@@ -1673,8 +1673,35 @@ def append_pq_index(
     _write_index_manifest(spark, path, commits + [nxt], bids or None)
 
 
+class PQIndexHandle:
+    """An OPENED stored IVF-PQ index: meta, the committed-commit list,
+    the (tiny) centroid/codebook tables, and the codes scan resolved
+    once at open time — the serving twin of GraphIndexHandle. Probes
+    through a handle skip the per-call meta/manifest/model reads; the
+    handle pins the manifest snapshot read at open (reopen to see
+    later appends)."""
+
+    def __init__(self, spark, path: str):
+        self.path = path
+        meta = spark.read.parquet(f"{path}/meta").first()
+        self.m = int(meta.m)
+        self.commits = _committed(spark, path)
+        self.cents = spark.read.parquet(f"{path}/centroids")
+        self.cb = spark.read.parquet(f"{path}/codebooks")
+        self.codes = (
+            spark.read.parquet(f"{path}/codes")
+            .where(F.col("commit").isin(self.commits))
+        )
+
+
+def open_pq_index(spark, path: str) -> PQIndexHandle:
+    """Open a stored IVF-PQ index for repeated probing (see
+    PQIndexHandle)."""
+    return PQIndexHandle(spark, path)
+
+
 def ivfpq_stored(
-    spark, path: str, queries: DataFrame, k: int = 10, nprobe: int = 2
+    spark, index, queries: DataFrame, k: int = 10, nprobe: int = 2
 ) -> DataFrame:
     """Probe a stored IVF-PQ index: route each query to its nprobe
     nearest coarse centroids (broadcast centroid table), scan ONLY the
@@ -1688,18 +1715,20 @@ def ivfpq_stored(
     ivfpq_search(corpus, queries, <build params>) — training is the
     same code path — so the full composed SQL oracle transfers
     unchanged (simsearch_ivfpq_stored), and the per-call cost drops
-    from a training job (~10s at sf0.1) to a probe."""
-    meta = spark.read.parquet(f"{path}/meta").first()
-    m = int(meta.m)
-    cents = spark.read.parquet(f"{path}/centroids")
-    cb = spark.read.parquet(f"{path}/codebooks")
+    from a training job (~10s at sf0.1) to a probe.
+
+    `index` is a path or an open PQIndexHandle (serving callers open
+    once, probe many — meta/manifest/model reads amortize)."""
+    h = index if isinstance(index, PQIndexHandle) else PQIndexHandle(
+        spark, index
+    )
+    m, cents, cb = h.m, h.cents, h.cb
     probes = _nearest_centroids(
         queries.select("query_id", F.col("embedding").alias("qe")),
         cents, "query_id", "qe", nprobe,
     ).select("query_id", "centroid_id")
     cand_codes = (
-        spark.read.parquet(f"{path}/codes")
-        .where(F.col("commit").isin(_committed(spark, path)))
+        h.codes
         .join(F.broadcast(probes), "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(

@@ -127,11 +127,12 @@ def _probe_specs():
         path = tempfile.mkdtemp(prefix="bench_pq_")
         simsearch.write_pq_index(e, path, n_centroids=8, m=16, ksub=16,
                                  lloyd_rounds=2)
-        return (path, q)
+        # open-once serving contract, like the graph handle
+        return (simsearch.open_pq_index(spark, path), q)
 
     def pq_probe(spark, ctx):
-        path, q = ctx
-        simsearch.ivfpq_stored(spark, path, q, k=10, nprobe=2).count()
+        handle, q = ctx
+        simsearch.ivfpq_stored(spark, handle, q, k=10, nprobe=2).count()
 
     def hnsw_setup(spark, sf_dir):
         e = entry_mod._emb(spark, sf_dir)
