@@ -847,9 +847,31 @@ def append_text_index(spark, path: str, new_docs: DataFrame) -> None:
     _append_manifest(spark, path, rows, nxt)
 
 
+class TextIndexHandle:
+    """An OPENED stored text index: n_buckets + the committed-commit
+    list resolved once — the text twin of Graph/PQIndexHandle. Probes
+    through a handle skip the per-call meta/manifest reads; the handle
+    pins the manifest snapshot read at open (reopen to see appends)."""
+
+    def __init__(self, spark, path: str):
+        from agni_spark.functions.simsearch import _committed
+
+        self.path = path
+        self.n_buckets = int(
+            spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
+        )
+        self.commits = _committed(spark, path)
+
+
+def open_text_index(spark, path: str) -> TextIndexHandle:
+    """Open a stored text index for repeated probing (see
+    TextIndexHandle)."""
+    return TextIndexHandle(spark, path)
+
+
 def bm25_topk_indexed(
     spark,
-    path: str,
+    index,
     query_terms: list[str],
     k: int = 10,
     k1: float = 1.2,
@@ -860,13 +882,16 @@ def bm25_topk_indexed(
     scanned — the postings read statically prunes to the <= len(terms)
     bucket directories of the query terms (term -> bucket via the same
     xxhash64 the writer used, computed in a 1-row-per-term Spark job so
-    driver and store can never disagree on the hash)."""
+    driver and store can never disagree on the hash).
+
+    `index` is a path or an open TextIndexHandle (serving callers
+    open once, probe many)."""
     from pyspark.sql import Window
 
-    from agni_spark.functions.simsearch import _committed
-
-    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
-    commits = _committed(spark, path)
+    h = index if isinstance(index, TextIndexHandle) else TextIndexHandle(
+        spark, index
+    )
+    path, n_buckets, commits = h.path, h.n_buckets, h.commits
     buckets = sorted(
         {
             r.bucket

@@ -111,12 +111,12 @@ def _probe_specs():
         d = entry_mod._docs(spark, sf_dir)
         path = tempfile.mkdtemp(prefix="bench_text_")
         text.write_text_index(d, path)
-        return (path,)
+        return (text.open_text_index(spark, path),)
 
     def text_probe(spark, ctx):
-        (path,) = ctx
+        (handle,) = ctx
         text.bm25_topk_indexed(
-            spark, path, entry_mod.BM25_TERMS, k=10
+            spark, handle, entry_mod.BM25_TERMS, k=10
         ).count()
 
     def pq_setup(spark, sf_dir):
