@@ -633,8 +633,30 @@ def append_ivf_index(
     _write_index_manifest(spark, path, commits + [nxt], bids or None)
 
 
+class IvfIndexHandle:
+    """An OPENED stored IVF-flat index: centroid table + committed
+    cells scan resolved once at open (the serving twin of
+    Graph/PQ/TextIndexHandle; manifest snapshot pinned at open)."""
+
+    def __init__(self, spark, path: str):
+        self.path = path
+        self.cents = spark.read.parquet(f"{path}/centroids")
+        self.commits = _committed(spark, path)
+        self.cells = (
+            spark.read.parquet(f"{path}/cells")
+            .where(F.col("commit").isin(self.commits))
+            .drop("commit")
+        )
+
+
+def open_ivf_index(spark, path: str) -> IvfIndexHandle:
+    """Open a stored IVF index for repeated probing (see
+    IvfIndexHandle)."""
+    return IvfIndexHandle(spark, path)
+
+
 def ivf_ann_stored(
-    spark, path: str, queries: DataFrame, k: int = 10, nprobe: int = 2
+    spark, index, queries: DataFrame, k: int = 10, nprobe: int = 2
 ) -> DataFrame:
     """Probe a stored IVF index: route each query to its nprobe nearest
     centroids (broadcast centroid table), then join probes against the
@@ -643,17 +665,17 @@ def ivf_ann_stored(
     only the probed centroid_id directories (plan-asserted in
     tests/test_plans.py). Results are identical to ivf_ann() built
     from the same corpus/params; only manifest-committed commit
-    partitions are served (static partition pruning on the IN list)."""
-    cents = spark.read.parquet(f"{path}/centroids")
+    partitions are served (static partition pruning on the IN list).
+    `index` is a path or an open IvfIndexHandle."""
+    h = index if isinstance(index, IvfIndexHandle) else IvfIndexHandle(
+        spark, index
+    )
+    cents = h.cents
     probes = _nearest_centroids(
         queries.select("query_id", F.col("embedding").alias("qe")),
         cents, "query_id", "qe", nprobe,
     )
-    cells = (
-        spark.read.parquet(f"{path}/cells")
-        .where(F.col("commit").isin(_committed(spark, path)))
-        .drop("commit")
-    )
+    cells = h.cells
     # The cells ⋈ probes join keys on centroid_id — n_centroids
     # DISTINCT VALUES, so its output lands in <= n_centroids non-empty
     # partitions and the exact cosine rerank (the expensive part:

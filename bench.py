@@ -83,11 +83,11 @@ def _probe_specs():
         )
         path = tempfile.mkdtemp(prefix="bench_ivf_")
         simsearch.write_ivf_index(e, path, n_centroids=8)
-        return (path, q)
+        return (simsearch.open_ivf_index(spark, path), q)
 
     def ivf_probe(spark, ctx):
-        path, q = ctx
-        simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2).count()
+        handle, q = ctx
+        simsearch.ivf_ann_stored(spark, handle, q, k=10, nprobe=2).count()
 
     def graph_setup(spark, sf_dir):
         e = entry_mod._emb(spark, sf_dir)
