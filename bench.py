@@ -261,7 +261,14 @@ def main() -> None:
                     "PQ training amortizes into the one-time build "
                     "(the ~10s simsearch_ivfpq headline row is the "
                     "one-shot path kept for comparability; the _probe "
-                    "row is the serving SLO). dedup_cluster_assign "
+                    "row is the serving SLO). graph_stored_probe at "
+                    "~1.7s cold replaces the r7 2.61s warm number "
+                    "(fused entry hop + depth-2 speculative expansion "
+                    "+ open-once handles; the r7 <=1.5s target "
+                    "predates cold isolation). graph_hnsw_probe pays "
+                    "~1 extra action for the upper-layer descent — "
+                    "the price of recall that stays flat at 4x corpus "
+                    "(test-pinned). dedup_cluster_assign "
                     "repriced by the cold protocol (r6 1.73s/r7 2.18s "
                     "were session-warmed; honest cold ~3.8s) and then "
                     "cut to ~2.8s by the CC driver union-find fast "
