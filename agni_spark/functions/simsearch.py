@@ -758,9 +758,30 @@ def append_lsh_index(
     _append_manifest(spark, path, rows, nxt)
 
 
+class LshIndexHandle:
+    """An OPENED stored LSH table: committed buckets scan resolved
+    once (serving twin of the other *IndexHandle classes; manifest
+    snapshot pinned at open)."""
+
+    def __init__(self, spark, path: str):
+        self.path = path
+        self.commits = _committed(spark, path)
+        self.buckets = (
+            spark.read.parquet(f"{path}/buckets")
+            .where(F.col("commit").isin(self.commits))
+            .drop("commit")
+        )
+
+
+def open_lsh_index(spark, path: str) -> LshIndexHandle:
+    """Open a stored LSH table for repeated probing (see
+    LshIndexHandle)."""
+    return LshIndexHandle(spark, path)
+
+
 def lsh_ann_stored(
     spark,
-    path: str,
+    index,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
@@ -770,7 +791,10 @@ def lsh_ann_stored(
     deterministic planes, join on the bucket partition column
     (dynamic partition pruning -> only probed bucket dirs scanned),
     exact cosine rerank inside. Matches lsh_ann() on the same
-    corpus/params."""
+    corpus/params. `index` is a path or an open LshIndexHandle."""
+    h = index if isinstance(index, LshIndexHandle) else LshIndexHandle(
+        spark, index
+    )
     planes = hyperplanes(64, n_planes)
     qb = _bucket(F.col("embedding"), planes)
     if multiprobe:
@@ -784,11 +808,7 @@ def lsh_ann_stored(
             "query_id", F.col("embedding").alias("qe"), probes.alias("bucket")
         )
     )
-    c = (
-        spark.read.parquet(f"{path}/buckets")
-        .where(F.col("commit").isin(_committed(spark, path)))
-        .drop("commit")
-    )
+    c = h.buckets
     scored = (
         c.join(q, "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
