@@ -20,6 +20,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _count_tests() -> int:
+    """Test count straight from pytest's collector (no Spark session:
+    collection only imports the test modules)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--collect-only"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout
+    m = re.search(r"(\d+) tests collected", out)
+    if not m:
+        raise RuntimeError(f"could not parse pytest collection: {out[-200:]}")
+    return int(m.group(1))
+
+
 def main() -> None:
     import bench
 
@@ -28,6 +43,7 @@ def main() -> None:
     n_q = len(entry.queries())
     n_o = len(entry.oracle_sql())
     n_bench = len(bench.HEADLINE) + 2 * len(bench._probe_specs())
+    n_tests = _count_tests()
 
     readme = os.path.join(REPO, "README.md")
     text = open(readme).read()
@@ -41,22 +57,29 @@ def main() -> None:
         f"`bench.py` — {n_bench}-row headline benchmark",
         new,
     )
+    new = re.sub(
+        r"`tests/` — \d+ tests",
+        f"`tests/` — {n_tests} tests",
+        new,
+    )
     if "--check" in sys.argv:
         if new != text:
             print(
                 f"STALE: docs disagree with contract "
-                f"({n_q} queries / {n_o} oracles / {n_bench} bench rows)"
+                f"({n_q} queries / {n_o} oracles / {n_bench} bench "
+                f"rows / {n_tests} tests)"
             )
             sys.exit(1)
-        print(f"OK: {n_q} queries / {n_o} oracles / {n_bench} bench rows")
+        print(f"OK: {n_q} queries / {n_o} oracles / {n_bench} "
+              f"bench rows / {n_tests} tests")
         return
     if new != text:
         open(readme, "w").write(new)
         print(f"rewrote README.md: {n_q} queries / {n_o} oracles / "
-              f"{n_bench} bench rows")
+              f"{n_bench} bench rows / {n_tests} tests")
     else:
         print(f"up to date: {n_q} queries / {n_o} oracles / "
-              f"{n_bench} bench rows")
+              f"{n_bench} bench rows / {n_tests} tests")
 
 
 if __name__ == "__main__":
