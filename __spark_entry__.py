@@ -1752,6 +1752,20 @@ def _q_simsearch_graph_hnsw(spark: SparkSession, sf: str) -> DataFrame:
                                       hops_upper=2)
 
 
+def _q_simsearch_pagerank_stored(spark: SparkSession, sf: str) -> DataFrame:
+    # PageRank over the STORED graph index's persisted layer-0 edges —
+    # the amortized twin of simsearch_pagerank (which rebuilds the kNN
+    # graph per call): build once, rank many. A fresh build's base
+    # layer IS knn_graph(corpus, k=5)'s forward edges, so the result
+    # (and _SQL_PAGERANK) is identical to the in-memory row.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_graph_pr_")
+    simsearch.write_graph_index(e, path, knn=5)
+    return simsearch.pagerank_stored(spark, path)
+
+
 def _q_simsearch_graph_appended(spark: SparkSession, sf: str) -> DataFrame:
     # incremental graph maintenance: build on the even half, NSW-insert
     # the odd half (exact knn links vs committed nodes, forward +
@@ -2124,7 +2138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "pipeline_curate_v2": _q_pipeline_curate_v2,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_incremental": _q_dedup_incremental,
+        # round-9 rotation: the full remote-WRITE+READ protocol loop
+        # replaces dedup_incremental in the window (the minhash family
+        # keeps dedup_minhash_lsh/pipeline_curate_v2 as its window
+        # representatives; dedup_incremental stays gated after #50)
+        "s15_remote_write_read": _q_s15_remote_write_read,
         # round-6 sharded-state streaming top-k replaced cluster-assign
         # in the window (dedup_cluster_assign stays gated after #50)
         "streaming_topk": _q_streaming_topk,
@@ -2163,11 +2181,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": lambda s, d: relational.events_asof_view(s, d),
         # --- Streaming (2) ---
         "streaming_windowed_sum": _q_streaming_windowed_sum,
-        "streaming_increase": _q_streaming_increase,
-        # --- Multimodal (1) — entry #50 ---
-        "multimodal_meta": _q_multimodal_meta,
+        # round-9 rotation: the HNSW-layered stored-graph probe (the
+        # newest ANN serving shape, full unrolled layered oracle)
+        # replaces streaming_increase in the window — entry #50
+        # (streaming keeps windowed_sum + topk as representatives)
+        "simsearch_graph_hnsw": _q_simsearch_graph_hnsw,
         # ------ end of driver-checked window (50) ------
         # swapped out of the window above, still fully oracle-gated:
+        "multimodal_meta": _q_multimodal_meta,
+        "dedup_incremental": _q_dedup_incremental,
+        "streaming_increase": _q_streaming_increase,
         "s13_matrix_assembly": _q_s13_matrix_assembly,
         "promql_parsed_expression": _q_promql_parsed,
         "dedup_cluster_assign": _q_dedup_cluster_assign,
@@ -2384,6 +2407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("vec_id").alias("dst"),
             )
         ),
+        # the amortized twin: same 3 iterations over a STORED graph
+        # index's persisted layer-0 edges (a fresh build's base layer
+        # IS knn_graph's output, so the oracle is shared verbatim)
+        "simsearch_pagerank_stored": _q_simsearch_pagerank_stored,
         "simsearch_mutual_knn_clusters": lambda s, d: (
             simsearch.mutual_knn_clusters(_emb(s, d), k=5, threshold=0.3)
         ),
@@ -2473,12 +2500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stored-PQ two-stage serve (ADC shortlist from the codes
         # store + exact rerank) — matches ivfpq_refine's full oracle
         "simsearch_ivfpq_stored_rerank": _q_simsearch_ivfpq_stored_rerank,
-        # full protocol loop: remote-WRITE two batches into a fresh
-        # store, remote-READ the merged series back over the wire
-        "s15_remote_write_read": _q_s15_remote_write_read,
-        # HNSW-layered stored graph probe (upper-layer greedy descent
-        # + layer-0 beam search) — full unrolled layered oracle
-        "simsearch_graph_hnsw": _q_simsearch_graph_hnsw,
     }
 
 
@@ -5385,7 +5406,7 @@ SELECT * FROM p ORDER BY "column"
             "WITH RECURSIVE d AS ("
             "  SELECT doc_id, lang,"
             "  least(CAST(len(regexp_extract_all(text,"
-            "    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT), 2048) AS n,"
+            "    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT), 2048) AS n,"
             "  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn"
             "  FROM documents),"
             "walk AS ("
@@ -5639,6 +5660,7 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_graph_ann_multi": _sql_graph_ann(n_entries=8),
         "simsearch_graph_appended": _sql_graph_appended(),
         "simsearch_pagerank": _SQL_PAGERANK,
+        "simsearch_pagerank_stored": _SQL_PAGERANK,
         "simsearch_lsh_ann": _SQL_SIMSEARCH_LSH,
         # the kNN oracle + mutual-edge join + recursive closure: an
         # independent path to the same clustering fixpoint

@@ -140,7 +140,7 @@ class ResultsCache:
             self._manifest_path(base)
         )
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, all_other: bool = False) -> list[str]:
         """GC cached partials of SUPERSEDED store versions: every
         registry commit moves the live cache under a new `ver=` dir and
         strands the previous version's partials — harmless but
@@ -151,7 +151,18 @@ class ResultsCache:
         a later registry commit — must never delete a NEWER
         concurrently-open cache's committed partials, so dirs it
         cannot prove superseded (newer, or not version-ordered) are
-        left alone. Goes through the Hadoop FileSystem API (s3a-safe),
+        left alone.
+
+        TOKEN-VERSIONED caches (version_token / "static") have no
+        order, so the default vacuum can never GC their superseded
+        dirs — for those, `all_other=True` opts in to deleting EVERY
+        ver= dir other than this cache's own. The caller asserts the
+        safety condition the ordering otherwise proves: no concurrent
+        cache instance pinned to a different token is still serving
+        (the token owner knows its rotation schedule; the library
+        cannot).
+
+        Goes through the Hadoop FileSystem API (s3a-safe),
         O(#versions) listing, never touches live data. Returns the
         removed version dir names. The results-cache twin of
         layout.vacuum_store."""
@@ -160,12 +171,13 @@ class ResultsCache:
         def _ord(v: str) -> int | None:
             # registry-backed versions are "v<int>"; anything else
             # (pinned tokens, "static") has no order -> never deleted
+            # unless the caller opted into all_other
             if v.startswith("v") and v[1:].isdigit():
                 return int(v[1:])
             return None
 
         mine = _ord(self._version)
-        if mine is None:
+        if mine is None and not all_other:
             return []
         fs, P = _hfs(self.spark, self.path)
         if not fs.exists(P(self.path)):
@@ -175,8 +187,13 @@ class ResultsCache:
             name = st.getPath().getName()
             if not name.startswith("ver="):
                 continue
-            other = _ord(name[len("ver="):])
-            if other is not None and other < mine:
+            ver = name[len("ver="):]
+            other = _ord(ver)
+            drop = (
+                (mine is not None and other is not None and other < mine)
+                or (all_other and ver != self._version)
+            )
+            if drop:
                 _fs_delete(self.spark, f"{self.path}/{name}")
                 removed.append(name)
         return sorted(removed)

@@ -502,6 +502,15 @@ def compact_index(spark, path: str, subdirs: list) -> int:
             .drop("commit")
             .withColumn("commit", F.lit(nxt).cast("long"))
         )
+        if "layer" in df.columns:
+            # graph-family edges written before the HNSW `layer`
+            # column existed read as NULL under the unified schema;
+            # they ARE the base layer — normalize so the compacted
+            # commit never bakes NULLs in (readers coalesce too, see
+            # _layer0, but a compact is the natural place to heal)
+            df = df.withColumn(
+                "layer", F.coalesce(F.col("layer"), F.lit(0))
+            )
         part = ["commit"] + ([routing] if routing else [])
         shaped = df.repartition(F.col(routing)) if routing else df.repartition(1)
         # append-mode into the same root: only the NEW commit dir is
@@ -2398,6 +2407,48 @@ def open_graph_index(spark, path: str) -> GraphIndexHandle:
     return GraphIndexHandle(spark, path)
 
 
+def _layer0(edges: DataFrame) -> DataFrame:
+    """Base-layer edge filter shared by every stored-graph consumer.
+    NULL-safe on `layer`: an index built before the HNSW column
+    existed has edge files without it, so after a post-upgrade append
+    Spark's unified schema reads the legacy rows as NULL — treating
+    NULL as anything but layer 0 would silently drop the entire
+    legacy base graph from probes. coalesce(layer, 0) keeps them."""
+    if "layer" in edges.columns:
+        return edges.where(
+            F.coalesce(F.col("layer"), F.lit(0)) == 0
+        ).drop("layer")
+    return edges
+
+
+def pagerank_stored(
+    spark, index, damping: float = 0.85, iters: int = 3
+) -> DataFrame:
+    """PageRank served from a STORED graph index: the same fixed-
+    iteration recurrence as pagerank(), but the edge list is the
+    index's persisted layer-0 kNN graph instead of a per-call
+    knn_graph build — the analytics analogue of the stored-probe
+    serving split (build once, rank many). On a freshly built index
+    the stored base layer IS knn_graph's output, so results (and the
+    SQL oracle) are identical to pagerank(knn_graph(corpus)); on an
+    appended index the ranks also see the append commits' NSW links —
+    exactly the graph probes walk. Scale: the power loop's per-
+    iteration shuffle is over the stored n*knn edge table only; the
+    corpus vectors are never read."""
+    h = (
+        index
+        if isinstance(index, GraphIndexHandle)
+        else GraphIndexHandle(spark, index)
+    )
+    return pagerank(
+        _layer0(h.edges).select(
+            F.col("node").alias("src"), F.col("dst").alias("dst")
+        ),
+        damping=damping,
+        iters=iters,
+    )
+
+
 def _hnsw_walk(
     spark,
     qids: list,
@@ -2608,11 +2659,7 @@ def graph_ann_stored(
         spark, index
     )
     edges_all, nodes = h.edges, h.nodes
-    edges = (
-        edges_all.where(F.col("layer") == 0).drop("layer")
-        if "layer" in edges_all.columns
-        else edges_all
-    )
+    edges = _layer0(edges_all)  # NULL-safe: legacy rows are layer 0
     q = queries.select("query_id", F.col("embedding").alias("qe"))
     bucket_of = F.pmod(F.hash("node"), F.lit(h.n_buckets)).cast("int")
 
@@ -2711,6 +2758,11 @@ def graph_ann_stored(
     _expand2 = _mk_expand2(edges)
 
     qids = [r.query_id for r in queries.select("query_id").collect()]
+    # state-guard degree bound: append_graph_index writes forward AND
+    # reverse links, so a maintained (multi-commit) index's out-degree
+    # can reach 2*knn — the guard must budget for it or the
+    # _BEAM_MAX_STATE ceiling the constant promises is not enforced
+    eff_deg = h.knn if len(h.commits) <= 1 else 2 * h.knn
     if h.layers > 1:
         def _upper_expand(lvl: int):
             uedges = edges_all.where(F.col("layer") == lvl).drop("layer")
@@ -2731,7 +2783,7 @@ def graph_ann_stored(
         return _hnsw_walk(
             spark, qids, h.entries, _score,
             [_upper_expand(lvl) for lvl in upper_lvls],
-            _expand, k, beam, hops, hops_upper, max_degree=h.knn,
+            _expand, k, beam, hops, hops_upper, max_degree=eff_deg,
             upper_expand2s=[
                 _mk_expand2(edges_all.where(F.col("layer") == lvl)
                             .drop("layer"))
@@ -2741,7 +2793,7 @@ def graph_ann_stored(
         )
     return _beam_walk(
         spark, qids, h.entries, _score, _expand, k, beam, hops,
-        max_degree=h.knn,
+        max_degree=eff_deg,
         first_fn=lambda fr: _score(fr).unionByName(_expand(fr)),
         expand2_fn=_expand2,
     )

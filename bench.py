@@ -8,6 +8,30 @@ documents), text stats, similarity top-k. Each query executes to
 completion (count() materializes the plan; results are not collected
 to the driver — the driver-side cost would measure pandas, not the
 engine).
+
+EMITTER CONTRACT (round 9): the recording driver captures only the
+LAST ~2000 characters of stdout, so the JSON result line MUST fit in
+that window or the front of the line (headline total + first rows) is
+lost — exactly what happened to BENCH_r08 ("parsed": null). Therefore
+stdout gets ONE compact JSON line (no spaces, short machine note,
+hard-capped at _MAX_LINE bytes — test-pinned in tests/test_bench.py)
+and every prose protocol/reprice note goes to STDERR, generated from
+the recorded medians themselves so a note can never quote a number
+the JSON does not contain.
+
+PROTOCOL (unchanged from round 8): every timed run is preceded by
+bench._cold (catalog cache clear + unpersist of pinned RDDs), so no
+run can warm a later one through the plan-matching CacheManager;
+medians are N independent executions. Round 9 adds:
+  * <spec>_probe_warm rows — the serving number users actually see
+    (open handle, hot page cache, no _cold between runs); the cold
+    _probe rows remain the regression gate.
+  * simsearch_pagerank_stored_probe — the same 3 PageRank iterations
+    as the simsearch_pagerank headline row but over the stored graph
+    index's persisted layer-0 edges (build amortized like every other
+    stored tier; the headline row keeps its per-call kNN-graph build
+    for cross-round comparability, and the delta between the two rows
+    IS that build cost, measured).
 """
 
 from __future__ import annotations
@@ -18,6 +42,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the driver records the last ~2000 chars of stdout; leave headroom
+# for the trailing newline / progress-bar residue on the same capture
+_MAX_LINE = 1900
 
 HEADLINE = [
     "p7_select_samples",
@@ -43,8 +71,8 @@ HEADLINE = [
     "pipeline_curate",
     # round-6 widening: the newest (and most expensive) tiers are
     # tracked round-over-round from here on. TOTALS ARE NOT COMPARABLE
-    # to rounds <= 5 (the note field records the harness change);
-    # per-query times of the original 21 still are.
+    # to rounds <= 5 (the harness-change history lives in the stderr
+    # notes); per-query times of the original 21 still are.
     "simsearch_ivfpq",
     "simsearch_pagerank",
     "simsearch_graph_ann",
@@ -58,6 +86,22 @@ HEADLINE = [
     "simsearch_graph_ann_multi",
 ]
 
+# specs whose probes get a *_probe_warm row (serving SLO with an open
+# handle and hot page cache; cold rows stay the regression gate)
+_WARM_SPECS = {
+    "simsearch_ivf_stored",
+    "simsearch_graph_stored",
+    "simsearch_graph_hnsw",
+    "text_index",
+    "simsearch_ivfpq_stored",
+}
+
+# module-level artifact shared between the graph spec and the
+# pagerank spec: pagerank_stored deliberately reuses graph_stored's
+# index (same artifact — rebuilding it would double-count a build the
+# bench already records as simsearch_graph_stored_build)
+_SHARED: dict = {}
+
 
 def _probe_specs():
     """Build/probe TIMING SPLIT for the stored-index tiers (round-7
@@ -67,7 +111,11 @@ def _probe_specs():
     build noise. Each spec builds the index ONCE (timed separately as
     *_build) and then times the probe alone (*_probe, median-of-N
     like every other row). The probe rows are the serving SLO signal:
-    at 100 TB the build amortizes across millions of probes."""
+    at 100 TB the build amortizes across millions of probes.
+
+    Spec tuple: (name, setup, probe, emit_build) — emit_build=False
+    for specs that reuse another spec's artifact (their build cost is
+    already recorded under the owning spec's _build row)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -96,6 +144,7 @@ def _probe_specs():
         )
         path = tempfile.mkdtemp(prefix="bench_graph_")
         simsearch.write_graph_index(e, path, knn=5)
+        _SHARED["graph_path"] = path
         # serving contract: the index is OPENED once (meta + manifest
         # resolved, scan file-indexes built) and probed many times —
         # open cost belongs to _build, walk actions to _probe
@@ -150,33 +199,165 @@ def _probe_specs():
             spark, handle, q, k=10, beam=8, hops=3, hops_upper=2
         ).count()
 
+    def pagerank_setup(spark, sf_dir):
+        # reuse the index graph_setup built (runs earlier in the spec
+        # list); fall back to building one if specs ever run alone
+        path = _SHARED.get("graph_path")
+        if path is None:
+            e = entry_mod._emb(spark, sf_dir)
+            path = tempfile.mkdtemp(prefix="bench_graph_")
+            simsearch.write_graph_index(e, path, knn=5)
+        return (simsearch.open_graph_index(spark, path),)
+
+    def pagerank_probe(spark, ctx):
+        (handle,) = ctx
+        simsearch.pagerank_stored(spark, handle).count()
+
     return [
-        ("simsearch_ivf_stored", ivf_setup, ivf_probe),
-        ("simsearch_graph_stored", graph_setup, graph_probe),
+        ("simsearch_ivf_stored", ivf_setup, ivf_probe, True),
+        ("simsearch_graph_stored", graph_setup, graph_probe, True),
         # round-8: layered (HNSW) probe — the recall-at-scale serving
         # shape; upper descent + layer-0 beam, same layer-0 params
-        ("simsearch_graph_hnsw", hnsw_setup, hnsw_probe),
-        ("text_index", text_setup, text_probe),
+        ("simsearch_graph_hnsw", hnsw_setup, hnsw_probe, True),
+        ("text_index", text_setup, text_probe, True),
         # round-8: PQ finally amortizes — training (the ~10s
         # simsearch_ivfpq row) moves into the one-time _build; the
         # _probe row is the compressed-index serving SLO
-        ("simsearch_ivfpq_stored", pq_setup, pq_probe),
+        ("simsearch_ivfpq_stored", pq_setup, pq_probe, True),
+        # round-9: the pagerank headline row's per-call kNN-graph
+        # build, amortized — same 3 iterations over graph_stored's
+        # persisted edges (emit_build=False: the artifact is
+        # graph_stored's, its build is already that spec's _build row)
+        ("simsearch_pagerank_stored", pagerank_setup, pagerank_probe,
+         False),
     ]
+
+
+def _expected_rows() -> list[str]:
+    """Every row name the emitted JSON will contain (the emitter-size
+    test pins that the full set fits the driver's capture window)."""
+    rows = list(HEADLINE)
+    for name, _, _, emit_build in _probe_specs():
+        if emit_build:
+            rows.append(f"{name}_build")
+        rows.append(f"{name}_probe")
+        if name in _WARM_SPECS:
+            rows.append(f"{name}_probe_warm")
+    return rows
 
 
 def _cold(spark) -> None:
     """Cache isolation between timed runs (round-8 protocol): drop the
     SQL plan cache AND unpersist every still-pinned RDD (persist
-    leaks, localCheckpoints) so no run can warm the next through the
-    plan-matching CacheManager — the exact mechanism that silently
-    inflated the r6 ivfpq/graph medians (adjudicated in the r7
-    verdict). Median-of-N now measures N independent executions; a
-    future accidental persist leak costs its own run, never a
-    neighbor's."""
+    leaks) so no run can warm the next through the plan-matching
+    CacheManager — the exact mechanism that silently inflated the r6
+    ivfpq/graph medians (adjudicated in the r7 verdict). Median-of-N
+    now measures N independent executions; a future accidental
+    persist leak costs its own run, never a neighbor's.
+
+    LOCALLY-CHECKPOINTED RDDs are skipped (round 9): their lineage is
+    truncated, so unpersisting one makes it unrecomputable and a probe
+    ctx holding such a DataFrame would crash instead of merely running
+    cold. They cannot warm a fresh plan either way — CacheManager
+    matching serves `.cache()`/cacheTable entries, while a checkpoint
+    is only reachable through the very DataFrame object that owns it
+    (reusing that object IS the handle-state contract, not a leak)."""
     spark.catalog.clearCache()
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for jrdd in list(jmap.values()):
+        try:
+            if jrdd.rdd().isLocallyCheckpointed():
+                continue
+        except Exception:
+            pass
         jrdd.unpersist()
+
+
+def _notes(results: dict[str, float]) -> str:
+    """Prose protocol/reprice notes for STDERR — generated from the
+    recorded medians so every quoted number matches the JSON line."""
+    g = lambda k: results.get(k, float("nan"))  # noqa: E731
+    return (
+        "bench notes (stderr by design — the recording driver keeps "
+        "only the last ~2000 chars of stdout, so the JSON line stays "
+        "compact and these notes live here):\n"
+        "* COLD PROTOCOL (round 8): every timed run is preceded by "
+        "bench._cold (catalog cache clear + unpersist of pinned, "
+        "non-locally-checkpointed RDDs; test-asserted), so a persist "
+        "leak can never warm a later run; medians are N independent "
+        "executions. Totals are not comparable across protocol "
+        "changes — compare per-query.\n"
+        "* Cold-reprice family: rows whose r7->r8 movement was the "
+        "protocol change (r<=7 medians let run 1 warm runs 2-3), not "
+        "a code change — recorded this round: "
+        f"simsearch_ivf_ann {g('simsearch_ivf_ann')}, "
+        f"simsearch_ivf_stored_build {g('simsearch_ivf_stored_build')}, "
+        f"simsearch_graph_stored_build "
+        f"{g('simsearch_graph_stored_build')}, "
+        f"text_index_build {g('text_index_build')}, "
+        f"dedup_cluster_assign {g('dedup_cluster_assign')}.\n"
+        "* simsearch_pagerank "
+        f"({g('simsearch_pagerank')}) rebuilds the kNN graph inside "
+        "every timed run (kept for cross-round comparability); "
+        "simsearch_pagerank_stored_probe "
+        f"({g('simsearch_pagerank_stored_probe')}) runs the identical "
+        "3 iterations over the stored graph index's persisted layer-0 "
+        "edges (the artifact graph_stored_build already pays for), so "
+        "the delta between the two rows IS the per-call build cost — "
+        "the r8 1.92x jump was that build repriced cold.\n"
+        "* *_probe rows are COLD (bench._cold before every run — the "
+        "regression gate); *_probe_warm rows are the serving number "
+        "(same open handle, hot page cache, no cache scrub between "
+        "runs): "
+        f"ivf {g('simsearch_ivf_stored_probe')}/"
+        f"{g('simsearch_ivf_stored_probe_warm')}, "
+        f"graph {g('simsearch_graph_stored_probe')}/"
+        f"{g('simsearch_graph_stored_probe_warm')}, "
+        f"hnsw {g('simsearch_graph_hnsw_probe')}/"
+        f"{g('simsearch_graph_hnsw_probe_warm')}, "
+        f"text {g('text_index_probe')}/{g('text_index_probe_warm')}, "
+        f"pq {g('simsearch_ivfpq_stored_probe')}/"
+        f"{g('simsearch_ivfpq_stored_probe_warm')} sec cold/warm.\n"
+        "* simsearch_ivfpq / _rerank keep per-call PQ training for "
+        "comparability; the amortized path is "
+        "simsearch_ivfpq_stored_build/_probe.\n"
+        "* Headline-set history: round 6 +8 rows; round 7 "
+        "+ivfpq_rerank/graph_ann_multi + build/probe splits; round 8 "
+        "+hnsw/pq splits, cold protocol; round 9 +pagerank_stored_probe "
+        "+ warm rows + compact emitter."
+    )
+
+
+def _emit(results: dict[str, float], sf, out=None, err=None) -> str:
+    """Print the ONE machine-readable JSON line to stdout (compact
+    separators, short note, hard length cap) and the prose notes to
+    stderr. Returns the emitted line (for tests)."""
+    out = out or sys.stdout
+    err = err or sys.stderr
+    print(_notes(results), file=err)
+    payload = {
+        "metric": "headline_queries_wall_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "note": (
+            "cold protocol (r8); per-run cache scrub; _probe=cold "
+            "gate, _probe_warm=serving; prose+reprice notes on "
+            "stderr; totals not comparable across protocol changes"
+        ),
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > _MAX_LINE:
+        # never let the note push the line past the driver's capture
+        # window — the numbers matter more than the pointer text
+        payload["note"] = "see stderr"
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > _MAX_LINE:
+        payload.pop("note", None)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line, file=out, flush=True)
+    return line
 
 
 def main() -> None:
@@ -222,13 +403,16 @@ def main() -> None:
         results[name] = round(sorted(times)[len(times) // 2], 3)
 
     # build/probe split for the stored-index serving tiers: build is
-    # single-shot (one-time cost), probe is median-of-N (the SLO row)
-    for name, setup, probe in _probe_specs():
+    # single-shot (one-time cost), cold probe is median-of-N (the
+    # regression gate), warm probe is median-of-N with no cache scrub
+    # (the serving SLO users see against an open handle)
+    for name, setup, probe, emit_build in _probe_specs():
         try:
             _cold(spark)
             t0 = time.time()
             ctx = setup(spark, sf_dir)
-            results[f"{name}_build"] = round(time.time() - t0, 3)
+            if emit_build:
+                results[f"{name}_build"] = round(time.time() - t0, 3)
             times = []
             for _ in range(runs):
                 _cold(spark)
@@ -238,49 +422,23 @@ def main() -> None:
             results[f"{name}_probe"] = round(
                 sorted(times)[len(times) // 2], 3
             )
+            if name in _WARM_SPECS:
+                probe(spark, ctx)  # prime (page cache, codegen)
+                times = []
+                for _ in range(runs):
+                    t0 = time.time()
+                    probe(spark, ctx)
+                    times.append(time.time() - t0)
+                results[f"{name}_probe_warm"] = round(
+                    sorted(times)[len(times) // 2], 3
+                )
         except Exception:
             results[f"{name}_probe"] = -1.0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_total",
-                "value": round(sum(results.values()), 3),
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "note": (
-                    "COLD PROTOCOL (round 8): every timed run is "
-                    "preceded by catalog.clearCache() + unpersist of "
-                    "all pinned RDDs (bench._cold, test-asserted), so "
-                    "a persist leak can never warm a later run — the "
-                    "r6 accounting hazard is structurally closed; "
-                    "medians are N independent executions. Round 8 "
-                    "also adds simsearch_ivfpq_stored_build/_probe: "
-                    "PQ training amortizes into the one-time build "
-                    "(the ~10s simsearch_ivfpq headline row is the "
-                    "one-shot path kept for comparability; the _probe "
-                    "row is the serving SLO). graph_stored_probe at "
-                    "~1.7s cold replaces the r7 2.61s warm number "
-                    "(fused entry hop + depth-2 speculative expansion "
-                    "+ open-once handles; the r7 <=1.5s target "
-                    "predates cold isolation). graph_hnsw_probe pays "
-                    "~1 extra action for the upper-layer descent — "
-                    "the price of recall that stays flat at 4x corpus "
-                    "(test-pinned). dedup_cluster_assign "
-                    "repriced by the cold protocol (r6 1.73s/r7 2.18s "
-                    "were session-warmed; honest cold ~3.8s) and then "
-                    "cut to ~2.8s by the CC driver union-find fast "
-                    "path for sub-cutoff edge sets. Headline set "
-                    "history: "
-                    "round 6 +8 rows, round 7 +ivfpq_rerank/"
-                    "graph_ann_multi + build/probe splits. Totals not "
-                    "comparable across protocol changes — compare "
-                    "per-query"
-                ),
-            }
-        )
+    _emit(
+        results,
+        float(sf) if sf.replace(".", "").isdigit() else sf,
     )
     spark.stop()
 

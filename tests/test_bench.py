@@ -3,9 +3,21 @@
 The recorded per-round numbers are only comparable if no timed run can
 warm a later one through Spark's plan-matching CacheManager — the r6
 accounting hazard (leaked persists silently served runs 2-3 of a
-median-of-3). bench._cold is the structural fix; this test pins that
-it actually scrubs every cache a leak could hide in.
+median-of-3). bench._cold is the structural fix; these tests pin that
+it scrubs every cache a leak could hide in while leaving locally-
+checkpointed RDDs alone (their lineage is truncated, so unpersisting
+one makes it unrecomputable — and a fresh plan can't match it through
+the CacheManager anyway).
+
+The emitter tests pin the round-9 recording contract: the driver
+captures only the last ~2000 chars of stdout, so the JSON line must
+fit that window for the WORST-CASE row set (BENCH_r08 lost its
+headline total and 16 rows to a prose-bloated line) and the prose
+notes must go to stderr.
 """
+
+import io
+import json
 
 from pyspark.sql import functions as F
 
@@ -14,20 +26,26 @@ def _n_pinned(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
-def test_cold_scrubs_all_cache_layers(spark):
+def test_cold_scrubs_caches_but_spares_local_checkpoints(spark):
     import bench
 
-    # plant the three leak shapes a query can leave behind
+    # plant the leak shapes a query can leave behind, plus a
+    # localCheckpoint (handle state a probe ctx may legitimately hold)
     df = spark.range(100).persist()
     df.count()
-    spark.range(50).localCheckpoint(eager=True)
+    ck = spark.range(50).localCheckpoint(eager=True)
     spark.range(25).createOrReplaceTempView("bench_cold_t")
     spark.catalog.cacheTable("bench_cold_t")
     spark.table("bench_cold_t").count()
-    assert _n_pinned(spark) > 0
+    assert _n_pinned(spark) >= 3
     bench._cold(spark)
-    assert _n_pinned(spark) == 0
+    # persist + cached table scrubbed; the localCheckpoint survives
+    # AND is still readable (unpersisting it would have made it
+    # unrecomputable — the r8 ADVICE footgun)
+    assert _n_pinned(spark) == 1
     assert not spark.catalog.isCached("bench_cold_t")
+    assert ck.count() == 50
+    ck.unpersist()
     spark.catalog.dropTempView("bench_cold_t")
 
 
@@ -61,3 +79,43 @@ def test_no_cache_survives_between_probe_invocations(spark, tmp_path):
         for r in simsearch.ivf_ann_stored(spark, path, q, k=5).collect()
     ]
     assert r1 == r2
+
+
+def test_emit_line_fits_driver_capture_and_prose_goes_to_stderr():
+    """The FULL expected row set (headliners + every build/probe/warm
+    split row), emitted with worst-case-width values, must fit the
+    driver's ~2000-char stdout tail with headroom — and parse back to
+    the exact numbers. Prose notes land on stderr only."""
+    import bench
+
+    rows = bench._expected_rows()
+    # sanity: the round-9 additions are present
+    assert "simsearch_pagerank_stored_probe" in rows
+    assert "simsearch_graph_stored_probe_warm" in rows
+    assert "simsearch_pagerank_stored_build" not in rows  # shared artifact
+    results = {name: 123.456 for name in rows}  # worst-case width
+    out, err = io.StringIO(), io.StringIO()
+    line = bench._emit(results, 0.1, out=out, err=err)
+    assert len(line) <= bench._MAX_LINE, len(line)
+    assert out.getvalue().strip() == line
+    parsed = json.loads(line)
+    assert parsed["queries"] == results
+    assert parsed["metric"] == "headline_queries_wall_total"
+    assert parsed["sf"] == 0.1
+    # stdout is ONLY the JSON line; the notes are on stderr and quote
+    # recorded numbers, never aspirations
+    assert "\n" not in out.getvalue().strip()
+    assert "123.456" in err.getvalue()
+
+
+def test_emit_drops_note_rather_than_overflow():
+    import bench
+
+    # pathological row set: many long names — the emitter must shed
+    # the note (then survive) instead of emitting an unparseable tail
+    results = {f"extremely_long_query_name_number_{i:04d}": 1.0
+               for i in range(40)}
+    out, err = io.StringIO(), io.StringIO()
+    line = bench._emit(results, 0.1, out=out, err=err)
+    parsed = json.loads(line)
+    assert parsed["queries"] == results

@@ -42,7 +42,7 @@ def main() -> None:
 
     n_q = len(entry.queries())
     n_o = len(entry.oracle_sql())
-    n_bench = len(bench.HEADLINE) + 2 * len(bench._probe_specs())
+    n_bench = len(bench._expected_rows())
     n_tests = _count_tests()
 
     readme = os.path.join(REPO, "README.md")
