@@ -2194,15 +2194,17 @@ def graph_ann(
     return out
 
 
-def hnsw_level(layer_mult: int, layers: int):
+def hnsw_level(layer_mult: int, layers: int, col: str = "vec_id"):
     """Deterministic geometric layer assignment (HNSW's level sampler,
     derandomized): a node's max layer is the largest l < `layers` with
     hash60(vec_id) divisible by layer_mult^l — P(level >= l) =
     layer_mult^-l, the geometric distribution HNSW draws, but derived
-    from md5 so the DuckDB oracle restates it verbatim."""
+    from md5 so the DuckDB oracle restates it verbatim. Being a pure
+    function of the id, a node's level is knowable ANYWHERE — build,
+    append, oracle — without storing it (`col` names the id column)."""
     from agni_spark.functions.dedup import hash60
 
-    h = hash60(F.col("vec_id").cast("string"))
+    h = hash60(F.col(col).cast("string"))
     e = F.lit(0)
     for lvl in range(1, layers):
         e = F.when(h % F.lit(layer_mult ** lvl) == 0, F.lit(lvl)).otherwise(e)
@@ -2315,10 +2317,36 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
     over the appended graph has a FULL unrolled-hop SQL oracle
     (simsearch_graph_appended). Approximation note, as in NSW: old
     nodes' ORIGINAL knn lists are not recomputed against the new
-    batch — insertion adds links, never rewrites history."""
+    batch — insertion adds links, never rewrites history.
+
+    LAYERED (HNSW) indexes keep their upper layers LIVE under appends
+    (round 9): a new node's level is the same deterministic function
+    of its id the builder used (hnsw_level — nothing to store), and
+    each appended node of level >= l gets exact-kNN links at layer l
+    among the COMMITTED layer-l members (level >= l, plus the entry
+    nodes the builder always promotes) — forward AND reverse, the
+    same bidirectional insertion as layer 0. Without this, sustained
+    appends shrink the fraction of the corpus the upper layers
+    describe and layered recall decays toward the flat walk's number
+    (test-pinned: recall after a 2x append stays >= flat + 0.15)."""
     meta = spark.read.parquet(f"{path}/meta").first()
     n_buckets = int(meta.n_buckets)
     knn = int(meta.knn)
+    layers = (
+        int(meta.layers)
+        if "layers" in meta.__fields__ and meta.layers
+        else 1
+    )
+    layer_mult = (
+        int(meta.layer_mult)
+        if "layer_mult" in meta.__fields__ and meta.layer_mult
+        else 8
+    )
+    entries = (
+        [int(e) for e in meta.entries]
+        if "entries" in meta.__fields__ and meta.entries
+        else [int(meta.entry)]
+    )
     rows = _manifest_rows(spark, path)
     commits = [c for c, _ in rows]
     nxt = max(commits) + 1
@@ -2334,12 +2362,36 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
         new.select(F.col("vec_id").alias("query_id"), "embedding"),
         k=knn,
     ).select(F.col("query_id").alias("node"), F.col("vec_id").alias("dst"))
-    # appended links land at LAYER 0 (base-layer NSW insertion); upper
-    # layers are refreshed by a rebuild/compact — an appended node is
-    # reachable through its base links either way
     edges_new = fwd.unionByName(
         fwd.select(F.col("dst").alias("node"), F.col("node").alias("dst"))
     ).withColumn("layer", F.lit(0))
+    # upper-layer maintenance (layered indexes): each appended node of
+    # deterministic level >= l links at layer l to its exact top-knn
+    # among the committed layer-l members (level >= l, or an entry —
+    # the builder promotes entries to every layer), forward + reverse.
+    # The reverse links are what make the new node REACHABLE during
+    # the descent; the forward links are what let the descent route
+    # THROUGH it once the corpus grows past the old members.
+    for lvl in range(1, layers):
+        new_upper = new.where(
+            hnsw_level(layer_mult, layers, "vec_id") >= lvl
+        )
+        old_upper = old.where(
+            (hnsw_level(layer_mult, layers, "vec_id") >= lvl)
+            | F.col("vec_id").isin(entries)
+        )
+        fwd_l = cosine_topk(
+            old_upper,
+            new_upper.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=knn,
+        ).select(F.col("query_id").alias("node"), F.col("vec_id").alias("dst"))
+        edges_new = edges_new.unionByName(
+            fwd_l.unionByName(
+                fwd_l.select(
+                    F.col("dst").alias("node"), F.col("node").alias("dst")
+                )
+            ).withColumn("layer", F.lit(lvl))
+        )
     bucket = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
     (
         edges_new.withColumn("bucket", bucket)
