@@ -2385,7 +2385,9 @@ def write_graph_index(
     _write_index_manifest(spark, path, [0])
 
 
-def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
+def append_graph_index(
+    spark, path: str, new_corpus: DataFrame, batch_id: int | None = None
+) -> None:
     """Incremental NSW insertion into a stored graph index: each new
     node links to its EXACT top-knn among the COMMITTED nodes
     (cosine_topk — the bounded new batch broadcasts into one scan of
@@ -2432,6 +2434,9 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
         else [int(meta.entry)]
     )
     rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return  # replayed micro-batch already committed (see ivf twin)
     commits = [c for c, _ in rows]
     nxt = max(commits) + 1
     _clear_uncommitted_commit(spark, path, GRAPH_INDEX_SUBDIRS, nxt)
@@ -2496,7 +2501,102 @@ def append_graph_index(spark, path: str, new_corpus: DataFrame) -> None:
         .mode("overwrite")
         .parquet(f"{path}/nodes")
     )
-    _append_manifest(spark, path, rows, nxt)
+    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
+
+
+def compact_graph_index(spark, path: str) -> int:
+    """Graph-family compaction WITH UPPER-LAYER REBUILD. The generic
+    compact_index rewrites partitions byte-preserving, which keeps
+    layer-0 history but also freezes the upper layers' append-time
+    approximation: appended upper nodes link only to members committed
+    BEFORE them (two upper nodes of the same batch never link), so
+    after sustained appends the upper graph drifts from what a fresh
+    build would produce. This variant folds the committed commits into
+    one AND recomputes every layer >= 1 from scratch over the full
+    node set with exactly the builder's rule (exact kNN among
+    level>=l members + entries) — the compacted upper layers are
+    IDENTICAL to a fresh build's on the same corpus (test-pinned).
+    Layer 0 carries forward unchanged: the insertion history IS the
+    NSW graph, and a layer-0 rebuild would discard the reverse links
+    that keep appended nodes reachable. NULL layers (legacy pre-layer
+    files) normalize to 0. Crash-safe by the same manifest-last
+    argument as compact_index (a crashed run's uncommitted commit dir
+    is cleared and invisible); streaming batch-id provenance is
+    carried onto the new commit. Returns the new commit id."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    layers = (
+        int(meta.layers)
+        if "layers" in meta.__fields__ and meta.layers
+        else 1
+    )
+    layer_mult = (
+        int(meta.layer_mult)
+        if "layer_mult" in meta.__fields__ and meta.layer_mult
+        else 8
+    )
+    knn = int(meta.knn)
+    n_buckets = int(meta.n_buckets)
+    entries = (
+        [int(e) for e in meta.entries]
+        if "entries" in meta.__fields__ and meta.entries
+        else [int(meta.entry)]
+    )
+    rows = _manifest_rows(spark, path)
+    commits = [c for c, _ in rows]
+    if len(commits) <= 1:
+        return commits[0] if commits else -1
+    nxt = max(commits) + 1
+    _clear_uncommitted_commit(spark, path, GRAPH_INDEX_SUBDIRS, nxt)
+    nodes = (
+        spark.read.parquet(f"{path}/nodes")
+        .where(F.col("commit").isin(commits))
+        .select("node", "ce")
+    )
+    e0 = _layer0(
+        spark.read.parquet(f"{path}/edges")
+        .where(F.col("commit").isin(commits))
+        .select("node", "dst", "layer")
+    ).select("node", "dst").withColumn("layer", F.lit(0))
+    corpus = nodes.select(
+        F.col("node").alias("vec_id"), F.col("ce").alias("embedding")
+    )
+    edges = e0
+    for lvl in range(1, layers):
+        members = corpus.where(
+            (hnsw_level(layer_mult, layers) >= lvl)
+            | F.col("vec_id").isin(entries)
+        )
+        e_l = cosine_topk(
+            members,
+            members.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=knn,
+        ).select(
+            F.col("query_id").alias("node"), F.col("vec_id").alias("dst")
+        ).withColumn("layer", F.lit(lvl))
+        edges = edges.unionByName(e_l)
+    bucket = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
+    (
+        edges.withColumn("bucket", bucket)
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("bucket")
+        .write.partitionBy("commit", "bucket")
+        .mode("append")
+        .parquet(f"{path}/edges")
+    )
+    (
+        nodes.withColumn("bucket", bucket)
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("bucket")
+        .write.partitionBy("commit", "bucket")
+        .mode("append")
+        .parquet(f"{path}/nodes")
+    )
+    applied = _max_applied_batch(rows)
+    _write_index_manifest(
+        spark, path, [nxt],
+        {nxt: applied} if applied is not None else None,
+    )
+    return nxt
 
 
 class GraphIndexHandle:

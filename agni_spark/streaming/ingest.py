@@ -68,13 +68,14 @@ def stream_ann_index(
 ):
     """CONTINUOUS ANN INDEX MAINTENANCE: a file-source stream of new
     embedding rows appends into an existing stored index per
-    micro-batch (foreachBatch -> append_ivf_index / append_pq_index,
-    chosen by `index_kind` in {'ivf', 'pq'}) — each batch's vectors
-    are assigned to the index's FROZEN quantizer (and, for PQ, encoded
-    with the frozen codebooks) and land as their own
-    manifest-committed `commit=` partition, so probes serve a
-    consistent snapshot at every instant and never see a half-landed
-    batch.
+    micro-batch (foreachBatch -> append_ivf_index / append_pq_index /
+    append_graph_index, chosen by `index_kind` in {'ivf', 'pq',
+    'graph'}) — each batch's vectors are assigned to the index's
+    FROZEN quantizer (for PQ, encoded with the frozen codebooks; for
+    the graph, NSW-inserted with exact-kNN links to committed nodes,
+    upper layers maintained) and land as their own manifest-committed
+    `commit=` partition, so probes serve a consistent snapshot at
+    every instant and never see a half-landed batch.
 
     Exactly-once across restarts, covering BOTH crash windows: (a) a
     crash BEFORE the manifest write — the replay recomputes the SAME
@@ -92,11 +93,16 @@ def stream_ann_index(
     for the IVF layout), independent of how the files split into
     micro-batches. Returns the started StreamingQuery."""
     from agni_spark.functions.simsearch import (
+        append_graph_index,
         append_ivf_index,
         append_pq_index,
     )
 
-    append = {"ivf": append_ivf_index, "pq": append_pq_index}[index_kind]
+    append = {
+        "ivf": append_ivf_index,
+        "pq": append_pq_index,
+        "graph": append_graph_index,
+    }[index_kind]
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1376,6 +1376,115 @@ def test_stream_ann_index_multibatch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_ann_index_graph_kind(spark, tmp_path):
+    """Streaming GRAPH maintenance (round 9): a 2-file source drains
+    into 2 NSW-insertion commits. Unlike the frozen-quantizer IVF/PQ
+    kinds, graph insertion is ORDER-DEPENDENT (each batch links to the
+    nodes committed before it — documented NSW semantics), so the
+    streamed result is pinned against a sequential two-batch append
+    twin with the same split, not a single-batch append."""
+    from pyspark.sql import functions as F
+
+    from agni_spark.streaming import ingest as streaming
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # sequential batch twin (same split, same order)
+    bpath = str(tmp_path / "g_batch")
+    simsearch.write_graph_index(base, bpath, knn=5)
+    simsearch.append_graph_index(spark, bpath, b1)
+    simsearch.append_graph_index(spark, bpath, b2)
+    want = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, bpath, q, k=5, beam=4, hops=2
+        ).collect()
+    )
+    # streamed: one file per batch, maxFilesPerTrigger=1 — but file
+    # order within a micro-batch source is path-ordered, so write the
+    # two batches as two separate single-file loads
+    src = str(tmp_path / "gsrc")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    spath = str(tmp_path / "g_stream")
+    simsearch.write_graph_index(base, spath, knn=5)
+    sq = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "gckpt"), index_kind="graph"
+    )
+    sq.awaitTermination()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    sq = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "gckpt"), index_kind="graph"
+    )
+    sq.awaitTermination()
+    assert len(simsearch._committed(spark, spath)) == 3  # build + 2
+    got = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, spath, q, k=5, beam=4, hops=2
+        ).collect()
+    )
+    assert got == want
+
+
+def test_compact_graph_index_rebuilds_upper_layers(spark, tmp_path):
+    """compact_graph_index folds commits AND recomputes layers >= 1
+    with the builder's exact rule, so the compacted upper layers are
+    IDENTICAL to a fresh build's over the same corpus; layer 0 (the
+    NSW insertion history, reverse links included) carries forward
+    unchanged. Manifest collapses to one commit; vacuum then removes
+    the superseded dirs and the probe still serves."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "gcl")
+    # n_entries=1: the deterministic min-id entry (node 0) is the same
+    # for the built half and the full corpus, so the fresh-build twin
+    # below shares the meta the compactor reuses (medoid entries are a
+    # BUILD-time decision — a compact never re-picks them)
+    simsearch.write_graph_index(even, path, knn=5, layers=2, layer_mult=4)
+    simsearch.append_graph_index(spark, path, odd)
+
+    def edge_rows(p, lvl_pred):
+        return sorted(
+            (int(r.node), int(r.dst), int(r.layer))
+            for r in spark.read.parquet(f"{p}/edges")
+            .where(lvl_pred)
+            .select("node", "dst", "layer")
+            .collect()
+        )
+
+    base0 = edge_rows(path, F.coalesce(F.col("layer"), F.lit(0)) == 0)
+    nxt = simsearch.compact_graph_index(spark, path)
+    assert simsearch._committed(spark, path) == [nxt]
+    # vacuum the superseded dirs so the raw-file reads below see only
+    # the compacted commit (readers already do, via the manifest)
+    simsearch.vacuum_index(spark, path, simsearch.GRAPH_INDEX_SUBDIRS)
+    # layer 0 preserved exactly (multiset)
+    assert edge_rows(path, F.coalesce(F.col("layer"), F.lit(0)) == 0) == base0
+    # upper layers == a fresh build's upper layers over the full corpus
+    fresh = str(tmp_path / "gfresh")
+    simsearch.write_graph_index(emb, fresh, knn=5, layers=2, layer_mult=4)
+    assert (
+        set(edge_rows(path, F.col("layer") >= 1))
+        == set(edge_rows(fresh, F.col("layer") >= 1))
+    )
+    out = simsearch.graph_ann_stored(
+        spark, path, q, k=5, beam=4, hops=2, hops_upper=2
+    ).collect()
+    assert len(out) > 0
+    assert any(r.vec_id % 2 == 1 for r in out)  # appended still served
+
+
 def test_beam_walk_shards_large_query_batches(spark, monkeypatch):
     """The beam walk's driver dict is bounded per query chunk; a batch
     whose bound would exceed _BEAM_MAX_STATE is sharded into chunks
