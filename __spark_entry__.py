@@ -1766,6 +1766,36 @@ def _q_simsearch_pagerank_stored(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.pagerank_stored(spark, path)
 
 
+def _q_simsearch_graph_compacted(spark: SparkSession, sf: str) -> DataFrame:
+    # the full layered lifecycle under one oracle: build layers on the
+    # even half (single min-id entry so the oracle's entry CTE matches
+    # the frozen build-time meta), NSW-append the odd half (upper
+    # layers maintained), then compact_graph_index — which rebuilds
+    # layers >= 1 with the builder's exact rule over the full corpus
+    # while carrying layer 0's insertion history forward. Probe =
+    # upper greedy descent + layer-0 beam. Every stage deterministic,
+    # so the composed oracle (_sql_graph_hnsw over the appended
+    # layer-0 edge set) is FULL.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_graph_cpt_")
+    simsearch.write_graph_index(
+        e.where(F.col("vec_id") % 2 == 0), path, knn=5, layers=2,
+        layer_mult=8,
+    )
+    simsearch.append_graph_index(
+        spark, path, e.where(F.col("vec_id") % 2 == 1)
+    )
+    simsearch.compact_graph_index(spark, path)
+    return simsearch.graph_ann_stored(
+        spark, path, q, k=10, beam=8, hops=3, hops_upper=2
+    )
+
+
 def _q_simsearch_graph_appended(spark: SparkSession, sf: str) -> DataFrame:
     # incremental graph maintenance: build on the even half, NSW-insert
     # the odd half (exact knn links vs committed nodes, forward +
@@ -2492,6 +2522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_compacted": _q_simsearch_ivf_compacted,
         # incremental NSW insertion into the stored graph index
         "simsearch_graph_appended": _q_simsearch_graph_appended,
+        # round 9: build layered -> append (uppers maintained) ->
+        # compact (uppers rebuilt) -> layered probe, one full oracle
+        "simsearch_graph_compacted": _q_simsearch_graph_compacted,
         # streaming ANN index maintenance (foreachBatch appends,
         # exactly-once via same-commit dynamic overwrite on replay)
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
@@ -3036,7 +3069,13 @@ f{i} AS (SELECT query_id, node FROM (
 # the even nodes, forward AND reverse. The walk itself is the shared
 # unrolled-hop oracle. (The stored entry point is min of the even half
 # = 0 = min over all, so the default entry CTE is exact here.)
-def _sql_graph_appended(k: int = 10, beam: int = 8, hops: int = 3) -> str:
+def _sql_appended_layer0() -> str:
+    """Edge-set SQL (node, dst) for the even-build + odd-append graph:
+    the base kNN graph over the even half plus each odd node's exact
+    top-5 among the even half, forward AND reverse — exactly
+    append_graph_index's NSW insertion. Shared by the appended-probe
+    oracle and the compacted-layered oracle (compaction carries layer
+    0 forward unchanged)."""
     even = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
     base = _sql_simsearch_ivf(
         cents_src=even, corpus_src=even, query_where="TRUE", k=5
@@ -3050,12 +3089,17 @@ SELECT node, dst FROM (
       b.vec_id ASC) AS rn
   FROM embeddings a JOIN embeddings b
     ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0) WHERE rn <= 5"""
-    graph_sql = (
+    return (
         f"SELECT query_id AS node, vec_id AS dst FROM ({base}) "
         f"UNION ALL SELECT node, dst FROM ({fwd}) "
         f"UNION ALL SELECT dst AS node, node AS dst FROM ({fwd})"
     )
-    return _sql_graph_ann(k=k, beam=beam, hops=hops, graph_sql=graph_sql)
+
+
+def _sql_graph_appended(k: int = 10, beam: int = 8, hops: int = 3) -> str:
+    return _sql_graph_ann(
+        k=k, beam=beam, hops=hops, graph_sql=_sql_appended_layer0()
+    )
 
 
 # HNSW-layered mirror: the same unrolled walk, preceded by the upper-
@@ -3073,6 +3117,7 @@ def _sql_graph_hnsw(
     n_entries: int = 8,
     knn: int = 5,
     layer_mult: int = 8,
+    graph0_sql: str | None = None,
 ) -> str:
     upper_tpl = """
 uc{i} AS (SELECT DISTINCT f.query_id, ed.dst AS node
@@ -3111,9 +3156,12 @@ f{i} AS (SELECT query_id, node FROM (
         hop_tpl.format(i=i, prev=i - 1, beam=beam)
         for i in range(1, hops + 1)
     )
+    edges0 = graph0_sql or (
+        "SELECT query_id AS node, vec_id AS dst FROM ("
+        + _SQL_SIMSEARCH_KNN_GRAPH + ")"
+    )
     return (
-        "WITH edges AS (SELECT query_id AS node, vec_id AS dst FROM ("
-        + _SQL_SIMSEARCH_KNN_GRAPH + ")), "
+        f"WITH edges AS ({edges0}), "
         "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
         "FROM embeddings WHERE vec_id < 5), "
         "nodes AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS ce "
@@ -5659,6 +5707,13 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_graph_stored": _sql_graph_ann(),
         "simsearch_graph_ann_multi": _sql_graph_ann(n_entries=8),
         "simsearch_graph_appended": _sql_graph_appended(),
+        # compacted layered index: layer 0 = the appended edge set
+        # (carried forward by compact_graph_index), uppers = the
+        # builder's exact rule over the full corpus (rebuilt), entry =
+        # the frozen min-id (even half's min == global min == 0)
+        "simsearch_graph_compacted": _sql_graph_hnsw(
+            n_entries=1, graph0_sql=_sql_appended_layer0()
+        ),
         "simsearch_pagerank": _SQL_PAGERANK,
         "simsearch_pagerank_stored": _SQL_PAGERANK,
         "simsearch_lsh_ann": _SQL_SIMSEARCH_LSH,
