@@ -2266,6 +2266,44 @@ def graph_ann(
             out = s0.unionByName(out)
         return out
 
+    def _expand3(fr: DataFrame, with_scores: bool) -> DataFrame:
+        # depth-3 speculative expansion (see graph_ann_stored's
+        # _mk_expand3 — same shape without the bucket routing column;
+        # no mid-plan distincts, ONE scoring join for all levels)
+        def _hop(src_df: DataFrame) -> DataFrame:
+            return (
+                edges.join(F.broadcast(src_df), "node")
+                .select(
+                    "query_id", F.col("node").alias("src"),
+                    F.col("dst").alias("node"),
+                )
+            )
+
+        c1 = _hop(fr)
+        c2 = _hop(c1.select("query_id", "node"))
+        c3 = _hop(c2.select("query_id", "node"))
+        cand = c1.select(
+            "query_id", "src", "node", F.lit(1).alias("lvl")
+        ).unionByName(
+            c2.select("query_id", "src", "node", F.lit(2).alias("lvl"))
+        ).unionByName(
+            c3.select("query_id", "src", "node", F.lit(3).alias("lvl"))
+        )
+        if with_scores:
+            cand = fr.select(
+                "query_id", F.lit(None).cast("long").alias("src"),
+                "node", F.lit(0).alias("lvl"),
+            ).unionByName(cand)
+        return (
+            nodes.join(F.broadcast(cand), "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "src", "node",
+                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+                "lvl",
+            )
+        )
+
     qids = [r.query_id for r in queries.select("query_id").collect()]
     entry_nodes = [r.node for r in entry.collect()]
     out = _beam_walk(
@@ -2273,6 +2311,7 @@ def graph_ann(
         max_degree=knn,
         first_fn=lambda fr: _score(fr).unionByName(_expand(fr)),
         expand2_fn=_expand2,
+        expand3_fn=_expand3,
     )
     edges.unpersist()
     return out
