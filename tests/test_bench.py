@@ -26,6 +26,23 @@ def _n_pinned(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _n_scrubbable(spark) -> int:
+    """Pinned RDDs _cold is SUPPOSED to scrub: everything except
+    locally-checkpointed ones (spared by design — and other tests in
+    the shared session may legitimately leave those behind)."""
+    n = 0
+    for jrdd in list(
+        spark.sparkContext._jsc.getPersistentRDDs().values()
+    ):
+        try:
+            if jrdd.rdd().isLocallyCheckpointed():
+                continue
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
 def test_cold_scrubs_caches_but_spares_local_checkpoints(spark):
     import bench
 
@@ -41,8 +58,10 @@ def test_cold_scrubs_caches_but_spares_local_checkpoints(spark):
     bench._cold(spark)
     # persist + cached table scrubbed; the localCheckpoint survives
     # AND is still readable (unpersisting it would have made it
-    # unrecomputable — the r8 ADVICE footgun)
-    assert _n_pinned(spark) == 1
+    # unrecomputable — the r8 ADVICE footgun). Count scrubbable pins,
+    # not total pins: other tests in the shared session may leave
+    # their own localCheckpoints behind, which _cold spares by design.
+    assert _n_scrubbable(spark) == 0
     assert not spark.catalog.isCached("bench_cold_t")
     assert ck.count() == 50
     ck.unpersist()
@@ -68,7 +87,7 @@ def test_no_cache_survives_between_probe_invocations(spark, tmp_path):
         for r in simsearch.ivf_ann_stored(spark, path, q, k=5).collect()
     ]
     bench._cold(spark)
-    assert _n_pinned(spark) == 0
+    assert _n_scrubbable(spark) == 0
     assert len(spark.catalog.listTables()) == 0 or all(
         not spark.catalog.isCached(t.name)
         for t in spark.catalog.listTables()
