@@ -298,14 +298,14 @@ def _notes(results: dict[str, float]) -> str:
         f"dedup_cluster_assign {g('dedup_cluster_assign')}.\n"
         "* simsearch_pagerank "
         f"({g('simsearch_pagerank')}) rebuilds the kNN graph inside "
-        "every timed run — measured A/B at sf0.1 cold: the build "
-        "alone is ~4.7s and the full row ~9s, so the r8 1.92x jump "
-        "was that per-call build (plus its iteration lineage) "
-        "repriced by the cold protocol, not a code regression; kept "
-        "for cross-round comparability. simsearch_pagerank_stored_"
-        f"probe ({g('simsearch_pagerank_stored_probe')}) is the "
-        "amortized path: the identical 3 iterations over the stored "
-        "graph index's persisted layer-0 edges (the artifact "
+        "every timed run — a cold A/B at sf0.1 put the per-call build "
+        "alone at roughly half the row, so the r8 1.92x jump was that "
+        "build (plus its iteration lineage) repriced by the cold "
+        "protocol, not a code regression; kept for cross-round "
+        "comparability. simsearch_pagerank_stored_probe "
+        f"({g('simsearch_pagerank_stored_probe')}) is the amortized "
+        "path: the identical 3 iterations over the stored graph "
+        "index's persisted layer-0 edges (the artifact "
         "graph_stored_build already pays for).\n"
         "* *_probe rows are COLD (bench._cold before every run — the "
         "regression gate); *_probe_warm rows are the serving number "
