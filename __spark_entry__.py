@@ -2167,11 +2167,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "pipeline_curate_v2": _q_pipeline_curate_v2,
-        "dedup_simhash": _q_dedup_simhash,
-        # round-9 rotation: the full remote-WRITE+READ protocol loop
-        # replaces dedup_incremental in the window (the minhash family
-        # keeps dedup_minhash_lsh/pipeline_curate_v2 as its window
-        # representatives; dedup_incremental stays gated after #50)
+        # round-9 rotation: the newest, riskiest operators move into
+        # the window — the full remote-WRITE+READ protocol loop and
+        # the layered-lifecycle graph probe (build -> append with
+        # upper-layer maintenance -> layer-rebuilding compact) replace
+        # dedup_incremental and dedup_simhash (the dedup family keeps
+        # dedup_exact/dedup_minhash_lsh/pipeline_curate_v2 as window
+        # representatives; both swapped-out rows stay gated after #50)
+        "simsearch_graph_compacted": _q_simsearch_graph_compacted,
         "s15_remote_write_read": _q_s15_remote_write_read,
         # round-6 sharded-state streaming top-k replaced cluster-assign
         # in the window (dedup_cluster_assign stays gated after #50)
@@ -2220,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # swapped out of the window above, still fully oracle-gated:
         "multimodal_meta": _q_multimodal_meta,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_simhash": _q_dedup_simhash,
         "streaming_increase": _q_streaming_increase,
         "s13_matrix_assembly": _q_s13_matrix_assembly,
         "promql_parsed_expression": _q_promql_parsed,
@@ -2522,9 +2526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_compacted": _q_simsearch_ivf_compacted,
         # incremental NSW insertion into the stored graph index
         "simsearch_graph_appended": _q_simsearch_graph_appended,
-        # round 9: build layered -> append (uppers maintained) ->
-        # compact (uppers rebuilt) -> layered probe, one full oracle
-        "simsearch_graph_compacted": _q_simsearch_graph_compacted,
         # streaming ANN index maintenance (foreachBatch appends,
         # exactly-once via same-commit dynamic overwrite on replay)
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
