@@ -1693,6 +1693,27 @@ def _q_simsearch_ivf_stored(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_ivf_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    # FILTERED vector search — the predicate-plus-ANN serving shape:
+    # a metadata predicate (label % 3 = 0) restricts candidates before
+    # the top-k rank (post-filter semantics; the index scan still
+    # prunes to nprobe cell dirs, the predicate scan gets its own
+    # pushdown). Full oracle: the IVF chain with the same candidate
+    # restriction.
+    import tempfile
+
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_ivf_flt_")
+    simsearch.write_ivf_index(e, path, n_centroids=8)
+    allowed = e.where(F.col("label") % 3 == 0).select("vec_id")
+    return simsearch.ivf_ann_stored(
+        spark, path, queries_df, k=10, nprobe=2, allowed=allowed
+    )
+
+
 def _q_simsearch_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
     # incremental index maintenance: build on the even half, append the
     # odd half against the FROZEN quantizer (new commit partition +
@@ -2401,6 +2422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_embedding_cosine": _q_dedup_embedding,
         "simsearch_ivf_append": _q_simsearch_ivf_append,
+        # round 9: filtered vector search (metadata predicate + ANN)
+        "simsearch_ivf_filtered": _q_simsearch_ivf_filtered,
         "simsearch_label_centroids": lambda s, d: simsearch.label_centroids(
             _emb(s, d)
         ),
@@ -2941,13 +2964,16 @@ def _sql_simsearch_ivf(
     query_where: str = "vec_id < 5",
     k: int = 10,
     corpus_src: str = "embeddings",
+    cand_where: str = "TRUE",
 ) -> str:
     """IVF probe mirror; `cents_src` is the quantizer's training corpus
     (cells/probes default to ALL of `embeddings` — the append oracle
     assigns everything to the frozen build-half centroids; the
     graph-append oracle restricts `corpus_src` to the build half).
     `query_where`/`k` parameterize the probe set (the kNN-graph oracle
-    probes with the WHOLE corpus)."""
+    probes with the WHOLE corpus); `cand_where` restricts candidates
+    BEFORE the rank (the filtered-ANN post-filter — `ce` is the
+    candidate row of `corpus_src`)."""
     return f"""
 WITH {_sql_kmeans_cents(cents_src)},
 cells AS (
@@ -2971,7 +2997,7 @@ scored AS (
     round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
                                  CAST(ce.embedding AS DOUBLE[])), 6) AS cos
   FROM probes p JOIN cells ce USING (centroid_id)
-  WHERE ce.vec_id <> p.query_id),
+  WHERE ce.vec_id <> p.query_id AND ({cand_where})),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
 SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
@@ -5697,6 +5723,12 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_ann": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_stored": _SQL_SIMSEARCH_IVF,
         "simsearch_ivf_append": _SQL_SIMSEARCH_IVF_APPEND,
+        "simsearch_ivf_filtered": _sql_simsearch_ivf(
+            cand_where=(
+                "ce.vec_id IN (SELECT vec_id FROM embeddings "
+                "WHERE label % 3 = 0)"
+            )
+        ),
         # compaction moves bytes, never answers: same oracle as append
         "simsearch_ivf_compacted": _SQL_SIMSEARCH_IVF_APPEND,
         # frozen quantizer => batch-split independent: append oracle

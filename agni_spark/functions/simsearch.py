@@ -665,7 +665,8 @@ def open_ivf_index(spark, path: str) -> IvfIndexHandle:
 
 
 def ivf_ann_stored(
-    spark, index, queries: DataFrame, k: int = 10, nprobe: int = 2
+    spark, index, queries: DataFrame, k: int = 10, nprobe: int = 2,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a stored IVF index: route each query to its nprobe nearest
     centroids (broadcast centroid table), then join probes against the
@@ -675,7 +676,21 @@ def ivf_ann_stored(
     tests/test_plans.py). Results are identical to ivf_ann() built
     from the same corpus/params; only manifest-committed commit
     partitions are served (static partition pruning on the IN list).
-    `index` is a path or an open IvfIndexHandle."""
+    `index` is a path or an open IvfIndexHandle.
+
+    `allowed` (optional) makes this a FILTERED vector search — the
+    standard predicate-plus-ANN serving shape: a one-column (vec_id)
+    allow-set, typically the result of a metadata predicate on the
+    source table, restricts the candidates BEFORE the top-k rank
+    (post-filter semantics: a query may return fewer than k rows when
+    the probed cells hold fewer than k allowed members — raise nprobe
+    to buy coverage, the classic filtered-ANN recall trade).
+    Scale: the predicate is evaluated on the metadata table (its scan
+    gets the pushdown), and the semi-join runs candidates-vs-allowed
+    on vec_id — candidates are nprobe-cells-sized, the allow-set may
+    be corpus-sized; AQE picks the side to broadcast. The cells scan
+    itself still prunes to the probed partition dirs — filtering
+    never widens what is read from the index."""
     h = index if isinstance(index, IvfIndexHandle) else IvfIndexHandle(
         spark, index
     )
@@ -695,10 +710,18 @@ def ivf_ann_stored(
     # project narrow rows so the window's own query_id shuffle carries
     # only (ids, cos). knn_graph (all-points queries) went 17s -> ~2s
     # at sf0.1 from this alone.
+    cand = cells.join(probes, "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if allowed is not None:
+        # semi-join ABOVE the probes join, so the DPP relationship
+        # between probes and the cells scan is untouched - the filter
+        # narrows candidates, never widens what the index reads
+        cand = cand.join(
+            allowed.select("vec_id").distinct(), "vec_id", "semi"
+        )
     scored = (
-        cells.join(probes, "centroid_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .repartition(F.col("query_id"), F.col("vec_id"))
+        cand.repartition(F.col("query_id"), F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",

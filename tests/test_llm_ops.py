@@ -318,6 +318,53 @@ def test_stored_ivf_index_prunes_and_matches(spark, tmp_path):
     ).collect()
 
 
+def test_filtered_ann_respects_allow_set_and_keeps_pruning(spark, tmp_path):
+    """Filtered vector search (round 9): an allow-set semi-join above
+    the probes join restricts candidates before the top-k rank. Pins:
+    (a) every returned id satisfies the predicate; (b) the result is
+    exactly the unfiltered candidate ranking restricted to allowed ids
+    (post-filter semantics — computed via a full-rank unfiltered run);
+    (c) the cells scan STILL carries the dynamic-pruning partition
+    filter (the predicate narrows candidates, never widens the index
+    read)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    simsearch.write_ivf_index(emb, path, n_centroids=8)
+    allowed = emb.where(F.col("label") % 3 == 0).select("vec_id")
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    out = simsearch.ivf_ann_stored(
+        spark, path, queries, k=5, nprobe=2, allowed=allowed
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "FileScan" in l and "dynamicpruning" in l for l in plan.splitlines()
+    )
+    rows = out.collect()
+    assert rows and all(r.vec_id in allowed_ids for r in rows)
+    # post-filter semantics: filter the FULL unfiltered ranking (k
+    # large enough to cover every candidate), re-rank, take 5
+    full = simsearch.ivf_ann_stored(
+        spark, path, queries, k=10**6, nprobe=2
+    ).collect()
+    want = {}
+    for r in full:
+        if r.vec_id in allowed_ids:
+            want.setdefault(r.query_id, []).append((r.cos, r.vec_id))
+    expect = sorted(
+        (q, v, c, rk)
+        for q, lst in want.items()
+        for rk, (c, v) in enumerate(
+            sorted(lst, key=lambda t: (-t[0], t[1]))[:5], 1
+        )
+    )
+    assert sorted((r.query_id, r.vec_id, r.cos, r.rk) for r in rows) == expect
+
+
 def test_stored_lsh_index_prunes_and_matches(spark, tmp_path):
     from pyspark.sql import functions as F
 
