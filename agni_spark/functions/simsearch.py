@@ -1775,7 +1775,8 @@ def open_pq_index(spark, path: str) -> PQIndexHandle:
 
 
 def ivfpq_stored(
-    spark, index, queries: DataFrame, k: int = 10, nprobe: int = 2
+    spark, index, queries: DataFrame, k: int = 10, nprobe: int = 2,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a stored IVF-PQ index: route each query to its nprobe
     nearest coarse centroids (broadcast centroid table), scan ONLY the
@@ -1792,7 +1793,14 @@ def ivfpq_stored(
     from a training job (~10s at sf0.1) to a probe.
 
     `index` is a path or an open PQIndexHandle (serving callers open
-    once, probe many — meta/manifest/model reads amortize)."""
+    once, probe many — meta/manifest/model reads amortize).
+
+    `allowed` (optional): filtered vector search, same contract as
+    ivf_ann_stored — a (vec_id) allow-set semi-joined above the probes
+    join restricts candidates BEFORE the ADC rank (post-filter
+    semantics, may return < k; the pruned codes scan is untouched and
+    the filter runs before the per-subspace explode, so disallowed
+    candidates never expand to m rows)."""
     h = index if isinstance(index, PQIndexHandle) else PQIndexHandle(
         spark, index
     )
@@ -1801,14 +1809,18 @@ def ivfpq_stored(
         queries.select("query_id", F.col("embedding").alias("qe")),
         cents, "query_id", "qe", nprobe,
     ).select("query_id", "centroid_id")
-    cand_codes = (
+    cand = (
         h.codes
         .join(F.broadcast(probes), "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id", "centroid_id",
-            F.posexplode("code").alias("sub", "cid"),
+    )
+    if allowed is not None:
+        cand = cand.join(
+            allowed.select("vec_id").distinct(), "vec_id", "semi"
         )
+    cand_codes = cand.select(
+        "query_id", "vec_id", "centroid_id",
+        F.posexplode("code").alias("sub", "cid"),
     )
     return _ivfpq_adc(cents, cb, cand_codes, queries, k, m)
 

@@ -365,6 +365,45 @@ def test_filtered_ann_respects_allow_set_and_keeps_pruning(spark, tmp_path):
     assert sorted((r.query_id, r.vec_id, r.cos, r.rk) for r in rows) == expect
 
 
+def test_filtered_ann_pq_family(spark, tmp_path):
+    """The allow-set contract holds on the PQ family too: filtered
+    ivfpq_stored == the full unfiltered ADC ranking restricted to
+    allowed ids and re-ranked (post-filter semantics, same pin shape
+    as the IVF test)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pq")
+    simsearch.write_pq_index(emb, path, n_centroids=8, m=16, ksub=16,
+                             lloyd_rounds=2)
+    allowed = emb.where(F.col("label") % 3 == 0).select("vec_id")
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    rows = simsearch.ivfpq_stored(
+        spark, path, queries, k=5, nprobe=2, allowed=allowed
+    ).collect()
+    assert rows and all(r.vec_id in allowed_ids for r in rows)
+    full = simsearch.ivfpq_stored(
+        spark, path, queries, k=10**6, nprobe=2
+    ).collect()
+    want = {}
+    for r in full:
+        if r.vec_id in allowed_ids:
+            want.setdefault(r.query_id, []).append((r.cos, r.vec_id))
+    expect = sorted(
+        (q, v, c, rk)
+        for q, lst in want.items()
+        for rk, (c, v) in enumerate(
+            sorted(lst, key=lambda t: (-t[0], t[1]))[:5], 1
+        )
+    )
+    assert sorted(
+        (r.query_id, r.vec_id, r.cos, r.rk) for r in rows
+    ) == expect
+
+
 def test_stored_lsh_index_prunes_and_matches(spark, tmp_path):
     from pyspark.sql import functions as F
 
