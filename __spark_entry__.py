@@ -2871,29 +2871,36 @@ ORDER BY 1, 2
 # mean rounded to 6dp) — must stay in lockstep with
 # simsearch.ivf_centroids(iters=1). `src` is the TRAINING corpus (the
 # append oracle trains on the build half only — frozen quantizer).
-def _sql_kmeans_cents(src: str = "embeddings") -> str:
+def _sql_kmeans_cents(src: str = "embeddings", prefix: str = "") -> str:
+    """`prefix` renames every CTE (cents0 -> {prefix}cents0, ...): a
+    NESTED use of this chain inside another oracle that ALSO trains a
+    quantizer must not collide with the outer chain's CTE names —
+    DuckDB's binder resolves same-named nested CTEs into a spurious
+    circular-reference error (seen: the HNSW upper-edge mirror nested
+    inside the medoid-entry oracle)."""
+    p = prefix
     return f"""
-cents0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+{p}cents0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
            FROM {src}
            ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                     vec_id
            LIMIT 8),
-asg0 AS (
+{p}asg0 AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT c.vec_id, c.embedding, ct.centroid_id,
       row_number() OVER (PARTITION BY c.vec_id ORDER BY
         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
           DESC, ct.centroid_id ASC) AS rn
-    FROM {src} c CROSS JOIN cents0 ct) WHERE rn = 1),
-cmeans AS (
+    FROM {src} c CROSS JOIN {p}cents0 ct) WHERE rn = 1),
+{p}cmeans AS (
   SELECT centroid_id, pos, round(avg(val), 6) AS m FROM (
     SELECT centroid_id,
            generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
            unnest(CAST(embedding AS DOUBLE[])) AS val
-    FROM asg0)
+    FROM {p}asg0)
   GROUP BY 1, 2),
-cents AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
-          FROM cmeans GROUP BY centroid_id)"""
+{p}cents AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+          FROM {p}cmeans GROUP BY centroid_id)"""
 
 
 _SQL_KMEANS_CENTS = _sql_kmeans_cents()
@@ -2965,6 +2972,7 @@ def _sql_simsearch_ivf(
     k: int = 10,
     corpus_src: str = "embeddings",
     cand_where: str = "TRUE",
+    prefix: str = "",
 ) -> str:
     """IVF probe mirror; `cents_src` is the quantizer's training corpus
     (cells/probes default to ALL of `embeddings` — the append oracle
@@ -2973,34 +2981,37 @@ def _sql_simsearch_ivf(
     `query_where`/`k` parameterize the probe set (the kNN-graph oracle
     probes with the WHOLE corpus); `cand_where` restricts candidates
     BEFORE the rank (the filtered-ANN post-filter — `ce` is the
-    candidate row of `corpus_src`)."""
+    candidate row of `corpus_src`). `prefix` renames every CTE for
+    nesting inside oracles that define same-named CTEs themselves
+    (see _sql_kmeans_cents)."""
+    p = prefix
     return f"""
-WITH {_sql_kmeans_cents(cents_src)},
-cells AS (
+WITH {_sql_kmeans_cents(cents_src, prefix)},
+{p}cells AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT c.vec_id, c.embedding, ct.centroid_id,
       row_number() OVER (PARTITION BY c.vec_id ORDER BY
         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
           DESC, ct.centroid_id ASC) AS rn
-    FROM {corpus_src} c CROSS JOIN cents ct) WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, embedding AS qe FROM {corpus_src}
+    FROM {corpus_src} c CROSS JOIN {p}cents ct) WHERE rn = 1),
+{p}q AS (SELECT vec_id AS query_id, embedding AS qe FROM {corpus_src}
       WHERE {query_where}),
-probes AS (
+{p}probes AS (
   SELECT query_id, qe, centroid_id FROM (
     SELECT q.query_id, q.qe, ct.centroid_id,
       row_number() OVER (PARTITION BY q.query_id ORDER BY
         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), ct.cvec), 6)
           DESC, ct.centroid_id ASC) AS rn
-    FROM q CROSS JOIN cents ct) WHERE rn <= 2),
-scored AS (
+    FROM {p}q q CROSS JOIN {p}cents ct) WHERE rn <= 2),
+{p}scored AS (
   SELECT p.query_id, ce.vec_id,
     round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
                                  CAST(ce.embedding AS DOUBLE[])), 6) AS cos
-  FROM probes p JOIN cells ce USING (centroid_id)
+  FROM {p}probes p JOIN {p}cells ce USING (centroid_id)
   WHERE ce.vec_id <> p.query_id AND ({cand_where})),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
-SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
+{p}r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id ASC) AS rk FROM {p}scored)
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM {p}r
 WHERE rk <= {k} ORDER BY query_id, rk
 """
 
@@ -3131,11 +3142,23 @@ def _sql_graph_appended(k: int = 10, beam: int = 8, hops: int = 3) -> str:
 
 # HNSW-layered mirror: the same unrolled walk, preceded by the upper-
 # layer greedy descent. Layer membership is the derandomized geometric
-# rule (hash60(vec_id) % layer_mult^l == 0), upper edges the exact kNN
-# among members + the medoid entries, descent = hops_upper beam=1
+# rule (hash60(vec_id) % layer_mult^l == 0), upper edges the BUCKETED
+# kNN graph over members + the medoid entries (the builder's
+# _upper_layer_edges routes through knn_graph, so the mirror is the
+# IVF chain trained on the member set), descent = hops_upper beam=1
 # rounds, then the standard layer-0 hops seeded with the descent's
 # best `beam` nodes. Every stage is 6dp + id-tie deterministic, so the
 # whole layered probe keeps a FULL oracle.
+# the upper layer's member rows (umem is the outer CTE listing member
+# ids; DuckDB scopes outer CTEs into nested WITH subqueries, and the
+# nested IVF chain's own cents/q/... names shadow the outer ones —
+# the same nesting the appended-layer0 oracle already relies on)
+_UMEM_SRC = (
+    "(SELECT e.vec_id, e.embedding FROM embeddings e "
+    "JOIN umem u ON e.vec_id = u.vec_id)"
+)
+
+
 def _sql_graph_hnsw(
     k: int = 10,
     beam: int = 8,
@@ -3200,18 +3223,16 @@ f{i} AS (SELECT query_id, node FROM (
         f"('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT "
         f"% {layer_mult} = 0 "
         f"UNION SELECT node AS vec_id FROM entry), "
-        # exact kNN among the members (cosine_topk semantics: 6dp,
-        # ties id ASC, self excluded)
-        f"uedges AS (SELECT node, dst FROM ("
-        f"  SELECT a.vec_id AS node, b.vec_id AS dst, "
-        f"    row_number() OVER (PARTITION BY a.vec_id ORDER BY "
-        f"      round(list_cosine_similarity("
-        f"        CAST(ea.embedding AS DOUBLE[]), "
-        f"        CAST(eb.embedding AS DOUBLE[])), 6) DESC, "
-        f"      b.vec_id ASC) AS rn "
-        f"  FROM umem a JOIN umem b ON a.vec_id <> b.vec_id "
-        f"  JOIN embeddings ea ON ea.vec_id = a.vec_id "
-        f"  JOIN embeddings eb ON eb.vec_id = b.vec_id) WHERE rn <= {knn}), "
+        # BUCKETED kNN among the members (r10: the builder now routes
+        # upper layers through knn_graph — the IVF-probed chain, never
+        # an all-pairs broadcast — so the mirror is the same IVF CTE
+        # stack trained on, assigning, and probing the member set)
+        "uedges AS (SELECT query_id AS node, vec_id AS dst FROM ("
+        + _sql_simsearch_ivf(
+            cents_src=_UMEM_SRC, corpus_src=_UMEM_SRC,
+            query_where="TRUE", k=knn, prefix="u_",
+        )
+        + ")), "
         # entry scores + greedy start (best entry per query)
         "us0 AS (SELECT q.query_id, e.node, "
         "round(list_cosine_similarity(q.qe, nd.ce), 6) AS cos "

@@ -160,7 +160,10 @@ class ResultsCache:
         safety condition the ordering otherwise proves: no concurrent
         cache instance pinned to a different token is still serving
         (the token owner knows its rotation schedule; the library
-        cannot).
+        cannot). The opt-in applies ONLY to unordered versions: on a
+        registry-ordered cache ("v<int>") `all_other` is ignored, so a
+        stale ordered instance can never delete a NEWER concurrently-
+        open cache's partials no matter what flags it passes.
 
         Goes through the Hadoop FileSystem API (s3a-safe),
         O(#versions) listing, never touches live data. Returns the
@@ -191,7 +194,7 @@ class ResultsCache:
             other = _ord(ver)
             drop = (
                 (mine is not None and other is not None and other < mine)
-                or (all_other and ver != self._version)
+                or (all_other and mine is None and ver != self._version)
             )
             if drop:
                 _fs_delete(self.spark, f"{self.path}/{name}")

@@ -2369,6 +2369,38 @@ def hnsw_level(layer_mult: int, layers: int, col: str = "vec_id"):
     return e
 
 
+def _upper_layer_edges(
+    corpus: DataFrame,
+    entries: list[int],
+    lvl: int,
+    layers: int,
+    layer_mult: int,
+    knn: int,
+) -> DataFrame:
+    """Layer-l (l >= 1) HNSW edge set, shared by build and compaction:
+    the kNN graph over the layer's members (deterministic geometric
+    level >= l, see hnsw_level, plus the entry nodes HNSW promotes to
+    every layer). Built with the BUCKETED knn_graph (IVF-probed: a
+    seeded 8-cell quantizer trained on the members, each member probes
+    its 2 nearest cells, exact rerank inside them) — NOT an exact
+    all-pairs cosine_topk, whose queries-side broadcast is a corpus
+    FRACTION: layer-1 membership is ~n/layer_mult, so at 1B vectors
+    the old exact build would broadcast ~125M rows and score n^2/64
+    pairs — dead long before 100 TB. knn_graph joins cells on the
+    centroid partition key and broadcasts nothing bigger than the
+    8-row centroid table (plan-asserted in tests/test_llm_ops.py).
+    Still fully deterministic (seeded quantizer, 6dp, id tie-breaks),
+    so the layered probe keeps a FULL SQL oracle — the oracle's
+    upper-edge CTE is the same IVF chain over the member set."""
+    members = corpus.where(
+        (hnsw_level(layer_mult, layers) >= lvl)
+        | F.col("vec_id").isin(entries)
+    ).select("vec_id", "embedding")
+    return knn_graph(members, k=knn).select(
+        F.col("query_id").alias("node"), F.col("vec_id").alias("dst")
+    ).withColumn("layer", F.lit(lvl))
+
+
 def write_graph_index(
     corpus: DataFrame,
     path: str,
@@ -2390,9 +2422,11 @@ def write_graph_index(
 
     `layers > 1` adds HNSW-style UPPER LAYERS: every edge carries a
     `layer` column; layer 0 is the full kNN graph, and layer l >= 1 is
-    an exact kNN graph over the nodes whose deterministic geometric
-    level (see hnsw_level) is >= l — plus the entry nodes, which HNSW
-    always promotes to the top so the descent can start there. Upper
+    the BUCKETED kNN graph (knn_graph — IVF-probed, never an all-pairs
+    broadcast; see _upper_layer_edges) over the nodes whose
+    deterministic geometric level (see hnsw_level) is >= l — plus the
+    entry nodes, which HNSW always promotes to the top so the descent
+    can start there. Upper
     layers hold ~layer_mult^-l of the corpus, so their links span
     layer_mult^l-fold longer ranges: the probe greedily descends them
     (beam=1) before the layer-0 beam search, which is what keeps
@@ -2416,18 +2450,9 @@ def write_graph_index(
         F.col("query_id").alias("node"), F.col("vec_id").alias("dst")
     ).withColumn("layer", F.lit(0))
     for lvl in range(1, layers):
-        members = corpus.where(
-            (hnsw_level(layer_mult, layers) >= lvl)
-            | F.col("vec_id").isin(entries)
+        edges = edges.unionByName(
+            _upper_layer_edges(corpus, entries, lvl, layers, layer_mult, knn)
         )
-        e_l = cosine_topk(
-            members,
-            members.select(F.col("vec_id").alias("query_id"), "embedding"),
-            k=knn,
-        ).select(
-            F.col("query_id").alias("node"), F.col("vec_id").alias("dst")
-        ).withColumn("layer", F.lit(lvl))
-        edges = edges.unionByName(e_l)
     bucket = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
     (
         edges.withColumn("bucket", bucket)
@@ -2587,9 +2612,13 @@ def compact_graph_index(spark, path: str) -> int:
     after sustained appends the upper graph drifts from what a fresh
     build would produce. This variant folds the committed commits into
     one AND recomputes every layer >= 1 from scratch over the full
-    node set with exactly the builder's rule (exact kNN among
-    level>=l members + entries) — the compacted upper layers are
-    IDENTICAL to a fresh build's on the same corpus (test-pinned).
+    node set with exactly the builder's rule (bucketed knn_graph among
+    level>=l members + entries — see _upper_layer_edges) — the
+    compacted upper layers are IDENTICAL to a fresh build's on the
+    same corpus (test-pinned). It also REFRESHES the entry medoids
+    over the folded node set (builder's rule, deterministic), so
+    entries frozen at build time cannot go stale as appends shift the
+    corpus's cluster structure.
     Layer 0 carries forward unchanged: the insertion history IS the
     NSW graph, and a layer-0 rebuild would discard the reverse links
     that keep appended nodes reachable. NULL layers (legacy pre-layer
@@ -2626,28 +2655,41 @@ def compact_graph_index(spark, path: str) -> int:
         .where(F.col("commit").isin(commits))
         .select("node", "ce")
     )
-    e0 = _layer0(
-        spark.read.parquet(f"{path}/edges")
-        .where(F.col("commit").isin(commits))
-        .select("node", "dst", "layer")
-    ).select("node", "dst").withColumn("layer", F.lit(0))
+    all_edges = spark.read.parquet(f"{path}/edges").where(
+        F.col("commit").isin(commits)
+    )
+    # select layer only if present: a legacy pre-layer index has edge
+    # files without the column at all — _layer0 handles both shapes
+    keep = [c for c in ("node", "dst", "layer") if c in all_edges.columns]
+    e0 = _layer0(all_edges.select(*keep)).select(
+        "node", "dst"
+    ).withColumn("layer", F.lit(0))
     corpus = nodes.select(
         F.col("node").alias("vec_id"), F.col("ce").alias("embedding")
     )
+    # ENTRY-MEDOID REFRESH: entries are a build-time decision frozen in
+    # meta, so after appends bring unseen clusters the stale entry set
+    # can't start a descent near the new regions — the same decay the
+    # multi-entry design exists to fix, one level up. Compaction is the
+    # natural refresh point: recompute the builder's exact rule over
+    # the FOLDED node set (n_entries<=1 -> global min id; else one
+    # kmeans-cell medoid per cell — both deterministic, so the composed
+    # oracle stays FULL) and rewrite meta alongside the new commit.
+    # Recall pin: tests/test_llm_ops.py (refreshed >= stale + margin on
+    # a fixture where appends double the corpus with unseen clusters).
+    n_entries = len(entries)
+    if n_entries <= 1:
+        entries = [int(corpus.agg(F.min("vec_id")).first()[0])]
+    else:
+        entries = sorted(
+            int(r.node)
+            for r in graph_entry_medoids(corpus, n_entries).collect()
+        )
     edges = e0
     for lvl in range(1, layers):
-        members = corpus.where(
-            (hnsw_level(layer_mult, layers) >= lvl)
-            | F.col("vec_id").isin(entries)
+        edges = edges.unionByName(
+            _upper_layer_edges(corpus, entries, lvl, layers, layer_mult, knn)
         )
-        e_l = cosine_topk(
-            members,
-            members.select(F.col("vec_id").alias("query_id"), "embedding"),
-            k=knn,
-        ).select(
-            F.col("query_id").alias("node"), F.col("vec_id").alias("dst")
-        ).withColumn("layer", F.lit(lvl))
-        edges = edges.unionByName(e_l)
     bucket = F.pmod(F.hash("node"), F.lit(n_buckets)).cast("int")
     (
         edges.withColumn("bucket", bucket)
@@ -2665,6 +2707,20 @@ def compact_graph_index(spark, path: str) -> int:
         .mode("append")
         .parquet(f"{path}/nodes")
     )
+    # refreshed entries land in meta BEFORE the manifest commit. If we
+    # crash here (new meta, old manifest), probes still serve the old
+    # commits with the refreshed entry set — every refreshed entry is a
+    # node of the old graph too (the folded set IS the old commits'
+    # union), so the walk stays well-defined; the next compact run
+    # clears the uncommitted dir and converges.
+    spark.createDataFrame(
+        [(
+            entries[0], entries, int(n_buckets), int(knn), int(layers),
+            int(layer_mult),
+        )],
+        "entry long, entries array<long>, n_buckets int, knn int, "
+        "layers int, layer_mult int",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     applied = _max_applied_batch(rows)
     _write_index_manifest(
         spark, path, [nxt],

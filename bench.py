@@ -425,15 +425,20 @@ def main() -> None:
                 sorted(times)[len(times) // 2], 3
             )
             if name in _WARM_SPECS:
-                probe(spark, ctx)  # prime (page cache, codegen)
-                times = []
-                for _ in range(runs):
-                    t0 = time.time()
-                    probe(spark, ctx)
-                    times.append(time.time() - t0)
-                results[f"{name}_probe_warm"] = round(
-                    sorted(times)[len(times) // 2], 3
-                )
+                # own try: a warm-only failure must not clobber the
+                # already-recorded valid cold median above
+                try:
+                    probe(spark, ctx)  # prime (page cache, codegen)
+                    times = []
+                    for _ in range(runs):
+                        t0 = time.time()
+                        probe(spark, ctx)
+                        times.append(time.time() - t0)
+                    results[f"{name}_probe_warm"] = round(
+                        sorted(times)[len(times) // 2], 3
+                    )
+                except Exception:
+                    results[f"{name}_probe_warm"] = -1.0
         except Exception:
             results[f"{name}_probe"] = -1.0
 

@@ -232,3 +232,36 @@ def test_version_pinned_at_construction(spark, tmp_path):
     assert fc2._version != v0
     fc2.query_range(expr, t0, t0 + 2 * DAY_MS).count()
     assert (fc2.hits, fc2.misses) == (0, 2)
+
+
+def test_vacuum_all_other_guarded_to_unordered_versions(querier, tmp_path):
+    """`vacuum(all_other=True)` is the TOKEN-versioned escape hatch; on
+    a registry-ORDERED cache it must be a no-op beyond the default
+    older-only rule — otherwise a stale ordered instance could delete a
+    NEWER concurrently-open cache's committed partials, the exact data
+    loss the ordering exists to prevent."""
+    import os
+
+    expr = "sum by (job) (sum_over_time(event_error[1d]))"
+    t0 = 19732 * DAY_MS
+
+    # token-versioned (unordered): all_other deletes every other dir
+    root = str(tmp_path / "cache_tok")
+    fc = ResultsCache(querier, root, version_token="tokA")
+    fc.query_range(expr, t0, t0 + DAY_MS).count()
+    os.makedirs(f"{root}/ver=tokB")
+    os.makedirs(f"{root}/ver=v7")
+    assert fc.vacuum() == []  # default never GCs unordered
+    assert fc.vacuum(all_other=True) == ["ver=tokB", "ver=v7"]
+    assert os.listdir(root) == ["ver=tokA"]
+
+    # ordered ("v<int>"): all_other is IGNORED — newer dirs and
+    # unordered dirs survive; only strictly-older dirs are removed
+    root2 = str(tmp_path / "cache_ord")
+    fc2 = ResultsCache(querier, root2, version_token="v3")
+    fc2.query_range(expr, t0, t0 + DAY_MS).count()
+    os.makedirs(f"{root2}/ver=v2")
+    os.makedirs(f"{root2}/ver=v5")
+    os.makedirs(f"{root2}/ver=tokX")
+    assert fc2.vacuum(all_other=True) == ["ver=v2"]
+    assert sorted(os.listdir(root2)) == ["ver=tokX", "ver=v3", "ver=v5"]
