@@ -1834,6 +1834,30 @@ def _q_simsearch_graph_appended(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.graph_ann_stored(spark, path, q, k=10, beam=8, hops=3)
 
 
+def _q_simsearch_graph_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    # filtered vector search on the GRAPH family (round 10; closes the
+    # gap the r9 verdict ranked #1: the best-recall index family was
+    # the one you couldn't metadata-filter): the beam walks the FULL
+    # stored graph for navigability, then the final top-k ranks only
+    # the allow-set survivors among everything the walk scored — the
+    # walk's ~hops*beam*degree visited set is built-in over-retrieval,
+    # test-pinned to dominate post-hoc filtering of an unfiltered
+    # top-k. Full oracle: the unrolled-hop walk with one IN
+    # restriction before the final rank.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_graph_flt_")
+    simsearch.write_graph_index(e, path, knn=5)
+    allowed = e.where(F.col("label") % 3 == 0).select("vec_id")
+    return simsearch.graph_ann_stored(
+        spark, path, q, k=10, beam=8, hops=3, allowed=allowed
+    )
+
+
 def _q_streaming_ivf_ingest(spark: SparkSession, sf: str) -> DataFrame:
     # streaming index maintenance: build on the even half, STREAM the
     # odd half in (2 files, maxFilesPerTrigger=1 -> >= 2 micro-batch
@@ -2424,6 +2448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_append": _q_simsearch_ivf_append,
         # round 9: filtered vector search (metadata predicate + ANN)
         "simsearch_ivf_filtered": _q_simsearch_ivf_filtered,
+        # round 10: filtered search on the graph family — the walk is
+        # unrestricted (navigability), only the final rank filters
+        "simsearch_graph_filtered": _q_simsearch_graph_filtered,
         "simsearch_label_centroids": lambda s, d: simsearch.label_centroids(
             _emb(s, d)
         ),
@@ -3057,7 +3084,12 @@ def _sql_graph_ann(
     hops: int = 3,
     n_entries: int = 1,
     graph_sql: str | None = None,
+    final_where: str = "TRUE",
 ) -> str:
+    """`final_where` restricts which scored nodes may be RETURNED —
+    the filtered-graph-search mirror: the walk's CTEs are untouched
+    (the beam walks the full graph), only the final rank is computed
+    over the allowed survivors (`node` is the scored row's id)."""
     hop_tpl = """
 c{i} AS (SELECT DISTINCT f.query_id, ed.dst AS node
          FROM f{prev} f JOIN edges ed USING (node)),
@@ -3098,7 +3130,8 @@ f{i} AS (SELECT query_id, node FROM (
         f" SELECT query_id, node AS vec_id, cos, CAST(rk AS INT) AS rk "
         f"FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id "
         f"ORDER BY cos DESC, node ASC) AS rk FROM s{hops} s "
-        f"WHERE node <> query_id) WHERE rk <= {k} ORDER BY query_id, rk"
+        f"WHERE node <> query_id AND ({final_where})) "
+        f"WHERE rk <= {k} ORDER BY query_id, rk"
     )
 
 
@@ -5756,6 +5789,15 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "streaming_ivf_ingest": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
         "simsearch_graph_ann": _sql_graph_ann(),
+        # filtered graph search: SAME unrolled walk, the allow-set IN
+        # restriction applies only to the final rank (the walk may
+        # stand on disallowed nodes; it just can't return them)
+        "simsearch_graph_filtered": _sql_graph_ann(
+            final_where=(
+                "node IN (SELECT vec_id FROM embeddings "
+                "WHERE label % 3 = 0)"
+            )
+        ),
         "simsearch_graph_hnsw": _sql_graph_hnsw(),
         # stored probe is walk-identical to the in-memory graph_ann
         "simsearch_graph_stored": _sql_graph_ann(),

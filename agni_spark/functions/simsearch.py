@@ -3053,6 +3053,7 @@ def graph_ann_stored(
     beam: int = 8,
     hops: int = 3,
     hops_upper: int = 2,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Beam search served from a stored graph index: identical walk —
     and therefore identical results — to graph_ann() built from the
@@ -3067,7 +3068,28 @@ def graph_ann_stored(
     of 1+hops, identical results. An index built with layers > 1
     probes through the HNSW descent instead (_hnsw_walk):
     `hops_upper` beam=1 rounds per upper layer, then the layer-0 beam
-    search seeded with the descent's best nodes."""
+    search seeded with the descent's best nodes.
+
+    `allowed` (optional) makes this a FILTERED vector search on the
+    graph family (round 10; the IVF/PQ twins got it in round 9): a
+    one-column (vec_id) allow-set restricts what is RETURNED, never
+    where the walk may GO — the beam walks the full graph for
+    navigability (restricting the walk itself would strand the beam
+    inside allowed islands: a beam that can only stand on allowed
+    nodes cannot cross a disallowed region to reach an allowed
+    cluster behind it), then the final top-k ranks ONLY the allowed
+    nodes among EVERYTHING the walk scored. Because the walk visits
+    ~hops*beam*degree nodes per query (not just the k winners), this
+    built-in over-retrieval dominates post-hoc filtering of an
+    unfiltered top-k — test-pinned. Post-filter semantics as in the
+    IVF twin: fewer than k rows when the walk's neighborhood holds
+    fewer than k allowed nodes (raise beam/hops to buy coverage).
+    Scale: the walk is unchanged (bucket-pruned scans, bounded
+    broadcasts); the allow-set — possibly corpus-sized, with its own
+    predicate pushdown — is scanned ONCE, streamed against the
+    broadcast of the walk's bounded result; nothing corpus-sized
+    shuffles. Deterministic -> the full walk oracle plus one IN
+    restriction before the final rank."""
     h = index if isinstance(index, GraphIndexHandle) else GraphIndexHandle(
         spark, index
     )
@@ -3238,6 +3260,10 @@ def graph_ann_stored(
     # can reach 2*knn — the guard must budget for it or the
     # _BEAM_MAX_STATE ceiling the constant promises is not enforced
     eff_deg = h.knn if len(h.commits) <= 1 else 2 * h.knn
+    # filtered probe: rank the walk's FULL visited set (bounded by the
+    # same state-guard contract), then restrict to allowed before the
+    # final top-k — the walk itself never changes
+    k_eff = k if allowed is None else 1 << 30
     if h.layers > 1:
         def _upper_expand(lvl: int):
             uedges = edges_all.where(F.col("layer") == lvl).drop("layer")
@@ -3255,10 +3281,10 @@ def graph_ann_stored(
             return _ex
 
         upper_lvls = list(range(h.layers - 1, 0, -1))
-        return _hnsw_walk(
+        res = _hnsw_walk(
             spark, qids, h.entries, _score,
             [_upper_expand(lvl) for lvl in upper_lvls],
-            _expand, k, beam, hops, hops_upper, max_degree=eff_deg,
+            _expand, k_eff, beam, hops, hops_upper, max_degree=eff_deg,
             upper_expand2s=[
                 _mk_expand2(edges_all.where(F.col("layer") == lvl)
                             .drop("layer"))
@@ -3267,12 +3293,32 @@ def graph_ann_stored(
             expand2_fn=_expand2,
             expand3_fn=_expand3,
         )
-    return _beam_walk(
-        spark, qids, h.entries, _score, _expand, k, beam, hops,
-        max_degree=eff_deg,
-        first_fn=lambda fr: _score(fr).unionByName(_expand(fr)),
-        expand2_fn=_expand2,
-        expand3_fn=_expand3,
+    else:
+        res = _beam_walk(
+            spark, qids, h.entries, _score, _expand, k_eff, beam, hops,
+            max_degree=eff_deg,
+            first_fn=lambda fr: _score(fr).unionByName(_expand(fr)),
+            expand2_fn=_expand2,
+            expand3_fn=_expand3,
+        )
+    if allowed is None:
+        return res
+    # one streaming pass over the allow-set against the BROADCAST of
+    # the walk's bounded result (never a shuffle of the allow-set),
+    # then the final rank over allowed survivors only
+    flt = allowed.select("vec_id").distinct().join(
+        F.broadcast(res.select("query_id", "vec_id", "cos")), "vec_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        flt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk")
+        )
+        .orderBy("query_id", "rk")
     )
 
 

@@ -1996,3 +1996,75 @@ def test_compact_refreshes_entry_medoids(spark, tmp_path):
     )
     assert r_fresh >= 0.5, r_fresh
     assert r_fresh >= r_stale + 0.05, (r_fresh, r_stale)
+
+
+def test_filtered_graph_search_beats_posthoc(spark, tmp_path):
+    """Filtered graph search (round 10): the allow-set restricts what
+    is RETURNED, never where the beam may walk. Pins: (a) every
+    returned id is allowed; (b) the result equals re-ranking the
+    walk's FULL visited set restricted to allowed (the documented
+    semantics — emulated via an unfiltered probe with unbounded k);
+    (c) recall vs the exact ALLOWED ground truth dominates post-hoc
+    filtering of the unfiltered top-k (the walk's visited set is
+    built-in over-retrieval); (d) the layered (HNSW) path honors the
+    same contract."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark)  # 8 clusters x 40
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    # exact ground truth RESTRICTED to the allow-set
+    exact = {}
+    for r in simsearch.cosine_topk(
+        emb.join(allowed, "vec_id"), q, k=10
+    ).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(got.get(k, set()) & v) / len(v) for k, v in exact.items()
+        ) / len(exact)
+
+    path = str(tmp_path / "g")
+    simsearch.write_graph_index(emb, path, knn=5, n_entries=8)
+    flt = simsearch.graph_ann_stored(
+        spark, path, q, k=10, beam=8, hops=3, allowed=allowed
+    ).collect()
+    # (a) allowed-only
+    assert flt and all(r.vec_id in allowed_ids for r in flt)
+    # (b) == rank of the walk's full visited set restricted to allowed
+    full = simsearch.graph_ann_stored(
+        spark, path, q, k=1 << 20, beam=8, hops=3
+    ).collect()
+    want = {}
+    for r in full:
+        if r.vec_id in allowed_ids:
+            want.setdefault(r.query_id, []).append((-r.cos, r.vec_id))
+    expected = sorted(
+        (qd, v, -nc, rk)
+        for qd, lst in want.items()
+        for rk, (nc, v) in enumerate(sorted(lst)[:10], 1)
+    )
+    got = sorted((r.query_id, r.vec_id, r.cos, r.rk) for r in flt)
+    assert got == expected
+    # (c) dominates post-hoc filtering of the unfiltered top-k
+    unf = simsearch.graph_ann_stored(spark, path, q, k=10, beam=8, hops=3)
+    posthoc = [r for r in unf.collect() if r.vec_id in allowed_ids]
+    assert recall(flt) >= recall(posthoc), (recall(flt), recall(posthoc))
+    assert recall(flt) >= 0.5, recall(flt)
+    # (d) layered path: same allowed-only + subset-of-walk contract
+    lpath = str(tmp_path / "hnsw")
+    simsearch.write_graph_index(
+        emb, lpath, knn=5, n_entries=8, layers=2, layer_mult=8
+    )
+    lflt = simsearch.graph_ann_stored(
+        spark, lpath, q, k=10, beam=8, hops=3, hops_upper=2,
+        allowed=allowed,
+    ).collect()
+    assert lflt and all(r.vec_id in allowed_ids for r in lflt)
