@@ -2765,6 +2765,33 @@ class GraphIndexHandle:
             .where(F.col("commit").isin(self.commits))
             .drop("commit")
         )
+        self._max_deg: int | None = None
+
+    @property
+    def max_out_degree(self) -> int:
+        """MEASURED max out-degree over the committed edge set — the
+        state-guard degree bound (round 10, replacing the 2*knn
+        heuristic). The heuristic covered forward + reverse insertion
+        links but not reverse-edge HUBS: every appended batch may pick
+        the same popular node as a neighbor, so a hub's out-degree
+        (reverse links received) is unbounded, and a guard budgeting
+        2*knn would under-size chunks by the deg^2/deg^3 speculative
+        factor — silently exceeding the _BEAM_MAX_STATE promise on
+        adversarial appended indexes. Computed ONCE per handle, lazily
+        at first probe: one aggregation over the edge `node` column
+        alone (column-pruned scan, map-side partial counts — a shuffle
+        of per-node partial counts, never the edges themselves);
+        serving callers open once, so the cost amortizes like the
+        handle's other open-time work."""
+        if self._max_deg is None:
+            row = (
+                self.edges.groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .agg(F.max("d"))
+                .first()
+            )
+            self._max_deg = int(row[0]) if row[0] is not None else 1
+        return self._max_deg
 
 
 def open_graph_index(spark, path: str) -> GraphIndexHandle:
@@ -3255,11 +3282,12 @@ def graph_ann_stored(
     _expand3 = _mk_expand3(edges)
 
     qids = [r.query_id for r in queries.select("query_id").collect()]
-    # state-guard degree bound: append_graph_index writes forward AND
-    # reverse links, so a maintained (multi-commit) index's out-degree
-    # can reach 2*knn — the guard must budget for it or the
-    # _BEAM_MAX_STATE ceiling the constant promises is not enforced
-    eff_deg = h.knn if len(h.commits) <= 1 else 2 * h.knn
+    # state-guard degree bound: the MEASURED max out-degree (computed
+    # once per handle — see GraphIndexHandle.max_out_degree). The old
+    # 2*knn heuristic under-counted reverse-edge hubs, whose in-degree
+    # is unbounded under appends, so the _BEAM_MAX_STATE promise could
+    # be silently exceeded on adversarial appended indexes.
+    eff_deg = h.max_out_degree
     # filtered probe: rank the walk's FULL visited set (bounded by the
     # same state-guard contract), then restrict to allowed before the
     # final top-k — the walk itself never changes

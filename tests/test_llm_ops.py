@@ -2068,3 +2068,70 @@ def test_filtered_graph_search_beats_posthoc(spark, tmp_path):
         allowed=allowed,
     ).collect()
     assert lflt and all(r.vec_id in allowed_ids for r in lflt)
+
+
+def test_state_guard_uses_measured_hub_degree(spark, monkeypatch):
+    """The beam walk's state guard budgets by the MEASURED max
+    out-degree (round 10). The old 2*knn heuristic covered forward +
+    reverse insertion links per batch, but a reverse-edge HUB — a
+    popular node every appended batch picks as a neighbor — collects
+    unbounded reverse links: here 3 appended batches aim at node 0,
+    whose out-degree ends far above 2*knn. Pins: (a) the handle
+    measures it; (b) probes still shard result-identically when the
+    (now much larger) per-query budget forces single-query chunks."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def vec(seed, base):
+        import hashlib
+
+        h = int(hashlib.md5(f"{seed}".encode()).hexdigest()[:12], 16)
+        eps = (h / float(1 << 48)) * 0.02 - 0.01
+        return [b + eps for b in base]
+
+    hub = [1.0] + [0.0] * 7
+    rows = [(i, vec(i, hub if i == 0 else [0.3] * 8)) for i in range(40)]
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    path = tempfile.mkdtemp(prefix="agni_hub_")
+    simsearch.write_graph_index(base, path, knn=5)
+    # 3 appended batches of near-clones of the HUB vector: each new
+    # node's top-5 among committed nodes includes node 0, so node 0
+    # receives a reverse link from every one of them
+    for b in range(3):
+        app = spark.createDataFrame(
+            [(100 + b * 20 + j, vec(1000 + b * 20 + j, hub))
+             for j in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        simsearch.append_graph_index(spark, path, app)
+    h = simsearch.GraphIndexHandle(spark, path)
+    assert h.max_out_degree > 2 * h.knn, (h.max_out_degree, h.knn)
+    # hub really is node 0
+    top = (
+        h.edges.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc()).first()
+    )
+    assert top.node == 0 and top.d == h.max_out_degree
+
+    q = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = [
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, h, q, k=10, beam=8, hops=3
+        ).collect()
+    ]
+    # per_q with the measured degree is >> the old heuristic's budget;
+    # force single-query chunks and pin identical output
+    monkeypatch.setattr(simsearch, "_BEAM_MAX_STATE", 1)
+    got = [
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, h, q, k=10, beam=8, hops=3
+        ).collect()
+    ]
+    assert got == want and len(got) == 30
