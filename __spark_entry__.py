@@ -2186,21 +2186,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("series_id", "bucket_ms"),
         "promql_sum_by": _q_promql_sum_by,
         "promql_topk": _q_promql_topk,
-        # frontend results cache replaced parsed_topk_by in the window:
-        # topk-by stays oracle-gated after #50; the cache is a whole
-        # new serving tier the external gate should see
-        "promql_frontend_cache": _q_promql_frontend_cache,
+        # round-10 rotation: the amortized stored-graph pagerank
+        # replaces the frontend cache in the window (the results-cache
+        # tier stays oracle-gated after #50; promql keeps 7 window
+        # reps) — analytics served off a persisted index is the newer
+        # external signal
+        "simsearch_pagerank_stored": _q_simsearch_pagerank_stored,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
-        # graph-ANN beam search replaced the basic parsed expression in
-        # the window (parsed_binop/group_left are the stricter parser
-        # signals; promql_parsed_expression stays gated after #50)
-        "simsearch_graph_ann": lambda s, d: simsearch.graph_ann(
-            _emb(s, d),
-            _emb(s, d)
-            .where(F.col("vec_id") < 5)
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-            k=10, knn=5, beam=8, hops=3,
-        ),
+        # round-10 rotation: FILTERED graph search (walk the full
+        # graph, rank only allow-set survivors) replaces the in-memory
+        # graph_ann — the stored probes (graph_compacted, graph_hnsw,
+        # graph_filtered) are the richer external signals; the basic
+        # walk stays oracle-gated after #50
+        "simsearch_graph_filtered": _q_simsearch_graph_filtered,
         "promql_parsed_binop": _q_promql_parsed_binop,
         "promql_parsed_group_left": _q_promql_parsed_group_left,
         # --- TPC-H (4) ---
@@ -2209,7 +2207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
         "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
         # --- Dedup (6) ---
-        "dedup_exact": _q_dedup_exact,
+        # round-10 rotation: filtered IVF search (the round-9 operator
+        # the verdict asked into the window) replaces dedup_exact —
+        # the dedup family keeps dedup_minhash_lsh / pipeline_curate_v2
+        # / dedup_semantic as window reps; dedup_exact stays gated
+        # after #50
+        "simsearch_ivf_filtered": _q_simsearch_ivf_filtered,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "pipeline_curate_v2": _q_pipeline_curate_v2,
         # round-9 rotation: the newest, riskiest operators move into
@@ -2237,16 +2240,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_cosine_topk": _q_simsearch_topk,
         "simsearch_ivf_ann": _q_simsearch_ivf,
         "simsearch_ivf_stored": _q_simsearch_ivf_stored,
-        # IVF-PQ replaced plain PQ-ADC in the window (pq_adc stays
-        # oracle-gated after #50): the composite exercises both the
-        # coarse prune and the ADC path in one externally-checked row
-        "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
-            _emb(s, d),
-            _emb(s, d)
-            .where(F.col("vec_id") < 5)
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-            k=10, n_centroids=8, nprobe=2, m=16, ksub=16,
-        ),
+        # round-10 rotation: STREAMED index ingest replaces the
+        # one-shot in-memory ivfpq (simsearch_ivfpq_stored keeps the
+        # same composed train+encode+ADC oracle in the window; the
+        # one-shot stays gated after #50). First externally-checked
+        # row for Structured-Streaming index maintenance — the
+        # streamed-equals-batch invariant had only internal pins.
+        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
         # train-once/probe-many PQ: write_pq_index persists the model
         # + packed codes; the probe rebuilds only the queries-sized ADC
         # tables — same training code path, so the full composed
@@ -2266,6 +2266,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_graph_hnsw": _q_simsearch_graph_hnsw,
         # ------ end of driver-checked window (50) ------
         # swapped out of the window above, still fully oracle-gated:
+        "dedup_exact": _q_dedup_exact,
+        "promql_frontend_cache": _q_promql_frontend_cache,
+        "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10, n_centroids=8, nprobe=2, m=16, ksub=16,
+        ),
+        "simsearch_graph_ann": lambda s, d: simsearch.graph_ann(
+            _emb(s, d),
+            _emb(s, d)
+            .where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10, knn=5, beam=8, hops=3,
+        ),
         "multimodal_meta": _q_multimodal_meta,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
@@ -2446,11 +2462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_embedding_cosine": _q_dedup_embedding,
         "simsearch_ivf_append": _q_simsearch_ivf_append,
-        # round 9: filtered vector search (metadata predicate + ANN)
-        "simsearch_ivf_filtered": _q_simsearch_ivf_filtered,
-        # round 10: filtered search on the graph family — the walk is
-        # unrestricted (navigability), only the final rank filters
-        "simsearch_graph_filtered": _q_simsearch_graph_filtered,
         "simsearch_label_centroids": lambda s, d: simsearch.label_centroids(
             _emb(s, d)
         ),
@@ -2491,10 +2502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("vec_id").alias("dst"),
             )
         ),
-        # the amortized twin: same 3 iterations over a STORED graph
-        # index's persisted layer-0 edges (a fresh build's base layer
-        # IS knn_graph's output, so the oracle is shared verbatim)
-        "simsearch_pagerank_stored": _q_simsearch_pagerank_stored,
         "simsearch_mutual_knn_clusters": lambda s, d: (
             simsearch.mutual_knn_clusters(_emb(s, d), k=5, threshold=0.3)
         ),
@@ -2576,9 +2583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_compacted": _q_simsearch_ivf_compacted,
         # incremental NSW insertion into the stored graph index
         "simsearch_graph_appended": _q_simsearch_graph_appended,
-        # streaming ANN index maintenance (foreachBatch appends,
-        # exactly-once via same-commit dynamic overwrite on replay)
-        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
         # quality-aware dedup curation (best-member representative)
         "pipeline_curate_v4": _q_pipeline_curate_v4,
         # stored-PQ two-stage serve (ADC shortlist from the codes
