@@ -2401,6 +2401,106 @@ def _upper_layer_edges(
     ).withColumn("layer", F.lit(lvl))
 
 
+# graph-index meta schema (round 11): versioned per writer commit.
+# `n_entries` persists the BUILD-time entry-count parameter (the entry
+# refresh at compaction must not infer it from len(entries) — medoids
+# can coincide/dedupe, and a refresh sized off the shrunken list would
+# shrink the entry set monotonically across compactions). `max_deg` is
+# the walk state-guard's per-layer max out-degree UPPER BOUND,
+# maintained where the edges are already in hand (build: exactly knn,
+# the kNN-graph's top-k cap; append: old bound + the batch's max
+# per-(node,layer) new-edge count — a true bound, since any node's new
+# degree <= old max + its own delta; compact: exact recompute over the
+# folded edges). Persisting it kills the corpus-sized edge aggregation
+# the round-10 handle ran at serving open. Both columns are nullable:
+# a legacy flat-meta index has neither, and the handle falls back to
+# measuring.
+_GRAPH_META_SCHEMA = (
+    "entry long, entries array<long>, n_buckets int, knn int, "
+    "layers int, layer_mult int, n_entries int, max_deg int"
+)
+
+
+def _write_graph_meta(
+    spark, path: str, commit: int, entries: list[int], n_buckets: int,
+    knn: int, layers: int, layer_mult: int, n_entries: int,
+    max_deg: int | None,
+) -> None:
+    """VERSIONED meta write (round 11): one row under
+    `meta/commit={commit}`, resolved by readers via the manifest (see
+    _read_graph_meta) — the meta-tier instance of the commit-partition
+    idiom every data subdir here already uses. Writing meta per commit
+    (instead of mode('overwrite') on the live flat dir) makes the
+    compactor's entry/bound refresh CRASH-SAFE: the refreshed meta
+    lands before the manifest, but readers resolve meta with
+    commit <= max(manifest commits), so a crashed compact/append's
+    meta — like its data — is invisible until the manifest flips, and
+    the old index keeps serving with the meta it was built/probed
+    with. This closes both round-10 windows: the non-atomic
+    delete-then-write on the live meta dir (a crash mid-overwrite left
+    NO meta at all) and the new-meta/old-manifest inconsistency (on a
+    layered index a refreshed entry need not be an upper-layer member
+    of the OLD graph, silently degrading the descent)."""
+    spark.createDataFrame(
+        [(
+            int(entries[0]), [int(e) for e in entries], int(n_buckets),
+            int(knn), int(layers), int(layer_mult), int(n_entries),
+            int(max_deg) if max_deg is not None else None,
+        )],
+        _GRAPH_META_SCHEMA,
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{path}/meta/commit={commit}"
+    )
+
+
+def _read_graph_meta(spark, path: str, commits: list[int]):
+    """Resolve the meta row for a committed snapshot: the newest
+    `meta/commit=` <= max(manifest commits) — i.e. the meta written by
+    the writer that produced the snapshot's newest commit (builds and
+    versioned appends/compacts each write one; a crashed writer's meta
+    carries a commit id the manifest never listed, so it resolves
+    away). Legacy flat-meta indexes (pre-round-11) have no `commit`
+    partition column and read as before. The meta scan is one tiny
+    one-row-per-writer parquet dir either way."""
+    df = spark.read.parquet(f"{path}/meta")
+    if "commit" in df.columns:
+        cmax = max(commits) if commits else 0
+        row = (
+            df.where(F.col("commit") <= cmax)
+            .orderBy(F.col("commit").desc())
+            .first()
+        )
+        if row is not None:
+            return row
+    return df.first()
+
+
+def _meta_field(meta, name, default=None):
+    """Nullable/absent-tolerant meta field read (legacy schemas lack
+    the newer columns entirely)."""
+    if name in meta.__fields__ and meta[name] is not None:
+        return meta[name]
+    return default
+
+
+def _commit_edge_degree_bound(spark, path: str, nxt: int) -> int:
+    """Max per-(node, layer) out-degree over ONE just-written
+    `edges/commit={nxt}` partition dir — the append/compact writers'
+    degree-bound input. Reads only the new commit's files (append:
+    batch-sized; compact: the folded set it just wrote anyway), never
+    the whole committed edge corpus; column-pruned to the grouping
+    keys with map-side partial counts."""
+    d = spark.read.parquet(f"{path}/edges/commit={nxt}")
+    keys = ["node", "layer"] if "layer" in d.columns else ["node"]
+    row = (
+        d.groupBy(*[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d"))
+        .first()
+    )
+    return int(row[0]) if row[0] is not None else 0
+
+
 def write_graph_index(
     corpus: DataFrame,
     path: str,
@@ -2473,14 +2573,13 @@ def write_graph_index(
         .mode("overwrite")
         .parquet(f"{path}/nodes")
     )
-    spark.createDataFrame(
-        [(
-            entries[0], entries, int(n_buckets), int(knn), int(layers),
-            int(layer_mult),
-        )],
-        "entry long, entries array<long>, n_buckets int, knn int, "
-        "layers int, layer_mult int",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # versioned meta at commit 0. max_deg = knn exactly: every layer's
+    # edge set is a kNN-graph top-k, so no node's per-layer out-degree
+    # can exceed knn at build time — no measurement needed.
+    _write_graph_meta(
+        spark, path, 0, entries, n_buckets, knn, layers, layer_mult,
+        n_entries=n_entries, max_deg=knn,
+    )
     _write_index_manifest(spark, path, [0])
 
 
@@ -2514,31 +2613,28 @@ def append_graph_index(
     appends shrink the fraction of the corpus the upper layers
     describe and layered recall decays toward the flat walk's number
     (test-pinned: recall after a 2x append stays >= flat + 0.15)."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    rows = _manifest_rows(spark, path)
+    commits = [c for c, _ in rows]
+    meta = _read_graph_meta(spark, path, commits)
+    versioned = "commit" in meta.__fields__
     n_buckets = int(meta.n_buckets)
     knn = int(meta.knn)
-    layers = (
-        int(meta.layers)
-        if "layers" in meta.__fields__ and meta.layers
-        else 1
-    )
-    layer_mult = (
-        int(meta.layer_mult)
-        if "layer_mult" in meta.__fields__ and meta.layer_mult
-        else 8
-    )
+    layers = int(_meta_field(meta, "layers", 1))
+    layer_mult = int(_meta_field(meta, "layer_mult", 8))
     entries = (
         [int(e) for e in meta.entries]
-        if "entries" in meta.__fields__ and meta.entries
+        if _meta_field(meta, "entries")
         else [int(meta.entry)]
     )
-    rows = _manifest_rows(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return  # replayed micro-batch already committed (see ivf twin)
-    commits = [c for c, _ in rows]
     nxt = max(commits) + 1
-    _clear_uncommitted_commit(spark, path, GRAPH_INDEX_SUBDIRS, nxt)
+    _clear_uncommitted_commit(
+        spark, path,
+        GRAPH_INDEX_SUBDIRS + ([("meta", None)] if versioned else []),
+        nxt,
+    )
     old = (
         spark.read.parquet(f"{path}/nodes")
         .where(F.col("commit").isin(commits))
@@ -2600,6 +2696,23 @@ def append_graph_index(
         .mode("overwrite")
         .parquet(f"{path}/nodes")
     )
+    if versioned and _meta_field(meta, "max_deg") is not None:
+        # maintain the persisted state-guard degree bound where the new
+        # edges are already on disk: any node's post-append per-layer
+        # out-degree <= old bound + its OWN new-edge count <= old bound
+        # + the batch's max delta. O(batch)-sized scan (the new commit
+        # dir alone), so append cost stays independent of corpus size;
+        # the slight over-estimate (the max-delta node need not be the
+        # old max node) only tightens the walk's state guard, and
+        # compaction recomputes the bound exactly.
+        new_bound = int(meta.max_deg) + _commit_edge_degree_bound(
+            spark, path, nxt
+        )
+        _write_graph_meta(
+            spark, path, nxt, entries, n_buckets, knn, layers, layer_mult,
+            n_entries=int(_meta_field(meta, "n_entries", len(entries))),
+            max_deg=new_bound,
+        )
     _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
 
 
@@ -2626,30 +2739,27 @@ def compact_graph_index(spark, path: str) -> int:
     argument as compact_index (a crashed run's uncommitted commit dir
     is cleared and invisible); streaming batch-id provenance is
     carried onto the new commit. Returns the new commit id."""
-    meta = spark.read.parquet(f"{path}/meta").first()
-    layers = (
-        int(meta.layers)
-        if "layers" in meta.__fields__ and meta.layers
-        else 1
-    )
-    layer_mult = (
-        int(meta.layer_mult)
-        if "layer_mult" in meta.__fields__ and meta.layer_mult
-        else 8
-    )
+    rows = _manifest_rows(spark, path)
+    commits = [c for c, _ in rows]
+    meta = _read_graph_meta(spark, path, commits)
+    versioned = "commit" in meta.__fields__
+    layers = int(_meta_field(meta, "layers", 1))
+    layer_mult = int(_meta_field(meta, "layer_mult", 8))
     knn = int(meta.knn)
     n_buckets = int(meta.n_buckets)
     entries = (
         [int(e) for e in meta.entries]
-        if "entries" in meta.__fields__ and meta.entries
+        if _meta_field(meta, "entries")
         else [int(meta.entry)]
     )
-    rows = _manifest_rows(spark, path)
-    commits = [c for c, _ in rows]
     if len(commits) <= 1:
         return commits[0] if commits else -1
     nxt = max(commits) + 1
-    _clear_uncommitted_commit(spark, path, GRAPH_INDEX_SUBDIRS, nxt)
+    _clear_uncommitted_commit(
+        spark, path,
+        GRAPH_INDEX_SUBDIRS + ([("meta", None)] if versioned else []),
+        nxt,
+    )
     nodes = (
         spark.read.parquet(f"{path}/nodes")
         .where(F.col("commit").isin(commits))
@@ -2677,7 +2787,11 @@ def compact_graph_index(spark, path: str) -> int:
     # oracle stays FULL) and rewrite meta alongside the new commit.
     # Recall pin: tests/test_llm_ops.py (refreshed >= stale + margin on
     # a fixture where appends double the corpus with unseen clusters).
-    n_entries = len(entries)
+    # The refresh is sized off the PERSISTED build-time n_entries, not
+    # len(entries): graph_entry_medoids dedupes coinciding medoids, so
+    # a refresh sized off the previous refresh's (possibly shrunken)
+    # list would ratchet the entry set down across compactions.
+    n_entries = int(_meta_field(meta, "n_entries", len(entries)))
     if n_entries <= 1:
         entries = [int(corpus.agg(F.min("vec_id")).first()[0])]
     else:
@@ -2707,20 +2821,36 @@ def compact_graph_index(spark, path: str) -> int:
         .mode("append")
         .parquet(f"{path}/nodes")
     )
-    # refreshed entries land in meta BEFORE the manifest commit. If we
-    # crash here (new meta, old manifest), probes still serve the old
-    # commits with the refreshed entry set — every refreshed entry is a
-    # node of the old graph too (the folded set IS the old commits'
-    # union), so the walk stays well-defined; the next compact run
-    # clears the uncommitted dir and converges.
-    spark.createDataFrame(
-        [(
-            entries[0], entries, int(n_buckets), int(knn), int(layers),
-            int(layer_mult),
-        )],
-        "entry long, entries array<long>, n_buckets int, knn int, "
-        "layers int, layer_mult int",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # refreshed entries + the exact recomputed degree bound land in
+    # VERSIONED meta (meta/commit=nxt) before the manifest commit;
+    # readers resolve meta via the manifest (see _read_graph_meta), so
+    # a crash here leaves the old commits serving with the OLD meta —
+    # entries and graph always flip together, which also closes the
+    # layered-index caveat (a refreshed entry need not be an upper-
+    # layer member of the OLD graph; pre-round-11 it was served
+    # against it). The bound recompute reads only the commit dir this
+    # compact just wrote — the one writer that can afford an exact
+    # value, resetting the appends' accumulated over-estimates.
+    if versioned:
+        _write_graph_meta(
+            spark, path, nxt, entries, n_buckets, knn, layers, layer_mult,
+            n_entries=n_entries,
+            max_deg=_commit_edge_degree_bound(spark, path, nxt),
+        )
+    else:
+        # legacy flat-meta index: keep the pre-round-11 in-place
+        # rewrite (mixing commit= dirs into a flat meta dir would
+        # break partition discovery). No max_deg is persisted — later
+        # legacy appends wouldn't maintain it, and a stale bound would
+        # silently under-budget the walk guard; the handle measures
+        # instead.
+        spark.createDataFrame(
+            [(
+                entries[0], entries, int(n_buckets), int(knn), int(layers),
+                int(layer_mult), int(n_entries), None,
+            )],
+            _GRAPH_META_SCHEMA,
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     applied = _max_applied_batch(rows)
     _write_index_manifest(
         spark, path, [nxt],
@@ -2741,18 +2871,18 @@ class GraphIndexHandle:
 
     def __init__(self, spark, path: str):
         self.path = path
-        self.meta = spark.read.parquet(f"{path}/meta").first()
         self.commits = _committed(spark, path)
+        # meta resolves against the SAME manifest snapshot as the data
+        # scans below: versioned meta (round 11) is per writer commit,
+        # so entries/bounds always describe the graph this handle
+        # serves, even mid-compaction or after a crashed one
+        self.meta = _read_graph_meta(spark, path, self.commits)
         self.n_buckets = int(self.meta.n_buckets)
         self.knn = int(self.meta.knn)
-        self.layers = (
-            int(self.meta.layers)
-            if "layers" in self.meta.__fields__ and self.meta.layers
-            else 1
-        )
+        self.layers = int(_meta_field(self.meta, "layers", 1))
         self.entries = (
             [int(e) for e in self.meta.entries]
-            if "entries" in self.meta.__fields__ and self.meta.entries
+            if _meta_field(self.meta, "entries")
             else [int(self.meta.entry)]
         )
         self.edges = (
@@ -2765,32 +2895,48 @@ class GraphIndexHandle:
             .where(F.col("commit").isin(self.commits))
             .drop("commit")
         )
-        self._max_deg: int | None = None
+        md = _meta_field(self.meta, "max_deg")
+        self._max_deg: int | None = int(md) if md is not None else None
+
+    def _measured_max_out_degree(self) -> int:
+        """LEGACY fallback: measure the max per-(node, layer)
+        out-degree over the committed edge set — only for pre-round-11
+        indexes whose meta carries no persisted bound. One aggregation
+        over the edge (node, layer) columns (column-pruned scan,
+        map-side partial counts), cached on the handle. Per-LAYER
+        grouping (tightened in round 11): the walk expands one layer
+        at a time, so summing a node's out-edges across all HNSW
+        layers — what the round-10 measurement did — over-budgeted the
+        guard and shrank walk shards below need."""
+        keys = (
+            ["node", "layer"] if "layer" in self.edges.columns else ["node"]
+        )
+        row = (
+            self.edges.groupBy(
+                *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in keys]
+            )
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d"))
+            .first()
+        )
+        return int(row[0]) if row[0] is not None else 1
 
     @property
     def max_out_degree(self) -> int:
-        """MEASURED max out-degree over the committed edge set — the
-        state-guard degree bound (round 10, replacing the 2*knn
-        heuristic). The heuristic covered forward + reverse insertion
-        links but not reverse-edge HUBS: every appended batch may pick
-        the same popular node as a neighbor, so a hub's out-degree
-        (reverse links received) is unbounded, and a guard budgeting
-        2*knn would under-size chunks by the deg^2/deg^3 speculative
-        factor — silently exceeding the _BEAM_MAX_STATE promise on
-        adversarial appended indexes. Computed ONCE per handle, lazily
-        at first probe: one aggregation over the edge `node` column
-        alone (column-pruned scan, map-side partial counts — a shuffle
-        of per-node partial counts, never the edges themselves);
-        serving callers open once, so the cost amortizes like the
-        handle's other open-time work."""
+        """The walk state-guard's per-layer max out-degree bound.
+        Round 10 measured it at first probe with a committed-edge-wide
+        aggregation — correct, but a serving-open cost that grew with
+        corpus size (tens of billions of edge rows at 100x), paid per
+        call by path-passing probers, and over-stated for HNSW indexes
+        (it summed a node's out-edges across all layers). Round 11
+        PERSISTS the bound in versioned meta, maintained by each
+        writer where the edges are already in hand (build = knn;
+        append = incremental batch-local delta; compact = exact
+        recompute) — opening a current-format index costs one one-row
+        meta read, nothing edge-sized. The measured scan survives only
+        as the legacy-index fallback (_measured_max_out_degree)."""
         if self._max_deg is None:
-            row = (
-                self.edges.groupBy("node")
-                .agg(F.count(F.lit(1)).alias("d"))
-                .agg(F.max("d"))
-                .first()
-            )
-            self._max_deg = int(row[0]) if row[0] is not None else 1
+            self._max_deg = self._measured_max_out_degree()
         return self._max_deg
 
 
@@ -3282,11 +3428,13 @@ def graph_ann_stored(
     _expand3 = _mk_expand3(edges)
 
     qids = [r.query_id for r in queries.select("query_id").collect()]
-    # state-guard degree bound: the MEASURED max out-degree (computed
-    # once per handle — see GraphIndexHandle.max_out_degree). The old
-    # 2*knn heuristic under-counted reverse-edge hubs, whose in-degree
-    # is unbounded under appends, so the _BEAM_MAX_STATE promise could
-    # be silently exceeded on adversarial appended indexes.
+    # state-guard degree bound: the PERSISTED per-layer max out-degree
+    # from the index meta (round 11 — maintained at write/append/
+    # compact time, so opening costs no edge-wide aggregation; legacy
+    # indexes fall back to measuring once per handle). The old 2*knn
+    # heuristic under-counted reverse-edge hubs, whose in-degree is
+    # unbounded under appends, so the _BEAM_MAX_STATE promise could be
+    # silently exceeded on adversarial appended indexes.
     eff_deg = h.max_out_degree
     # filtered probe: rank the walk's FULL visited set (bounded by the
     # same state-guard contract), then restrict to allowed before the

@@ -1961,13 +1961,17 @@ def test_compact_refreshes_entry_medoids(spark, tmp_path):
     simsearch.write_graph_index(
         base, path, knn=5, n_entries=8, layers=2, layer_mult=8
     )
-    stale_meta = spark.read.parquet(f"{path}/meta").first()
+    stale_meta = simsearch._read_graph_meta(
+        spark, path, simsearch._committed(spark, path)
+    )
     stale_entries = [int(e) for e in stale_meta.entries]
     # build-time entries all live in the build clusters
     assert all(e % 16 < 8 for e in stale_entries), stale_entries
     simsearch.append_graph_index(spark, path, app)
     simsearch.compact_graph_index(spark, path)
-    fresh_meta = spark.read.parquet(f"{path}/meta").first()
+    fresh_meta = simsearch._read_graph_meta(
+        spark, path, simsearch._committed(spark, path)
+    )
     fresh_entries = [int(e) for e in fresh_meta.entries]
     # the refreshed medoids moved: at least one entry now sits in an
     # appended cluster (half the folded corpus lives there)
@@ -1980,15 +1984,14 @@ def test_compact_refreshes_entry_medoids(spark, tmp_path):
         )
     )
     # stale twin: SAME compacted graph, build-time entries forced back
-    spark.createDataFrame(
-        [(
-            stale_entries[0], stale_entries, int(fresh_meta.n_buckets),
-            int(fresh_meta.knn), int(fresh_meta.layers),
-            int(fresh_meta.layer_mult),
-        )],
-        "entry long, entries array<long>, n_buckets int, knn int, "
-        "layers int, layer_mult int",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # (overwrite the compacted commit's versioned meta row in place)
+    simsearch._write_graph_meta(
+        spark, path, int(fresh_meta.commit), stale_entries,
+        int(fresh_meta.n_buckets), int(fresh_meta.knn),
+        int(fresh_meta.layers), int(fresh_meta.layer_mult),
+        n_entries=int(fresh_meta.n_entries),
+        max_deg=int(fresh_meta.max_deg),
+    )
     r_stale = recall(
         simsearch.graph_ann_stored(
             spark, path, q, k=10, beam=8, hops=3, hops_upper=4
@@ -2071,14 +2074,19 @@ def test_filtered_graph_search_beats_posthoc(spark, tmp_path):
 
 
 def test_state_guard_uses_measured_hub_degree(spark, monkeypatch):
-    """The beam walk's state guard budgets by the MEASURED max
-    out-degree (round 10). The old 2*knn heuristic covered forward +
-    reverse insertion links per batch, but a reverse-edge HUB — a
-    popular node every appended batch picks as a neighbor — collects
-    unbounded reverse links: here 3 appended batches aim at node 0,
-    whose out-degree ends far above 2*knn. Pins: (a) the handle
-    measures it; (b) probes still shard result-identically when the
-    (now much larger) per-query budget forces single-query chunks."""
+    """The beam walk's state guard budgets by the PERSISTED max
+    out-degree bound (round 11; round 10 measured it at serving open).
+    The old 2*knn heuristic covered forward + reverse insertion links
+    per batch, but a reverse-edge HUB — a popular node every appended
+    batch picks as a neighbor — collects unbounded reverse links: here
+    3 appended batches aim at node 0, whose out-degree ends far above
+    2*knn. Pins: (a) the persisted bound DOMINATES the true hub degree
+    (it is an upper bound: build = knn, appends add their batch-local
+    max delta) while staying far above the broken heuristic; (b) a
+    current-format handle never runs the edge-wide measured fallback —
+    opening + probing must cost no edge aggregation; (c) probes still
+    shard result-identically when the (now much larger) per-query
+    budget forces single-query chunks."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -2108,13 +2116,23 @@ def test_state_guard_uses_measured_hub_degree(spark, monkeypatch):
         )
         simsearch.append_graph_index(spark, path, app)
     h = simsearch.GraphIndexHandle(spark, path)
+    # (b) the bound came from meta — a current-format index must never
+    # pay the legacy edge-wide measurement, at open OR at probe time
+    monkeypatch.setattr(
+        simsearch.GraphIndexHandle, "_measured_max_out_degree",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("edge-wide degree scan on a current-format index")
+        ),
+    )
     assert h.max_out_degree > 2 * h.knn, (h.max_out_degree, h.knn)
-    # hub really is node 0
+    # (a) hub really is node 0, and the persisted bound dominates its
+    # true out-degree (upper bound, never under)
     top = (
         h.edges.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
         .orderBy(F.col("d").desc()).first()
     )
-    assert top.node == 0 and top.d == h.max_out_degree
+    assert top.node == 0 and top.d > 2 * h.knn
+    assert h.max_out_degree >= top.d, (h.max_out_degree, top.d)
 
     q = base.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2135,3 +2153,197 @@ def test_state_guard_uses_measured_hub_degree(spark, monkeypatch):
         ).collect()
     ]
     assert got == want and len(got) == 30
+
+
+def test_compact_crash_window_serves_old_meta(spark, tmp_path, monkeypatch):
+    """Crash BETWEEN compact's meta write and its manifest commit
+    (round 11): with versioned meta (meta/commit=N resolved via the
+    manifest), the crashed compact's data AND its refreshed
+    entries/bound are both invisible — probes serve the old commits
+    with the old meta, byte-identically to the pre-compact probe (on a
+    LAYERED index, where pre-round-11 the refreshed entries could lack
+    upper-layer membership in the old graph and silently degrade the
+    descent). A re-run compact then clears the crashed debris and
+    converges to exactly what an uncrashed compact produces."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark, n_clusters=16, per=40)
+    base = emb.where(F.col("vec_id") % 16 < 8)
+    app = emb.where(F.col("vec_id") % 16 >= 8)
+    q = emb.where(F.col("vec_id").isin([8, 9, 24, 25])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "crash")
+    simsearch.write_graph_index(
+        base, path, knn=5, n_entries=8, layers=2, layer_mult=8
+    )
+    simsearch.append_graph_index(spark, path, app)
+    pre = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, path, q, k=10, beam=8, hops=3
+        ).collect()
+    )
+    # uncrashed twin for the convergence pin
+    twin = str(tmp_path / "twin")
+    simsearch.write_graph_index(
+        base, twin, knn=5, n_entries=8, layers=2, layer_mult=8
+    )
+    simsearch.append_graph_index(spark, twin, app)
+    simsearch.compact_graph_index(spark, twin)
+    want = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, twin, q, k=10, beam=8, hops=3
+        ).collect()
+    )
+
+    real_manifest = simsearch._write_index_manifest
+    monkeypatch.setattr(
+        simsearch, "_write_index_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        simsearch.compact_graph_index(spark, path)
+    monkeypatch.setattr(simsearch, "_write_index_manifest", real_manifest)
+    # crashed: new commit dir + new meta/commit dir exist on disk, but
+    # the probe must serve the OLD snapshot with the OLD meta
+    h = simsearch.GraphIndexHandle(spark, path)
+    assert h.commits == [0, 1]
+    assert int(h.meta.commit) <= 1
+    mid = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, h, q, k=10, beam=8, hops=3
+        ).collect()
+    )
+    assert mid == pre
+    # re-run converges to the uncrashed twin's exact result
+    simsearch.compact_graph_index(spark, path)
+    got = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, path, q, k=10, beam=8, hops=3
+        ).collect()
+    )
+    assert got == want
+
+
+def test_graph_handle_legacy_flat_meta_fallback(spark, tmp_path):
+    """A pre-round-11 index (flat meta dir, no n_entries/max_deg
+    columns) still opens and probes: the handle falls back to the
+    MEASURED per-layer max out-degree, and append/compact keep the
+    flat layout (mixing commit= dirs into a flat meta dir would break
+    partition discovery) without ever persisting a bound a legacy
+    append wouldn't maintain."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "legacy")
+    simsearch.write_graph_index(base, path, knn=5)
+    want = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, path, q, k=10, beam=8, hops=3
+        ).collect()
+    )
+    # rewrite meta in the LEGACY flat layout (old 6-column schema)
+    import shutil
+
+    m = simsearch._read_graph_meta(spark, path, [0])
+    row = (
+        int(m.entry), [int(e) for e in m.entries], int(m.n_buckets),
+        int(m.knn), int(m.layers), int(m.layer_mult),
+    )
+    shutil.rmtree(f"{path}/meta")
+    spark.createDataFrame(
+        [row],
+        "entry long, entries array<long>, n_buckets int, knn int, "
+        "layers int, layer_mult int",
+    ).repartition(1).write.parquet(f"{path}/meta")
+    h = simsearch.GraphIndexHandle(spark, path)
+    assert h._max_deg is None  # no persisted bound -> measured fallback
+    assert h.max_out_degree == 5
+    got = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, h, q, k=10, beam=8, hops=3
+        ).collect()
+    )
+    assert got == want
+    # append on a legacy index keeps the flat layout readable and the
+    # handle keeps measuring (no half-maintained persisted bound)
+    simsearch.append_graph_index(spark, path, odd)
+    h2 = simsearch.GraphIndexHandle(spark, path)
+    assert h2._max_deg is None
+    assert h2.max_out_degree >= 5
+    assert simsearch.graph_ann_stored(
+        spark, h2, q, k=10, beam=8, hops=3
+    ).count() == 30
+    # compact on a legacy index refreshes entries in place, still flat
+    simsearch.compact_graph_index(spark, path)
+    h3 = simsearch.GraphIndexHandle(spark, path)
+    assert h3._max_deg is None
+    assert simsearch.graph_ann_stored(
+        spark, h3, q, k=10, beam=8, hops=3
+    ).count() == 30
+
+
+def test_compact_entry_refresh_uses_persisted_n_entries(spark, tmp_path):
+    """The entry refresh is sized off the PERSISTED build-time
+    n_entries, not len(current entries): graph_entry_medoids dedupes
+    coinciding medoids and empty cells (returns <= n_entries rows), so
+    a refresh sized off the previous refresh's shrunken list would
+    ratchet the entry set down monotonically across compactions. Pin:
+    force the first refresh to return a SHRUNKEN entry set (3 of 8 —
+    what coinciding medoids produce naturally); the second refresh
+    must still ask for the build-time 8, and meta must carry
+    n_entries=8 throughout, letting the entry set RECOVER."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark, n_clusters=8, per=30)
+    thirds = [emb.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    path = str(tmp_path / "ratchet")
+    simsearch.write_graph_index(thirds[0], path, knn=5, n_entries=8)
+    m0 = simsearch._read_graph_meta(
+        spark, path, simsearch._committed(spark, path)
+    )
+    assert int(m0.n_entries) == 8
+    calls = []
+    real = simsearch.graph_entry_medoids
+
+    def shrinking(corpus, n_entries):
+        calls.append(n_entries)
+        return real(corpus, n_entries).orderBy("node").limit(3)
+
+    def spy(corpus, n_entries):
+        calls.append(n_entries)
+        return real(corpus, n_entries)
+
+    simsearch.append_graph_index(spark, path, thirds[1])
+    with mock.patch.object(
+        simsearch, "graph_entry_medoids", side_effect=shrinking
+    ):
+        simsearch.compact_graph_index(spark, path)
+    m1 = simsearch._read_graph_meta(
+        spark, path, simsearch._committed(spark, path)
+    )
+    assert len(m1.entries) == 3 and int(m1.n_entries) == 8
+    simsearch.append_graph_index(spark, path, thirds[2])
+    with mock.patch.object(
+        simsearch, "graph_entry_medoids", side_effect=spy
+    ):
+        simsearch.compact_graph_index(spark, path)
+    m2 = simsearch._read_graph_meta(
+        spark, path, simsearch._committed(spark, path)
+    )
+    assert int(m2.n_entries) == 8
+    assert calls == [8, 8], calls  # never shrank to len(entries) == 3
+    assert len(m2.entries) > 3, list(m2.entries)  # set recovered
