@@ -1858,6 +1858,24 @@ def _q_simsearch_graph_filtered(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_simsearch_graph_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    # filtered vector search on the IN-MEMORY graph path (round 11 —
+    # API symmetry: all four stored families and now the in-memory
+    # prototype take allowed=, so moving from notebook prototype to
+    # stored serving changes no call shape). Same post-filter
+    # semantics: the beam walks the full multi-entry graph, the final
+    # rank keeps allow-set survivors only. Full oracle: the unrolled
+    # multi-entry walk + one IN restriction before the final rank.
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = e.where(F.col("label") % 3 == 1).select("vec_id")
+    return simsearch.graph_ann(
+        e, q, k=10, knn=5, beam=8, hops=3, n_entries=8, allowed=allowed
+    )
+
+
 def _q_streaming_ivf_ingest(spark: SparkSession, sf: str) -> DataFrame:
     # streaming index maintenance: build on the even half, STREAM the
     # odd half in (2 files, maxFilesPerTrigger=1 -> >= 2 micro-batch
@@ -1883,6 +1901,45 @@ def _q_streaming_ivf_ingest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
+def _q_streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    # streaming GRAPH index maintenance (round 11): build on the even
+    # half, stream the rest in 2 deterministic micro-batches (vec_id %
+    # 4 == 1 drained first, % 4 == 3 second — two sequential
+    # availableNow runs, so batch order is pinned), then probe. Unlike
+    # the frozen-quantizer IVF twin, NSW insertion is ORDER-DEPENDENT:
+    # batch 2's nodes link to batch 1's, never vice versa — exactly
+    # the invariant an external oracle should nail down, so the oracle
+    # is the unrolled walk over the TWO-STAGE composed edge set (each
+    # stage's exact top-5 among the nodes committed before it).
+    import tempfile
+
+    e = _emb(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="agni_sgraph_")
+    path = f"{tmp}/idx"
+    src = f"{tmp}/src"
+    simsearch.write_graph_index(e.where(F.col("vec_id") % 2 == 0), path,
+                                knn=5)
+    e.where(F.col("vec_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, path, f"{tmp}/ckpt", index_kind="graph"
+    )
+    q.awaitTermination()
+    e.where(F.col("vec_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, path, f"{tmp}/ckpt", index_kind="graph"
+    )
+    q.awaitTermination()
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.graph_ann_stored(spark, path, queries_df, k=10,
+                                      beam=8, hops=3)
 
 
 def _q_simsearch_ivfpq_stored(spark: SparkSession, sf: str) -> DataFrame:
@@ -2239,7 +2296,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Simsearch (5) ---
         "simsearch_cosine_topk": _q_simsearch_topk,
         "simsearch_ivf_ann": _q_simsearch_ivf,
-        "simsearch_ivf_stored": _q_simsearch_ivf_stored,
+        # round-11 rotation: STREAMED GRAPH ingest replaces the stored
+        # IVF probe in the window (the IVF family keeps ivf_ann /
+        # ivf_filtered / streaming_ivf_ingest as window reps;
+        # ivf_stored stays oracle-gated after #50). Graph insertion is
+        # ORDER-DEPENDENT — each micro-batch links only to nodes
+        # committed before it — so the streamed-graph row is the one
+        # streaming-index invariant an external oracle can uniquely
+        # pin (the frozen-quantizer IVF twin is split-independent).
+        "streaming_graph_ingest": _q_streaming_graph_ingest,
         # round-10 rotation: STREAMED index ingest replaces the
         # one-shot in-memory ivfpq (simsearch_ivfpq_stored keeps the
         # same composed train+encode+ADC oracle in the window; the
@@ -2266,6 +2331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_graph_hnsw": _q_simsearch_graph_hnsw,
         # ------ end of driver-checked window (50) ------
         # swapped out of the window above, still fully oracle-gated:
+        "simsearch_ivf_stored": _q_simsearch_ivf_stored,
+        "simsearch_graph_ann_filtered": _q_simsearch_graph_ann_filtered,
         "dedup_exact": _q_dedup_exact,
         "promql_frontend_cache": _q_promql_frontend_cache,
         "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
@@ -3144,18 +3211,27 @@ f{i} AS (SELECT query_id, node FROM (
 # the even nodes, forward AND reverse. The walk itself is the shared
 # unrolled-hop oracle. (The stored entry point is min of the even half
 # = 0 = min over all, so the default entry CTE is exact here.)
-def _sql_appended_layer0() -> str:
-    """Edge-set SQL (node, dst) for the even-build + odd-append graph:
-    the base kNN graph over the even half plus each odd node's exact
-    top-5 among the even half, forward AND reverse — exactly
-    append_graph_index's NSW insertion. Shared by the appended-probe
-    oracle and the compacted-layered oracle (compaction carries layer
-    0 forward unchanged)."""
+def _sql_appended_layer0(stages: list[tuple[str, str]] | None = None) -> str:
+    """Edge-set SQL (node, dst) for the even-build + appended graph:
+    the base kNN graph over the even half plus, per append STAGE, each
+    appended node's exact top-5 among the nodes COMMITTED BEFORE it,
+    forward AND reverse — exactly append_graph_index's NSW insertion,
+    which is ORDER-DEPENDENT (a later batch links to earlier batches'
+    nodes, never vice versa). `stages` is a list of (batch_pred,
+    committed_pred) SQL predicates over vec_id, one per append, in
+    commit order; the default is the single odd-half append. Shared by
+    the appended-probe oracle, the compacted-layered oracle (compact
+    carries layer 0 forward unchanged), and the STREAMED-graph oracle
+    (each micro-batch is one append stage — the multi-stage form is
+    what pins streamed ingestion externally, since batch order is the
+    exact thing a wrong implementation would get wrong)."""
     even = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
     base = _sql_simsearch_ivf(
         cents_src=even, corpus_src=even, query_where="TRUE", k=5
     )
-    fwd = """
+    if stages is None:
+        stages = [("a.vec_id % 2 = 1", "b.vec_id % 2 = 0")]
+    fwd_tpl = """
 SELECT node, dst FROM (
   SELECT a.vec_id AS node, b.vec_id AS dst,
     row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -3163,12 +3239,13 @@ SELECT node, dst FROM (
                                    CAST(b.embedding AS DOUBLE[])), 6) DESC,
       b.vec_id ASC) AS rn
   FROM embeddings a JOIN embeddings b
-    ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0) WHERE rn <= 5"""
-    return (
-        f"SELECT query_id AS node, vec_id AS dst FROM ({base}) "
-        f"UNION ALL SELECT node, dst FROM ({fwd}) "
-        f"UNION ALL SELECT dst AS node, node AS dst FROM ({fwd})"
-    )
+    ON ({batch}) AND ({committed})) WHERE rn <= 5"""
+    parts = [f"SELECT query_id AS node, vec_id AS dst FROM ({base})"]
+    for batch, committed in stages:
+        fwd = fwd_tpl.format(batch=batch, committed=committed)
+        parts.append(f"SELECT node, dst FROM ({fwd})")
+        parts.append(f"SELECT dst AS node, node AS dst FROM ({fwd})")
+    return " UNION ALL ".join(parts)
 
 
 def _sql_graph_appended(k: int = 10, beam: int = 8, hops: int = 3) -> str:
@@ -5802,11 +5879,31 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
                 "WHERE label % 3 = 0)"
             )
         ),
+        # in-memory filtered twin: the multi-entry unrolled walk with
+        # the allow-set IN restriction on the final rank only
+        "simsearch_graph_ann_filtered": _sql_graph_ann(
+            n_entries=8,
+            final_where=(
+                "node IN (SELECT vec_id FROM embeddings "
+                "WHERE label % 3 = 1)"
+            ),
+        ),
         "simsearch_graph_hnsw": _sql_graph_hnsw(),
         # stored probe is walk-identical to the in-memory graph_ann
         "simsearch_graph_stored": _sql_graph_ann(),
         "simsearch_graph_ann_multi": _sql_graph_ann(n_entries=8),
         "simsearch_graph_appended": _sql_graph_appended(),
+        # streamed graph ingest: the walk over the TWO-STAGE composed
+        # edge set — stage 1 (vec_id%4==1) links vs the even build,
+        # stage 2 (vec_id%4==3) links vs even+stage-1 — NSW insertion
+        # order made external
+        "streaming_graph_ingest": _sql_graph_ann(
+            graph_sql=_sql_appended_layer0(stages=[
+                ("a.vec_id % 4 = 1", "b.vec_id % 2 = 0"),
+                ("a.vec_id % 4 = 3",
+                 "b.vec_id % 2 = 0 OR b.vec_id % 4 = 1"),
+            ])
+        ),
         # compacted layered index: layer 0 = the appended edge set
         # (carried forward by compact_graph_index), uppers = the
         # builder's exact rule over the full corpus (rebuilt), entry =

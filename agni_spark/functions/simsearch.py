@@ -2193,6 +2193,7 @@ def graph_ann(
     beam: int = 8,
     hops: int = 3,
     n_entries: int = 1,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-based ANN: greedy BEAM SEARCH over the kNN neighbor graph
     — the NSW/HNSW search idea (Malkov & Yashunin, single-layer
@@ -2217,7 +2218,17 @@ def graph_ann(
     ever happens; per hop the per-query work is <= beam*knn candidate
     rows, independent of corpus size. The walk itself is driver-
     coordinated (see _beam_walk): one Spark job per hop, state bounded
-    by the same contract that lets the frontier broadcast."""
+    by the same contract that lets the frontier broadcast.
+
+    `allowed` (optional, round 11 — API symmetry with the stored
+    families, which all take it): a one-column (vec_id) allow-set with
+    the same post-filter semantics as graph_ann_stored's — the walk
+    stays unrestricted for navigability, the final top-k ranks only
+    allow-set survivors among everything the walk scored (built-in
+    over-retrieval, pinned to dominate post-hoc filtering). A user
+    prototyping in memory and moving to the stored index hits no API
+    cliff. May return < k rows when the walk's neighborhood holds
+    fewer than k allowed nodes."""
     spark = corpus.sparkSession
     edges = (
         knn_graph(corpus, k=knn)
@@ -2341,15 +2352,35 @@ def graph_ann(
 
     qids = [r.query_id for r in queries.select("query_id").collect()]
     entry_nodes = [r.node for r in entry.collect()]
+    # filtered probe: rank the walk's FULL visited set, then restrict
+    # to allowed before the final top-k (same as graph_ann_stored)
+    k_eff = k if allowed is None else 1 << 30
     out = _beam_walk(
-        spark, qids, entry_nodes, _score, _expand, k, beam, hops,
+        spark, qids, entry_nodes, _score, _expand, k_eff, beam, hops,
         max_degree=knn,
         first_fn=lambda fr: _score(fr).unionByName(_expand(fr)),
         expand2_fn=_expand2,
         expand3_fn=_expand3,
     )
     edges.unpersist()
-    return out
+    if allowed is None:
+        return out
+    # allow-set scanned once, streamed against the broadcast of the
+    # walk's bounded result (never a shuffle of the allow-set)
+    flt = allowed.select("vec_id").distinct().join(
+        F.broadcast(out.select("query_id", "vec_id", "cos")), "vec_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        flt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk")
+        )
+        .orderBy("query_id", "rk")
+    )
 
 
 def hnsw_level(layer_mult: int, layers: int, col: str = "vec_id"):

@@ -2071,6 +2071,27 @@ def test_filtered_graph_search_beats_posthoc(spark, tmp_path):
         allowed=allowed,
     ).collect()
     assert lflt and all(r.vec_id in allowed_ids for r in lflt)
+    # (e) IN-MEMORY path (round 11 — API symmetry): graph_ann with the
+    # same corpus/params walks the same fresh-build graph, so its
+    # filtered result must EQUAL the stored probe's; and it honors the
+    # same full contract (allowed-only, == walk-restricted rank,
+    # dominates post-hoc)
+    mflt = simsearch.graph_ann(
+        emb, q, k=10, knn=5, beam=8, hops=3, n_entries=8, allowed=allowed
+    ).collect()
+    assert sorted(
+        (r.query_id, r.vec_id, r.cos, r.rk) for r in mflt
+    ) == got
+    m_posthoc = [
+        r
+        for r in simsearch.graph_ann(
+            emb, q, k=10, knn=5, beam=8, hops=3, n_entries=8
+        ).collect()
+        if r.vec_id in allowed_ids
+    ]
+    assert recall(mflt) >= recall(m_posthoc), (
+        recall(mflt), recall(m_posthoc)
+    )
 
 
 def test_state_guard_uses_measured_hub_degree(spark, monkeypatch):
