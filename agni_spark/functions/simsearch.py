@@ -486,8 +486,14 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     # a CRASHED earlier compact left an uncommitted commit=nxt dir
     # (manifest still lists the old commits, so nxt recomputes to
     # the same id) — delete it first, or the append below would
-    # double its rows and the final manifest swap would serve them
-    _clear_uncommitted_commit(spark, path, subdirs, nxt)
+    # double its rows and the final manifest swap would serve them.
+    # `meta` is included defensively: a crashed compact_graph_index
+    # also leaves a versioned meta/commit=nxt (entries + degree bound
+    # for the fold IT was building) which this byte-preserving compact
+    # must not let the manifest swap activate — the crashed bound was
+    # computed over rebuilt upper layers, not the carried-forward ones
+    # this path commits. No-op for flat-meta families (dir absent).
+    _clear_uncommitted_commit(spark, path, subdirs + [("meta", None)], nxt)
     for sub, routing in subdirs:
         # OPTIONAL subdirs (e.g. the PQ layout's `vectors/`) may be
         # absent from a given index — skip, don't fail

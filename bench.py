@@ -32,6 +32,18 @@ medians are N independent executions. Round 9 adds:
     stored tier; the headline row keeps its per-call kNN-graph build
     for cross-round comparability, and the delta between the two rows
     IS that build cost, measured).
+
+Round 11 makes the record adjudicable under host drift and
+reconstructable from the repo alone:
+  * per-row spread rides in the JSON line as a positional integer
+    array (spread_pct[i] = 100*(median-min)/median for the i-th
+    queries key) — min flat + median up = host noise; min up = real
+    slowdown. Shed last if the line ever outgrows the capture cap;
+    exact mins always land in BENCH_NOTES.md.
+  * BENCH_NOTES.md (repo root, overwritten per invocation) carries
+    the full prose notes + the per-row (median, min, spread%) table —
+    the driver clips stderr, which twice lost the protocol notes
+    mid-sentence.
 """
 
 from __future__ import annotations
@@ -273,14 +285,53 @@ def _cold(spark) -> None:
         jrdd.unpersist()
 
 
-def _notes(results: dict[str, float]) -> str:
-    """Prose protocol/reprice notes for STDERR — generated from the
-    recorded medians so every quoted number matches the JSON line."""
+def _spread_lines(results: dict[str, float],
+                  mins: dict[str, float] | None,
+                  runs: int | None) -> str:
+    """Per-row spread digest (round 11): medians alone cannot separate
+    host drift from a code regression after the fact — r10 moved 44/47
+    rows +10-15% with most code untouched and nothing in the record
+    could adjudicate it. With (median, min) per row the call is
+    mechanical: min flat while the median rises = the host got noisy
+    (the best run still hits the old number); min rising with the
+    median = the plan itself got slower. Lists the widest-spread rows;
+    the full table lives in BENCH_NOTES.md."""
+    if not mins:
+        return "* per-row spread: not recorded this invocation.\n"
+    sp = sorted(
+        (
+            (name, results[name], mins.get(name, results[name]))
+            for name in results
+            if results[name] > 0 and 0 < mins.get(name, -1.0)
+        ),
+        key=lambda t: (t[1] - t[2]) / t[1] if t[1] else 0.0,
+        reverse=True,
+    )
+    worst = ", ".join(
+        f"{n} {m}/{mn} ({(m - mn) / m:.0%})" for n, m, mn in sp[:5]
+    )
+    return (
+        f"* per-row spread over {runs} runs (median/min; min flat + "
+        "median up = host noise, min up = real slowdown). Widest: "
+        f"{worst}. Full table: BENCH_NOTES.md; the JSON line carries "
+        "integer spread_pct POSITIONALLY (spread_pct[i] "
+        "belongs to the i-th key of queries, insertion order; exact "
+        "mins in the notes file).\n"
+    )
+
+
+def _notes(results: dict[str, float],
+           mins: dict[str, float] | None = None,
+           runs: int | None = None) -> str:
+    """Prose protocol/reprice notes for STDERR and BENCH_NOTES.md —
+    generated from the recorded medians so every quoted number matches
+    the JSON line."""
     g = lambda k: results.get(k, float("nan"))  # noqa: E731
     return (
-        "bench notes (stderr by design — the recording driver keeps "
-        "only the last ~2000 chars of stdout, so the JSON line stays "
-        "compact and these notes live here):\n"
+        "bench notes (mirrored to BENCH_NOTES.md — the recording "
+        "driver keeps only the last ~2000 chars of stdout, so the "
+        "JSON line stays compact and these notes live here):\n"
+        + _spread_lines(results, mins, runs) +
         "* COLD PROTOCOL (round 8): every timed run is preceded by "
         "bench._cold (catalog cache clear + unpersist of pinned, "
         "non-locally-checkpointed RDDs; test-asserted), so a persist "
@@ -326,17 +377,72 @@ def _notes(results: dict[str, float]) -> str:
         "* Headline-set history: round 6 +8 rows; round 7 "
         "+ivfpq_rerank/graph_ann_multi + build/probe splits; round 8 "
         "+hnsw/pq splits, cold protocol; round 9 +pagerank_stored_probe "
-        "+ warm rows + compact emitter."
+        "+ warm rows + compact emitter; round 11 +per-row mins "
+        "(positional) + BENCH_NOTES.md."
     )
 
 
-def _emit(results: dict[str, float], sf, out=None, err=None) -> str:
+def _write_notes_file(results: dict[str, float],
+                      mins: dict[str, float] | None,
+                      runs: int | None,
+                      sf,
+                      path: str | None = None) -> str:
+    """Persist the bench record's PROSE to the repo (round 11): the
+    driver keeps the JSON line but clips stderr, so two rounds of
+    protocol/reprice notes were lost mid-sentence — the r10 drift had
+    no in-record explanation. BENCH_NOTES.md makes the record
+    reconstructable from the repo alone: the full prose plus the
+    per-row (median, min, spread%) table the 1900-char line cannot
+    carry. Overwritten per invocation; committed with the round."""
+    path = path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_NOTES.md"
+    )
+    lines = [
+        "# BENCH NOTES (written by bench.py — latest invocation)",
+        "",
+        f"sf={sf}, runs/row={runs}, rows={len(results)}, "
+        f"total={round(sum(results.values()), 3)}s",
+        "",
+        "```",
+        _notes(results, mins, runs),
+        "```",
+        "",
+        "| row | median s | min s | spread |",
+        "|---|---|---|---|",
+    ]
+    for name, med in results.items():
+        mn = (mins or {}).get(name)
+        if mn is None or med <= 0 or mn <= 0:
+            lines.append(f"| {name} | {med} | {mn if mn is not None else ''} | |")
+        else:
+            lines.append(
+                f"| {name} | {med} | {mn} | {(med - mn) / med:.1%} |"
+            )
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
+
+
+def _emit(results: dict[str, float], sf, out=None, err=None,
+          mins: dict[str, float] | None = None,
+          runs: int | None = None,
+          notes_path: str | None = None) -> str:
     """Print the ONE machine-readable JSON line to stdout (compact
-    separators, short note, hard length cap) and the prose notes to
-    stderr. Returns the emitted line (for tests)."""
+    separators, short note, hard length cap), the prose notes to
+    stderr, and the full record to BENCH_NOTES.md. The per-row spread
+    rides in the line as a POSITIONAL integer-percent array
+    (spread_pct[i] pairs with the i-th queries key, insertion order —
+    repeating 47 long row names, or full float mins, would blow the
+    capture window) and is shed LAST if the line ever outgrows the
+    cap. Returns the emitted line (for tests)."""
     out = out or sys.stdout
     err = err or sys.stderr
-    print(_notes(results), file=err)
+    print(_notes(results, mins, runs), file=err)
+    try:
+        _write_notes_file(results, mins, runs, sf, path=notes_path)
+    except OSError as e:  # never let the notes file kill the record
+        print(f"BENCH_NOTES.md write failed: {e}", file=err)
     payload = {
         "metric": "headline_queries_wall_total",
         "value": round(sum(results.values()), 3),
@@ -344,19 +450,41 @@ def _emit(results: dict[str, float], sf, out=None, err=None) -> str:
         "queries": results,
         "sf": sf,
         "note": (
-            "cold protocol (r8); per-run cache scrub; _probe=cold "
-            "gate, _probe_warm=serving; prose+reprice notes on "
-            "stderr; totals not comparable across protocol changes"
+            "cold protocol (r8); _probe=cold gate, _probe_warm="
+            "serving; spread_pct[i] pairs with i-th queries key; prose "
+            "BENCH_NOTES.md + stderr"
         ),
     }
+    if runs is not None:
+        payload["runs"] = runs
+    if mins is not None:
+        # spread_pct[i] = round(100*(median-min)/median) for the i-th
+        # queries key — integer percent keeps 47 rows ~150 chars where
+        # a full mins array (repeating float widths) blew the cap on
+        # worst-case-width rows; exact mins live in BENCH_NOTES.md.
+        # -1 marks rows with no valid spread (failed / single-shot-
+        # missing), distinguishable from a genuine 0% spread.
+        def _sp(name: str) -> int:
+            med = results[name]
+            mn = mins.get(name, -1.0)
+            if med <= 0 or mn <= 0:
+                return -1
+            return max(0, round(100.0 * (med - mn) / med))
+
+        payload["spread_pct"] = [_sp(name) for name in results]
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > _MAX_LINE:
         # never let the note push the line past the driver's capture
         # window — the numbers matter more than the pointer text
-        payload["note"] = "see stderr"
+        payload["note"] = "see BENCH_NOTES.md"
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > _MAX_LINE:
         payload.pop("note", None)
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > _MAX_LINE:
+        # spread shed last — medians are the cross-round contract; the
+        # exact (median, min) table survives in BENCH_NOTES.md
+        payload.pop("spread_pct", None)
         line = json.dumps(payload, separators=(",", ":"))
     print(line, file=out, flush=True)
     return line
@@ -395,6 +523,12 @@ def main() -> None:
     # each run re-plans and re-scans).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     results: dict[str, float] = {}
+    mins: dict[str, float] = {}  # per-row best run — the drift signal
+
+    def _record(name: str, times: list[float]) -> None:
+        results[name] = round(sorted(times)[len(times) // 2], 3)
+        mins[name] = round(min(times), 3)
+
     for name in HEADLINE:
         times = []
         for _ in range(runs):
@@ -402,7 +536,7 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             times.append(time.time() - t0)
-        results[name] = round(sorted(times)[len(times) // 2], 3)
+        _record(name, times)
 
     # build/probe split for the stored-index serving tiers: build is
     # single-shot (one-time cost), cold probe is median-of-N (the
@@ -414,16 +548,16 @@ def main() -> None:
             t0 = time.time()
             ctx = setup(spark, sf_dir)
             if emit_build:
-                results[f"{name}_build"] = round(time.time() - t0, 3)
+                b = round(time.time() - t0, 3)
+                results[f"{name}_build"] = b
+                mins[f"{name}_build"] = b  # single-shot: min == median
             times = []
             for _ in range(runs):
                 _cold(spark)
                 t0 = time.time()
                 probe(spark, ctx)
                 times.append(time.time() - t0)
-            results[f"{name}_probe"] = round(
-                sorted(times)[len(times) // 2], 3
-            )
+            _record(f"{name}_probe", times)
             if name in _WARM_SPECS:
                 # own try: a warm-only failure must not clobber the
                 # already-recorded valid cold median above
@@ -434,9 +568,7 @@ def main() -> None:
                         t0 = time.time()
                         probe(spark, ctx)
                         times.append(time.time() - t0)
-                    results[f"{name}_probe_warm"] = round(
-                        sorted(times)[len(times) // 2], 3
-                    )
+                    _record(f"{name}_probe_warm", times)
                 except Exception:
                     results[f"{name}_probe_warm"] = -1.0
         except Exception:
@@ -446,6 +578,8 @@ def main() -> None:
     _emit(
         results,
         float(sf) if sf.replace(".", "").isdigit() else sf,
+        mins=mins,
+        runs=runs,
     )
     spark.stop()
 

@@ -100,11 +100,14 @@ def test_no_cache_survives_between_probe_invocations(spark, tmp_path):
     assert r1 == r2
 
 
-def test_emit_line_fits_driver_capture_and_prose_goes_to_stderr():
+def test_emit_line_fits_driver_capture_and_prose_goes_to_stderr(tmp_path):
     """The FULL expected row set (headliners + every build/probe/warm
-    split row), emitted with worst-case-width values, must fit the
-    driver's ~2000-char stdout tail with headroom — and parse back to
-    the exact numbers. Prose notes land on stderr only."""
+    split row), emitted with worst-case-width values AND the round-11
+    per-row mins array, must fit the driver's ~2000-char stdout tail
+    with headroom — and parse back to the exact numbers. Prose notes
+    land on stderr and in BENCH_NOTES.md; the mins array is positional
+    against the queries key order (the spread contract the r10 drift
+    adjudication was missing)."""
     import bench
 
     rows = bench._expected_rows()
@@ -113,28 +116,62 @@ def test_emit_line_fits_driver_capture_and_prose_goes_to_stderr():
     assert "simsearch_graph_stored_probe_warm" in rows
     assert "simsearch_pagerank_stored_build" not in rows  # shared artifact
     results = {name: 123.456 for name in rows}  # worst-case width
+    mins = {name: 120.123 for name in rows}
     out, err = io.StringIO(), io.StringIO()
-    line = bench._emit(results, 0.1, out=out, err=err)
+    notes = str(tmp_path / "BENCH_NOTES.md")
+    line = bench._emit(results, 0.1, out=out, err=err, mins=mins,
+                       runs=3, notes_path=notes)
     assert len(line) <= bench._MAX_LINE, len(line)
     assert out.getvalue().strip() == line
     parsed = json.loads(line)
     assert parsed["queries"] == results
     assert parsed["metric"] == "headline_queries_wall_total"
     assert parsed["sf"] == 0.1
+    # round-11 spread contract: runs + positional spread survive the
+    # cap even at worst-case row widths (spread_pct[i] pairs with the
+    # i-th queries key; (123.456-120.123)/123.456 = 2.7% -> 3)
+    assert parsed["runs"] == 3
+    assert parsed["spread_pct"] == [3] * len(rows)
+    assert len(parsed["spread_pct"]) == len(parsed["queries"])
     # stdout is ONLY the JSON line; the notes are on stderr and quote
     # recorded numbers, never aspirations
     assert "\n" not in out.getvalue().strip()
     assert "123.456" in err.getvalue()
+    # ... and the record is reconstructable from the repo alone: the
+    # notes file holds the prose plus the per-row median/min table
+    with open(notes) as f:
+        body = f.read()
+    assert "123.456" in body and "120.123" in body
+    assert "| simsearch_pagerank_stored_probe |" in body
 
 
-def test_emit_drops_note_rather_than_overflow():
+def test_emit_drops_note_then_spread_rather_than_overflow(tmp_path):
     import bench
 
     # pathological row set: many long names — the emitter must shed
-    # the note (then survive) instead of emitting an unparseable tail
+    # the note, then the spread array (medians are the cross-round
+    # contract; the exact median/min table survives in the notes
+    # file), instead of emitting an unparseable tail
     results = {f"extremely_long_query_name_number_{i:04d}": 1.0
                for i in range(40)}
+    mins = {k: 0.9 for k in results}
     out, err = io.StringIO(), io.StringIO()
-    line = bench._emit(results, 0.1, out=out, err=err)
+    line = bench._emit(results, 0.1, out=out, err=err, mins=mins,
+                       runs=3, notes_path=str(tmp_path / "n.md"))
     parsed = json.loads(line)
     assert parsed["queries"] == results
+    assert len(line) <= bench._MAX_LINE
+
+    # so big the queries dict alone busts the cap: spread is shed, the
+    # medians still parse (pre-existing last-resort behavior), and the
+    # notes file keeps the full record
+    huge = {f"an_even_longer_pathological_row_name_{i:05d}": 1.0
+            for i in range(60)}
+    line2 = bench._emit(huge, 0.1, out=io.StringIO(), err=io.StringIO(),
+                        mins={k: 0.9 for k in huge}, runs=3,
+                        notes_path=str(tmp_path / "n2.md"))
+    parsed2 = json.loads(line2)
+    assert parsed2["queries"] == huge
+    assert "spread_pct" not in parsed2  # shed to keep medians parseable
+    with open(tmp_path / "n2.md") as f:
+        assert "| 1.0 | 0.9 |" in f.read()
