@@ -1858,6 +1858,74 @@ def _q_simsearch_graph_filtered(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_simsearch_ivf_deleted(spark: SparkSession, sf: str) -> DataFrame:
+    # tombstone delete on the stored IVF index (round 11 — the
+    # index-tier twin of the reference's TSDB tombstones, SURVEY §2
+    # P9): delete_from_index commits a (vec_id) tombstone set under
+    # the manifest-last contract; the probe drops tombstoned
+    # candidates BEFORE the top-k rank, so survivors fill k. Full
+    # oracle: the IVF chain with a NOT IN candidate restriction.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_ivf_del_")
+    simsearch.write_ivf_index(e, path, n_centroids=8)
+    simsearch.delete_from_index(
+        spark, path, e.where(F.col("label") % 5 == 0).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    return simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2)
+
+
+def _q_simsearch_graph_deleted(spark: SparkSession, sf: str) -> DataFrame:
+    # tombstone delete on the stored GRAPH index: the walk still
+    # routes THROUGH tombstoned nodes (NSW navigability — same
+    # reasoning as filtered search), the final rank never returns
+    # them. Full oracle: the unrolled walk + NOT IN on the final rank.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_graph_del_")
+    simsearch.write_graph_index(e, path, knn=5)
+    simsearch.delete_from_index(
+        spark, path, e.where(F.col("label") % 5 == 0).select("vec_id"),
+        simsearch.GRAPH_INDEX_SUBDIRS,
+    )
+    return simsearch.graph_ann_stored(spark, path, q, k=10, beam=8, hops=3)
+
+
+def _q_simsearch_graph_delete_compacted(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # the PHYSICAL delete: compact_graph_index consumes the
+    # tombstones — nodes dropped, layer-0 edges touching them on
+    # either side dropped, entries refreshed over the survivors.
+    # Full oracle: the walk over the PRUNED edge set (kNN graph minus
+    # deleted endpoints) with the entry recomputed over survivors —
+    # deleted ids are unreachable by construction, no rank filter
+    # needed.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_graph_delc_")
+    simsearch.write_graph_index(e, path, knn=5)
+    simsearch.delete_from_index(
+        spark, path, e.where(F.col("label") % 5 == 0).select("vec_id"),
+        simsearch.GRAPH_INDEX_SUBDIRS,
+    )
+    simsearch.compact_graph_index(spark, path)
+    return simsearch.graph_ann_stored(spark, path, q, k=10, beam=8, hops=3)
+
+
 def _q_simsearch_graph_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
     # filtered vector search on the IN-MEMORY graph path (round 11 —
     # API symmetry: all four stored families and now the in-memory
@@ -2333,6 +2401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # swapped out of the window above, still fully oracle-gated:
         "simsearch_ivf_stored": _q_simsearch_ivf_stored,
         "simsearch_graph_ann_filtered": _q_simsearch_graph_ann_filtered,
+        "simsearch_ivf_deleted": _q_simsearch_ivf_deleted,
+        "simsearch_graph_deleted": _q_simsearch_graph_deleted,
+        "simsearch_graph_delete_compacted": (
+            _q_simsearch_graph_delete_compacted
+        ),
         "dedup_exact": _q_dedup_exact,
         "promql_frontend_cache": _q_promql_frontend_cache,
         "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
@@ -3156,6 +3229,7 @@ def _sql_graph_ann(
     n_entries: int = 1,
     graph_sql: str | None = None,
     final_where: str = "TRUE",
+    entry_sql: str | None = None,
 ) -> str:
     """`final_where` restricts which scored nodes may be RETURNED —
     the filtered-graph-search mirror: the walk's CTEs are untouched
@@ -3180,7 +3254,12 @@ f{i} AS (SELECT query_id, node FROM (
         hop_tpl.format(i=i, prev=i - 1, beam=beam)
         for i in range(1, hops + 1)
     )
-    entry_sql = _sql_entry_ctes(n_entries)
+    # entry_sql override (round 11): the delete-compacted oracle needs
+    # the entry refreshed over the SURVIVING corpus, mirroring
+    # compact_graph_index's post-delete entry recomputation
+    entry_sql = entry_sql if entry_sql is not None else _sql_entry_ctes(
+        n_entries
+    )
     if graph_sql is None:
         graph_sql = (
             "SELECT query_id AS node, vec_id AS dst FROM ("
@@ -5866,6 +5945,13 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         ),
         # compaction moves bytes, never answers: same oracle as append
         "simsearch_ivf_compacted": _SQL_SIMSEARCH_IVF_APPEND,
+        # tombstone delete (round 11): candidates drop before the rank
+        "simsearch_ivf_deleted": _sql_simsearch_ivf(
+            cand_where=(
+                "ce.vec_id NOT IN (SELECT vec_id FROM embeddings "
+                "WHERE label % 5 = 0)"
+            )
+        ),
         # frozen quantizer => batch-split independent: append oracle
         "streaming_ivf_ingest": _SQL_SIMSEARCH_IVF_APPEND,
         "simsearch_knn_graph": _SQL_SIMSEARCH_KNN_GRAPH,
@@ -5878,6 +5964,30 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
                 "node IN (SELECT vec_id FROM embeddings "
                 "WHERE label % 3 = 0)"
             )
+        ),
+        # tombstone delete on the graph family (round 11): pre-compact
+        # the walk is unchanged and the final rank drops tombstoned
+        # ids; post-compact the graph itself is pruned (edges touching
+        # deleted endpoints gone, entry refreshed over survivors) and
+        # no rank filter is needed — deleted ids are unreachable
+        "simsearch_graph_deleted": _sql_graph_ann(
+            final_where=(
+                "node NOT IN (SELECT vec_id FROM embeddings "
+                "WHERE label % 5 = 0)"
+            )
+        ),
+        "simsearch_graph_delete_compacted": _sql_graph_ann(
+            graph_sql=(
+                "SELECT query_id AS node, vec_id AS dst FROM ("
+                + _SQL_SIMSEARCH_KNN_GRAPH
+                + ") WHERE query_id NOT IN (SELECT vec_id FROM "
+                "embeddings WHERE label % 5 = 0) AND vec_id NOT IN "
+                "(SELECT vec_id FROM embeddings WHERE label % 5 = 0)"
+            ),
+            entry_sql=(
+                "entry AS (SELECT min(vec_id) AS node FROM embeddings "
+                "WHERE NOT (label % 5 = 0)), "
+            ),
         ),
         # in-memory filtered twin: the multi-entry unrolled walk with
         # the allow-set IN restriction on the final rank only

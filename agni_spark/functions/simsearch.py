@@ -493,7 +493,19 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     # must not let the manifest swap activate — the crashed bound was
     # computed over rebuilt upper layers, not the carried-forward ones
     # this path commits. No-op for flat-meta families (dir absent).
-    _clear_uncommitted_commit(spark, path, subdirs + [("meta", None)], nxt)
+    _clear_uncommitted_commit(
+        spark, path, subdirs + [("meta", None), ("tombstones", None)], nxt
+    )
+    # PHYSICAL DELETE point (round 11, see delete_from_index): rows
+    # matching a committed tombstone are dropped from every vec_id-
+    # keyed subdir during the fold, and the tombstones are CONSUMED
+    # (not carried) once every subdir could be scrubbed. A subdir
+    # without a vec_id column (the graph layout's node/dst edges —
+    # compact_graph_index handles those itself) forces the tombstones
+    # to carry forward instead, so a delete can never be silently
+    # forgotten by a compaction that couldn't apply it.
+    tombs = _tombstones(spark, path, commits)
+    scrubbed_everywhere = tombs is not None
     for sub, routing in subdirs:
         # OPTIONAL subdirs (e.g. the PQ layout's `vectors/`) may be
         # absent from a given index — skip, don't fail
@@ -517,6 +529,11 @@ def compact_index(spark, path: str, subdirs: list) -> int:
             df = df.withColumn(
                 "layer", F.coalesce(F.col("layer"), F.lit(0))
             )
+        if tombs is not None:
+            if "vec_id" in df.columns:
+                df = df.join(tombs, "vec_id", "left_anti")
+            else:
+                scrubbed_everywhere = False
         part = ["commit"] + ([routing] if routing else [])
         shaped = df.repartition(F.col(routing)) if routing else df.repartition(1)
         # append-mode into the same root: only the NEW commit dir is
@@ -524,6 +541,14 @@ def compact_index(spark, path: str, subdirs: list) -> int:
         # scan-while-write is safe
         shaped.write.partitionBy(*part).mode("append").parquet(
             f"{path}/{sub}"
+        )
+    if tombs is not None and not scrubbed_everywhere:
+        (
+            tombs.withColumn("commit", F.lit(nxt).cast("long"))
+            .repartition(1)
+            .write.partitionBy("commit")
+            .mode("append")
+            .parquet(f"{path}/tombstones")
         )
     # carry the max applied streaming batch id onto the compacted
     # commit: the folded-in batches' provenance must survive
@@ -548,7 +573,10 @@ def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
 
     committed = set(_committed(spark, path))
     removed = []
-    for sub, _ in subdirs:
+    # tombstone dirs follow the same commit idiom (delete_from_index)
+    # — a tombstone-consuming compaction leaves them manifest-orphaned
+    # and they reclaim here like any superseded commit
+    for sub, _ in subdirs + [("tombstones", None)]:
         base = f"{path}/{sub}"
         fs, P = _hfs(spark, base)
         if not fs.exists(P(base)):
@@ -561,6 +589,108 @@ def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
                 _fs_delete(spark, f"{base}/{name}")
                 removed.append(f"{sub}/{name}")
     return sorted(removed)
+
+
+def delete_from_index(spark, path: str, ids: DataFrame, subdirs: list) -> int:
+    """TOMBSTONE DELETE for stored vector indexes (round 11) — the
+    index-tier twin of the TSDB tombstones the reference ships
+    (SURVEY §2 P9; `tombstones.go` semantics at the block tier): a
+    delete never rewrites data, it commits an intention. `ids` (one
+    vec_id column) lands under `tombstones/commit=N` with the manifest
+    appended LAST — the same crash contract as every append here (a
+    crashed delete is invisible; a replayed one re-lands the same
+    id set idempotently since tombstones are a set union). Probes
+    exclude tombstoned ids BEFORE their final top-k rank (survivors
+    fill k; the walk may still route THROUGH a tombstoned graph node —
+    NSW navigability, same reasoning as filtered search); compaction
+    is the PHYSICAL delete (rows dropped, tombstones consumed);
+    vacuum GCs the superseded tombstone dirs. This is the
+    filter-at-query / cleanup-at-compaction model production vector
+    stores use for deletes.
+
+    Scale: the delete writes O(|ids|) rows and touches nothing else;
+    the per-probe cost is one anti-join against the committed
+    tombstone set, which stays small between compactions (compaction
+    IS the cleanup). Semantics note: a tombstone matches by vec_id
+    globally, so re-appending a deleted id stays invisible until a
+    compaction has consumed the tombstone — delete wins over
+    concurrent re-adds, never the reverse. `subdirs` is the family's
+    *_INDEX_SUBDIRS preset (a crashed DATA append may occupy the
+    commit id this delete is about to take — it must be cleared, or
+    this delete's manifest append would activate it)."""
+    rows = _manifest_rows(spark, path)
+    commits = [c for c, _ in rows]
+    nxt = max(commits) + 1
+    _clear_uncommitted_commit(
+        spark, path, subdirs + [("tombstones", None), ("meta", None)], nxt
+    )
+    (
+        ids.select(F.col("vec_id").cast("long"))
+        .distinct()
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition(1)
+        .write.partitionBy("commit")
+        .mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+    _append_manifest(spark, path, rows, nxt)
+    return nxt
+
+
+def _tombstones(spark, path: str, commits: list[int]) -> DataFrame | None:
+    """The committed tombstone id set (one distinct vec_id column), or
+    None when the index has no tombstones dir — the common case, kept
+    scan-free. Only manifest-committed tombstone commits apply, so a
+    crashed delete never filters a probe, and after a tombstone-
+    consuming compaction the old dirs (absent from the new manifest)
+    stop applying immediately — vacuum merely reclaims their bytes."""
+    from agni_spark.sources.layout import _hfs
+
+    base = f"{path}/tombstones"
+    fs, P = _hfs(spark, base)
+    if not fs.exists(P(base)):
+        return None
+    # a fully-vacuumed tombstones dir keeps only _SUCCESS debris — no
+    # commit= children means no parquet footers, which would fail
+    # schema inference (and means no deletes apply anyway)
+    if not any(
+        st.getPath().getName().startswith("commit=")
+        for st in fs.listStatus(P(base))
+    ):
+        return None
+    return (
+        spark.read.parquet(base)
+        .where(F.col("commit").isin(commits))
+        .select("vec_id")
+        .distinct()
+    )
+
+
+def _anti_tombstones(cand: DataFrame, tombs: DataFrame | None) -> DataFrame:
+    """Candidate exclusion for UNBOUNDED candidate sets (IVF/PQ cell
+    scans): one left-anti join on vec_id. The tombstone side stays
+    small between compactions, so AQE broadcasts it; the candidate
+    side is already headed into the rank window's query_id shuffle, so
+    the anti-join adds no corpus-sized exchange of its own."""
+    if tombs is None:
+        return cand
+    return cand.join(tombs, "vec_id", "left_anti")
+
+
+def _anti_tombstones_bounded(
+    res: DataFrame, tombs: DataFrame | None
+) -> DataFrame:
+    """Exclusion for BOUNDED result sets (the graph walk's visited
+    rows): the tombstone set may be large, so never shuffle it —
+    stream it once against the BROADCAST of the bounded ids, then
+    anti-join the bounded side against the (bounded) intersection.
+    Same two-step shape as the allow-set filter."""
+    if tombs is None:
+        return res
+    hit = tombs.join(
+        F.broadcast(res.select("vec_id").distinct()), "vec_id"
+    )
+    return res.join(F.broadcast(hit), "vec_id", "left_anti")
 
 
 def write_ivf_index(
@@ -662,6 +792,7 @@ class IvfIndexHandle:
             .where(F.col("commit").isin(self.commits))
             .drop("commit")
         )
+        self.tombstones = _tombstones(spark, path, self.commits)
 
 
 def open_ivf_index(spark, path: str) -> IvfIndexHandle:
@@ -726,6 +857,9 @@ def ivf_ann_stored(
         cand = cand.join(
             allowed.select("vec_id").distinct(), "vec_id", "semi"
         )
+    # tombstoned ids drop BEFORE the rank, so survivors fill k (see
+    # delete_from_index); no-op (plan untouched) when no deletes exist
+    cand = _anti_tombstones(cand, h.tombstones)
     scored = (
         cand.repartition(F.col("query_id"), F.col("vec_id"))
         .select(
@@ -1772,6 +1906,7 @@ class PQIndexHandle:
             spark.read.parquet(f"{path}/codes")
             .where(F.col("commit").isin(self.commits))
         )
+        self.tombstones = _tombstones(spark, path, self.commits)
 
 
 def open_pq_index(spark, path: str) -> PQIndexHandle:
@@ -1824,6 +1959,9 @@ def ivfpq_stored(
         cand = cand.join(
             allowed.select("vec_id").distinct(), "vec_id", "semi"
         )
+    # deletes drop before the explode AND the rank: a tombstoned
+    # candidate never expands to m rows, survivors fill k
+    cand = _anti_tombstones(cand, h.tombstones)
     cand_codes = cand.select(
         "query_id", "vec_id", "centroid_id",
         F.posexplode("code").alias("sub", "cid"),
@@ -2794,7 +2932,8 @@ def compact_graph_index(spark, path: str) -> int:
     nxt = max(commits) + 1
     _clear_uncommitted_commit(
         spark, path,
-        GRAPH_INDEX_SUBDIRS + ([("meta", None)] if versioned else []),
+        GRAPH_INDEX_SUBDIRS + [("tombstones", None)]
+        + ([("meta", None)] if versioned else []),
         nxt,
     )
     nodes = (
@@ -2811,6 +2950,27 @@ def compact_graph_index(spark, path: str) -> int:
     e0 = _layer0(all_edges.select(*keep)).select(
         "node", "dst"
     ).withColumn("layer", F.lit(0))
+    # PHYSICAL DELETE point (round 11, see delete_from_index):
+    # tombstoned nodes drop from the node store, layer-0 edges
+    # touching them on EITHER side drop with them (the carried NSW
+    # history must not reference rows that no longer exist), the
+    # upper layers and entry medoids below rebuild over the SURVIVING
+    # corpus, and the consumed tombstones are not carried — the dirs
+    # become manifest orphans for vacuum. Until this compact, probes
+    # excluded the ids at rank time while still routing through them;
+    # after it, the graph genuinely no longer contains them (the NSW
+    # deletion-degrades-connectivity caveat is why cleanup belongs at
+    # compaction, where the uppers re-knit over the survivors).
+    tombs = _tombstones(spark, path, commits)
+    if tombs is not None:
+        nodes = nodes.join(
+            tombs.select(F.col("vec_id").alias("node")), "node", "left_anti"
+        )
+        e0 = e0.join(
+            tombs.select(F.col("vec_id").alias("node")), "node", "left_anti"
+        ).join(
+            tombs.select(F.col("vec_id").alias("dst")), "dst", "left_anti"
+        ).select("node", "dst", "layer")
     corpus = nodes.select(
         F.col("node").alias("vec_id"), F.col("ce").alias("embedding")
     )
@@ -2932,6 +3092,7 @@ class GraphIndexHandle:
             .where(F.col("commit").isin(self.commits))
             .drop("commit")
         )
+        self.tombstones = _tombstones(spark, path, self.commits)
         md = _meta_field(self.meta, "max_deg")
         self._max_deg: int | None = int(md) if md is not None else None
 
@@ -3473,10 +3634,12 @@ def graph_ann_stored(
     # unbounded under appends, so the _BEAM_MAX_STATE promise could be
     # silently exceeded on adversarial appended indexes.
     eff_deg = h.max_out_degree
-    # filtered probe: rank the walk's FULL visited set (bounded by the
-    # same state-guard contract), then restrict to allowed before the
-    # final top-k — the walk itself never changes
-    k_eff = k if allowed is None else 1 << 30
+    # filtered/deleted probe: rank the walk's FULL visited set
+    # (bounded by the same state-guard contract), then restrict to
+    # allowed / drop tombstoned ids before the final top-k — the walk
+    # itself never changes (it may route THROUGH tombstoned nodes for
+    # navigability; it just can't return them)
+    k_eff = k if (allowed is None and h.tombstones is None) else 1 << 30
     if h.layers > 1:
         def _upper_expand(lvl: int):
             uedges = edges_all.where(F.col("layer") == lvl).drop("layer")
@@ -3514,14 +3677,18 @@ def graph_ann_stored(
             expand2_fn=_expand2,
             expand3_fn=_expand3,
         )
-    if allowed is None:
+    if allowed is None and h.tombstones is None:
         return res
-    # one streaming pass over the allow-set against the BROADCAST of
-    # the walk's bounded result (never a shuffle of the allow-set),
-    # then the final rank over allowed survivors only
-    flt = allowed.select("vec_id").distinct().join(
-        F.broadcast(res.select("query_id", "vec_id", "cos")), "vec_id"
+    # one streaming pass per restriction set against the BROADCAST of
+    # the walk's bounded result (never a shuffle of the allow-set or
+    # the tombstone set), then the final rank over the survivors only
+    flt = _anti_tombstones_bounded(
+        res.select("query_id", "vec_id", "cos"), h.tombstones
     )
+    if allowed is not None:
+        flt = allowed.select("vec_id").distinct().join(
+            F.broadcast(flt), "vec_id"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )

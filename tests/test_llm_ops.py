@@ -2315,6 +2315,175 @@ def test_graph_handle_legacy_flat_meta_fallback(spark, tmp_path):
     ).count() == 30
 
 
+def test_delete_tombstone_lifecycle_ivf_pq(spark, tmp_path, monkeypatch):
+    """Tombstone deletes on the IVF/PQ families (round 11 — the
+    index-tier twin of TSDB tombstones): (a) a delete is manifest-last
+    crash-safe — an injected crash before the manifest append leaves
+    probes serving everything; (b) a committed delete excludes the ids
+    at probe time while SURVIVORS FILL k; (c) compaction is the
+    physical delete — the raw parquet of the new commit holds no
+    tombstoned row, the tombstones are consumed, vacuum reclaims the
+    orphaned dirs, and probe results are unchanged across the
+    compact; (d) the PQ probe honors the same exclusion."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dead = emb.where(F.col("label") % 4 == 0).select("vec_id")
+    dead_ids = {r.vec_id for r in dead.collect()}
+    path = str(tmp_path / "ivf")
+    simsearch.write_ivf_index(emb, path, n_centroids=8)
+    before = simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2)
+    assert any(r.vec_id in dead_ids for r in before.collect())
+    # (a) crashed delete: tombstones written, manifest append dies
+    real = simsearch._append_manifest
+    monkeypatch.setattr(
+        simsearch, "_append_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError):
+        simsearch.delete_from_index(
+            spark, path, dead, simsearch.IVF_INDEX_SUBDIRS
+        )
+    monkeypatch.setattr(simsearch, "_append_manifest", real)
+    crashed = simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2)
+    assert sorted(map(tuple, crashed.collect())) == sorted(
+        map(tuple, before.collect())
+    )
+    # (b) committed delete: excluded, and survivors fill k
+    simsearch.delete_from_index(
+        spark, path, dead, simsearch.IVF_INDEX_SUBDIRS
+    )
+    got = simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2).collect()
+    assert got and all(r.vec_id not in dead_ids for r in got)
+    assert len(got) == 30  # survivors filled k for all 3 queries
+    # (c) compact = physical delete; results unchanged; vacuum GCs
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    after = simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, got))
+    removed = simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    )
+    assert any(r.startswith("tombstones/") for r in removed), removed
+    raw = spark.read.parquet(f"{path}/cells")  # one commit left
+    assert raw.join(
+        spark.createDataFrame([(i,) for i in dead_ids], "vec_id long"),
+        "vec_id",
+    ).count() == 0
+    assert simsearch.ivf_ann_stored(
+        spark, path, q, k=10, nprobe=2
+    ).count() == 30
+    # (d) PQ family: same exclusion at the ADC probe
+    pqp = str(tmp_path / "pq")
+    simsearch.write_pq_index(emb, pqp, n_centroids=8, m=16, ksub=16,
+                             lloyd_rounds=1)
+    simsearch.delete_from_index(
+        spark, pqp, dead, simsearch.PQ_INDEX_SUBDIRS
+    )
+    pq_got = simsearch.ivfpq_stored(spark, pqp, q, k=10, nprobe=2).collect()
+    assert pq_got and all(r.vec_id not in dead_ids for r in pq_got)
+
+
+def test_delete_tombstone_graph_family(spark, tmp_path):
+    """Graph-family deletes: (a) pre-compact, the walk still ROUTES
+    THROUGH tombstoned nodes (delete the only bridge hub's return —
+    targets behind it must stay reachable) while the rank never
+    returns them; (b) compact_graph_index physically drops the nodes
+    and every layer-0 edge touching them on either side, rebuilds the
+    upper layers over the survivors, and consumes the tombstones;
+    (c) on a layered index the whole flow composes."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark, n_clusters=8, per=40)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dead = emb.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    dead_ids = {r.vec_id for r in dead.collect()}
+    path = str(tmp_path / "g")
+    simsearch.write_graph_index(emb, path, knn=5, n_entries=8)
+    unfiltered = simsearch.graph_ann_stored(
+        spark, path, q, k=10, beam=8, hops=3
+    ).collect()
+    assert any(r.vec_id in dead_ids for r in unfiltered)
+    simsearch.delete_from_index(
+        spark, path, dead, simsearch.GRAPH_INDEX_SUBDIRS
+    )
+    got = simsearch.graph_ann_stored(
+        spark, path, q, k=10, beam=8, hops=3
+    ).collect()
+    assert got and all(r.vec_id not in dead_ids for r in got)
+    # (a) equals re-ranking the walk's full visited set minus deleted
+    # — i.e. the walk itself was NOT restricted. The reference walk
+    # comes from a tombstone-free TWIN of the same deterministic
+    # build, so a (wrongly) restricted walk could not fake this pin.
+    twin = str(tmp_path / "g_twin")
+    simsearch.write_graph_index(emb, twin, knn=5, n_entries=8)
+    full = simsearch.graph_ann_stored(
+        spark, twin, q, k=1 << 20, beam=8, hops=3
+    )
+    want = {}
+    for r in full.collect():
+        if r.vec_id not in dead_ids:
+            want.setdefault(r.query_id, []).append((-r.cos, r.vec_id))
+    expected = sorted(
+        (qd, v, -nc, rk)
+        for qd, lst in want.items()
+        for rk, (nc, v) in enumerate(sorted(lst)[:10], 1)
+    )
+    assert sorted(
+        (r.query_id, r.vec_id, r.cos, r.rk) for r in got
+    ) == expected
+    # (b) compact: physical drop + tombstones consumed + vacuum
+    simsearch.compact_graph_index(spark, path)
+    simsearch.vacuum_index(spark, path, simsearch.GRAPH_INDEX_SUBDIRS)
+    dead_df = spark.createDataFrame(
+        [(i,) for i in dead_ids], "vec_id long"
+    )
+    nodes_raw = spark.read.parquet(f"{path}/nodes")
+    assert nodes_raw.join(
+        dead_df.select(F.col("vec_id").alias("node")), "node"
+    ).count() == 0
+    edges_raw = spark.read.parquet(f"{path}/edges")
+    assert edges_raw.join(
+        dead_df.select(F.col("vec_id").alias("node")), "node"
+    ).count() == 0
+    assert edges_raw.join(
+        dead_df.select(F.col("vec_id").alias("dst")), "dst"
+    ).count() == 0
+    h = simsearch.GraphIndexHandle(spark, path)
+    assert h.tombstones is None  # consumed
+    post = simsearch.graph_ann_stored(
+        spark, h, q, k=10, beam=8, hops=3
+    ).collect()
+    assert post and all(r.vec_id not in dead_ids for r in post)
+    # (c) layered index: delete + compact composes (uppers rebuilt
+    # over survivors — no deleted id anywhere in any layer)
+    lp = str(tmp_path / "hnsw")
+    simsearch.write_graph_index(
+        emb, lp, knn=5, n_entries=8, layers=2, layer_mult=8
+    )
+    simsearch.delete_from_index(
+        spark, lp, dead, simsearch.GRAPH_INDEX_SUBDIRS
+    )
+    lgot = simsearch.graph_ann_stored(
+        spark, lp, q, k=10, beam=8, hops=3, hops_upper=2
+    ).collect()
+    assert lgot and all(r.vec_id not in dead_ids for r in lgot)
+    simsearch.compact_graph_index(spark, lp)
+    simsearch.vacuum_index(spark, lp, simsearch.GRAPH_INDEX_SUBDIRS)
+    ledges = spark.read.parquet(f"{lp}/edges")
+    assert ledges.join(
+        dead_df.select(F.col("vec_id").alias("node")), "node"
+    ).count() == 0
+    lpost = simsearch.graph_ann_stored(
+        spark, lp, q, k=10, beam=8, hops=3, hops_upper=2
+    ).collect()
+    assert lpost and all(r.vec_id not in dead_ids for r in lpost)
+
+
 def test_compact_entry_refresh_uses_persisted_n_entries(spark, tmp_path):
     """The entry refresh is sized off the PERSISTED build-time
     n_entries, not len(current entries): graph_entry_medoids dedupes
