@@ -1581,6 +1581,27 @@ def _q_text_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return text.bm25_topk_indexed(spark, path, BM25_TERMS, k=10)
 
 
+def _q_text_index_deleted(spark: SparkSession, sf: str) -> DataFrame:
+    # doc_id tombstone delete on the stored inverted index (round 11):
+    # the probe drops deleted docs from BOTH the postings and the
+    # doclens scans BEFORE the corpus-stats fold, so n_docs/avgdl/df
+    # describe the surviving corpus — served BM25 == BM25 over the
+    # documents that still exist. Full oracle: the BM25 SQL with the
+    # corpus restricted to survivors.
+    import tempfile
+
+    from agni_spark.functions import simsearch as ss
+
+    d = _docs(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_text_del_")
+    text.write_text_index(d, path)
+    ss.delete_from_index(
+        spark, path, d.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+        ss.TEXT_INDEX_SUBDIRS, id_col="doc_id",
+    )
+    return text.bm25_topk_indexed(spark, path, BM25_TERMS, k=10)
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     groups = dedup.exact_dup_groups(d)
@@ -2402,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_stored": _q_simsearch_ivf_stored,
         "simsearch_graph_ann_filtered": _q_simsearch_graph_ann_filtered,
         "simsearch_ivf_deleted": _q_simsearch_ivf_deleted,
+        "text_index_deleted": _q_text_index_deleted,
         "simsearch_graph_deleted": _q_simsearch_graph_deleted,
         "simsearch_graph_delete_compacted": (
             _q_simsearch_graph_delete_compacted
@@ -3777,6 +3799,18 @@ SELECT c.centroid_id, c.vec_id FROM cells c
 ANTI JOIN dup d ON c.vec_id = d.vec_id
 ORDER BY c.vec_id
 """
+
+
+def _sql_bm25(doc_where: str = "TRUE") -> str:
+    """BM25 oracle; `doc_where` restricts the corpus the STATISTICS
+    are computed over (round 11: the text-index delete oracle — a
+    deleted doc must vanish from n_docs/avgdl/df, not just from the
+    rank)."""
+    return _SQL_BM25.replace(
+        "FROM documents)",
+        f"FROM documents WHERE {doc_where})",
+        1,
+    )
 
 
 _SQL_BM25 = """
@@ -5790,6 +5824,8 @@ SELECT * FROM p ORDER BY "column"
             "GROUP BY 1 ORDER BY doc_id"
         ),
         "text_bm25_topk": _SQL_BM25,
+        # text-index delete: stats over survivors, not a rank mask
+        "text_index_deleted": _sql_bm25(doc_where="doc_id % 7 <> 0"),
         # index-served BM25 == scan-served BM25 (same corpus, same
         # terms): the stored-postings probe shares the oracle
         "text_index_search": _SQL_BM25,

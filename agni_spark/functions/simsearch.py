@@ -497,10 +497,11 @@ def compact_index(spark, path: str, subdirs: list) -> int:
         spark, path, subdirs + [("meta", None), ("tombstones", None)], nxt
     )
     # PHYSICAL DELETE point (round 11, see delete_from_index): rows
-    # matching a committed tombstone are dropped from every vec_id-
-    # keyed subdir during the fold, and the tombstones are CONSUMED
-    # (not carried) once every subdir could be scrubbed. A subdir
-    # without a vec_id column (the graph layout's node/dst edges —
+    # matching a committed tombstone are dropped from every subdir
+    # keyed by the tombstones' id column (vec_id for ivf/pq, doc_id
+    # for text) during the fold, and the tombstones are CONSUMED (not
+    # carried) once every subdir could be scrubbed. A subdir without
+    # that column (the graph layout's node/dst edges —
     # compact_graph_index handles those itself) forces the tombstones
     # to carry forward instead, so a delete can never be silently
     # forgotten by a compaction that couldn't apply it.
@@ -530,8 +531,9 @@ def compact_index(spark, path: str, subdirs: list) -> int:
                 "layer", F.coalesce(F.col("layer"), F.lit(0))
             )
         if tombs is not None:
-            if "vec_id" in df.columns:
-                df = df.join(tombs, "vec_id", "left_anti")
+            key = tombs.columns[0]  # vec_id / doc_id, per the layout
+            if key in df.columns:
+                df = df.join(tombs, key, "left_anti")
             else:
                 scrubbed_everywhere = False
         part = ["commit"] + ([routing] if routing else [])
@@ -591,7 +593,9 @@ def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
     return sorted(removed)
 
 
-def delete_from_index(spark, path: str, ids: DataFrame, subdirs: list) -> int:
+def delete_from_index(
+    spark, path: str, ids: DataFrame, subdirs: list, id_col: str = "vec_id"
+) -> int:
     """TOMBSTONE DELETE for stored vector indexes (round 11) — the
     index-tier twin of the TSDB tombstones the reference ships
     (SURVEY §2 P9; `tombstones.go` semantics at the block tier): a
@@ -617,7 +621,10 @@ def delete_from_index(spark, path: str, ids: DataFrame, subdirs: list) -> int:
     concurrent re-adds, never the reverse. `subdirs` is the family's
     *_INDEX_SUBDIRS preset (a crashed DATA append may occupy the
     commit id this delete is about to take — it must be cleared, or
-    this delete's manifest append would activate it)."""
+    this delete's manifest append would activate it). `id_col` names
+    the layout's id column — vec_id for the vector families, doc_id
+    for the text index; the stored column name doubles as the scrub
+    key compaction matches against."""
     rows = _manifest_rows(spark, path)
     commits = [c for c, _ in rows]
     nxt = max(commits) + 1
@@ -625,7 +632,7 @@ def delete_from_index(spark, path: str, ids: DataFrame, subdirs: list) -> int:
         spark, path, subdirs + [("tombstones", None), ("meta", None)], nxt
     )
     (
-        ids.select(F.col("vec_id").cast("long"))
+        ids.select(F.col(id_col).cast("long"))
         .distinct()
         .withColumn("commit", F.lit(nxt).cast("long"))
         .repartition(1)
@@ -658,12 +665,11 @@ def _tombstones(spark, path: str, commits: list[int]) -> DataFrame | None:
         for st in fs.listStatus(P(base))
     ):
         return None
-    return (
-        spark.read.parquet(base)
-        .where(F.col("commit").isin(commits))
-        .select("vec_id")
-        .distinct()
-    )
+    df = spark.read.parquet(base).where(F.col("commit").isin(commits))
+    # the stored id column names the layout's key (vec_id / doc_id) —
+    # consumers join on the tombstone DataFrame's own single column
+    key = [c for c in df.columns if c != "commit"][0]
+    return df.select(key).distinct()
 
 
 def _anti_tombstones(cand: DataFrame, tombs: DataFrame | None) -> DataFrame:
@@ -674,7 +680,7 @@ def _anti_tombstones(cand: DataFrame, tombs: DataFrame | None) -> DataFrame:
     the anti-join adds no corpus-sized exchange of its own."""
     if tombs is None:
         return cand
-    return cand.join(tombs, "vec_id", "left_anti")
+    return cand.join(tombs, tombs.columns[0], "left_anti")
 
 
 def _anti_tombstones_bounded(

@@ -854,13 +854,16 @@ class TextIndexHandle:
     pins the manifest snapshot read at open (reopen to see appends)."""
 
     def __init__(self, spark, path: str):
-        from agni_spark.functions.simsearch import _committed
+        from agni_spark.functions.simsearch import _committed, _tombstones
 
         self.path = path
         self.n_buckets = int(
             spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
         )
         self.commits = _committed(spark, path)
+        # doc_id tombstones (delete_from_index(id_col='doc_id')) —
+        # None on the common tombstone-free index
+        self.tombstones = _tombstones(spark, path, self.commits)
 
 
 def open_text_index(spark, path: str) -> TextIndexHandle:
@@ -885,7 +888,17 @@ def bm25_topk_indexed(
     driver and store can never disagree on the hash).
 
     `index` is a path or an open TextIndexHandle (serving callers
-    open once, probe many)."""
+    open once, probe many).
+
+    DELETES (round 11): doc_id tombstones
+    (simsearch.delete_from_index(id_col='doc_id')) drop from BOTH the
+    postings and the doclens scans BEFORE the corpus stats fold, so
+    n_docs / avgdl / per-term df are computed over the SURVIVING
+    corpus — the served BM25 is exactly BM25 over the documents that
+    still exist, not a rank-time mask over stale statistics. One
+    anti-join per scan; the tombstone set stays small between
+    compactions (generic compact_index scrubs doc_id-keyed subdirs
+    and consumes the tombstones)."""
     from pyspark.sql import Window
 
     h = index if isinstance(index, TextIndexHandle) else TextIndexHandle(
@@ -912,12 +925,15 @@ def bm25_topk_indexed(
         .where(F.col("w").isin(list(query_terms)))
         .select("doc_id", "w", "tf")
     )
-    post = post.persist()  # feeds df-per-term AND the scoring join
     dl = (
         spark.read.parquet(f"{path}/doclens")
         .where(F.col("commit").isin(commits))
         .select("doc_id", "dl")
     )
+    if h.tombstones is not None:
+        post = post.join(h.tombstones, "doc_id", "left_anti")
+        dl = dl.join(h.tombstones, "doc_id", "left_anti")
+    post = post.persist()  # feeds df-per-term AND the scoring join
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

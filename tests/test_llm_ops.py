@@ -2386,6 +2386,65 @@ def test_delete_tombstone_lifecycle_ivf_pq(spark, tmp_path, monkeypatch):
     assert pq_got and all(r.vec_id not in dead_ids for r in pq_got)
 
 
+def test_delete_tombstone_text_index(spark, tmp_path):
+    """doc_id tombstones on the stored text index: the served BM25
+    equals a FRESH index over the surviving docs — statistics (n_docs,
+    avgdl, df) recomputed over survivors, not a rank-time mask over
+    stale stats (the twin-index equality would fail otherwise, since
+    deleting docs that contain the query terms shifts every df).
+    Compaction scrubs postings+doclens on doc_id and consumes the
+    tombstones; vacuum reclaims them; probe unchanged throughout."""
+    from pyspark.sql import functions as F
+
+    from agni_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(i, f"spark engine doc {i} fast query" if i % 3 else
+          f"slow batch doc {i} engine") for i in range(40)],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "engine", "fast"]
+    dead = docs.where(F.col("doc_id") % 4 == 0).select("doc_id")
+    dead_ids = {r.doc_id for r in dead.collect()}
+    path = str(tmp_path / "tidx")
+    T.write_text_index(docs, path)
+    simsearch.delete_from_index(
+        spark, path, dead, simsearch.TEXT_INDEX_SUBDIRS, id_col="doc_id"
+    )
+    got = [
+        tuple(r) for r in T.bm25_topk_indexed(spark, path, terms, k=10
+                                              ).collect()
+    ]
+    assert got and all(d not in dead_ids for d, _, _ in got)
+    # twin: a fresh index over ONLY the survivors must score
+    # identically — pins that stats are survivor-exact
+    twin = str(tmp_path / "tidx_twin")
+    T.write_text_index(
+        docs.join(dead, "doc_id", "left_anti"), twin
+    )
+    want = [
+        tuple(r) for r in T.bm25_topk_indexed(spark, twin, terms, k=10
+                                              ).collect()
+    ]
+    assert got == want
+    # compact = physical scrub on doc_id; tombstones consumed; vacuum
+    simsearch.compact_index(spark, path, simsearch.TEXT_INDEX_SUBDIRS)
+    removed = simsearch.vacuum_index(
+        spark, path, simsearch.TEXT_INDEX_SUBDIRS
+    )
+    assert any(r.startswith("tombstones/") for r in removed), removed
+    for sub in ("postings", "doclens"):
+        raw = spark.read.parquet(f"{path}/{sub}")
+        assert raw.join(
+            spark.createDataFrame([(i,) for i in dead_ids], "doc_id long"),
+            "doc_id",
+        ).count() == 0
+    assert [
+        tuple(r) for r in T.bm25_topk_indexed(spark, path, terms, k=10
+                                              ).collect()
+    ] == want
+
+
 def test_delete_tombstone_graph_family(spark, tmp_path):
     """Graph-family deletes: (a) pre-compact, the walk still ROUTES
     THROUGH tombstoned nodes (delete the only bridge hub's return —
