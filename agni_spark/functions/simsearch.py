@@ -3175,7 +3175,11 @@ def pagerank_stored(
     the stored base layer IS knn_graph's output, so results (and the
     SQL oracle) are identical to pagerank(knn_graph(corpus)); on an
     appended index the ranks also see the append commits' NSW links —
-    exactly the graph probes walk. Scale: the power loop's per-
+    exactly the graph probes walk. Tombstoned nodes (delete_from_index)
+    stay in the ranking until a compaction physically drops them —
+    centrality is a property of the COMMITTED graph structure the
+    walks actually traverse (which includes routable tombstoned
+    nodes), not of the serving allow-list. Scale: the power loop's per-
     iteration shuffle is over the stored n*knn edge table only; the
     corpus vectors are never read."""
     h = (

@@ -2543,6 +2543,65 @@ def test_delete_tombstone_graph_family(spark, tmp_path):
     assert lpost and all(r.vec_id not in dead_ids for r in lpost)
 
 
+def test_delete_composes_with_filtered_search(spark, tmp_path):
+    """Tombstones and an allow-set COMPOSE on one probe (both restrict
+    the final rank; the walk stays free): result == the unfiltered
+    walk's visited set minus deleted, intersected with allowed, top-k
+    — on both the graph and IVF families."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    dead = emb.where(F.col("vec_id") % 6 == 2).select("vec_id")
+    dead_ids = {r.vec_id for r in dead.collect()}
+    path = str(tmp_path / "g")
+    simsearch.write_graph_index(emb, path, knn=5, n_entries=8)
+    # tombstone-free twin supplies the unrestricted walk reference
+    twin = str(tmp_path / "g_twin")
+    simsearch.write_graph_index(emb, twin, knn=5, n_entries=8)
+    full = simsearch.graph_ann_stored(
+        spark, twin, q, k=1 << 20, beam=8, hops=3
+    ).collect()
+    simsearch.delete_from_index(
+        spark, path, dead, simsearch.GRAPH_INDEX_SUBDIRS
+    )
+    got = simsearch.graph_ann_stored(
+        spark, path, q, k=10, beam=8, hops=3, allowed=allowed
+    ).collect()
+    assert got
+    assert all(
+        r.vec_id in allowed_ids and r.vec_id not in dead_ids for r in got
+    )
+    want = {}
+    for r in full:
+        if r.vec_id in allowed_ids and r.vec_id not in dead_ids:
+            want.setdefault(r.query_id, []).append((-r.cos, r.vec_id))
+    expected = sorted(
+        (qd, v, -nc, rk)
+        for qd, lst in want.items()
+        for rk, (nc, v) in enumerate(sorted(lst)[:10], 1)
+    )
+    assert sorted(
+        (r.query_id, r.vec_id, r.cos, r.rk) for r in got
+    ) == expected
+    # IVF family: same composition at the candidate stage
+    ipath = str(tmp_path / "ivf")
+    simsearch.write_ivf_index(emb, ipath, n_centroids=8)
+    simsearch.delete_from_index(
+        spark, ipath, dead, simsearch.IVF_INDEX_SUBDIRS
+    )
+    igot = simsearch.ivf_ann_stored(
+        spark, ipath, q, k=10, nprobe=2, allowed=allowed
+    ).collect()
+    assert igot and all(
+        r.vec_id in allowed_ids and r.vec_id not in dead_ids for r in igot
+    )
+
+
 def test_compact_entry_refresh_uses_persisted_n_entries(spark, tmp_path):
     """The entry refresh is sized off the PERSISTED build-time
     n_entries, not len(current entries): graph_entry_medoids dedupes
