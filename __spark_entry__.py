@@ -1602,6 +1602,82 @@ def _q_text_index_deleted(spark: SparkSession, sf: str) -> DataFrame:
     return text.bm25_topk_indexed(spark, path, BM25_TERMS, k=10)
 
 
+PHRASE = "query fast"
+
+
+def _q_text_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    # exact-phrase search, scan-served: top-k docs by adjacent-token
+    # occurrence count of the phrase (the correctness twin of the
+    # positional-index probe below — same oracle)
+    return text.phrase_search(_docs(spark, sf), PHRASE, k=10)
+
+
+def _q_text_phrase_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    # phrase search served FROM the stored index's positional layer
+    # (round 11): build positional on the even docs, append the odd
+    # docs (the append inherits positionality from the layer's
+    # existence), probe = the classic positional-index intersection —
+    # occurrences of term_i shifted by i collide on (doc_id, start).
+    # Index-served == scan-served: same oracle as text_phrase_search.
+    import tempfile
+
+    d = _docs(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_text_pos_")
+    text.write_text_index(
+        d.where(F.col("doc_id") % 2 == 0), path, positions=True
+    )
+    text.append_text_index(spark, path, d.where(F.col("doc_id") % 2 == 1))
+    return text.phrase_topk_indexed(spark, path, PHRASE, k=10)
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    # hybrid lexical+vector retrieval (round 11): BM25 top-20 and exact
+    # cosine top-20 (query = embedding of doc 0) fused by Reciprocal
+    # Rank Fusion (Cormack et al., SIGIR'09; K=60) — the standard RAG
+    # serving combiner. Full oracle: both lists + the fusion in SQL.
+    from agni_spark.functions import retrieval
+
+    return retrieval.hybrid_rrf_topk(
+        _docs(spark, sf), _emb(spark, sf), BM25_TERMS,
+        query_id=0, k=10, k_each=20,
+    )
+
+
+def _q_hybrid_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    # min-max weighted score fusion (CombSUM lineage): BM25 scores and
+    # cosines each normalized to [0,1] over their own top-20 list,
+    # blended 0.6 text : 0.4 vector
+    from agni_spark.functions import retrieval
+
+    return retrieval.hybrid_weighted_topk(
+        _docs(spark, sf), _emb(spark, sf), BM25_TERMS,
+        query_id=0, k=10, k_each=20, w_text=0.6, w_vec=0.4,
+    )
+
+
+def _q_hybrid_rrf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    # the serving topology: the text side probes a STORED inverted
+    # index (bucket-pruned postings), the vector side probes a STORED
+    # IVF index (nprobe cell partitions), fusion identical — neither
+    # side ever scans a corpus. Full oracle: BM25 SQL (index-served ==
+    # scan-served) + the IVF probe chain + the RRF fusion.
+    import tempfile
+
+    from agni_spark.functions import retrieval
+
+    d, e = _docs(spark, sf), _emb(spark, sf)
+    tpath = tempfile.mkdtemp(prefix="agni_text_h_")
+    text.write_text_index(d, tpath)
+    ipath = tempfile.mkdtemp(prefix="agni_ivf_h_")
+    simsearch.write_ivf_index(e, ipath, n_centroids=8)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return retrieval.hybrid_rrf_indexed(
+        spark, tpath, ipath, BM25_TERMS, q, k=10, k_each=20, nprobe=2,
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     groups = dedup.exact_dup_groups(d)
@@ -2428,6 +2504,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_graph_delete_compacted": (
             _q_simsearch_graph_delete_compacted
         ),
+        # round-11 retrieval tier: exact-phrase search (scan + the
+        # positional-index serving path) and hybrid lexical+vector
+        # fusion (RRF + weighted, scan + index-served)
+        "text_phrase_search": _q_text_phrase_search,
+        "text_phrase_indexed": _q_text_phrase_indexed,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_weighted": _q_hybrid_weighted,
+        "hybrid_rrf_indexed": _q_hybrid_rrf_indexed,
         "dedup_exact": _q_dedup_exact,
         "promql_frontend_cache": _q_promql_frontend_cache,
         "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
@@ -3798,6 +3882,133 @@ dup AS (
 SELECT c.centroid_id, c.vec_id FROM cells c
 ANTI JOIN dup d ON c.vec_id = d.vec_id
 ORDER BY c.vec_id
+"""
+
+
+def _sql_bm25_sel(k: int = 10, prefix: str = "") -> str:
+    """Parameterized BM25 mirror (terms = BM25_TERMS), CTE names
+    prefixed so it nests as a subquery inside composite oracles (the
+    hybrid-retrieval fusions)."""
+    p = prefix
+    return f"""
+WITH {p}wz AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+{p}w2 AS (SELECT doc_id, w FROM {p}wz WHERE w <> ''),
+{p}dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+          FROM {p}w2 GROUP BY doc_id),
+{p}stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+             FROM {p}dl),
+{p}tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM {p}w2
+       WHERE w IN ('spark', 'query', 'fast') GROUP BY doc_id, w),
+{p}dft AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM {p}tf GROUP BY w),
+{p}scored AS (
+  SELECT tf.doc_id,
+         floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * (dl.dl / avgdl))))
+               * 1e6 + 0.5) / 1e6 AS s
+  FROM {p}tf tf JOIN {p}dft dft USING (w)
+  JOIN {p}dl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN {p}stats),
+{p}total AS (SELECT doc_id, floor(sum(s) * 1e6 + 0.5) / 1e6 AS score
+          FROM {p}scored GROUP BY doc_id),
+{p}ranked AS (SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+           FROM {p}total)
+SELECT doc_id, score, rk FROM {p}ranked WHERE rk <= {k} ORDER BY rk
+"""
+
+
+def _sql_cosine_sel(
+    query_where: str = "vec_id = 0", k: int = 20, prefix: str = ""
+) -> str:
+    """Exact cosine top-k mirror, parameterized + prefix-nestable
+    (the hybrid fusion's vector side)."""
+    p = prefix
+    return f"""
+WITH {p}q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE {query_where}),
+{p}sc AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+  FROM embeddings c CROSS JOIN {p}q q WHERE c.vec_id <> q.query_id),
+{p}r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id ASC) AS rk FROM {p}sc)
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM {p}r
+WHERE rk <= {k} ORDER BY query_id, rk
+"""
+
+
+def _sql_hybrid_rrf(vec_sel: str) -> str:
+    """RRF fusion mirror: BM25 top-20 x a vector top-20 list (exact
+    cosine for the scan-served row, the IVF probe chain for the
+    index-served row), contributions 6dp-floored before AND after the
+    sum — the identical two-level floor the Spark fusion applies."""
+    return f"""
+WITH t AS (SELECT doc_id, rk AS text_rk
+           FROM ({_sql_bm25_sel(k=20, prefix='b')})),
+v AS (SELECT vec_id AS doc_id, rk AS vec_rk FROM ({vec_sel})),
+j AS (SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, text_rk, vec_rk
+      FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id),
+f AS (SELECT doc_id, CAST(text_rk AS INT) AS text_rk,
+        CAST(vec_rk AS INT) AS vec_rk,
+        floor((coalesce(floor((1.0 / (60.0 + text_rk)) * 1e6 + 0.5) / 1e6,
+                        0.0)
+             + coalesce(floor((1.0 / (60.0 + vec_rk)) * 1e6 + 0.5) / 1e6,
+                        0.0))
+              * 1e6 + 0.5) / 1e6 AS rrf
+      FROM j),
+r AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+      AS rk FROM f)
+SELECT doc_id, text_rk, vec_rk, rrf, rk FROM r WHERE rk <= 10 ORDER BY rk
+"""
+
+
+_SQL_HYBRID_RRF = _sql_hybrid_rrf(_sql_cosine_sel())
+
+# index-served fusion: the vector list is the IVF probe chain (train
+# the quantizer, assign cells, probe nprobe=2), not exact cosine —
+# exactly what ivf_ann_stored serves
+_SQL_HYBRID_RRF_INDEXED = _sql_hybrid_rrf(
+    _sql_simsearch_ivf(query_where="vec_id = 0", k=20, prefix="iv")
+)
+
+_SQL_HYBRID_WEIGHTED = f"""
+WITH t AS (SELECT doc_id, score FROM ({_sql_bm25_sel(k=20, prefix='b')})),
+v AS (SELECT vec_id AS doc_id, cos AS score FROM ({_sql_cosine_sel()})),
+tc AS (SELECT doc_id,
+        floor(0.6 * (floor((CASE WHEN hi = lo THEN 1.0
+                ELSE (score - lo) / (hi - lo) END) * 1e6 + 0.5) / 1e6)
+              * 1e6 + 0.5) / 1e6 AS c
+       FROM (SELECT doc_id, score, min(score) OVER () AS lo,
+                    max(score) OVER () AS hi FROM t)),
+vc AS (SELECT doc_id,
+        floor(0.4 * (floor((CASE WHEN hi = lo THEN 1.0
+                ELSE (score - lo) / (hi - lo) END) * 1e6 + 0.5) / 1e6)
+              * 1e6 + 0.5) / 1e6 AS c
+       FROM (SELECT doc_id, score, min(score) OVER () AS lo,
+                    max(score) OVER () AS hi FROM v)),
+u AS (SELECT * FROM tc UNION ALL SELECT * FROM vc),
+f AS (SELECT doc_id, floor(sum(c) * 1e6 + 0.5) / 1e6 AS fused
+      FROM u GROUP BY doc_id),
+r AS (SELECT doc_id, fused,
+      CAST(row_number() OVER (ORDER BY fused DESC, doc_id) AS INT) AS rk
+      FROM f)
+SELECT doc_id, fused, rk FROM r WHERE rk <= 10 ORDER BY rk
+"""
+
+_SQL_TEXT_PHRASE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM w WHERE len(w) >= 2)
+      WHERE array_to_string(w[i : i + 1], ' ') = 'query fast'),
+c AS (SELECT doc_id, count(*) AS n_hits FROM g GROUP BY doc_id),
+r AS (SELECT doc_id, n_hits,
+      CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS INT) AS rk
+      FROM c)
+SELECT doc_id, n_hits, rk FROM r WHERE rk <= 10 ORDER BY rk
 """
 
 
@@ -6025,6 +6236,12 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
                 "WHERE NOT (label % 5 = 0)), "
             ),
         ),
+        # round-11 retrieval tier
+        "text_phrase_search": _SQL_TEXT_PHRASE,
+        "text_phrase_indexed": _SQL_TEXT_PHRASE,
+        "hybrid_rrf": _SQL_HYBRID_RRF,
+        "hybrid_weighted": _SQL_HYBRID_WEIGHTED,
+        "hybrid_rrf_indexed": _SQL_HYBRID_RRF_INDEXED,
         # in-memory filtered twin: the multi-entry unrolled walk with
         # the allow-set IN restriction on the final rank only
         "simsearch_graph_ann_filtered": _sql_graph_ann(

@@ -458,7 +458,13 @@ IVF_INDEX_SUBDIRS = [("cells", "centroid_id")]
 PQ_INDEX_SUBDIRS = [("codes", "centroid_id"), ("vectors", "centroid_id")]
 LSH_INDEX_SUBDIRS = [("buckets", "bucket")]
 GRAPH_INDEX_SUBDIRS = [("edges", "bucket"), ("nodes", "bucket")]
-TEXT_INDEX_SUBDIRS = [("postings", "bucket"), ("doclens", None)]
+# `positions/` is OPTIONAL (write_text_index(positions=True)) — like
+# the PQ layout's vectors/, compact/vacuum skip it when absent
+TEXT_INDEX_SUBDIRS = [
+    ("postings", "bucket"),
+    ("doclens", None),
+    ("positions", "bucket"),
+]
 MINHASH_INDEX_SUBDIRS = [("sigs", None), ("buckets", "band")]
 
 

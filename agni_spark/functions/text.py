@@ -757,22 +757,36 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
 # tier: term postings written physically partitioned on a hash bucket
 # of the term, manifest-committed like the block store, so a k-term
 # search scans <= k bucket directories instead of the corpus.
-def write_text_index(docs: DataFrame, path: str, n_buckets: int = 16) -> None:
+def write_text_index(
+    docs: DataFrame, path: str, n_buckets: int = 16,
+    positions: bool = False,
+) -> None:
     """Build + persist an inverted text index:
       postings/  parquet partitioned by (commit, bucket): (w, doc_id, tf)
       doclens/   partitioned by commit: (doc_id, dl)
+      positions/ OPTIONAL (positions=True), partitioned by
+                 (commit, bucket): (w, doc_id, pos) — one row per term
+                 OCCURRENCE (0-based raw-split token position), the
+                 positional layer phrase queries intersect
+                 (phrase_topk_indexed)
       meta/      (n_buckets) — probe-side bucket routing
       manifest/  commit marker, written LAST (block-store registry
                  pattern: a crashed build/append is never served)
     bucket = pmod(xxhash64(w), n_buckets): a term's ENTIRE posting list
-    lives in one bucket directory, so probes prune statically on the
-    bucket list of the query terms. BM25 corpus stats (df, n_docs,
-    avgdl) are NOT stored — they are recomputed from the committed
-    partitions at probe time, so appends stay exactly consistent."""
+    (and its position list) lives in one bucket directory, so probes
+    prune statically on the bucket list of the query terms. BM25 corpus
+    stats (df, n_docs, avgdl) are NOT stored — they are recomputed from
+    the committed partitions at probe time, so appends stay exactly
+    consistent. Whether the index is positional is recorded by the
+    existence of positions/ itself (append_text_index keys off it), so
+    the meta schema never forks."""
     from agni_spark.functions.simsearch import _write_index_manifest
 
     spark = docs.sparkSession
-    _append_postings(docs, path, n_buckets, commit=0, mode="overwrite")
+    _append_postings(
+        docs, path, n_buckets, commit=0, mode="overwrite",
+        positions=positions,
+    )
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -780,10 +794,15 @@ def write_text_index(docs: DataFrame, path: str, n_buckets: int = 16) -> None:
 
 
 def _append_postings(
-    docs: DataFrame, path: str, n_buckets: int, commit: int, mode: str
+    docs: DataFrame, path: str, n_buckets: int, commit: int, mode: str,
+    positions: bool = False,
 ) -> None:
+    # posexplode, not explode: the 0-based raw-split position rides
+    # along for free and feeds the optional positional layer; the
+    # tf/doclen aggregations below just ignore it
     words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
     ).where(F.col("w") != "")
     words = words.persist()  # feeds postings AND doclens — one explode
 
@@ -820,6 +839,20 @@ def _append_postings(
         .withColumn("commit", F.lit(commit).cast("long")),
         ["commit"],
     ).parquet(f"{path}/doclens")
+    if positions:
+        pos = (
+            words.select(
+                "w", "doc_id", F.col("pos").cast("int").alias("pos")
+            )
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("w"), F.lit(n_buckets)).cast("int"),
+            )
+            .withColumn("commit", F.lit(commit).cast("long"))
+        )
+        _write(pos.repartition("bucket"), ["commit", "bucket"]).parquet(
+            f"{path}/positions"
+        )
     words.unpersist()
 
 
@@ -843,7 +876,18 @@ def append_text_index(spark, path: str, new_docs: DataFrame) -> None:
     # this id; dynamic overwrite below replaces only OUR partitions,
     # so clear the leftover first (shared guard, see simsearch)
     _clear_uncommitted_commit(spark, path, TEXT_INDEX_SUBDIRS, nxt)
-    _append_postings(new_docs, path, n_buckets, commit=nxt, mode="append")
+    # a positional index stays positional: the layer's existence IS the
+    # flag (build-time choice; appending non-positionally to a
+    # positional index would silently break phrase queries over the
+    # appended docs)
+    from agni_spark.sources.layout import _hfs
+
+    fs, P = _hfs(spark, f"{path}/positions")
+    has_pos = fs.exists(P(f"{path}/positions"))
+    _append_postings(
+        new_docs, path, n_buckets, commit=nxt, mode="append",
+        positions=has_pos,
+    )
     _append_manifest(spark, path, rows, nxt)
 
 
@@ -968,6 +1012,125 @@ def bm25_topk_indexed(
     w_rk = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         total.withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .where(F.col("rk") <= k)
+        .orderBy("rk")
+    )
+
+
+def phrase_search(docs: DataFrame, phrase: str, k: int = 10) -> DataFrame:
+    """Exact-phrase search by token adjacency, scan-served: the top-k
+    documents by OCCURRENCE COUNT of `phrase` as a run of adjacent
+    raw-split tokens (the correctness twin of phrase_topk_indexed —
+    identical results, identical oracle). Output: (doc_id, n_hits, rk),
+    ties on doc_id.
+
+    Spark shape: one n-gram explode per document (slice over the
+     1-based token array, exactly the repeated_passages plan) filtered
+    to the query phrase BEFORE the shuffle — so the only full-corpus
+    work is the tokenize+slice map side; the groupBy carries only
+    matching (doc, start) rows. A corpus scan per query is the honest
+    cost of the scan path; the positional index below is the serving
+    path."""
+    from pyspark.sql import Window
+
+    terms = phrase.split(" ")
+    n = len(terms)
+    w = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).where(F.size("w") >= n)
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w") - n + 1)
+        ).alias("i"),
+        "w",
+    ).where(
+        F.array_join(F.slice(F.col("w"), F.col("i"), n), " ") == phrase
+    )
+    hits = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    w_rk = Window.orderBy(F.col("n_hits").desc(), F.col("doc_id"))
+    return (
+        hits.withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .where(F.col("rk") <= k)
+        .orderBy("rk")
+    )
+
+
+def phrase_topk_indexed(
+    spark, index, phrase: str, k: int = 10
+) -> DataFrame:
+    """Exact-phrase search served FROM the stored index's positional
+    layer (write_text_index(positions=True)): identical results (and
+    oracle) to phrase_search over the same corpus, but the corpus is
+    never scanned — the positions read statically prunes to the
+    <= len(terms) bucket directories of the phrase terms, and the
+    classic positional-index intersection does the rest: occurrences of
+    term_i shifted left by i must collide on (doc_id, start). One
+    equi-join per phrase term past the first, each carrying only
+    posting-list-sized rows (AQE broadcasts the small sides); the
+    occurrence count + top-k rank touch only matched docs. Positions
+    are 0-based raw-split offsets, consistent across commits because a
+    document lives entirely in one append.
+
+    DELETES: doc_id tombstones (simsearch.delete_from_index(
+    id_col='doc_id')) are anti-joined out of the positions scan before
+    the intersection, so a deleted document can never match; compaction
+    scrubs positions/ physically like every doc_id-keyed subdir.
+
+    `index` is a path or an open TextIndexHandle. Raises ValueError on
+    an index built without the positional layer — a phrase probe
+    silently degrading to nothing would be a correctness trap."""
+    from pyspark.sql import Window
+
+    from agni_spark.sources.layout import _hfs
+
+    h = index if isinstance(index, TextIndexHandle) else TextIndexHandle(
+        spark, index
+    )
+    path, n_buckets, commits = h.path, h.n_buckets, h.commits
+    fs, P = _hfs(spark, f"{path}/positions")
+    if not fs.exists(P(f"{path}/positions")):
+        raise ValueError(
+            f"text index at {path} has no positional layer — build with "
+            "write_text_index(positions=True) to serve phrase queries"
+        )
+    terms = phrase.split(" ")
+    buckets = sorted(
+        {
+            r.bucket
+            for r in spark.createDataFrame(
+                [(t,) for t in set(terms)], "w string"
+            )
+            .select(
+                F.pmod(F.xxhash64("w"), F.lit(n_buckets))
+                .cast("int")
+                .alias("bucket")
+            )
+            .collect()
+        }
+    )
+    pos = (
+        spark.read.parquet(f"{path}/positions")
+        .where(F.col("commit").isin(commits) & F.col("bucket").isin(buckets))
+        .where(F.col("w").isin(list(set(terms))))
+        .select("w", "doc_id", "pos")
+    )
+    if h.tombstones is not None:
+        pos = pos.join(h.tombstones, "doc_id", "left_anti")
+    if len(terms) > 1:
+        pos = pos.persist()  # each term's occurrence list reads it
+    starts = pos.where(F.col("w") == terms[0]).select(
+        "doc_id", F.col("pos").alias("start")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos.where(F.col("w") == t).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        starts = starts.join(nxt, ["doc_id", "start"])
+    hits = starts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    w_rk = Window.orderBy(F.col("n_hits").desc(), F.col("doc_id"))
+    return (
+        hits.withColumn("rk", F.row_number().over(w_rk).cast("int"))
         .where(F.col("rk") <= k)
         .orderBy("rk")
     )
