@@ -1630,6 +1630,47 @@ def _q_text_phrase_indexed(spark: SparkSession, sf: str) -> DataFrame:
     return text.phrase_topk_indexed(spark, path, PHRASE, k=10)
 
 
+def _q_text_index_upserted(spark: SparkSession, sf: str) -> DataFrame:
+    # UPSERT on the stored inverted index (round 11): docs %5==0 get
+    # ' spark spark' appended and re-written in one atomic commit — a
+    # horizon-scoped doc_id tombstone hides only their OLDER postings/
+    # doclens rows, so BM25 stats are survivor-exact (each doc counted
+    # once, at its new length). Full oracle: BM25 over the post-upsert
+    # corpus.
+    import tempfile
+
+    d = _docs(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_text_up_")
+    text.write_text_index(d, path)
+    mod = d.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" spark spark")).alias("text")
+    )
+    text.upsert_text_index(spark, path, mod)
+    return text.bm25_topk_indexed(spark, path, BM25_TERMS, k=10)
+
+
+def _q_simsearch_ivf_upserted(spark: SparkSession, sf: str) -> DataFrame:
+    # UPSERT on the stored IVF index (round 11): vectors %9==0 are
+    # replaced by their negation — the scoped tombstone hides their
+    # old cells rows, the replacements assign to the FROZEN quantizer
+    # in the same commit. Full oracle: the IVF chain with the quantizer
+    # trained on the ORIGINAL corpus and cells assigned from the
+    # post-upsert corpus (queries 1..5 are untouched by the upsert).
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_ivf_up_")
+    simsearch.write_ivf_index(e, path, n_centroids=8)
+    ups = e.where(F.col("vec_id") % 9 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    simsearch.upsert_ivf_index(spark, path, ups)
+    queries_df = e.where(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     # hybrid lexical+vector retrieval (round 11): BM25 top-20 and exact
     # cosine top-20 (query = embedding of doc 0) fused by Reciprocal
@@ -2512,6 +2553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_weighted": _q_hybrid_weighted,
         "hybrid_rrf_indexed": _q_hybrid_rrf_indexed,
+        # round-11 upsert tier (horizon-scoped tombstones)
+        "simsearch_ivf_upserted": _q_simsearch_ivf_upserted,
+        "text_index_upserted": _q_text_index_upserted,
         "dedup_exact": _q_dedup_exact,
         "promql_frontend_cache": _q_promql_frontend_cache,
         "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
@@ -3885,14 +3929,17 @@ ORDER BY c.vec_id
 """
 
 
-def _sql_bm25_sel(k: int = 10, prefix: str = "") -> str:
+def _sql_bm25_sel(
+    k: int = 10, prefix: str = "", src: str = "documents"
+) -> str:
     """Parameterized BM25 mirror (terms = BM25_TERMS), CTE names
     prefixed so it nests as a subquery inside composite oracles (the
-    hybrid-retrieval fusions)."""
+    hybrid-retrieval fusions); `src` swaps the corpus (the text-upsert
+    oracle scores BM25 over the post-upsert documents)."""
     p = prefix
     return f"""
 WITH {p}wz AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {src}),
 {p}w2 AS (SELECT doc_id, w FROM {p}wz WHERE w <> ''),
 {p}dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
           FROM {p}w2 GROUP BY doc_id),
@@ -6242,6 +6289,24 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "hybrid_rrf": _SQL_HYBRID_RRF,
         "hybrid_weighted": _SQL_HYBRID_WEIGHTED,
         "hybrid_rrf_indexed": _SQL_HYBRID_RRF_INDEXED,
+        # upsert tier: quantizer from the ORIGINAL corpus, cells /
+        # postings from the post-upsert corpus
+        "simsearch_ivf_upserted": _sql_simsearch_ivf(
+            cents_src="embeddings",
+            corpus_src=(
+                "(SELECT vec_id, CASE WHEN vec_id % 9 = 0 THEN "
+                "list_transform(embedding, x -> -x) ELSE embedding END "
+                "AS embedding FROM embeddings)"
+            ),
+            query_where="vec_id BETWEEN 1 AND 5",
+        ),
+        "text_index_upserted": _sql_bm25_sel(
+            src=(
+                "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+                "text || ' spark spark' ELSE text END AS text "
+                "FROM documents)"
+            ),
+        ),
         # in-memory filtered twin: the multi-entry unrolled walk with
         # the allow-set IN restriction on the final rank only
         "simsearch_graph_ann_filtered": _sql_graph_ann(

@@ -521,11 +521,8 @@ def compact_index(spark, path: str, subdirs: list) -> int:
         fs, P = _hfs(spark, f"{path}/{sub}")
         if not fs.exists(P(f"{path}/{sub}")):
             continue
-        df = (
-            spark.read.parquet(f"{path}/{sub}")
-            .where(F.col("commit").isin(commits))
-            .drop("commit")
-            .withColumn("commit", F.lit(nxt).cast("long"))
+        df = spark.read.parquet(f"{path}/{sub}").where(
+            F.col("commit").isin(commits)
         )
         if "layer" in df.columns:
             # graph-family edges written before the HNSW `layer`
@@ -539,9 +536,16 @@ def compact_index(spark, path: str, subdirs: list) -> int:
         if tombs is not None:
             key = tombs.columns[0]  # vec_id / doc_id, per the layout
             if key in df.columns:
-                df = df.join(tombs, key, "left_anti")
+                # scrub BEFORE the commit re-stamp: the horizon-scoped
+                # exclusion (upserts) compares against the row's
+                # ORIGINAL commit — an upsert's replacement rows
+                # survive, their hidden predecessors drop
+                df = _anti_tombstones(df, tombs)
             else:
                 scrubbed_everywhere = False
+        df = df.drop("commit").withColumn(
+            "commit", F.lit(nxt).cast("long")
+        )
         part = ["commit"] + ([routing] if routing else [])
         shaped = df.repartition(F.col(routing)) if routing else df.repartition(1)
         # append-mode into the same root: only the NEW commit dir is
@@ -551,6 +555,18 @@ def compact_index(spark, path: str, subdirs: list) -> int:
             f"{path}/{sub}"
         )
     if tombs is not None and not scrubbed_everywhere:
+        # a HORIZON-SCOPED tombstone (upsert) cannot be carried: the
+        # re-stamp just moved every surviving row to commit=nxt, which
+        # is >= any horizon — the carried tombstone would silently stop
+        # hiding the rows it was scoped to. No API path creates scoped
+        # tombstones on a layout with an unscrubbable subdir (upserts
+        # exist only for IVF/PQ/text, whose subdirs all carry the key
+        # column), so refuse loudly rather than corrupt.
+        if tombs.where(F.col("horizon") < _TOMB_INF).limit(1).count():
+            raise ValueError(
+                f"compact_index at {path}: horizon-scoped tombstones "
+                "cannot be carried past a subdir without the key column"
+            )
         (
             tombs.withColumn("commit", F.lit(nxt).cast("long"))
             .repartition(1)
@@ -640,6 +656,9 @@ def delete_from_index(
     (
         ids.select(F.col(id_col).cast("long"))
         .distinct()
+        # NULL horizon = the global delete (hides the key everywhere,
+        # wins over later re-appends); upserts write a finite horizon
+        .withColumn("horizon", F.lit(None).cast("long"))
         .withColumn("commit", F.lit(nxt).cast("long"))
         .repartition(1)
         .write.partitionBy("commit")
@@ -650,13 +669,46 @@ def delete_from_index(
     return nxt
 
 
+def _write_scoped_tombstones(
+    ids: DataFrame, path: str, id_col: str, nxt: int
+) -> None:
+    """The upsert family's tombstone write: horizon = the upsert's own
+    commit, so only STRICTLY OLDER rows of each key are hidden — the
+    replacement rows land in commit=nxt itself and stay visible, as
+    does any later re-append. Same commit-partition idiom as
+    delete_from_index; the caller appends the manifest LAST."""
+    (
+        ids.select(F.col(id_col).cast("long"))
+        .distinct()
+        .withColumn("horizon", F.lit(nxt).cast("long"))
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition(1)
+        .write.partitionBy("commit")
+        .mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+
+
+# "infinite" tombstone horizon: a plain DELETE hides the key in EVERY
+# data commit, past and future, until a compaction consumes it — the
+# delete-wins contract. Finite horizons come from upserts (see
+# upsert_ivf_index / text.upsert_text_index): they hide only data
+# committed strictly BEFORE the horizon, so the upsert's own
+# replacement rows (and any later re-append) stay visible.
+_TOMB_INF = 1 << 62
+
+
 def _tombstones(spark, path: str, commits: list[int]) -> DataFrame | None:
-    """The committed tombstone id set (one distinct vec_id column), or
-    None when the index has no tombstones dir — the common case, kept
-    scan-free. Only manifest-committed tombstone commits apply, so a
-    crashed delete never filters a probe, and after a tombstone-
-    consuming compaction the old dirs (absent from the new manifest)
-    stop applying immediately — vacuum merely reclaims their bytes."""
+    """The committed tombstone set as (key, horizon) — one row per key,
+    horizon = the max over its tombstones (NULL/absent on disk reads as
+    _TOMB_INF: the global delete) — or None when the index has no
+    tombstones dir, the common case, kept scan-free. A data row is
+    hidden iff its commit < horizon. Only manifest-committed tombstone
+    commits apply, so a crashed delete/upsert never filters a probe,
+    and after a tombstone-consuming compaction the old dirs (absent
+    from the new manifest) stop applying immediately — vacuum merely
+    reclaims their bytes. mergeSchema: pre-horizon tombstone files
+    (round-11 deletes) carry only the key column."""
     from agni_spark.sources.layout import _hfs
 
     base = f"{path}/tombstones"
@@ -671,22 +723,47 @@ def _tombstones(spark, path: str, commits: list[int]) -> DataFrame | None:
         for st in fs.listStatus(P(base))
     ):
         return None
-    df = spark.read.parquet(base).where(F.col("commit").isin(commits))
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base)
+        .where(F.col("commit").isin(commits))
+    )
     # the stored id column names the layout's key (vec_id / doc_id) —
-    # consumers join on the tombstone DataFrame's own single column
-    key = [c for c in df.columns if c != "commit"][0]
-    return df.select(key).distinct()
+    # consumers join on the tombstone DataFrame's own FIRST column
+    key = [c for c in df.columns if c not in ("commit", "horizon")][0]
+    h = (
+        F.coalesce(F.col("horizon"), F.lit(_TOMB_INF))
+        if "horizon" in df.columns
+        else F.lit(_TOMB_INF)
+    )
+    return (
+        df.select(F.col(key), h.cast("long").alias("horizon"))
+        .groupBy(key)
+        .agg(F.max("horizon").alias("horizon"))
+    )
 
 
 def _anti_tombstones(cand: DataFrame, tombs: DataFrame | None) -> DataFrame:
-    """Candidate exclusion for UNBOUNDED candidate sets (IVF/PQ cell
-    scans): one left-anti join on vec_id. The tombstone side stays
-    small between compactions, so AQE broadcasts it; the candidate
-    side is already headed into the rank window's query_id shuffle, so
-    the anti-join adds no corpus-sized exchange of its own."""
+    """Candidate exclusion for UNBOUNDED candidate sets (IVF/PQ cell,
+    postings scans). When the candidate side carries its `commit`
+    column the exclusion is HORIZON-SCOPED — keep rows with
+    commit >= horizon (an upsert's replacement rows outlive the
+    tombstone that hides their predecessors); without a commit column
+    every tombstone is treated as global (the pre-upsert behavior —
+    correct for every path that cannot see scoped tombstones). The
+    tombstone side stays small between compactions, so AQE broadcasts
+    the join; the candidate side is already headed into the rank
+    window's shuffle, so this adds no corpus-sized exchange."""
     if tombs is None:
         return cand
-    return cand.join(tombs, tombs.columns[0], "left_anti")
+    key = tombs.columns[0]
+    if "commit" in cand.columns:
+        j = cand.join(tombs, key, "left_outer")
+        return j.where(
+            F.col("horizon").isNull()
+            | (F.col("commit") >= F.col("horizon"))
+        ).drop("horizon")
+    return cand.join(tombs.select(key), key, "left_anti")
 
 
 def _anti_tombstones_bounded(
@@ -696,10 +773,13 @@ def _anti_tombstones_bounded(
     rows): the tombstone set may be large, so never shuffle it —
     stream it once against the BROADCAST of the bounded ids, then
     anti-join the bounded side against the (bounded) intersection.
-    Same two-step shape as the allow-set filter."""
+    Same two-step shape as the allow-set filter. Horizons are ignored
+    (global treatment): the graph family has no upsert path — NSW
+    edges built over a replaced vector would silently mis-route — so
+    scoped tombstones cannot exist on a graph index."""
     if tombs is None:
         return res
-    hit = tombs.join(
+    hit = tombs.select("vec_id").join(
         F.broadcast(res.select("vec_id").distinct()), "vec_id"
     )
     return res.join(F.broadcast(hit), "vec_id", "left_anti")
@@ -790,6 +870,61 @@ def append_ivf_index(
     _write_index_manifest(spark, path, commits + [nxt], bids or None)
 
 
+def upsert_ivf_index(spark, path: str, new_vectors: DataFrame) -> int:
+    """UPSERT (replace-or-insert) into a stored IVF index, round 11:
+    one atomic commit that both HIDES every older row of the upserted
+    vec_ids (a horizon-scoped tombstone — hides rows committed strictly
+    before this commit, see _write_scoped_tombstones) and LANDS the
+    replacement vectors, assigned to the FROZEN coarse quantizer like
+    any append. Ids new to the index simply insert (their tombstone
+    hides nothing). This is the filter-at-query / cleanup-at-compaction
+    update model production vector stores use: nothing existing is
+    read or rewritten — upsert cost is O(new rows) — probes exclude the
+    superseded rows with the same small anti-join deletes use, and the
+    next compact_index drops them physically and consumes the
+    tombstone.
+
+    Semantics vs delete: delete_from_index is delete-WINS (hides the
+    key in every commit, past and future, until compaction); upsert is
+    time-ordered among writes — its replacement rows, and any later
+    upsert of the same key, stay visible (the newer horizon hides the
+    older rows). Delete-wins is absolute between compactions: a delete
+    issued after an upsert hides the replacement (max horizon wins in
+    _tombstones), and a PENDING global delete also hides a LATER
+    upsert of the key — compact first (consuming the tombstone) to
+    resurrect a deleted id. Re-adding an id via plain append remains a
+    contract violation (appends are for NEW ids); upsert is the
+    supported write-same-id-again operation.
+
+    Crash contract: tombstones/commit=N and cells/commit=N are both
+    written BEFORE the manifest append — a crash anywhere leaves the
+    index serving exactly the old manifest; a replay recomputes the
+    same N and dynamic-partition-overwrites both. Returns N."""
+    rows = _manifest_rows(spark, path)
+    commits = [c for c, _ in rows]
+    nxt = max(commits) + 1
+    _clear_uncommitted_commit(
+        spark, path,
+        IVF_INDEX_SUBDIRS + [("tombstones", None), ("meta", None)], nxt,
+    )
+    _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
+    cents = spark.read.parquet(f"{path}/centroids")
+    cells = _nearest_centroids(
+        new_vectors.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    (
+        cells.withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{path}/cells")
+    )
+    _append_manifest(spark, path, rows, nxt)
+    return nxt
+
+
 class IvfIndexHandle:
     """An OPENED stored IVF-flat index: centroid table + committed
     cells scan resolved once at open (the serving twin of
@@ -799,10 +934,11 @@ class IvfIndexHandle:
         self.path = path
         self.cents = spark.read.parquet(f"{path}/centroids")
         self.commits = _committed(spark, path)
-        self.cells = (
-            spark.read.parquet(f"{path}/cells")
-            .where(F.col("commit").isin(self.commits))
-            .drop("commit")
+        # `commit` stays on the scan: the tombstone exclusion is
+        # horizon-scoped against it (upserts); probes project it away
+        # right after the anti-join
+        self.cells = spark.read.parquet(f"{path}/cells").where(
+            F.col("commit").isin(self.commits)
         )
         self.tombstones = _tombstones(spark, path, self.commits)
 
@@ -1899,6 +2035,28 @@ def append_pq_index(
     _write_index_manifest(spark, path, commits + [nxt], bids or None)
 
 
+def upsert_pq_index(spark, path: str, new_vectors: DataFrame) -> int:
+    """UPSERT into a stored IVF-PQ index — composition of the scoped
+    tombstone (hides the ids' OLDER code/vector rows only, see
+    upsert_ivf_index for the full semantics/crash contract) with the
+    frozen-model append: the replacement vectors re-encode against the
+    frozen quantizer + codebooks and land with the tombstone under one
+    manifest swap. The codes probe and the vectors sidecar rerank both
+    apply the horizon-scoped exclusion, so exactly the live encoding
+    of each id is served. Returns the new commit id."""
+    rows = _manifest_rows(spark, path)
+    nxt = max(c for c, _ in rows) + 1
+    # clear a crashed upsert's debris (including its tombstones) BEFORE
+    # writing ours; append_pq_index re-clears the data subdirs (no-op)
+    # and recomputes the same nxt, so its manifest append commits both
+    _clear_uncommitted_commit(
+        spark, path, PQ_INDEX_SUBDIRS + [("tombstones", None)], nxt
+    )
+    _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
+    append_pq_index(spark, path, new_vectors)
+    return nxt
+
+
 class PQIndexHandle:
     """An OPENED stored IVF-PQ index: meta, the committed-commit list,
     the (tiny) centroid/codebook tables, and the codes scan resolved
@@ -2004,11 +2162,18 @@ def ivfpq_stored_refine(
     shortlist = ivfpq_stored(spark, path, queries, k=k * rfactor,
                              nprobe=nprobe)
     if corpus is None:
-        corpus = (
+        # the sidecar scan gets the same scoped tombstone exclusion as
+        # the codes probe: after an upsert an id has a superseded AND a
+        # live vector row — joining the shortlist on vec_id alone would
+        # rescore both (the delete case needs no filter here, the
+        # shortlist already dropped the id, but it costs nothing)
+        commits = _committed(spark, path)
+        corpus = _anti_tombstones(
             spark.read.parquet(f"{path}/vectors")
-            .where(F.col("commit").isin(_committed(spark, path)))
-            .select("vec_id", "embedding")
-        )
+            .where(F.col("commit").isin(commits))
+            .select("vec_id", "embedding", "commit"),
+            _tombstones(spark, path, commits),
+        ).drop("commit")
     rescored = (
         corpus.select("vec_id", F.col("embedding").alias("ce"))
         .join(F.broadcast(shortlist.select("query_id", "vec_id")), "vec_id")

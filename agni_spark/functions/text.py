@@ -891,6 +891,45 @@ def append_text_index(spark, path: str, new_docs: DataFrame) -> None:
     _append_manifest(spark, path, rows, nxt)
 
 
+def upsert_text_index(spark, path: str, new_docs: DataFrame) -> int:
+    """UPSERT (replace-or-insert) documents in a stored text index,
+    round 11 — the text twin of simsearch.upsert_ivf_index: one atomic
+    commit writes a horizon-scoped doc_id tombstone (hides the docs'
+    OLDER postings/doclens/positions rows only) plus the replacement
+    docs' fresh posting lists. BM25 statistics stay survivor-exact for
+    free: the probe's scoped anti-join removes the superseded doclens
+    rows before the n_docs/avgdl/df fold, so a replaced document is
+    counted exactly once, with its new length. Ids new to the corpus
+    simply insert. Upsert cost is O(new docs); compact_index is the
+    physical cleanup (scrubs all three doc_id-keyed subdirs, consumes
+    the tombstone). Crash contract: tombstones + postings land before
+    the manifest append; a replay recomputes the same commit id and
+    dynamic-partition-overwrites. Returns the new commit id."""
+    from agni_spark.functions.simsearch import (
+        TEXT_INDEX_SUBDIRS,
+        _append_manifest,
+        _clear_uncommitted_commit,
+        _manifest_rows,
+        _write_scoped_tombstones,
+    )
+    from agni_spark.sources.layout import _hfs
+
+    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
+    rows = _manifest_rows(spark, path)
+    nxt = max(c for c, _ in rows) + 1
+    _clear_uncommitted_commit(
+        spark, path, TEXT_INDEX_SUBDIRS + [("tombstones", None)], nxt
+    )
+    _write_scoped_tombstones(new_docs, path, "doc_id", nxt)
+    fs, P = _hfs(spark, f"{path}/positions")
+    _append_postings(
+        new_docs, path, n_buckets, commit=nxt, mode="append",
+        positions=fs.exists(P(f"{path}/positions")),
+    )
+    _append_manifest(spark, path, rows, nxt)
+    return nxt
+
+
 class TextIndexHandle:
     """An OPENED stored text index: n_buckets + the committed-commit
     list resolved once — the text twin of Graph/PQIndexHandle. Probes
@@ -963,20 +1002,24 @@ def bm25_topk_indexed(
             .collect()
         }
     )
+    from agni_spark.functions.simsearch import _anti_tombstones
+
+    # `commit` rides to the tombstone anti-join: the exclusion is
+    # horizon-scoped (upsert_text_index replaces a doc's postings —
+    # only the OLDER rows hide), then projected away
     post = (
         spark.read.parquet(f"{path}/postings")
         .where(F.col("commit").isin(commits) & F.col("bucket").isin(buckets))
         .where(F.col("w").isin(list(query_terms)))
-        .select("doc_id", "w", "tf")
+        .select("doc_id", "w", "tf", "commit")
     )
     dl = (
         spark.read.parquet(f"{path}/doclens")
         .where(F.col("commit").isin(commits))
-        .select("doc_id", "dl")
+        .select("doc_id", "dl", "commit")
     )
-    if h.tombstones is not None:
-        post = post.join(h.tombstones, "doc_id", "left_anti")
-        dl = dl.join(h.tombstones, "doc_id", "left_anti")
+    post = _anti_tombstones(post, h.tombstones).drop("commit")
+    dl = _anti_tombstones(dl, h.tombstones).drop("commit")
     post = post.persist()  # feeds df-per-term AND the scoring join
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -1109,14 +1152,15 @@ def phrase_topk_indexed(
             .collect()
         }
     )
+    from agni_spark.functions.simsearch import _anti_tombstones
+
     pos = (
         spark.read.parquet(f"{path}/positions")
         .where(F.col("commit").isin(commits) & F.col("bucket").isin(buckets))
         .where(F.col("w").isin(list(set(terms))))
-        .select("w", "doc_id", "pos")
+        .select("w", "doc_id", "pos", "commit")
     )
-    if h.tombstones is not None:
-        pos = pos.join(h.tombstones, "doc_id", "left_anti")
+    pos = _anti_tombstones(pos, h.tombstones).drop("commit")
     if len(terms) > 1:
         pos = pos.persist()  # each term's occurrence list reads it
     starts = pos.where(F.col("w") == terms[0]).select(

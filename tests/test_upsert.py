@@ -1,0 +1,225 @@
+"""Upsert (horizon-scoped tombstones) on stored IVF / PQ / text indexes."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from agni_spark.functions import simsearch, text
+
+
+def _emb_rows(n=40, dim=8):
+    # 4 well-separated axis clusters + small deterministic jitter
+    rows = []
+    for i in range(n):
+        c = i % 4
+        v = [0.05 * ((i * 7 + d) % 5) for d in range(dim)]
+        v[c * 2] += 4.0
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        _emb_rows(), "vec_id long, embedding array<float>"
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _neg(df):
+    return df.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_ivf_upsert_replaces_and_inserts(spark, emb, queries):
+    # replace ids % 9 == 0 with negated vectors AND insert brand-new
+    # ids 100/101; the result must equal a fresh index over the
+    # modified corpus built with the SAME frozen quantizer
+    path = tempfile.mkdtemp(prefix="up_ivf_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    new_ids = spark.createDataFrame(
+        [(100, [3.0] * 8), (101, [0.0] * 7 + [5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    ups = _neg(emb.where(F.col("vec_id") % 9 == 0)).unionByName(new_ids)
+    simsearch.upsert_ivf_index(spark, path, ups)
+    got = _rows(simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=2))
+
+    mod = (
+        emb.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 9 == 0,
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+        .select("vec_id", "embedding")
+        .unionByName(new_ids)
+    )
+    fresh = tempfile.mkdtemp(prefix="up_ivf_fresh_")
+    simsearch.write_ivf_index(
+        mod, fresh, centroids=spark.read.parquet(f"{path}/centroids")
+    )
+    want = _rows(simsearch.ivf_ann_stored(spark, fresh, queries, k=8, nprobe=2))
+    assert got == want and len(got) > 0
+
+
+def test_ivf_upsert_latest_wins_and_compact(spark, emb, queries):
+    path = tempfile.mkdtemp(prefix="up_ivf2_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    one = emb.where(F.col("vec_id") == 5)
+    simsearch.upsert_ivf_index(spark, path, _neg(one))
+    simsearch.upsert_ivf_index(spark, path, one)  # upsert back: latest wins
+    pre = _rows(simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=2))
+    base = tempfile.mkdtemp(prefix="up_ivf2_base_")
+    simsearch.write_ivf_index(
+        emb, base, centroids=spark.read.parquet(f"{path}/centroids")
+    )
+    assert pre == _rows(
+        simsearch.ivf_ann_stored(spark, base, queries, k=8, nprobe=2)
+    )
+    # compaction scrubs the superseded rows physically, consumes the
+    # tombstones, and the probe is unchanged
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    removed = simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert any(r.startswith("tombstones/") for r in removed)
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.where(F.col("vec_id") == 5).count() == 1  # one live row
+    assert pre == _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=2)
+    )
+
+
+def test_delete_wins_over_later_upsert_until_compact(spark, emb, queries):
+    path = tempfile.mkdtemp(prefix="up_del_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    dead = spark.createDataFrame([(7,)], "vec_id long")
+    simsearch.delete_from_index(
+        spark, path, dead, simsearch.IVF_INDEX_SUBDIRS
+    )
+    one = emb.where(F.col("vec_id") == 7)
+    simsearch.upsert_ivf_index(spark, path, one)
+    hits = lambda: (
+        simsearch.ivf_ann_stored(spark, path, queries, k=100, nprobe=4)
+        .where(F.col("vec_id") == 7)
+        .count()
+    )
+    assert hits() == 0  # global delete outweighs the later upsert
+    # compaction consumes the delete tombstone (and, with it, every
+    # row of id 7 committed before the fold); a fresh upsert then
+    # resurrects the id
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    simsearch.upsert_ivf_index(spark, path, one)
+    assert hits() > 0
+
+
+def test_scoped_tombstone_cannot_be_carried(spark, emb):
+    # a layout with a subdir lacking the key column cannot apply a
+    # scoped tombstone physically — compact must refuse loudly, never
+    # re-stamp rows out from under the horizon
+    path = tempfile.mkdtemp(prefix="up_carry_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    spark.createDataFrame([(1, 0)], "x long, commit long").write.partitionBy(
+        "commit"
+    ).parquet(f"{path}/extra")
+    simsearch.upsert_ivf_index(spark, path, emb.where(F.col("vec_id") == 3))
+    with pytest.raises(ValueError, match="horizon-scoped"):
+        simsearch.compact_index(
+            spark, path,
+            simsearch.IVF_INDEX_SUBDIRS + [("extra", None)],
+        )
+
+
+def test_pq_upsert_reencodes_under_frozen_model(spark, emb, queries):
+    # upsert id 6 with the EXACT vector of id 9: under the frozen
+    # quantizer+codebooks both must land in the same cell with the
+    # same codes, so the probe scores them identically
+    path = tempfile.mkdtemp(prefix="up_pq_")
+    simsearch.write_pq_index(
+        emb, path, n_centroids=4, m=4, ksub=8, store_vectors=True
+    )
+    donor = emb.where(F.col("vec_id") == 9).select(
+        F.lit(6).cast("long").alias("vec_id"), "embedding"
+    )
+    simsearch.upsert_pq_index(spark, path, donor)
+    res = simsearch.ivfpq_stored(spark, path, queries, k=40, nprobe=4)
+    by_q = {(r.query_id, r.vec_id): r.cos for r in res.collect()}
+    paired = 0
+    for (q, v), cos in by_q.items():
+        if v == 6:
+            assert by_q.get((q, 9)) == cos
+            paired += 1
+    assert paired > 0
+    # the refine sidecar serves exactly ONE vector row per id (the
+    # superseded one is horizon-hidden) — and it is the new vector
+    ref = simsearch.ivfpq_stored_refine(
+        spark, path, None, queries, k=40, nprobe=4
+    )
+    rows = ref.where(F.col("vec_id").isin(6, 9)).collect()
+    pairs = [(r.query_id, r.vec_id) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no duplicate rescores
+    cos6 = {r.query_id: r.cos for r in rows if r.vec_id == 6}
+    cos9 = {r.query_id: r.cos for r in rows if r.vec_id == 9}
+    assert cos6 and all(cos6[q] == cos9[q] for q in cos6 if q in cos9)
+
+
+def test_text_upsert_survivor_exact_stats_and_phrase(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha alpha delta"),
+            (2, "beta beta beta"),
+            (3, "gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    path = tempfile.mkdtemp(prefix="up_txt_")
+    text.write_text_index(docs, path, n_buckets=4, positions=True)
+    # replace doc 1, insert doc 9
+    new = spark.createDataFrame(
+        [(1, "epsilon alpha"), (9, "alpha beta alpha beta")],
+        "doc_id long, text string",
+    )
+    text.upsert_text_index(spark, path, new)
+    got = _rows(text.bm25_topk_indexed(spark, path, ["alpha", "beta"], k=10))
+    docs_mod = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "epsilon alpha"),
+            (2, "beta beta beta"),
+            (3, "gamma delta"),
+            (9, "alpha beta alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    fresh = tempfile.mkdtemp(prefix="up_txt_fresh_")
+    text.write_text_index(docs_mod, fresh, n_buckets=4)
+    assert got == _rows(
+        text.bm25_topk_indexed(spark, fresh, ["alpha", "beta"], k=10)
+    )
+    # the positional layer follows the upsert: doc 1's old phrase is
+    # gone, doc 9's new phrase is served
+    assert _rows(text.phrase_topk_indexed(spark, path, "alpha beta", k=10)) \
+        == [(9, 2, 1), (0, 1, 2)]
+    # physical cleanup parity
+    simsearch.compact_index(spark, path, simsearch.TEXT_INDEX_SUBDIRS)
+    simsearch.vacuum_index(spark, path, simsearch.TEXT_INDEX_SUBDIRS)
+    assert got == _rows(
+        text.bm25_topk_indexed(spark, path, ["alpha", "beta"], k=10)
+    )
+    assert _rows(text.phrase_topk_indexed(spark, path, "alpha beta", k=10)) \
+        == [(9, 2, 1), (0, 1, 2)]
