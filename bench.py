@@ -143,7 +143,9 @@ def _probe_specs():
         )
         path = tempfile.mkdtemp(prefix="bench_ivf_")
         simsearch.write_ivf_index(e, path, n_centroids=8)
-        return (simsearch.open_ivf_index(spark, path), q)
+        handle = simsearch.open_ivf_index(spark, path)
+        _SHARED["ivf_handle"] = handle  # reused by the hybrid spec
+        return (handle, q)
 
     def ivf_probe(spark, ctx):
         handle, q = ctx
@@ -172,7 +174,9 @@ def _probe_specs():
         d = entry_mod._docs(spark, sf_dir)
         path = tempfile.mkdtemp(prefix="bench_text_")
         text.write_text_index(d, path)
-        return (text.open_text_index(spark, path),)
+        handle = text.open_text_index(spark, path)
+        _SHARED["text_handle"] = handle  # reused by the hybrid spec
+        return (handle,)
 
     def text_probe(spark, ctx):
         (handle,) = ctx
@@ -211,6 +215,48 @@ def _probe_specs():
             spark, handle, q, k=10, beam=8, hops=3, hops_upper=2
         ).count()
 
+    def phrase_setup(spark, sf_dir):
+        # positional layer build (positions=True): write cost vs the
+        # plain text_index _build row IS the positional overhead
+        d = entry_mod._docs(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="bench_phrase_")
+        text.write_text_index(d, path, positions=True)
+        return (text.open_text_index(spark, path),)
+
+    def phrase_probe(spark, ctx):
+        (handle,) = ctx
+        text.phrase_topk_indexed(
+            spark, handle, entry_mod.PHRASE, k=10
+        ).count()
+
+    def hybrid_setup(spark, sf_dir):
+        # reuse the ivf + text artifacts earlier specs built (their
+        # builds are already recorded rows); fall back when run alone
+        e = entry_mod._emb(spark, sf_dir)
+        q = e.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        th = _SHARED.get("text_handle")
+        ih = _SHARED.get("ivf_handle")
+        if th is None:
+            tpath = tempfile.mkdtemp(prefix="bench_hyb_t_")
+            text.write_text_index(entry_mod._docs(spark, sf_dir), tpath)
+            th = text.open_text_index(spark, tpath)
+        if ih is None:
+            ipath = tempfile.mkdtemp(prefix="bench_hyb_i_")
+            simsearch.write_ivf_index(e, ipath, n_centroids=8)
+            ih = simsearch.open_ivf_index(spark, ipath)
+        return (th, ih, q)
+
+    def hybrid_probe(spark, ctx):
+        from agni_spark.functions import retrieval
+
+        th, ih, q = ctx
+        retrieval.hybrid_rrf_indexed(
+            spark, th, ih, entry_mod.BM25_TERMS, q,
+            k=10, k_each=20, nprobe=2,
+        ).count()
+
     def pagerank_setup(spark, sf_dir):
         # reuse the index graph_setup built (runs earlier in the spec
         # list); fall back to building one if specs ever run alone
@@ -242,6 +288,13 @@ def _probe_specs():
         # graph_stored's, its build is already that spec's _build row)
         ("simsearch_pagerank_stored", pagerank_setup, pagerank_probe,
          False),
+        # round-11: the retrieval tier's serving rows — positional
+        # phrase probe (its _build vs text_index_build = the
+        # positional-layer write overhead) and the hybrid RRF fusion
+        # over the ivf + text artifacts built above (emit_build=False:
+        # both builds are already recorded rows)
+        ("text_phrase", phrase_setup, phrase_probe, True),
+        ("hybrid_rrf", hybrid_setup, hybrid_probe, False),
     ]
 
 
