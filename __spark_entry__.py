@@ -2470,12 +2470,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
         "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
         # --- Dedup (6) ---
-        # round-10 rotation: filtered IVF search (the round-9 operator
-        # the verdict asked into the window) replaces dedup_exact —
-        # the dedup family keeps dedup_minhash_lsh / pipeline_curate_v2
-        # / dedup_semantic as window reps; dedup_exact stays gated
-        # after #50
-        "simsearch_ivf_filtered": _q_simsearch_ivf_filtered,
+        # round-11 rotation: the UPSERT tier's IVF row (horizon-scoped
+        # tombstone + frozen-quantizer replacement in one commit)
+        # replaces simsearch_ivf_filtered, which got its external
+        # check in round 10 and stays oracle-gated after #50 — the
+        # scoped-tombstone composition is the newest invariant an
+        # external oracle should pin
+        "simsearch_ivf_upserted": _q_simsearch_ivf_upserted,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "pipeline_curate_v2": _q_pipeline_curate_v2,
         # round-9 rotation: the newest, riskiest operators move into
@@ -2498,9 +2499,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays oracle-gated after #50): index-served search is the
         # richer external signal (build + append + pruned probe)
         "text_index_search": _q_text_index_search,
-        "text_bm25_topk": _q_text_bm25_topk,
+        # round-11 rotation: the positional-index phrase probe replaces
+        # the scan-served BM25 row (the BM25 semantics stay windowed
+        # through text_index_search, which shares the scan oracle);
+        # phrase adjacency over a positional layer is the new text
+        # capability an external oracle should pin. text_bm25_topk
+        # stays oracle-gated after #50.
+        "text_phrase_indexed": _q_text_phrase_indexed,
         # --- Simsearch (5) ---
-        "simsearch_cosine_topk": _q_simsearch_topk,
+        # round-11 rotation: hybrid RRF fusion (BM25 + exact-cosine
+        # lists fused, Cormack'09) replaces the bare cosine baseline —
+        # the fusion's vector side IS cosine_topk, so the exact-cosine
+        # semantics stay externally exercised inside the composition;
+        # simsearch_cosine_topk stays oracle-gated after #50.
+        "hybrid_rrf": _q_hybrid_rrf,
         "simsearch_ivf_ann": _q_simsearch_ivf,
         # round-11 rotation: STREAMED GRAPH ingest replaces the stored
         # IVF probe in the window (the IVF family keeps ivf_ann /
@@ -2545,17 +2557,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_graph_delete_compacted": (
             _q_simsearch_graph_delete_compacted
         ),
-        # round-11 retrieval tier: exact-phrase search (scan + the
-        # positional-index serving path) and hybrid lexical+vector
-        # fusion (RRF + weighted, scan + index-served)
+        # round-11 retrieval tier (window reps: text_phrase_indexed,
+        # hybrid_rrf, simsearch_ivf_upserted — these are the rest)
         "text_phrase_search": _q_text_phrase_search,
-        "text_phrase_indexed": _q_text_phrase_indexed,
-        "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_weighted": _q_hybrid_weighted,
         "hybrid_rrf_indexed": _q_hybrid_rrf_indexed,
-        # round-11 upsert tier (horizon-scoped tombstones)
-        "simsearch_ivf_upserted": _q_simsearch_ivf_upserted,
         "text_index_upserted": _q_text_index_upserted,
+        # rotated OUT of the window in round 11, still fully gated:
+        "text_bm25_topk": _q_text_bm25_topk,
+        "simsearch_cosine_topk": _q_simsearch_topk,
+        "simsearch_ivf_filtered": _q_simsearch_ivf_filtered,
         "dedup_exact": _q_dedup_exact,
         "promql_frontend_cache": _q_promql_frontend_cache,
         "simsearch_ivfpq": lambda s, d: simsearch.ivfpq_search(
