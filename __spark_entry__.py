@@ -1671,6 +1671,55 @@ def _q_simsearch_ivf_upserted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_index_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # stored-index /status: build the IVF index on the even half,
+    # append the odd half (2 commits), tombstone %7==0 — the stats
+    # must count exactly the committed rows and the pending deletes
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_ivf_stats_")
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), path,
+                              n_centroids=8)
+    simsearch.append_ivf_index(
+        spark, path, e.where(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        )
+    )
+    simsearch.delete_from_index(
+        spark, path, e.where(F.col("vec_id") % 7 == 0).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    return simsearch.index_stats(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+
+
+def _q_simsearch_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    # MMR diversification (round 11): top-30 candidates by cosine to
+    # query 0, greedily re-ranked with lambda=0.7 so each pick trades
+    # relevance against redundancy with the picks so far. Full oracle:
+    # a DuckDB RECURSIVE CTE replays the greedy selection step by step
+    # (LATERAL argmax per iteration over the not-yet-picked set).
+    from agni_spark.functions import retrieval
+    from agni_spark.functions.dedup import cosine
+
+    e = _emb(spark, sf)
+    qe = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qe))
+        .select(
+            "vec_id", "embedding",
+            (F.floor(cosine(F.col("embedding"), F.col("qe")) * 1e6 + 0.5)
+             / 1e6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(30)
+    )
+    return retrieval.mmr_rerank(cand, lam=0.7, k=10)
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     # hybrid lexical+vector retrieval (round 11): BM25 top-20 and exact
     # cosine top-20 (query = embedding of doc 0) fused by Reciprocal
@@ -2563,6 +2612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_weighted": _q_hybrid_weighted,
         "hybrid_rrf_indexed": _q_hybrid_rrf_indexed,
         "text_index_upserted": _q_text_index_upserted,
+        "simsearch_mmr_rerank": _q_simsearch_mmr_rerank,
+        "simsearch_index_stats": _q_simsearch_index_stats,
         # rotated OUT of the window in round 11, still fully gated:
         "text_bm25_topk": _q_text_bm25_topk,
         "simsearch_cosine_topk": _q_simsearch_topk,
@@ -4054,6 +4105,47 @@ r AS (SELECT doc_id, fused,
       CAST(row_number() OVER (ORDER BY fused DESC, doc_id) AS INT) AS rk
       FROM f)
 SELECT doc_id, fused, rk FROM r WHERE rk <= 10 ORDER BY rk
+"""
+
+# MMR (Carbonell & Goldstein'98) as a RECURSIVE CTE: `sel` carries the
+# picked-id list; each recursion LATERAL-picks the argmax of
+# lam*rel - (1-lam)*max_{j in picked} sim(i,j) over the rest. Weights
+# are computed as (1.0 - 0.7) so the double matches Python's 1.0-lam
+# bit for bit; every score is 6dp-floored like the Spark side.
+_SQL_MMR_RERANK = """
+WITH RECURSIVE
+mq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, embedding,
+         floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               CAST((SELECT qe FROM mq) AS DOUBLE[])) * 1e6 + 0.5) / 1e6
+           AS rel
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id LIMIT 30),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+sel AS (
+  SELECT 1 AS rk, f.vec_id, [f.vec_id] AS ids,
+         floor(0.7::DOUBLE * f.rel * 1e6 + 0.5) / 1e6 AS mmr
+  FROM (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1) f
+  UNION ALL
+  SELECT sel.rk + 1, nxt.vec_id, list_append(sel.ids, nxt.vec_id), nxt.mmr
+  FROM sel, LATERAL (
+    SELECT c.vec_id,
+           floor((0.7::DOUBLE * c.rel
+                  - (1.0::DOUBLE - 0.7::DOUBLE) * (
+                      SELECT max(s.s) FROM sims s
+                      WHERE s.ia = c.vec_id
+                        AND list_contains(sel.ids, s.ib)))
+                 * 1e6 + 0.5) / 1e6 AS mmr
+    FROM cand c WHERE NOT list_contains(sel.ids, c.vec_id)
+    ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
+  WHERE sel.rk < 10
+)
+SELECT vec_id, mmr, CAST(rk AS INT) AS rk FROM sel ORDER BY rk
 """
 
 _SQL_TEXT_PHRASE = """
@@ -6318,6 +6410,23 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
                 "FROM documents)"
             ),
         ),
+        # MMR greedy diversification replayed as a recursive CTE: each
+        # recursion step LATERAL-argmaxes the not-yet-picked candidate
+        # by lam*rel - (1-lam)*max sim to the picked set — identical
+        # 6dp floors, identical (1.0 - 0.7) double as the Spark side
+        "simsearch_mmr_rerank": _SQL_MMR_RERANK,
+        # stored-index /status oracle: committed commits + rows per
+        # subdir (build+append = 2 cells commits over the full corpus;
+        # one tombstone commit holding the %7 delete set)
+        "simsearch_index_stats": """
+SELECT * FROM (
+  SELECT 'cells' AS subdir, CAST(2 AS INT) AS n_commits,
+         (SELECT count(*) FROM embeddings) AS n_rows
+  UNION ALL
+  SELECT 'tombstones', CAST(1 AS INT),
+         (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0)
+) ORDER BY subdir
+""",
         # in-memory filtered twin: the multi-entry unrolled walk with
         # the allow-set IN restriction on the final rank only
         "simsearch_graph_ann_filtered": _sql_graph_ann(

@@ -204,6 +204,79 @@ def hybrid_rrf_indexed(
     return _rrf_two_way(t, v, k, rrf_k)
 
 
+# MMR candidate-set guard: the greedy selection is driver-side over a
+# parameter-bounded list; N^2 pairwise sims are collected, so refuse
+# anything that isn't clearly serving-edge sized
+_MMR_MAX_CANDIDATES = 2048
+
+
+def mmr_rerank(candidates: DataFrame, lam: float = 0.7, k: int = 10):
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR'98): greedily re-rank a top-N candidate list so
+    each pick balances relevance against redundancy with what was
+    already picked — mmr_i = lam*rel_i - (1-lam)*max_{j in S} sim(i,j)
+    (the first pick is argmax rel, scored lam*rel). The standard
+    post-ANN diversity pass in retrieval serving.
+
+    `candidates` is (vec_id, embedding array<float>, rel double) — a
+    BOUNDED top-N list from an upstream ANN stage (guarded at
+    _MMR_MAX_CANDIDATES). Deterministic: scores discretized with the
+    repo's floor(x*1e6+0.5)/1e6 at every step, ties on vec_id.
+
+    Spark shape: the N^2 pairwise cosines are computed JVM-SIDE (the
+    same `cosine` expression every ANN tier uses, so driver and oracle
+    floats can never diverge) and collected; the greedy loop itself is
+    inherently sequential — k selections, each conditioned on the
+    previous set — and runs as O(k*N) scalar ops on the driver, the
+    same parameter-bounded serving-edge budget as the graph walk's
+    frontier. The corpus-sized work (the ANN stage that produced the
+    candidates) stays distributed; nothing here scales with the
+    corpus."""
+    import math
+
+    from agni_spark.functions.dedup import cosine
+
+    spark = candidates.sparkSession
+    c = candidates.select("vec_id", "embedding", "rel")
+    rel_rows = c.select("vec_id", "rel").collect()
+    if len(rel_rows) > _MMR_MAX_CANDIDATES:
+        raise ValueError(
+            f"mmr_rerank got {len(rel_rows)} candidates (> "
+            f"{_MMR_MAX_CANDIDATES}) — pass a bounded top-N list"
+        )
+    rel = {int(r.vec_id): float(r.rel) for r in rel_rows}
+    a = c.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = c.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib",
+            _floor6(cosine(F.col("ea"), F.col("eb"))).alias("s"),
+        )
+    )
+    s = {(int(r.ia), int(r.ib)): float(r.s) for r in sims.collect()}
+    f6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    w = 1.0 - lam  # the exact double the oracle's (1.0 - lam) computes
+    first = max(rel, key=lambda v: (rel[v], -v))
+    picked = [(first, f6(lam * rel[first]))]
+    chosen = [first]
+    while len(picked) < k and len(chosen) < len(rel):
+        best = None
+        for v, rv in rel.items():
+            if v in chosen:
+                continue
+            m = f6(lam * rv - w * max(s[(v, j)] for j in chosen))
+            if best is None or (m, -v) > (best[1], -best[0]):
+                best = (v, m)
+        chosen.append(best[0])
+        picked.append(best)
+    return spark.createDataFrame(
+        [(v, m, i + 1) for i, (v, m) in enumerate(picked)],
+        "vec_id long, mmr double, rk int",
+    )
+
+
 def hybrid_weighted_topk(
     docs: DataFrame,
     emb: DataFrame,

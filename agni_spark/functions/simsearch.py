@@ -615,6 +615,51 @@ def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
     return sorted(removed)
 
 
+def index_stats(spark, path: str, subdirs: list) -> DataFrame:
+    """Operational introspection of a stored index — the stored-index
+    tier's /status endpoint: one row per PRESENT subdir with its
+    committed-commit count and committed row count, plus a tombstones
+    row when any tombstone commits exist (pending logical deletes/
+    upserts a compaction would fold). Only manifest-committed
+    partitions count, so crashed-writer debris is invisible here
+    exactly as it is to probes.
+
+    Scale: one column-pruned count aggregation per subdir (the subdir
+    list is a constant of the layout), each statically pruned to the
+    committed commit dirs; only the per-subdir scalar totals reach the
+    driver."""
+    from agni_spark.sources.layout import _hfs
+
+    commits = _committed(spark, path)
+    rows = []
+    for sub, _routing in list(subdirs) + [("tombstones", None)]:
+        base = f"{path}/{sub}"
+        fs, P = _hfs(spark, base)
+        if not fs.exists(P(base)):
+            continue
+        # a vacuumed-empty dir has no commit= children — no parquet
+        # footers to infer a schema from, and nothing to count
+        if not any(
+            st.getPath().getName().startswith("commit=")
+            for st in fs.listStatus(P(base))
+        ):
+            continue
+        agg = (
+            spark.read.parquet(base)
+            .where(F.col("commit").isin(commits))
+            .agg(
+                F.countDistinct("commit").alias("nc"),
+                F.count(F.lit(1)).alias("nr"),
+            )
+            .first()
+        )
+        if int(agg.nr) > 0:
+            rows.append((sub, int(agg.nc), int(agg.nr)))
+    return spark.createDataFrame(
+        sorted(rows), "subdir string, n_commits int, n_rows long"
+    )
+
+
 def delete_from_index(
     spark, path: str, ids: DataFrame, subdirs: list, id_col: str = "vec_id"
 ) -> int:

@@ -103,6 +103,37 @@ def test_hybrid_rrf_carries_source_ranks(spark):
     assert by_id[2][1] is None  # doc 2 never matches the term
 
 
+def test_mmr_promotes_diversity(spark):
+    # two near-duplicate high-relevance vectors + one orthogonal
+    # medium-relevance one: pure relevance ranks the twins 1-2; MMR
+    # picks one twin, then prefers the diverse candidate over the
+    # redundant twin
+    cand = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0.99),
+            (2, [0.999, 0.01, 0.0], 0.98),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0], 0.60),      # orthogonal
+        ],
+        "vec_id long, embedding array<float>, rel double",
+    )
+    got = [tuple(r) for r in retrieval.mmr_rerank(cand, lam=0.7, k=3).collect()]
+    assert [g[0] for g in got] == [1, 3, 2]
+    assert got[0][2] == 1 and got[0][1] == 0.693  # floor6(0.7*0.99)
+    # lam=1.0 degenerates to pure relevance order
+    pure = [r.vec_id for r in retrieval.mmr_rerank(cand, lam=1.0, k=3).collect()]
+    assert pure == [1, 2, 3]
+
+
+def test_mmr_candidate_guard(spark):
+    big = spark.range(retrieval._MMR_MAX_CANDIDATES + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        F.lit(0.5).alias("rel"),
+    )
+    with pytest.raises(ValueError, match="bounded top-N"):
+        retrieval.mmr_rerank(big, k=3)
+
+
 # ------------------------------------------------------- phrase search
 
 

@@ -144,6 +144,34 @@ def test_scoped_tombstone_cannot_be_carried(spark, emb):
         )
 
 
+def test_index_stats_tracks_lifecycle(spark, emb):
+    path = tempfile.mkdtemp(prefix="up_stats_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    simsearch.delete_from_index(
+        spark, path,
+        spark.createDataFrame([(1,), (2,)], "vec_id long"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    got = {
+        r.subdir: (r.n_commits, r.n_rows)
+        for r in simsearch.index_stats(
+            spark, path, simsearch.IVF_INDEX_SUBDIRS
+        ).collect()
+    }
+    assert got == {"cells": (1, 40), "tombstones": (1, 2)}
+    # compaction folds to one commit, scrubs the 2 deleted rows, and
+    # consumes the tombstones; vacuum makes the stats reflect it
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    got2 = {
+        r.subdir: (r.n_commits, r.n_rows)
+        for r in simsearch.index_stats(
+            spark, path, simsearch.IVF_INDEX_SUBDIRS
+        ).collect()
+    }
+    assert got2 == {"cells": (1, 38)}
+
+
 def test_pq_upsert_reencodes_under_frozen_model(spark, emb, queries):
     # upsert id 6 with the EXACT vector of id 9: under the frozen
     # quantizer+codebooks both must land in the same cell with the
