@@ -2158,6 +2158,43 @@ def _q_streaming_ivf_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_streaming_ivf_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    # CDC-style streaming UPSERT (round 11): build the index over a
+    # corpus where every vec_id % 4 == 1 vector is POISONED (negated),
+    # then stream the true vectors as a change feed (2 files,
+    # maxFilesPerTrigger=1 -> >= 2 upsert micro-batches, each a
+    # horizon-scoped tombstone + replacement commit). The frozen
+    # quantizer keeps the result split-independent, so the oracle is
+    # exact: quantizer trained on the POISONED corpus, cells assigned
+    # from the CORRECTED one.
+    import tempfile
+
+    e = _emb(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="agni_sivfu_")
+    poisoned = e.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 4 == 1,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    ).select("vec_id", "embedding")
+    path = f"{tmp}/idx"
+    simsearch.write_ivf_index(poisoned, path, n_centroids=8)
+    src = f"{tmp}/src"
+    e.where(F.col("vec_id") % 4 == 1).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, path, f"{tmp}/ckpt", max_files_per_trigger=1,
+        mode="upsert",
+    )
+    q.awaitTermination()
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
     # streaming GRAPH index maintenance (round 11): build on the even
     # half, stream the rest in 2 deterministic micro-batches (vec_id %
@@ -2614,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_upserted": _q_text_index_upserted,
         "simsearch_mmr_rerank": _q_simsearch_mmr_rerank,
         "simsearch_index_stats": _q_simsearch_index_stats,
+        "streaming_ivf_upsert": _q_streaming_ivf_upsert,
         # rotated OUT of the window in round 11, still fully gated:
         "text_bm25_topk": _q_text_bm25_topk,
         "simsearch_cosine_topk": _q_simsearch_topk,
@@ -6394,6 +6432,16 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "hybrid_rrf_indexed": _SQL_HYBRID_RRF_INDEXED,
         # upsert tier: quantizer from the ORIGINAL corpus, cells /
         # postings from the post-upsert corpus
+        # CDC streaming upsert: quantizer from the POISONED build
+        # corpus, cells from the corrected (true) corpus
+        "streaming_ivf_upsert": _sql_simsearch_ivf(
+            cents_src=(
+                "(SELECT vec_id, CASE WHEN vec_id % 4 = 1 THEN "
+                "list_transform(embedding, x -> -x) ELSE embedding END "
+                "AS embedding FROM embeddings)"
+            ),
+            corpus_src="embeddings",
+        ),
         "simsearch_ivf_upserted": _sql_simsearch_ivf(
             cents_src="embeddings",
             corpus_src=(

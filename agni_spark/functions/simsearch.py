@@ -915,7 +915,9 @@ def append_ivf_index(
     _write_index_manifest(spark, path, commits + [nxt], bids or None)
 
 
-def upsert_ivf_index(spark, path: str, new_vectors: DataFrame) -> int:
+def upsert_ivf_index(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> int | None:
     """UPSERT (replace-or-insert) into a stored IVF index, round 11:
     one atomic commit that both HIDES every older row of the upserted
     vec_ids (a horizon-scoped tombstone — hides rows committed strictly
@@ -944,8 +946,19 @@ def upsert_ivf_index(spark, path: str, new_vectors: DataFrame) -> int:
     Crash contract: tombstones/commit=N and cells/commit=N are both
     written BEFORE the manifest append — a crash anywhere leaves the
     index serving exactly the old manifest; a replay recomputes the
-    same N and dynamic-partition-overwrites both. Returns N."""
+    same N and dynamic-partition-overwrites both. Returns N.
+
+    `batch_id` (streaming callers — stream_ann_index(mode='upsert')):
+    same replay contract as append_ivf_index, and for an upsert the
+    applied-id check MUST run before anything is written — a replay
+    whose previous attempt already reached the manifest would
+    otherwise re-write the scoped tombstone under a NEW commit id,
+    with a horizon that hides the original attempt's replacement
+    rows. Returns None when the batch was already applied."""
     rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return None
     commits = [c for c, _ in rows]
     nxt = max(commits) + 1
     _clear_uncommitted_commit(
@@ -966,7 +979,7 @@ def upsert_ivf_index(spark, path: str, new_vectors: DataFrame) -> int:
         .mode("overwrite")
         .parquet(f"{path}/cells")
     )
-    _append_manifest(spark, path, rows, nxt)
+    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
     return nxt
 
 
@@ -2080,7 +2093,9 @@ def append_pq_index(
     _write_index_manifest(spark, path, commits + [nxt], bids or None)
 
 
-def upsert_pq_index(spark, path: str, new_vectors: DataFrame) -> int:
+def upsert_pq_index(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> int | None:
     """UPSERT into a stored IVF-PQ index — composition of the scoped
     tombstone (hides the ids' OLDER code/vector rows only, see
     upsert_ivf_index for the full semantics/crash contract) with the
@@ -2088,8 +2103,13 @@ def upsert_pq_index(spark, path: str, new_vectors: DataFrame) -> int:
     frozen quantizer + codebooks and land with the tombstone under one
     manifest swap. The codes probe and the vectors sidecar rerank both
     apply the horizon-scoped exclusion, so exactly the live encoding
-    of each id is served. Returns the new commit id."""
+    of each id is served. Returns the new commit id. `batch_id`: same
+    streaming replay contract as upsert_ivf_index — checked BEFORE the
+    tombstone write (None when already applied)."""
     rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return None
     nxt = max(c for c, _ in rows) + 1
     # clear a crashed upsert's debris (including its tombstones) BEFORE
     # writing ours; append_pq_index re-clears the data subdirs (no-op)
@@ -2098,7 +2118,7 @@ def upsert_pq_index(spark, path: str, new_vectors: DataFrame) -> int:
         spark, path, PQ_INDEX_SUBDIRS + [("tombstones", None)], nxt
     )
     _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
-    append_pq_index(spark, path, new_vectors)
+    append_pq_index(spark, path, new_vectors, batch_id=batch_id)
     return nxt
 
 

@@ -65,6 +65,7 @@ def stream_ann_index(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     index_kind: str = "ivf",
+    mode: str = "append",
 ):
     """CONTINUOUS ANN INDEX MAINTENANCE: a file-source stream of new
     embedding rows appends into an existing stored index per
@@ -91,18 +92,44 @@ def stream_ann_index(
     partitions). Probe results after the stream drain equal a batch
     append of the same rows (append == rebuild is already test-pinned
     for the IVF layout), independent of how the files split into
-    micro-batches. Returns the started StreamingQuery."""
+    micro-batches. Returns the started StreamingQuery.
+
+    `mode='upsert'` (round 11, ivf/pq only) turns the stream into CDC
+    ingestion: each micro-batch REPLACES-or-inserts its vec_ids via
+    upsert_ivf_index / upsert_pq_index — a horizon-scoped tombstone
+    plus the frozen-model re-encoding in one manifest swap per batch,
+    so a change-feed of vector updates keeps the index continuously
+    current while probes always serve exactly the newest committed
+    version of every id. The replay contract extends to the tombstone:
+    the upserts check the applied batch id BEFORE writing anything (a
+    blind replay would re-land the tombstone under a new commit and
+    hide its own earlier rows). The graph family refuses upserts (NSW
+    edges built over a replaced vector would mis-route; delete +
+    compact + append is the supported graph update path)."""
     from agni_spark.functions.simsearch import (
         append_graph_index,
         append_ivf_index,
         append_pq_index,
+        upsert_ivf_index,
+        upsert_pq_index,
     )
 
-    append = {
-        "ivf": append_ivf_index,
-        "pq": append_pq_index,
-        "graph": append_graph_index,
-    }[index_kind]
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "upsert":
+        if index_kind == "graph":
+            raise ValueError(
+                "graph indexes do not support upserts (NSW edges built "
+                "over a replaced vector would mis-route) — stream "
+                "mode='append' and use delete + compact for removals"
+            )
+        append = {"ivf": upsert_ivf_index, "pq": upsert_pq_index}[index_kind]
+    else:
+        append = {
+            "ivf": append_ivf_index,
+            "pq": append_pq_index,
+            "graph": append_graph_index,
+        }[index_kind]
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -205,6 +205,64 @@ def test_pq_upsert_reencodes_under_frozen_model(spark, emb, queries):
     assert cos6 and all(cos6[q] == cos9[q] for q in cos6 if q in cos9)
 
 
+def test_upsert_batch_replay_is_noop(spark, emb, queries):
+    # crash window (b): the manifest landed but the streaming
+    # checkpoint didn't — the replayed batch id must be skipped BEFORE
+    # the tombstone write, or the replay would hide its own rows
+    path = tempfile.mkdtemp(prefix="up_replay_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    one = _neg(emb.where(F.col("vec_id") == 5))
+    assert simsearch.upsert_ivf_index(spark, path, one, batch_id=0) is not None
+    pre = _rows(simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=2))
+    assert simsearch.upsert_ivf_index(spark, path, one, batch_id=0) is None
+    assert pre == _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=2)
+    )
+
+
+def test_streamed_upsert_equals_one_shot(spark, emb, queries, tmp_path):
+    from agni_spark.streaming import ingest as streaming
+
+    # poisoned build: ids % 4 == 1 negated; the change feed streams the
+    # true vectors in >= 2 micro-batches via mode='upsert'
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 4 == 1,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    ).select("vec_id", "embedding")
+    spath = str(tmp_path / "idx")
+    simsearch.write_ivf_index(poisoned, spath, n_centroids=4)
+    src = str(tmp_path / "src")
+    emb.where(F.col("vec_id") % 4 == 1).repartition(2).write.parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, mode="upsert",
+    )
+    q.awaitTermination()
+    got = _rows(simsearch.ivf_ann_stored(spark, spath, queries, k=8, nprobe=2))
+
+    opath = str(tmp_path / "idx2")
+    simsearch.write_ivf_index(poisoned, opath, n_centroids=4)
+    simsearch.upsert_ivf_index(
+        spark, opath, emb.where(F.col("vec_id") % 4 == 1)
+    )
+    assert got == _rows(
+        simsearch.ivf_ann_stored(spark, opath, queries, k=8, nprobe=2)
+    )
+
+
+def test_streamed_upsert_refuses_graph(spark, tmp_path):
+    from agni_spark.streaming import ingest as streaming
+
+    with pytest.raises(ValueError, match="do not support upserts"):
+        streaming.stream_ann_index(
+            spark, str(tmp_path / "s"), str(tmp_path / "i"),
+            str(tmp_path / "c"), index_kind="graph", mode="upsert",
+        )
+
+
 def test_text_upsert_survivor_exact_stats_and_phrase(spark):
     docs = spark.createDataFrame(
         [
