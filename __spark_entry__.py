@@ -1671,6 +1671,60 @@ def _q_simsearch_ivf_upserted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_ivf_asof(spark: SparkSession, sf: str) -> DataFrame:
+    # TIME TRAVEL on the stored IVF index (round 11): build the even
+    # half (commit 0), append the odd half (commit 1), then upsert the
+    # %9==0 vectors to their negation (commit 2 — tombstone +
+    # replacement rows). A handle opened as_of=1 serves the
+    # build+append state EXACTLY: the upsert's data commit AND its
+    # scoped tombstone are both > 1, so neither applies. Full oracle:
+    # the IVF chain with the quantizer trained on the even half and
+    # cells assigned from the ORIGINAL corpus — the same SQL the
+    # plain build+append probe matches, which is the point.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_ivf_asof_")
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), path,
+                              n_centroids=8)
+    simsearch.append_ivf_index(
+        spark, path,
+        e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    ups = e.where(F.col("vec_id") % 9 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    simsearch.upsert_ivf_index(spark, path, ups)
+    h = simsearch.open_ivf_index(spark, path, as_of=1)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_ann_stored(spark, h, queries_df, k=10, nprobe=2)
+
+
+def _q_text_index_asof(spark: SparkSession, sf: str) -> DataFrame:
+    # TIME TRAVEL on the stored text index: build evens (commit 0),
+    # append odds (commit 1), delete the %7==0 docs (commit 2). A
+    # handle opened as_of=1 serves pre-delete BM25 — n_docs/avgdl/df
+    # fold over the pinned commits, so the historical probe scores
+    # against the historical corpus, not merely hides rows. Oracle:
+    # the full-corpus BM25 SQL (same as text_index_search).
+    import tempfile
+
+    from agni_spark.functions import simsearch as ss
+
+    d = _docs(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_text_asof_")
+    text.write_text_index(d.where(F.col("doc_id") % 2 == 0), path)
+    text.append_text_index(spark, path, d.where(F.col("doc_id") % 2 == 1))
+    ss.delete_from_index(
+        spark, path, d.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+        ss.TEXT_INDEX_SUBDIRS, id_col="doc_id",
+    )
+    h = text.open_text_index(spark, path, as_of=1)
+    return text.bm25_topk_indexed(spark, h, BM25_TERMS, k=10)
+
+
 def _q_simsearch_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     # stored-index /status: build the IVF index on the even half,
     # append the odd half (2 commits), tombstone %7==0 — the stats
@@ -2652,6 +2706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_mmr_rerank": _q_simsearch_mmr_rerank,
         "simsearch_index_stats": _q_simsearch_index_stats,
         "streaming_ivf_upsert": _q_streaming_ivf_upsert,
+        # round-11 time travel (as_of= snapshot reads on the stored
+        # index families; see simsearch._snapshot_commits)
+        "simsearch_ivf_asof": _q_simsearch_ivf_asof,
+        "text_index_asof": _q_text_index_asof,
         # rotated OUT of the window in round 11, still fully gated:
         "text_bm25_topk": _q_text_bm25_topk,
         "simsearch_cosine_topk": _q_simsearch_topk,
@@ -6458,6 +6516,13 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
                 "FROM documents)"
             ),
         ),
+        # time travel: the as_of=1 snapshot IS the build+append state,
+        # so the oracles are exactly the pre-mutation chains — the IVF
+        # quantizer trained on the even half with cells over the
+        # ORIGINAL corpus (the commit-2 upsert invisible), and the
+        # full-corpus BM25 (the commit-2 delete invisible)
+        "simsearch_ivf_asof": _SQL_SIMSEARCH_IVF_APPEND,
+        "text_index_asof": _SQL_BM25,
         # MMR greedy diversification replayed as a recursive CTE: each
         # recursion step LATERAL-argmaxes the not-yet-picked candidate
         # by lam*rel - (1-lam)*max sim to the picked set — identical

@@ -410,6 +410,38 @@ def _committed(spark, path: str) -> list[int]:
     return [c for c, _ in _manifest_rows(spark, path)]
 
 
+def _snapshot_commits(
+    spark, path: str, as_of: int | None = None
+) -> list[int]:
+    """The commit list a handle opened `as_of=N` serves: the
+    manifest-committed commits with id <= N — TIME TRAVEL over the
+    commit-partition idiom (Delta/Iceberg `VERSION AS OF` semantics,
+    re-expressed on the manifest-last layout every stored index here
+    shares). Because data, tombstones, and versioned meta all land in
+    `commit=` partitions and every reader filters on the handle's
+    commit list, pinning the list IS the whole feature: an as-of
+    handle serves exactly the state after commit N — later appends,
+    upserts (and the tombstones that hide their predecessors), and
+    deletes are all invisible, consistently.
+
+    History window: compaction REWRITES commits <= N into a single new
+    id and drops them from the manifest, so an as-of older than the
+    last compaction is gone — exactly the retention contract
+    lakehouse time travel has (VACUUM limits history). That case
+    raises instead of silently serving the wrong snapshot."""
+    commits = _committed(spark, path)
+    if as_of is None:
+        return commits
+    snap = [c for c in commits if c <= int(as_of)]
+    if not snap:
+        raise ValueError(
+            f"as_of={as_of} predates every committed commit of {path} "
+            f"(committed: {commits}) — history before the last "
+            "compaction is not retained"
+        )
+    return snap
+
+
 def _max_applied_batch(rows: list[tuple[int, int | None]]) -> int | None:
     bids = [b for _, b in rows if b is not None]
     return max(bids) if bids else None
@@ -986,12 +1018,14 @@ def upsert_ivf_index(
 class IvfIndexHandle:
     """An OPENED stored IVF-flat index: centroid table + committed
     cells scan resolved once at open (the serving twin of
-    Graph/PQ/TextIndexHandle; manifest snapshot pinned at open)."""
+    Graph/PQ/TextIndexHandle; manifest snapshot pinned at open).
+    `as_of` pins an older snapshot (see _snapshot_commits): probes
+    serve the index exactly as it stood after that commit."""
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, as_of: int | None = None):
         self.path = path
         self.cents = spark.read.parquet(f"{path}/centroids")
-        self.commits = _committed(spark, path)
+        self.commits = _snapshot_commits(spark, path, as_of)
         # `commit` stays on the scan: the tombstone exclusion is
         # horizon-scoped against it (upserts); probes project it away
         # right after the anti-join
@@ -1001,10 +1035,13 @@ class IvfIndexHandle:
         self.tombstones = _tombstones(spark, path, self.commits)
 
 
-def open_ivf_index(spark, path: str) -> IvfIndexHandle:
+def open_ivf_index(
+    spark, path: str, as_of: int | None = None
+) -> IvfIndexHandle:
     """Open a stored IVF index for repeated probing (see
-    IvfIndexHandle)."""
-    return IvfIndexHandle(spark, path)
+    IvfIndexHandle). `as_of=N` opens the commit-N snapshot (time
+    travel; see _snapshot_commits)."""
+    return IvfIndexHandle(spark, path, as_of=as_of)
 
 
 def ivf_ann_stored(
@@ -1139,11 +1176,12 @@ def append_lsh_index(
 class LshIndexHandle:
     """An OPENED stored LSH table: committed buckets scan resolved
     once (serving twin of the other *IndexHandle classes; manifest
-    snapshot pinned at open)."""
+    snapshot pinned at open). `as_of` pins an older snapshot — sound
+    because the hyperplanes are frozen at build time."""
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, as_of: int | None = None):
         self.path = path
-        self.commits = _committed(spark, path)
+        self.commits = _snapshot_commits(spark, path, as_of)
         self.buckets = (
             spark.read.parquet(f"{path}/buckets")
             .where(F.col("commit").isin(self.commits))
@@ -1151,10 +1189,12 @@ class LshIndexHandle:
         )
 
 
-def open_lsh_index(spark, path: str) -> LshIndexHandle:
+def open_lsh_index(
+    spark, path: str, as_of: int | None = None
+) -> LshIndexHandle:
     """Open a stored LSH table for repeated probing (see
-    LshIndexHandle)."""
-    return LshIndexHandle(spark, path)
+    LshIndexHandle). `as_of=N` opens the commit-N snapshot."""
+    return LshIndexHandle(spark, path, as_of=as_of)
 
 
 def lsh_ann_stored(
@@ -2128,13 +2168,16 @@ class PQIndexHandle:
     once at open time — the serving twin of GraphIndexHandle. Probes
     through a handle skip the per-call meta/manifest/model reads; the
     handle pins the manifest snapshot read at open (reopen to see
-    later appends)."""
+    later appends). `as_of` pins an older snapshot (time travel —
+    sound here because the coarse quantizer and codebooks are frozen
+    at build time, so every historical commit was encoded against the
+    same model the handle reads)."""
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, as_of: int | None = None):
         self.path = path
         meta = spark.read.parquet(f"{path}/meta").first()
         self.m = int(meta.m)
-        self.commits = _committed(spark, path)
+        self.commits = _snapshot_commits(spark, path, as_of)
         self.cents = spark.read.parquet(f"{path}/centroids")
         self.cb = spark.read.parquet(f"{path}/codebooks")
         self.codes = (
@@ -2144,10 +2187,12 @@ class PQIndexHandle:
         self.tombstones = _tombstones(spark, path, self.commits)
 
 
-def open_pq_index(spark, path: str) -> PQIndexHandle:
+def open_pq_index(
+    spark, path: str, as_of: int | None = None
+) -> PQIndexHandle:
     """Open a stored IVF-PQ index for repeated probing (see
-    PQIndexHandle)."""
-    return PQIndexHandle(spark, path)
+    PQIndexHandle). `as_of=N` opens the commit-N snapshot."""
+    return PQIndexHandle(spark, path, as_of=as_of)
 
 
 def ivfpq_stored(
@@ -3306,11 +3351,14 @@ class GraphIndexHandle:
     actions alone, no repeated meta/manifest reads. The handle pins
     the manifest SNAPSHOT read at open time (concurrent appends are
     not served until reopen — the same read-your-snapshot contract
-    every reader of the commit-partition idiom gets)."""
+    every reader of the commit-partition idiom gets). `as_of` pins an
+    older snapshot: versioned meta resolves against the SAME pinned
+    commit list, so the walk's entries/degree bound describe exactly
+    the historical graph being served."""
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, as_of: int | None = None):
         self.path = path
-        self.commits = _committed(spark, path)
+        self.commits = _snapshot_commits(spark, path, as_of)
         # meta resolves against the SAME manifest snapshot as the data
         # scans below: versioned meta (round 11) is per writer commit,
         # so entries/bounds always describe the graph this handle
@@ -3380,10 +3428,12 @@ class GraphIndexHandle:
         return self._max_deg
 
 
-def open_graph_index(spark, path: str) -> GraphIndexHandle:
+def open_graph_index(
+    spark, path: str, as_of: int | None = None
+) -> GraphIndexHandle:
     """Open a stored graph index for repeated probing (see
-    GraphIndexHandle)."""
-    return GraphIndexHandle(spark, path)
+    GraphIndexHandle). `as_of=N` opens the commit-N snapshot."""
+    return GraphIndexHandle(spark, path, as_of=as_of)
 
 
 def _layer0(edges: DataFrame) -> DataFrame:

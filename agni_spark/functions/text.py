@@ -934,25 +934,33 @@ class TextIndexHandle:
     """An OPENED stored text index: n_buckets + the committed-commit
     list resolved once — the text twin of Graph/PQIndexHandle. Probes
     through a handle skip the per-call meta/manifest reads; the handle
-    pins the manifest snapshot read at open (reopen to see appends)."""
+    pins the manifest snapshot read at open (reopen to see appends).
+    `as_of` pins an older snapshot (time travel): BM25 corpus stats
+    (n_docs/avgdl/df) fold over the pinned commits only, so a
+    historical probe scores against the historical corpus."""
 
-    def __init__(self, spark, path: str):
-        from agni_spark.functions.simsearch import _committed, _tombstones
+    def __init__(self, spark, path: str, as_of: int | None = None):
+        from agni_spark.functions.simsearch import (
+            _snapshot_commits,
+            _tombstones,
+        )
 
         self.path = path
         self.n_buckets = int(
             spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
         )
-        self.commits = _committed(spark, path)
+        self.commits = _snapshot_commits(spark, path, as_of)
         # doc_id tombstones (delete_from_index(id_col='doc_id')) —
         # None on the common tombstone-free index
         self.tombstones = _tombstones(spark, path, self.commits)
 
 
-def open_text_index(spark, path: str) -> TextIndexHandle:
+def open_text_index(
+    spark, path: str, as_of: int | None = None
+) -> TextIndexHandle:
     """Open a stored text index for repeated probing (see
-    TextIndexHandle)."""
-    return TextIndexHandle(spark, path)
+    TextIndexHandle). `as_of=N` opens the commit-N snapshot."""
+    return TextIndexHandle(spark, path, as_of=as_of)
 
 
 def bm25_topk_indexed(
