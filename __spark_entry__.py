@@ -1671,6 +1671,15 @@ def _q_simsearch_ivf_upserted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_pipeline_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    # per-domain cap (round 11): keep the 25 longest docs per source —
+    # the C4/RefinedWeb curation step that stops one host dominating
+    # the mixture. Skew-safe two-phase top-k (see text.domain_cap);
+    # the oracle is the naive single-window rank the two-phase plan is
+    # provably identical to.
+    return text.domain_cap(_docs(spark, sf), cap=25)
+
+
 def _q_simsearch_ivf_asof(spark: SparkSession, sf: str) -> DataFrame:
     # TIME TRAVEL on the stored IVF index (round 11): build the even
     # half (commit 0), append the odd half (commit 1), then upsert the
@@ -2710,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index families; see simsearch._snapshot_commits)
         "simsearch_ivf_asof": _q_simsearch_ivf_asof,
         "text_index_asof": _q_text_index_asof,
+        "pipeline_domain_cap": _q_pipeline_domain_cap,
         # rotated OUT of the window in round 11, still fully gated:
         "text_bm25_topk": _q_text_bm25_topk,
         "simsearch_cosine_topk": _q_simsearch_topk,
@@ -6523,6 +6533,16 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         # full-corpus BM25 (the commit-2 delete invisible)
         "simsearch_ivf_asof": _SQL_SIMSEARCH_IVF_APPEND,
         "text_index_asof": _SQL_BM25,
+        # the two-phase skew-safe top-k is provably identical to the
+        # naive per-domain rank window — which IS the oracle
+        "pipeline_domain_cap": """
+SELECT doc_id, domain, CAST(rn AS INT) AS rank_in_domain FROM (
+  SELECT doc_id, source AS domain,
+         row_number() OVER (PARTITION BY source
+           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= 25 ORDER BY domain, rank_in_domain
+""",
         # MMR greedy diversification replayed as a recursive CTE: each
         # recursion step LATERAL-argmaxes the not-yet-picked candidate
         # by lam*rel - (1-lam)*max sim to the picked set — identical

@@ -1467,3 +1467,63 @@ def vocab_coverage(docs: DataFrame, k: int = 100) -> DataFrame:
             / 1e6
         ).alias("coverage"),
     ).orderBy("rank")
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = 1000,
+    domain_col: str = "source",
+    score: Column | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-domain document cap — the web-corpus curation step that
+    keeps the best `cap` documents of every domain so no single host
+    dominates the training mixture (the "per-domain cap" of C4/
+    RefinedWeb-style recipes). Ranking is by `score` descending
+    (default: n_chars — callers pass any quality column, e.g. a
+    gopher_rules/quality_score output), doc_id ascending on ties, so
+    the kept set is fully deterministic.
+
+    Scale: a single rank window partitioned by domain would shuffle
+    every row of a mega-domain into ONE task — the classic hot-key
+    skew. This runs the standard two-phase top-k instead: phase 1
+    ranks within (domain, salt) — salt = hash(doc_id) % salt_buckets —
+    and keeps `cap` per salted group, bounding any domain's survivors
+    to salt_buckets * cap rows; phase 2 ranks the bounded survivor set
+    by domain for the exact global answer. Phase 1 can never evict a
+    true top-cap row (a row beaten by `cap` others in its own salt
+    bucket is beaten by `cap` others in the whole domain), so the
+    result is identical to the naive single window — only the shuffle
+    skew changes. Returns (doc_id, domain, rank_in_domain)."""
+    from pyspark.sql import Window
+
+    from agni_spark.functions.dedup import hash60
+
+    s = (score if score is not None else F.col("n_chars")).cast("double")
+    base = docs.select(
+        "doc_id", F.col(domain_col).alias("domain"), s.alias("_score")
+    )
+    salted = base.withColumn(
+        "_salt",
+        F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(salt_buckets)),
+    )
+    w1 = Window.partitionBy("domain", "_salt").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= cap)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("domain").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("rank_in_domain", F.row_number().over(w2))
+        .where(F.col("rank_in_domain") <= cap)
+        .select(
+            "doc_id", "domain",
+            F.col("rank_in_domain").cast("int").alias("rank_in_domain"),
+        )
+        .orderBy("domain", "rank_in_domain")
+    )

@@ -2655,3 +2655,52 @@ def test_compact_entry_refresh_uses_persisted_n_entries(spark, tmp_path):
     assert int(m2.n_entries) == 8
     assert calls == [8, 8], calls  # never shrank to len(entries) == 3
     assert len(m2.entries) > 3, list(m2.entries)  # set recovered
+
+
+def test_domain_cap_matches_naive_window_under_skew(spark):
+    # one mega-domain (80% of rows) + small domains; the two-phase
+    # skew-safe plan must equal the naive single-window rank exactly,
+    # ties broken by doc_id
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(400):
+        rows.append((i, "hot.example", (i * 37) % 50))
+    for i in range(400, 500):
+        rows.append((i, f"site{i % 7}.example", (i * 11) % 50))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    got = [tuple(r) for r in text.domain_cap(docs, cap=5).collect()]
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").cast("double").desc(), F.col("doc_id").asc()
+    )
+    want = [
+        tuple(r)
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "doc_id", F.col("source").alias("domain"),
+            F.col("rn").cast("int").alias("rank_in_domain"),
+        )
+        .orderBy("domain", "rank_in_domain")
+        .collect()
+    ]
+    assert got == want and len(got) == 5 * 8
+
+
+def test_domain_cap_custom_score(spark):
+    # rank by a caller-supplied quality column, not n_chars
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10, 0.2), (2, "a", 5, 0.9), (3, "a", 7, 0.5),
+         (4, "b", 9, 0.1)],
+        "doc_id long, source string, n_chars long, quality double",
+    )
+    got = [
+        (r.doc_id, r.rank_in_domain)
+        for r in text.domain_cap(docs, cap=2, score=F.col("quality")).collect()
+    ]
+    assert got == [(2, 1), (3, 2), (4, 1)]
