@@ -1671,6 +1671,45 @@ def _q_simsearch_ivf_upserted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_sq8_stored(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF-SQ8 (round 11): the third compression point (flat -> SQ8 ->
+    # PQ). Build trains the coarse quantizer AND the per-dim scalar
+    # bounds; the probe scan reads int codes only (4x smaller than
+    # fp32) and scores full-precision queries against dequantized
+    # candidates. Full oracle: the whole chain in SQL — kmeans cells,
+    # min/max bounds, floor-discretized codes, dequantized cosine.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_sq8_")
+    simsearch.write_sq_index(e, path, n_centroids=8)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.sq_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
+def _q_simsearch_sq8_upserted(spark: SparkSession, sf: str) -> DataFrame:
+    # UPSERT on the stored IVF-SQ8 index: %9==0 vectors replaced by
+    # their negation — re-encoded against the FROZEN bounds (negated
+    # values clamp at the trained lo, exactly as the oracle's
+    # least/greatest does). Oracle: bounds from the ORIGINAL corpus,
+    # cells/deq from the post-upsert corpus.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_sq8_up_")
+    simsearch.write_sq_index(e, path, n_centroids=8)
+    ups = e.where(F.col("vec_id") % 9 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    simsearch.upsert_sq_index(spark, path, ups)
+    queries_df = e.where(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.sq_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_pipeline_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     # per-domain cap (round 11): keep the 25 longest docs per source —
     # the C4/RefinedWeb curation step that stops one host dominating
@@ -2720,6 +2759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_asof": _q_simsearch_ivf_asof,
         "text_index_asof": _q_text_index_asof,
         "pipeline_domain_cap": _q_pipeline_domain_cap,
+        # round-11 IVF-SQ8 family (scalar quantization; see
+        # simsearch.write_sq_index / sq_ann_stored)
+        "simsearch_sq8_stored": _q_simsearch_sq8_stored,
+        "simsearch_sq8_upserted": _q_simsearch_sq8_upserted,
         # rotated OUT of the window in round 11, still fully gated:
         "text_bm25_topk": _q_text_bm25_topk,
         "simsearch_cosine_topk": _q_simsearch_topk,
@@ -3506,6 +3549,71 @@ WHERE rk <= {k} ORDER BY query_id, rk
 
 
 _SQL_SIMSEARCH_IVF = _sql_simsearch_ivf()
+def _sql_simsearch_sq8(
+    bounds_src: str = "embeddings",
+    corpus_src: str = "embeddings",
+    cents_src: str = "embeddings",
+    query_where: str = "vec_id < 5",
+    k: int = 10,
+) -> str:
+    """IVF-SQ8 probe mirror: the IVF chain with the candidate side
+    scored against its SQ8 dequantization instead of the raw vector.
+    `bounds_src` is the scalar quantizer's training corpus (frozen at
+    build — the upsert oracle keeps it at the ORIGINAL corpus while
+    `corpus_src` moves to the post-upsert state). Codes discretize
+    with floor(t*255 + 0.5) on both engines (cross-engine round() tie
+    semantics differ); a degenerate dimension (hi == lo) dequantizes
+    to lo exactly."""
+    return f"""
+WITH {_sql_kmeans_cents(cents_src)},
+cells AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, ct.centroid_id,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM {corpus_src} c CROSS JOIN cents ct) WHERE rn = 1),
+bounds AS (
+  SELECT pos, min(val) AS lo, max(val) AS hi FROM (
+    SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS val
+    FROM {bounds_src}) GROUP BY pos),
+deq AS (
+  SELECT vec_id, list(xhat ORDER BY pos) AS xhat FROM (
+    SELECT u.vec_id, b.pos,
+      CASE WHEN b.hi = b.lo THEN b.lo
+           ELSE b.lo
+             + floor(least(greatest((u.val - b.lo) / (b.hi - b.lo), 0), 1)
+                     * 255 + 0.5) / 255.0 * (b.hi - b.lo)
+      END AS xhat
+    FROM (SELECT vec_id,
+                 generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+                 unnest(CAST(embedding AS DOUBLE[])) AS val
+          FROM {corpus_src}) u
+    JOIN bounds b USING (pos)) GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM {corpus_src} WHERE {query_where}),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, ct.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round(list_cosine_similarity(q.qe, ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents ct) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+    CASE WHEN list_dot_product(d.xhat, d.xhat) = 0 THEN 0.0
+         ELSE round(list_cosine_similarity(p.qe, d.xhat), 6) END AS cos
+  FROM probes p JOIN cells c USING (centroid_id)
+  JOIN deq d ON d.vec_id = c.vec_id
+  WHERE c.vec_id <> p.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
+WHERE rk <= {k} ORDER BY query_id, rk
+"""
+
+
 _SQL_SIMSEARCH_IVF_APPEND = _sql_simsearch_ivf(
     "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
 )
@@ -6535,6 +6643,17 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "text_index_asof": _SQL_BM25,
         # the two-phase skew-safe top-k is provably identical to the
         # naive per-domain rank window — which IS the oracle
+        "simsearch_sq8_stored": _sql_simsearch_sq8(),
+        "simsearch_sq8_upserted": _sql_simsearch_sq8(
+            bounds_src="embeddings",
+            cents_src="embeddings",
+            corpus_src=(
+                "(SELECT vec_id, CASE WHEN vec_id % 9 = 0 THEN "
+                "list_transform(embedding, x -> -x) ELSE embedding END "
+                "AS embedding FROM embeddings)"
+            ),
+            query_where="vec_id BETWEEN 1 AND 5",
+        ),
         "pipeline_domain_cap": """
 SELECT doc_id, domain, CAST(rn AS INT) AS rank_in_domain FROM (
   SELECT doc_id, source AS domain,

@@ -4134,3 +4134,275 @@ def reduced_rerank_topk(
         )
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the third point on the compression
+# spectrum this module serves (flat fp32 -> SQ8 int8 -> PQ codes),
+# FAISS's IndexIVFScalarQuantizer lane re-expressed on the shared
+# commit-partition layout. Each dimension is quantized independently
+# to 8 bits against per-dimension [lo, hi] bounds trained at build
+# time (the frozen model, like the IVF centroids and PQ codebooks);
+# serving reads int codes only — 4x smaller than fp32 — and scores
+# queries asymmetrically (full-precision query vs dequantized
+# candidate), the standard SQ-ADC trade: far better recall than PQ at
+# 4x (not 16x+) compression.
+# ---------------------------------------------------------------------------
+SQ_INDEX_SUBDIRS = [("codes", "centroid_id")]
+
+
+def sq8_bounds(corpus: DataFrame) -> tuple[list[float], list[float]]:
+    """Train per-dimension [lo, hi] quantization bounds: one
+    posexplode + one (pos)-keyed min/max aggregation — a single
+    map-side-combined shuffle of dim-sized partials, nothing
+    corpus-sized reaches the driver (dim rows do)."""
+    rows = (
+        corpus.select(F.posexplode(F.col("embedding")).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    return [float(r.lo) for r in rows], [float(r.hi) for r in rows]
+
+
+def _sq8_codes(vec_col, lo: list[float], hi: list[float]):
+    """codes[i] = floor(clamp((x_i - lo_i)/(hi_i - lo_i), 0, 1)*255
+    + 0.5) — the floor(t + 0.5) discretization both engines share
+    (never round(): cross-engine tie semantics differ). A degenerate
+    dimension (hi == lo) codes to 0 and dequantizes to lo exactly."""
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    hi_a = F.array(*[F.lit(float(v)) for v in hi])
+
+    def enc(x, i):
+        l_ = F.element_at(lo_a, i + 1)
+        h_ = F.element_at(hi_a, i + 1)
+        t = (x.cast("double") - l_) / (h_ - l_)
+        t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+        return (
+            F.when(h_ == l_, F.lit(0.0)).otherwise(F.floor(t * 255.0 + 0.5))
+        ).cast("int")
+
+    return F.transform(vec_col, enc)
+
+
+def _sq8_dequant(codes_col, lo: list[float], hi: list[float]):
+    """xhat_i = lo_i + codes_i/255 * (hi_i - lo_i), double arithmetic
+    in the same operation order as the oracle SQL."""
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    hi_a = F.array(*[F.lit(float(v)) for v in hi])
+
+    def dec(c, i):
+        l_ = F.element_at(lo_a, i + 1)
+        h_ = F.element_at(hi_a, i + 1)
+        return l_ + c.cast("double") / F.lit(255.0) * (h_ - l_)
+
+    return F.transform(codes_col, dec)
+
+
+def write_sq_index(
+    corpus: DataFrame, path: str, n_centroids: int = 8, iters: int = 1,
+    centroids: DataFrame | None = None,
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> None:
+    """Build + persist an IVF-SQ8 index: `codes/` parquet partitioned
+    by (commit, centroid_id) holding int8-range code arrays instead of
+    raw vectors, `centroids/` (the coarse quantizer), `meta/` (the
+    per-dimension lo/hi bounds — the frozen scalar quantizer), and
+    `manifest/` written LAST (the commit idiom every stored index here
+    shares, so append/upsert/delete/compact/vacuum/stats/as_of all
+    work through the generic machinery). Routing uses the RAW vector
+    against the coarse quantizer; only the stored payload is
+    quantized — a probe's scan reads nprobe partition dirs of int
+    codes and never touches an fp32 embedding.
+
+    `centroids`/`bounds` pin a precomputed model instead of training
+    from this corpus (tests rebuild an index equivalent to
+    build+append with them, mirroring write_ivf_index)."""
+    spark = corpus.sparkSession
+    cents = (
+        centroids if centroids is not None
+        else ivf_centroids(corpus, n_centroids, iters)
+    )
+    lo, hi = bounds if bounds is not None else sq8_bounds(corpus)
+    cells = _nearest_centroids(
+        corpus.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    (
+        cells.select(
+            "vec_id", "centroid_id",
+            _sq8_codes(F.col("ce"), lo, hi).alias("codes"),
+        )
+        .withColumn("commit", F.lit(0).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    cents.select(
+        "centroid_id", F.col("cvec").cast("array<double>").alias("cvec")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(lo, hi, len(lo))], "lo array<double>, hi array<double>, dim int"
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_index_manifest(spark, path, [0])
+
+
+def _sq_encode_cells(spark, path: str, new_vectors: DataFrame) -> DataFrame:
+    """Assign new vectors to the FROZEN coarse quantizer and encode
+    them with the FROZEN bounds — the shared append/upsert payload."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    meta = spark.read.parquet(f"{path}/meta").first()
+    lo, hi = list(meta.lo), list(meta.hi)
+    cells = _nearest_centroids(
+        new_vectors.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    return cells.select(
+        "vec_id", "centroid_id", _sq8_codes(F.col("ce"), lo, hi).alias("codes")
+    )
+
+
+def append_sq_index(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> None:
+    """Incremental IVF-SQ8 maintenance: frozen quantizer + frozen
+    bounds, new commit partition, manifest last — O(new rows), same
+    replay contract as append_ivf_index (batch_id recorded in the
+    manifest row, <= max applied id skips)."""
+    rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return
+    commits = [c for c, _ in rows]
+    nxt = max(commits) + 1
+    _clear_uncommitted_commit(spark, path, SQ_INDEX_SUBDIRS, nxt)
+    (
+        _sq_encode_cells(spark, path, new_vectors)
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
+
+
+def upsert_sq_index(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> int | None:
+    """UPSERT into a stored IVF-SQ8 index: one atomic commit carrying
+    a horizon-scoped tombstone for the upserted vec_ids plus their
+    re-encoded replacement codes — identical semantics and crash
+    contract to upsert_ivf_index (which see)."""
+    rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return None
+    commits = [c for c, _ in rows]
+    nxt = max(commits) + 1
+    _clear_uncommitted_commit(
+        spark, path, SQ_INDEX_SUBDIRS + [("tombstones", None)], nxt
+    )
+    _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
+    (
+        _sq_encode_cells(spark, path, new_vectors)
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
+    return nxt
+
+
+class SqIndexHandle:
+    """An OPENED stored IVF-SQ8 index: bounds + centroid table + the
+    committed codes scan resolved once at open (serving twin of the
+    other *IndexHandle classes; manifest snapshot pinned at open;
+    `as_of` time travel — sound because both the coarse quantizer and
+    the scalar bounds are frozen at build time)."""
+
+    def __init__(self, spark, path: str, as_of: int | None = None):
+        self.path = path
+        self.cents = spark.read.parquet(f"{path}/centroids")
+        meta = spark.read.parquet(f"{path}/meta").first()
+        self.lo, self.hi = list(meta.lo), list(meta.hi)
+        self.commits = _snapshot_commits(spark, path, as_of)
+        self.codes = spark.read.parquet(f"{path}/codes").where(
+            F.col("commit").isin(self.commits)
+        )
+        self.tombstones = _tombstones(spark, path, self.commits)
+
+
+def open_sq_index(
+    spark, path: str, as_of: int | None = None
+) -> SqIndexHandle:
+    """Open a stored IVF-SQ8 index for repeated probing (see
+    SqIndexHandle). `as_of=N` opens the commit-N snapshot."""
+    return SqIndexHandle(spark, path, as_of=as_of)
+
+
+def sq_ann_stored(
+    spark, index, queries: DataFrame, k: int = 10, nprobe: int = 2,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Probe a stored IVF-SQ8 index: route each query to its nprobe
+    nearest coarse centroids (broadcast centroid table — dynamic
+    partition pruning on the codes scan, same plan shape as
+    ivf_ann_stored), dequantize ONLY the candidate codes with the
+    handle's bounds, and rank by exact cosine against the
+    full-precision query (asymmetric SQ distance). The corpus-sized
+    table in flight is the pruned int-codes scan; fp32 embeddings are
+    never read. `allowed`/tombstones behave exactly as on the IVF
+    probe (filter before the rank; horizon-scoped exclusions)."""
+    h = index if isinstance(index, SqIndexHandle) else SqIndexHandle(
+        spark, index
+    )
+    probes = _nearest_centroids(
+        queries.select("query_id", F.col("embedding").alias("qe")),
+        h.cents, "query_id", "qe", nprobe,
+    )
+    cand = h.codes.join(probes, "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if allowed is not None:
+        cand = cand.join(
+            allowed.select("vec_id").distinct(), "vec_id", "semi"
+        )
+    cand = _anti_tombstones(cand, h.tombstones)
+    # zero-norm guard: a candidate whose every dimension clamps at the
+    # trained lo can dequantize to the all-zero vector (e.g. an upsert
+    # far outside the frozen bounds); a zero vector has no direction,
+    # so score it 0 instead of dividing by zero — the oracle carries
+    # the same CASE (see _sql_simsearch_sq8)
+    xhat = _sq8_dequant(F.col("codes"), h.lo, h.hi)
+    nx = F.aggregate(xhat, F.lit(0.0), lambda acc, v: acc + v * v)
+    scored = (
+        cand.repartition(F.col("query_id"), F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(nx == 0, F.lit(0.0))
+            .otherwise(F.round(cosine(F.col("qe"), xhat), 6))
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk")
+        )
+        .orderBy("query_id", "rk")
+    )

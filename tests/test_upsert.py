@@ -309,3 +309,83 @@ def test_text_upsert_survivor_exact_stats_and_phrase(spark):
     )
     assert _rows(text.phrase_topk_indexed(spark, path, "alpha beta", k=10)) \
         == [(9, 2, 1), (0, 1, 2)]
+
+# --- IVF-SQ8 family (round 11) ---------------------------------------------
+
+
+def test_sq8_append_equals_rebuild(spark, emb, queries):
+    # build evens + append odds == a fresh full-corpus build with the
+    # SAME frozen model (centroids + bounds) — append must not retrain
+    path = tempfile.mkdtemp(prefix="sq8_app_")
+    evens = emb.where(F.col("vec_id") % 2 == 0)
+    simsearch.write_sq_index(evens, path, n_centroids=4)
+    simsearch.append_sq_index(
+        spark, path,
+        emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    got = _rows(simsearch.sq_ann_stored(spark, path, queries, k=8, nprobe=2))
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    fresh = tempfile.mkdtemp(prefix="sq8_fresh_")
+    simsearch.write_sq_index(
+        emb, fresh,
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        bounds=(list(meta.lo), list(meta.hi)),
+    )
+    want = _rows(simsearch.sq_ann_stored(spark, fresh, queries, k=8,
+                                         nprobe=2))
+    assert got == want and len(got) > 0
+
+
+def test_sq8_upsert_hides_old_rows_and_survives_compact(spark, emb, queries):
+    path = tempfile.mkdtemp(prefix="sq8_up_")
+    simsearch.write_sq_index(emb, path, n_centroids=4)
+    simsearch.upsert_sq_index(spark, path,
+                              _neg(emb.where(F.col("vec_id") % 9 == 0)))
+    before = _rows(simsearch.sq_ann_stored(spark, path, queries, k=8,
+                                           nprobe=2))
+    # each upserted id appears at most once across all commits served
+    h = simsearch.open_sq_index(spark, path)
+    from pyspark.sql import functions as SF
+    served = simsearch._anti_tombstones(h.codes, h.tombstones)
+    dup = (
+        served.groupBy("vec_id").count().where(SF.col("count") > 1).count()
+    )
+    assert dup == 0
+    # compaction folds the tombstone physically; results unchanged
+    simsearch.compact_index(spark, path, simsearch.SQ_INDEX_SUBDIRS)
+    assert _rows(simsearch.sq_ann_stored(spark, path, queries, k=8,
+                                         nprobe=2)) == before
+
+
+def test_sq8_delete_and_asof(spark, emb, queries):
+    path = tempfile.mkdtemp(prefix="sq8_del_")
+    simsearch.write_sq_index(emb, path, n_centroids=4)
+    pre = _rows(simsearch.sq_ann_stored(spark, path, queries, k=8, nprobe=2))
+    victims = {int(r.vec_id) for r in
+               emb.where(F.col("vec_id") % 5 == 0).collect()}
+    simsearch.delete_from_index(
+        spark, path, emb.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+        simsearch.SQ_INDEX_SUBDIRS,
+    )
+    post = simsearch.sq_ann_stored(spark, path, queries, k=8, nprobe=2)
+    assert not {int(r.vec_id) for r in post.collect()} & victims
+    # as_of=0 serves the pre-delete snapshot
+    h0 = simsearch.open_sq_index(spark, path, as_of=0)
+    assert _rows(simsearch.sq_ann_stored(spark, h0, queries, k=8,
+                                         nprobe=2)) == pre
+
+
+def test_sq8_codes_in_byte_range_and_dpp(spark, emb, queries):
+    path = tempfile.mkdtemp(prefix="sq8_rng_")
+    simsearch.write_sq_index(emb, path, n_centroids=4)
+    codes = spark.read.parquet(f"{path}/codes")
+    bad = codes.select(
+        F.explode("codes").alias("c")
+    ).where((F.col("c") < 0) | (F.col("c") > 255)).count()
+    assert bad == 0
+    out = simsearch.sq_ann_stored(spark, path, queries, k=5, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "FileScan" in l and "dynamicpruning" in l for l in plan.splitlines()
+    )
