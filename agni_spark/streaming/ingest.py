@@ -94,7 +94,7 @@ def stream_ann_index(
     for the IVF layout), independent of how the files split into
     micro-batches. Returns the started StreamingQuery.
 
-    `mode='upsert'` (round 11, ivf/pq only) turns the stream into CDC
+    `mode='upsert'` (round 11, ivf/pq/sq) turns the stream into CDC
     ingestion: each micro-batch REPLACES-or-inserts its vec_ids via
     upsert_ivf_index / upsert_pq_index — a horizon-scoped tombstone
     plus the frozen-model re-encoding in one manifest swap per batch,
@@ -110,8 +110,10 @@ def stream_ann_index(
         append_graph_index,
         append_ivf_index,
         append_pq_index,
+        append_sq_index,
         upsert_ivf_index,
         upsert_pq_index,
+        upsert_sq_index,
     )
 
     if mode not in ("append", "upsert"):
@@ -123,12 +125,17 @@ def stream_ann_index(
                 "over a replaced vector would mis-route) — stream "
                 "mode='append' and use delete + compact for removals"
             )
-        append = {"ivf": upsert_ivf_index, "pq": upsert_pq_index}[index_kind]
+        append = {
+            "ivf": upsert_ivf_index,
+            "pq": upsert_pq_index,
+            "sq": upsert_sq_index,
+        }[index_kind]
     else:
         append = {
             "ivf": append_ivf_index,
             "pq": append_pq_index,
             "graph": append_graph_index,
+            "sq": append_sq_index,
         }[index_kind]
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger is not None:

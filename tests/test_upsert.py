@@ -389,3 +389,36 @@ def test_sq8_codes_in_byte_range_and_dpp(spark, emb, queries):
     assert any(
         "FileScan" in l and "dynamicpruning" in l for l in plan.splitlines()
     )
+
+
+def test_streamed_sq_upsert_equals_one_shot(spark, emb, queries, tmp_path):
+    # the SQ family rides the same CDC wrapper: streamed upserts in
+    # >= 2 micro-batches equal one batch upsert of the same rows
+    from agni_spark.streaming import ingest as streaming
+
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 4 == 1,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    ).select("vec_id", "embedding")
+    spath = str(tmp_path / "sqidx")
+    simsearch.write_sq_index(poisoned, spath, n_centroids=4)
+    src = str(tmp_path / "sqsrc")
+    emb.where(F.col("vec_id") % 4 == 1).repartition(2).write.parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "sqckpt"),
+        max_files_per_trigger=1, index_kind="sq", mode="upsert",
+    )
+    q.awaitTermination()
+    got = _rows(simsearch.sq_ann_stored(spark, spath, queries, k=8, nprobe=2))
+
+    opath = str(tmp_path / "sqidx2")
+    simsearch.write_sq_index(poisoned, opath, n_centroids=4)
+    simsearch.upsert_sq_index(
+        spark, opath, emb.where(F.col("vec_id") % 4 == 1)
+    )
+    assert got == _rows(
+        simsearch.sq_ann_stored(spark, opath, queries, k=8, nprobe=2)
+    ) and len(got) > 0
