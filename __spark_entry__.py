@@ -1710,6 +1710,73 @@ def _q_simsearch_sq8_upserted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.sq_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_recall_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # ANN EVALUATION (round 11): per-query recall@10 of the IVF probe
+    # against the exact cosine ground truth — the tuning loop every
+    # index deployment runs (sweep nprobe, read this, pick the knee).
+    # Full oracle: both chains (IVF + exact top-k) nested as
+    # subqueries plus the recall arithmetic.
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = simsearch.ivf_ann(e, queries_df, k=10, n_centroids=8, nprobe=2)
+    exact = simsearch.cosine_topk(e, queries_df, k=10)
+    return simsearch.recall_at_k(approx, exact, k=10)
+
+
+def _q_simsearch_ivf_reindexed(spark: SparkSession, sf: str) -> DataFrame:
+    # OFFLINE REINDEX (round 11): a build+append index's quantizer was
+    # trained on the even half only; deletes (%31) leave pending
+    # tombstones. reindex_ivf reads the LIVE vectors, retrains on
+    # everything, and writes a fresh index — pinned bit-identical to
+    # write_ivf_index over the surviving corpus, which IS the oracle
+    # (the IVF chain over embeddings minus the deleted ids).
+    import tempfile
+
+    e = _emb(spark, sf)
+    src = tempfile.mkdtemp(prefix="agni_ivf_reidx_src_")
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), src,
+                              n_centroids=8)
+    simsearch.append_ivf_index(
+        spark, src,
+        e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    simsearch.delete_from_index(
+        spark, src, e.where(F.col("vec_id") % 31 == 0).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="agni_ivf_reidx_dst_")
+    simsearch.reindex_ivf(spark, src, dst, n_centroids=8)
+    queries_df = e.where(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_ann_stored(spark, dst, queries_df, k=10, nprobe=2)
+
+
+def _q_simsearch_index_history(spark: SparkSession, sf: str) -> DataFrame:
+    # commit-history introspection (round 11): build (0), append (1),
+    # upsert with a streaming-style batch id (2, batch_id=7) — the
+    # listing is the discovery surface for as_of time travel and must
+    # surface the batch provenance the manifest records atomically.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_ivf_hist_")
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), path,
+                              n_centroids=8)
+    simsearch.append_ivf_index(
+        spark, path,
+        e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    simsearch.upsert_ivf_index(
+        spark, path,
+        e.where(F.col("vec_id") % 9 == 0).select("vec_id", "embedding"),
+        batch_id=7,
+    )
+    return simsearch.index_history(spark, path)
+
+
 def _q_pipeline_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     # per-domain cap (round 11): keep the 25 longest docs per source —
     # the C4/RefinedWeb curation step that stops one host dominating
@@ -2636,7 +2703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _querier(s, d).samples, DAY_MS, 0.9
         ).orderBy("series_id", "bucket_ms"),
         "promql_sum_by": _q_promql_sum_by,
-        "promql_topk": _q_promql_topk,
+        # round-11 rotation #2: the per-domain curation cap replaces
+        # promql_topk in the window (promql keeps 6 window reps incl.
+        # both parsed-frontend rows; topk stays oracle-gated after
+        # #50) — the skew-safe two-phase top-k is the curation tier's
+        # newest externally-checkable operator.
+        "pipeline_domain_cap": _q_pipeline_domain_cap,
         # round-10 rotation: the amortized stored-graph pagerank
         # replaces the frontend cache in the window (the results-cache
         # tier stays oracle-gated after #50; promql keeps 7 window
@@ -2686,10 +2758,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stored inverted index replaced lang_id in the window (lang_id
         # stays oracle-gated after #50): index-served search is the
         # richer external signal (build + append + pruned probe)
-        "text_index_search": _q_text_index_search,
+        # round-11 rotation #2: the TIME-TRAVEL BM25 probe replaces
+        # the plain index-served row — same full-corpus BM25 oracle
+        # (_SQL_BM25), so the BM25-through-the-index semantics stay
+        # externally pinned, and the as_of snapshot contract (a later
+        # delete must be invisible to a pinned handle) becomes the new
+        # externally-checked capability. text_index_search stays
+        # oracle-gated after #50.
+        "text_index_asof": _q_text_index_asof,
         # round-11 rotation: the positional-index phrase probe replaces
         # the scan-served BM25 row (the BM25 semantics stay windowed
-        # through text_index_search, which shares the scan oracle);
+        # through text_index_asof, which shares the scan oracle);
         # phrase adjacency over a positional layer is the new text
         # capability an external oracle should pin. text_bm25_topk
         # stays oracle-gated after #50.
@@ -2701,7 +2780,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics stay externally exercised inside the composition;
         # simsearch_cosine_topk stays oracle-gated after #50.
         "hybrid_rrf": _q_hybrid_rrf,
-        "simsearch_ivf_ann": _q_simsearch_ivf,
+        # round-11 rotation #2: the IVF-SQ8 stored probe replaces the
+        # in-memory IVF baseline (the IVF cell semantics stay windowed
+        # through simsearch_ivf_upserted / streaming_ivf_ingest, which
+        # share the composed kmeans chain); scalar quantization — the
+        # whole bounds->codes->dequantized-cosine chain — is the new
+        # family an external oracle should pin. simsearch_ivf_ann
+        # stays oracle-gated after #50.
+        "simsearch_sq8_stored": _q_simsearch_sq8_stored,
         # round-11 rotation: STREAMED GRAPH ingest replaces the stored
         # IVF probe in the window (the IVF family keeps ivf_ann /
         # ivf_filtered / streaming_ivf_ingest as window reps;
@@ -2755,14 +2841,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_index_stats": _q_simsearch_index_stats,
         "streaming_ivf_upsert": _q_streaming_ivf_upsert,
         # round-11 time travel (as_of= snapshot reads on the stored
-        # index families; see simsearch._snapshot_commits)
+        # index families; see simsearch._snapshot_commits;
+        # text_index_asof is IN the window)
         "simsearch_ivf_asof": _q_simsearch_ivf_asof,
-        "text_index_asof": _q_text_index_asof,
-        "pipeline_domain_cap": _q_pipeline_domain_cap,
-        # round-11 IVF-SQ8 family (scalar quantization; see
-        # simsearch.write_sq_index / sq_ann_stored)
-        "simsearch_sq8_stored": _q_simsearch_sq8_stored,
+        # round-11 IVF-SQ8 family (sq8_stored is IN the window)
         "simsearch_sq8_upserted": _q_simsearch_sq8_upserted,
+        # round-11 ops tier: evaluation, reindex, history
+        "simsearch_recall_ivf": _q_simsearch_recall_ivf,
+        "simsearch_ivf_reindexed": _q_simsearch_ivf_reindexed,
+        "simsearch_index_history": _q_simsearch_index_history,
+        # rotated OUT of the window in round 11 (second rotation),
+        # still fully oracle-gated:
+        "text_index_search": _q_text_index_search,
+        "simsearch_ivf_ann": _q_simsearch_ivf,
+        "promql_topk": _q_promql_topk,
         # rotated OUT of the window in round 11, still fully gated:
         "text_bm25_topk": _q_text_bm25_topk,
         "simsearch_cosine_topk": _q_simsearch_topk,
@@ -6643,6 +6735,35 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "text_index_asof": _SQL_BM25,
         # the two-phase skew-safe top-k is provably identical to the
         # naive per-domain rank window — which IS the oracle
+        # recall@10: both chains nested as scoped subqueries (each
+        # parenthesized WITH is its own CTE scope — no collisions) +
+        # the floor-discretized ratio
+        "simsearch_recall_ivf": f"""
+SELECT t.query_id,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  CAST(t.n_true AS BIGINT) AS n_true,
+  floor(coalesce(h.n_hit, 0) / t.n_true * 1e6 + 0.5) / 1e6 AS recall
+FROM (SELECT query_id, count(*) AS n_true
+      FROM ({_SQL_SIMSEARCH_TOPK}) e0 GROUP BY query_id) t
+LEFT JOIN (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM ({_sql_simsearch_ivf()}) a
+  JOIN ({_SQL_SIMSEARCH_TOPK}) e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id) h USING (query_id)
+ORDER BY query_id
+""",
+        # reindex: the retrained build over the LIVE corpus IS the
+        # canonical IVF chain over embeddings minus the deleted ids
+        "simsearch_ivf_reindexed": _sql_simsearch_ivf(
+            cents_src="(SELECT * FROM embeddings WHERE vec_id % 31 <> 0)",
+            corpus_src="(SELECT * FROM embeddings WHERE vec_id % 31 <> 0)",
+            query_where="vec_id BETWEEN 1 AND 5",
+        ),
+        "simsearch_index_history": """
+SELECT CAST(c AS BIGINT) AS commit, CAST(b AS BIGINT) AS batch_id
+FROM (VALUES (0, NULL), (1, NULL), (2, 7)) t(c, b) ORDER BY commit
+""",
         "simsearch_sq8_stored": _sql_simsearch_sq8(),
         "simsearch_sq8_upserted": _sql_simsearch_sq8(
             bounds_src="embeddings",

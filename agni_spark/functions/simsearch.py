@@ -4406,3 +4406,79 @@ def sq_ann_stored(
         )
         .orderBy("query_id", "rk")
     )
+
+
+def index_history(spark, path: str) -> DataFrame:
+    """The stored index's COMMIT HISTORY as a DataFrame — (commit,
+    batch_id) straight from the manifest, the companion introspection
+    to index_stats and the discovery surface for as_of time travel
+    (you pick a snapshot FROM this listing). batch_id carries the
+    streaming micro-batch provenance recorded atomically with each
+    commit (NULL for batch-API writes). O(#commits) rows; the manifest
+    is a single tiny parquet."""
+    rows = _manifest_rows(spark, path)
+    return spark.createDataFrame(
+        [(int(c), b) for c, b in rows], "commit long, batch_id long"
+    ).orderBy("commit")
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
+    """ANN EVALUATION: per-query recall@k of an approximate result
+    against the exact ground truth — the tuning loop every index
+    deployment runs (sweep nprobe/beam, read this, pick the knee).
+    Both inputs are (query_id, vec_id, ..., rk) frames as every probe
+    here returns. Returns (query_id, n_hit, n_true, recall) with
+    recall 6dp-floored for cross-engine hashing.
+
+    Scale: both sides are already top-k bounded (queries x k rows) —
+    the join and aggregations are trivially small no matter the corpus
+    behind them; the expensive parts (the probes) stay in their own
+    pruned plans."""
+    a = approx.where(F.col("rk") <= k).select("query_id", "vec_id")
+    t = exact.where(F.col("rk") <= k).select("query_id", "vec_id")
+    hit = a.join(t, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        tot.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.col("n_true").cast("long").alias("n_true"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("n_true") * 1e6 + 0.5
+                ) / 1e6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def reindex_ivf(
+    spark, src_path: str, dst_path: str, n_centroids: int = 8,
+    iters: int = 1,
+) -> None:
+    """OFFLINE REINDEX: read the LIVE vectors of a stored IVF index
+    (committed cells minus tombstoned/superseded rows — deletes and
+    upserts resolve exactly as probes resolve them), RETRAIN the
+    coarse quantizer on them, and write a fresh index at `dst_path`.
+    This is the ops answer to quantizer drift: appends assign to
+    frozen centroids, so after the corpus doubles the cells skew and
+    probes lose recall; a reindex restores the canonical
+    trained-on-everything build (pinned: reindexing a build+append
+    index equals write_ivf_index over the full corpus — same seeded
+    kmeans, so the result is bit-identical, not merely similar).
+
+    Scale: one pass over the committed cells (column-pruned to
+    vec_id/ce/commit) + the standard build; src stays live and
+    unmodified throughout — cutover is the caller swapping paths, and
+    the old index remains probeable until then."""
+    h = IvfIndexHandle(spark, src_path)
+    live = _anti_tombstones(h.cells, h.tombstones)
+    write_ivf_index(
+        live.select("vec_id", F.col("ce").alias("embedding")),
+        dst_path, n_centroids=n_centroids, iters=iters,
+    )

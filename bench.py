@@ -106,6 +106,7 @@ _WARM_SPECS = {
     "simsearch_graph_hnsw",
     "text_index",
     "simsearch_ivfpq_stored",
+    "simsearch_sq8_stored",
 }
 
 # module-level artifact shared between the graph spec and the
@@ -257,6 +258,23 @@ def _probe_specs():
             k=10, k_each=20, nprobe=2,
         ).count()
 
+    def sq_setup(spark, sf_dir):
+        # round-11 IVF-SQ8: same probe shape as simsearch_ivf_stored
+        # but the candidate scan reads int8-range codes (4x smaller
+        # than fp32) and dequantizes in-expression — the delta between
+        # the two probe rows IS the quantization trade at this SF
+        e = entry_mod._emb(spark, sf_dir)
+        q = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        path = tempfile.mkdtemp(prefix="bench_sq_")
+        simsearch.write_sq_index(e, path, n_centroids=8)
+        return (simsearch.open_sq_index(spark, path), q)
+
+    def sq_probe(spark, ctx):
+        handle, q = ctx
+        simsearch.sq_ann_stored(spark, handle, q, k=10, nprobe=2).count()
+
     def pagerank_setup(spark, sf_dir):
         # reuse the index graph_setup built (runs earlier in the spec
         # list); fall back to building one if specs ever run alone
@@ -295,6 +313,9 @@ def _probe_specs():
         # both builds are already recorded rows)
         ("text_phrase", phrase_setup, phrase_probe, True),
         ("hybrid_rrf", hybrid_setup, hybrid_probe, False),
+        # round-11: scalar-quantized serving — probe vs
+        # simsearch_ivf_stored_probe measures the SQ8 trade
+        ("simsearch_sq8_stored", sq_setup, sq_probe, True),
     ]
 
 

@@ -213,3 +213,61 @@ def test_lsh_asof_hides_later_append(spark):
     assert _rows(
         simsearch.lsh_ann_stored(spark, h0, q, k=8, n_planes=3)
     ) == before
+
+
+def test_index_history_lists_manifest_truth(spark, emb):
+    path = tempfile.mkdtemp(prefix="hist_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    simsearch.append_ivf_index(
+        spark, path,
+        spark.createDataFrame([(100, [3.0] * 8)],
+                              "vec_id long, embedding array<float>"),
+        batch_id=4,
+    )
+    got = [(r.commit, r.batch_id)
+           for r in simsearch.index_history(spark, path).collect()]
+    assert got == [(0, None), (1, 4)]
+
+
+def test_recall_at_k_bounds(spark, emb, queries):
+    from agni_spark.functions.simsearch import cosine_topk, recall_at_k
+
+    exact = cosine_topk(emb, queries, k=5)
+    perfect = recall_at_k(exact, exact, k=5)
+    assert all(r.recall == 1.0 for r in perfect.collect())
+    # k smaller than the frames' rk bound still compares k-for-k
+    part = recall_at_k(exact.where(F.col("rk") > 2), exact, k=5)
+    assert all(r.n_hit == 3 and r.n_true == 5 for r in part.collect())
+
+
+def test_reindex_folds_upserts_and_deletes(spark, emb, queries):
+    # upsert (%9 negated) + delete (%5) then reindex: the new index
+    # must equal a fresh build over exactly the surviving live corpus
+    src = tempfile.mkdtemp(prefix="reidx_src_")
+    simsearch.write_ivf_index(emb, src, n_centroids=4)
+    simsearch.upsert_ivf_index(spark, src,
+                               _neg(emb.where(F.col("vec_id") % 9 == 0)))
+    simsearch.delete_from_index(
+        spark, src, emb.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="reidx_dst_")
+    simsearch.reindex_ivf(spark, src, dst, n_centroids=4)
+
+    live = (
+        emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 9 == 0,
+                   F.transform("embedding", lambda x: -x))
+            .otherwise(F.col("embedding")),
+        )
+        .where(F.col("vec_id") % 5 != 0)
+        .select("vec_id", "embedding")
+    )
+    fresh = tempfile.mkdtemp(prefix="reidx_fresh_")
+    simsearch.write_ivf_index(live, fresh, n_centroids=4)
+    assert _rows(
+        simsearch.ivf_ann_stored(spark, dst, queries, k=8, nprobe=2)
+    ) == _rows(
+        simsearch.ivf_ann_stored(spark, fresh, queries, k=8, nprobe=2)
+    )
