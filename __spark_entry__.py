@@ -1710,6 +1710,29 @@ def _q_simsearch_sq8_upserted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.sq_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_graph_asof(spark: SparkSession, sf: str) -> DataFrame:
+    # TIME TRAVEL on the stored GRAPH index: build the even half
+    # (commit 0), NSW-append the odd half (commit 1), open as_of=0 —
+    # the walk must see ONLY the build-half graph AND the build-half
+    # meta (entry medoids, degree bound resolve from the snapshot's
+    # versioned meta). Oracle: the unrolled walk over the even-half
+    # kNN graph — the same chain the appended oracle uses as its
+    # stage-0 edge set.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_graph_asof_")
+    simsearch.write_graph_index(e.where(F.col("vec_id") % 2 == 0), path,
+                                knn=5)
+    simsearch.append_graph_index(spark, path,
+                                 e.where(F.col("vec_id") % 2 == 1))
+    h0 = simsearch.open_graph_index(spark, path, as_of=0)
+    return simsearch.graph_ann_stored(spark, h0, q, k=10, beam=8, hops=3)
+
+
 def _q_simsearch_recall_ivf(spark: SparkSession, sf: str) -> DataFrame:
     # ANN EVALUATION (round 11): per-query recall@10 of the IVF probe
     # against the exact cosine ground truth — the tuning loop every
@@ -2846,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_asof": _q_simsearch_ivf_asof,
         # round-11 IVF-SQ8 family (sq8_stored is IN the window)
         "simsearch_sq8_upserted": _q_simsearch_sq8_upserted,
+        "simsearch_graph_asof": _q_simsearch_graph_asof,
         # round-11 ops tier: evaluation, reindex, history
         "simsearch_recall_ivf": _q_simsearch_recall_ivf,
         "simsearch_ivf_reindexed": _q_simsearch_ivf_reindexed,
@@ -6735,6 +6759,20 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "text_index_asof": _SQL_BM25,
         # the two-phase skew-safe top-k is provably identical to the
         # naive per-domain rank window — which IS the oracle
+        # graph time travel: as_of=0 IS the build-half state, so the
+        # oracle is the unrolled walk over the even-half kNN graph
+        # (the appended oracle's stage-0 edge set, entry = min id = 0)
+        "simsearch_graph_asof": _sql_graph_ann(
+            graph_sql=(
+                "SELECT query_id AS node, vec_id AS dst FROM ("
+                + _sql_simsearch_ivf(
+                    cents_src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+                    corpus_src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+                    query_where="TRUE", k=5,
+                )
+                + ")"
+            ),
+        ),
         # recall@10: both chains nested as scoped subqueries (each
         # parenthesized WITH is its own CTE scope — no collisions) +
         # the floor-discretized ratio

@@ -422,3 +422,15 @@ def test_streamed_sq_upsert_equals_one_shot(spark, emb, queries, tmp_path):
     assert got == _rows(
         simsearch.sq_ann_stored(spark, opath, queries, k=8, nprobe=2)
     ) and len(got) > 0
+
+
+def test_sq8_filtered_probe_restricts_candidates(spark, emb, queries):
+    # allowed= is post-filter semantics on the SQ8 probe, same as the
+    # IVF family: every returned id is in the allow-set
+    path = tempfile.mkdtemp(prefix="sq8_filt_")
+    simsearch.write_sq_index(emb, path, n_centroids=4)
+    allowed = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    out = simsearch.sq_ann_stored(
+        spark, path, queries, k=8, nprobe=2, allowed=allowed
+    ).collect()
+    assert out and all(int(r.vec_id) % 3 == 0 for r in out)
