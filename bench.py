@@ -553,6 +553,24 @@ def _emit(results: dict[str, float], sf, out=None, err=None,
         payload["note"] = "see BENCH_NOTES.md"
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > _MAX_LINE:
+        # shed the *_probe_warm duplicates next (the r10 verdict's own
+        # suggestion): they are informational serving numbers whose
+        # cold twins stay in the line — the full medians survive in
+        # BENCH_NOTES.md, and "warm" counts what moved so a reader of
+        # the bare JSON knows to look
+        warm = [k for k in payload["queries"] if k.endswith("_probe_warm")]
+        if warm:
+            payload["queries"] = {
+                k: v for k, v in payload["queries"].items() if k not in warm
+            }
+            payload["value"] = round(sum(payload["queries"].values()), 3)
+            payload["warm"] = len(warm)
+            if "spread_pct" in payload:
+                payload["spread_pct"] = [
+                    _sp(name) for name in payload["queries"]
+                ]
+            line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > _MAX_LINE:
         payload.pop("note", None)
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > _MAX_LINE:

@@ -124,25 +124,37 @@ def test_emit_line_fits_driver_capture_and_prose_goes_to_stderr(tmp_path):
     assert len(line) <= bench._MAX_LINE, len(line)
     assert out.getvalue().strip() == line
     parsed = json.loads(line)
-    assert parsed["queries"] == results
+    # every COLD row is in the line verbatim; at worst-case widths the
+    # *_probe_warm duplicates may shed to BENCH_NOTES.md (the r10
+    # verdict's own space valve), counted by the "warm" marker
+    cold = {k: v for k, v in results.items()
+            if not k.endswith("_probe_warm")}
+    assert all(parsed["queries"][k] == v for k, v in cold.items())
+    shed = set(results) - set(parsed["queries"])
+    assert all(k.endswith("_probe_warm") for k in shed)
+    if shed:
+        assert parsed["warm"] == len(shed)
     assert parsed["metric"] == "headline_queries_wall_total"
     assert parsed["sf"] == 0.1
     # round-11 spread contract: runs + positional spread survive the
     # cap even at worst-case row widths (spread_pct[i] pairs with the
     # i-th queries key; (123.456-120.123)/123.456 = 2.7% -> 3)
     assert parsed["runs"] == 3
-    assert parsed["spread_pct"] == [3] * len(rows)
+    assert parsed["spread_pct"] == [3] * len(parsed["queries"])
     assert len(parsed["spread_pct"]) == len(parsed["queries"])
     # stdout is ONLY the JSON line; the notes are on stderr and quote
     # recorded numbers, never aspirations
     assert "\n" not in out.getvalue().strip()
     assert "123.456" in err.getvalue()
     # ... and the record is reconstructable from the repo alone: the
-    # notes file holds the prose plus the per-row median/min table
+    # notes file holds the prose plus the per-row median/min table,
+    # INCLUDING any warm rows the line shed
     with open(notes) as f:
         body = f.read()
     assert "123.456" in body and "120.123" in body
     assert "| simsearch_pagerank_stored_probe |" in body
+    for k in shed:
+        assert f"| {k} |" in body
 
 
 def test_emit_drops_note_then_spread_rather_than_overflow(tmp_path):
