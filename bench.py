@@ -406,6 +406,16 @@ def _notes(results: dict[str, float],
         "driver keeps only the last ~2000 chars of stdout, so the "
         "JSON line stays compact and these notes live here):\n"
         + _spread_lines(results, mins, runs) +
+        "* HOST-BURST CAVEAT (measured in round 11): this host shows "
+        "multi-minute EXTERNAL contention bursts — four full runs of "
+        "identical code within one hour produced shared-row totals "
+        "from 154s to 268s, with the slow runs' damage concentrated "
+        "in whichever rows overlapped the burst (up to 8x on a single "
+        "row) while the same rows' minimums and isolated re-runs "
+        "matched the fast runs. Adjudicate regressions by per-row MIN "
+        "across runs and the stderr sentinels (three early rows "
+        "re-timed at the end of the run), never by one run's median "
+        "alone.\n"
         "* COLD PROTOCOL (round 8): every timed run is preceded by "
         "bench._cold (catalog cache clear + unpersist of pinned, "
         "non-locally-checkpointed RDDs; test-asserted), so a persist "
@@ -617,9 +627,21 @@ def main() -> None:
     results: dict[str, float] = {}
     mins: dict[str, float] = {}  # per-row best run — the drift signal
 
+    t_start = time.time()
+
     def _record(name: str, times: list[float]) -> None:
         results[name] = round(sorted(times)[len(times) // 2], 3)
         mins[name] = round(min(times), 3)
+        # live per-row progress on stderr (the driver records only the
+        # final JSON line on stdout): elapsed wall + this row's runs —
+        # the only way to localize WITHIN-run degradation after the
+        # fact (a row that is fast early and slow late points at
+        # session/host drift, not the row's own plan)
+        print(
+            f"[bench +{time.time() - t_start:7.1f}s] {name}: "
+            f"{[round(t, 3) for t in times]}",
+            file=sys.stderr, flush=True,
+        )
 
     for name in HEADLINE:
         times = []
@@ -643,6 +665,11 @@ def main() -> None:
                 b = round(time.time() - t0, 3)
                 results[f"{name}_build"] = b
                 mins[f"{name}_build"] = b  # single-shot: min == median
+                print(
+                    f"[bench +{time.time() - t_start:7.1f}s] "
+                    f"{name}_build: [{b}]",
+                    file=sys.stderr, flush=True,
+                )
             times = []
             for _ in range(runs):
                 _cold(spark)
@@ -665,6 +692,26 @@ def main() -> None:
                     results[f"{name}_probe_warm"] = -1.0
         except Exception:
             results[f"{name}_probe"] = -1.0
+
+    # sentinel re-runs (stderr only, never in the JSON line): the same
+    # three early headline rows timed again AFTER everything else — if
+    # they are slower now than at minute one, the SESSION degraded
+    # (accumulated JVM state or host drift), and late rows' medians
+    # must be read with that lens; if they match, late-row movement is
+    # real. Cheap (3 rows x 1 run) and makes within-run drift
+    # adjudicable from the record alone.
+    for name in ("p7_select_samples", "tpch_q1_pricing_summary",
+                 "promql_sum_by"):
+        if name in results:
+            _cold(spark)
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            print(
+                f"[bench +{time.time() - t_start:7.1f}s] sentinel "
+                f"{name}: {round(time.time() - t0, 3)} "
+                f"(first pass: {results[name]})",
+                file=sys.stderr, flush=True,
+            )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     _emit(
