@@ -1733,6 +1733,57 @@ def _q_simsearch_graph_asof(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.graph_ann_stored(spark, h0, q, k=10, beam=8, hops=3)
 
 
+def _q_simsearch_ivf_cloned(spark: SparkSession, sf: str) -> DataFrame:
+    # DEEP CLONE (round 11 — Delta `CREATE TABLE CLONE` semantics on
+    # the commit-partition layout): build, tombstone-delete label%5==0,
+    # then clone_ivf_index into a fresh path — the clone is a compacted
+    # snapshot copy (ONE commit, deletes applied PHYSICALLY, no
+    # tombstones dir, frozen quantizer copied). Probing the CLONE must
+    # equal probing the source — the same NOT-IN oracle as
+    # simsearch_ivf_deleted, now also witnessing that the clone carried
+    # the scrub.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="agni_ivf_clone_")
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    simsearch.write_ivf_index(e, src, n_centroids=8)
+    simsearch.delete_from_index(
+        spark, src, e.where(F.col("label") % 5 == 0).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    simsearch.clone_ivf_index(spark, src, dst)
+    return simsearch.ivf_ann_stored(spark, dst, q, k=10, nprobe=2)
+
+
+def _q_simsearch_graph_cloned(spark: SparkSession, sf: str) -> DataFrame:
+    # CLONE x TIME TRAVEL on the graph family: build the even half
+    # (commit 0), NSW-append the odd half (commit 1), then
+    # clone_graph_index(as_of=0) — 'branch the index as it stood before
+    # the append'. The clone resolves the SNAPSHOT's versioned meta
+    # (build-half entries + degree bound) and folds only commit 0, so
+    # probing it equals probing the source as_of=0: the unrolled walk
+    # over the even-half kNN graph (same oracle as
+    # simsearch_graph_asof).
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="agni_graph_clone_")
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    simsearch.write_graph_index(e.where(F.col("vec_id") % 2 == 0), src,
+                                knn=5)
+    simsearch.append_graph_index(spark, src,
+                                 e.where(F.col("vec_id") % 2 == 1))
+    simsearch.clone_graph_index(spark, src, dst, as_of=0)
+    return simsearch.graph_ann_stored(spark, dst, q, k=10, beam=8, hops=3)
+
+
 def _q_simsearch_recall_ivf(spark: SparkSession, sf: str) -> DataFrame:
     # ANN EVALUATION (round 11): per-query recall@10 of the IVF probe
     # against the exact cosine ground truth — the tuning loop every
@@ -2387,6 +2438,66 @@ def _q_streaming_ivf_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_streaming_text_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    # streaming INVERTED-INDEX maintenance (round 11): build on the
+    # even docs, STREAM the odd docs (2 files, maxFilesPerTrigger=1 ->
+    # >= 2 micro-batch commits via foreachBatch + append_text_index),
+    # then serve BM25 from the postings store. Corpus stats fold over
+    # the committed partitions at probe time, so the drained index
+    # scores exactly like a batch build over the full corpus — same
+    # oracle as text_index_search, and the result is independent of
+    # how the stream split into batches.
+    import tempfile
+
+    d = _docs(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="agni_stext_")
+    src = f"{tmp}/src"
+    d.where(F.col("doc_id") % 2 == 1).select("doc_id", "text").repartition(
+        2
+    ).write.mode("overwrite").parquet(src)
+    path = f"{tmp}/idx"
+    text.write_text_index(d.where(F.col("doc_id") % 2 == 0), path)
+    q = streaming.stream_text_index(
+        spark, src, path, f"{tmp}/ckpt", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    return text.bm25_topk_indexed(spark, path, BM25_TERMS, k=10)
+
+
+def _q_streaming_text_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    # CDC-style streaming text UPSERT (round 11): build the index over
+    # a corpus where every doc_id % 5 == 0 document is POISONED (text
+    # doubled with a noise token), then stream the TRUE documents as a
+    # change feed (2 files, maxFilesPerTrigger=1 -> >= 2 upsert
+    # micro-batches, each a horizon-scoped doc_id tombstone + fresh
+    # postings in one manifest swap). The drained index holds exactly
+    # the original corpus — BM25 stats survivor-exact — so the oracle
+    # is the plain full-corpus BM25 SQL.
+    import tempfile
+
+    d = _docs(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="agni_stextu_")
+    poisoned = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" zzznoise zzznoise zzznoise")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    path = f"{tmp}/idx"
+    text.write_text_index(poisoned, path)
+    src = f"{tmp}/src"
+    d.where(F.col("doc_id") % 5 == 0).select("doc_id", "text").repartition(
+        2
+    ).write.mode("overwrite").parquet(src)
+    q = streaming.stream_text_index(
+        spark, src, path, f"{tmp}/ckpt", max_files_per_trigger=1,
+        mode="upsert",
+    )
+    q.awaitTermination()
+    return text.bm25_topk_indexed(spark, path, BM25_TERMS, k=10)
+
+
 def _q_streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
     # streaming GRAPH index maintenance (round 11): build on the even
     # half, stream the rest in 2 deterministic micro-batches (vec_id %
@@ -2732,12 +2843,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # #50) — the skew-safe two-phase top-k is the curation tier's
         # newest externally-checkable operator.
         "pipeline_domain_cap": _q_pipeline_domain_cap,
-        # round-10 rotation: the amortized stored-graph pagerank
-        # replaces the frontend cache in the window (the results-cache
-        # tier stays oracle-gated after #50; promql keeps 7 window
-        # reps) — analytics served off a persisted index is the newer
-        # external signal
-        "simsearch_pagerank_stored": _q_simsearch_pagerank_stored,
+        # round-11 rotation (third): DEEP CLONE replaces the stored
+        # pagerank in the window — snapshot export with tombstones
+        # applied physically is the newest lifecycle signal; pagerank
+        # over the stored graph stays fully oracle-gated after #50
+        # (it was externally checked in the r10/r11 windows already)
+        "simsearch_ivf_cloned": _q_simsearch_ivf_cloned,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         # round-10 rotation: FILTERED graph search (walk the full
         # graph, rank only allow-set survivors) replaces the in-memory
@@ -2820,13 +2931,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-index invariant an external oracle can uniquely
         # pin (the frozen-quantizer IVF twin is split-independent).
         "streaming_graph_ingest": _q_streaming_graph_ingest,
-        # round-10 rotation: STREAMED index ingest replaces the
-        # one-shot in-memory ivfpq (simsearch_ivfpq_stored keeps the
-        # same composed train+encode+ADC oracle in the window; the
-        # one-shot stays gated after #50). First externally-checked
-        # row for Structured-Streaming index maintenance — the
-        # streamed-equals-batch invariant had only internal pins.
-        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
+        # round-11 rotation (third): streamed TEXT-index ingest
+        # replaces the streamed IVF twin in the window — the streaming
+        # family stays double-covered here (order-dependent graph
+        # above, stats-folding inverted index here) while the
+        # frozen-quantizer IVF row, externally checked in r10/r11,
+        # rotates to the post-window gate.
+        "streaming_text_ingest": _q_streaming_text_ingest,
         # train-once/probe-many PQ: write_pq_index persists the model
         # + packed codes; the probe rebuilds only the queries-sized ADC
         # tables — same training code path, so the full composed
@@ -2863,6 +2974,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_mmr_rerank": _q_simsearch_mmr_rerank,
         "simsearch_index_stats": _q_simsearch_index_stats,
         "streaming_ivf_upsert": _q_streaming_ivf_upsert,
+        # round-11 streaming text-index CDC upsert (the append twin,
+        # streaming_text_ingest, is IN the window)
+        "streaming_text_upsert": _q_streaming_text_upsert,
+        # rotated OUT of the window in round 11 (third rotation),
+        # still fully oracle-gated:
+        "simsearch_pagerank_stored": _q_simsearch_pagerank_stored,
+        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
         # round-11 time travel (as_of= snapshot reads on the stored
         # index families; see simsearch._snapshot_commits;
         # text_index_asof is IN the window)
@@ -2870,6 +2988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 IVF-SQ8 family (sq8_stored is IN the window)
         "simsearch_sq8_upserted": _q_simsearch_sq8_upserted,
         "simsearch_graph_asof": _q_simsearch_graph_asof,
+        # round-11 deep clone: the graph clone composes with as_of
+        # (branch-at-commit); the IVF clone is IN the window
+        "simsearch_graph_cloned": _q_simsearch_graph_cloned,
         # round-11 ops tier: evaluation, reindex, history
         "simsearch_recall_ivf": _q_simsearch_recall_ivf,
         "simsearch_ivf_reindexed": _q_simsearch_ivf_reindexed,
@@ -6520,6 +6641,13 @@ SELECT * FROM p ORDER BY "column"
         # index-served BM25 == scan-served BM25 (same corpus, same
         # terms): the stored-postings probe shares the oracle
         "text_index_search": _SQL_BM25,
+        # streamed append drains to build+stream = the full corpus, and
+        # BM25 stats fold over committed partitions at probe time, so
+        # the batch-split-independent oracle is the plain full-corpus
+        # BM25; the CDC upsert converges to the same corpus (poisoned
+        # docs replaced by their true text), hence the same oracle
+        "streaming_text_ingest": _SQL_BM25,
+        "streaming_text_upsert": _SQL_BM25,
         "text_tfidf_keywords": """
 WITH wz AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -6757,6 +6885,27 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         # full-corpus BM25 (the commit-2 delete invisible)
         "simsearch_ivf_asof": _SQL_SIMSEARCH_IVF_APPEND,
         "text_index_asof": _SQL_BM25,
+        # deep clone: probing the clone == probing the source snapshot,
+        # so each clone row reuses its source-state oracle verbatim —
+        # ivf_cloned is the post-delete probe (NOT IN survivors),
+        # graph_cloned is the as_of=0 build-half walk
+        "simsearch_ivf_cloned": _sql_simsearch_ivf(
+            cand_where=(
+                "ce.vec_id NOT IN (SELECT vec_id FROM embeddings "
+                "WHERE label % 5 = 0)"
+            )
+        ),
+        "simsearch_graph_cloned": _sql_graph_ann(
+            graph_sql=(
+                "SELECT query_id AS node, vec_id AS dst FROM ("
+                + _sql_simsearch_ivf(
+                    cents_src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+                    corpus_src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+                    query_where="TRUE", k=5,
+                )
+                + ")"
+            ),
+        ),
         # the two-phase skew-safe top-k is provably identical to the
         # naive per-domain rank window — which IS the oracle
         # graph time travel: as_of=0 IS the build-half state, so the

@@ -692,6 +692,162 @@ def index_stats(spark, path: str, subdirs: list) -> DataFrame:
     )
 
 
+def _clone_commit_subdirs(
+    spark, src: str, dst: str, subdirs: list, commits: list[int]
+) -> None:
+    """The clone tier's shared core: fold the snapshot's committed
+    `commit=` partitions of every present subdir into `commit=0` at a
+    NEW path, scrubbing committed tombstones where the subdir carries
+    the key column (a clone is a compacted snapshot copy — physical
+    deletes applied, small files merged, re-clustered on the routing
+    column). Tombstones that could not be applied everywhere carry
+    into the clone verbatim IF global; horizon-scoped ones cannot
+    survive the commit re-stamp (same argument as compact_index) and
+    raise. The caller writes family meta + the manifest LAST, so a
+    crashed clone leaves dst without a manifest — unopenable, never
+    half-served."""
+    from agni_spark.sources.layout import _hfs
+
+    tombs = _tombstones(spark, src, commits)
+    scrubbed_everywhere = tombs is not None
+    for sub, routing in subdirs:
+        fs, P = _hfs(spark, f"{src}/{sub}")
+        if not fs.exists(P(f"{src}/{sub}")):
+            continue
+        df = spark.read.parquet(f"{src}/{sub}").where(
+            F.col("commit").isin(commits)
+        )
+        if "layer" in df.columns:
+            # normalize pre-HNSW NULL layers like compact does
+            df = df.withColumn("layer", F.coalesce(F.col("layer"), F.lit(0)))
+        if tombs is not None:
+            key = tombs.columns[0]
+            if key in df.columns:
+                df = _anti_tombstones(df, tombs)
+            else:
+                scrubbed_everywhere = False
+        df = df.drop("commit").withColumn("commit", F.lit(0).cast("long"))
+        part = ["commit"] + ([routing] if routing else [])
+        shaped = (
+            df.repartition(F.col(routing)) if routing else df.repartition(1)
+        )
+        shaped.write.partitionBy(*part).mode("overwrite").parquet(
+            f"{dst}/{sub}"
+        )
+    if tombs is not None and not scrubbed_everywhere:
+        if tombs.where(F.col("horizon") < _TOMB_INF).limit(1).count():
+            raise ValueError(
+                f"clone of {src}: horizon-scoped tombstones cannot be "
+                "carried past a subdir without the key column"
+            )
+        (
+            tombs.withColumn("commit", F.lit(0).cast("long"))
+            .repartition(1)
+            .write.partitionBy("commit")
+            .mode("overwrite")
+            .parquet(f"{dst}/tombstones")
+        )
+
+
+def _copy_aux_dirs(spark, src: str, dst: str, aux: tuple) -> None:
+    """Verbatim copy of a family's FLAT (non-commit-partitioned) model
+    dirs — centroids / codebooks / bounds meta. Tiny by construction
+    (the frozen quantizer), one single-file write each."""
+    from agni_spark.sources.layout import _hfs
+
+    for a in aux:
+        fs, P = _hfs(spark, f"{src}/{a}")
+        if not fs.exists(P(f"{src}/{a}")):
+            continue
+        spark.read.parquet(f"{src}/{a}").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{a}")
+
+
+def clone_index(
+    spark, src: str, dst: str, subdirs: list, aux: tuple = (),
+    as_of: int | None = None,
+) -> None:
+    """CLONE a stored index: materialize the manifest-committed
+    snapshot (optionally a historical one — `as_of=N` composes with
+    time travel, i.e. 'branch the index as it stood after commit N')
+    into a NEW independent path. The lakehouse DEEP CLONE operation
+    (Delta `CREATE TABLE CLONE` semantics) on the shared
+    commit-partition layout: the clone is a fully compacted copy —
+    one commit, tombstones applied, small files folded — that shares
+    no storage or future with the source (writes to either side never
+    affect the other). Use it for snapshot export, staging/prod
+    promotion, or forking an index before a risky reindex.
+
+    Crash contract: every subdir + the family model dirs land before
+    the manifest write at dst — the manifest-last idiom makes a
+    crashed clone unopenable rather than half-served; re-running the
+    clone overwrites it. Probe-identity (clone == source snapshot) is
+    test-pinned and oracle-gated per family.
+
+    `subdirs`/`aux` come from the family presets (use the
+    clone_ivf/sq/pq_index wrappers, text.clone_text_index, or
+    clone_graph_index which resolves versioned meta instead of aux
+    copies)."""
+    commits = _snapshot_commits(spark, src, as_of)
+    _clone_commit_subdirs(spark, src, dst, subdirs, commits)
+    _copy_aux_dirs(spark, src, dst, aux)
+    _write_index_manifest(spark, dst, [0])
+
+
+def clone_ivf_index(spark, src: str, dst: str, as_of: int | None = None):
+    """Deep-clone a stored IVF-flat index (see clone_index)."""
+    clone_index(
+        spark, src, dst, IVF_INDEX_SUBDIRS, aux=("centroids",), as_of=as_of
+    )
+
+
+def clone_sq_index(spark, src: str, dst: str, as_of: int | None = None):
+    """Deep-clone a stored IVF-SQ8 index: codes + the frozen coarse
+    quantizer AND the per-dim scalar bounds (meta) — the clone encodes
+    nothing, it copies the committed codes as-is."""
+    clone_index(
+        spark, src, dst, SQ_INDEX_SUBDIRS, aux=("centroids", "meta"),
+        as_of=as_of,
+    )
+
+
+def clone_pq_index(spark, src: str, dst: str, as_of: int | None = None):
+    """Deep-clone a stored IVF-PQ index (codes + optional raw vectors
+    + the frozen centroids/codebooks/meta model dirs)."""
+    clone_index(
+        spark, src, dst, PQ_INDEX_SUBDIRS,
+        aux=("centroids", "codebooks", "meta"), as_of=as_of,
+    )
+
+
+def clone_graph_index(spark, src: str, dst: str, as_of: int | None = None):
+    """Deep-clone a stored graph/HNSW index. The graph family's meta is
+    VERSIONED (one row per writer commit), so the clone resolves the
+    snapshot's meta row — the entries/degree bound describing exactly
+    the cloned graph — and re-writes it as the clone's own commit-0
+    meta; everything else is the shared subdir fold. Graph tombstones
+    are always global (no upsert path), so a pending delete carries
+    into the clone and keeps filtering probes until its compaction."""
+    commits = _snapshot_commits(spark, src, as_of)
+    meta = _read_graph_meta(spark, src, commits)
+    _clone_commit_subdirs(spark, src, dst, GRAPH_INDEX_SUBDIRS, commits)
+    entries = (
+        [int(e) for e in meta.entries]
+        if _meta_field(meta, "entries")
+        else [int(meta.entry)]
+    )
+    _write_graph_meta(
+        spark, dst, 0, entries,
+        int(meta.n_buckets), int(meta.knn),
+        int(_meta_field(meta, "layers", 1)),
+        int(_meta_field(meta, "layer_mult", 8)),
+        n_entries=int(_meta_field(meta, "n_entries", len(entries))),
+        max_deg=_meta_field(meta, "max_deg"),
+    )
+    _write_index_manifest(spark, dst, [0])
+
+
 def delete_from_index(
     spark, path: str, ids: DataFrame, subdirs: list, id_col: str = "vec_id"
 ) -> int:

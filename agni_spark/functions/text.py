@@ -856,20 +856,33 @@ def _append_postings(
     words.unpersist()
 
 
-def append_text_index(spark, path: str, new_docs: DataFrame) -> None:
+def append_text_index(
+    spark, path: str, new_docs: DataFrame, batch_id: int | None = None
+) -> None:
     """Incremental index maintenance: posting lists + doc lengths of
     ONLY the new documents land in a fresh commit partition; the
     manifest rewrite LAST is the commit point. Nothing existing is
-    read or rewritten — append cost is O(new docs), not O(index)."""
+    read or rewritten — append cost is O(new docs), not O(index).
+
+    `batch_id` (streaming callers — stream_text_index): the same
+    replay contract as simsearch.append_ivf_index — the micro-batch id
+    is recorded in the manifest atomically with the commit, and a
+    replay whose previous attempt already reached the manifest is
+    skipped (foreachBatch ids are monotone), so a crash on either side
+    of the manifest write stays exactly-once."""
     from agni_spark.functions.simsearch import (
         TEXT_INDEX_SUBDIRS,
         _append_manifest,
         _clear_uncommitted_commit,
         _manifest_rows,
+        _max_applied_batch,
     )
 
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
     rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return  # replayed micro-batch already committed (see ivf twin)
     commits = [c for c, _ in rows]
     nxt = max(commits) + 1
     # a crashed compact_index can leave a FULL uncommitted copy under
@@ -888,10 +901,12 @@ def append_text_index(spark, path: str, new_docs: DataFrame) -> None:
         new_docs, path, n_buckets, commit=nxt, mode="append",
         positions=has_pos,
     )
-    _append_manifest(spark, path, rows, nxt)
+    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
 
 
-def upsert_text_index(spark, path: str, new_docs: DataFrame) -> int:
+def upsert_text_index(
+    spark, path: str, new_docs: DataFrame, batch_id: int | None = None
+) -> int | None:
     """UPSERT (replace-or-insert) documents in a stored text index,
     round 11 — the text twin of simsearch.upsert_ivf_index: one atomic
     commit writes a horizon-scoped doc_id tombstone (hides the docs'
@@ -904,18 +919,30 @@ def upsert_text_index(spark, path: str, new_docs: DataFrame) -> int:
     physical cleanup (scrubs all three doc_id-keyed subdirs, consumes
     the tombstone). Crash contract: tombstones + postings land before
     the manifest append; a replay recomputes the same commit id and
-    dynamic-partition-overwrites. Returns the new commit id."""
+    dynamic-partition-overwrites. Returns the new commit id.
+
+    `batch_id` (streaming callers — stream_text_index(mode='upsert')):
+    the applied-id check runs BEFORE anything is written — a replay
+    whose previous attempt already reached the manifest would
+    otherwise re-write the scoped tombstone under a NEW commit id,
+    hiding the original attempt's replacement postings (the same
+    ordering argument as simsearch.upsert_ivf_index). Returns None
+    when the batch was already applied."""
     from agni_spark.functions.simsearch import (
         TEXT_INDEX_SUBDIRS,
         _append_manifest,
         _clear_uncommitted_commit,
         _manifest_rows,
+        _max_applied_batch,
         _write_scoped_tombstones,
     )
     from agni_spark.sources.layout import _hfs
 
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
     rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return None
     nxt = max(c for c, _ in rows) + 1
     _clear_uncommitted_commit(
         spark, path, TEXT_INDEX_SUBDIRS + [("tombstones", None)], nxt
@@ -926,8 +953,24 @@ def upsert_text_index(spark, path: str, new_docs: DataFrame) -> int:
         new_docs, path, n_buckets, commit=nxt, mode="append",
         positions=fs.exists(P(f"{path}/positions")),
     )
-    _append_manifest(spark, path, rows, nxt)
+    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
     return nxt
+
+
+def clone_text_index(
+    spark, src: str, dst: str, as_of: int | None = None
+) -> None:
+    """Deep-clone a stored text index (see simsearch.clone_index):
+    the committed snapshot's postings/doclens/positions fold into a
+    single commit at a NEW path — doc_id tombstones applied, so the
+    clone physically holds only surviving documents — plus the flat
+    n_buckets meta, manifest last. `as_of=N` clones a historical
+    snapshot (branch-at-commit-N)."""
+    from agni_spark.functions.simsearch import TEXT_INDEX_SUBDIRS, clone_index
+
+    clone_index(
+        spark, src, dst, TEXT_INDEX_SUBDIRS, aux=("meta",), as_of=as_of
+    )
 
 
 class TextIndexHandle:

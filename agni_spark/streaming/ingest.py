@@ -161,6 +161,77 @@ def stream_ann_index(
     return writer.start()
 
 
+# the two columns the inverted index actually stores — streamed doc
+# files may carry more (lang/source/n_chars); the appender projects
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def stream_text_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    mode: str = "append",
+):
+    """CONTINUOUS TEXT-INDEX MAINTENANCE — the inverted-index twin of
+    stream_ann_index: a file-source stream of new documents appends
+    into an existing stored text index per micro-batch (foreachBatch
+    -> text.append_text_index), each batch's posting lists + doc
+    lengths landing as their own manifest-committed `commit=`
+    partition. BM25 corpus statistics (n_docs/avgdl/df) are never
+    stored — probes fold them over the committed partitions — so the
+    served scores are exactly BM25 over build + everything streamed so
+    far, independent of how the files split into micro-batches (a
+    probe after the drain equals a batch append of the same docs).
+
+    Exactly-once across restarts by the same two-crash-window argument
+    as the ANN twin: a crash before the manifest write replays into
+    the SAME commit id (dynamic partition overwrite replaces the
+    crashed attempt's files); a crash after it is detected by the
+    (commit, batch_id) provenance recorded in the manifest and the
+    replayed batch is skipped.
+
+    `mode='upsert'` turns the stream into CDC ingestion: each
+    micro-batch REPLACES-or-inserts its doc_ids via
+    text.upsert_text_index — a horizon-scoped doc_id tombstone plus
+    the replacement postings in one manifest swap per batch, keeping
+    BM25 stats survivor-exact (a replaced doc is counted once, with
+    its new length) while probes always serve the newest committed
+    version of every document. Returns the started StreamingQuery."""
+    from agni_spark.functions.text import (
+        append_text_index,
+        upsert_text_index,
+    )
+
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"unknown mode {mode!r}")
+    writer_fn = append_text_index if mode == "append" else upsert_text_index
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+
+    def _append(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        writer_fn(
+            batch_df.sparkSession, index_path,
+            batch_df.select("doc_id", "text"),
+            batch_id=batch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_sum(
     stream: DataFrame,
     window: str = "1 hour",

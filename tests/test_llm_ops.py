@@ -1517,6 +1517,242 @@ def test_stream_ann_index_graph_kind(spark, tmp_path):
     assert got == want
 
 
+def test_clone_ivf_index_applies_deletes(spark, tmp_path):
+    """clone_ivf_index is a compacted snapshot copy: one commit,
+    pending tombstones applied PHYSICALLY (no tombstones dir in the
+    clone), frozen quantizer copied — probe-identical to the source."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    simsearch.write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), src)
+    simsearch.append_ivf_index(
+        spark, src,
+        emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    simsearch.delete_from_index(
+        spark, src, emb.where(F.col("vec_id") % 7 == 0).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    simsearch.clone_ivf_index(spark, src, dst)
+    want = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, src, q, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, dst, q, k=5).collect()
+    )
+    assert got == want
+    assert simsearch._committed(spark, dst) == [0]  # compacted copy
+    assert not os.path.exists(f"{dst}/tombstones")  # deletes applied
+    # fully independent lineage: deleting MORE from the source never
+    # leaks into the clone
+    simsearch.delete_from_index(
+        spark, src, emb.where(F.col("vec_id") % 3 == 0).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, dst, q, k=5).collect()
+    )
+    assert got2 == want
+
+
+def test_clone_graph_index_asof_branches_history(spark, tmp_path):
+    """clone_graph_index(as_of=0) branches the pre-append snapshot:
+    probe-identical to open_graph_index(as_of=0) on the source, with
+    the SNAPSHOT's versioned meta (entries/degree bound) resolved into
+    the clone's own commit-0 meta."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src, dst = str(tmp_path / "gsrc"), str(tmp_path / "gdst")
+    simsearch.write_graph_index(emb.where(F.col("vec_id") % 2 == 0), src,
+                                knn=5)
+    simsearch.append_graph_index(
+        spark, src, emb.where(F.col("vec_id") % 2 == 1)
+    )
+    simsearch.clone_graph_index(spark, src, dst, as_of=0)
+    h0 = simsearch.open_graph_index(spark, src, as_of=0)
+    want = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, h0, q, k=5, beam=4, hops=2
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, dst, q, k=5, beam=4, hops=2
+        ).collect()
+    )
+    assert got == want
+    # the clone's meta is the SNAPSHOT's, re-stamped to its commit 0
+    hc = simsearch.open_graph_index(spark, dst)
+    assert hc.commits == [0]
+    assert hc.max_out_degree == h0.max_out_degree
+    # the clone is live: appending to it works and never touches src
+    simsearch.append_graph_index(
+        spark, dst, emb.where(F.col("vec_id") % 2 == 1)
+    )
+    assert simsearch._committed(spark, dst) == [0, 1]
+    assert simsearch._committed(spark, src) == [0, 1]  # unchanged ids
+    still = sorted(
+        tuple(r)
+        for r in simsearch.graph_ann_stored(
+            spark, simsearch.open_graph_index(spark, src, as_of=0), q,
+            k=5, beam=4, hops=2,
+        ).collect()
+    )
+    assert still == want
+
+
+def test_clone_text_index_scrubs_upsert_tombstones(spark, tmp_path):
+    """clone_text_index folds an upserted index (horizon-scoped doc_id
+    tombstones) into a clean single-commit copy — BM25 over the clone
+    equals BM25 over the source, and the scoped tombstones are
+    consumed, not carried."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["spark", "query"]
+    src, dst = str(tmp_path / "tsrc"), str(tmp_path / "tdst")
+    text.write_text_index(docs, src)
+    up = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" spark spark")).alias("text")
+    )
+    text.upsert_text_index(spark, src, up)
+    text.clone_text_index(spark, src, dst)
+    want = sorted(
+        tuple(r)
+        for r in text.bm25_topk_indexed(spark, src, terms, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in text.bm25_topk_indexed(spark, dst, terms, k=5).collect()
+    )
+    assert got == want
+    assert simsearch._committed(spark, dst) == [0]
+    assert not os.path.exists(f"{dst}/tombstones")
+
+
+def test_stream_text_index_multibatch(spark, tmp_path):
+    """Streaming inverted-index maintenance drains a 2-file source into
+    2 append commits and the BM25 probe equals a batch build+append of
+    the same docs — corpus stats fold over committed partitions at
+    probe time, so results are independent of the micro-batch split."""
+    from pyspark.sql import functions as F
+
+    from agni_spark.streaming import ingest as streaming
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    terms = ["spark", "query"]
+    # batch twin
+    bpath = str(tmp_path / "t_batch")
+    text.write_text_index(even, bpath)
+    text.append_text_index(spark, bpath, odd)
+    want = sorted(
+        tuple(r)
+        for r in text.bm25_topk_indexed(spark, bpath, terms, k=5).collect()
+    )
+    # streamed
+    src = str(tmp_path / "tsrc")
+    odd.select("doc_id", "text").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spath = str(tmp_path / "t_stream")
+    text.write_text_index(even, spath)
+    sq = streaming.stream_text_index(
+        spark, src, spath, str(tmp_path / "tckpt"), max_files_per_trigger=1
+    )
+    sq.awaitTermination()
+    assert len(simsearch._committed(spark, spath)) >= 3  # build + 2
+    got = sorted(
+        tuple(r)
+        for r in text.bm25_topk_indexed(spark, spath, terms, k=5).collect()
+    )
+    assert got == want
+
+
+def test_stream_text_index_upsert_mode(spark, tmp_path):
+    """CDC streaming text upsert: a poisoned build converges to the
+    true corpus after the change feed drains — the served BM25 equals
+    a fresh build over the true docs (stats survivor-exact)."""
+    from pyspark.sql import functions as F
+
+    from agni_spark.streaming import ingest as streaming
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["spark", "query"]
+    poisoned = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" zzznoise zzznoise")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    spath = str(tmp_path / "tu_stream")
+    text.write_text_index(poisoned, spath)
+    src = str(tmp_path / "tusrc")
+    docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    ).repartition(2).write.mode("overwrite").parquet(src)
+    sq = streaming.stream_text_index(
+        spark, src, spath, str(tmp_path / "tuckpt"),
+        max_files_per_trigger=1, mode="upsert",
+    )
+    sq.awaitTermination()
+    # fresh-build twin over the TRUE corpus
+    bpath = str(tmp_path / "tu_batch")
+    text.write_text_index(docs, bpath)
+    want = sorted(
+        tuple(r)
+        for r in text.bm25_topk_indexed(spark, bpath, terms, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in text.bm25_topk_indexed(spark, spath, terms, k=5).collect()
+    )
+    assert got == want
+
+
+def test_append_text_index_batch_replay_skipped(spark, tmp_path):
+    """The (commit, batch_id) manifest provenance makes a replayed text
+    micro-batch a no-op — crash-after-manifest exactly-once, the same
+    contract the ANN appenders pin."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "t_replay")
+    text.write_text_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    text.append_text_index(spark, path, odd, batch_id=0)
+    committed = simsearch._committed(spark, path)
+    text.append_text_index(spark, path, odd, batch_id=0)  # replay
+    assert simsearch._committed(spark, path) == committed
+    # upsert twin: replay checked BEFORE the tombstone write
+    up = odd.limit(3).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" extra")).alias("text")
+    )
+    assert text.upsert_text_index(spark, path, up, batch_id=1) is not None
+    committed = simsearch._committed(spark, path)
+    assert text.upsert_text_index(spark, path, up, batch_id=1) is None
+    assert simsearch._committed(spark, path) == committed
+
+
 def test_compact_graph_index_rebuilds_upper_layers(spark, tmp_path):
     """compact_graph_index folds commits AND recomputes layers >= 1
     with the builder's exact rule, so the compacted upper layers are
