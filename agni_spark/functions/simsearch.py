@@ -371,14 +371,61 @@ def semantic_dedup_keep(
 # its routing key, so a probe query's scan touches nprobe partitions
 # (dynamic partition pruning) instead of the whole corpus.
 # ---------------------------------------------------------------------------
+class ManifestConflictError(RuntimeError):
+    """Two writers tried to commit manifest version N concurrently.
+    The loser's swap is rejected with the store unchanged — its data
+    commit is unreferenced debris (vacuum reclaims it) and the
+    operation must be re-run from a fresh manifest read. Concurrent
+    writers to ONE index remain outside the supported contract (both
+    may have claimed the same `commit=` id before the swap raced);
+    this error turns the former silent lost-update into a loud abort."""
+
+
+def _manifest_versions(spark, path: str) -> list[int]:
+    """Sorted `v=N` manifest versions present on disk (committed swaps
+    only — a crashed writer leaves a dot-prefixed temp dir readers and
+    this listing both ignore). Empty for legacy flat manifests."""
+    from agni_spark.sources.layout import _hfs
+
+    base = f"{path}/manifest"
+    fs, P = _hfs(spark, base)
+    if not fs.exists(P(base)):
+        return []
+    out = []
+    for st in fs.listStatus(P(base)):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
 def _write_index_manifest(
     spark, path: str, commits: list[int],
     batch_ids: dict[int, int] | None = None,
 ) -> None:
     """Commit marker (block-store registry pattern): the manifest lists
-    the committed `commit=` partitions and is rewritten LAST, after the
+    the committed `commit=` partitions and is written LAST, after the
     data lands. Readers filter to manifest-listed commits, so a crashed
     append's partial partition is never served.
+
+    ATOMIC VERSIONED SWAP (round 11, the Delta-log idiom on the file
+    API): each write lands a NEW `manifest/v=N` directory — parquet
+    written to a dot-prefixed temp dir first, then one rename — and
+    readers resolve max(v). The old mode('overwrite') on the flat dir
+    was delete-then-write: a reader racing the swap could find the
+    manifest missing or partial, and two racing writers silently
+    lost one commit (last overwrite wins). Now readers always see a
+    complete manifest (the rename is atomic; until it lands they see
+    the previous version), and a losing writer gets
+    ManifestConflictError instead of silence — detection, not
+    multi-writer resolution: both racers may have staged data under
+    the same `commit=` id, so the loser must RE-RUN its operation
+    (fresh manifest read, fresh commit id), and single-writer-per-
+    index stays the supported write contract. Old versions are
+    one-row-file history until vacuum_index GCs them.
 
     `batch_ids` maps commit -> the streaming micro-batch id that
     produced it (None for batch-API commits). Recording it IN the
@@ -387,17 +434,49 @@ def _write_index_manifest(
     manifest (crash between manifest write and checkpoint commit) sees
     its batch id already applied and skips — the idempotent-sink
     bookkeeping dynamic partition overwrite alone cannot provide."""
+    import uuid
+
+    from agni_spark.sources.layout import _hfs
+
     bids = batch_ids or {}
+    base = f"{path}/manifest"
+    vers = _manifest_versions(spark, path)
+    nxt_v = (max(vers) + 1) if vers else 1
+    tmp_name = f".tmp-v{nxt_v}-{uuid.uuid4().hex}"
+    tmp = f"{base}/{tmp_name}"
     spark.createDataFrame(
         [(int(c), bids.get(int(c))) for c in sorted(commits)],
         "commit long, batch_id long",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    ).repartition(1).write.mode("overwrite").parquet(tmp)
+    dst = f"{base}/v={nxt_v}"
+    fs, P = _hfs(spark, base)
+    won = (not fs.exists(P(dst))) and fs.rename(P(tmp), P(dst))
+    # local-FS rename into an existing dir NESTS src inside dst (mv
+    # semantics) — if another writer landed v=N between our exists
+    # check and the rename, our dir is now dst/tmp_name: remove it and
+    # report the conflict rather than serving a nested half-manifest
+    nested = f"{dst}/{tmp_name}"
+    if fs.exists(P(nested)):
+        fs.delete(P(nested), True)
+        won = False
+    if not won:
+        fs.delete(P(tmp), True)
+        raise ManifestConflictError(
+            f"manifest v={nxt_v} at {path} was committed by a "
+            "concurrent writer; re-run this operation from a fresh "
+            "manifest read (its staged commit is unreferenced debris "
+            "until then — vacuum_index reclaims it)"
+        )
 
 
 def _manifest_rows(spark, path: str) -> list[tuple[int, int | None]]:
-    """(commit, batch_id|None) pairs, sorted by commit; tolerates
-    legacy manifests written before the batch_id column existed."""
-    df = spark.read.parquet(f"{path}/manifest")
+    """(commit, batch_id|None) pairs, sorted by commit, from the
+    NEWEST committed manifest version (max v=N; legacy flat manifests
+    read whole-dir as before). Tolerates manifests written before the
+    batch_id column existed."""
+    vers = _manifest_versions(spark, path)
+    src = f"{path}/manifest" + (f"/v={max(vers)}" if vers else "")
+    df = spark.read.parquet(src)
     has_bid = "batch_id" in df.columns
     return sorted(
         (int(r.commit), int(r.batch_id) if has_bid and r.batch_id is not None
@@ -644,6 +723,20 @@ def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
             if int(name.split("=", 1)[1]) not in committed:
                 _fs_delete(spark, f"{base}/{name}")
                 removed.append(f"{sub}/{name}")
+    # manifest history GC (round 11, versioned-swap layout): every
+    # version below max(v) is superseded — readers always resolve the
+    # newest — and crashed swaps leave dot-prefixed temp dirs; with
+    # versions present, legacy flat manifest files are superseded too.
+    vers = _manifest_versions(spark, path)
+    if vers:
+        mbase = f"{path}/manifest"
+        fs, P = _hfs(spark, mbase)
+        keep = f"v={max(vers)}"
+        for st in fs.listStatus(P(mbase)):
+            name = st.getPath().getName()
+            if name != keep:
+                _fs_delete(spark, f"{mbase}/{name}")
+                removed.append(f"manifest/{name}")
     return sorted(removed)
 
 

@@ -1303,7 +1303,13 @@ def test_index_compaction_and_vacuum(spark, tmp_path):
     removed = simsearch.vacuum_index(
         spark, path, simsearch.IVF_INDEX_SUBDIRS
     )
-    assert removed == ["cells/commit=0", "cells/commit=1"]
+    # data GC plus the superseded manifest versions (round-11 layout)
+    assert [r for r in removed if r.startswith("cells/")] == [
+        "cells/commit=0", "cells/commit=1"
+    ]
+    assert all(
+        r.startswith(("cells/", "manifest/")) for r in removed
+    )
     assert [
         d for d in sorted(os.listdir(f"{path}/cells"))
         if d.startswith("commit=")
@@ -1515,6 +1521,88 @@ def test_stream_ann_index_graph_kind(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_manifest_versioned_swap_legacy_and_vacuum(spark, tmp_path):
+    """Round-11 manifest layout: writes land as atomic `v=N` swaps
+    (readers resolve max v), legacy flat manifests still read, and
+    vacuum GCs superseded versions plus the legacy flat files once a
+    versioned write exists."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    # LEGACY layout: index built normally, then manifest flattened by
+    # hand (what every pre-round-11 index on disk looks like)
+    simsearch.write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path)
+    legacy = spark.createDataFrame([(0, None)], "commit long, batch_id long")
+    import shutil
+
+    shutil.rmtree(f"{path}/manifest")
+    legacy.repartition(1).write.parquet(f"{path}/manifest")
+    assert simsearch._manifest_versions(spark, path) == []
+    assert simsearch._committed(spark, path) == [0]  # legacy read
+    # an append on the legacy index writes v=1; readers prefer it
+    simsearch.append_ivf_index(
+        spark, path,
+        emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    assert simsearch._manifest_versions(spark, path) == [1]
+    assert simsearch._committed(spark, path) == [0, 1]
+    # second write -> v=2; vacuum keeps ONLY the newest version and
+    # drops the legacy flat files
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert simsearch._manifest_versions(spark, path) == [1, 2]
+    removed = simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert any(r.startswith("manifest/v=1") for r in removed)
+    assert simsearch._manifest_versions(spark, path) == [2]
+    flat = [
+        n for n in os.listdir(f"{path}/manifest")
+        if not n.startswith("v=")
+    ]
+    assert flat == []  # legacy debris gone
+    assert simsearch._committed(spark, path) == [2]
+
+
+def test_manifest_concurrent_swap_conflict_detected(
+    spark, tmp_path, monkeypatch
+):
+    """A writer racing another to the same manifest version gets
+    ManifestConflictError (loud abort) and the winner's manifest is
+    untouched — the pre-round-11 layout silently lost one commit."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    simsearch.write_ivf_index(emb, path)  # manifest v=1
+    assert simsearch._manifest_versions(spark, path) == [1]
+    # the race: the OTHER writer lands v=2 after this writer resolved
+    # the version list — pin the loser's resolution to the stale view
+    winner = spark.createDataFrame(
+        [(0, None), (1, None)], "commit long, batch_id long"
+    )
+    winner.repartition(1).write.parquet(f"{path}/manifest/v=2")
+    monkeypatch.setattr(simsearch, "_manifest_versions", lambda s, p: [1])
+    with pytest.raises(simsearch.ManifestConflictError):
+        simsearch._write_index_manifest(spark, path, [0, 99])
+    monkeypatch.undo()
+    # winner preserved, loser's temp cleaned, committed view = winner's
+    assert simsearch._manifest_versions(spark, path) == [1, 2]
+    tmps = [
+        n for n in os.listdir(f"{path}/manifest") if n.startswith(".tmp")
+    ]
+    assert tmps == []
+    assert simsearch._committed(spark, path) == [0, 1]
+    # the winner's v=2 contents survived the loser's nested-rename
+    # cleanup (local-FS rename into an existing dir nests; the loser
+    # must remove ONLY its own nested dir)
+    nested = [
+        n for n in os.listdir(f"{path}/manifest/v=2")
+        if n.startswith(".tmp")
+    ]
+    assert nested == []
 
 
 def test_clone_ivf_index_applies_deletes(spark, tmp_path):
@@ -1894,7 +1982,9 @@ def test_pq_index_append_and_lifecycle(spark, tmp_path):
     # compact + vacuum: probe-invariant
     simsearch.compact_index(spark, path, simsearch.PQ_INDEX_SUBDIRS)
     removed = simsearch.vacuum_index(spark, path, simsearch.PQ_INDEX_SUBDIRS)
-    assert removed == ["codes/commit=0", "codes/commit=1"]
+    assert [r for r in removed if r.startswith("codes/")] == [
+        "codes/commit=0", "codes/commit=1"
+    ]
     after = [
         tuple(r) for r in simsearch.ivfpq_stored(spark, path, q, k=10).collect()
     ]
