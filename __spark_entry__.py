@@ -1799,6 +1799,23 @@ def _q_simsearch_recall_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.recall_at_k(approx, exact, k=10)
 
 
+def _q_simsearch_recall_graph(spark: SparkSession, sf: str) -> DataFrame:
+    # ANN EVALUATION, graph flavor (round 11): per-query recall@10 of
+    # the NSW beam walk against the exact ground truth — together with
+    # simsearch_recall_ivf this makes the eval harness cover both
+    # index geometries (cell-probed and graph-walked), the pair a
+    # deployment compares when choosing a family. Full oracle: the
+    # unrolled walk + exact top-k chains nested, recall arithmetic on
+    # top.
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = simsearch.graph_ann(e, queries_df, k=10, knn=5, beam=8, hops=3)
+    exact = simsearch.cosine_topk(e, queries_df, k=10)
+    return simsearch.recall_at_k(approx, exact, k=10)
+
+
 def _q_simsearch_ivf_reindexed(spark: SparkSession, sf: str) -> DataFrame:
     # OFFLINE REINDEX (round 11): a build+append index's quantizer was
     # trained on the even half only; deletes (%31) leave pending
@@ -2993,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_graph_cloned": _q_simsearch_graph_cloned,
         # round-11 ops tier: evaluation, reindex, history
         "simsearch_recall_ivf": _q_simsearch_recall_ivf,
+        "simsearch_recall_graph": _q_simsearch_recall_graph,
         "simsearch_ivf_reindexed": _q_simsearch_ivf_reindexed,
         "simsearch_index_history": _q_simsearch_index_history,
         # rotated OUT of the window in round 11 (second rotation),
@@ -6935,6 +6953,21 @@ FROM (SELECT query_id, count(*) AS n_true
 LEFT JOIN (
   SELECT a.query_id, count(*) AS n_hit
   FROM ({_sql_simsearch_ivf()}) a
+  JOIN ({_SQL_SIMSEARCH_TOPK}) e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id) h USING (query_id)
+ORDER BY query_id
+""",
+        "simsearch_recall_graph": f"""
+SELECT t.query_id,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  CAST(t.n_true AS BIGINT) AS n_true,
+  floor(coalesce(h.n_hit, 0) / t.n_true * 1e6 + 0.5) / 1e6 AS recall
+FROM (SELECT query_id, count(*) AS n_true
+      FROM ({_SQL_SIMSEARCH_TOPK}) e0 GROUP BY query_id) t
+LEFT JOIN (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM ({_sql_graph_ann()}) a
   JOIN ({_SQL_SIMSEARCH_TOPK}) e
     ON a.query_id = e.query_id AND a.vec_id = e.vec_id
   GROUP BY a.query_id) h USING (query_id)
