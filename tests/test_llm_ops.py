@@ -1652,6 +1652,43 @@ def test_clone_ivf_index_applies_deletes(spark, tmp_path):
     assert got2 == want
 
 
+def test_clone_crash_before_manifest_leaves_dst_unopenable(
+    spark, tmp_path, monkeypatch
+):
+    """A clone that dies before its manifest write leaves dst
+    UNOPENABLE (never half-served) and a re-run converges — the
+    manifest-last contract on the clone path."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src, dst = str(tmp_path / "csrc"), str(tmp_path / "cdst")
+    simsearch.write_ivf_index(emb, src)
+    real = simsearch._write_index_manifest
+    monkeypatch.setattr(
+        simsearch, "_write_index_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        simsearch.clone_ivf_index(spark, src, dst)
+    # data landed but no manifest -> every open/probe path refuses
+    with pytest.raises(Exception):
+        simsearch._manifest_rows(spark, dst)
+    monkeypatch.setattr(simsearch, "_write_index_manifest", real)
+    simsearch.clone_ivf_index(spark, src, dst)  # re-run converges
+    want = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, src, q, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in simsearch.ivf_ann_stored(spark, dst, q, k=5).collect()
+    )
+    assert got == want
+
+
 def test_clone_graph_index_asof_branches_history(spark, tmp_path):
     """clone_graph_index(as_of=0) branches the pre-append snapshot:
     probe-identical to open_graph_index(as_of=0) on the source, with
