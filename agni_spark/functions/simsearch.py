@@ -381,10 +381,12 @@ class ManifestConflictError(RuntimeError):
     this error turns the former silent lost-update into a loud abort."""
 
 
-def _manifest_versions(spark, path: str) -> list[int]:
-    """Sorted `v=N` manifest versions present on disk (committed swaps
-    only — a crashed writer leaves a dot-prefixed temp dir readers and
-    this listing both ignore). Empty for legacy flat manifests."""
+def _manifest_entries(spark, path: str) -> list[tuple[int, str, bool]]:
+    """(version, entry_name, is_file) for every manifest version present
+    on disk, sorted by version — `v=N.json` single-file commits (round
+    12) and legacy `v=N/` parquet dirs (round 11) both count. Names
+    that don't parse as a version (legacy flat part files, dot-temp
+    debris from the retired rename mechanism) are ignored."""
     from agni_spark.sources.layout import _hfs
 
     base = f"{path}/manifest"
@@ -394,12 +396,41 @@ def _manifest_versions(spark, path: str) -> list[int]:
     out = []
     for st in fs.listStatus(P(base)):
         name = st.getPath().getName()
-        if name.startswith("v="):
-            try:
-                out.append(int(name.split("=", 1)[1]))
-            except ValueError:
-                pass
+        if not name.startswith("v="):
+            continue
+        is_file = name.endswith(".json")
+        raw = name[2:-5] if is_file else name[2:]
+        try:
+            out.append((int(raw), name, is_file))
+        except ValueError:
+            pass
     return sorted(out)
+
+
+def _manifest_versions(spark, path: str) -> list[int]:
+    """Sorted manifest versions present on disk (both formats). Empty
+    for legacy flat manifests. Presence only — a version number can
+    belong to a truncated create-then-crash file; readers resolve the
+    newest PARSEABLE version (_resolve_manifest), writers only need
+    max+1 for the next slot."""
+    return sorted({v for v, _, _ in _manifest_entries(spark, path)})
+
+
+def _read_small_file(spark, path: str) -> bytes:
+    """Whole-file read of a small control file through the Hadoop
+    FileSystem API (same any-scheme contract as the writes) — no Spark
+    job, the manifest is bytes, not a dataset."""
+    from agni_spark.sources.layout import _hfs
+
+    fs, P = _hfs(spark, path)
+    stream = fs.open(P(path))
+    try:
+        data = spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+            stream
+        )
+    finally:
+        stream.close()
+    return bytes(data)
 
 
 def _write_index_manifest(
@@ -411,21 +442,30 @@ def _write_index_manifest(
     data lands. Readers filter to manifest-listed commits, so a crashed
     append's partial partition is never served.
 
-    ATOMIC VERSIONED SWAP (round 11, the Delta-log idiom on the file
-    API): each write lands a NEW `manifest/v=N` directory — parquet
-    written to a dot-prefixed temp dir first, then one rename — and
-    readers resolve max(v). The old mode('overwrite') on the flat dir
-    was delete-then-write: a reader racing the swap could find the
-    manifest missing or partial, and two racing writers silently
-    lost one commit (last overwrite wins). Now readers always see a
-    complete manifest (the rename is atomic; until it lands they see
-    the previous version), and a losing writer gets
-    ManifestConflictError instead of silence — detection, not
+    SINGLE-FILE VERSIONED COMMIT (round 12, the Delta-log commit-file
+    idiom): each write lands ONE new file `manifest/v=N.json` via
+    `FileSystem.create(path, overwrite=false)`; readers resolve the
+    newest PARSEABLE version. This replaces the round-11 dir-rename
+    swap, whose atomicity claim held only on rename-atomic filesystems
+    (local/HDFS) — on s3a rename is copy+delete, so a racing reader
+    could list a partial `v=N` and two writers could both "win". The
+    single-file commit needs NO rename anywhere: on S3 a PUT is
+    atomic-visibility (the object appears complete or not at all), on
+    HDFS/local create-no-overwrite is the exact CAS, and on s3a recent
+    Hadoop maps overwrite=false to a conditional (If-None-Match) PUT —
+    older s3a degrades to a HEAD-check create, which narrows but does
+    not eliminate the two-winner window; single-writer-per-index
+    remains the supported contract there. The losing racer's create
+    throws and surfaces as ManifestConflictError — detection, not
     multi-writer resolution: both racers may have staged data under
     the same `commit=` id, so the loser must RE-RUN its operation
-    (fresh manifest read, fresh commit id), and single-writer-per-
-    index stays the supported write contract. Old versions are
-    one-row-file history until vacuum_index GCs them.
+    (fresh manifest read, fresh commit id). A writer crashing between
+    create and close leaves a truncated `v=N.json`; readers skip it
+    (fall back to the newest version that parses) exactly as if the
+    commit never landed, and a later writer claims v=N+1, so the
+    debris never blocks progress — vacuum_index reclaims it once
+    superseded. Old versions are one-file history until vacuum GCs
+    them; legacy round-11 `v=N/` parquet dirs remain readable.
 
     `batch_ids` maps commit -> the streaming micro-batch id that
     produced it (None for batch-API commits). Recording it IN the
@@ -434,7 +474,7 @@ def _write_index_manifest(
     manifest (crash between manifest write and checkpoint commit) sees
     its batch id already applied and skips — the idempotent-sink
     bookkeeping dynamic partition overwrite alone cannot provide."""
-    import uuid
+    import json
 
     from agni_spark.sources.layout import _hfs
 
@@ -442,47 +482,84 @@ def _write_index_manifest(
     base = f"{path}/manifest"
     vers = _manifest_versions(spark, path)
     nxt_v = (max(vers) + 1) if vers else 1
-    tmp_name = f".tmp-v{nxt_v}-{uuid.uuid4().hex}"
-    tmp = f"{base}/{tmp_name}"
-    spark.createDataFrame(
-        [(int(c), bids.get(int(c))) for c in sorted(commits)],
-        "commit long, batch_id long",
-    ).repartition(1).write.mode("overwrite").parquet(tmp)
-    dst = f"{base}/v={nxt_v}"
+    payload = json.dumps(
+        {
+            "commits": sorted(int(c) for c in commits),
+            "batch_ids": {
+                str(int(c)): int(b) for c, b in bids.items() if b is not None
+            },
+        },
+        sort_keys=True,
+    ).encode("utf-8")
     fs, P = _hfs(spark, base)
-    won = (not fs.exists(P(dst))) and fs.rename(P(tmp), P(dst))
-    # local-FS rename into an existing dir NESTS src inside dst (mv
-    # semantics) — if another writer landed v=N between our exists
-    # check and the rename, our dir is now dst/tmp_name: remove it and
-    # report the conflict rather than serving a nested half-manifest
-    nested = f"{dst}/{tmp_name}"
-    if fs.exists(P(nested)):
-        fs.delete(P(nested), True)
-        won = False
-    if not won:
-        fs.delete(P(tmp), True)
-        raise ManifestConflictError(
-            f"manifest v={nxt_v} at {path} was committed by a "
-            "concurrent writer; re-run this operation from a fresh "
-            "manifest read (its staged commit is unreferenced debris "
-            "until then — vacuum_index reclaims it)"
+    conflict = ManifestConflictError(
+        f"manifest v={nxt_v} at {path} was committed by a "
+        "concurrent writer; re-run this operation from a fresh "
+        "manifest read (its staged commit is unreferenced debris "
+        "until then — vacuum_index reclaims it)"
+    )
+    # a legacy v=N parquet DIR from a round-11 writer claims the slot
+    # too — the single-file create below can't CAS against a directory
+    if fs.exists(P(f"{base}/v={nxt_v}")):
+        raise conflict
+    try:
+        out = fs.create(P(f"{base}/v={nxt_v}.json"), False)
+    except Exception as e:  # py4j surfaces FileAlreadyExistsException
+        if "FileAlreadyExistsException" in str(e) or "already exists" in str(e):
+            raise conflict from e
+        raise
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
+def _resolve_manifest(
+    spark, path: str
+) -> tuple[int | None, list[tuple[int, int | None]]]:
+    """(serving_version, rows) — the newest PARSEABLE manifest version
+    and its (commit, batch_id|None) pairs sorted by commit. Versions
+    that fail to parse (a truncated `v=N.json` from a writer that
+    crashed between create and close) are skipped: the commit never
+    happened, readers serve the version below. serving_version is None
+    when only a legacy flat manifest exists (read whole-dir as
+    before). Tolerates manifests written before the batch_id column
+    existed. Within one version number a `.json` file outranks a
+    legacy dir (coexistence is only possible via a race the round-11
+    mechanism could not detect)."""
+    import json
+
+    def _dir_rows(src):
+        df = spark.read.parquet(src)
+        has_bid = "batch_id" in df.columns
+        return sorted(
+            (int(r.commit),
+             int(r.batch_id) if has_bid and r.batch_id is not None else None)
+            for r in df.collect()
         )
+
+    entries = _manifest_entries(spark, path)
+    for ver, name, is_file in sorted(
+        entries, key=lambda e: (e[0], e[2]), reverse=True
+    ):
+        try:
+            if is_file:
+                doc = json.loads(
+                    _read_small_file(spark, f"{path}/manifest/{name}")
+                )
+                bids = doc.get("batch_ids") or {}
+                return ver, sorted(
+                    (int(c), int(bids[str(c)]) if str(c) in bids else None)
+                    for c in doc["commits"]
+                )
+            return ver, _dir_rows(f"{path}/manifest/{name}")
+        except Exception:
+            continue  # truncated/partial version — serve the one below
+    return None, _dir_rows(f"{path}/manifest")
 
 
 def _manifest_rows(spark, path: str) -> list[tuple[int, int | None]]:
-    """(commit, batch_id|None) pairs, sorted by commit, from the
-    NEWEST committed manifest version (max v=N; legacy flat manifests
-    read whole-dir as before). Tolerates manifests written before the
-    batch_id column existed."""
-    vers = _manifest_versions(spark, path)
-    src = f"{path}/manifest" + (f"/v={max(vers)}" if vers else "")
-    df = spark.read.parquet(src)
-    has_bid = "batch_id" in df.columns
-    return sorted(
-        (int(r.commit), int(r.batch_id) if has_bid and r.batch_id is not None
-         else None)
-        for r in df.collect()
-    )
+    return _resolve_manifest(spark, path)[1]
 
 
 def _committed(spark, path: str) -> list[int]:
@@ -511,6 +588,15 @@ def _snapshot_commits(
     commits = _committed(spark, path)
     if as_of is None:
         return commits
+    if commits and int(as_of) > max(commits):
+        # Delta/Iceberg `VERSION AS OF` errors on a nonexistent
+        # version; silently serving HEAD for a typo'd as_of would read
+        # the wrong snapshot with no signal
+        raise ValueError(
+            f"as_of={as_of} exceeds the newest committed commit of "
+            f"{path} (committed: {commits}) — pass a committed id or "
+            "omit as_of to read HEAD"
+        )
     snap = [c for c in commits if c <= int(as_of)]
     if not snap:
         raise ValueError(
@@ -723,20 +809,34 @@ def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
             if int(name.split("=", 1)[1]) not in committed:
                 _fs_delete(spark, f"{base}/{name}")
                 removed.append(f"{sub}/{name}")
-    # manifest history GC (round 11, versioned-swap layout): every
-    # version below max(v) is superseded — readers always resolve the
-    # newest — and crashed swaps leave dot-prefixed temp dirs; with
-    # versions present, legacy flat manifest files are superseded too.
-    vers = _manifest_versions(spark, path)
-    if vers:
+    # manifest history GC (versioned layout): delete ONLY versions
+    # STRICTLY BELOW the one readers currently resolve (the newest
+    # parseable), plus legacy flat manifest files once any version
+    # supersedes them. Never touch names at or above the serving
+    # version — a v=N landed by a concurrent writer between our
+    # resolve and the delete loop is NEWER than keep and deleting it
+    # would un-commit committed state — and never touch dot-prefixed
+    # names (in-flight temp dirs from a pre-round-12 writer).
+    serve, _ = _resolve_manifest(spark, path)
+    if serve is not None:
         mbase = f"{path}/manifest"
         fs, P = _hfs(spark, mbase)
-        keep = f"v={max(vers)}"
+        by_name = {
+            name: ver for ver, name, _ in _manifest_entries(spark, path)
+        }
         for st in fs.listStatus(P(mbase)):
             name = st.getPath().getName()
-            if name != keep:
-                _fs_delete(spark, f"{mbase}/{name}")
-                removed.append(f"manifest/{name}")
+            if name.startswith("."):
+                continue
+            if name in by_name and by_name[name] >= serve:
+                continue
+            # parsed version < serve, unparseable-version debris below
+            # nothing (by_name misses it only if name isn't v=*), or a
+            # legacy flat part file — all superseded by `serve`
+            if name.startswith("v=") and name not in by_name:
+                continue  # malformed v-name: skip, don't guess
+            _fs_delete(spark, f"{mbase}/{name}")
+            removed.append(f"manifest/{name}")
     return sorted(removed)
 
 
@@ -857,6 +957,28 @@ def _copy_aux_dirs(spark, src: str, dst: str, aux: tuple) -> None:
         ).parquet(f"{dst}/{a}")
 
 
+def _clear_clone_dst(
+    spark, dst: str, subdirs: list, aux: tuple = ()
+) -> None:
+    """Remove every family dir a clone could have left at dst before
+    writing a new one. Without this, a re-clone into a dst holding an
+    EARLIER clone keeps subdirs absent from the new snapshot (optional
+    positions/vectors, a previously carried tombstones/commit=0 the
+    new clone scrubs everywhere) and the fresh manifest ([0])
+    immediately re-commits them — probes would serve stale rows or
+    apply stale global tombstones. The manifest goes FIRST so dst is
+    unopenable for the whole rewrite (same crash contract as a fresh
+    clone); only family-known dirs are touched, never unrelated
+    content at dst."""
+    from agni_spark.sources.layout import _fs_delete, _fs_exists
+
+    fam = ["manifest", "tombstones", "meta"]
+    fam += [s for s, _ in subdirs] + list(aux)
+    for d in dict.fromkeys(fam):
+        if _fs_exists(spark, f"{dst}/{d}"):
+            _fs_delete(spark, f"{dst}/{d}")
+
+
 def clone_index(
     spark, src: str, dst: str, subdirs: list, aux: tuple = (),
     as_of: int | None = None,
@@ -883,6 +1005,7 @@ def clone_index(
     clone_graph_index which resolves versioned meta instead of aux
     copies)."""
     commits = _snapshot_commits(spark, src, as_of)
+    _clear_clone_dst(spark, dst, subdirs, aux)
     _clone_commit_subdirs(spark, src, dst, subdirs, commits)
     _copy_aux_dirs(spark, src, dst, aux)
     _write_index_manifest(spark, dst, [0])
@@ -924,6 +1047,7 @@ def clone_graph_index(spark, src: str, dst: str, as_of: int | None = None):
     into the clone and keeps filtering probes until its compaction."""
     commits = _snapshot_commits(spark, src, as_of)
     meta = _read_graph_meta(spark, src, commits)
+    _clear_clone_dst(spark, dst, GRAPH_INDEX_SUBDIRS)
     _clone_commit_subdirs(spark, src, dst, GRAPH_INDEX_SUBDIRS, commits)
     entries = (
         [int(e) for e in meta.entries]
@@ -4400,17 +4524,37 @@ def reduced_rerank_topk(
 SQ_INDEX_SUBDIRS = [("codes", "centroid_id")]
 
 
-def sq8_bounds(corpus: DataFrame) -> tuple[list[float], list[float]]:
-    """Train per-dimension [lo, hi] quantization bounds: one
-    posexplode + one (pos)-keyed min/max aggregation — a single
+def sq8_bounds(
+    corpus: DataFrame, trim: float = 0.001
+) -> tuple[list[float], list[float]]:
+    """Train per-dimension [lo, hi] quantization bounds,
+    QUANTILE-TRIMMED at [trim, 1-trim] (FAISS ScalarQuantizer
+    QT_8bit's rangestat=quantile idiom): raw min/max bounds let a
+    single outlier vector stretch one dimension's range and collapse
+    its 255-step resolution for the entire corpus; trimmed bounds
+    ignore the tail and the encoder clamps outliers to the range
+    edge (_sq8_codes already clamps t to [0, 1]). trim=0 reproduces
+    exact min/max.
+
+    F.percentile (EXACT, sort-based) rather than percentile_approx:
+    the approx sketch's merge is partition-order sensitive, and the
+    reindex pins require retraining on the same rows to be
+    bit-identical regardless of partitioning. Bounds are rounded to
+    6dp so the DuckDB oracle's quantile_cont (same p*(n-1) linear
+    interpolation) lands on identical doubles.
+
+    One posexplode + one (pos)-keyed aggregation — a single
     map-side-combined shuffle of dim-sized partials, nothing
     corpus-sized reaches the driver (dim rows do)."""
+    val = F.col("val").cast("double")
     rows = (
         corpus.select(F.posexplode(F.col("embedding")).alias("pos", "val"))
         .groupBy("pos")
         .agg(
-            F.min(F.col("val").cast("double")).alias("lo"),
-            F.max(F.col("val").cast("double")).alias("hi"),
+            F.round(F.percentile(val, F.lit(float(trim))), 6).alias("lo"),
+            F.round(F.percentile(val, F.lit(float(1.0 - trim))), 6).alias(
+                "hi"
+            ),
         )
         .orderBy("pos")
         .collect()
@@ -4730,4 +4874,91 @@ def reindex_ivf(
     write_ivf_index(
         live.select("vec_id", F.col("ce").alias("embedding")),
         dst_path, n_centroids=n_centroids, iters=iters,
+    )
+
+
+def reindex_pq(
+    spark, src_path: str, dst_path: str, n_centroids: int = 8,
+    m: int = 16, ksub: int = 16, lloyd_rounds: int = 2,
+    store_vectors: bool = True,
+) -> None:
+    """OFFLINE REINDEX for the IVF-PQ family — the ops answer to
+    CODEBOOK drift: appends encode against the frozen coarse quantizer
+    AND frozen residual codebooks, so after the corpus distribution
+    shifts the codewords stop covering it and recall@k decays
+    (measure with recall_at_k, reindex at the knee — the same
+    measure->reindex loop reindex_ivf closes for the flat family).
+
+    Retraining residual codebooks needs the RAW vectors; PQ codes are
+    lossy many-to-one, so there is nothing faithful to retrain on
+    without the `vectors/` sidecar (write_pq_index(store_vectors=True)
+    — the DiskANN store-full-precision-alongside deployment). Without
+    the sidecar this raises rather than silently retraining on
+    reconstructions: pass the source corpus through write_pq_index
+    yourself if you have it.
+
+    Live-row resolution matches the probe exactly: committed vectors
+    minus tombstoned/superseded rows (deletes and upserts fold in).
+    Pinned bit-identical to write_pq_index over the surviving corpus —
+    same seeded training path. src stays live and unmodified
+    throughout; cutover is the caller swapping paths."""
+    from agni_spark.sources.layout import _hfs
+
+    fs, P = _hfs(spark, f"{src_path}/vectors")
+    if not fs.exists(P(f"{src_path}/vectors")):
+        raise ValueError(
+            f"reindex_pq: {src_path} has no vectors/ sidecar — PQ codes "
+            "are lossy, so codebooks can only retrain on raw vectors; "
+            "rebuild with write_pq_index(store_vectors=True) or run "
+            "write_pq_index over the source corpus directly"
+        )
+    commits = _committed(spark, src_path)
+    live = _anti_tombstones(
+        spark.read.parquet(f"{src_path}/vectors")
+        .where(F.col("commit").isin(commits))
+        .select("vec_id", "embedding", "commit"),
+        _tombstones(spark, src_path, commits),
+    )
+    write_pq_index(
+        live.select("vec_id", "embedding"), dst_path,
+        n_centroids=n_centroids, m=m, ksub=ksub,
+        lloyd_rounds=lloyd_rounds, store_vectors=store_vectors,
+    )
+
+
+def reindex_sq8(
+    spark, src_path: str, dst_path: str, n_centroids: int = 8,
+    iters: int = 1, trim: float = 0.001,
+) -> None:
+    """OFFLINE REINDEX for the IVF-SQ8 family — retrain the per-dim
+    scalar BOUNDS and the coarse quantizer. Appends/upserts encode
+    against the bounds trained at build time; once the live value
+    range drifts past them every new vector clamps at the edges and
+    the quantization error grows one-sided — recall_at_k shows the
+    decay, this restores the trained-on-everything state.
+
+    SQ8 stores no raw vectors (the 4x compression IS the point), so
+    the reindex retrains on the DEQUANTIZED live rows — the index's
+    exact knowledge of its corpus (reconstruction error <= half a
+    quantization step per dimension; FAISS's reconstruct-and-retrain
+    idiom). Pinned: reindex over a pure build equals
+    write_sq_index(dequantized corpus) bit for bit — same rows, same
+    seeded kmeans, same quantile-trimmed bounds path.
+
+    Live-row resolution matches the probe exactly (committed codes
+    minus tombstoned/superseded). One distributed pass: the dequant is
+    a transform() over the pruned int-codes scan, nothing corpus-sized
+    reaches the driver; src stays live throughout."""
+    h = SqIndexHandle(spark, src_path)
+    live = _anti_tombstones(h.codes, h.tombstones)
+    # keep the dequantized values as DOUBLES: _sq8_dequant's exact
+    # arithmetic is what the oracle mirrors — a float round-trip here
+    # would retrain on different numbers than the SQL chain
+    recon = live.select(
+        "vec_id",
+        _sq8_dequant(F.col("codes"), h.lo, h.hi).alias("embedding"),
+    )
+    write_sq_index(
+        recon, dst_path, n_centroids=n_centroids, iters=iters,
+        bounds=sq8_bounds(recon, trim=trim),
     )

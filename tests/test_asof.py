@@ -54,6 +54,15 @@ def _rows(df):
     return [tuple(r) for r in df.collect()]
 
 
+def test_asof_beyond_head_raises(spark, emb):
+    # Delta/Iceberg `VERSION AS OF` errors on a nonexistent version; a
+    # typo'd as_of above HEAD must not silently serve HEAD
+    path = tempfile.mkdtemp(prefix="asof_over_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)  # commits=[0]
+    with pytest.raises(ValueError, match="exceeds the newest"):
+        simsearch.open_ivf_index(spark, path, as_of=20)
+
+
 def test_ivf_asof_hides_later_upsert(spark, emb, queries):
     # build (0) + append (1), snapshot the probe, then upsert (2):
     # as_of=1 must reproduce the pre-upsert result bit for bit, and
@@ -271,3 +280,72 @@ def test_reindex_folds_upserts_and_deletes(spark, emb, queries):
     ) == _rows(
         simsearch.ivf_ann_stored(spark, fresh, queries, k=8, nprobe=2)
     )
+
+def test_reindex_pq_requires_sidecar_and_matches_fresh_build(
+    spark, emb, queries
+):
+    # (a) without vectors/ the reindex refuses (PQ codes are lossy —
+    # nothing faithful to retrain on); (b) with the sidecar, reindex
+    # over build+append+delete equals a fresh build on the live corpus
+    bare = tempfile.mkdtemp(prefix="reidx_pq_bare_")
+    simsearch.write_pq_index(emb, bare, n_centroids=4, m=4, ksub=8)
+    with pytest.raises(ValueError, match="vectors/ sidecar"):
+        simsearch.reindex_pq(spark, bare, tempfile.mkdtemp())
+
+    src = tempfile.mkdtemp(prefix="reidx_pq_src_")
+    simsearch.write_pq_index(
+        emb.where(F.col("vec_id") % 2 == 0), src,
+        n_centroids=4, m=4, ksub=8, store_vectors=True,
+    )
+    simsearch.append_pq_index(
+        spark, src,
+        emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    simsearch.delete_from_index(
+        spark, src, emb.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+        simsearch.PQ_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="reidx_pq_dst_")
+    simsearch.reindex_pq(spark, src, dst, n_centroids=4, m=4, ksub=8)
+
+    fresh = tempfile.mkdtemp(prefix="reidx_pq_fresh_")
+    simsearch.write_pq_index(
+        emb.where(F.col("vec_id") % 5 != 0), fresh,
+        n_centroids=4, m=4, ksub=8, store_vectors=True,
+    )
+    got = _rows(simsearch.ivfpq_stored(spark, dst, queries, k=8, nprobe=2))
+    assert got == _rows(
+        simsearch.ivfpq_stored(spark, fresh, queries, k=8, nprobe=2)
+    ) and len(got) > 0
+
+
+def test_reindex_sq8_retrains_on_dequantized_live_rows(spark, emb, queries):
+    # reindex over a pure build equals write_sq_index over the
+    # DEQUANTIZED corpus bit for bit (same rows -> same seeded kmeans
+    # -> same trimmed bounds); deletes resolve before the retrain
+    src = tempfile.mkdtemp(prefix="reidx_sq_src_")
+    simsearch.write_sq_index(emb, src, n_centroids=4)
+    simsearch.delete_from_index(
+        spark, src, emb.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+        simsearch.SQ_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="reidx_sq_dst_")
+    simsearch.reindex_sq8(spark, src, dst, n_centroids=4)
+
+    h = simsearch.open_sq_index(spark, src)
+    recon = simsearch._anti_tombstones(h.codes, h.tombstones).select(
+        "vec_id",
+        simsearch._sq8_dequant(F.col("codes"), h.lo, h.hi).alias("embedding"),
+    )
+    fresh = tempfile.mkdtemp(prefix="reidx_sq_fresh_")
+    simsearch.write_sq_index(recon, fresh, n_centroids=4)
+    got = _rows(simsearch.sq_ann_stored(spark, dst, queries, k=8, nprobe=2))
+    assert got == _rows(
+        simsearch.sq_ann_stored(spark, fresh, queries, k=8, nprobe=2)
+    ) and len(got) > 0
+    # the deleted ids are physically absent from the retrained index
+    assert not {int(r.vec_id) for r in
+                spark.read.parquet(f"{dst}/codes").collect()} & {
+        int(r.vec_id) for r in
+        emb.where(F.col("vec_id") % 5 == 0).collect()
+    }

@@ -1560,7 +1560,9 @@ def test_manifest_versioned_swap_legacy_and_vacuum(spark, tmp_path):
     assert simsearch._manifest_versions(spark, path) == [2]
     flat = [
         n for n in os.listdir(f"{path}/manifest")
-        if not n.startswith("v=")
+        # dot-names are the local ChecksumFileSystem's .crc sidecar for
+        # the LIVE single-file manifest, not legacy debris
+        if not n.startswith("v=") and not n.startswith(".")
     ]
     assert flat == []  # legacy debris gone
     assert simsearch._committed(spark, path) == [2]
@@ -1603,6 +1605,148 @@ def test_manifest_concurrent_swap_conflict_detected(
         if n.startswith(".tmp")
     ]
     assert nested == []
+
+
+def test_manifest_single_file_cas_conflict(spark, tmp_path):
+    """Round-12 commit protocol: the manifest is ONE `v=N.json` file
+    landed with create-no-overwrite — the losing racer's create throws
+    (FileAlreadyExistsException -> ManifestConflictError) and the
+    winner's file is untouched. No rename anywhere, so the contract
+    holds on object stores where rename is copy+delete."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    simsearch.write_ivf_index(emb, path)  # lands manifest/v=1.json
+    names = [
+        n for n in os.listdir(f"{path}/manifest") if not n.startswith(".")
+    ]
+    assert names == ["v=1.json"]  # single FILE, not a parquet dir
+    # the race: the other writer lands v=2.json after this writer
+    # resolved the version list
+    simsearch._write_index_manifest(spark, path, [0, 1])
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(simsearch, "_manifest_versions", lambda s, p: [1])
+        with pytest.raises(simsearch.ManifestConflictError):
+            simsearch._write_index_manifest(spark, path, [0, 99])
+    # winner preserved verbatim; committed view is the winner's
+    assert simsearch._manifest_versions(spark, path) == [1, 2]
+    assert simsearch._committed(spark, path) == [0, 1]
+
+
+def test_manifest_truncated_version_skipped(spark, tmp_path):
+    """A writer that crashed between create and close leaves a
+    truncated `v=N.json`. Readers must serve the newest PARSEABLE
+    version (the commit never happened), the next writer claims
+    v=N+1 (debris never blocks progress), and vacuum keeps the
+    truncated file while it is above the serving version, then
+    reclaims it once superseded."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    simsearch.write_ivf_index(emb, path)  # v=1.json, commits=[0]
+    # simulate the create-then-crash: an empty v=2.json
+    open(f"{path}/manifest/v=2.json", "w").close()
+    assert simsearch._manifest_versions(spark, path) == [1, 2]
+    assert simsearch._committed(spark, path) == [0]  # falls back to v=1
+    # vacuum must NOT delete v=2.json (above the serving version) nor
+    # v=1.json (the serving version itself)
+    simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert os.path.exists(f"{path}/manifest/v=2.json")
+    assert os.path.exists(f"{path}/manifest/v=1.json")
+    # the next commit claims v=3 and serves; the debris is now below
+    # the serving version and vacuum reclaims it
+    from pyspark.sql import functions as F
+
+    simsearch.append_ivf_index(
+        spark, path,
+        emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    assert simsearch._manifest_versions(spark, path) == [1, 2, 3]
+    assert simsearch._committed(spark, path) == [0, 1]
+    removed = simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert "manifest/v=1.json" in removed
+    assert "manifest/v=2.json" in removed
+    assert simsearch._committed(spark, path) == [0, 1]
+
+
+def test_vacuum_never_deletes_newer_manifest_version(
+    spark, tmp_path, monkeypatch
+):
+    """The round-11 manifest GC deleted every name != v=max from a
+    FRESH listing — a version landed by a concurrent writer between
+    the resolve and the delete loop was NEWER than keep and got
+    destroyed (un-committing committed state). Now the GC deletes only
+    versions strictly below the version it resolved."""
+    import json
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    simsearch.write_ivf_index(emb, path)  # v=1.json
+    # pin vacuum's resolve to the stale view (serving v=1), then land
+    # the concurrent writer's v=2 between resolve and delete
+    real = simsearch._resolve_manifest
+
+    def stale_then_race(s, p):
+        ver, rows = real(s, p)
+        with open(f"{path}/manifest/v=2.json", "w") as f:
+            json.dump({"commits": [0, 1], "batch_ids": {}}, f)
+        return ver, rows
+
+    monkeypatch.setattr(simsearch, "_resolve_manifest", stale_then_race)
+    simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    monkeypatch.undo()
+    # the racing writer's committed manifest survived
+    assert os.path.exists(f"{path}/manifest/v=2.json")
+    assert simsearch._committed(spark, path) == [0, 1]
+
+
+def test_reclone_into_dirty_dst_serves_new_snapshot_only(spark, tmp_path):
+    """clone into a dst holding an EARLIER clone must clear the family
+    dirs first: subdirs absent from the new snapshot (here a carried
+    tombstones/commit=0 from a graph clone with a pending delete)
+    would otherwise survive and be re-committed by the fresh manifest
+    ([0]) — probes would apply the STALE tombstone to the new graph."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src_a = str(tmp_path / "src_a")
+    src_b = str(tmp_path / "src_b")
+    dst = str(tmp_path / "dst")
+    # A: graph index with a PENDING delete — its clone carries the
+    # global tombstone (graph subdirs can't scrub it physically)
+    simsearch.write_graph_index(emb, src_a, n_buckets=4, knn=4)
+    doomed = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    simsearch.delete_from_index(
+        spark, src_a, doomed, simsearch.GRAPH_INDEX_SUBDIRS
+    )
+    simsearch.clone_graph_index(spark, src_a, dst)
+    assert os.path.exists(f"{dst}/tombstones")
+    # B: a DIFFERENT graph (odd half only), no deletes — re-clone over
+    # the same dst
+    simsearch.write_graph_index(
+        emb.where(F.col("vec_id") % 2 == 1), src_b, n_buckets=4, knn=4
+    )
+    simsearch.clone_graph_index(spark, src_b, dst)
+    assert not os.path.exists(f"{dst}/tombstones")  # stale dir cleared
+    got = [
+        tuple(r) for r in
+        simsearch.graph_ann_stored(spark, dst, q, k=5, beam=8).collect()
+    ]
+    want = [
+        tuple(r) for r in
+        simsearch.graph_ann_stored(spark, src_b, q, k=5, beam=8).collect()
+    ]
+    assert got == want  # dst == the new snapshot, nothing stale applied
 
 
 def test_clone_ivf_index_applies_deletes(spark, tmp_path):

@@ -424,6 +424,44 @@ def test_streamed_sq_upsert_equals_one_shot(spark, emb, queries, tmp_path):
     ) and len(got) > 0
 
 
+def test_sq8_trimmed_bounds_survive_outlier(spark):
+    """sq8_bounds is quantile-trimmed (round 12): with raw min/max
+    bounds a SINGLE outlier vector stretches one dimension's range
+    ~100x and collapses its 255-step resolution for the whole corpus;
+    trimmed bounds ignore the tail (the outlier itself clamps to the
+    range edge) and recall@k on the inlier corpus stays where it was
+    without the outlier."""
+    import tempfile
+
+    n, dim = 1500, 8
+    rows = []
+    for i in range(n):
+        c = i % 4
+        v = [0.05 * ((i * 7 + d) % 5) for d in range(dim)]
+        v[c * 2] += 4.0
+        rows.append((i, [float(x) for x in v]))
+    rows.append((99999, [1000.0] * dim))  # the outlier stretches EVERY dim
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    qs = corpus.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = simsearch.cosine_topk(corpus, qs, k=8)
+
+    def mean_recall(bounds):
+        path = tempfile.mkdtemp(prefix="sq8_out_")
+        simsearch.write_sq_index(corpus, path, n_centroids=4, bounds=bounds)
+        got = simsearch.sq_ann_stored(spark, path, qs, k=8, nprobe=4)
+        r = simsearch.recall_at_k(got, exact, k=8)
+        return float(r.agg(F.avg("recall")).first()[0])
+
+    trimmed = mean_recall(simsearch.sq8_bounds(corpus))         # 0.001/0.999
+    minmax = mean_recall(simsearch.sq8_bounds(corpus, trim=0.0))
+    assert trimmed > minmax  # the outlier degraded the min/max build
+    assert trimmed >= 0.9    # and the trimmed build is unharmed by it
+
+
 def test_sq8_filtered_probe_restricts_candidates(spark, emb, queries):
     # allowed= is post-filter semantics on the SQ8 probe, same as the
     # IVF family: every returned id is in the allow-set
