@@ -1845,6 +1845,97 @@ def _q_simsearch_ivf_reindexed(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, dst, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_recall_pq(spark: SparkSession, sf: str) -> DataFrame:
+    # ANN EVALUATION, PQ flavor (round 12): recall@10 of the IVF-PQ
+    # ADC probe against exact cosine — closes the measure half of the
+    # measure->reindex ops loop for the compressed family (recall decay
+    # under frozen codebooks is exactly what reindex_pq answers). Full
+    # oracle: the composed PQ chain + exact top-k + recall arithmetic.
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = simsearch.ivfpq_search(e, queries_df, k=10)
+    exact = simsearch.cosine_topk(e, queries_df, k=10)
+    return simsearch.recall_at_k(approx, exact, k=10)
+
+
+def _q_simsearch_recall_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    # ANN EVALUATION, SQ8 flavor (round 12): recall@10 of the stored
+    # IVF-SQ8 probe (dequantized-candidate scoring) against exact
+    # cosine — with recall_ivf/graph/pq this covers all four index
+    # geometries, so an ops loop can compare compression points
+    # (flat vs SQ8 vs PQ) on equal recall footing.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_sq8_rec_")
+    simsearch.write_sq_index(e, path, n_centroids=8)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = simsearch.sq_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+    exact = simsearch.cosine_topk(e, queries_df, k=10)
+    return simsearch.recall_at_k(approx, exact, k=10)
+
+
+def _q_simsearch_pq_reindexed(spark: SparkSession, sf: str) -> DataFrame:
+    # OFFLINE REINDEX, PQ flavor (round 12): codebooks trained on the
+    # even half drift once the odd half appends against them; deletes
+    # (%31) leave tombstones. reindex_pq retrains coarse quantizer AND
+    # residual codebooks on the LIVE raw vectors (the vectors/ sidecar
+    # — PQ codes are lossy, raw is required) — pinned bit-identical to
+    # write_pq_index over the surviving corpus, which IS the oracle
+    # (the composed PQ chain over embeddings minus the deleted ids).
+    import tempfile
+
+    e = _emb(spark, sf)
+    src = tempfile.mkdtemp(prefix="agni_pq_reidx_src_")
+    simsearch.write_pq_index(
+        e.where(F.col("vec_id") % 2 == 0), src, n_centroids=8,
+        store_vectors=True,
+    )
+    simsearch.append_pq_index(
+        spark, src,
+        e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    simsearch.delete_from_index(
+        spark, src, e.where(F.col("vec_id") % 31 == 0).select("vec_id"),
+        simsearch.PQ_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="agni_pq_reidx_dst_")
+    simsearch.reindex_pq(spark, src, dst, n_centroids=8)
+    queries_df = e.where(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivfpq_stored(spark, dst, queries_df, k=10, nprobe=2)
+
+
+def _q_simsearch_sq8_reindexed(spark: SparkSession, sf: str) -> DataFrame:
+    # OFFLINE REINDEX, SQ8 flavor (round 12): bounds + quantizer
+    # trained at build time; deletes (%31) leave tombstones. SQ8
+    # stores no raw vectors, so reindex_sq8 retrains on the
+    # DEQUANTIZED live rows (reconstruction error <= half a step/dim)
+    # — pinned bit-identical to write_sq_index over that dequantized
+    # corpus, which IS the oracle (the SQ8 chain with all three model
+    # sources swapped to the dequantized-live derived table).
+    import tempfile
+
+    e = _emb(spark, sf)
+    src = tempfile.mkdtemp(prefix="agni_sq8_reidx_src_")
+    simsearch.write_sq_index(e, src, n_centroids=8)
+    simsearch.delete_from_index(
+        spark, src, e.where(F.col("vec_id") % 31 == 0).select("vec_id"),
+        simsearch.SQ_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="agni_sq8_reidx_dst_")
+    simsearch.reindex_sq8(spark, src, dst, n_centroids=8)
+    queries_df = e.where(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.sq_ann_stored(spark, dst, queries_df, k=10, nprobe=2)
+
+
 def _q_simsearch_index_history(spark: SparkSession, sf: str) -> DataFrame:
     # commit-history introspection (round 11): build (0), append (1),
     # upsert with a streaming-style batch id (2, batch_id=7) — the
@@ -3013,6 +3104,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_recall_graph": _q_simsearch_recall_graph,
         "simsearch_ivf_reindexed": _q_simsearch_ivf_reindexed,
         "simsearch_index_history": _q_simsearch_index_history,
+        # round-12 ops-loop completion: recall + reindex for the two
+        # compressed families (PQ needs the raw sidecar, SQ8 retrains
+        # on its own dequantization)
+        "simsearch_recall_pq": _q_simsearch_recall_pq,
+        "simsearch_recall_sq8": _q_simsearch_recall_sq8,
+        "simsearch_pq_reindexed": _q_simsearch_pq_reindexed,
+        "simsearch_sq8_reindexed": _q_simsearch_sq8_reindexed,
         # rotated OUT of the window in round 11 (second rotation),
         # still fully oracle-gated:
         "text_index_search": _q_text_index_search,
@@ -3810,6 +3908,7 @@ def _sql_simsearch_sq8(
     cents_src: str = "embeddings",
     query_where: str = "vec_id < 5",
     k: int = 10,
+    query_src: str | None = None,
 ) -> str:
     """IVF-SQ8 probe mirror: the IVF chain with the candidate side
     scored against its SQ8 dequantization instead of the raw vector.
@@ -3829,7 +3928,11 @@ cells AS (
           DESC, ct.centroid_id ASC) AS rn
     FROM {corpus_src} c CROSS JOIN cents ct) WHERE rn = 1),
 bounds AS (
-  SELECT pos, min(val) AS lo, max(val) AS hi FROM (
+  -- quantile-trimmed scalar-quantizer bounds (FAISS rangestat=quantile):
+  -- quantile_cont == Spark's exact F.percentile (same p*(n-1) linear
+  -- interpolation), both sides rounded to 6dp
+  SELECT pos, round(quantile_cont(val, 0.001), 6) AS lo,
+         round(quantile_cont(val, 0.999), 6) AS hi FROM (
     SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
            unnest(CAST(embedding AS DOUBLE[])) AS val
     FROM {bounds_src}) GROUP BY pos),
@@ -3847,7 +3950,7 @@ deq AS (
           FROM {corpus_src}) u
     JOIN bounds b USING (pos)) GROUP BY vec_id),
 q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-      FROM {corpus_src} WHERE {query_where}),
+      FROM {query_src or corpus_src} WHERE {query_where}),
 probes AS (
   SELECT query_id, qe, centroid_id FROM (
     SELECT q.query_id, q.qe, ct.centroid_id,
@@ -3867,6 +3970,33 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
 WHERE rk <= {k} ORDER BY query_id, rk
 """
+
+
+# The DEQUANTIZED-LIVE derived table the SQ8 reindex oracle feeds into
+# every model source of _sql_simsearch_sq8: bounds trained at the
+# original build (quantile-trimmed over the FULL corpus), codes
+# dequantized with them, restricted to the live (%31 <> 0) rows — the
+# exact reconstruction reindex_sq8 retrains on. Own WITH scope (a
+# parenthesized subquery), CTE named rb to avoid colliding with the
+# outer chain's `bounds`.
+_SQL_SQ8_DEQ_LIVE = """(
+  WITH rb AS (
+    SELECT pos, round(quantile_cont(val, 0.001), 6) AS lo,
+           round(quantile_cont(val, 0.999), 6) AS hi FROM (
+      SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
+    GROUP BY pos)
+  SELECT u.vec_id, list(
+      CASE WHEN rb.hi = rb.lo THEN rb.lo
+           ELSE rb.lo
+             + floor(least(greatest((u.val - rb.lo) / (rb.hi - rb.lo), 0), 1)
+                     * 255 + 0.5) / 255.0 * (rb.hi - rb.lo)
+      END ORDER BY u.pos) AS embedding
+  FROM (SELECT vec_id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings WHERE vec_id % 31 <> 0) u
+  JOIN rb USING (pos) GROUP BY u.vec_id)"""
 
 
 _SQL_SIMSEARCH_IVF_APPEND = _sql_simsearch_ivf(
@@ -4136,24 +4266,31 @@ f{i} AS (SELECT query_id, node FROM (
 # simsearch.ivfpq_search's by_residual semantics and lloyd_rounds;
 # candidates only (never all pairs). `k` parameterizes the shortlist
 # size so the refine oracle can reuse the same chain.
-def _sql_ivfpq(rounds: int = 2, k: int = 10) -> str:
+def _sql_ivfpq(
+    rounds: int = 2, k: int = 10, corpus_src: str = "embeddings",
+    query_src: str | None = None, query_where: str = "vec_id < 5",
+) -> str:
+    """`corpus_src` parameterizes the trained+encoded corpus (the
+    reindex oracle restricts it to the live rows); `query_src` the
+    probe set's source (defaults to corpus_src)."""
+    qsrc = query_src or corpus_src
     head = f"""
-WITH {_sql_kmeans_cents()},
+WITH {_sql_kmeans_cents(corpus_src)},
 cells AS (
   SELECT vec_id, centroid_id FROM (
     SELECT c.vec_id, ct.centroid_id,
       row_number() OVER (PARTITION BY c.vec_id ORDER BY
         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
           DESC, ct.centroid_id ASC) AS rn
-    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
+    FROM {corpus_src} c CROSS JOIN cents ct) WHERE rn = 1),
 resid AS (
   SELECT c.vec_id, ce.centroid_id,
     list_transform(generate_series(1, len(c.embedding)),
       i -> CAST(c.embedding AS DOUBLE[])[i] - ct.cvec[i]) AS r
-  FROM embeddings c JOIN cells ce USING (vec_id)
+  FROM {corpus_src} c JOIN cells ce USING (vec_id)
   JOIN cents ct USING (centroid_id)),
 q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-      FROM embeddings WHERE vec_id < 5),
+      FROM {qsrc} WHERE {query_where}),
 probes AS (
   SELECT query_id, centroid_id FROM (
     SELECT q.query_id, ct.centroid_id,
@@ -6973,6 +7110,55 @@ LEFT JOIN (
   GROUP BY a.query_id) h USING (query_id)
 ORDER BY query_id
 """,
+        "simsearch_recall_pq": f"""
+SELECT t.query_id,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  CAST(t.n_true AS BIGINT) AS n_true,
+  floor(coalesce(h.n_hit, 0) / t.n_true * 1e6 + 0.5) / 1e6 AS recall
+FROM (SELECT query_id, count(*) AS n_true
+      FROM ({_SQL_SIMSEARCH_TOPK}) e0 GROUP BY query_id) t
+LEFT JOIN (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM ({_SQL_SIMSEARCH_IVFPQ}) a
+  JOIN ({_SQL_SIMSEARCH_TOPK}) e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id) h USING (query_id)
+ORDER BY query_id
+""",
+        "simsearch_recall_sq8": f"""
+SELECT t.query_id,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  CAST(t.n_true AS BIGINT) AS n_true,
+  floor(coalesce(h.n_hit, 0) / t.n_true * 1e6 + 0.5) / 1e6 AS recall
+FROM (SELECT query_id, count(*) AS n_true
+      FROM ({_SQL_SIMSEARCH_TOPK}) e0 GROUP BY query_id) t
+LEFT JOIN (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM ({_sql_simsearch_sq8()}) a
+  JOIN ({_SQL_SIMSEARCH_TOPK}) e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id) h USING (query_id)
+ORDER BY query_id
+""",
+        # PQ reindex: the retrained build over the LIVE raw vectors
+        # (the sidecar) IS the composed PQ chain over embeddings minus
+        # the deleted ids; queries stay full-precision originals
+        "simsearch_pq_reindexed": _sql_ivfpq(
+            corpus_src="(SELECT * FROM embeddings WHERE vec_id % 31 <> 0)",
+            query_src="embeddings",
+            query_where="vec_id BETWEEN 1 AND 5",
+        ),
+        # SQ8 reindex: no raw vectors — the retrain input is the
+        # DEQUANTIZED live rows, so every model source (bounds,
+        # centroids, encoded corpus) swaps to the dequantized derived
+        # table; queries stay full-precision originals
+        "simsearch_sq8_reindexed": _sql_simsearch_sq8(
+            bounds_src=_SQL_SQ8_DEQ_LIVE,
+            corpus_src=_SQL_SQ8_DEQ_LIVE,
+            cents_src=_SQL_SQ8_DEQ_LIVE,
+            query_src="embeddings",
+            query_where="vec_id BETWEEN 1 AND 5",
+        ),
         # reindex: the retrained build over the LIVE corpus IS the
         # canonical IVF chain over embeddings minus the deleted ids
         "simsearch_ivf_reindexed": _sql_simsearch_ivf(
