@@ -2645,6 +2645,53 @@ def _q_streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
                                       beam=8, hops=3)
 
 
+def _q_streaming_graph_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    # streaming CDC UPSERT on the GRAPH index (round 12): build over a
+    # corpus where every vec_id % 4 == 1 vector is POISONED (negated),
+    # then stream the true vectors as a change feed in 2 PINNED
+    # micro-batches (%8==1 drained first, %8==5 second — sequential
+    # availableNow runs). Each batch is a horizon-scoped tombstone +
+    # ordered NSW re-insertion in one manifest swap: the walk scores
+    # each id once at its newest vector, old edges carry as routing.
+    # NSW insertion is ORDER-DEPENDENT — batch 2 links against batch
+    # 1's RESTORED vectors while batch 1 linked against batch 2's
+    # still-poisoned ones — exactly what the unrolled two-stage oracle
+    # nails down externally.
+    import tempfile
+
+    e = _emb(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="agni_sgup_")
+    poisoned = e.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 4 == 1,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    ).select("vec_id", "embedding")
+    path = f"{tmp}/idx"
+    simsearch.write_graph_index(poisoned, path, knn=5)
+    src = f"{tmp}/src"
+    e.where(F.col("vec_id") % 8 == 1).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, path, f"{tmp}/ckpt", index_kind="graph", mode="upsert"
+    )
+    q.awaitTermination()
+    e.where(F.col("vec_id") % 8 == 5).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, path, f"{tmp}/ckpt", index_kind="graph", mode="upsert"
+    )
+    q.awaitTermination()
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.graph_ann_stored(spark, path, queries_df, k=10,
+                                      beam=8, hops=3)
+
+
 def _q_simsearch_ivfpq_stored(spark: SparkSession, sf: str) -> DataFrame:
     # materialized IVF-PQ: the build trains once (same _ivfpq_train
     # path as simsearch_ivfpq) and persists centroids/codebooks/packed
@@ -2951,12 +2998,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # #50) — the skew-safe two-phase top-k is the curation tier's
         # newest externally-checkable operator.
         "pipeline_domain_cap": _q_pipeline_domain_cap,
-        # round-11 rotation (third): DEEP CLONE replaces the stored
-        # pagerank in the window — snapshot export with tombstones
-        # applied physically is the newest lifecycle signal; pagerank
-        # over the stored graph stays fully oracle-gated after #50
-        # (it was externally checked in the r10/r11 windows already)
-        "simsearch_ivf_cloned": _q_simsearch_ivf_cloned,
+        # round-12 rotation: graph-family TIME TRAVEL replaces the IVF
+        # clone (externally checked in r11) — versioned-meta resolution
+        # (an as_of handle must serve the snapshot's OWN entries/degree
+        # bound) is the graph family's newest never-driver-checked
+        # invariant; simsearch_ivf_cloned stays oracle-gated after #50
+        "simsearch_graph_asof": _q_simsearch_graph_asof,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
         # round-10 rotation: FILTERED graph search (walk the full
         # graph, rank only allow-set survivors) replaces the in-memory
@@ -2972,23 +3019,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
         "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
         # --- Dedup (6) ---
-        # round-11 rotation: the UPSERT tier's IVF row (horizon-scoped
-        # tombstone + frozen-quantizer replacement in one commit)
-        # replaces simsearch_ivf_filtered, which got its external
-        # check in round 10 and stays oracle-gated after #50 — the
-        # scoped-tombstone composition is the newest invariant an
-        # external oracle should pin
-        "simsearch_ivf_upserted": _q_simsearch_ivf_upserted,
+        # round-12 rotation: the EVALUATION tier enters the window —
+        # recall@k had never been driver-checked; it replaces the IVF
+        # upsert row (externally green in r11; the upsert semantics
+        # stay windowed through streaming_graph_upsert and sq8_stored's
+        # shared machinery). simsearch_ivf_upserted stays gated after
+        # #50.
+        "simsearch_recall_ivf": _q_simsearch_recall_ivf,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "pipeline_curate_v2": _q_pipeline_curate_v2,
-        # round-9 rotation: the newest, riskiest operators move into
-        # the window — the full remote-WRITE+READ protocol loop and
-        # the layered-lifecycle graph probe (build -> append with
-        # upper-layer maintenance -> layer-rebuilding compact) replace
-        # dedup_incremental and dedup_simhash (the dedup family keeps
-        # dedup_exact/dedup_minhash_lsh/pipeline_curate_v2 as window
-        # representatives; both swapped-out rows stay gated after #50)
-        "simsearch_graph_compacted": _q_simsearch_graph_compacted,
+        # round-12 rotation: streaming CDC upsert on the GRAPH family
+        # (horizon-scoped tombstone + ordered NSW re-insertion per
+        # micro-batch, order-dependent across batches) replaces
+        # simsearch_graph_compacted, externally checked for three
+        # rounds and still gated after #50
+        "streaming_graph_upsert": _q_streaming_graph_upsert,
         "s15_remote_write_read": _q_s15_remote_write_read,
         # round-6 sharded-state streaming top-k replaced cluster-assign
         # in the window (dedup_cluster_assign stays gated after #50)
@@ -3095,12 +3140,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_asof": _q_simsearch_ivf_asof,
         # round-11 IVF-SQ8 family (sq8_stored is IN the window)
         "simsearch_sq8_upserted": _q_simsearch_sq8_upserted,
-        "simsearch_graph_asof": _q_simsearch_graph_asof,
         # round-11 deep clone: the graph clone composes with as_of
-        # (branch-at-commit); the IVF clone is IN the window
+        # (branch-at-commit); graph_asof moved INTO the window in r12
         "simsearch_graph_cloned": _q_simsearch_graph_cloned,
-        # round-11 ops tier: evaluation, reindex, history
-        "simsearch_recall_ivf": _q_simsearch_recall_ivf,
+        # rotated OUT of the window in round 12 (externally green in
+        # r9-r11), still fully oracle-gated:
+        "simsearch_graph_compacted": _q_simsearch_graph_compacted,
+        "simsearch_ivf_cloned": _q_simsearch_ivf_cloned,
+        "simsearch_ivf_upserted": _q_simsearch_ivf_upserted,
+        # round-11 ops tier: evaluation, reindex, history (recall_ivf
+        # moved INTO the window in r12)
         "simsearch_recall_graph": _q_simsearch_recall_graph,
         "simsearch_ivf_reindexed": _q_simsearch_ivf_reindexed,
         "simsearch_index_history": _q_simsearch_index_history,
@@ -4133,6 +4182,58 @@ SELECT node, dst FROM (
     parts = [f"SELECT query_id AS node, vec_id AS dst FROM ({base})"]
     for batch, committed in stages:
         fwd = fwd_tpl.format(batch=batch, committed=committed)
+        parts.append(f"SELECT node, dst FROM ({fwd})")
+        parts.append(f"SELECT dst AS node, node AS dst FROM ({fwd})")
+    return " UNION ALL ".join(parts)
+
+
+_SQL_POISONED_Q4 = (
+    "(SELECT vec_id, CASE WHEN vec_id % 4 = 1 THEN "
+    "list_transform(embedding, x -> -x) ELSE embedding END "
+    "AS embedding FROM embeddings)"
+)
+
+
+def _sql_graph_upsert_layer0() -> str:
+    """Edge set (node, dst) for the streamed-graph-UPSERT oracle:
+    base = the builder's bucketed kNN graph over the POISONED corpus
+    (%4==1 negated), then one NSW re-insertion stage per upsert
+    micro-batch, each ORDER-DEPENDENT: the batch's TRUE vectors link
+    to their exact top-5 among the committed LIVE nodes minus the
+    batch's own keys — at stage 1 (%8==1) the %8==5 ids are STILL
+    POISONED (their restore hasn't streamed yet); at stage 2 (%8==5)
+    the %8==1 ids are already restored. Forward AND reverse per
+    stage. Superseded node rows are hidden from the walk's node scan,
+    so the walk CTE's nodes table is plain `embeddings` (every
+    poisoned id was upserted back to its true vector) while the old
+    rows' edges — the base graph built over poisoned positions —
+    carry forward as routing, exactly upsert_graph_index's
+    contract."""
+    base = _sql_simsearch_ivf(
+        cents_src=_SQL_POISONED_Q4, corpus_src=_SQL_POISONED_Q4,
+        query_where="TRUE", k=5,
+    )
+    live1 = (
+        "CASE WHEN b.vec_id % 8 = 5 THEN "
+        "list_transform(CAST(b.embedding AS DOUBLE[]), x -> -x) "
+        "ELSE CAST(b.embedding AS DOUBLE[]) END"
+    )
+    live2 = "CAST(b.embedding AS DOUBLE[])"
+    fwd_tpl = """
+SELECT node, dst FROM (
+  SELECT a.vec_id AS node, b.vec_id AS dst,
+    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   {bvec}), 6) DESC,
+      b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b
+    ON ({batch}) AND ({committed})) WHERE rn <= 5"""
+    parts = [f"SELECT query_id AS node, vec_id AS dst FROM ({base})"]
+    for batch, committed, bvec in [
+        ("a.vec_id % 8 = 1", "b.vec_id % 8 <> 1", live1),
+        ("a.vec_id % 8 = 5", "b.vec_id % 8 <> 5", live2),
+    ]:
+        fwd = fwd_tpl.format(batch=batch, committed=committed, bvec=bvec)
         parts.append(f"SELECT node, dst FROM ({fwd})")
         parts.append(f"SELECT dst AS node, node AS dst FROM ({fwd})")
     return " UNION ALL ".join(parts)
@@ -7224,6 +7325,9 @@ SELECT * FROM (
         # edge set — stage 1 (vec_id%4==1) links vs the even build,
         # stage 2 (vec_id%4==3) links vs even+stage-1 — NSW insertion
         # order made external
+        "streaming_graph_upsert": _sql_graph_ann(
+            graph_sql=_sql_graph_upsert_layer0()
+        ),
         "streaming_graph_ingest": _sql_graph_ann(
             graph_sql=_sql_appended_layer0(stages=[
                 ("a.vec_id % 4 = 1", "b.vec_id % 2 = 0"),

@@ -1223,16 +1223,42 @@ def _anti_tombstones_bounded(
     rows): the tombstone set may be large, so never shuffle it —
     stream it once against the BROADCAST of the bounded ids, then
     anti-join the bounded side against the (bounded) intersection.
-    Same two-step shape as the allow-set filter. Horizons are ignored
-    (global treatment): the graph family has no upsert path — NSW
-    edges built over a replaced vector would silently mis-route — so
-    scoped tombstones cannot exist on a graph index."""
+    Same two-step shape as the allow-set filter. Only GLOBAL
+    tombstones (horizon = _TOMB_INF, i.e. deletes) exclude here: a
+    horizon-scoped tombstone marks an UPSERTED id whose superseded
+    node rows were already hidden from the walk's node scan
+    (_hide_superseded), so the id is live at its newest vector and
+    the rank must return it."""
     if tombs is None:
         return res
-    hit = tombs.select("vec_id").join(
+    gl = tombs.where(F.col("horizon") >= _TOMB_INF)
+    hit = gl.select("vec_id").join(
         F.broadcast(res.select("vec_id").distinct()), "vec_id"
     )
     return res.join(F.broadcast(hit), "vec_id", "left_anti")
+
+
+def _hide_superseded(
+    nodes: DataFrame, tombs: DataFrame | None, key: str = "node"
+) -> DataFrame:
+    """The graph family's SPLIT tombstone application, node-scan half:
+    hide rows SUPERSEDED by a horizon-scoped tombstone (an upsert's
+    replaced predecessors — the walk must score an upserted id at its
+    newest vector, exactly once) while KEEPING globally-deleted rows,
+    which stay standable for NSW routing and are excluded at rank
+    time instead (_anti_tombstones_bounded). The scoped set is
+    tombstone-sized (small between compactions) — broadcast join, no
+    corpus shuffle."""
+    if tombs is None or "commit" not in nodes.columns:
+        return nodes
+    scoped = tombs.where(F.col("horizon") < _TOMB_INF)
+    j = nodes.join(
+        F.broadcast(scoped.select(F.col("vec_id").alias(key), "horizon")),
+        key, "left_outer",
+    )
+    return j.where(
+        F.col("horizon").isNull() | (F.col("commit") >= F.col("horizon"))
+    ).drop("horizon")
 
 
 def write_ivf_index(
@@ -3449,6 +3475,84 @@ def append_graph_index(
     describe and layered recall decays toward the flat walk's number
     (test-pinned: recall after a 2x append stays >= flat + 0.15)."""
     rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return  # replayed micro-batch already committed (see ivf twin)
+    nxt = max(c for c, _ in rows) + 1
+    _clear_uncommitted_commit(
+        spark, path,
+        GRAPH_INDEX_SUBDIRS + [("meta", None), ("tombstones", None)],
+        nxt,
+    )
+    _graph_insert_commit(spark, path, rows, new_corpus, nxt, batch_id)
+
+
+def upsert_graph_index(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> int | None:
+    """CDC UPSERT into a stored graph index (round 12) — the graph
+    family's replace-or-insert, composing the two primitives it
+    already had in ONE manifest swap: a HORIZON-SCOPED tombstone for
+    the batch's vec_ids (hides strictly-older node rows, exactly the
+    IVF/PQ/SQ/text upsert idiom) plus the ordered NSW insertion of the
+    replacement vectors (append_graph_index's exact-kNN + reverse
+    links, upper layers maintained). Everything — tombstones, edges,
+    nodes, versioned meta — lands under `commit=N` first; the manifest
+    append is LAST, so probes flip atomically from the old version of
+    every id to the new one.
+
+    Semantics the walk serves after the swap: the superseded node
+    rows vanish from the node scan (an upserted id scores once, at
+    its NEW vector — _hide_superseded), while the old rows' EDGES
+    carry forward as routing history (NSW insertion never rewrites
+    old adjacency; the stale-position links are extra navigability,
+    the same argument as routing through deleted nodes). New links
+    target the committed LIVE nodes excluding this batch's own keys —
+    a replacement must not link to the stale version of itself or of
+    a same-batch sibling. Deterministic, so the streamed multi-batch
+    form has a FULL unrolled oracle (streaming_graph_upsert): batch 2
+    links against batch 1's REPLACED vectors, the order-dependence
+    that makes the external pin meaningful. Compaction
+    (compact_graph_index) applies the horizon physically and drops
+    the stale rows + nothing else; delete-wins composition is
+    unchanged (a global tombstone's max horizon outranks any upsert).
+
+    Replay contract (streaming): identical to the ivf twin — the
+    applied batch id is checked BEFORE any write, and a crash before
+    the manifest append replays into the same commit id with every
+    subdir cleared first. Returns the new commit id (None when the
+    batch was already applied)."""
+    rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return None
+    nxt = max(c for c, _ in rows) + 1
+    _clear_uncommitted_commit(
+        spark, path,
+        GRAPH_INDEX_SUBDIRS + [("meta", None), ("tombstones", None)],
+        nxt,
+    )
+    new = new_vectors.select("vec_id", "embedding")
+    _write_scoped_tombstones(new, path, "vec_id", nxt)
+    _graph_insert_commit(
+        spark, path, rows, new, nxt, batch_id,
+        link_exclude=new.select("vec_id"),
+    )
+    return nxt
+
+
+def _graph_insert_commit(
+    spark, path: str, rows: list, new_corpus: DataFrame, nxt: int,
+    batch_id: int | None, link_exclude: DataFrame | None = None,
+) -> None:
+    """Shared NSW insertion core for append_graph_index /
+    upsert_graph_index: computes the new nodes' forward+reverse links
+    against the committed LIVE node set (superseded upsert rows
+    hidden — links must target each id's newest vector), writes
+    edges/nodes/meta under `commit=nxt`, and appends the manifest
+    LAST. `link_exclude` (upserts) removes the batch's own keys from
+    the link targets. The caller has already done the replay check
+    and cleared the uncommitted commit dir."""
     commits = [c for c, _ in rows]
     meta = _read_graph_meta(spark, path, commits)
     versioned = "commit" in meta.__fields__
@@ -3461,20 +3565,15 @@ def append_graph_index(
         if _meta_field(meta, "entries")
         else [int(meta.entry)]
     )
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
-        return  # replayed micro-batch already committed (see ivf twin)
-    nxt = max(commits) + 1
-    _clear_uncommitted_commit(
-        spark, path,
-        GRAPH_INDEX_SUBDIRS + ([("meta", None)] if versioned else []),
-        nxt,
-    )
-    old = (
+    old = _hide_superseded(
         spark.read.parquet(f"{path}/nodes")
-        .where(F.col("commit").isin(commits))
-        .select(F.col("node").alias("vec_id"), F.col("ce").alias("embedding"))
-    )
+        .where(F.col("commit").isin(commits)),
+        _tombstones(spark, path, commits),
+    ).select(F.col("node").alias("vec_id"), F.col("ce").alias("embedding"))
+    if link_exclude is not None:
+        old = old.join(
+            link_exclude.select("vec_id").distinct(), "vec_id", "left_anti"
+        )
     new = new_corpus.select("vec_id", "embedding")
     fwd = cosine_topk(
         old,
@@ -3599,7 +3698,7 @@ def compact_graph_index(spark, path: str) -> int:
     nodes = (
         spark.read.parquet(f"{path}/nodes")
         .where(F.col("commit").isin(commits))
-        .select("node", "ce")
+        .select("node", "ce", "commit")
     )
     all_edges = spark.read.parquet(f"{path}/edges").where(
         F.col("commit").isin(commits)
@@ -3623,14 +3722,24 @@ def compact_graph_index(spark, path: str) -> int:
     # compaction, where the uppers re-knit over the survivors).
     tombs = _tombstones(spark, path, commits)
     if tombs is not None:
+        # horizon-aware (round 12, upserts): a SCOPED tombstone drops
+        # only the superseded node rows (the replacement row's commit
+        # >= horizon survives — id stays live at its newest vector); a
+        # GLOBAL one (horizon=_TOMB_INF) drops the id entirely AND the
+        # layer-0 edges touching it on either side. Scoped ids keep
+        # their edges: stale-position links are carried NSW routing
+        # history, same as append never rewriting old adjacency.
+        nodes = _hide_superseded(nodes, tombs)
+        gl = tombs.where(F.col("horizon") >= _TOMB_INF)
         nodes = nodes.join(
-            tombs.select(F.col("vec_id").alias("node")), "node", "left_anti"
+            gl.select(F.col("vec_id").alias("node")), "node", "left_anti"
         )
         e0 = e0.join(
-            tombs.select(F.col("vec_id").alias("node")), "node", "left_anti"
+            gl.select(F.col("vec_id").alias("node")), "node", "left_anti"
         ).join(
-            tombs.select(F.col("vec_id").alias("dst")), "dst", "left_anti"
+            gl.select(F.col("vec_id").alias("dst")), "dst", "left_anti"
         ).select("node", "dst", "layer")
+    nodes = nodes.select("node", "ce")
     corpus = nodes.select(
         F.col("node").alias("vec_id"), F.col("ce").alias("embedding")
     )
@@ -3750,12 +3859,17 @@ class GraphIndexHandle:
             .where(F.col("commit").isin(self.commits))
             .drop("commit")
         )
-        self.nodes = (
-            spark.read.parquet(f"{path}/nodes")
-            .where(F.col("commit").isin(self.commits))
-            .drop("commit")
-        )
         self.tombstones = _tombstones(spark, path, self.commits)
+        # upsert support (round 12): an upserted id has >1 committed
+        # node row; the scoped tombstone hides the superseded ones so
+        # the walk scores the id once, at its newest vector. Global
+        # deletes stay IN the node scan (route-through) and are
+        # excluded at rank time.
+        self.nodes = _hide_superseded(
+            spark.read.parquet(f"{path}/nodes")
+            .where(F.col("commit").isin(self.commits)),
+            self.tombstones,
+        ).drop("commit")
         md = _meta_field(self.meta, "max_deg")
         self._max_deg: int | None = int(md) if md is not None else None
 

@@ -94,23 +94,26 @@ def stream_ann_index(
     for the IVF layout), independent of how the files split into
     micro-batches. Returns the started StreamingQuery.
 
-    `mode='upsert'` (round 11, ivf/pq/sq) turns the stream into CDC
-    ingestion: each micro-batch REPLACES-or-inserts its vec_ids via
-    upsert_ivf_index / upsert_pq_index — a horizon-scoped tombstone
-    plus the frozen-model re-encoding in one manifest swap per batch,
-    so a change-feed of vector updates keeps the index continuously
-    current while probes always serve exactly the newest committed
-    version of every id. The replay contract extends to the tombstone:
-    the upserts check the applied batch id BEFORE writing anything (a
-    blind replay would re-land the tombstone under a new commit and
-    hide its own earlier rows). The graph family refuses upserts (NSW
-    edges built over a replaced vector would mis-route; delete +
-    compact + append is the supported graph update path)."""
+    `mode='upsert'` (round 11, ivf/pq/sq/text; round 12 adds graph)
+    turns the stream into CDC ingestion: each micro-batch
+    REPLACES-or-inserts its vec_ids via upsert_*_index — a
+    horizon-scoped tombstone plus the re-encoding (frozen-model
+    assignment for ivf/pq/sq, ordered NSW re-insertion for the graph:
+    superseded node rows vanish from the walk's scan while their old
+    edges carry forward as routing history, and each batch's new
+    links target the live nodes minus the batch's own keys) in ONE
+    manifest swap per batch, so a change-feed of vector updates keeps
+    the index continuously current while probes always serve exactly
+    the newest committed version of every id. The replay contract
+    extends to the tombstone: the upserts check the applied batch id
+    BEFORE writing anything (a blind replay would re-land the
+    tombstone under a new commit and hide its own earlier rows)."""
     from agni_spark.functions.simsearch import (
         append_graph_index,
         append_ivf_index,
         append_pq_index,
         append_sq_index,
+        upsert_graph_index,
         upsert_ivf_index,
         upsert_pq_index,
         upsert_sq_index,
@@ -119,16 +122,11 @@ def stream_ann_index(
     if mode not in ("append", "upsert"):
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "upsert":
-        if index_kind == "graph":
-            raise ValueError(
-                "graph indexes do not support upserts (NSW edges built "
-                "over a replaced vector would mis-route) — stream "
-                "mode='append' and use delete + compact for removals"
-            )
         append = {
             "ivf": upsert_ivf_index,
             "pq": upsert_pq_index,
             "sq": upsert_sq_index,
+            "graph": upsert_graph_index,
         }[index_kind]
     else:
         append = {

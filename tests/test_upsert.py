@@ -253,14 +253,142 @@ def test_streamed_upsert_equals_one_shot(spark, emb, queries, tmp_path):
     )
 
 
-def test_streamed_upsert_refuses_graph(spark, tmp_path):
+def test_graph_upsert_serves_new_vectors_once(spark, emb, queries, tmp_path):
+    # upsert on the graph family (round 12): superseded node rows
+    # vanish from the walk's scan (the id scores once, at its NEW
+    # vector), old edges carry forward as routing, as_of pins the
+    # pre-upsert snapshot, and compaction folds the horizon physically
+    # with probe results unchanged.
+    path = str(tmp_path / "g")
+    simsearch.write_graph_index(emb, path, knn=4, n_buckets=4)
+    pre = _rows(simsearch.graph_ann_stored(spark, path, queries, k=8, beam=8))
+    # the id query 0 ranked FIRST moves far away (negated), and a
+    # brand-new id 100 lands right on query 0's own vector — both
+    # movements must show in the served top-8
+    q0_first = next(r[1] for r in pre if r[0] == 0 and r[3] == 1)
+    q0_vec = [
+        float(x) for x in
+        emb.where(F.col("vec_id") == 0).first().embedding
+    ]
+    ups = _neg(emb.where(F.col("vec_id") == q0_first)).unionByName(
+        spark.createDataFrame(
+            [(100, q0_vec)], "vec_id long, embedding array<float>"
+        )
+    )
+    simsearch.upsert_graph_index(spark, path, ups)
+    # the served node view: exactly one row per id, new vectors live
+    h = simsearch.open_graph_index(spark, path)
+    dup = h.nodes.groupBy("node").count().where(F.col("count") > 1).count()
+    assert dup == 0
+    new_vals = {
+        int(r.node): [float(x) for x in r.ce]
+        for r in h.nodes.where(F.col("node").isin(int(q0_first), 100))
+        .collect()
+    }
+    want_vals = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in ups.collect()
+    }
+    assert new_vals == want_vals
+    post = _rows(simsearch.graph_ann_stored(spark, path, queries, k=8,
+                                            beam=8))
+    post_q0 = {r[1] for r in post if r[0] == 0}
+    assert 100 in post_q0          # the inserted id is served
+    assert q0_first not in post_q0  # the replaced id moved out of top-8
+    # as_of=0 reproduces the pre-upsert probe bit for bit
+    h0 = simsearch.open_graph_index(spark, path, as_of=0)
+    assert _rows(
+        simsearch.graph_ann_stored(spark, h0, queries, k=8, beam=8)
+    ) == pre
+    # compaction applies the horizon physically: tombstones consumed,
+    # one node row per id, probe results unchanged
+    simsearch.compact_graph_index(spark, path)
+    h2 = simsearch.open_graph_index(spark, path)
+    assert h2.tombstones is None or h2.tombstones.count() == 0
+    assert _rows(
+        simsearch.graph_ann_stored(spark, path, queries, k=8, beam=8)
+    ) == post
+
+
+def test_graph_upsert_replayed_batch_skipped(spark, emb, queries, tmp_path):
+    # the streaming replay contract: a second upsert carrying an
+    # already-applied batch id is a no-op BEFORE any write — no new
+    # commit, no doubled tombstone, probe unchanged
+    path = str(tmp_path / "g")
+    simsearch.write_graph_index(emb, path, knn=4, n_buckets=4)
+    ups = _neg(emb.where(F.col("vec_id") % 9 == 0))
+    c1 = simsearch.upsert_graph_index(spark, path, ups, batch_id=3)
+    assert c1 == 1
+    before = _rows(simsearch.graph_ann_stored(spark, path, queries, k=8,
+                                              beam=8))
+    assert simsearch.upsert_graph_index(spark, path, ups, batch_id=3) is None
+    assert simsearch._committed(spark, path) == [0, 1]
+    assert _rows(
+        simsearch.graph_ann_stored(spark, path, queries, k=8, beam=8)
+    ) == before
+
+
+def test_graph_upsert_delete_wins(spark, emb, queries, tmp_path):
+    # a global delete outranks a later upsert of the same id (max
+    # horizon = INF) — same delete-wins contract as the other families
+    path = str(tmp_path / "g")
+    simsearch.write_graph_index(emb, path, knn=4, n_buckets=4)
+    dead = emb.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    dead_ids = {int(r.vec_id) for r in dead.collect()}
+    simsearch.delete_from_index(
+        spark, path, dead, simsearch.GRAPH_INDEX_SUBDIRS
+    )
+    simsearch.upsert_graph_index(
+        spark, path, _neg(emb.where(F.col("vec_id") % 7 == 3))
+    )
+    got = simsearch.graph_ann_stored(spark, path, queries, k=10,
+                                     beam=8).collect()
+    assert got and not {int(r.vec_id) for r in got} & dead_ids
+
+
+def test_streamed_graph_upsert_equals_sequential_batch_upserts(
+    spark, emb, queries, tmp_path
+):
+    # NSW upsert is ORDER-DEPENDENT (batch 2 links against batch 1's
+    # replacements) — the streamed form must equal the same two
+    # upserts applied sequentially via the batch API. Two pinned
+    # micro-batches via sequential availableNow drains.
     from agni_spark.streaming import ingest as streaming
 
-    with pytest.raises(ValueError, match="do not support upserts"):
-        streaming.stream_ann_index(
-            spark, str(tmp_path / "s"), str(tmp_path / "i"),
-            str(tmp_path / "c"), index_kind="graph", mode="upsert",
-        )
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 4 == 1,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    ).select("vec_id", "embedding")
+    spath = str(tmp_path / "gidx")
+    simsearch.write_graph_index(poisoned, spath, knn=4, n_buckets=4)
+    src = str(tmp_path / "gsrc")
+    b1 = emb.where(F.col("vec_id") % 8 == 1).select("vec_id", "embedding")
+    b2 = emb.where(F.col("vec_id") % 8 == 5).select("vec_id", "embedding")
+    b1.coalesce(1).write.parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "gckpt"),
+        index_kind="graph", mode="upsert",
+    )
+    q.awaitTermination()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "gckpt"),
+        index_kind="graph", mode="upsert",
+    )
+    q.awaitTermination()
+    got = _rows(simsearch.graph_ann_stored(spark, spath, queries, k=8,
+                                           beam=8))
+
+    opath = str(tmp_path / "gidx2")
+    simsearch.write_graph_index(poisoned, opath, knn=4, n_buckets=4)
+    simsearch.upsert_graph_index(spark, opath, b1)
+    simsearch.upsert_graph_index(spark, opath, b2)
+    assert got == _rows(
+        simsearch.graph_ann_stored(spark, opath, queries, k=8, beam=8)
+    ) and len(got) > 0
 
 
 def test_text_upsert_survivor_exact_stats_and_phrase(spark):
