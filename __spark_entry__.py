@@ -1581,6 +1581,25 @@ def _q_text_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return text.bm25_topk_indexed(spark, path, BM25_TERMS, k=10)
 
 
+def _q_text_index_rebucketed(spark: SparkSession, sf: str) -> DataFrame:
+    # the TEXT family's reindex (round 12): rebucket 16 -> 4 WITHOUT
+    # the original docs — posting/position rows are bucket-ROUTED, not
+    # derived, so the resize reads the committed rows and re-routes
+    # them under the new pmod(xxhash64(w), 4). Served BM25 is
+    # bucket-count invariant, so the scan oracle transfers verbatim —
+    # the row pins that a probe through the resized index still
+    # scores the identical corpus.
+    import tempfile
+
+    d = _docs(spark, sf)
+    src = tempfile.mkdtemp(prefix="agni_text_rb_src_")
+    text.write_text_index(d.where(F.col("doc_id") % 2 == 0), src)
+    text.append_text_index(spark, src, d.where(F.col("doc_id") % 2 == 1))
+    dst = tempfile.mkdtemp(prefix="agni_text_rb_dst_")
+    text.rebucket_text_index(spark, src, dst, n_buckets=4)
+    return text.bm25_topk_indexed(spark, dst, BM25_TERMS, k=10)
+
+
 def _q_text_index_deleted(spark: SparkSession, sf: str) -> DataFrame:
     # doc_id tombstone delete on the stored inverted index (round 11):
     # the probe drops deleted docs from BOTH the postings and the
@@ -1934,6 +1953,79 @@ def _q_simsearch_sq8_reindexed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return simsearch.sq_ann_stored(spark, dst, queries_df, k=10, nprobe=2)
+
+
+def _q_simsearch_sq8_qerror(spark: SparkSession, sf: str) -> DataFrame:
+    # QUANTIZER-DRIFT METRIC (round 12): build SQ8 on the corpus, then
+    # upsert %7==0 with 3x-SCALED vectors — they re-encode against the
+    # FROZEN bounds and clamp at the edges, exactly the drift a frozen
+    # scalar quantizer accumulates as the live range outgrows it.
+    # sq8_quantization_error reports (n, mean_err, max_err) of the
+    # stored codes against the current true vectors — the number an
+    # ops loop reads to decide reindex_sq8. Full oracle: the bounds +
+    # codes + dequant chain with the post-upsert corpus, err
+    # discretized per row before the aggregates.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_sq8_qe_")
+    simsearch.write_sq_index(e, path, n_centroids=8)
+    scaled = F.transform("embedding", lambda x: x * F.lit(3.0))
+    drift = e.where(F.col("vec_id") % 7 == 0).select(
+        "vec_id", scaled.alias("embedding")
+    )
+    simsearch.upsert_sq_index(spark, path, drift)
+    corpus = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 0, scaled)
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    return simsearch.sq8_quantization_error(spark, path, corpus)
+
+
+def _q_simsearch_pq_qerror(spark: SparkSession, sf: str) -> DataFrame:
+    # PQ reconstruction-error metric (round 12): a fresh build's mean
+    # reads the PQ noise floor (m*log2(ksub) bits/vector — well above
+    # SQ8's 8 bits/dim), the number an ops loop baselines at build
+    # time and re-reads after frozen-model appends to decide
+    # reindex_pq. Full oracle: the training/encode chain (tail_sql)
+    # plus the ADC reconstruction xhat = c(cell) + concat(codewords)
+    # and the discretized error aggregate.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_pq_qe_")
+    simsearch.write_pq_index(e, path, n_centroids=8)
+    return simsearch.pq_reconstruction_error(spark, path, e)
+
+
+def _q_simsearch_graph_reindexed(spark: SparkSession, sf: str) -> DataFrame:
+    # OFFLINE REINDEX, graph flavor (round 12): unlike
+    # compact_graph_index (which carries the layer-0 insertion
+    # history), reindex_graph is the CLEAN rebuild over the live rows
+    # — deletes (%31) resolved, fresh kNN layer 0, fresh entries.
+    # Pinned bit-identical to write_graph_index over the surviving
+    # corpus, which IS the oracle: the unrolled walk over the
+    # live-corpus kNN graph with the entry recomputed over survivors
+    # (vec_id 0 is deleted, so the min-id entry shifts to 1 — exactly
+    # what a stale-entry bug would get wrong).
+    import tempfile
+
+    e = _emb(spark, sf)
+    src = tempfile.mkdtemp(prefix="agni_g_reidx_src_")
+    simsearch.write_graph_index(e, src, knn=5)
+    simsearch.delete_from_index(
+        spark, src, e.where(F.col("vec_id") % 31 == 0).select("vec_id"),
+        simsearch.GRAPH_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="agni_g_reidx_dst_")
+    simsearch.reindex_graph(spark, src, dst)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.graph_ann_stored(spark, dst, queries_df, k=10,
+                                      beam=8, hops=3)
 
 
 def _q_simsearch_index_history(spark: SparkSession, sf: str) -> DataFrame:
@@ -3114,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_graph_ann_filtered": _q_simsearch_graph_ann_filtered,
         "simsearch_ivf_deleted": _q_simsearch_ivf_deleted,
         "text_index_deleted": _q_text_index_deleted,
+        # round-12 text reindex: bucket-count resize without docs
+        "text_index_rebucketed": _q_text_index_rebucketed,
         "simsearch_graph_deleted": _q_simsearch_graph_deleted,
         "simsearch_graph_delete_compacted": (
             _q_simsearch_graph_delete_compacted
@@ -3160,6 +3254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_recall_sq8": _q_simsearch_recall_sq8,
         "simsearch_pq_reindexed": _q_simsearch_pq_reindexed,
         "simsearch_sq8_reindexed": _q_simsearch_sq8_reindexed,
+        "simsearch_graph_reindexed": _q_simsearch_graph_reindexed,
+        "simsearch_sq8_qerror": _q_simsearch_sq8_qerror,
+        "simsearch_pq_qerror": _q_simsearch_pq_qerror,
         # rotated OUT of the window in round 11 (second rotation),
         # still fully oracle-gated:
         "text_index_search": _q_text_index_search,
@@ -4370,10 +4467,14 @@ f{i} AS (SELECT query_id, node FROM (
 def _sql_ivfpq(
     rounds: int = 2, k: int = 10, corpus_src: str = "embeddings",
     query_src: str | None = None, query_where: str = "vec_id < 5",
+    tail_sql: str | None = None,
 ) -> str:
     """`corpus_src` parameterizes the trained+encoded corpus (the
     reindex oracle restricts it to the live rows); `query_src` the
-    probe set's source (defaults to corpus_src)."""
+    probe set's source (defaults to corpus_src). `tail_sql` replaces
+    the probe tail with a caller-supplied final query over the
+    training/encode CTEs (cents, cells, resid, cb, codes, ...) — the
+    reconstruction-error oracle reuses the exact chain this way."""
     qsrc = query_src or corpus_src
     head = f"""
 WITH {_sql_kmeans_cents(corpus_src)},
@@ -4454,7 +4555,7 @@ cbr{n} AS (
     rounds_sql = "".join(
         round_tpl.format(n=i, p=i - 1) for i in range(1, rounds + 1)
     )
-    tail = f"""
+    encode = f"""
 cb AS (SELECT sub, cid, cvec FROM cbr{rounds}),
 encd AS (
   SELECT vec_id, sub, cid, round(list_inner_product(dv, dv), 6) AS d2
@@ -4468,7 +4569,10 @@ codes AS (
     SELECT e.vec_id, e.sub, e.cid,
       row_number() OVER (PARTITION BY e.vec_id, e.sub
         ORDER BY e.d2 ASC, e.cid ASC) AS rn
-    FROM encd e) WHERE rn = 1),
+    FROM encd e) WHERE rn = 1),"""
+    if tail_sql is not None:
+        return head + rounds_sql + encode + tail_sql
+    tail = f"""
 r2 AS (SELECT sub, cid, list_inner_product(cvec, cvec) AS r2 FROM cb),
 csubs AS (
   SELECT ct.centroid_id, s.sub,
@@ -4512,7 +4616,7 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
 WHERE rk <= {k} ORDER BY query_id, rk
 """
-    return head + rounds_sql + tail
+    return head + rounds_sql + encode + tail
 
 
 _SQL_SIMSEARCH_IVFPQ = _sql_ivfpq()
@@ -6894,6 +6998,8 @@ SELECT * FROM p ORDER BY "column"
         "text_bm25_topk": _SQL_BM25,
         # text-index delete: stats over survivors, not a rank mask
         "text_index_deleted": _sql_bm25(doc_where="doc_id % 7 <> 0"),
+        # bucket count is invisible to served BM25 — scan oracle verbatim
+        "text_index_rebucketed": _SQL_BM25,
         # index-served BM25 == scan-served BM25 (same corpus, same
         # terms): the stored-postings probe shares the oracle
         "text_index_search": _SQL_BM25,
@@ -7248,6 +7354,85 @@ ORDER BY query_id
             corpus_src="(SELECT * FROM embeddings WHERE vec_id % 31 <> 0)",
             query_src="embeddings",
             query_where="vec_id BETWEEN 1 AND 5",
+        ),
+        # quantizer-drift metric: bounds from the ORIGINAL corpus, codes
+        # re-encoded (clamping) for the 3x-scaled upserts, err per row
+        # discretized before the aggregates
+        "simsearch_sq8_qerror": """
+WITH corpus AS (
+  SELECT vec_id, CASE WHEN vec_id % 7 = 0
+    THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x * 3.0)
+    ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+  FROM embeddings),
+bounds AS (
+  SELECT pos, round(quantile_cont(val, 0.001), 6) AS lo,
+         round(quantile_cont(val, 0.999), 6) AS hi FROM (
+    SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS val
+    FROM embeddings) GROUP BY pos),
+deq AS (
+  SELECT vec_id, list(xhat ORDER BY pos) AS xhat FROM (
+    SELECT u.vec_id, b.pos,
+      CASE WHEN b.hi = b.lo THEN b.lo
+           ELSE b.lo
+             + floor(least(greatest((u.val - b.lo) / (b.hi - b.lo), 0), 1)
+                     * 255 + 0.5) / 255.0 * (b.hi - b.lo)
+      END AS xhat
+    FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding) AS val
+          FROM corpus) u
+    JOIN bounds b USING (pos)) GROUP BY vec_id),
+err AS (
+  SELECT c.vec_id,
+    floor((1.0 - list_cosine_similarity(c.embedding, d.xhat)) * 1e6 + 0.5)
+      / 1e6 AS err
+  FROM corpus c JOIN deq d USING (vec_id))
+SELECT CAST(count(*) AS BIGINT) AS n,
+  floor(avg(err) * 1e6 + 0.5) / 1e6 AS mean_err,
+  max(err) AS max_err
+FROM err
+""",
+        # PQ reconstruction error: the shared training/encode chain
+        # with the ADC-reconstruction tail instead of the probe
+        "simsearch_pq_qerror": _sql_ivfpq(tail_sql="""
+rsub AS (SELECT c.vec_id, c.sub, cb.cvec FROM codes c JOIN cb USING (sub, cid)),
+rhat AS (SELECT vec_id, flatten(list(cvec ORDER BY sub)) AS rhat
+         FROM rsub GROUP BY vec_id),
+xh AS (SELECT r.vec_id,
+    list_transform(generate_series(1, len(ct.cvec)),
+      i -> ct.cvec[i] + r.rhat[i]) AS xhat
+  FROM rhat r JOIN cells ce ON ce.vec_id = r.vec_id
+  JOIN cents ct ON ct.centroid_id = ce.centroid_id),
+errq AS (SELECT x.vec_id,
+    floor((1.0 - list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        x.xhat)) * 1e6 + 0.5) / 1e6 AS err
+  FROM xh x JOIN embeddings c ON c.vec_id = x.vec_id)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  floor(avg(err) * 1e6 + 0.5) / 1e6 AS mean_err,
+  max(err) AS max_err
+FROM errq
+"""),
+        # graph reindex: the clean rebuild over the live corpus — the
+        # walk oracle with the kNN edge set AND the min-id entry both
+        # recomputed over the survivors (0 is deleted -> entry = 1)
+        "simsearch_graph_reindexed": _sql_graph_ann(
+            graph_sql=(
+                "SELECT query_id AS node, vec_id AS dst FROM ("
+                + _sql_simsearch_ivf(
+                    cents_src=(
+                        "(SELECT * FROM embeddings WHERE vec_id % 31 <> 0)"
+                    ),
+                    corpus_src=(
+                        "(SELECT * FROM embeddings WHERE vec_id % 31 <> 0)"
+                    ),
+                    query_where="TRUE", k=5,
+                )
+                + ")"
+            ),
+            entry_sql=(
+                "entry AS (SELECT min(vec_id) AS node FROM embeddings "
+                "WHERE vec_id % 31 <> 0), "
+            ),
         ),
         # SQ8 reindex: no raw vectors — the retrain input is the
         # DEQUANTIZED live rows, so every model source (bounds,

@@ -5076,3 +5076,141 @@ def reindex_sq8(
         recon, dst_path, n_centroids=n_centroids, iters=iters,
         bounds=sq8_bounds(recon, trim=trim),
     )
+
+
+def reindex_graph(
+    spark, src_path: str, dst_path: str, knn: int | None = None,
+    n_buckets: int | None = None, n_entries: int | None = None,
+    layers: int | None = None, layer_mult: int | None = None,
+) -> None:
+    """OFFLINE REINDEX for the graph family — the clean REBUILD, as
+    distinct from compact_graph_index: compaction deliberately CARRIES
+    layer 0 (the NSW insertion history, whose reverse links keep
+    appended nodes reachable) and only re-knits the upper layers; after
+    heavy upsert/delete churn that history accumulates stale-position
+    edges, and the recall story degrades in a way no compaction can
+    undo. reindex_graph reads the LIVE nodes (committed, superseded
+    upsert rows hidden, global deletes excluded — exactly the rows
+    probes may return) and runs the full builder at `dst_path`: fresh
+    bucketed kNN layer 0, fresh upper layers, fresh entry medoids.
+    Completes the measure->reindex ops loop for all four families
+    (reindex_ivf / reindex_pq / reindex_sq8 / reindex_graph).
+
+    Params default to the source index's meta (same knn/buckets/
+    layers); override to re-shape the graph during the rebuild.
+    Pinned bit-identical to write_graph_index over the surviving
+    corpus — same deterministic builder. src stays live and probeable
+    throughout; cutover is the caller swapping paths."""
+    h = GraphIndexHandle(spark, src_path)
+    live = h.nodes
+    if h.tombstones is not None:
+        gl = h.tombstones.where(F.col("horizon") >= _TOMB_INF)
+        live = live.join(
+            gl.select(F.col("vec_id").alias("node")), "node", "left_anti"
+        )
+    write_graph_index(
+        live.select(
+            F.col("node").alias("vec_id"), F.col("ce").alias("embedding")
+        ),
+        dst_path,
+        knn=knn if knn is not None else h.knn,
+        n_buckets=n_buckets if n_buckets is not None else h.n_buckets,
+        n_entries=(
+            n_entries if n_entries is not None
+            else int(_meta_field(h.meta, "n_entries", 1))
+        ),
+        layers=layers if layers is not None else h.layers,
+        layer_mult=(
+            layer_mult if layer_mult is not None
+            else int(_meta_field(h.meta, "layer_mult", 8))
+        ),
+    )
+
+
+def sq8_quantization_error(spark, path: str, corpus: DataFrame) -> DataFrame:
+    """QUANTIZER-DRIFT METRIC for the IVF-SQ8 family — the measure
+    half of the measure->reindex ops loop (recall_at_k measures the
+    end-to-end effect; this isolates the quantizer's contribution):
+    per-corpus reconstruction error of the stored codes against the
+    CURRENT true vectors, err = 1 - cos(x, dequant(codes(x))). Freshly
+    trained bounds put the mean within the half-step noise floor;
+    as appends/upserts drift the live value range past the frozen
+    bounds, new vectors clamp at the edges and the mean/max climb —
+    reindex_sq8 at the knee. `corpus` is the source of truth
+    (vec_id, embedding); only ids present in both sides count (the
+    join is the live-codes scan against the corpus).
+
+    Returns ONE row (n, mean_err, max_err), 6dp-floored for
+    cross-engine hashing.
+
+    Scale: one join of the committed int-codes scan against the
+    corpus + a scalar aggregation — map-side combined, nothing
+    corpus-sized reaches the driver."""
+    h = SqIndexHandle(spark, path)
+    live = _anti_tombstones(h.codes, h.tombstones)
+    xhat = _sq8_dequant(F.col("codes"), h.lo, h.hi)
+    # per-row 6dp discretization BEFORE the aggregates: the mean then
+    # sums identical doubles on both engines and the max is exact
+    err = F.floor(
+        (F.lit(1.0) - cosine(F.col("embedding"), xhat)) * 1e6 + 0.5
+    ) / 1e6
+    scored = live.select("vec_id", "codes").join(
+        corpus.select("vec_id", "embedding"), "vec_id"
+    ).select(err.alias("err"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.floor(F.avg("err") * 1e6 + 0.5) / 1e6).alias("mean_err"),
+        F.max("err").alias("max_err"),
+    )
+
+
+def pq_reconstruction_error(spark, path: str, corpus: DataFrame) -> DataFrame:
+    """QUANTIZER-DRIFT METRIC for the IVF-PQ family — the PQ twin of
+    sq8_quantization_error: per-corpus reconstruction error of the
+    stored codes against the current true vectors, where the
+    reconstruction is the ADC decomposition's own estimate
+    xhat = c(cell) + concat_sub(codebook[sub][code[sub]]) and
+    err = 1 - cos(x, xhat), 6dp-discretized per row before the
+    aggregates. A fresh build reads the PQ noise floor (well above
+    SQ8's — m*log2(ksub) bits/vector vs 8 bits/dim); frozen-model
+    appends on a shifted distribution push the mean up — reindex_pq
+    at the knee. Returns ONE row (n, mean_err, max_err).
+
+    Scale: the int-codes scan explodes to m rows/vector, joins the
+    broadcast codebook (m*ksub rows), folds back per vector, then one
+    join against the corpus + a scalar aggregation — map-side
+    combined, nothing corpus-sized on the driver."""
+    h = PQIndexHandle(spark, path)
+    live = _anti_tombstones(h.codes, h.tombstones)
+    ex = live.select(
+        "vec_id", "centroid_id", F.posexplode("code").alias("sub", "cid")
+    )
+    rhat = (
+        ex.join(F.broadcast(h.cb), ["sub", "cid"])
+        .groupBy("vec_id", "centroid_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "cvec"))),
+                    lambda s: s.getField("cvec"),
+                )
+            ).alias("rhat")
+        )
+    )
+    xhat = rhat.join(F.broadcast(h.cents), "centroid_id").select(
+        "vec_id",
+        F.zip_with(
+            F.col("cvec"), F.col("rhat"), lambda c, r: c + r
+        ).alias("xhat"),
+    )
+    err = F.floor(
+        (F.lit(1.0) - cosine(F.col("embedding"), F.col("xhat"))) * 1e6 + 0.5
+    ) / 1e6
+    scored = xhat.join(corpus.select("vec_id", "embedding"), "vec_id").select(
+        err.alias("err")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.floor(F.avg("err") * 1e6 + 0.5) / 1e6).alias("mean_err"),
+        F.max("err").alias("max_err"),
+    )

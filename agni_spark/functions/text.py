@@ -973,6 +973,67 @@ def clone_text_index(
     )
 
 
+def rebucket_text_index(
+    spark, src: str, dst: str, n_buckets: int
+) -> None:
+    """RESIZE a stored text index's bucket count — the text family's
+    reindex (completing the measure->reindex loop simsearch closed for
+    the four vector families): the bucket count is the index's one
+    frozen layout parameter, chosen at build time, and a corpus that
+    grew 100x under appends leaves each bucket directory carrying 100x
+    the posting rows a probe must scan per term. The original
+    documents are NOT needed: posting rows (w, doc_id, tf) and
+    position rows (w, doc_id, pos) are bucket-ROUTED, not
+    bucket-derived, so the rebuild reads the committed rows, scrubs
+    doc_id tombstones (physical delete, like a clone), recomputes
+    bucket = pmod(xxhash64(w), new_n) and folds everything into
+    commit=0 at `dst` — meta carries the new n_buckets, manifest
+    written LAST (a crashed rebucket leaves dst unopenable). Pinned
+    probe-identical to the source AND physically identical to a fresh
+    build at the new bucket count over the same corpus (same rows,
+    same routing function).
+
+    Scale: one re-clustered pass per present subdir (the compaction
+    fold with a different routing key); src stays live and probeable
+    throughout — cutover is the caller swapping paths."""
+    from agni_spark.functions.simsearch import (
+        _anti_tombstones,
+        _clear_clone_dst,
+        _committed,
+        _tombstones,
+        _write_index_manifest,
+    )
+    from agni_spark.sources.layout import _hfs
+
+    commits = _committed(spark, src)
+    tombs = _tombstones(spark, src, commits)
+    _clear_clone_dst(spark, dst, [("postings", None), ("doclens", None),
+                                  ("positions", None)])
+    new_bucket = F.pmod(F.xxhash64("w"), F.lit(int(n_buckets))).cast("int")
+    for sub in ("postings", "doclens", "positions"):
+        fs, P = _hfs(spark, f"{src}/{sub}")
+        if not fs.exists(P(f"{src}/{sub}")):
+            continue
+        df = spark.read.parquet(f"{src}/{sub}").where(
+            F.col("commit").isin(commits)
+        )
+        if tombs is not None:
+            df = _anti_tombstones(df, tombs)
+        df = df.drop("commit").withColumn("commit", F.lit(0).cast("long"))
+        if sub == "doclens":
+            part, shaped = ["commit"], df.repartition(1)
+        else:
+            df = df.drop("bucket").withColumn("bucket", new_bucket)
+            part, shaped = ["commit", "bucket"], df.repartition("bucket")
+        shaped.write.partitionBy(*part).mode("overwrite").parquet(
+            f"{dst}/{sub}"
+        )
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).repartition(1).write.mode("overwrite").parquet(f"{dst}/meta")
+    _write_index_manifest(spark, dst, [0])
+
+
 class TextIndexHandle:
     """An OPENED stored text index: n_buckets + the committed-commit
     list resolved once — the text twin of Graph/PQIndexHandle. Probes

@@ -349,3 +349,39 @@ def test_reindex_sq8_retrains_on_dequantized_live_rows(spark, emb, queries):
         int(r.vec_id) for r in
         emb.where(F.col("vec_id") % 5 == 0).collect()
     }
+
+def test_reindex_graph_matches_fresh_build(spark, emb, queries):
+    # the clean rebuild: upsert (%9 moved) + delete (%5), then
+    # reindex_graph == write_graph_index over exactly the live rows
+    # (newest vectors, deleted ids gone) — fresh layer 0, fresh
+    # uppers, fresh entries, no carried insertion history
+    src = tempfile.mkdtemp(prefix="reidx_g_src_")
+    simsearch.write_graph_index(emb, src, knn=4, n_buckets=4)
+    simsearch.upsert_graph_index(spark, src,
+                                 _neg(emb.where(F.col("vec_id") % 9 == 0)))
+    simsearch.delete_from_index(
+        spark, src, emb.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+        simsearch.GRAPH_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="reidx_g_dst_")
+    simsearch.reindex_graph(spark, src, dst)
+
+    live = (
+        emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 9 == 0,
+                   F.transform("embedding", lambda x: -x))
+            .otherwise(F.col("embedding")),
+        )
+        .where(F.col("vec_id") % 5 != 0)
+        .select("vec_id", "embedding")
+    )
+    fresh = tempfile.mkdtemp(prefix="reidx_g_fresh_")
+    simsearch.write_graph_index(live, fresh, knn=4, n_buckets=4)
+    got = _rows(simsearch.graph_ann_stored(spark, dst, queries, k=8, beam=8))
+    assert got == _rows(
+        simsearch.graph_ann_stored(spark, fresh, queries, k=8, beam=8)
+    ) and len(got) > 0
+    # no tombstones carried into the rebuild
+    import os
+    assert not os.path.exists(f"{dst}/tombstones")

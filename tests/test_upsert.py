@@ -600,3 +600,107 @@ def test_sq8_filtered_probe_restricts_candidates(spark, emb, queries):
         spark, path, queries, k=8, nprobe=2, allowed=allowed
     ).collect()
     assert out and all(int(r.vec_id) % 3 == 0 for r in out)
+
+
+def test_rebucket_text_index_resizes_and_matches_fresh_build(spark, tmp_path):
+    # the text family's reindex: rebucket from 16 -> 4 WITHOUT the
+    # original docs (posting rows are bucket-routed, not derived);
+    # pending doc tombstones apply physically; probe-identical to the
+    # source and physically identical to a fresh 4-bucket build over
+    # the surviving corpus
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha alpha beta"),
+            (2, "beta beta gamma epsilon"),
+            (3, "gamma delta delta"),
+            (4, "epsilon alpha gamma"),
+            (5, "delta beta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "t16")
+    text.write_text_index(docs, src, n_buckets=16, positions=True)
+    simsearch.delete_from_index(
+        spark, src, docs.where(F.col("doc_id") == 2).select("doc_id"),
+        simsearch.TEXT_INDEX_SUBDIRS, id_col="doc_id",
+    )
+    want_bm = _rows(text.bm25_topk_indexed(spark, src,
+                                           ["alpha", "gamma"], k=10))
+    want_ph = _rows(text.phrase_topk_indexed(spark, src, "alpha beta", k=10))
+
+    dst = str(tmp_path / "t4")
+    text.rebucket_text_index(spark, src, dst, n_buckets=4)
+    h = text.open_text_index(spark, dst)
+    assert h.n_buckets == 4
+    assert h.tombstones is None  # applied physically, not carried
+    assert want_bm == _rows(
+        text.bm25_topk_indexed(spark, h, ["alpha", "gamma"], k=10)
+    )
+    assert want_ph == _rows(text.phrase_topk_indexed(spark, h,
+                                                     "alpha beta", k=10))
+    # physically identical to a fresh 4-bucket build over the survivors
+    fresh = str(tmp_path / "tf4")
+    text.write_text_index(
+        docs.where(F.col("doc_id") != 2), fresh, n_buckets=4,
+        positions=True,
+    )
+    for sub in ("postings", "doclens", "positions"):
+        # compare by field NAME (physical column order in the parquet
+        # differs between the fold and a fresh build; readers are
+        # by-name)
+        a = sorted(
+            tuple(sorted(r.asDict().items())) for r in
+            spark.read.parquet(f"{dst}/{sub}").drop("commit").collect()
+        )
+        b = sorted(
+            tuple(sorted(r.asDict().items())) for r in
+            spark.read.parquet(f"{fresh}/{sub}").drop("commit").collect()
+        )
+        assert a == b, sub
+
+
+def test_quantization_error_reads_drift(spark):
+    # the drift metrics on an IRREGULAR corpus (the clustered fixture
+    # has only 5 distinct jitter patterns — 8 codewords reconstruct it
+    # exactly and every error reads 0): a fresh SQ8 build reads the
+    # half-step floor; far-out upserts against the frozen bounds clamp
+    # and push mean/max up; PQ's fresh floor sits well above SQ8's
+    # (m*log2(ksub) bits/vector vs 8 bits/dim).
+    rows = [
+        (i, [((i * 2654435761 + d * 97) % 1000) / 250.0 for d in range(8)])
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    spath = tempfile.mkdtemp(prefix="qe_sq_")
+    simsearch.write_sq_index(corpus, spath, n_centroids=4)
+    fresh = simsearch.sq8_quantization_error(spark, spath, corpus).first()
+    assert fresh.n == 200
+    assert 0.0 < fresh.mean_err < 0.01  # near the half-step floor
+
+    scaled = F.transform("embedding", lambda x: x * F.lit(3.0))
+    simsearch.upsert_sq_index(
+        spark, spath,
+        corpus.where(F.col("vec_id") % 5 == 0).select(
+            "vec_id", scaled.alias("embedding")
+        ),
+    )
+    corpus2 = corpus.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, scaled)
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    after = simsearch.sq8_quantization_error(spark, spath, corpus2).first()
+    assert after.n == 200
+    assert after.mean_err > fresh.mean_err
+    assert after.max_err > fresh.max_err
+
+    ppath = tempfile.mkdtemp(prefix="qe_pq_")
+    simsearch.write_pq_index(corpus, ppath, n_centroids=4, m=4, ksub=8)
+    pq = simsearch.pq_reconstruction_error(spark, ppath, corpus).first()
+    assert pq.n == 200
+    assert pq.mean_err > fresh.mean_err  # PQ floor above SQ8's
+    assert pq.max_err <= 2.0
