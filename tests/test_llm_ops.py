@@ -3211,3 +3211,57 @@ def test_domain_cap_custom_score(spark):
         for r in text.domain_cap(docs, cap=2, score=F.col("quality")).collect()
     ]
     assert got == [(2, 1), (3, 2), (4, 1)]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # a successful commit of the next monotone commit list
+            st.just(("commit", None)),
+            # a writer that crashed between create and close: a
+            # truncated (empty or half-written) next version file
+            st.sampled_from([("crash", b""), ("crash", b'{"commi')]),
+            # GC between any two operations
+            st.just(("vacuum", None)),
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_manifest_protocol_property(spark, tmp_path_factory, ops):
+    """Protocol invariant under ANY interleaving of successful
+    commits, create-then-crash truncations, and vacuums: readers
+    always resolve exactly the LAST SUCCESSFULLY COMMITTED state
+    (crashes are as-if-never-happened; vacuum never changes the
+    served view), and every new commit claims a strictly larger
+    version than anything on disk."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("mprop")) + "/idx"
+    committed: list[int] = []  # the last successfully committed list
+    nxt_commit = 0
+    for op, payload in ops:
+        if op == "commit":
+            committed = committed + [nxt_commit]
+            nxt_commit += 1
+            simsearch._write_index_manifest(spark, path, committed)
+        elif op == "crash":
+            vers = simsearch._manifest_versions(spark, path)
+            os.makedirs(f"{path}/manifest", exist_ok=True)
+            crash_name = f"v={(max(vers) + 1) if vers else 1}.json"
+            with open(f"{path}/manifest/{crash_name}", "wb") as f:
+                f.write(payload)
+        elif committed:
+            # an index exists only once its first manifest committed;
+            # vacuuming a never-committed path has nothing to resolve
+            simsearch.vacuum_index(spark, path, [])
+        if committed:
+            assert simsearch._committed(spark, path) == committed
+    # a final commit always succeeds and claims a fresh slot
+    committed = committed + [nxt_commit]
+    simsearch._write_index_manifest(spark, path, committed)
+    assert simsearch._committed(spark, path) == committed
