@@ -1696,7 +1696,8 @@ def _q_simsearch_sq8_stored(spark: SparkSession, sf: str) -> DataFrame:
     # bounds; the probe scan reads int codes only (4x smaller than
     # fp32) and scores full-precision queries against dequantized
     # candidates. Full oracle: the whole chain in SQL — kmeans cells,
-    # min/max bounds, floor-discretized codes, dequantized cosine.
+    # quantile-trimmed bounds, floor-discretized codes, dequantized
+    # cosine.
     import tempfile
 
     e = _emb(spark, sf)
