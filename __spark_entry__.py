@@ -1956,6 +1956,65 @@ def _q_simsearch_sq8_reindexed(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.sq_ann_stored(spark, dst, queries_df, k=10, nprobe=2)
 
 
+
+def _q_simsearch_bq_stored(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF-BQ (round 12): the fourth compression point (flat -> SQ8 ->
+    # PQ -> 1-BIT). Build trains the coarse quantizer AND per-dim mean
+    # thresholds; codes pack one SIGN BIT per dimension (32x smaller
+    # than fp32); the probe scores the full-precision query against
+    # the candidate's +-1 pattern (asymmetric binary scoring). Full
+    # oracle: kmeans cells + mean thresholds + sign patterns + the
+    # dot-product rank.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_bq_")
+    simsearch.write_bq_index(e, path, n_centroids=8)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.bq_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
+def _q_simsearch_bq_upserted(spark: SparkSession, sf: str) -> DataFrame:
+    # UPSERT on the stored IVF-BQ index: %9==0 vectors replaced by
+    # their negation — re-binarized against the FROZEN thresholds
+    # (every bit flips where |x| is on the threshold's far side).
+    # Oracle: thresholds from the ORIGINAL corpus, cells/signs from
+    # the post-upsert corpus.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_bq_up_")
+    simsearch.write_bq_index(e, path, n_centroids=8)
+    ups = e.where(F.col("vec_id") % 9 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    simsearch.upsert_bq_index(spark, path, ups)
+    queries_df = e.where(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.bq_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
+def _q_simsearch_recall_bq(spark: SparkSession, sf: str) -> DataFrame:
+    # recall@10 of the 1-bit asymmetric probe vs exact cosine — with
+    # ivf/graph/pq/sq8 this puts all FIVE vector-index geometries on
+    # the same evaluation footing; the BQ number is the floor the 32x
+    # compression buys back via its full-precision-query scoring.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_bq_rec_")
+    simsearch.write_bq_index(e, path, n_centroids=8)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = simsearch.bq_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+    exact = simsearch.cosine_topk(e, queries_df, k=10)
+    return simsearch.recall_at_k(approx, exact, k=10)
+
+
 def _q_simsearch_sq8_qerror(spark: SparkSession, sf: str) -> DataFrame:
     # QUANTIZER-DRIFT METRIC (round 12): build SQ8 on the corpus, then
     # upsert %7==0 with 3x-SCALED vectors — they re-encode against the
@@ -3257,6 +3316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_sq8_reindexed": _q_simsearch_sq8_reindexed,
         "simsearch_graph_reindexed": _q_simsearch_graph_reindexed,
         "simsearch_sq8_qerror": _q_simsearch_sq8_qerror,
+        # round-12 IVF-BQ family (1-bit, asymmetric scoring)
+        "simsearch_bq_stored": _q_simsearch_bq_stored,
+        "simsearch_bq_upserted": _q_simsearch_bq_upserted,
+        "simsearch_recall_bq": _q_simsearch_recall_bq,
         "simsearch_pq_qerror": _q_simsearch_pq_qerror,
         # rotated OUT of the window in round 11 (second rotation),
         # still fully oracle-gated:
@@ -4049,6 +4112,66 @@ WHERE rk <= {k} ORDER BY query_id, rk
 
 
 _SQL_SIMSEARCH_IVF = _sql_simsearch_ivf()
+
+def _sql_simsearch_bq(
+    thr_src: str = "embeddings",
+    corpus_src: str = "embeddings",
+    cents_src: str = "embeddings",
+    query_where: str = "vec_id < 5",
+    k: int = 10,
+    query_src: str | None = None,
+) -> str:
+    """IVF-BQ probe mirror: the IVF chain with the candidate scored
+    ASYMMETRICALLY against its +-1 sign pattern, s = dot(q, sg) where
+    sg_i = 2*(x_i > thr_i) - 1 and thr is the per-dim 6dp-rounded
+    MEAN trained on `thr_src` (frozen at build — the upsert oracle
+    keeps it at the ORIGINAL corpus while `corpus_src` moves to the
+    post-upsert state). The oracle scores from the sign pattern
+    directly — bit packing is a lossless representation detail."""
+    return f"""
+WITH {_sql_kmeans_cents(cents_src)},
+cells AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, ct.centroid_id,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM {corpus_src} c CROSS JOIN cents ct) WHERE rn = 1),
+thr AS (
+  SELECT pos, round(avg(val), 6) AS thr FROM (
+    SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS val
+    FROM {thr_src}) GROUP BY pos),
+sg AS (
+  SELECT u.vec_id, list(CASE WHEN u.val > t.thr THEN 1.0 ELSE -1.0 END
+                        ORDER BY u.pos) AS sg
+  FROM (SELECT vec_id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM {corpus_src}) u
+  JOIN thr t USING (pos) GROUP BY u.vec_id),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM {query_src or corpus_src} WHERE {query_where}),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, ct.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round(list_cosine_similarity(q.qe, ct.cvec), 6)
+          DESC, ct.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents ct) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+    round(list_dot_product(p.qe, g.sg), 6) AS score
+  FROM probes p JOIN cells c USING (centroid_id)
+  JOIN sg g ON g.vec_id = c.vec_id
+  WHERE c.vec_id <> p.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, vec_id, score, CAST(rk AS INT) AS rk FROM r
+WHERE rk <= {k} ORDER BY query_id, rk
+"""
+
+
 def _sql_simsearch_sq8(
     bounds_src: str = "embeddings",
     corpus_src: str = "embeddings",
@@ -7356,6 +7479,33 @@ ORDER BY query_id
             query_src="embeddings",
             query_where="vec_id BETWEEN 1 AND 5",
         ),
+        "simsearch_bq_stored": _sql_simsearch_bq(),
+        "simsearch_bq_upserted": _sql_simsearch_bq(
+            thr_src="embeddings",
+            cents_src="embeddings",
+            corpus_src=(
+                "(SELECT vec_id, CASE WHEN vec_id % 9 = 0 THEN "
+                "list_transform(embedding, x -> -x) ELSE embedding END "
+                "AS embedding FROM embeddings)"
+            ),
+            query_src="embeddings",
+            query_where="vec_id BETWEEN 1 AND 5",
+        ),
+        "simsearch_recall_bq": f"""
+SELECT t.query_id,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  CAST(t.n_true AS BIGINT) AS n_true,
+  floor(coalesce(h.n_hit, 0) / t.n_true * 1e6 + 0.5) / 1e6 AS recall
+FROM (SELECT query_id, count(*) AS n_true
+      FROM ({_SQL_SIMSEARCH_TOPK}) e0 GROUP BY query_id) t
+LEFT JOIN (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM ({_sql_simsearch_bq()}) a
+  JOIN ({_SQL_SIMSEARCH_TOPK}) e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id) h USING (query_id)
+ORDER BY query_id
+""",
         # quantizer-drift metric: bounds from the ORIGINAL corpus, codes
         # re-encoded (clamping) for the 3x-scaled upserts, err per row
         # discretized before the aggregates

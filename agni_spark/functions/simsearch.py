@@ -5214,3 +5214,274 @@ def pq_reconstruction_error(spark, path: str, corpus: DataFrame) -> DataFrame:
         (F.floor(F.avg("err") * 1e6 + 0.5) / 1e6).alias("mean_err"),
         F.max("err").alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-BQ (1-bit binary quantization) family — round 12. Completes the
+# compression spectrum flat fp32 -> SQ8 int8 (4x) -> PQ (16x+) -> BQ
+# (32x): one SIGN BIT per dimension against a per-dim trained MEAN
+# threshold (mean-centered binarization — the rotation-free baseline
+# of binary embedding quantization), packed 32 dims per (long) word.
+# Probes score ASYMMETRICALLY: the full-precision query against the
+# candidate's +-1 pattern, s = sum_i q_i * (2*b_i - 1) — the standard
+# asymmetric-Hamming proxy (exact Hamming ranking needs only the
+# bits; keeping the query full-precision buys recall for free). The
+# layout is the shared commit-partition idiom, so the whole lifecycle
+# (append/upsert/delete/compact/vacuum/stats/as_of/clone/streaming)
+# rides the generic machinery.
+# ---------------------------------------------------------------------------
+BQ_INDEX_SUBDIRS = [("codes", "centroid_id")]
+_BQ_WORD_BITS = 32
+
+
+def bq_thresholds(corpus: DataFrame) -> list[float]:
+    """Train the per-dimension binarization thresholds: the dimension
+    MEAN (6dp-rounded so the DuckDB oracle's avg lands on identical
+    doubles) — bit_i = x_i > mean_i. One posexplode + one (pos)-keyed
+    avg: map-side-combined, dim rows to the driver."""
+    rows = (
+        corpus.select(F.posexplode(F.col("embedding")).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("thr"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [float(r.thr) for r in rows]
+
+
+def _bq_words(vec_col, thr: list[float]):
+    """Pack sign bits into words: words[j] bit i (LSB-first) =
+    (x_{32j+i} > thr_{32j+i}). Pure literal expression tree (dim
+    terms), whole-stage-codegen'd — no UDF."""
+    dim = len(thr)
+    n_words = (dim + _BQ_WORD_BITS - 1) // _BQ_WORD_BITS
+    words = []
+    for j in range(n_words):
+        acc = F.lit(0)
+        for i in range(_BQ_WORD_BITS):
+            idx = j * _BQ_WORD_BITS + i
+            if idx >= dim:
+                break
+            acc = acc + F.when(
+                F.element_at(vec_col, idx + 1).cast("double")
+                > F.lit(float(thr[idx])),
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+        # LONG words: bit 31 of a 32-bit payload already exceeds the
+        # signed-int range (2^31), and long arithmetic keeps the
+        # div/mod bit extraction exact in doubles (< 2^53)
+        words.append(acc.cast("long"))
+    return F.array(*words)
+
+
+def _bq_score(qe_col, words_col, dim: int):
+    """Asymmetric score s = sum_i q_i * (2*b_i - 1), i ascending (one
+    sequential fold — deterministic, engine-portable; the oracle's
+    list_sum(list_transform(...)) sums the same doubles in the same
+    order). Bit extraction is div/mod arithmetic (Spark's shiftright
+    needs a literal shift): b = floor(word / 2^(i mod 32)) % 2 —
+    exact for int words."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(qe_col, i + 1).cast("double")
+        * (
+            F.lit(2.0)
+            * (
+                F.floor(
+                    F.element_at(
+                        words_col, F.floor(i / F.lit(32)).cast("int") + 1
+                    )
+                    / F.pow(F.lit(2.0), (i % 32).cast("double"))
+                )
+                % 2
+            )
+            - F.lit(1.0)
+        ),
+    )
+
+
+def write_bq_index(
+    corpus: DataFrame, path: str, n_centroids: int = 8, iters: int = 1,
+    centroids: DataFrame | None = None,
+    thresholds: list[float] | None = None,
+) -> None:
+    """Build + persist an IVF-BQ index: `codes/` parquet partitioned
+    by (commit, centroid_id) holding packed sign-bit words (1
+    bit/dim), `centroids/` (the coarse quantizer — routing uses the
+    RAW vector), `meta/` (the per-dim thresholds — the frozen
+    binarizer), `manifest/` LAST. `centroids`/`thresholds` pin a
+    precomputed model (tests rebuild build+append equivalents)."""
+    spark = corpus.sparkSession
+    cents = (
+        centroids if centroids is not None
+        else ivf_centroids(corpus, n_centroids, iters)
+    )
+    thr = thresholds if thresholds is not None else bq_thresholds(corpus)
+    cells = _nearest_centroids(
+        corpus.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    (
+        cells.select(
+            "vec_id", "centroid_id", _bq_words(F.col("ce"), thr).alias("words")
+        )
+        .withColumn("commit", F.lit(0).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    cents.select(
+        "centroid_id", F.col("cvec").cast("array<double>").alias("cvec")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(thr, len(thr))], "thr array<double>, dim int"
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_index_manifest(spark, path, [0])
+
+
+def _bq_encode_cells(spark, path: str, new_vectors: DataFrame) -> DataFrame:
+    """Assign new vectors to the FROZEN coarse quantizer and binarize
+    with the FROZEN thresholds — the shared append/upsert payload."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    thr = list(spark.read.parquet(f"{path}/meta").first().thr)
+    cells = _nearest_centroids(
+        new_vectors.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    return cells.select(
+        "vec_id", "centroid_id", _bq_words(F.col("ce"), thr).alias("words")
+    )
+
+
+def append_bq_index(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> None:
+    """Incremental IVF-BQ maintenance: frozen quantizer + frozen
+    thresholds, new commit partition, manifest last — same replay
+    contract as every append here."""
+    rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return
+    nxt = max(c for c, _ in rows) + 1
+    _clear_uncommitted_commit(spark, path, BQ_INDEX_SUBDIRS, nxt)
+    (
+        _bq_encode_cells(spark, path, new_vectors)
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
+
+
+def upsert_bq_index(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> int | None:
+    """UPSERT into a stored IVF-BQ index: horizon-scoped tombstone +
+    re-binarized replacement codes in one atomic commit (identical
+    semantics and crash contract to upsert_ivf_index)."""
+    rows = _manifest_rows(spark, path)
+    applied = _max_applied_batch(rows)
+    if batch_id is not None and applied is not None and batch_id <= applied:
+        return None
+    nxt = max(c for c, _ in rows) + 1
+    _clear_uncommitted_commit(
+        spark, path, BQ_INDEX_SUBDIRS + [("tombstones", None)], nxt
+    )
+    _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
+    (
+        _bq_encode_cells(spark, path, new_vectors)
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .repartition("centroid_id")
+        .write.partitionBy("commit", "centroid_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
+    return nxt
+
+
+class BqIndexHandle:
+    """An OPENED stored IVF-BQ index: thresholds + centroid table +
+    the committed codes scan resolved once at open (manifest snapshot
+    pinned; `as_of` time travel — sound, both model pieces are frozen
+    at build time)."""
+
+    def __init__(self, spark, path: str, as_of: int | None = None):
+        self.path = path
+        self.cents = spark.read.parquet(f"{path}/centroids")
+        meta = spark.read.parquet(f"{path}/meta").first()
+        self.thr = list(meta.thr)
+        self.dim = int(meta.dim)
+        self.commits = _snapshot_commits(spark, path, as_of)
+        self.codes = spark.read.parquet(f"{path}/codes").where(
+            F.col("commit").isin(self.commits)
+        )
+        self.tombstones = _tombstones(spark, path, self.commits)
+
+
+def open_bq_index(
+    spark, path: str, as_of: int | None = None
+) -> BqIndexHandle:
+    """Open a stored IVF-BQ index for repeated probing."""
+    return BqIndexHandle(spark, path, as_of=as_of)
+
+
+def bq_ann_stored(
+    spark, index, queries: DataFrame, k: int = 10, nprobe: int = 2,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Probe a stored IVF-BQ index: route each query to its nprobe
+    nearest coarse centroids (broadcast — dynamic partition pruning on
+    the codes scan, the family's shared plan shape) and rank by the
+    asymmetric score s = sum_i q_i * (2*b_i - 1), 6dp-rounded, ties
+    (s DESC, vec_id ASC). The corpus-sized table in flight is the
+    pruned 1-bit-words scan — 32x smaller than fp32; raw embeddings
+    are never read. `allowed`/tombstones behave exactly as on the
+    sibling probes. Returns (query_id, vec_id, score, rk)."""
+    h = index if isinstance(index, BqIndexHandle) else BqIndexHandle(
+        spark, index
+    )
+    probes = _nearest_centroids(
+        queries.select("query_id", F.col("embedding").alias("qe")),
+        h.cents, "query_id", "qe", nprobe,
+    )
+    cand = h.codes.join(probes, "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if allowed is not None:
+        cand = cand.join(
+            allowed.select("vec_id").distinct(), "vec_id", "semi"
+        )
+    cand = _anti_tombstones(cand, h.tombstones)
+    scored = cand.repartition(F.col("query_id"), F.col("vec_id")).select(
+        "query_id", "vec_id",
+        F.round(_bq_score(F.col("qe"), F.col("words"), h.dim), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "score", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+def clone_bq_index(spark, src: str, dst: str, as_of: int | None = None):
+    """Deep-clone a stored IVF-BQ index (coarse quantizer + threshold
+    meta copied verbatim; the clone re-binarizes nothing)."""
+    clone_index(
+        spark, src, dst, BQ_INDEX_SUBDIRS, aux=("centroids", "meta"),
+        as_of=as_of,
+    )

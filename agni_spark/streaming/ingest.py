@@ -112,7 +112,9 @@ def stream_ann_index(
         append_graph_index,
         append_ivf_index,
         append_pq_index,
+        append_bq_index,
         append_sq_index,
+        upsert_bq_index,
         upsert_graph_index,
         upsert_ivf_index,
         upsert_pq_index,
@@ -126,6 +128,7 @@ def stream_ann_index(
             "ivf": upsert_ivf_index,
             "pq": upsert_pq_index,
             "sq": upsert_sq_index,
+            "bq": upsert_bq_index,
             "graph": upsert_graph_index,
         }[index_kind]
     else:
@@ -134,6 +137,7 @@ def stream_ann_index(
             "pq": append_pq_index,
             "graph": append_graph_index,
             "sq": append_sq_index,
+            "bq": append_bq_index,
         }[index_kind]
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger is not None:

@@ -704,3 +704,110 @@ def test_quantization_error_reads_drift(spark):
     assert pq.n == 200
     assert pq.mean_err > fresh.mean_err  # PQ floor above SQ8's
     assert pq.max_err <= 2.0
+
+
+# --- IVF-BQ (1-bit) family (round 12) --------------------------------------
+
+
+def _bq_rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_bq_append_equals_rebuild(spark, emb, queries):
+    # build evens + append odds == a fresh full-corpus build with the
+    # SAME frozen model (centroids + thresholds) — append never retrains
+    path = tempfile.mkdtemp(prefix="bq_app_")
+    simsearch.write_bq_index(
+        emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=4
+    )
+    simsearch.append_bq_index(
+        spark, path,
+        emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+    )
+    got = _bq_rows(simsearch.bq_ann_stored(spark, path, queries, k=8,
+                                           nprobe=2))
+    thr = list(spark.read.parquet(f"{path}/meta").first().thr)
+    fresh = tempfile.mkdtemp(prefix="bq_fresh_")
+    simsearch.write_bq_index(
+        emb, fresh,
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        thresholds=thr,
+    )
+    want = _bq_rows(simsearch.bq_ann_stored(spark, fresh, queries, k=8,
+                                            nprobe=2))
+    assert got == want and len(got) > 0
+
+
+def test_bq_upsert_delete_asof_compact(spark, emb, queries):
+    # the full lifecycle on the generic machinery: upsert hides old
+    # rows, as_of pins the pre-upsert snapshot, delete excludes,
+    # compaction folds physically with the probe unchanged
+    path = tempfile.mkdtemp(prefix="bq_life_")
+    simsearch.write_bq_index(emb, path, n_centroids=4)
+    pre = _bq_rows(simsearch.bq_ann_stored(spark, path, queries, k=8,
+                                           nprobe=2))
+    simsearch.upsert_bq_index(spark, path,
+                              _neg(emb.where(F.col("vec_id") % 9 == 0)))
+    h = simsearch.open_bq_index(spark, path)
+    served = simsearch._anti_tombstones(h.codes, h.tombstones)
+    assert served.groupBy("vec_id").count().where(
+        F.col("count") > 1
+    ).count() == 0
+    h0 = simsearch.open_bq_index(spark, path, as_of=0)
+    assert _bq_rows(
+        simsearch.bq_ann_stored(spark, h0, queries, k=8, nprobe=2)
+    ) == pre
+    dead = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    dead_ids = {int(r.vec_id) for r in dead.collect()}
+    simsearch.delete_from_index(spark, path, dead,
+                                simsearch.BQ_INDEX_SUBDIRS)
+    post = simsearch.bq_ann_stored(spark, path, queries, k=8, nprobe=2)
+    got = _bq_rows(post)
+    assert got and not {r[1] for r in got} & dead_ids
+    simsearch.compact_index(spark, path, simsearch.BQ_INDEX_SUBDIRS)
+    assert _bq_rows(
+        simsearch.bq_ann_stored(spark, path, queries, k=8, nprobe=2)
+    ) == got
+    # physically scrubbed once vacuum reclaims the superseded commit
+    # dirs (the compacted commit itself holds no deleted rows)
+    simsearch.vacuum_index(spark, path, simsearch.BQ_INDEX_SUBDIRS)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.where(F.col("vec_id").isin(list(dead_ids))).count() == 0
+
+
+def test_bq_clone_and_streamed_upsert(spark, emb, queries, tmp_path):
+    # clone is probe-identical; the CDC stream converges a poisoned
+    # build to the batch-upsert state
+    from agni_spark.streaming import ingest as streaming
+
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 4 == 1,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    ).select("vec_id", "embedding")
+    spath = str(tmp_path / "bqidx")
+    simsearch.write_bq_index(poisoned, spath, n_centroids=4)
+    src = str(tmp_path / "bqsrc")
+    emb.where(F.col("vec_id") % 4 == 1).repartition(2).write.parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "bqckpt"),
+        max_files_per_trigger=1, index_kind="bq", mode="upsert",
+    )
+    q.awaitTermination()
+    got = _bq_rows(simsearch.bq_ann_stored(spark, spath, queries, k=8,
+                                           nprobe=2))
+    opath = str(tmp_path / "bqidx2")
+    simsearch.write_bq_index(poisoned, opath, n_centroids=4)
+    simsearch.upsert_bq_index(
+        spark, opath, emb.where(F.col("vec_id") % 4 == 1)
+    )
+    assert got == _bq_rows(
+        simsearch.bq_ann_stored(spark, opath, queries, k=8, nprobe=2)
+    ) and len(got) > 0
+    cpath = str(tmp_path / "bqclone")
+    simsearch.clone_bq_index(spark, spath, cpath)
+    assert got == _bq_rows(
+        simsearch.bq_ann_stored(spark, cpath, queries, k=8, nprobe=2)
+    )
