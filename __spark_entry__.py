@@ -1997,6 +1997,26 @@ def _q_simsearch_bq_upserted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.bq_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+
+def _q_simsearch_bq_rescored(spark: SparkSession, sf: str) -> DataFrame:
+    # TWO-STAGE BQ (round 12): 1-bit shortlist (k*3) -> exact-cosine
+    # rerank of only those rows against the raw corpus — the standard
+    # compressed-recall / exact-precision deployment, the BQ twin of
+    # ivfpq_stored_rerank. Full oracle: the BQ chain nested under the
+    # exact rescore + re-rank.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_bq_rsc_")
+    simsearch.write_bq_index(e, path, n_centroids=8)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.bq_ann_rescored(
+        spark, path, e, queries_df, k=10, nprobe=2, rfactor=3
+    )
+
+
 def _q_simsearch_recall_bq(spark: SparkSession, sf: str) -> DataFrame:
     # recall@10 of the 1-bit asymmetric probe vs exact cosine — with
     # ivf/graph/pq/sq8 this puts all FIVE vector-index geometries on
@@ -3320,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_bq_stored": _q_simsearch_bq_stored,
         "simsearch_bq_upserted": _q_simsearch_bq_upserted,
         "simsearch_recall_bq": _q_simsearch_recall_bq,
+        "simsearch_bq_rescored": _q_simsearch_bq_rescored,
         "simsearch_pq_qerror": _q_simsearch_pq_qerror,
         # rotated OUT of the window in round 11 (second rotation),
         # still fully oracle-gated:
@@ -7505,6 +7526,20 @@ LEFT JOIN (
     ON a.query_id = e.query_id AND a.vec_id = e.vec_id
   GROUP BY a.query_id) h USING (query_id)
 ORDER BY query_id
+""",
+        "simsearch_bq_rescored": f"""
+SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
+  SELECT t.query_id, t.vec_id, t.cos,
+    row_number() OVER (PARTITION BY t.query_id
+      ORDER BY t.cos DESC, t.vec_id ASC) AS rk
+  FROM (
+    SELECT s.query_id, s.vec_id,
+      round(list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+                                   CAST(cc.embedding AS DOUBLE[])), 6) AS cos
+    FROM ({_sql_simsearch_bq(k=30)}) s
+    JOIN embeddings qq ON qq.vec_id = s.query_id
+    JOIN embeddings cc ON cc.vec_id = s.vec_id) t) z
+WHERE rk <= 10 ORDER BY query_id, rk
 """,
         # quantizer-drift metric: bounds from the ORIGINAL corpus, codes
         # re-encoded (clamping) for the 3x-scaled upserts, err per row

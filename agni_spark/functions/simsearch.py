@@ -5485,3 +5485,46 @@ def clone_bq_index(spark, src: str, dst: str, as_of: int | None = None):
         spark, src, dst, BQ_INDEX_SUBDIRS, aux=("centroids", "meta"),
         as_of=as_of,
     )
+
+
+def bq_ann_rescored(
+    spark, index, corpus: DataFrame, queries: DataFrame, k: int = 10,
+    nprobe: int = 2, rfactor: int = 3,
+) -> DataFrame:
+    """TWO-STAGE BQ serving — the standard binary-quantization recipe
+    (compressed recall, exact precision): the 1-bit asymmetric probe
+    produces a k*rfactor shortlist from the 32x-compressed scan, then
+    ONLY those rows are re-scored with exact cosine against the raw
+    corpus and re-ranked to top-k. The corpus scan is shortlist-
+    driven: the bounded (queries x k*rfactor) id set broadcasts into
+    one pruned pass over `corpus` — at 100 TB the fp32 table is
+    touched for a few hundred rows per query, never scanned for
+    ranking. Mirrors ivfpq_stored_refine; fully deterministic, so the
+    composed oracle (BQ chain nested under the exact rescore) is
+    FULL."""
+    shortlist = bq_ann_stored(
+        spark, index, queries, k=k * rfactor, nprobe=nprobe
+    )
+    rescored = (
+        corpus.select("vec_id", F.col("embedding").alias("ce"))
+        .join(F.broadcast(shortlist.select("query_id", "vec_id")), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select("query_id", F.col("embedding").alias("qe"))
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos", "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -107,6 +107,7 @@ _WARM_SPECS = {
     "text_index",
     "simsearch_ivfpq_stored",
     "simsearch_sq8_stored",
+    "simsearch_bq_stored",
 }
 
 # module-level artifact shared between the graph spec and the
@@ -275,6 +276,21 @@ def _probe_specs():
         handle, q = ctx
         simsearch.sq_ann_stored(spark, handle, q, k=10, nprobe=2).count()
 
+    def bq_setup(spark, sf_dir):
+        # round-12 IVF-BQ: the 1-bit lane — probe vs the sq8/ivf rows
+        # reads the whole compression spectrum's serving trade at once
+        e = entry_mod._emb(spark, sf_dir)
+        q = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        path = tempfile.mkdtemp(prefix="bench_bq_")
+        simsearch.write_bq_index(e, path, n_centroids=8)
+        return (simsearch.open_bq_index(spark, path), q)
+
+    def bq_probe(spark, ctx):
+        handle, q = ctx
+        simsearch.bq_ann_stored(spark, handle, q, k=10, nprobe=2).count()
+
     def pagerank_setup(spark, sf_dir):
         # reuse the index graph_setup built (runs earlier in the spec
         # list); fall back to building one if specs ever run alone
@@ -316,6 +332,8 @@ def _probe_specs():
         # round-11: scalar-quantized serving — probe vs
         # simsearch_ivf_stored_probe measures the SQ8 trade
         ("simsearch_sq8_stored", sq_setup, sq_probe, True),
+        # round-12: the 1-bit lane (32x) — the fourth compression point
+        ("simsearch_bq_stored", bq_setup, bq_probe, True),
     ]
 
 
