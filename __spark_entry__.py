@@ -2017,6 +2017,32 @@ def _q_simsearch_bq_rescored(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def _q_simsearch_bq_reindexed(spark: SparkSession, sf: str) -> DataFrame:
+    # OFFLINE REINDEX, BQ flavor (round 12): deletes (%31) leave
+    # tombstones; reindex_bq takes MEMBERSHIP from the index's live
+    # rows and VECTORS from the corpus source of truth (1-bit codes
+    # carry no magnitudes), retrains thresholds + quantizer, and
+    # rebuilds — pinned bit-identical to write_bq_index over the
+    # surviving corpus, which IS the oracle (the BQ chain with every
+    # source restricted to the live rows).
+    import tempfile
+
+    e = _emb(spark, sf)
+    src = tempfile.mkdtemp(prefix="agni_bq_reidx_src_")
+    simsearch.write_bq_index(e, src, n_centroids=8)
+    simsearch.delete_from_index(
+        spark, src, e.where(F.col("vec_id") % 31 == 0).select("vec_id"),
+        simsearch.BQ_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="agni_bq_reidx_dst_")
+    simsearch.reindex_bq(spark, src, dst, e, n_centroids=8)
+    queries_df = e.where(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.bq_ann_stored(spark, dst, queries_df, k=10, nprobe=2)
+
+
 def _q_simsearch_recall_bq(spark: SparkSession, sf: str) -> DataFrame:
     # recall@10 of the 1-bit asymmetric probe vs exact cosine — with
     # ivf/graph/pq/sq8 this puts all FIVE vector-index geometries on
@@ -3341,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_bq_upserted": _q_simsearch_bq_upserted,
         "simsearch_recall_bq": _q_simsearch_recall_bq,
         "simsearch_bq_rescored": _q_simsearch_bq_rescored,
+        "simsearch_bq_reindexed": _q_simsearch_bq_reindexed,
         "simsearch_pq_qerror": _q_simsearch_pq_qerror,
         # rotated OUT of the window in round 11 (second rotation),
         # still fully oracle-gated:
@@ -7541,6 +7568,13 @@ SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
     JOIN embeddings cc ON cc.vec_id = s.vec_id) t) z
 WHERE rk <= 10 ORDER BY query_id, rk
 """,
+        "simsearch_bq_reindexed": _sql_simsearch_bq(
+            thr_src="(SELECT * FROM embeddings WHERE vec_id % 31 <> 0)",
+            cents_src="(SELECT * FROM embeddings WHERE vec_id % 31 <> 0)",
+            corpus_src="(SELECT * FROM embeddings WHERE vec_id % 31 <> 0)",
+            query_src="embeddings",
+            query_where="vec_id BETWEEN 1 AND 5",
+        ),
         # quantizer-drift metric: bounds from the ORIGINAL corpus, codes
         # re-encoded (clamping) for the 3x-scaled upserts, err per row
         # discretized before the aggregates

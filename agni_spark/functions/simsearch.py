@@ -5528,3 +5528,28 @@ def bq_ann_rescored(
         .select("query_id", "vec_id", "cos", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+def reindex_bq(
+    spark, src_path: str, dst_path: str, corpus: DataFrame,
+    n_centroids: int = 8, iters: int = 1,
+) -> None:
+    """OFFLINE REINDEX for the IVF-BQ family — retrain the per-dim
+    mean thresholds and the coarse quantizer. 1-bit codes carry no
+    magnitudes (the 32x compression IS the point), so unlike SQ8
+    there is nothing faithful to reconstruct from the index alone:
+    the raw vectors come from `corpus`, the same source-of-truth
+    table the two-stage rescorer (bq_ann_rescored) already requires a
+    BQ deployment to keep. MEMBERSHIP still comes from the index —
+    the live vec_ids (committed minus tombstoned/superseded, exactly
+    what probes may return) semi-join the corpus, so deletes resolve
+    and rows the corpus dropped fall out. Pinned bit-identical to
+    write_bq_index over that live corpus; with recall_bq this closes
+    the measure->reindex loop for the fifth family. src stays live
+    throughout; cutover is the caller swapping paths."""
+    h = BqIndexHandle(spark, src_path)
+    live_ids = _anti_tombstones(h.codes, h.tombstones).select("vec_id")
+    live = corpus.select("vec_id", "embedding").join(
+        live_ids.distinct(), "vec_id", "semi"
+    )
+    write_bq_index(live, dst_path, n_centroids=n_centroids, iters=iters)

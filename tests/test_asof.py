@@ -385,3 +385,26 @@ def test_reindex_graph_matches_fresh_build(spark, emb, queries):
     # no tombstones carried into the rebuild
     import os
     assert not os.path.exists(f"{dst}/tombstones")
+
+def test_reindex_bq_matches_fresh_build(spark, emb, queries):
+    # membership from the index (deletes resolved), vectors from the
+    # corpus source of truth; equals a fresh build over the survivors
+    src = tempfile.mkdtemp(prefix="reidx_bq_src_")
+    simsearch.write_bq_index(emb, src, n_centroids=4)
+    simsearch.delete_from_index(
+        spark, src, emb.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+        simsearch.BQ_INDEX_SUBDIRS,
+    )
+    dst = tempfile.mkdtemp(prefix="reidx_bq_dst_")
+    simsearch.reindex_bq(spark, src, dst, emb, n_centroids=4)
+    fresh = tempfile.mkdtemp(prefix="reidx_bq_fresh_")
+    simsearch.write_bq_index(
+        emb.where(F.col("vec_id") % 5 != 0), fresh, n_centroids=4
+    )
+    got = [tuple(r) for r in
+           simsearch.bq_ann_stored(spark, dst, queries, k=8,
+                                   nprobe=2).collect()]
+    want = [tuple(r) for r in
+            simsearch.bq_ann_stored(spark, fresh, queries, k=8,
+                                    nprobe=2).collect()]
+    assert got == want and len(got) > 0
