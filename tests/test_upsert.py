@@ -811,3 +811,64 @@ def test_bq_clone_and_streamed_upsert(spark, emb, queries, tmp_path):
     assert got == _bq_rows(
         simsearch.bq_ann_stored(spark, cpath, queries, k=8, nprobe=2)
     )
+
+
+def test_bq_filtered_probe_restricts_candidates(spark, emb, queries):
+    # allowed= is post-filter semantics on the BQ probe, same contract
+    # as every sibling family: every returned id is in the allow-set
+    path = tempfile.mkdtemp(prefix="bq_filt_")
+    simsearch.write_bq_index(emb, path, n_centroids=4)
+    allowed = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    out = simsearch.bq_ann_stored(
+        spark, path, queries, k=8, nprobe=2, allowed=allowed
+    ).collect()
+    assert out and all(int(r.vec_id) % 3 == 0 for r in out)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, width=32),
+            min_size=40, max_size=40,
+        ),
+        min_size=4, max_size=10,
+    )
+)
+def test_bq_pack_score_property(spark, vecs):
+    # property: for ANY float vectors (dim 40 — crosses the 32-bit
+    # word boundary, exercising both words incl. bit 31), the packed
+    # words + the fold-based asymmetric score equal a direct python
+    # reference computed from the same float32 values and thresholds
+    import math
+    import struct
+
+    f32 = lambda v: struct.unpack("f", struct.pack("f", v))[0]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    thr = simsearch.bq_thresholds(df)
+    got = df.select(
+        "vec_id",
+        simsearch._bq_words(F.col("embedding"), thr).alias("words"),
+        F.round(
+            simsearch._bq_score(
+                F.col("embedding"), simsearch._bq_words(F.col("embedding"), thr),
+                len(thr),
+            ),
+            6,
+        ).alias("self_score"),
+    ).collect()
+    for r in got:
+        v = [f32(x) for x in vecs[r.vec_id]]
+        bits = [1 if v[i] > thr[i] else 0 for i in range(40)]
+        words = [
+            sum(bits[j * 32 + i] << i for i in range(min(32, 40 - j * 32)))
+            for j in range(2)
+        ]
+        assert list(r.words) == words
+        ref = sum(v[i] * (2.0 * bits[i] - 1.0) for i in range(40))
+        assert abs(r.self_score - round(ref, 6)) < 2e-6
