@@ -5553,3 +5553,18 @@ def reindex_bq(
         live_ids.distinct(), "vec_id", "semi"
     )
     write_bq_index(live, dst_path, n_centroids=n_centroids, iters=iters)
+
+
+def clone_lsh_index(spark, src: str, dst: str, as_of: int | None = None):
+    """Deep-clone a stored sign-LSH table. The hash family is
+    deterministic (seeded hyperplanes — no stored model), so the clone
+    is the pure committed-snapshot fold; completes the clone matrix
+    across every stored family."""
+    clone_index(spark, src, dst, LSH_INDEX_SUBDIRS, as_of=as_of)
+
+
+def clone_minhash_index(spark, src: str, dst: str, as_of: int | None = None):
+    """Deep-clone a stored MinHash signature index (sigs + banded
+    bucket inverted index; the hash family is seeded constants — no
+    model dirs to copy)."""
+    clone_index(spark, src, dst, MINHASH_INDEX_SUBDIRS, as_of=as_of)

@@ -3265,3 +3265,39 @@ def test_manifest_protocol_property(spark, tmp_path_factory, ops):
     committed = committed + [nxt_commit]
     simsearch._write_index_manifest(spark, path, committed)
     assert simsearch._committed(spark, path) == committed
+
+
+def test_clone_lsh_and_minhash_probe_identical(spark, tmp_path):
+    """The clone matrix's last two families: LSH and MinHash clones
+    serve exactly the source snapshot (both models are deterministic
+    hash families, so the clone is the pure data fold)."""
+    from pyspark.sql import functions as F
+
+    from agni_spark.functions import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsrc, ldst = str(tmp_path / "lsrc"), str(tmp_path / "ldst")
+    simsearch.write_lsh_index(emb, lsrc)
+    simsearch.clone_lsh_index(spark, lsrc, ldst)
+    want = [tuple(r) for r in
+            simsearch.lsh_ann_stored(spark, lsrc, q, k=5).collect()]
+    assert want == [tuple(r) for r in
+                    simsearch.lsh_ann_stored(spark, ldst, q, k=5).collect()]
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    msrc, mdst = str(tmp_path / "msrc"), str(tmp_path / "mdst")
+    dedup.write_minhash_index(docs.limit(60), msrc)
+    simsearch.clone_minhash_index(spark, msrc, mdst)
+    for sub in ("sigs", "buckets"):
+        a = sorted(
+            tuple(sorted(r.asDict().items())) for r in
+            spark.read.parquet(f"{msrc}/{sub}").drop("commit").collect()
+        )
+        b = sorted(
+            tuple(sorted(r.asDict().items())) for r in
+            spark.read.parquet(f"{mdst}/{sub}").drop("commit").collect()
+        )
+        assert a == b and len(a) > 0, sub
