@@ -3251,13 +3251,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # externally-checked capability. text_index_search stays
         # oracle-gated after #50.
         "text_index_asof": _q_text_index_asof,
-        # round-11 rotation: the positional-index phrase probe replaces
-        # the scan-served BM25 row (the BM25 semantics stay windowed
-        # through text_index_asof, which shares the scan oracle);
-        # phrase adjacency over a positional layer is the new text
-        # capability an external oracle should pin. text_bm25_topk
-        # stays oracle-gated after #50.
-        "text_phrase_indexed": _q_text_phrase_indexed,
+        # round-12 rotation #4: the 1-BIT BQ probe (the round's new
+        # family) replaces the positional phrase row, externally green
+        # in r11 and untouched this round — the asymmetric sign-bit
+        # scoring chain is exactly what a driver-side oracle should
+        # pin while the family is fresh. text_phrase_indexed stays
+        # oracle-gated after #50.
+        "simsearch_bq_stored": _q_simsearch_bq_stored,
         # --- Simsearch (5) ---
         # round-11 rotation: hybrid RRF fusion (BM25 + exact-cosine
         # lists fused, Cormack'09) replaces the bare cosine baseline —
@@ -3362,10 +3362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_sq8_reindexed": _q_simsearch_sq8_reindexed,
         "simsearch_graph_reindexed": _q_simsearch_graph_reindexed,
         "simsearch_sq8_qerror": _q_simsearch_sq8_qerror,
-        # round-12 IVF-BQ family (1-bit, asymmetric scoring)
-        "simsearch_bq_stored": _q_simsearch_bq_stored,
+        # round-12 IVF-BQ family (bq_stored is IN the window)
         "simsearch_bq_upserted": _q_simsearch_bq_upserted,
         "simsearch_recall_bq": _q_simsearch_recall_bq,
+        # rotated OUT of the window in round 12 (externally green in
+        # r11), still fully oracle-gated:
+        "text_phrase_indexed": _q_text_phrase_indexed,
         "simsearch_bq_rescored": _q_simsearch_bq_rescored,
         "simsearch_bq_reindexed": _q_simsearch_bq_reindexed,
         "simsearch_pq_qerror": _q_simsearch_pq_qerror,
