@@ -5280,7 +5280,12 @@ def _bq_score(qe_col, words_col, dim: int):
     list_sum(list_transform(...)) sums the same doubles in the same
     order). Bit extraction is div/mod arithmetic (Spark's shiftright
     needs a literal shift): b = floor(word / 2^(i mod 32)) % 2 —
-    exact for int words."""
+    exact for int words. The divisor 2^(i mod 32) comes from a
+    32-element literal power-of-two array (each value exact in a
+    double), not pow(): a transcendental call per bit per candidate
+    is measurable waste on the probe hot path at scale; element_at
+    into a constant array is integer-cheap and arithmetic-identical."""
+    pow2 = F.array(*[F.lit(float(1 << b)) for b in range(_BQ_WORD_BITS)])
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         F.lit(0.0),
@@ -5293,7 +5298,7 @@ def _bq_score(qe_col, words_col, dim: int):
                     F.element_at(
                         words_col, F.floor(i / F.lit(32)).cast("int") + 1
                     )
-                    / F.pow(F.lit(2.0), (i % 32).cast("double"))
+                    / F.element_at(pow2, (i % 32).cast("int") + 1)
                 )
                 % 2
             )
