@@ -1779,6 +1779,86 @@ def _q_simsearch_ivf_cloned(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, dst, q, k=10, nprobe=2)
 
 
+def _q_simsearch_ivf_concurrent_append(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # OCC CONCURRENT APPENDS (round 13): two independent writers race
+    # on one stored IVF index. Writer A reads the manifest, claims its
+    # commit id, stages its cells — then writer B (the _race_hook)
+    # appends AND COMMITS inside A's read-to-CAS window. A's anchored
+    # manifest CAS loses, and the OCC retry (simsearch._append_manifest)
+    # re-reads the manifest, RENUMBERS A's staged commit above B's
+    # (commit ids stay monotone, claims keep the stagings disjoint),
+    # and lands it — both appends committed with no manual re-run.
+    # Full oracle: the frozen-quantizer IVF chain (centroids trained
+    # on the build third, cells over the whole corpus) — the final
+    # state is exactly a build + two appends in EITHER order, which is
+    # what makes concurrent appends semantically conflict-free.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_ivf_cc_") + "/idx"
+    base = e.where(F.col("vec_id") % 3 == 0)
+    a_new = e.where(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
+    b_new = e.where(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
+    simsearch.write_ivf_index(base, path, n_centroids=8)
+    simsearch.append_ivf_index(
+        spark, path, a_new,
+        _race_hook=lambda: simsearch.append_ivf_index(spark, path, b_new),
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2)
+
+
+def _q_simsearch_sq8_cloned(spark: SparkSession, sf: str) -> DataFrame:
+    # DEEP CLONE of the IVF-SQ8 family: build (quantizer + trimmed
+    # bounds trained on the full corpus), tombstone-delete label%5==0,
+    # clone_sq_index — the clone folds to ONE commit with the delete
+    # applied PHYSICALLY and copies the frozen model dirs verbatim
+    # (it re-encodes nothing). Oracle: the SQ8 chain with full-corpus
+    # bounds and the deleted ids excluded from candidates — probing
+    # the clone == probing the source.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="agni_sq8_clone_")
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    simsearch.write_sq_index(e, src, n_centroids=8)
+    simsearch.delete_from_index(
+        spark, src, e.where(F.col("label") % 5 == 0).select("vec_id"),
+        simsearch.SQ_INDEX_SUBDIRS,
+    )
+    simsearch.clone_sq_index(spark, src, dst)
+    return simsearch.sq_ann_stored(spark, dst, q, k=10, nprobe=2)
+
+
+def _q_simsearch_bq_cloned(spark: SparkSession, sf: str) -> DataFrame:
+    # DEEP CLONE of the IVF-BQ family: same shape as sq8_cloned — the
+    # 1-bit codes copy as-is (frozen thresholds in meta), the delete
+    # folds physically. Oracle: the asymmetric sign-pattern chain with
+    # the deleted ids excluded from candidates.
+    import tempfile
+
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="agni_bq_clone_")
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    simsearch.write_bq_index(e, src, n_centroids=8)
+    simsearch.delete_from_index(
+        spark, src, e.where(F.col("label") % 5 == 0).select("vec_id"),
+        simsearch.BQ_INDEX_SUBDIRS,
+    )
+    simsearch.clone_bq_index(spark, src, dst)
+    return simsearch.bq_ann_stored(spark, dst, q, k=10, nprobe=2)
+
+
 def _q_simsearch_graph_cloned(spark: SparkSession, sf: str) -> DataFrame:
     # CLONE x TIME TRAVEL on the graph family: build the even half
     # (commit 0), NSW-append the odd half (commit 1), then
@@ -3190,12 +3270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _querier(s, d).samples, DAY_MS, 0.9
         ).orderBy("series_id", "bucket_ms"),
         "promql_sum_by": _q_promql_sum_by,
-        # round-11 rotation #2: the per-domain curation cap replaces
-        # promql_topk in the window (promql keeps 6 window reps incl.
-        # both parsed-frontend rows; topk stays oracle-gated after
-        # #50) — the skew-safe two-phase top-k is the curation tier's
-        # newest externally-checkable operator.
-        "pipeline_domain_cap": _q_pipeline_domain_cap,
+        # round-13 rotation: the PQ REINDEX (codes retrained from the
+        # raw sidecar, pins never externally hashed before) replaces
+        # the per-domain cap, externally green r11-r12 and still
+        # oracle-gated after #50.
+        "simsearch_pq_reindexed": _q_simsearch_pq_reindexed,
         # round-12 rotation: graph-family TIME TRAVEL replaces the IVF
         # clone (externally checked in r11) — versioned-meta resolution
         # (an as_of handle must serve the snapshot's OWN entries/degree
@@ -3203,12 +3282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invariant; simsearch_ivf_cloned stays oracle-gated after #50
         "simsearch_graph_asof": _q_simsearch_graph_asof,
         "promql_histogram_quantile": _q_promql_histogram_quantile,
-        # round-10 rotation: FILTERED graph search (walk the full
-        # graph, rank only allow-set survivors) replaces the in-memory
-        # graph_ann — the stored probes (graph_compacted, graph_hnsw,
-        # graph_filtered) are the richer external signals; the basic
-        # walk stays oracle-gated after #50
-        "simsearch_graph_filtered": _q_simsearch_graph_filtered,
+        # round-13 rotation: recall@k for the NEWEST family (BQ — the
+        # evaluation tier over the 1-bit probe) replaces the filtered
+        # graph walk, externally green r10-r12 and still oracle-gated
+        # after #50.
+        "simsearch_recall_bq": _q_simsearch_recall_bq,
         "promql_parsed_binop": _q_promql_parsed_binop,
         "promql_parsed_group_left": _q_promql_parsed_group_left,
         # --- TPC-H (4) ---
@@ -3233,9 +3311,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds and still gated after #50
         "streaming_graph_upsert": _q_streaming_graph_upsert,
         "s15_remote_write_read": _q_s15_remote_write_read,
-        # round-6 sharded-state streaming top-k replaced cluster-assign
-        # in the window (dedup_cluster_assign stays gated after #50)
-        "streaming_topk": _q_streaming_topk,
+        # round-13 rotation: TEXT-INDEX REBUCKETING (offline n_buckets
+        # resize, pinned equal to a fresh build — never driver-checked)
+        # replaces streaming_topk, in-window since round 6 and still
+        # oracle-gated after #50 (streaming keeps windowed_sum +
+        # graph_upsert + graph_ingest + text_ingest as reps).
+        "text_index_rebucketed": _q_text_index_rebucketed,
         # --- Text (5) ---
         "text_doc_stats": _q_text_doc_stats,
         "text_repeated_passages": _q_text_repeated_passages,
@@ -3243,14 +3324,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stored inverted index replaced lang_id in the window (lang_id
         # stays oracle-gated after #50): index-served search is the
         # richer external signal (build + append + pruned probe)
-        # round-11 rotation #2: the TIME-TRAVEL BM25 probe replaces
-        # the plain index-served row — same full-corpus BM25 oracle
-        # (_SQL_BM25), so the BM25-through-the-index semantics stay
-        # externally pinned, and the as_of snapshot contract (a later
-        # delete must be invisible to a pinned handle) becomes the new
-        # externally-checked capability. text_index_search stays
-        # oracle-gated after #50.
-        "text_index_asof": _q_text_index_asof,
+        # round-13 rotation: OCC CONCURRENT APPENDS — the round's new
+        # commit-protocol capability (claimed commit ids + anchored
+        # CAS + renumber-retry; both racing writers land) — replaces
+        # text_index_asof, externally green r11-r12 (time travel keeps
+        # simsearch_graph_asof as its window rep; text_index_asof
+        # stays oracle-gated after #50).
+        "simsearch_ivf_concurrent_append": (
+            _q_simsearch_ivf_concurrent_append
+        ),
         # round-12 rotation #4: the 1-BIT BQ probe (the round's new
         # family) replaces the positional phrase row, externally green
         # in r11 and untouched this round — the asymmetric sign-bit
@@ -3312,8 +3394,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_graph_ann_filtered": _q_simsearch_graph_ann_filtered,
         "simsearch_ivf_deleted": _q_simsearch_ivf_deleted,
         "text_index_deleted": _q_text_index_deleted,
-        # round-12 text reindex: bucket-count resize without docs
-        "text_index_rebucketed": _q_text_index_rebucketed,
+        # rotated OUT of the window in round 13 (externally green for
+        # 2-3 rounds each), still fully oracle-gated:
+        "simsearch_graph_filtered": _q_simsearch_graph_filtered,
+        "pipeline_domain_cap": _q_pipeline_domain_cap,
+        "streaming_topk": _q_streaming_topk,
+        "text_index_asof": _q_text_index_asof,
+        # round-13 clone rows: the two compressed families' deep
+        # clones, oracle-gated like ivf/graph clones already were
+        "simsearch_sq8_cloned": _q_simsearch_sq8_cloned,
+        "simsearch_bq_cloned": _q_simsearch_bq_cloned,
         "simsearch_graph_deleted": _q_simsearch_graph_deleted,
         "simsearch_graph_delete_compacted": (
             _q_simsearch_graph_delete_compacted
@@ -3358,13 +3448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on its own dequantization)
         "simsearch_recall_pq": _q_simsearch_recall_pq,
         "simsearch_recall_sq8": _q_simsearch_recall_sq8,
-        "simsearch_pq_reindexed": _q_simsearch_pq_reindexed,
         "simsearch_sq8_reindexed": _q_simsearch_sq8_reindexed,
         "simsearch_graph_reindexed": _q_simsearch_graph_reindexed,
         "simsearch_sq8_qerror": _q_simsearch_sq8_qerror,
-        # round-12 IVF-BQ family (bq_stored is IN the window)
+        # round-12 IVF-BQ family (bq_stored + recall_bq are IN the
+        # window)
         "simsearch_bq_upserted": _q_simsearch_bq_upserted,
-        "simsearch_recall_bq": _q_simsearch_recall_bq,
         # rotated OUT of the window in round 12 (externally green in
         # r11), still fully oracle-gated:
         "text_phrase_indexed": _q_text_phrase_indexed,
@@ -4170,6 +4259,7 @@ def _sql_simsearch_bq(
     query_where: str = "vec_id < 5",
     k: int = 10,
     query_src: str | None = None,
+    cand_where: str = "TRUE",
 ) -> str:
     """IVF-BQ probe mirror: the IVF chain with the candidate scored
     ASYMMETRICALLY against its +-1 sign pattern, s = dot(q, sg) where
@@ -4214,7 +4304,7 @@ scored AS (
     round(list_dot_product(p.qe, g.sg), 6) AS score
   FROM probes p JOIN cells c USING (centroid_id)
   JOIN sg g ON g.vec_id = c.vec_id
-  WHERE c.vec_id <> p.query_id),
+  WHERE c.vec_id <> p.query_id AND ({cand_where})),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY score DESC, vec_id ASC) AS rk FROM scored)
 SELECT query_id, vec_id, score, CAST(rk AS INT) AS rk FROM r
@@ -4229,6 +4319,7 @@ def _sql_simsearch_sq8(
     query_where: str = "vec_id < 5",
     k: int = 10,
     query_src: str | None = None,
+    cand_where: str = "TRUE",
 ) -> str:
     """IVF-SQ8 probe mirror: the IVF chain with the candidate side
     scored against its SQ8 dequantization instead of the raw vector.
@@ -4284,7 +4375,7 @@ scored AS (
          ELSE round(list_cosine_similarity(p.qe, d.xhat), 6) END AS cos
   FROM probes p JOIN cells c USING (centroid_id)
   JOIN deq d ON d.vec_id = c.vec_id
-  WHERE c.vec_id <> p.query_id),
+  WHERE c.vec_id <> p.query_id AND ({cand_where})),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
 SELECT query_id, vec_id, cos, CAST(rk AS INT) AS rk FROM r
@@ -7430,6 +7521,29 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
                 "ce.vec_id NOT IN (SELECT vec_id FROM embeddings "
                 "WHERE label % 5 = 0)"
             )
+        ),
+        # round-13 clone rows: frozen model from the FULL corpus,
+        # deleted ids excluded from candidates (the clone applied the
+        # tombstones physically) — probing the clone == the source
+        "simsearch_sq8_cloned": _sql_simsearch_sq8(
+            cand_where=(
+                "c.vec_id NOT IN (SELECT vec_id FROM embeddings "
+                "WHERE label % 5 = 0)"
+            )
+        ),
+        "simsearch_bq_cloned": _sql_simsearch_bq(
+            cand_where=(
+                "c.vec_id NOT IN (SELECT vec_id FROM embeddings "
+                "WHERE label % 5 = 0)"
+            )
+        ),
+        # round-13 OCC: build third + two RACING appends (the loser
+        # renumbers and retries) == frozen-quantizer cells over the
+        # whole corpus — concurrent appends are order-free, which is
+        # exactly why the retry is sound
+        "simsearch_ivf_concurrent_append": _sql_simsearch_ivf(
+            cents_src="(SELECT * FROM embeddings WHERE vec_id % 3 = 0)",
+            corpus_src="embeddings",
         ),
         "simsearch_graph_cloned": _sql_graph_ann(
             graph_sql=(

@@ -433,16 +433,15 @@ def append_minhash_index(
     from agni_spark.functions.simsearch import (
         MINHASH_INDEX_SUBDIRS,
         _append_manifest,
-        _clear_uncommitted_commit,
-        _manifest_rows,
+        _claim_commit_id,
+        _resolve_manifest,
     )
 
-    mrows = _manifest_rows(spark, path)
-    commits = [c for c, _ in mrows]
-    nxt = max(commits) + 1
-    # clear a crashed compact's uncommitted leftover under this id
-    # (dynamic overwrite below replaces only our own partitions)
-    _clear_uncommitted_commit(spark, path, MINHASH_INDEX_SUBDIRS, nxt)
+    ver, mrows = _resolve_manifest(spark, path)
+    # the exclusive claim clears a crashed compact's uncommitted
+    # leftover under the id (dynamic overwrite below replaces only
+    # our own partitions)
+    nxt = _claim_commit_id(spark, path, mrows, MINHASH_INDEX_SUBDIRS)
     sigs = minhash_signatures(new_docs, k, bands * rows)
     (
         sigs.withColumn("commit", F.lit(nxt).cast("long"))
@@ -460,7 +459,11 @@ def append_minhash_index(
         .mode("overwrite")
         .parquet(f"{path}/buckets")
     )
-    _append_manifest(spark, path, mrows, nxt)
+    _append_manifest(
+        spark, path, mrows, nxt,
+        subdirs=MINHASH_INDEX_SUBDIRS,
+        read_version=ver if ver is not None else 0,
+    )
 
 
 def incremental_dup_pairs(

@@ -372,13 +372,105 @@ def semantic_dedup_keep(
 # (dynamic partition pruning) instead of the whole corpus.
 # ---------------------------------------------------------------------------
 class ManifestConflictError(RuntimeError):
-    """Two writers tried to commit manifest version N concurrently.
-    The loser's swap is rejected with the store unchanged — its data
-    commit is unreferenced debris (vacuum reclaims it) and the
-    operation must be re-run from a fresh manifest read. Concurrent
-    writers to ONE index remain outside the supported contract (both
-    may have claimed the same `commit=` id before the swap raced);
-    this error turns the former silent lost-update into a loud abort."""
+    """Two writers tried to commit the same manifest version
+    concurrently; the loser's create is rejected with the store
+    unchanged. Round 13: append/upsert/delete RETRY this internally
+    (OCC — re-read the manifest, renumber the staged commit if the
+    racer's id is higher, re-attempt the CAS; see _append_manifest),
+    so the error SURFACES only past _OCC_MAX_ATTEMPTS, from
+    compaction (which aborts on any concurrent write rather than
+    guess how to merge), or from a build racing another build at the
+    same path. When it does surface, the staged commit is
+    unreferenced debris (vacuum reclaims it) and the operation must
+    be re-run from a fresh manifest read. Each writer stages under a
+    commit id it holds EXCLUSIVELY (a `manifest/.claim-N` file landed
+    with the same create-no-overwrite CAS), so racers can never
+    cross-contaminate one another's `commit=` directories."""
+
+
+class ManifestUnsafeStoreError(RuntimeError):
+    """The manifest commit protocol needs `FileSystem.create(path,
+    overwrite=false)` to be an atomic compare-and-swap. It is on
+    local/HDFS/viewfs (POSIX O_EXCL / namenode-serialized create) and
+    on object-store connectors that map it to a conditional PUT
+    (If-None-Match) — but some connectors implement it as a HEAD
+    check followed by an unconditional PUT (older s3a), where two
+    racing writers can BOTH win and one commit is silently lost.
+    Rather than carry that as a docstring caveat, the writer now
+    probes the store and REFUSES multi-writer commits it cannot make
+    safe. Overrides: set `spark.agni.manifest.casCapable=true` when
+    you know the store's conditional create is real (e.g. s3a with
+    conditional-write support enabled), or
+    `spark.agni.manifest.singleWriter=true` to accept the round-12
+    single-writer-per-index contract on a non-CAS store."""
+
+
+# create(overwrite=false) is a true CAS on these schemes: POSIX
+# O_CREAT|O_EXCL locally, namenode-serialized create on HDFS/viewfs.
+_CAS_ATOMIC_SCHEMES = {"", "file", "hdfs", "viewfs"}
+# best-effort Hadoop path-capability names implying conditional
+# create on an object store; hasPathCapability returns false for
+# names a connector doesn't know, so probing extras is harmless
+_CAS_CAPABILITY_PROBES = (
+    "fs.option.create.conditional.overwrite",
+    "fs.capability.create.conditional.overwrite",
+)
+_cas_trust_cache: dict = {}
+
+
+def _cas_capable(spark, fs, P, base: str) -> bool:
+    """Is create-no-overwrite a real CAS on `base`'s filesystem?
+    Known-atomic schemes short-circuit; other schemes are probed once
+    per (scheme, authority) via hasPathCapability and cached."""
+    uri = P(base).toUri()
+    scheme = (uri.getScheme() or "").lower()
+    if scheme in _CAS_ATOMIC_SCHEMES:
+        return True
+    key = (scheme, uri.getAuthority() or "")
+    if key in _cas_trust_cache:
+        return _cas_trust_cache[key]
+    ok = False
+    for cap in _CAS_CAPABILITY_PROBES:
+        try:
+            if fs.hasPathCapability(P(base), cap):
+                ok = True
+                break
+        except Exception:
+            pass
+    _cas_trust_cache[key] = ok
+    return ok
+
+
+def _require_cas(spark, fs, P, base: str) -> None:
+    """Refuse to run the commit protocol on a store whose
+    create-no-overwrite is not a CAS (see ManifestUnsafeStoreError),
+    unless the user overrode via config. Checked at every claim and
+    manifest write; the probe is cached so steady-state cost is a
+    dict lookup."""
+    try:
+        override = spark.conf.get("spark.agni.manifest.casCapable", None)
+    except Exception:
+        override = None
+    if override is not None and str(override).lower() == "true":
+        return
+    if override is None and _cas_capable(spark, fs, P, base):
+        return
+    try:
+        single = spark.conf.get("spark.agni.manifest.singleWriter", "false")
+    except Exception:
+        single = "false"
+    if str(single).lower() == "true":
+        return
+    uri = P(base).toUri()
+    raise ManifestUnsafeStoreError(
+        f"filesystem scheme '{uri.getScheme()}' at {base} does not "
+        "advertise an atomic create-no-overwrite; the manifest commit "
+        "CAS (and the commit-id claims) would be unsafe under "
+        "concurrent writers. Set spark.agni.manifest.casCapable=true "
+        "if the store's conditional create is real, or "
+        "spark.agni.manifest.singleWriter=true to accept "
+        "single-writer-per-index semantics."
+    )
 
 
 def _manifest_entries(spark, path: str) -> list[tuple[int, str, bool]]:
@@ -433,9 +525,186 @@ def _read_small_file(spark, path: str) -> bytes:
     return bytes(data)
 
 
+_CLAIM_MAX_PROBES = 64
+_OCC_MAX_ATTEMPTS = 5
+
+
+def _claimed_ids(spark, path: str) -> list[int]:
+    """Commit ids currently held by a `manifest/.claim-N` file —
+    dot-prefixed so legacy flat-manifest parquet reads (and every
+    Spark directory scan) treat it as a hidden file —
+    claimed by an in-flight (or crashed) writer. Sorted. Claim names
+    never collide with manifest versions (`v=*`), so readers ignore
+    them entirely."""
+    from agni_spark.sources.layout import _hfs
+
+    base = f"{path}/manifest"
+    fs, P = _hfs(spark, base)
+    if not fs.exists(P(base)):
+        return []
+    out = []
+    for st in fs.listStatus(P(base)):
+        name = st.getPath().getName()
+        if name.startswith(".claim-"):
+            try:
+                out.append(int(name[len(".claim-"):]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _claim_commit_id(
+    spark, path: str, rows: list, subdirs: list,
+    batch_id: int | None = None, adopt_exclude: int | None = None,
+) -> int:
+    """Claim an EXCLUSIVE commit id for one write (round-13 OCC): land
+    `manifest/.claim-N` via create-no-overwrite — the same CAS
+    primitive as the manifest commit itself — starting at
+    max(committed ∪ claimed)+1 and probing upward past ids other
+    writers hold. Exclusivity is what makes concurrent writers safe
+    to RETRY: two racers can no longer stage into the same `commit=N`
+    directory (the round-12 cross-contamination), so a manifest-CAS
+    loser's staged data is intact and recommittable. The claim is
+    released on commit (_append_manifest) and on terminal conflict;
+    a claim orphaned by a crash burns its id (ids are never reused
+    while a claim file exists) and is reclaimed by
+    vacuum_index(reclaim_claims=True).
+
+    `batch_id` (streaming): the claim file records the micro-batch id
+    so a REPLAY of a crashed attempt ADOPTS its own claim instead of
+    burning a new id — preserving the round-12 replay contract
+    (same id, dynamic partition overwrite replaces the crashed
+    files). Sound under the existing one-streaming-writer-per-index
+    contract (_max_applied_batch assumes it too).
+
+    Clears any uncommitted debris under the claimed id (a crashed
+    pre-claim-era writer, or a crashed attempt this claim adopts)
+    before returning — safe precisely because the id is now held
+    exclusively."""
+    import json
+
+    from agni_spark.sources.layout import _hfs
+
+    base = f"{path}/manifest"
+    fs, P = _hfs(spark, base)
+    _require_cas(spark, fs, P, base)
+    committed = {int(c) for c, _ in rows}
+    if batch_id is not None:
+        for cid in _claimed_ids(spark, path):
+            if cid in committed or cid == adopt_exclude:
+                # adopt_exclude: an OCC renumber must not re-adopt the
+                # very claim it is renumbering away from (same batch
+                # id) — adoption would clear its own staged data
+                continue
+            try:
+                doc = json.loads(
+                    _read_small_file(spark, f"{base}/.claim-{cid}")
+                )
+            except Exception:
+                continue
+            if doc.get("batch_id") == int(batch_id):
+                _clear_uncommitted_commit(spark, path, subdirs, cid)
+                return cid
+    payload = json.dumps(
+        {"batch_id": int(batch_id)} if batch_id is not None else {}
+    ).encode("utf-8")
+    cand = max(committed | set(_claimed_ids(spark, path)), default=-1) + 1
+    for _ in range(_CLAIM_MAX_PROBES):
+        try:
+            out = fs.create(P(f"{base}/.claim-{cand}"), False)
+        except Exception as e:
+            if "FileAlreadyExistsException" not in str(e) and (
+                "already exists" not in str(e)
+            ):
+                raise
+            cand = max(
+                {cand} | committed | set(_claimed_ids(spark, path))
+            ) + 1
+            continue
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        _clear_uncommitted_commit(spark, path, subdirs, cand)
+        return cand
+    raise RuntimeError(
+        f"could not claim a commit id at {path} after "
+        f"{_CLAIM_MAX_PROBES} probes — claim churn this high means "
+        "something is spinning; inspect manifest/.claim-* files"
+    )
+
+
+def _release_claim(spark, path: str, nxt: int) -> None:
+    """Drop this writer's claim file (post-commit, or on terminal
+    conflict where the staged data is already debris). Best-effort:
+    a failed delete only delays reclaim until vacuum."""
+    from agni_spark.sources.layout import _hfs
+
+    target = f"{path}/manifest/.claim-{int(nxt)}"
+    try:
+        fs, P = _hfs(spark, target)
+        fs.delete(P(target), False)
+    except Exception:
+        pass
+
+
+def _renumber_staged_commit(
+    spark, path: str, subdirs: list, old: int, new: int
+) -> None:
+    """Move a staged-but-uncommitted commit from `commit=old` to
+    `commit=new` (OCC retry after a racer committed a HIGHER id):
+    manifest commit-id lists must stay monotone — every new commit id
+    exceeds all previously committed ids — or `as_of=N` would stop
+    being a stable snapshot (a smaller id landing later would change
+    what a past as_of serves). Both ids are held exclusively by this
+    writer (claims), and neither is manifest-listed, so a partial
+    move crashes into ordinary unreferenced debris — never into
+    served state. Data subdirs move by rename (safe here even on
+    copy+delete object stores: the data is invisible either way and
+    the manifest CAS, not the rename, is the commit point); the
+    tombstones subdir is REWRITTEN instead, because a scoped
+    tombstone's `horizon` column equals the staging id and must
+    follow it — after renumbering, horizon=new also hides the
+    racer's same-key rows committed between old and new, which is
+    exactly last-writer-wins by commit id. Graph-family note: a
+    staged `meta/commit=old` carries a degree bound computed against
+    the pre-race base; concurrent appends may each add only their own
+    delta (slight under-estimate of the true post-merge bound — the
+    walk treats it as a budget and fails loud, never wrong; the next
+    compact_graph_index recomputes it exactly)."""
+    from agni_spark.sources.layout import (
+        _fs_delete,
+        _fs_exists,
+        _fs_rename,
+    )
+
+    for sub, _routing in subdirs:
+        src = f"{path}/{sub}/commit={int(old)}"
+        dst = f"{path}/{sub}/commit={int(new)}"
+        if not _fs_exists(spark, src):
+            continue
+        if sub == "tombstones":
+            df = spark.read.parquet(src)
+            if "horizon" in df.columns:
+                df = df.withColumn(
+                    "horizon",
+                    F.when(
+                        F.col("horizon") == int(old),
+                        F.lit(int(new)).cast("long"),
+                    ).otherwise(F.col("horizon")),
+                )
+            df.repartition(1).write.mode("overwrite").parquet(dst)
+            _fs_delete(spark, src)
+        elif not _fs_rename(spark, src, dst):
+            raise RuntimeError(
+                f"renumbering staged commit failed: {src} -> {dst}"
+            )
+
+
 def _write_index_manifest(
     spark, path: str, commits: list[int],
     batch_ids: dict[int, int] | None = None,
+    expected_version: int | None = None,
 ) -> None:
     """Commit marker (block-store registry pattern): the manifest lists
     the committed `commit=` partitions and is written LAST, after the
@@ -451,21 +720,39 @@ def _write_index_manifest(
     could list a partial `v=N` and two writers could both "win". The
     single-file commit needs NO rename anywhere: on S3 a PUT is
     atomic-visibility (the object appears complete or not at all), on
-    HDFS/local create-no-overwrite is the exact CAS, and on s3a recent
-    Hadoop maps overwrite=false to a conditional (If-None-Match) PUT —
-    older s3a degrades to a HEAD-check create, which narrows but does
-    not eliminate the two-winner window; single-writer-per-index
-    remains the supported contract there. The losing racer's create
-    throws and surfaces as ManifestConflictError — detection, not
-    multi-writer resolution: both racers may have staged data under
-    the same `commit=` id, so the loser must RE-RUN its operation
-    (fresh manifest read, fresh commit id). A writer crashing between
-    create and close leaves a truncated `v=N.json`; readers skip it
-    (fall back to the newest version that parses) exactly as if the
-    commit never landed, and a later writer claims v=N+1, so the
-    debris never blocks progress — vacuum_index reclaims it once
-    superseded. Old versions are one-file history until vacuum GCs
-    them; legacy round-11 `v=N/` parquet dirs remain readable.
+    HDFS/local create-no-overwrite is the exact CAS, and on object
+    stores the connector must map overwrite=false to a conditional
+    (If-None-Match) PUT — _require_cas probes for that and REFUSES
+    stores where create-no-overwrite is a mere HEAD check (the
+    round-12 old-s3a caveat, now enforced behavior; config overrides
+    in ManifestUnsafeStoreError). The losing racer's create throws
+    and surfaces as ManifestConflictError; since round 13 each
+    writer's staged data sits under an exclusively-claimed commit id,
+    so append/upsert/delete callers RETRY through _append_manifest
+    instead of re-running.
+
+    `expected_version` (round 13) anchors the CAS to the manifest
+    version this writer's `commits` list derives from — the Delta
+    protocol's expected-version check. Without it, a writer that
+    listed versions at write time could land max+1 with a STALE list,
+    silently un-committing a commit that raced in between read and
+    write (detection previously covered only the narrow
+    list-to-create window). With it: a parseable version above
+    `expected_version` at write time → conflict BEFORE the create; a
+    post-close re-resolve catches the symmetric stall (this writer's
+    create stalled long enough that a racer treated its slot as dead
+    debris and skipped over it → conflict, the caller's retry
+    recommits). None (builds, fresh clones, direct tests) keeps the
+    round-12 write-time slot choice.
+
+    A writer crashing between create and close leaves a truncated
+    `v=N.json`; readers skip it (fall back to the newest version that
+    parses) exactly as if the commit never landed, and a later writer
+    — after a short grace wait for an in-flight close — claims the
+    next free slot, so the debris never blocks progress; vacuum_index
+    reclaims it once superseded. Old versions are one-file history
+    until vacuum GCs them; legacy round-11 `v=N/` parquet dirs remain
+    readable.
 
     `batch_ids` maps commit -> the streaming micro-batch id that
     produced it (None for batch-API commits). Recording it IN the
@@ -475,13 +762,14 @@ def _write_index_manifest(
     its batch id already applied and skips — the idempotent-sink
     bookkeeping dynamic partition overwrite alone cannot provide."""
     import json
+    import time
 
     from agni_spark.sources.layout import _hfs
 
     bids = batch_ids or {}
     base = f"{path}/manifest"
-    vers = _manifest_versions(spark, path)
-    nxt_v = (max(vers) + 1) if vers else 1
+    fs, P = _hfs(spark, base)
+    _require_cas(spark, fs, P, base)
     payload = json.dumps(
         {
             "commits": sorted(int(c) for c in commits),
@@ -491,27 +779,87 @@ def _write_index_manifest(
         },
         sort_keys=True,
     ).encode("utf-8")
-    fs, P = _hfs(spark, base)
-    conflict = ManifestConflictError(
-        f"manifest v={nxt_v} at {path} was committed by a "
-        "concurrent writer; re-run this operation from a fresh "
-        "manifest read (its staged commit is unreferenced debris "
-        "until then — vacuum_index reclaims it)"
+
+    def _stale_check():
+        if expected_version is None:
+            return
+        cur, _ = _resolve_manifest(spark, path)
+        if (cur if cur is not None else 0) != int(expected_version):
+            raise ManifestConflictError(
+                f"manifest at {path} advanced past the version this "
+                f"writer read (expected v={expected_version}, now "
+                f"v={cur}); its commit list is stale"
+            )
+
+    _stale_check()
+    vers = _manifest_versions(spark, path)
+    nxt_v = (max(vers) + 1) if vers else 1
+    if expected_version is not None:
+        nxt_v = max(nxt_v, int(expected_version) + 1)
+    for _slot_try in range(4):
+        conflict = ManifestConflictError(
+            f"manifest v={nxt_v} at {path} was committed by a "
+            "concurrent writer (append/upsert/delete retry this "
+            "internally; if it surfaced, re-run the operation — the "
+            "staged commit is unreferenced debris until then and "
+            "vacuum_index reclaims it)"
+        )
+        # a legacy v=N parquet DIR from a round-11 writer claims the
+        # slot too — the single-file create can't CAS against a dir
+        if fs.exists(P(f"{base}/v={nxt_v}")):
+            raise conflict
+        try:
+            out = fs.create(P(f"{base}/v={nxt_v}.json"), False)
+        except Exception as e:  # py4j surfaces FileAlreadyExistsException
+            if not (
+                "FileAlreadyExistsException" in str(e)
+                or "already exists" in str(e)
+            ):
+                raise
+            # slot occupied. A PARSEABLE occupant is a real commit →
+            # conflict. An unparseable one is either a writer mid-close
+            # (grace-wait for it) or create-then-crash debris — debris
+            # must not block progress (and must NOT be deleted: a
+            # mid-close writer's file may look identical), so skip to
+            # the next free slot after re-checking staleness.
+            occupied = f"{base}/v={nxt_v}.json"
+            parseable = False
+            for _grace in range(3):
+                try:
+                    json.loads(_read_small_file(spark, occupied))
+                    parseable = True
+                    break
+                except Exception:
+                    time.sleep(0.05)
+            if parseable:
+                raise conflict from e
+            _stale_check()
+            vers = _manifest_versions(spark, path)
+            nxt_v = max([nxt_v] + vers) + 1
+            continue
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        # post-close verify: if this writer stalled mid-close long
+        # enough that a racer skipped over its slot as dead debris,
+        # a higher version exists whose list omits our commits —
+        # surface as a conflict so the caller's retry recommits them.
+        # A higher version that CONTAINS our commits is ordinary
+        # history (someone committed on top of us).
+        cur2, rows2 = _resolve_manifest(spark, path)
+        if cur2 is not None and cur2 > nxt_v:
+            if not {int(c) for c in commits} <= {c for c, _ in rows2}:
+                raise ManifestConflictError(
+                    f"manifest v={nxt_v} at {path} was skipped over "
+                    "while this writer stalled mid-commit; a newer "
+                    "version omits its commits — retry recommits them"
+                )
+        return
+    raise ManifestConflictError(
+        f"manifest at {path}: no free version slot found after 4 "
+        "probes (sustained debris churn); inspect manifest/"
     )
-    # a legacy v=N parquet DIR from a round-11 writer claims the slot
-    # too — the single-file create below can't CAS against a directory
-    if fs.exists(P(f"{base}/v={nxt_v}")):
-        raise conflict
-    try:
-        out = fs.create(P(f"{base}/v={nxt_v}.json"), False)
-    except Exception as e:  # py4j surfaces FileAlreadyExistsException
-        if "FileAlreadyExistsException" in str(e) or "already exists" in str(e):
-            raise conflict from e
-        raise
-    try:
-        out.write(bytearray(payload))
-    finally:
-        out.close()
 
 
 def _resolve_manifest(
@@ -613,17 +961,74 @@ def _max_applied_batch(rows: list[tuple[int, int | None]]) -> int | None:
 
 
 def _append_manifest(
-    spark, path: str, rows: list, nxt: int, batch_id: int | None = None
-) -> None:
+    spark, path: str, rows: list, nxt: int, batch_id: int | None = None,
+    subdirs: list | None = None, read_version: int | None = None,
+) -> int | None:
     """Manifest rewrite for an append: commits + the new id, PRESERVING
     every recorded (commit, batch_id) provenance pair — an append of a
     different kind on the same index must never erase the streaming
-    replay bookkeeping."""
-    commits = [c for c, _ in rows]
-    bids = {c: b for c, b in rows if b is not None}
-    if batch_id is not None:
-        bids[nxt] = int(batch_id)
-    _write_index_manifest(spark, path, commits + [nxt], bids or None)
+    replay bookkeeping.
+
+    OCC RETRY (round 13): when `subdirs` is given (the staged layout,
+    same list the caller claimed against) and the CAS loses, the
+    append does NOT abort — two independent appends to one index
+    don't conflict semantically. It re-reads the manifest, and
+    (a) if the racer committed a HIGHER id, renumbers its own staged
+    commit above it (_renumber_staged_commit — keeps manifest id
+    lists monotone, so as_of snapshots stay stable), then
+    (b) re-attempts the CAS with the fresh commit list at the fresh
+    version, up to _OCC_MAX_ATTEMPTS before surfacing
+    ManifestConflictError. The staged data itself is never re-written
+    — exclusivity of the claimed id is what makes the retry sound.
+    Returns the FINAL commit id (it changes under renumbering), or
+    None when a replay race shows this micro-batch already applied.
+    `read_version` anchors the CAS to the version the caller's `rows`
+    came from (see _write_index_manifest); pass it from every real
+    writer."""
+    for attempt in range(_OCC_MAX_ATTEMPTS):
+        commits = [c for c, _ in rows]
+        bids = {c: b for c, b in rows if b is not None}
+        if batch_id is not None:
+            bids[nxt] = int(batch_id)
+        try:
+            _write_index_manifest(
+                spark, path, commits + [nxt], bids or None,
+                expected_version=read_version,
+            )
+            _release_claim(spark, path, nxt)
+            return nxt
+        except ManifestConflictError:
+            if subdirs is None or attempt == _OCC_MAX_ATTEMPTS - 1:
+                _release_claim(spark, path, nxt)
+                raise
+        read_version, rows = _resolve_manifest(spark, path)
+        read_version = read_version if read_version is not None else 0
+        fresh = [c for c, _ in rows]
+        if nxt in fresh:
+            # only a pre-claim-era writer can commit an id this writer
+            # holds a claim on — out of contract, abort loudly
+            _release_claim(spark, path, nxt)
+            raise ManifestConflictError(
+                f"commit id {nxt} at {path} was committed by a writer "
+                "that bypassed the claim protocol; refusing to retry"
+            )
+        if batch_id is not None:
+            applied = _max_applied_batch(rows)
+            if applied is not None and batch_id <= applied:
+                # a concurrent replay of the SAME micro-batch won the
+                # race — this staging is a duplicate, drop it
+                _clear_uncommitted_commit(spark, path, subdirs, nxt)
+                _release_claim(spark, path, nxt)
+                return None
+        if fresh and max(fresh) > nxt:
+            new_id = _claim_commit_id(
+                spark, path, rows, subdirs, batch_id=batch_id,
+                adopt_exclude=nxt,
+            )
+            _renumber_staged_commit(spark, path, subdirs, nxt, new_id)
+            _release_claim(spark, path, nxt)
+            nxt = new_id
+    raise AssertionError("unreachable")  # loop exits via return/raise
 
 
 def _clear_uncommitted_commit(
@@ -681,23 +1086,23 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     `subdirs` is a list of (subdir, routing_col_or_None) — use the
     *_INDEX_SUBDIRS presets. Returns the new commit id (or the sole
     existing commit when there is nothing to compact)."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     commits = [c for c, _ in rows]
     if len(commits) <= 1:
         return commits[0] if commits else -1
-    nxt = max(commits) + 1
-    # a CRASHED earlier compact left an uncommitted commit=nxt dir
-    # (manifest still lists the old commits, so nxt recomputes to
-    # the same id) — delete it first, or the append below would
+    # claim the folded commit's id EXCLUSIVELY (round 13): a
+    # concurrent append can then never stage into it, and the claim
+    # clears any CRASHED earlier compact's uncommitted leftover under
+    # the id — without the clear, the append-mode writes below would
     # double its rows and the final manifest swap would serve them.
     # `meta` is included defensively: a crashed compact_graph_index
-    # also leaves a versioned meta/commit=nxt (entries + degree bound
+    # also leaves a versioned meta/commit=N (entries + degree bound
     # for the fold IT was building) which this byte-preserving compact
     # must not let the manifest swap activate — the crashed bound was
     # computed over rebuilt upper layers, not the carried-forward ones
     # this path commits. No-op for flat-meta families (dir absent).
-    _clear_uncommitted_commit(
-        spark, path, subdirs + [("meta", None), ("tombstones", None)], nxt
+    nxt = _claim_commit_id(
+        spark, path, rows, subdirs + [("meta", None), ("tombstones", None)]
     )
     # PHYSICAL DELETE point (round 11, see delete_from_index): rows
     # matching a committed tombstone are dropped from every subdir
@@ -776,23 +1181,51 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     # compaction, or a replayed micro-batch landing just after a
     # compact would re-append rows the compact already holds
     applied = _max_applied_batch(rows)
-    _write_index_manifest(
-        spark, path, [nxt],
-        {nxt: applied} if applied is not None else None,
-    )
+    try:
+        _write_index_manifest(
+            spark, path, [nxt],
+            {nxt: applied} if applied is not None else None,
+            expected_version=ver if ver is not None else 0,
+        )
+    except ManifestConflictError:
+        # a writer committed during the fold: the folded output no
+        # longer covers the index, and compaction cannot merge
+        # histories (a concurrent upsert's horizon could resurrect
+        # folded rows), so it ABORTS — the staged fold is reclaimable
+        # debris and the caller re-runs on the new state. This anchor
+        # also closes the round-12 hole where a compact landing after
+        # a concurrent append silently dropped the append's commit
+        # from the manifest. Appends/upserts/deletes retry instead
+        # (they commit deltas, not rewrites).
+        _release_claim(spark, path, nxt)
+        raise
+    _release_claim(spark, path, nxt)
     return nxt
 
 
-def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
+def vacuum_index(
+    spark, path: str, subdirs: list, reclaim_claims: bool = False
+) -> list[str]:
     """GC commit partitions ABSENT from the manifest: superseded
     pre-compaction commits and crashed-append debris. Hadoop FileSystem
     API (s3a-safe), O(#commits) listing per subdir; the manifest is
     untouched — vacuum removes only what no reader can see. Returns the
     removed `sub/commit=N` names. Mirrors layout.vacuum_store /
-    frontend.ResultsCache.vacuum."""
+    frontend.ResultsCache.vacuum.
+
+    CLAIM AWARENESS (round 13): an uncommitted `commit=N` whose
+    `manifest/.claim-N` file exists belongs to an IN-FLIGHT writer
+    (staging now, manifest CAS not yet attempted) — default vacuum
+    must not destroy it, which also closes the round-12
+    vacuum-during-append race. Claim files of COMMITTED ids are spent
+    bookkeeping and always reclaim. `reclaim_claims=True` additionally
+    reclaims uncommitted claims AND their staged data — crashed-writer
+    cleanup; run it only when no writer is in flight (the same
+    retention caveat as lakehouse VACUUM)."""
     from agni_spark.sources.layout import _fs_delete, _hfs
 
     committed = set(_committed(spark, path))
+    claimed = set(_claimed_ids(spark, path))
     removed = []
     # tombstone dirs follow the same commit idiom (delete_from_index)
     # — a tombstone-consuming compaction leaves them manifest-orphaned
@@ -806,9 +1239,13 @@ def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
             name = st.getPath().getName()
             if not name.startswith("commit="):
                 continue
-            if int(name.split("=", 1)[1]) not in committed:
-                _fs_delete(spark, f"{base}/{name}")
-                removed.append(f"{sub}/{name}")
+            cid = int(name.split("=", 1)[1])
+            if cid in committed:
+                continue
+            if cid in claimed and not reclaim_claims:
+                continue  # an in-flight writer's staging — hands off
+            _fs_delete(spark, f"{base}/{name}")
+            removed.append(f"{sub}/{name}")
     # manifest history GC (versioned layout): delete ONLY versions
     # STRICTLY BELOW the one readers currently resolve (the newest
     # parseable), plus legacy flat manifest files once any version
@@ -826,6 +1263,17 @@ def vacuum_index(spark, path: str, subdirs: list) -> list[str]:
         }
         for st in fs.listStatus(P(mbase)):
             name = st.getPath().getName()
+            if name.startswith(".claim-"):
+                try:
+                    cid = int(name[len(".claim-"):])
+                except ValueError:
+                    continue
+                # spent claims (id committed) always reclaim; live
+                # uncommitted claims only under reclaim_claims
+                if cid in committed or reclaim_claims:
+                    _fs_delete(spark, f"{mbase}/{name}")
+                    removed.append(f"manifest/{name}")
+                continue
             if name.startswith("."):
                 continue
             if name in by_name and by_name[name] >= serve:
@@ -1097,12 +1545,9 @@ def delete_from_index(
     the layout's id column — vec_id for the vector families, doc_id
     for the text index; the stored column name doubles as the scrub
     key compaction matches against."""
-    rows = _manifest_rows(spark, path)
-    commits = [c for c, _ in rows]
-    nxt = max(commits) + 1
-    _clear_uncommitted_commit(
-        spark, path, subdirs + [("tombstones", None), ("meta", None)], nxt
-    )
+    ver, rows = _resolve_manifest(spark, path)
+    staged = subdirs + [("tombstones", None), ("meta", None)]
+    nxt = _claim_commit_id(spark, path, rows, staged)
     (
         ids.select(F.col(id_col).cast("long"))
         .distinct()
@@ -1115,8 +1560,10 @@ def delete_from_index(
         .mode("append")
         .parquet(f"{path}/tombstones")
     )
-    _append_manifest(spark, path, rows, nxt)
-    return nxt
+    return _append_manifest(
+        spark, path, rows, nxt,
+        subdirs=staged, read_version=ver if ver is not None else 0,
+    )
 
 
 def _write_scoped_tombstones(
@@ -1298,7 +1745,8 @@ def write_ivf_index(
 
 
 def append_ivf_index(
-    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    _race_hook=None,
 ) -> None:
     """Incremental index maintenance: assign ONLY the new vectors to
     the index's FROZEN centroids (standard IVF add() semantics — the
@@ -1315,23 +1763,24 @@ def append_ivf_index(
     max(commits)+1 has advanced) is detected as batch_id <= the max
     applied id and skipped. foreachBatch ids are monotone, which is
     what makes the <= rule sufficient."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return
     cents = spark.read.parquet(f"{path}/centroids")
-    commits = [c for c, _ in rows]
-    nxt = max(commits) + 1
-    _clear_uncommitted_commit(spark, path, IVF_INDEX_SUBDIRS, nxt)
+    nxt = _claim_commit_id(
+        spark, path, rows, IVF_INDEX_SUBDIRS, batch_id=batch_id
+    )
     cells = _nearest_centroids(
         new_vectors.select("vec_id", F.col("embedding").alias("ce")),
         cents, "vec_id", "ce", 1,
     )
     # dynamic partition overwrite, not append: a crashed-then-replayed
-    # append recomputes the SAME commit id (manifest unchanged) and the
-    # same deterministic partitions — overwrite replaces the crashed
-    # attempt's files instead of doubling rows, which is what makes the
-    # streaming wrapper (stream_ann_index) exactly-once under replay
+    # append ADOPTS the same claimed commit id (claim records the
+    # micro-batch id) and the same deterministic partitions —
+    # overwrite replaces the crashed attempt's files instead of
+    # doubling rows, which is what makes the streaming wrapper
+    # (stream_ann_index) exactly-once under replay
     (
         cells.withColumn("commit", F.lit(nxt).cast("long"))
         .repartition("centroid_id")
@@ -1340,10 +1789,18 @@ def append_ivf_index(
         .mode("overwrite")
         .parquet(f"{path}/cells")
     )
-    bids = {c: b for c, b in rows if b is not None}
-    if batch_id is not None:
-        bids[nxt] = int(batch_id)
-    _write_index_manifest(spark, path, commits + [nxt], bids or None)
+    if _race_hook is not None:
+        # deterministic fault-injection seam: runs after this writer
+        # has read, claimed, and staged but BEFORE its manifest CAS —
+        # concurrency tests and the simsearch_ivf_concurrent_append
+        # oracle row commit a racing writer here, forcing the OCC
+        # retry path without wall-clock-dependent thread interleaving
+        _race_hook()
+    _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id,
+        subdirs=IVF_INDEX_SUBDIRS,
+        read_version=ver if ver is not None else 0,
+    )
 
 
 def upsert_ivf_index(
@@ -1386,16 +1843,12 @@ def upsert_ivf_index(
     otherwise re-write the scoped tombstone under a NEW commit id,
     with a horizon that hides the original attempt's replacement
     rows. Returns None when the batch was already applied."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return None
-    commits = [c for c, _ in rows]
-    nxt = max(commits) + 1
-    _clear_uncommitted_commit(
-        spark, path,
-        IVF_INDEX_SUBDIRS + [("tombstones", None), ("meta", None)], nxt,
-    )
+    staged = IVF_INDEX_SUBDIRS + [("tombstones", None), ("meta", None)]
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
     _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
     cents = spark.read.parquet(f"{path}/centroids")
     cells = _nearest_centroids(
@@ -1410,8 +1863,10 @@ def upsert_ivf_index(
         .mode("overwrite")
         .parquet(f"{path}/cells")
     )
-    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
-    return nxt
+    return _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id,
+        subdirs=staged, read_version=ver if ver is not None else 0,
+    )
 
 
 class IvfIndexHandle:
@@ -1552,10 +2007,8 @@ def append_lsh_index(
     quantizer) into a fresh commit partition, manifest rewrite last.
     O(new rows), no index rewrite."""
     planes = hyperplanes(dim, n_planes)
-    rows = _manifest_rows(spark, path)
-    commits = [c for c, _ in rows]
-    nxt = max(commits) + 1
-    _clear_uncommitted_commit(spark, path, LSH_INDEX_SUBDIRS, nxt)
+    ver, rows = _resolve_manifest(spark, path)
+    nxt = _claim_commit_id(spark, path, rows, LSH_INDEX_SUBDIRS)
     c = new_vectors.select(
         "vec_id",
         F.col("embedding").alias("ce"),
@@ -1569,7 +2022,11 @@ def append_lsh_index(
         .mode("overwrite")
         .parquet(f"{path}/buckets")
     )
-    _append_manifest(spark, path, rows, nxt)
+    _append_manifest(
+        spark, path, rows, nxt,
+        subdirs=LSH_INDEX_SUBDIRS,
+        read_version=ver if ver is not None else 0,
+    )
 
 
 class LshIndexHandle:
@@ -2449,8 +2906,9 @@ def write_pq_index(
 
 
 def append_pq_index(
-    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
-) -> None:
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    _pre: tuple | None = None,
+) -> int | None:
     """Incremental IVF-PQ maintenance (IndexIVFPQ.add_with_ids
     semantics): assign ONLY the new vectors to the index's FROZEN
     coarse quantizer, encode their residuals with the FROZEN
@@ -2460,17 +2918,21 @@ def append_pq_index(
     rewrite. `batch_id` gives streaming callers the same replay
     idempotency as append_ivf_index (recorded atomically in the
     manifest; <= max applied id -> skip)."""
-    rows = _manifest_rows(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
-        return
+    if _pre is None:
+        ver, rows = _resolve_manifest(spark, path)
+        applied = _max_applied_batch(rows)
+        if batch_id is not None and applied is not None and batch_id <= applied:
+            return
+        staged = PQ_INDEX_SUBDIRS
+        nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+    else:
+        # upsert_pq_index already claimed the id (its staged layout
+        # includes the tombstones dir) and did the replay check
+        ver, rows, nxt, staged = _pre
     meta = spark.read.parquet(f"{path}/meta").first()
     m = int(meta.m)
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
-    commits = [c for c, _ in rows]
-    nxt = max(commits) + 1
-    _clear_uncommitted_commit(spark, path, PQ_INDEX_SUBDIRS, nxt)
     cells = _nearest_centroids(
         new_vectors.select("vec_id", F.col("embedding").alias("ce")),
         cents, "vec_id", "ce", 1,
@@ -2526,10 +2988,10 @@ def append_pq_index(
             .mode("overwrite")
             .parquet(f"{path}/vectors")
         )
-    bids = {c: b for c, b in rows if b is not None}
-    if batch_id is not None:
-        bids[nxt] = int(batch_id)
-    _write_index_manifest(spark, path, commits + [nxt], bids or None)
+    return _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id,
+        subdirs=staged, read_version=ver if ver is not None else 0,
+    )
 
 
 def upsert_pq_index(
@@ -2545,20 +3007,20 @@ def upsert_pq_index(
     of each id is served. Returns the new commit id. `batch_id`: same
     streaming replay contract as upsert_ivf_index — checked BEFORE the
     tombstone write (None when already applied)."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return None
-    nxt = max(c for c, _ in rows) + 1
-    # clear a crashed upsert's debris (including its tombstones) BEFORE
-    # writing ours; append_pq_index re-clears the data subdirs (no-op)
-    # and recomputes the same nxt, so its manifest append commits both
-    _clear_uncommitted_commit(
-        spark, path, PQ_INDEX_SUBDIRS + [("tombstones", None)], nxt
-    )
+    # claim once for the whole composed write (tombstones included in
+    # the staged layout so an OCC renumber moves them too) and hand
+    # the claim to append_pq_index, which commits both atomically
+    staged = PQ_INDEX_SUBDIRS + [("tombstones", None)]
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
     _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
-    append_pq_index(spark, path, new_vectors, batch_id=batch_id)
-    return nxt
+    return append_pq_index(
+        spark, path, new_vectors, batch_id=batch_id,
+        _pre=(ver, rows, nxt, staged),
+    )
 
 
 class PQIndexHandle:
@@ -3474,17 +3936,16 @@ def append_graph_index(
     appends shrink the fraction of the corpus the upper layers
     describe and layered recall decays toward the flat walk's number
     (test-pinned: recall after a 2x append stays >= flat + 0.15)."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return  # replayed micro-batch already committed (see ivf twin)
-    nxt = max(c for c, _ in rows) + 1
-    _clear_uncommitted_commit(
-        spark, path,
-        GRAPH_INDEX_SUBDIRS + [("meta", None), ("tombstones", None)],
-        nxt,
+    staged = GRAPH_INDEX_SUBDIRS + [("meta", None), ("tombstones", None)]
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+    _graph_insert_commit(
+        spark, path, rows, new_corpus, nxt, batch_id,
+        staged=staged, read_version=ver,
     )
-    _graph_insert_commit(spark, path, rows, new_corpus, nxt, batch_id)
 
 
 def upsert_graph_index(
@@ -3522,29 +3983,26 @@ def upsert_graph_index(
     the manifest append replays into the same commit id with every
     subdir cleared first. Returns the new commit id (None when the
     batch was already applied)."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return None
-    nxt = max(c for c, _ in rows) + 1
-    _clear_uncommitted_commit(
-        spark, path,
-        GRAPH_INDEX_SUBDIRS + [("meta", None), ("tombstones", None)],
-        nxt,
-    )
+    staged = GRAPH_INDEX_SUBDIRS + [("meta", None), ("tombstones", None)]
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
     new = new_vectors.select("vec_id", "embedding")
     _write_scoped_tombstones(new, path, "vec_id", nxt)
-    _graph_insert_commit(
+    return _graph_insert_commit(
         spark, path, rows, new, nxt, batch_id,
         link_exclude=new.select("vec_id"),
+        staged=staged, read_version=ver,
     )
-    return nxt
 
 
 def _graph_insert_commit(
     spark, path: str, rows: list, new_corpus: DataFrame, nxt: int,
     batch_id: int | None, link_exclude: DataFrame | None = None,
-) -> None:
+    staged: list | None = None, read_version: int | None = None,
+) -> int | None:
     """Shared NSW insertion core for append_graph_index /
     upsert_graph_index: computes the new nodes' forward+reverse links
     against the committed LIVE node set (superseded upsert rows
@@ -3647,7 +4105,10 @@ def _graph_insert_commit(
             n_entries=int(_meta_field(meta, "n_entries", len(entries))),
             max_deg=new_bound,
         )
-    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
+    return _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id, subdirs=staged,
+        read_version=read_version if read_version is not None else 0,
+    )
 
 
 def compact_graph_index(spark, path: str) -> int:
@@ -3673,7 +4134,7 @@ def compact_graph_index(spark, path: str) -> int:
     argument as compact_index (a crashed run's uncommitted commit dir
     is cleared and invisible); streaming batch-id provenance is
     carried onto the new commit. Returns the new commit id."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     commits = [c for c, _ in rows]
     meta = _read_graph_meta(spark, path, commits)
     versioned = "commit" in meta.__fields__
@@ -3688,12 +4149,12 @@ def compact_graph_index(spark, path: str) -> int:
     )
     if len(commits) <= 1:
         return commits[0] if commits else -1
-    nxt = max(commits) + 1
-    _clear_uncommitted_commit(
-        spark, path,
+    # exclusive claim + anchored swap: same abort-on-concurrent-write
+    # contract as compact_index (which see)
+    nxt = _claim_commit_id(
+        spark, path, rows,
         GRAPH_INDEX_SUBDIRS + [("tombstones", None)]
         + ([("meta", None)] if versioned else []),
-        nxt,
     )
     nodes = (
         spark.read.parquet(f"{path}/nodes")
@@ -3818,10 +4279,16 @@ def compact_graph_index(spark, path: str) -> int:
             _GRAPH_META_SCHEMA,
         ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     applied = _max_applied_batch(rows)
-    _write_index_manifest(
-        spark, path, [nxt],
-        {nxt: applied} if applied is not None else None,
-    )
+    try:
+        _write_index_manifest(
+            spark, path, [nxt],
+            {nxt: applied} if applied is not None else None,
+            expected_version=ver if ver is not None else 0,
+        )
+    except ManifestConflictError:
+        _release_claim(spark, path, nxt)
+        raise
+    _release_claim(spark, path, nxt)
     return nxt
 
 
@@ -4781,13 +5248,13 @@ def append_sq_index(
     bounds, new commit partition, manifest last — O(new rows), same
     replay contract as append_ivf_index (batch_id recorded in the
     manifest row, <= max applied id skips)."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return
-    commits = [c for c, _ in rows]
-    nxt = max(commits) + 1
-    _clear_uncommitted_commit(spark, path, SQ_INDEX_SUBDIRS, nxt)
+    nxt = _claim_commit_id(
+        spark, path, rows, SQ_INDEX_SUBDIRS, batch_id=batch_id
+    )
     (
         _sq_encode_cells(spark, path, new_vectors)
         .withColumn("commit", F.lit(nxt).cast("long"))
@@ -4797,7 +5264,11 @@ def append_sq_index(
         .mode("overwrite")
         .parquet(f"{path}/codes")
     )
-    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
+    _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id,
+        subdirs=SQ_INDEX_SUBDIRS,
+        read_version=ver if ver is not None else 0,
+    )
 
 
 def upsert_sq_index(
@@ -4807,15 +5278,12 @@ def upsert_sq_index(
     a horizon-scoped tombstone for the upserted vec_ids plus their
     re-encoded replacement codes — identical semantics and crash
     contract to upsert_ivf_index (which see)."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return None
-    commits = [c for c, _ in rows]
-    nxt = max(commits) + 1
-    _clear_uncommitted_commit(
-        spark, path, SQ_INDEX_SUBDIRS + [("tombstones", None)], nxt
-    )
+    staged = SQ_INDEX_SUBDIRS + [("tombstones", None)]
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
     _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
     (
         _sq_encode_cells(spark, path, new_vectors)
@@ -4826,8 +5294,10 @@ def upsert_sq_index(
         .mode("overwrite")
         .parquet(f"{path}/codes")
     )
-    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
-    return nxt
+    return _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id,
+        subdirs=staged, read_version=ver if ver is not None else 0,
+    )
 
 
 class SqIndexHandle:
@@ -5367,12 +5837,13 @@ def append_bq_index(
     """Incremental IVF-BQ maintenance: frozen quantizer + frozen
     thresholds, new commit partition, manifest last — same replay
     contract as every append here."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return
-    nxt = max(c for c, _ in rows) + 1
-    _clear_uncommitted_commit(spark, path, BQ_INDEX_SUBDIRS, nxt)
+    nxt = _claim_commit_id(
+        spark, path, rows, BQ_INDEX_SUBDIRS, batch_id=batch_id
+    )
     (
         _bq_encode_cells(spark, path, new_vectors)
         .withColumn("commit", F.lit(nxt).cast("long"))
@@ -5382,7 +5853,11 @@ def append_bq_index(
         .mode("overwrite")
         .parquet(f"{path}/codes")
     )
-    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
+    _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id,
+        subdirs=BQ_INDEX_SUBDIRS,
+        read_version=ver if ver is not None else 0,
+    )
 
 
 def upsert_bq_index(
@@ -5391,14 +5866,12 @@ def upsert_bq_index(
     """UPSERT into a stored IVF-BQ index: horizon-scoped tombstone +
     re-binarized replacement codes in one atomic commit (identical
     semantics and crash contract to upsert_ivf_index)."""
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return None
-    nxt = max(c for c, _ in rows) + 1
-    _clear_uncommitted_commit(
-        spark, path, BQ_INDEX_SUBDIRS + [("tombstones", None)], nxt
-    )
+    staged = BQ_INDEX_SUBDIRS + [("tombstones", None)]
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
     _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
     (
         _bq_encode_cells(spark, path, new_vectors)
@@ -5409,8 +5882,10 @@ def upsert_bq_index(
         .mode("overwrite")
         .parquet(f"{path}/codes")
     )
-    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
-    return nxt
+    return _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id,
+        subdirs=staged, read_version=ver if ver is not None else 0,
+    )
 
 
 class BqIndexHandle:

@@ -873,22 +873,21 @@ def append_text_index(
     from agni_spark.functions.simsearch import (
         TEXT_INDEX_SUBDIRS,
         _append_manifest,
-        _clear_uncommitted_commit,
-        _manifest_rows,
+        _claim_commit_id,
         _max_applied_batch,
+        _resolve_manifest,
     )
 
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return  # replayed micro-batch already committed (see ivf twin)
-    commits = [c for c, _ in rows]
-    nxt = max(commits) + 1
-    # a crashed compact_index can leave a FULL uncommitted copy under
-    # this id; dynamic overwrite below replaces only OUR partitions,
-    # so clear the leftover first (shared guard, see simsearch)
-    _clear_uncommitted_commit(spark, path, TEXT_INDEX_SUBDIRS, nxt)
+    # the claim is exclusive, so a crashed compact's uncommitted copy
+    # under the id is cleared inside it (shared guard, see simsearch)
+    nxt = _claim_commit_id(
+        spark, path, rows, TEXT_INDEX_SUBDIRS, batch_id=batch_id
+    )
     # a positional index stays positional: the layer's existence IS the
     # flag (build-time choice; appending non-positionally to a
     # positional index would silently break phrase queries over the
@@ -901,7 +900,11 @@ def append_text_index(
         new_docs, path, n_buckets, commit=nxt, mode="append",
         positions=has_pos,
     )
-    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
+    _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id,
+        subdirs=TEXT_INDEX_SUBDIRS,
+        read_version=ver if ver is not None else 0,
+    )
 
 
 def upsert_text_index(
@@ -931,30 +934,30 @@ def upsert_text_index(
     from agni_spark.functions.simsearch import (
         TEXT_INDEX_SUBDIRS,
         _append_manifest,
-        _clear_uncommitted_commit,
-        _manifest_rows,
+        _claim_commit_id,
         _max_applied_batch,
+        _resolve_manifest,
         _write_scoped_tombstones,
     )
     from agni_spark.sources.layout import _hfs
 
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
-    rows = _manifest_rows(spark, path)
+    ver, rows = _resolve_manifest(spark, path)
     applied = _max_applied_batch(rows)
     if batch_id is not None and applied is not None and batch_id <= applied:
         return None
-    nxt = max(c for c, _ in rows) + 1
-    _clear_uncommitted_commit(
-        spark, path, TEXT_INDEX_SUBDIRS + [("tombstones", None)], nxt
-    )
+    staged = TEXT_INDEX_SUBDIRS + [("tombstones", None)]
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
     _write_scoped_tombstones(new_docs, path, "doc_id", nxt)
     fs, P = _hfs(spark, f"{path}/positions")
     _append_postings(
         new_docs, path, n_buckets, commit=nxt, mode="append",
         positions=fs.exists(P(f"{path}/positions")),
     )
-    _append_manifest(spark, path, rows, nxt, batch_id=batch_id)
-    return nxt
+    return _append_manifest(
+        spark, path, rows, nxt, batch_id=batch_id,
+        subdirs=staged, read_version=ver if ver is not None else 0,
+    )
 
 
 def clone_text_index(

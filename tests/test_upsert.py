@@ -872,3 +872,246 @@ def test_bq_pack_score_property(spark, vecs):
         assert list(r.words) == words
         ref = sum(v[i] * (2.0 * bits[i] - 1.0) for i in range(40))
         assert abs(r.self_score - round(ref, 6)) < 2e-6
+
+
+# --- OCC concurrent-writer commit protocol (round 13) ----------------------
+
+
+def _claim_files(path):
+    import os
+
+    return sorted(
+        n for n in os.listdir(f"{path}/manifest")
+        if n.startswith(".claim-")
+    )
+
+
+def test_occ_concurrent_appends_both_land(spark, emb, queries, monkeypatch):
+    """Two independent appends race on one index: writer A stages under
+    its claimed id, writer B commits inside A's read-to-CAS window. A's
+    manifest CAS loses, retries internally (renumbering its staged
+    commit ABOVE B's), and lands — both writers' rows served with no
+    manual re-run, no cross-contaminated commit dirs, claims
+    released."""
+    path = tempfile.mkdtemp(prefix="occ_app_") + "/idx"
+    base = emb.where(F.col("vec_id") < 20)
+    a_new = emb.where(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 30)
+    ).select("vec_id", "embedding")
+    b_new = emb.where(F.col("vec_id") >= 30).select("vec_id", "embedding")
+    simsearch.write_ivf_index(base, path, n_centroids=4)
+    real = simsearch._write_index_manifest
+    fired = {"done": False}
+
+    def racy(s, p, commits, bids=None, expected_version=None):
+        if not fired["done"] and expected_version is not None:
+            fired["done"] = True
+            simsearch.append_ivf_index(s, p, b_new)  # the racer wins
+        return real(s, p, commits, bids, expected_version)
+
+    monkeypatch.setattr(simsearch, "_write_index_manifest", racy)
+    simsearch.append_ivf_index(spark, path, a_new)
+    monkeypatch.undo()
+    # A claimed 1 first, B claimed 2 and committed first, A renumbered
+    # to 3: monotone ids, both appends committed, claims all released
+    assert simsearch._committed(spark, path) == [0, 2, 3]
+    assert _claim_files(path) == []
+    cells = spark.read.parquet(f"{path}/cells")
+    got3 = sorted(r.vec_id for r in cells.where("commit = 3").collect())
+    got2 = sorted(r.vec_id for r in cells.where("commit = 2").collect())
+    assert got3 == sorted(r.vec_id for r in a_new.collect())
+    assert got2 == sorted(r.vec_id for r in b_new.collect())
+    # the probe serves the union == a fresh frozen-model full build
+    got = _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    )
+    fresh = tempfile.mkdtemp(prefix="occ_fresh_")
+    simsearch.write_ivf_index(
+        emb, fresh, centroids=spark.read.parquet(f"{path}/centroids")
+    )
+    want = _rows(
+        simsearch.ivf_ann_stored(spark, fresh, queries, k=8, nprobe=4)
+    )
+    assert got == want and len(got) > 0
+
+
+def test_occ_concurrent_upserts_last_writer_wins(
+    spark, emb, queries, monkeypatch
+):
+    """Two upserts of the SAME key race: the loser renumbers above the
+    winner and its REWRITTEN horizon hides the winner's replacement —
+    last-writer-wins by commit id, exactly one live row per key."""
+    path = tempfile.mkdtemp(prefix="occ_ups_") + "/idx"
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    key = emb.where(F.col("vec_id") == 5).select("vec_id", "embedding")
+    a_new = _neg(key)
+    # B's replacement: id 6's vector relabeled to key 5 (stays float)
+    b_new = emb.where(F.col("vec_id") == 6).select(
+        F.lit(5).cast("long").alias("vec_id"), "embedding"
+    )
+    real = simsearch._write_index_manifest
+    fired = {"done": False}
+
+    def racy(s, p, commits, bids=None, expected_version=None):
+        if not fired["done"] and expected_version is not None:
+            fired["done"] = True
+            simsearch.upsert_ivf_index(s, p, b_new)
+        return real(s, p, commits, bids, expected_version)
+
+    monkeypatch.setattr(simsearch, "_write_index_manifest", racy)
+    final = simsearch.upsert_ivf_index(spark, path, a_new)
+    monkeypatch.undo()
+    assert final == 3  # renumbered above the winner's 2
+    assert simsearch._committed(spark, path) == [0, 2, 3]
+    h = simsearch.open_ivf_index(spark, path)
+    live = simsearch._anti_tombstones(h.cells, h.tombstones)
+    row = live.where("vec_id = 5").collect()
+    assert len(row) == 1
+    got = [round(float(x), 4) for x in row[0].ce]
+    want = [round(-float(x), 4) for x in key.first().embedding]
+    assert got == want  # A's replacement serves, B's is hidden
+    tomb = spark.read.parquet(f"{path}/tombstones")
+    assert sorted((r.commit, r.horizon) for r in tomb.collect()) == [
+        (2, 2), (3, 3),  # the loser's horizon FOLLOWED its renumbering
+    ]
+
+
+def test_cas_gate_refuses_unsafe_store(spark, emb, monkeypatch):
+    """A store whose create-no-overwrite is not a CAS (the old-s3a
+    HEAD-check shape) is REFUSED instead of silently double-committing;
+    the documented config overrides restore access."""
+    path = tempfile.mkdtemp(prefix="occ_gate_") + "/idx"
+    monkeypatch.setattr(simsearch, "_cas_capable", lambda *a: False)
+    with pytest.raises(simsearch.ManifestUnsafeStoreError):
+        simsearch.write_ivf_index(
+            emb.where(F.col("vec_id") < 20), path, n_centroids=4
+        )
+    spark.conf.set("spark.agni.manifest.singleWriter", "true")
+    try:
+        simsearch.write_ivf_index(
+            emb.where(F.col("vec_id") < 20), path, n_centroids=4
+        )
+        assert simsearch._committed(spark, path) == [0]
+    finally:
+        spark.conf.unset("spark.agni.manifest.singleWriter")
+    spark.conf.set("spark.agni.manifest.casCapable", "true")
+    try:
+        simsearch.append_ivf_index(
+            spark, path,
+            emb.where(F.col("vec_id") >= 20).select("vec_id", "embedding"),
+        )
+        assert simsearch._committed(spark, path) == [0, 1]
+    finally:
+        spark.conf.unset("spark.agni.manifest.casCapable")
+
+
+def test_vacuum_spares_claimed_staging(spark, emb):
+    """Default vacuum must not destroy an in-flight writer's claimed
+    staging (the round-12 vacuum-during-append race, now closed);
+    reclaim_claims=True is the explicit crashed-writer cleanup."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="occ_vac_") + "/idx"
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    _, rows = simsearch._resolve_manifest(spark, path)
+    nxt = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS
+    )
+    (
+        emb.limit(4).select("vec_id", F.col("embedding").alias("ce"))
+        .withColumn("centroid_id", F.lit(0))
+        .withColumn("commit", F.lit(nxt).cast("long"))
+        .write.partitionBy("commit", "centroid_id")
+        .mode("append")
+        .parquet(f"{path}/cells")
+    )
+    removed = simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    )
+    assert not any(f"commit={nxt}" in r for r in removed)
+    assert os.path.exists(f"{path}/cells/commit={nxt}")
+    assert _claim_files(path) == [f".claim-{nxt}"]
+    removed = simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, reclaim_claims=True
+    )
+    assert f"cells/commit={nxt}" in removed
+    assert _claim_files(path) == []
+    assert simsearch._committed(spark, path) == [0]
+
+
+def test_streaming_replay_adopts_crashed_claim(spark, emb):
+    """A crashed streaming append left .claim-N plus partial staging;
+    the replay of the SAME micro-batch adopts the claim (same commit
+    id — the replay contract), clears the partial files, and commits
+    exactly once."""
+    path = tempfile.mkdtemp(prefix="occ_adopt_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    new = emb.where(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    _, rows = simsearch._resolve_manifest(spark, path)
+    crashed = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS, batch_id=7
+    )
+    (
+        new.limit(2).select("vec_id", F.col("embedding").alias("ce"))
+        .withColumn("centroid_id", F.lit(0))
+        .withColumn("commit", F.lit(crashed).cast("long"))
+        .write.partitionBy("commit", "centroid_id")
+        .mode("append")
+        .parquet(f"{path}/cells")
+    )
+    simsearch.append_ivf_index(spark, path, new, batch_id=7)
+    assert simsearch._committed(spark, path) == [0, crashed]
+    got = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells")
+        .where(F.col("commit") == crashed)
+        .collect()
+    )
+    assert got == sorted(r.vec_id for r in new.collect())
+    simsearch.append_ivf_index(spark, path, new, batch_id=7)  # replay
+    assert simsearch._committed(spark, path) == [0, crashed]
+    assert _claim_files(path) == []
+
+
+def test_compact_aborts_on_concurrent_append_without_losing_it(
+    spark, emb, monkeypatch
+):
+    """Round-12 hole: a compact landing after a concurrent append
+    silently DROPPED the append's commit from the manifest. The swap
+    is now anchored to the version the fold read — it aborts loudly,
+    the append stays committed, and a re-run compact succeeds."""
+    path = tempfile.mkdtemp(prefix="occ_cmp_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    mid = emb.where(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 30)
+    ).select("vec_id", "embedding")
+    late = emb.where(F.col("vec_id") >= 30).select("vec_id", "embedding")
+    simsearch.append_ivf_index(spark, path, mid)
+    real = simsearch._write_index_manifest
+    fired = {"done": False}
+
+    def racy(s, p, commits, bids=None, expected_version=None):
+        if not fired["done"] and expected_version is not None:
+            fired["done"] = True
+            simsearch.append_ivf_index(s, p, late)
+        return real(s, p, commits, bids, expected_version)
+
+    monkeypatch.setattr(simsearch, "_write_index_manifest", racy)
+    with pytest.raises(simsearch.ManifestConflictError):
+        simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    monkeypatch.undo()
+    assert simsearch._committed(spark, path) == [0, 1, 3]
+    assert _claim_files(path) == []  # the aborted fold released its claim
+    n = simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert simsearch._committed(spark, path) == [n]
+    served = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells")
+        .where(F.col("commit") == n)
+        .collect()
+    )
+    assert served == sorted(r.vec_id for r in emb.collect())
