@@ -1812,6 +1812,71 @@ def _q_simsearch_ivf_concurrent_append(
     return simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2)
 
 
+def _q_text_index_concurrent_append(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # OCC on the TEXT family — the commit protocol is generic, not an
+    # IVF special case: build the doc_id%3==0 third, then two racing
+    # appends (the second commits inside the first's read-to-CAS
+    # window via the fault-injection seam; the loser renumbers its
+    # staged postings/doclens and retries). BM25 stats recompute from
+    # committed partitions, so the served index equals a full-corpus
+    # build regardless of split or commit order — the same
+    # index==scan oracle as text_index_search.
+    import tempfile
+
+    d = _docs(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_text_cc_")
+    text.write_text_index(d.where(F.col("doc_id") % 3 == 0), path)
+    b_new = d.where(F.col("doc_id") % 3 == 2)
+    text.append_text_index(
+        spark, path, d.where(F.col("doc_id") % 3 == 1),
+        _race_hook=lambda: text.append_text_index(spark, path, b_new),
+    )
+    return text.bm25_topk_indexed(spark, path, BM25_TERMS, k=10)
+
+
+def _q_streaming_two_writers(spark: SparkSession, sf: str) -> DataFrame:
+    # PER-APP REPLAY WATERMARKS (round 13, the Delta `txn` appId
+    # idiom): TWO streaming applications maintain ONE stored IVF
+    # index. Each stream's foreachBatch ids start at 0, so under the
+    # round-12 GLOBAL watermark the second stream's batches (ids <=
+    # the first's applied max) would be silently skipped as replays —
+    # the manifest now keeps one watermark PER app_id and the result
+    # serves both streams' vectors. The frozen quantizer keeps the
+    # outcome split- and order-independent, so the oracle is the same
+    # build-third + everything-assigned chain as the concurrent-append
+    # row.
+    import tempfile
+
+    e = _emb(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="agni_s2w_")
+    src_a, src_b = f"{tmp}/src_a", f"{tmp}/src_b"
+    e.where(F.col("vec_id") % 3 == 1).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src_a)
+    e.where(F.col("vec_id") % 3 == 2).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src_b)
+    path = f"{tmp}/idx"
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 3 == 0), path,
+                              n_centroids=8)
+    qa = streaming.stream_ann_index(
+        spark, src_a, path, f"{tmp}/ckpt_a", max_files_per_trigger=1,
+        app_id="writer-a",
+    )
+    qa.awaitTermination()
+    qb = streaming.stream_ann_index(
+        spark, src_b, path, f"{tmp}/ckpt_b", max_files_per_trigger=1,
+        app_id="writer-b",
+    )
+    qb.awaitTermination()
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_simsearch_sq8_cloned(spark: SparkSession, sf: str) -> DataFrame:
     # DEEP CLONE of the IVF-SQ8 family: build (quantizer + trimmed
     # bounds trained on the full corpus), tombstone-delete label%5==0,
@@ -2168,6 +2233,28 @@ def _q_simsearch_sq8_qerror(spark: SparkSession, sf: str) -> DataFrame:
         .alias("embedding"),
     )
     return simsearch.sq8_quantization_error(spark, path, corpus)
+
+
+def _q_simsearch_bq_balance(spark: SparkSession, sf: str) -> DataFrame:
+    # BQ drift metric (round 13, completing the quantizer-drift triple
+    # with sq8_qerror / pq_qerror): a 1-bit code has no reconstruction
+    # to score — what degrades under frozen thresholds is per-dim BIT
+    # BALANCE (a mean threshold splits a stationary corpus ~50/50;
+    # skew = lost ranking information). Build on the corpus, upsert
+    # %7==0 NEGATED (re-binarized against the frozen thresholds, bits
+    # flip), read (n_dims, mean_bias, max_bias) — the number an ops
+    # loop reads to decide reindex_bq. Full oracle: thresholds from
+    # the ORIGINAL corpus, bits re-derived from the post-upsert state.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_bq_bal_")
+    simsearch.write_bq_index(e, path, n_centroids=8)
+    drift = e.where(F.col("vec_id") % 7 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    simsearch.upsert_bq_index(spark, path, drift)
+    return simsearch.bq_code_balance(spark, path)
 
 
 def _q_simsearch_pq_qerror(spark: SparkSession, sf: str) -> DataFrame:
@@ -3404,6 +3491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clones, oracle-gated like ivf/graph clones already were
         "simsearch_sq8_cloned": _q_simsearch_sq8_cloned,
         "simsearch_bq_cloned": _q_simsearch_bq_cloned,
+        # round-13 OCC on a second family (generic protocol witness)
+        "text_index_concurrent_append": _q_text_index_concurrent_append,
+        # round-13 per-app replay watermarks: two streams, one index
+        "streaming_two_writers": _q_streaming_two_writers,
         "simsearch_graph_deleted": _q_simsearch_graph_deleted,
         "simsearch_graph_delete_compacted": (
             _q_simsearch_graph_delete_compacted
@@ -3451,6 +3542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_sq8_reindexed": _q_simsearch_sq8_reindexed,
         "simsearch_graph_reindexed": _q_simsearch_graph_reindexed,
         "simsearch_sq8_qerror": _q_simsearch_sq8_qerror,
+        # round-13: BQ drift metric (per-dim bit balance) — the
+        # quantizer-drift triple is complete across sq8/pq/bq
+        "simsearch_bq_balance": _q_simsearch_bq_balance,
         # round-12 IVF-BQ family (bq_stored + recall_bq are IN the
         # window)
         "simsearch_bq_upserted": _q_simsearch_bq_upserted,
@@ -7268,6 +7362,9 @@ SELECT * FROM p ORDER BY "column"
         # index-served BM25 == scan-served BM25 (same corpus, same
         # terms): the stored-postings probe shares the oracle
         "text_index_search": _SQL_BM25,
+        # OCC text appends: index-served == scan-served BM25 is split-
+        # AND commit-order-independent (stats fold committed partitions)
+        "text_index_concurrent_append": _SQL_BM25,
         # streamed append drains to build+stream = the full corpus, and
         # BM25 stats fold over committed partitions at probe time, so
         # the batch-split-independent oracle is the plain full-corpus
@@ -7545,6 +7642,14 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
             cents_src="(SELECT * FROM embeddings WHERE vec_id % 3 = 0)",
             corpus_src="embeddings",
         ),
+        # two streaming apps, one index: per-app watermarks mean BOTH
+        # streams' vectors land (a global watermark would skip the
+        # second stream's overlapping batch ids) — same frozen-third
+        # quantizer chain
+        "streaming_two_writers": _sql_simsearch_ivf(
+            cents_src="(SELECT * FROM embeddings WHERE vec_id % 3 = 0)",
+            corpus_src="embeddings",
+        ),
         "simsearch_graph_cloned": _sql_graph_ann(
             graph_sql=(
                 "SELECT query_id AS node, vec_id AS dst FROM ("
@@ -7693,6 +7798,35 @@ WHERE rk <= 10 ORDER BY query_id, rk
         ),
         # quantizer-drift metric: bounds from the ORIGINAL corpus, codes
         # re-encoded (clamping) for the 3x-scaled upserts, err per row
+        # BQ drift: thresholds from the ORIGINAL corpus, bits from the
+        # post-upsert state, per-dim |mean(bit)-0.5| discretized to 6dp
+        # before the aggregates (mirrors bq_code_balance exactly)
+        "simsearch_bq_balance": """
+WITH post AS (
+  SELECT vec_id, CASE WHEN vec_id % 7 = 0
+    THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+    ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+  FROM embeddings),
+thr AS (
+  SELECT pos, round(avg(val), 6) AS thr FROM (
+    SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS val
+    FROM embeddings) GROUP BY pos),
+u AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM post),
+bits AS (
+  SELECT u.pos, CASE WHEN u.val > t.thr THEN 1.0 ELSE 0.0 END AS b
+  FROM u JOIN thr t USING (pos)),
+per AS (
+  SELECT pos, floor(abs(avg(b) - 0.5) * 1e6 + 0.5) / 1e6 AS bias
+  FROM bits GROUP BY pos)
+SELECT CAST(count(*) AS BIGINT) AS n_dims,
+       floor(avg(bias) * 1e6 + 0.5) / 1e6 AS mean_bias,
+       max(bias) AS max_bias
+FROM per
+""",
         # discretized before the aggregates
         "simsearch_sq8_qerror": """
 WITH corpus AS (

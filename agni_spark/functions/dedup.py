@@ -434,10 +434,10 @@ def append_minhash_index(
         MINHASH_INDEX_SUBDIRS,
         _append_manifest,
         _claim_commit_id,
-        _resolve_manifest,
+        _manifest_snapshot,
     )
 
-    ver, mrows = _resolve_manifest(spark, path)
+    ver, mrows, applied_map = _manifest_snapshot(spark, path)
     # the exclusive claim clears a crashed compact's uncommitted
     # leftover under the id (dynamic overwrite below replaces only
     # our own partitions)
@@ -463,6 +463,7 @@ def append_minhash_index(
         spark, path, mrows, nxt,
         subdirs=MINHASH_INDEX_SUBDIRS,
         read_version=ver if ver is not None else 0,
+        applied=applied_map,
     )
 
 

@@ -556,6 +556,7 @@ def _claimed_ids(spark, path: str) -> list[int]:
 def _claim_commit_id(
     spark, path: str, rows: list, subdirs: list,
     batch_id: int | None = None, adopt_exclude: int | None = None,
+    app_id: str | None = None,
 ) -> int:
     """Claim an EXCLUSIVE commit id for one write (round-13 OCC): land
     `manifest/.claim-N` via create-no-overwrite — the same CAS
@@ -602,12 +603,17 @@ def _claim_commit_id(
                 )
             except Exception:
                 continue
-            if doc.get("batch_id") == int(batch_id):
+            if doc.get("batch_id") == int(batch_id) and (
+                doc.get("app_id") == app_id
+            ):
                 _clear_uncommitted_commit(spark, path, subdirs, cid)
                 return cid
-    payload = json.dumps(
-        {"batch_id": int(batch_id)} if batch_id is not None else {}
-    ).encode("utf-8")
+    claim_doc = {}
+    if batch_id is not None:
+        claim_doc["batch_id"] = int(batch_id)
+        if app_id is not None:
+            claim_doc["app_id"] = app_id
+    payload = json.dumps(claim_doc).encode("utf-8")
     cand = max(committed | set(_claimed_ids(spark, path)), default=-1) + 1
     for _ in range(_CLAIM_MAX_PROBES):
         try:
@@ -705,6 +711,7 @@ def _write_index_manifest(
     spark, path: str, commits: list[int],
     batch_ids: dict[int, int] | None = None,
     expected_version: int | None = None,
+    applied: dict[str, int] | None = None,
 ) -> None:
     """Commit marker (block-store registry pattern): the manifest lists
     the committed `commit=` partitions and is written LAST, after the
@@ -770,15 +777,17 @@ def _write_index_manifest(
     base = f"{path}/manifest"
     fs, P = _hfs(spark, base)
     _require_cas(spark, fs, P, base)
-    payload = json.dumps(
-        {
-            "commits": sorted(int(c) for c in commits),
-            "batch_ids": {
-                str(int(c)): int(b) for c, b in bids.items() if b is not None
-            },
+    doc = {
+        "commits": sorted(int(c) for c in commits),
+        "batch_ids": {
+            str(int(c)): int(b) for c, b in bids.items() if b is not None
         },
-        sort_keys=True,
-    ).encode("utf-8")
+    }
+    if applied:
+        # per-app replay watermarks (see _manifest_snapshot) — written
+        # only when present so pre-round-13 manifests stay byte-shaped
+        doc["applied"] = {str(k): int(v) for k, v in applied.items()}
+    payload = json.dumps(doc, sort_keys=True).encode("utf-8")
 
     def _stale_check():
         if expected_version is None:
@@ -862,19 +871,29 @@ def _write_index_manifest(
     )
 
 
-def _resolve_manifest(
+def _manifest_snapshot(
     spark, path: str
-) -> tuple[int | None, list[tuple[int, int | None]]]:
-    """(serving_version, rows) — the newest PARSEABLE manifest version
-    and its (commit, batch_id|None) pairs sorted by commit. Versions
-    that fail to parse (a truncated `v=N.json` from a writer that
-    crashed between create and close) are skipped: the commit never
-    happened, readers serve the version below. serving_version is None
-    when only a legacy flat manifest exists (read whole-dir as
-    before). Tolerates manifests written before the batch_id column
-    existed. Within one version number a `.json` file outranks a
-    legacy dir (coexistence is only possible via a race the round-11
-    mechanism could not detect)."""
+) -> tuple[int | None, list[tuple[int, int | None]], dict[str, int]]:
+    """(serving_version, rows, applied) — the newest PARSEABLE
+    manifest version, its (commit, batch_id|None) pairs sorted by
+    commit, and the PER-APPLICATION replay watermark map (round 13,
+    the Delta `txn` appId/version idiom): applied[app_key] = the max
+    micro-batch id that application has committed, where "" keys the
+    default writer. The map is what lets TWO different streams
+    maintain ONE index — a single global max batch id would silently
+    skip a second stream whose ids start lower — and compaction
+    carries it verbatim so watermarks survive the fold. Manifests
+    written before the map existed (and legacy parquet-dir/flat
+    manifests) derive {"" : max(batch_ids)} — exactly the old global
+    check, so behavior is unchanged until an app-id writer appears.
+
+    Versions that fail to parse (a truncated `v=N.json` from a writer
+    that crashed between create and close) are skipped: the commit
+    never happened, readers serve the version below. serving_version
+    is None when only a legacy flat manifest exists. Within one
+    version number a `.json` file outranks a legacy dir (coexistence
+    is only possible via a race the round-11 mechanism could not
+    detect)."""
     import json
 
     def _dir_rows(src):
@@ -886,6 +905,10 @@ def _resolve_manifest(
             for r in df.collect()
         )
 
+    def _legacy_applied(rows):
+        bids = [b for _, b in rows if b is not None]
+        return {"": max(bids)} if bids else {}
+
     entries = _manifest_entries(spark, path)
     for ver, name, is_file in sorted(
         entries, key=lambda e: (e[0], e[2]), reverse=True
@@ -896,14 +919,32 @@ def _resolve_manifest(
                     _read_small_file(spark, f"{path}/manifest/{name}")
                 )
                 bids = doc.get("batch_ids") or {}
-                return ver, sorted(
+                rows = sorted(
                     (int(c), int(bids[str(c)]) if str(c) in bids else None)
                     for c in doc["commits"]
                 )
-            return ver, _dir_rows(f"{path}/manifest/{name}")
+                applied = (
+                    {str(k): int(v) for k, v in doc["applied"].items()}
+                    if "applied" in doc
+                    else _legacy_applied(rows)
+                )
+                return ver, rows, applied
+            rows = _dir_rows(f"{path}/manifest/{name}")
+            return ver, rows, _legacy_applied(rows)
         except Exception:
             continue  # truncated/partial version — serve the one below
-    return None, _dir_rows(f"{path}/manifest")
+    rows = _dir_rows(f"{path}/manifest")
+    return None, rows, _legacy_applied(rows)
+
+
+def _resolve_manifest(
+    spark, path: str
+) -> tuple[int | None, list[tuple[int, int | None]]]:
+    """(serving_version, rows) — see _manifest_snapshot (this is the
+    reader-side view; writers use the snapshot to carry the applied
+    map through their rewrite)."""
+    ver, rows, _ = _manifest_snapshot(spark, path)
+    return ver, rows
 
 
 def _manifest_rows(spark, path: str) -> list[tuple[int, int | None]]:
@@ -960,9 +1001,32 @@ def _max_applied_batch(rows: list[tuple[int, int | None]]) -> int | None:
     return max(bids) if bids else None
 
 
+def _applied_watermark(applied: dict[str, int], app_id) -> int | None:
+    """The replay watermark for ONE application (see
+    _manifest_snapshot): the max micro-batch id that app has
+    committed, or None if it never wrote. app_id None = the default
+    writer (map key \"\")."""
+    return applied.get(app_id if app_id is not None else "")
+
+
+def _bump_applied(
+    applied: dict[str, int], app_id, batch_id: int | None
+) -> dict[str, int]:
+    """The applied map a commit carrying (app_id, batch_id) writes:
+    the prior map with that app's watermark advanced. Monotone by
+    construction (foreachBatch ids are monotone per query)."""
+    if batch_id is None:
+        return dict(applied)
+    key = app_id if app_id is not None else ""
+    out = dict(applied)
+    out[key] = max(int(batch_id), out.get(key, int(batch_id)))
+    return out
+
+
 def _append_manifest(
     spark, path: str, rows: list, nxt: int, batch_id: int | None = None,
     subdirs: list | None = None, read_version: int | None = None,
+    app_id: str | None = None, applied: dict[str, int] | None = None,
 ) -> int | None:
     """Manifest rewrite for an append: commits + the new id, PRESERVING
     every recorded (commit, batch_id) provenance pair — an append of a
@@ -984,16 +1048,22 @@ def _append_manifest(
     None when a replay race shows this micro-batch already applied.
     `read_version` anchors the CAS to the version the caller's `rows`
     came from (see _write_index_manifest); pass it from every real
-    writer."""
+    writer. `app_id`/`applied` thread the per-application replay
+    watermarks (Delta `txn` semantics, see _manifest_snapshot): the
+    commit advances ITS app's watermark and preserves every other
+    app's — two independent streams can maintain one index."""
+    applied = dict(applied or {})
     for attempt in range(_OCC_MAX_ATTEMPTS):
         commits = [c for c, _ in rows]
         bids = {c: b for c, b in rows if b is not None}
         if batch_id is not None:
             bids[nxt] = int(batch_id)
+        new_applied = _bump_applied(applied, app_id, batch_id)
         try:
             _write_index_manifest(
                 spark, path, commits + [nxt], bids or None,
                 expected_version=read_version,
+                applied=new_applied or None,
             )
             _release_claim(spark, path, nxt)
             return nxt
@@ -1001,7 +1071,7 @@ def _append_manifest(
             if subdirs is None or attempt == _OCC_MAX_ATTEMPTS - 1:
                 _release_claim(spark, path, nxt)
                 raise
-        read_version, rows = _resolve_manifest(spark, path)
+        read_version, rows, applied = _manifest_snapshot(spark, path)
         read_version = read_version if read_version is not None else 0
         fresh = [c for c, _ in rows]
         if nxt in fresh:
@@ -1013,17 +1083,17 @@ def _append_manifest(
                 "that bypassed the claim protocol; refusing to retry"
             )
         if batch_id is not None:
-            applied = _max_applied_batch(rows)
-            if applied is not None and batch_id <= applied:
-                # a concurrent replay of the SAME micro-batch won the
-                # race — this staging is a duplicate, drop it
+            wm = _applied_watermark(applied, app_id)
+            if wm is not None and batch_id <= wm:
+                # a concurrent replay of the SAME micro-batch of the
+                # SAME app won the race — this staging is a duplicate
                 _clear_uncommitted_commit(spark, path, subdirs, nxt)
                 _release_claim(spark, path, nxt)
                 return None
         if fresh and max(fresh) > nxt:
             new_id = _claim_commit_id(
                 spark, path, rows, subdirs, batch_id=batch_id,
-                adopt_exclude=nxt,
+                app_id=app_id, adopt_exclude=nxt,
             )
             _renumber_staged_commit(spark, path, subdirs, nxt, new_id)
             _release_claim(spark, path, nxt)
@@ -1086,7 +1156,7 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     `subdirs` is a list of (subdir, routing_col_or_None) — use the
     *_INDEX_SUBDIRS presets. Returns the new commit id (or the sole
     existing commit when there is nothing to compact)."""
-    ver, rows = _resolve_manifest(spark, path)
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
     commits = [c for c, _ in rows]
     if len(commits) <= 1:
         return commits[0] if commits else -1
@@ -1186,6 +1256,7 @@ def compact_index(spark, path: str, subdirs: list) -> int:
             spark, path, [nxt],
             {nxt: applied} if applied is not None else None,
             expected_version=ver if ver is not None else 0,
+            applied=applied_map or None,
         )
     except ManifestConflictError:
         # a writer committed during the fold: the folded output no
@@ -1295,7 +1366,12 @@ def index_stats(spark, path: str, subdirs: list) -> DataFrame:
     row when any tombstone commits exist (pending logical deletes/
     upserts a compaction would fold). Only manifest-committed
     partitions count, so crashed-writer debris is invisible here
-    exactly as it is to probes.
+    exactly as it is to probes. An UNCOMMITTED `.claim-N` (an
+    in-flight writer mid-staging, or a crashed one whose debris
+    vacuum_index(reclaim_claims=True) would reclaim) surfaces as a
+    `claims` row — the one piece of non-committed state an operator
+    needs to see (n_commits = live claim count, n_rows = 0; absent
+    when there are none, so deterministic oracles are unaffected).
 
     Scale: one column-pruned count aggregation per subdir (the subdir
     list is a constant of the layout), each statically pruned to the
@@ -1328,6 +1404,11 @@ def index_stats(spark, path: str, subdirs: list) -> DataFrame:
         )
         if int(agg.nr) > 0:
             rows.append((sub, int(agg.nc), int(agg.nr)))
+    live_claims = [
+        c for c in _claimed_ids(spark, path) if c not in set(commits)
+    ]
+    if live_claims:
+        rows.append(("claims", len(live_claims), 0))
     return spark.createDataFrame(
         sorted(rows), "subdir string, n_commits int, n_rows long"
     )
@@ -1545,7 +1626,7 @@ def delete_from_index(
     the layout's id column — vec_id for the vector families, doc_id
     for the text index; the stored column name doubles as the scrub
     key compaction matches against."""
-    ver, rows = _resolve_manifest(spark, path)
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
     staged = subdirs + [("tombstones", None), ("meta", None)]
     nxt = _claim_commit_id(spark, path, rows, staged)
     (
@@ -1563,6 +1644,7 @@ def delete_from_index(
     return _append_manifest(
         spark, path, rows, nxt,
         subdirs=staged, read_version=ver if ver is not None else 0,
+        applied=applied_map,
     )
 
 
@@ -1746,6 +1828,7 @@ def write_ivf_index(
 
 def append_ivf_index(
     spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
     _race_hook=None,
 ) -> None:
     """Incremental index maintenance: assign ONLY the new vectors to
@@ -1763,9 +1846,9 @@ def append_ivf_index(
     max(commits)+1 has advanced) is detected as batch_id <= the max
     applied id and skipped. foreachBatch ids are monotone, which is
     what makes the <= rule sufficient."""
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return
     cents = spark.read.parquet(f"{path}/centroids")
     nxt = _claim_commit_id(
@@ -1800,11 +1883,13 @@ def append_ivf_index(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=IVF_INDEX_SUBDIRS,
         read_version=ver if ver is not None else 0,
+        app_id=app_id, applied=applied_map,
     )
 
 
 def upsert_ivf_index(
-    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> int | None:
     """UPSERT (replace-or-insert) into a stored IVF index, round 11:
     one atomic commit that both HIDES every older row of the upserted
@@ -1843,12 +1928,12 @@ def upsert_ivf_index(
     otherwise re-write the scoped tombstone under a NEW commit id,
     with a horizon that hides the original attempt's replacement
     rows. Returns None when the batch was already applied."""
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return None
     staged = IVF_INDEX_SUBDIRS + [("tombstones", None), ("meta", None)]
-    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id, app_id=app_id)
     _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
     cents = spark.read.parquet(f"{path}/centroids")
     cells = _nearest_centroids(
@@ -1866,6 +1951,7 @@ def upsert_ivf_index(
     return _append_manifest(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=staged, read_version=ver if ver is not None else 0,
+        app_id=app_id, applied=applied_map,
     )
 
 
@@ -2007,7 +2093,7 @@ def append_lsh_index(
     quantizer) into a fresh commit partition, manifest rewrite last.
     O(new rows), no index rewrite."""
     planes = hyperplanes(dim, n_planes)
-    ver, rows = _resolve_manifest(spark, path)
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
     nxt = _claim_commit_id(spark, path, rows, LSH_INDEX_SUBDIRS)
     c = new_vectors.select(
         "vec_id",
@@ -2026,6 +2112,7 @@ def append_lsh_index(
         spark, path, rows, nxt,
         subdirs=LSH_INDEX_SUBDIRS,
         read_version=ver if ver is not None else 0,
+        applied=applied_map,
     )
 
 
@@ -2907,6 +2994,7 @@ def write_pq_index(
 
 def append_pq_index(
     spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
     _pre: tuple | None = None,
 ) -> int | None:
     """Incremental IVF-PQ maintenance (IndexIVFPQ.add_with_ids
@@ -2919,16 +3007,16 @@ def append_pq_index(
     idempotency as append_ivf_index (recorded atomically in the
     manifest; <= max applied id -> skip)."""
     if _pre is None:
-        ver, rows = _resolve_manifest(spark, path)
-        applied = _max_applied_batch(rows)
-        if batch_id is not None and applied is not None and batch_id <= applied:
+        ver, rows, applied_map = _manifest_snapshot(spark, path)
+        wm = _applied_watermark(applied_map, app_id)
+        if batch_id is not None and wm is not None and batch_id <= wm:
             return
         staged = PQ_INDEX_SUBDIRS
-        nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+        nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id, app_id=app_id)
     else:
         # upsert_pq_index already claimed the id (its staged layout
         # includes the tombstones dir) and did the replay check
-        ver, rows, nxt, staged = _pre
+        ver, rows, nxt, staged, applied_map = _pre
     meta = spark.read.parquet(f"{path}/meta").first()
     m = int(meta.m)
     cents = spark.read.parquet(f"{path}/centroids")
@@ -2991,11 +3079,13 @@ def append_pq_index(
     return _append_manifest(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=staged, read_version=ver if ver is not None else 0,
+        app_id=app_id, applied=applied_map,
     )
 
 
 def upsert_pq_index(
-    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> int | None:
     """UPSERT into a stored IVF-PQ index — composition of the scoped
     tombstone (hides the ids' OLDER code/vector rows only, see
@@ -3007,19 +3097,20 @@ def upsert_pq_index(
     of each id is served. Returns the new commit id. `batch_id`: same
     streaming replay contract as upsert_ivf_index — checked BEFORE the
     tombstone write (None when already applied)."""
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return None
     # claim once for the whole composed write (tombstones included in
     # the staged layout so an OCC renumber moves them too) and hand
     # the claim to append_pq_index, which commits both atomically
     staged = PQ_INDEX_SUBDIRS + [("tombstones", None)]
-    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id, app_id=app_id)
     _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
     return append_pq_index(
         spark, path, new_vectors, batch_id=batch_id,
-        _pre=(ver, rows, nxt, staged),
+        app_id=app_id,
+        _pre=(ver, rows, nxt, staged, applied_map),
     )
 
 
@@ -3907,7 +3998,8 @@ def write_graph_index(
 
 
 def append_graph_index(
-    spark, path: str, new_corpus: DataFrame, batch_id: int | None = None
+    spark, path: str, new_corpus: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> None:
     """Incremental NSW insertion into a stored graph index: each new
     node links to its EXACT top-knn among the COMMITTED nodes
@@ -3936,20 +4028,22 @@ def append_graph_index(
     appends shrink the fraction of the corpus the upper layers
     describe and layered recall decays toward the flat walk's number
     (test-pinned: recall after a 2x append stays >= flat + 0.15)."""
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return  # replayed micro-batch already committed (see ivf twin)
     staged = GRAPH_INDEX_SUBDIRS + [("meta", None), ("tombstones", None)]
-    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id, app_id=app_id)
     _graph_insert_commit(
         spark, path, rows, new_corpus, nxt, batch_id,
         staged=staged, read_version=ver,
+        app_id=app_id, applied=applied_map,
     )
 
 
 def upsert_graph_index(
-    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> int | None:
     """CDC UPSERT into a stored graph index (round 12) — the graph
     family's replace-or-insert, composing the two primitives it
@@ -3983,18 +4077,19 @@ def upsert_graph_index(
     the manifest append replays into the same commit id with every
     subdir cleared first. Returns the new commit id (None when the
     batch was already applied)."""
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return None
     staged = GRAPH_INDEX_SUBDIRS + [("meta", None), ("tombstones", None)]
-    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id, app_id=app_id)
     new = new_vectors.select("vec_id", "embedding")
     _write_scoped_tombstones(new, path, "vec_id", nxt)
     return _graph_insert_commit(
         spark, path, rows, new, nxt, batch_id,
         link_exclude=new.select("vec_id"),
         staged=staged, read_version=ver,
+        app_id=app_id, applied=applied_map,
     )
 
 
@@ -4002,6 +4097,7 @@ def _graph_insert_commit(
     spark, path: str, rows: list, new_corpus: DataFrame, nxt: int,
     batch_id: int | None, link_exclude: DataFrame | None = None,
     staged: list | None = None, read_version: int | None = None,
+    app_id: str | None = None, applied: dict | None = None,
 ) -> int | None:
     """Shared NSW insertion core for append_graph_index /
     upsert_graph_index: computes the new nodes' forward+reverse links
@@ -4108,6 +4204,7 @@ def _graph_insert_commit(
     return _append_manifest(
         spark, path, rows, nxt, batch_id=batch_id, subdirs=staged,
         read_version=read_version if read_version is not None else 0,
+        app_id=app_id, applied=applied,
     )
 
 
@@ -4134,7 +4231,7 @@ def compact_graph_index(spark, path: str) -> int:
     argument as compact_index (a crashed run's uncommitted commit dir
     is cleared and invisible); streaming batch-id provenance is
     carried onto the new commit. Returns the new commit id."""
-    ver, rows = _resolve_manifest(spark, path)
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
     commits = [c for c, _ in rows]
     meta = _read_graph_meta(spark, path, commits)
     versioned = "commit" in meta.__fields__
@@ -4284,6 +4381,7 @@ def compact_graph_index(spark, path: str) -> int:
             spark, path, [nxt],
             {nxt: applied} if applied is not None else None,
             expected_version=ver if ver is not None else 0,
+            applied=applied_map or None,
         )
     except ManifestConflictError:
         _release_claim(spark, path, nxt)
@@ -5242,15 +5340,16 @@ def _sq_encode_cells(spark, path: str, new_vectors: DataFrame) -> DataFrame:
 
 
 def append_sq_index(
-    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> None:
     """Incremental IVF-SQ8 maintenance: frozen quantizer + frozen
     bounds, new commit partition, manifest last — O(new rows), same
     replay contract as append_ivf_index (batch_id recorded in the
     manifest row, <= max applied id skips)."""
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return
     nxt = _claim_commit_id(
         spark, path, rows, SQ_INDEX_SUBDIRS, batch_id=batch_id
@@ -5268,22 +5367,24 @@ def append_sq_index(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=SQ_INDEX_SUBDIRS,
         read_version=ver if ver is not None else 0,
+        app_id=app_id, applied=applied_map,
     )
 
 
 def upsert_sq_index(
-    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> int | None:
     """UPSERT into a stored IVF-SQ8 index: one atomic commit carrying
     a horizon-scoped tombstone for the upserted vec_ids plus their
     re-encoded replacement codes — identical semantics and crash
     contract to upsert_ivf_index (which see)."""
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return None
     staged = SQ_INDEX_SUBDIRS + [("tombstones", None)]
-    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id, app_id=app_id)
     _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
     (
         _sq_encode_cells(spark, path, new_vectors)
@@ -5297,6 +5398,7 @@ def upsert_sq_index(
     return _append_manifest(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=staged, read_version=ver if ver is not None else 0,
+        app_id=app_id, applied=applied_map,
     )
 
 
@@ -5832,14 +5934,15 @@ def _bq_encode_cells(spark, path: str, new_vectors: DataFrame) -> DataFrame:
 
 
 def append_bq_index(
-    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> None:
     """Incremental IVF-BQ maintenance: frozen quantizer + frozen
     thresholds, new commit partition, manifest last — same replay
     contract as every append here."""
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return
     nxt = _claim_commit_id(
         spark, path, rows, BQ_INDEX_SUBDIRS, batch_id=batch_id
@@ -5857,21 +5960,23 @@ def append_bq_index(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=BQ_INDEX_SUBDIRS,
         read_version=ver if ver is not None else 0,
+        app_id=app_id, applied=applied_map,
     )
 
 
 def upsert_bq_index(
-    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> int | None:
     """UPSERT into a stored IVF-BQ index: horizon-scoped tombstone +
     re-binarized replacement codes in one atomic commit (identical
     semantics and crash contract to upsert_ivf_index)."""
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return None
     staged = BQ_INDEX_SUBDIRS + [("tombstones", None)]
-    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id, app_id=app_id)
     _write_scoped_tombstones(new_vectors, path, "vec_id", nxt)
     (
         _bq_encode_cells(spark, path, new_vectors)
@@ -5885,6 +5990,7 @@ def upsert_bq_index(
     return _append_manifest(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=staged, read_version=ver if ver is not None else 0,
+        app_id=app_id, applied=applied_map,
     )
 
 
@@ -5964,6 +6070,56 @@ def clone_bq_index(spark, src: str, dst: str, as_of: int | None = None):
     clone_index(
         spark, src, dst, BQ_INDEX_SUBDIRS, aux=("centroids", "meta"),
         as_of=as_of,
+    )
+
+
+def bq_code_balance(spark, path: str) -> DataFrame:
+    """QUANTIZER-DRIFT METRIC for the IVF-BQ family — completes the
+    drift triple (sq8_quantization_error / pq_reconstruction_error /
+    this). A 1-bit code has no reconstruction to score; what degrades
+    as the live distribution shifts past the FROZEN per-dim mean
+    thresholds is the code's BALANCE: a mean-threshold bit splits a
+    stationary corpus ~50/50 per dimension (maximum one-bit entropy),
+    and frozen-threshold appends on a shifted distribution skew it —
+    a dimension whose bits are 90% identical carries almost no
+    ranking information. Per dimension: bias = |mean(bit) - 0.5| over
+    the LIVE codes; returns ONE row (n_dims, mean_bias, max_bias),
+    6dp-floored per dim before the aggregates for cross-engine
+    hashing. A fresh build reads near 0 (exactly 0 only for even
+    corpus sizes with symmetric values); reindex_bq at the knee.
+
+    Scale: the packed-words scan explodes to dim rows/vector — the
+    same fan-out the oracle's unnest pays — then ONE (pos)-keyed
+    map-side-combined aggregation; dim scalars reach the driver."""
+    h = BqIndexHandle(spark, path)
+    live = _anti_tombstones(h.codes, h.tombstones)
+    pow2 = F.array(*[F.lit(float(1 << b)) for b in range(_BQ_WORD_BITS)])
+    ex = live.select(
+        "words",
+        F.explode(F.sequence(F.lit(0), F.lit(h.dim - 1))).alias("pos"),
+    )
+    bit = (
+        F.floor(
+            F.element_at(
+                F.col("words"), F.floor(F.col("pos") / F.lit(32)).cast("int") + 1
+            )
+            / F.element_at(pow2, (F.col("pos") % 32).cast("int") + 1)
+        )
+        % 2
+    ).cast("double")
+    per_dim = (
+        ex.select("pos", bit.alias("bit"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.floor(F.abs(F.avg("bit") - F.lit(0.5)) * 1e6 + 0.5) / 1e6
+            ).alias("bias")
+        )
+    )
+    return per_dim.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        (F.floor(F.avg("bias") * 1e6 + 0.5) / 1e6).alias("mean_bias"),
+        F.max("bias").alias("max_bias"),
     )
 
 

@@ -857,12 +857,16 @@ def _append_postings(
 
 
 def append_text_index(
-    spark, path: str, new_docs: DataFrame, batch_id: int | None = None
+    spark, path: str, new_docs: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None, _race_hook=None,
 ) -> None:
     """Incremental index maintenance: posting lists + doc lengths of
     ONLY the new documents land in a fresh commit partition; the
     manifest rewrite LAST is the commit point. Nothing existing is
     read or rewritten — append cost is O(new docs), not O(index).
+    `_race_hook` is the deterministic concurrency fault-injection
+    seam (see simsearch.append_ivf_index): runs after claim+staging,
+    before the manifest CAS.
 
     `batch_id` (streaming callers — stream_text_index): the same
     replay contract as simsearch.append_ivf_index — the micro-batch id
@@ -873,20 +877,21 @@ def append_text_index(
     from agni_spark.functions.simsearch import (
         TEXT_INDEX_SUBDIRS,
         _append_manifest,
+        _applied_watermark,
         _claim_commit_id,
-        _max_applied_batch,
-        _resolve_manifest,
+        _manifest_snapshot,
     )
 
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return  # replayed micro-batch already committed (see ivf twin)
     # the claim is exclusive, so a crashed compact's uncommitted copy
     # under the id is cleared inside it (shared guard, see simsearch)
     nxt = _claim_commit_id(
-        spark, path, rows, TEXT_INDEX_SUBDIRS, batch_id=batch_id
+        spark, path, rows, TEXT_INDEX_SUBDIRS, batch_id=batch_id,
+        app_id=app_id,
     )
     # a positional index stays positional: the layer's existence IS the
     # flag (build-time choice; appending non-positionally to a
@@ -900,15 +905,19 @@ def append_text_index(
         new_docs, path, n_buckets, commit=nxt, mode="append",
         positions=has_pos,
     )
+    if _race_hook is not None:
+        _race_hook()
     _append_manifest(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=TEXT_INDEX_SUBDIRS,
         read_version=ver if ver is not None else 0,
+        app_id=app_id, applied=applied_map,
     )
 
 
 def upsert_text_index(
-    spark, path: str, new_docs: DataFrame, batch_id: int | None = None
+    spark, path: str, new_docs: DataFrame, batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> int | None:
     """UPSERT (replace-or-insert) documents in a stored text index,
     round 11 — the text twin of simsearch.upsert_ivf_index: one atomic
@@ -934,20 +943,22 @@ def upsert_text_index(
     from agni_spark.functions.simsearch import (
         TEXT_INDEX_SUBDIRS,
         _append_manifest,
+        _applied_watermark,
         _claim_commit_id,
-        _max_applied_batch,
-        _resolve_manifest,
+        _manifest_snapshot,
         _write_scoped_tombstones,
     )
     from agni_spark.sources.layout import _hfs
 
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
-    ver, rows = _resolve_manifest(spark, path)
-    applied = _max_applied_batch(rows)
-    if batch_id is not None and applied is not None and batch_id <= applied:
+    ver, rows, applied_map = _manifest_snapshot(spark, path)
+    wm = _applied_watermark(applied_map, app_id)
+    if batch_id is not None and wm is not None and batch_id <= wm:
         return None
     staged = TEXT_INDEX_SUBDIRS + [("tombstones", None)]
-    nxt = _claim_commit_id(spark, path, rows, staged, batch_id=batch_id)
+    nxt = _claim_commit_id(
+        spark, path, rows, staged, batch_id=batch_id, app_id=app_id
+    )
     _write_scoped_tombstones(new_docs, path, "doc_id", nxt)
     fs, P = _hfs(spark, f"{path}/positions")
     _append_postings(
@@ -957,6 +968,7 @@ def upsert_text_index(
     return _append_manifest(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=staged, read_version=ver if ver is not None else 0,
+        app_id=app_id, applied=applied_map,
     )
 
 

