@@ -1812,6 +1812,36 @@ def _q_simsearch_ivf_concurrent_append(
     return simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2)
 
 
+def _q_simsearch_graph_concurrent_append(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # OCC on the GRAPH family — the hardest renumber path (edges +
+    # nodes + VERSIONED meta move together) with a FULL walk oracle.
+    # Both racers read the same manifest (writer B commits inside A's
+    # staging-to-CAS window), so BOTH batches NSW-link against the
+    # build third only — the concurrent composition is actually
+    # simpler than sequential appends, and that order-freedom is
+    # exactly why the retry is sound for appends. Oracle: the unrolled
+    # beam walk over base-kNN(build) + A-links(vs build, fwd+rev) +
+    # B-links(vs build, fwd+rev).
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_graph_cc_") + "/idx"
+    simsearch.write_graph_index(e.where(F.col("vec_id") % 3 == 0), path,
+                                knn=5)
+    b_new = e.where(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
+    simsearch.append_graph_index(
+        spark, path,
+        e.where(F.col("vec_id") % 3 == 1).select("vec_id", "embedding"),
+        _race_hook=lambda: simsearch.append_graph_index(spark, path, b_new),
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.graph_ann_stored(spark, path, q, k=10, beam=8, hops=3)
+
+
 def _q_text_index_concurrent_append(
     spark: SparkSession, sf: str
 ) -> DataFrame:
@@ -1875,6 +1905,31 @@ def _q_streaming_two_writers(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
+def _q_simsearch_index_txns(spark: SparkSession, sf: str) -> DataFrame:
+    # TXN INTROSPECTION (round 13): the per-application replay
+    # watermark map as a queryable surface — build, then commit
+    # batches as two named apps AND the default writer, read back
+    # (app_id, last_batch_id). Deterministic scenario, literal oracle.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_txns_") + "/idx"
+    sl = lambda m: e.where(F.col("vec_id") % 4 == m).select(  # noqa: E731
+        "vec_id", "embedding"
+    )
+    simsearch.write_ivf_index(sl(0), path, n_centroids=8)
+    simsearch.append_ivf_index(spark, path, sl(1), batch_id=0,
+                               app_id="app-a")
+    simsearch.append_ivf_index(spark, path, sl(2), batch_id=1,
+                               app_id="app-a")
+    simsearch.append_ivf_index(spark, path, sl(3), batch_id=5,
+                               app_id="app-b")
+    # a batch replay of app-a must not move any watermark
+    simsearch.append_ivf_index(spark, path, sl(1), batch_id=1,
+                               app_id="app-a")
+    return simsearch.index_txns(spark, path)
 
 
 def _q_simsearch_sq8_cloned(spark: SparkSession, sf: str) -> DataFrame:
@@ -3495,6 +3550,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_concurrent_append": _q_text_index_concurrent_append,
         # round-13 per-app replay watermarks: two streams, one index
         "streaming_two_writers": _q_streaming_two_writers,
+        # round-13 OCC on the graph family (renumber moves edges +
+        # nodes + versioned meta; full unrolled walk oracle)
+        "simsearch_graph_concurrent_append": (
+            _q_simsearch_graph_concurrent_append
+        ),
+        # round-13 txn introspection: per-app watermarks as a surface
+        "simsearch_index_txns": _q_simsearch_index_txns,
         "simsearch_graph_deleted": _q_simsearch_graph_deleted,
         "simsearch_graph_delete_compacted": (
             _q_simsearch_graph_delete_compacted
@@ -4606,7 +4668,10 @@ f{i} AS (SELECT query_id, node FROM (
 # the even nodes, forward AND reverse. The walk itself is the shared
 # unrolled-hop oracle. (The stored entry point is min of the even half
 # = 0 = min over all, so the default entry CTE is exact here.)
-def _sql_appended_layer0(stages: list[tuple[str, str]] | None = None) -> str:
+def _sql_appended_layer0(
+    stages: list[tuple[str, str]] | None = None,
+    build_pred: str = "vec_id % 2 = 0",
+) -> str:
     """Edge-set SQL (node, dst) for the even-build + appended graph:
     the base kNN graph over the even half plus, per append STAGE, each
     appended node's exact top-5 among the nodes COMMITTED BEFORE it,
@@ -4620,9 +4685,9 @@ def _sql_appended_layer0(stages: list[tuple[str, str]] | None = None) -> str:
     (each micro-batch is one append stage — the multi-stage form is
     what pins streamed ingestion externally, since batch order is the
     exact thing a wrong implementation would get wrong)."""
-    even = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
+    build = f"(SELECT * FROM embeddings WHERE {build_pred})"
     base = _sql_simsearch_ivf(
-        cents_src=even, corpus_src=even, query_where="TRUE", k=5
+        cents_src=build, corpus_src=build, query_where="TRUE", k=5
     )
     if stages is None:
         stages = [("a.vec_id % 2 = 1", "b.vec_id % 2 = 0")]
@@ -7926,6 +7991,13 @@ FROM errq
 SELECT CAST(c AS BIGINT) AS commit, CAST(b AS BIGINT) AS batch_id
 FROM (VALUES (0, NULL), (1, NULL), (2, 7)) t(c, b) ORDER BY commit
 """,
+        # per-app watermarks after the scripted two-app + replay
+        # scenario: app-a advanced to 1, app-b to 5, replay moved
+        # nothing
+        "simsearch_index_txns": """
+SELECT CAST(a AS VARCHAR) AS app_id, CAST(b AS BIGINT) AS last_batch_id
+FROM (VALUES ('app-a', 1), ('app-b', 5)) t(a, b) ORDER BY app_id
+""",
         "simsearch_sq8_stored": _sql_simsearch_sq8(),
         "simsearch_sq8_upserted": _sql_simsearch_sq8(
             bounds_src="embeddings",
@@ -7989,6 +8061,19 @@ SELECT * FROM (
                 ("a.vec_id % 4 = 3",
                  "b.vec_id % 2 = 0 OR b.vec_id % 4 = 1"),
             ])
+        ),
+        # concurrent graph appends: BOTH racers read the same manifest,
+        # so both batches link against the build third only — the
+        # composed edge set is order-free (entry = min id 0, in the
+        # build third)
+        "simsearch_graph_concurrent_append": _sql_graph_ann(
+            graph_sql=_sql_appended_layer0(
+                stages=[
+                    ("a.vec_id % 3 = 1", "b.vec_id % 3 = 0"),
+                    ("a.vec_id % 3 = 2", "b.vec_id % 3 = 0"),
+                ],
+                build_pred="vec_id % 3 = 0",
+            )
         ),
         # compacted layered index: layer 0 = the appended edge set
         # (carried forward by compact_graph_index), uppers = the

@@ -3999,7 +3999,7 @@ def write_graph_index(
 
 def append_graph_index(
     spark, path: str, new_corpus: DataFrame, batch_id: int | None = None,
-    app_id: str | None = None,
+    app_id: str | None = None, _race_hook=None,
 ) -> None:
     """Incremental NSW insertion into a stored graph index: each new
     node links to its EXACT top-knn among the COMMITTED nodes
@@ -4037,7 +4037,7 @@ def append_graph_index(
     _graph_insert_commit(
         spark, path, rows, new_corpus, nxt, batch_id,
         staged=staged, read_version=ver,
-        app_id=app_id, applied=applied_map,
+        app_id=app_id, applied=applied_map, race_hook=_race_hook,
     )
 
 
@@ -4098,6 +4098,7 @@ def _graph_insert_commit(
     batch_id: int | None, link_exclude: DataFrame | None = None,
     staged: list | None = None, read_version: int | None = None,
     app_id: str | None = None, applied: dict | None = None,
+    race_hook=None,
 ) -> int | None:
     """Shared NSW insertion core for append_graph_index /
     upsert_graph_index: computes the new nodes' forward+reverse links
@@ -4201,6 +4202,10 @@ def _graph_insert_commit(
             n_entries=int(_meta_field(meta, "n_entries", len(entries))),
             max_deg=new_bound,
         )
+    if race_hook is not None:
+        # deterministic concurrency fault-injection seam (see
+        # append_ivf_index): after claim+staging, before the CAS
+        race_hook()
     return _append_manifest(
         spark, path, rows, nxt, batch_id=batch_id, subdirs=staged,
         read_version=read_version if read_version is not None else 0,
@@ -5485,6 +5490,23 @@ def sq_ann_stored(
         )
         .orderBy("query_id", "rk")
     )
+
+
+def index_txns(spark, path: str) -> DataFrame:
+    """The stored index's PER-APPLICATION replay watermarks as a
+    DataFrame — (app_id, last_batch_id) straight from the manifest's
+    `applied` map (the Delta `txn` introspection surface; the default
+    no-app writer reads as app_id ''). The companion to index_history
+    for multi-stream operations: before (re)starting a stream against
+    an index, read this to see which application ids exist and where
+    each one's exactly-once watermark stands. O(#apps) rows from one
+    small manifest read; empty for an index no streaming writer has
+    touched."""
+    _, _, applied = _manifest_snapshot(spark, path)
+    return spark.createDataFrame(
+        sorted((str(k), int(v)) for k, v in applied.items()),
+        "app_id string, last_batch_id long",
+    ).orderBy("app_id")
 
 
 def index_history(spark, path: str) -> DataFrame:
