@@ -1309,3 +1309,32 @@ def test_per_app_replay_watermarks_two_writers(spark, emb):
         .collect()
     )
     assert served == sorted(r.vec_id for r in emb.collect())
+
+
+def test_occ_retry_bounded_and_releases_claim(spark, emb, monkeypatch):
+    """When every CAS attempt loses (pathological sustained contention),
+    the retry surfaces ManifestConflictError after _OCC_MAX_ATTEMPTS and
+    releases the claim so the staged debris is default-vacuumable."""
+    path = tempfile.mkdtemp(prefix="occ_bound_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    new = emb.where(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    calls = {"n": 0}
+
+    def always_conflict(*a, **k):
+        calls["n"] += 1
+        raise simsearch.ManifestConflictError("induced")
+
+    monkeypatch.setattr(simsearch, "_write_index_manifest", always_conflict)
+    with pytest.raises(simsearch.ManifestConflictError):
+        simsearch.append_ivf_index(spark, path, new)
+    monkeypatch.undo()
+    assert calls["n"] == simsearch._OCC_MAX_ATTEMPTS
+    assert _claim_files(path) == []  # released on terminal failure
+    # the staged commit is unreferenced debris: default vacuum reclaims
+    removed = simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    )
+    assert any(r.startswith("cells/commit=") for r in removed)
+    assert simsearch._committed(spark, path) == [0]
