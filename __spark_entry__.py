@@ -1907,6 +1907,39 @@ def _q_streaming_two_writers(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_ivf_concurrent_upsert(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # OCC CONCURRENT UPSERTS OF THE SAME KEYS — the row that externally
+    # pins the HORIZON REWRITE: writer A upserts vec_id%9==0 with
+    # REVERSED vectors; inside A's staging-to-CAS window writer B
+    # upserts the same keys with NEGATED vectors and commits. A's retry
+    # renumbers its staged commit (and rewrites its scoped tombstone's
+    # horizon to follow) ABOVE B's, so last-writer-wins by commit id:
+    # A's replacement serves, B's and the originals are hidden. Full
+    # oracle: the frozen-quantizer IVF chain over the corpus with K
+    # reversed — any horizon-rewrite bug (stale horizon = duplicate
+    # key rows; wrong winner = negated vectors) breaks the hash.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_ivf_ccu_") + "/idx"
+    simsearch.write_ivf_index(e, path, n_centroids=8)
+    keys = e.where(F.col("vec_id") % 9 == 0)
+    a_new = keys.select("vec_id", F.reverse("embedding").alias("embedding"))
+    b_new = keys.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    simsearch.upsert_ivf_index(
+        spark, path, a_new,
+        _race_hook=lambda: simsearch.upsert_ivf_index(spark, path, b_new),
+    )
+    q = e.where(F.col("vec_id").between(1, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_ann_stored(spark, path, q, k=10, nprobe=2)
+
+
 def _q_simsearch_index_txns(spark: SparkSession, sf: str) -> DataFrame:
     # TXN INTROSPECTION (round 13): the per-application replay
     # watermark map as a queryable surface — build, then commit
@@ -3557,6 +3590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # round-13 txn introspection: per-app watermarks as a surface
         "simsearch_index_txns": _q_simsearch_index_txns,
+        # round-13 OCC same-key upsert race: horizon rewrite pinned
+        "simsearch_ivf_concurrent_upsert": (
+            _q_simsearch_ivf_concurrent_upsert
+        ),
         "simsearch_graph_deleted": _q_simsearch_graph_deleted,
         "simsearch_graph_delete_compacted": (
             _q_simsearch_graph_delete_compacted
@@ -7706,6 +7743,19 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_concurrent_append": _sql_simsearch_ivf(
             cents_src="(SELECT * FROM embeddings WHERE vec_id % 3 = 0)",
             corpus_src="embeddings",
+        ),
+        # same-key upsert race: the renumbered loser (reversed vectors)
+        # wins by commit id — its rewritten horizon hides the racer's
+        # negated replacements AND the originals
+        "simsearch_ivf_concurrent_upsert": _sql_simsearch_ivf(
+            cents_src="embeddings",
+            corpus_src=(
+                "(SELECT vec_id, CASE WHEN vec_id % 9 = 0 THEN "
+                "list_reverse(CAST(embedding AS DOUBLE[])) "
+                "ELSE CAST(embedding AS DOUBLE[]) END AS embedding "
+                "FROM embeddings)"
+            ),
+            query_where="vec_id BETWEEN 1 AND 5",
         ),
         # two streaming apps, one index: per-app watermarks mean BOTH
         # streams' vectors land (a global watermark would skip the

@@ -1275,7 +1275,8 @@ def compact_index(spark, path: str, subdirs: list) -> int:
 
 
 def vacuum_index(
-    spark, path: str, subdirs: list, reclaim_claims: bool = False
+    spark, path: str, subdirs: list, reclaim_claims: bool = False,
+    dry_run: bool = False,
 ) -> list[str]:
     """GC commit partitions ABSENT from the manifest: superseded
     pre-compaction commits and crashed-append debris. Hadoop FileSystem
@@ -1292,8 +1293,17 @@ def vacuum_index(
     bookkeeping and always reclaim. `reclaim_claims=True` additionally
     reclaims uncommitted claims AND their staged data — crashed-writer
     cleanup; run it only when no writer is in flight (the same
-    retention caveat as lakehouse VACUUM)."""
-    from agni_spark.sources.layout import _fs_delete, _hfs
+    retention caveat as lakehouse VACUUM). `dry_run=True` returns what
+    WOULD be removed without touching anything (lakehouse `VACUUM ...
+    DRY RUN`) — the operator's preflight before a reclaim_claims pass,
+    since that is the one destructive-if-misused knob in the
+    lifecycle."""
+    from agni_spark.sources.layout import _fs_delete as _rm
+    from agni_spark.sources.layout import _hfs
+
+    def _fs_delete(spark_, target):
+        if not dry_run:
+            _rm(spark_, target)
 
     committed = set(_committed(spark, path))
     claimed = set(_claimed_ids(spark, path))
@@ -1889,7 +1899,7 @@ def append_ivf_index(
 
 def upsert_ivf_index(
     spark, path: str, new_vectors: DataFrame, batch_id: int | None = None,
-    app_id: str | None = None,
+    app_id: str | None = None, _race_hook=None,
 ) -> int | None:
     """UPSERT (replace-or-insert) into a stored IVF index, round 11:
     one atomic commit that both HIDES every older row of the upserted
@@ -1948,6 +1958,11 @@ def upsert_ivf_index(
         .mode("overwrite")
         .parquet(f"{path}/cells")
     )
+    if _race_hook is not None:
+        # deterministic concurrency seam (see append_ivf_index) —
+        # here it additionally exercises the horizon REWRITE: the
+        # renumbered loser's scoped tombstone must follow its new id
+        _race_hook()
     return _append_manifest(
         spark, path, rows, nxt, batch_id=batch_id,
         subdirs=staged, read_version=ver if ver is not None else 0,

@@ -1338,3 +1338,32 @@ def test_occ_retry_bounded_and_releases_claim(spark, emb, monkeypatch):
     )
     assert any(r.startswith("cells/commit=") for r in removed)
     assert simsearch._committed(spark, path) == [0]
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, emb):
+    """vacuum_index(dry_run=True) lists exactly what the real pass
+    would remove and touches nothing — the preflight for
+    reclaim_claims."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="occ_dry_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    simsearch.append_ivf_index(
+        spark, path, emb.where(F.col("vec_id") >= 20).select(
+            "vec_id", "embedding"
+        )
+    )
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    would = simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, dry_run=True
+    )
+    assert any(r.startswith("cells/commit=") for r in would)
+    for r in would:
+        if not r.startswith("manifest/"):
+            assert os.path.exists(f"{path}/{r}")  # nothing deleted
+    did = simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert did == would  # the report was exact
+    for r in did:
+        assert not os.path.exists(f"{path}/{r}")
