@@ -1862,7 +1862,8 @@ def append_ivf_index(
         return
     cents = spark.read.parquet(f"{path}/centroids")
     nxt = _claim_commit_id(
-        spark, path, rows, IVF_INDEX_SUBDIRS, batch_id=batch_id
+        spark, path, rows, IVF_INDEX_SUBDIRS, batch_id=batch_id,
+        app_id=app_id,
     )
     cells = _nearest_centroids(
         new_vectors.select("vec_id", F.col("embedding").alias("ce")),
@@ -5372,7 +5373,8 @@ def append_sq_index(
     if batch_id is not None and wm is not None and batch_id <= wm:
         return
     nxt = _claim_commit_id(
-        spark, path, rows, SQ_INDEX_SUBDIRS, batch_id=batch_id
+        spark, path, rows, SQ_INDEX_SUBDIRS, batch_id=batch_id,
+        app_id=app_id,
     )
     (
         _sq_encode_cells(spark, path, new_vectors)
@@ -5982,7 +5984,8 @@ def append_bq_index(
     if batch_id is not None and wm is not None and batch_id <= wm:
         return
     nxt = _claim_commit_id(
-        spark, path, rows, BQ_INDEX_SUBDIRS, batch_id=batch_id
+        spark, path, rows, BQ_INDEX_SUBDIRS, batch_id=batch_id,
+        app_id=app_id,
     )
     (
         _bq_encode_cells(spark, path, new_vectors)

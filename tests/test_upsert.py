@@ -1367,3 +1367,87 @@ def test_vacuum_dry_run_reports_without_deleting(spark, emb):
     assert did == would  # the report was exact
     for r in did:
         assert not os.path.exists(f"{path}/{r}")
+
+
+@pytest.mark.parametrize("kind", ["ivf", "sq", "bq"])
+def test_two_apps_same_batch_id_never_cross_adopt_live_claim(
+    spark, emb, kind,
+):
+    """Round-14 regression (ADVICE r13 high): append_ivf/sq/bq_index
+    used to claim WITHOUT forwarding app_id, so two concurrent streams
+    with distinct app_ids at the same micro-batch id (both start at
+    batch 0 — exactly what ingest.py declares safe) matched the
+    adoption check (None == None) and cross-adopted each other's LIVE
+    claim, clearing the first writer's in-flight staged commit.
+    Now the claim doc records the app: app-b at the same batch id
+    takes a FRESH id, app-a's claim and staging survive, and app-a's
+    own replay still adopts its own claim."""
+    import os
+
+    writer = {
+        "ivf": (simsearch.write_ivf_index, simsearch.append_ivf_index,
+                simsearch.IVF_INDEX_SUBDIRS, "cells"),
+        "sq": (simsearch.write_sq_index, simsearch.append_sq_index,
+               simsearch.SQ_INDEX_SUBDIRS, "codes"),
+        "bq": (simsearch.write_bq_index, simsearch.append_bq_index,
+               simsearch.BQ_INDEX_SUBDIRS, "codes"),
+    }
+    build, append, subdirs, datadir = writer[kind]
+    path = tempfile.mkdtemp(prefix=f"occ_xadopt_{kind}_") + "/idx"
+    build(emb.where(F.col("vec_id") < 20), path, n_centroids=4)
+    a_new = emb.where(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 30)
+    ).select("vec_id", "embedding")
+    b_new = emb.where(F.col("vec_id") >= 30).select("vec_id", "embedding")
+    # app-a claims batch 0 and is mid-staging (live, uncommitted)
+    _, rows = simsearch._resolve_manifest(spark, path)
+    a_claim = simsearch._claim_commit_id(
+        spark, path, rows, subdirs, batch_id=0, app_id="app-a"
+    )
+    staged = f"{path}/{datadir}/commit={a_claim}/centroid_id=0"
+    os.makedirs(staged, exist_ok=True)
+    sentinel = f"{staged}/inflight.sentinel"
+    open(sentinel, "w").write("app-a staging in flight")
+    # app-b, same batch id, concurrent: must take a FRESH id and must
+    # NOT clear app-a's in-flight staging
+    append(spark, path, b_new, batch_id=0, app_id="app-b")
+    assert os.path.exists(sentinel), "app-b cross-adopted app-a's claim"
+    committed = simsearch._committed(spark, path)
+    assert a_claim not in committed and len(committed) == 2
+    assert _claim_files(path) == [f".claim-{a_claim}"]
+    # app-a's replay of ITS batch 0 still adopts its own claim: the
+    # sentinel debris is cleared and the commit lands under a_claim
+    append(spark, path, a_new, batch_id=0, app_id="app-a")
+    assert not os.path.exists(sentinel)
+    assert sorted(simsearch._committed(spark, path)) == sorted(
+        committed + [a_claim]
+    )
+    assert _claim_files(path) == []
+
+
+def test_appends_forward_app_id_into_claim(spark, emb, monkeypatch):
+    """Pin the round-14 fix at the seam: every per-family append must
+    forward app_id into _claim_commit_id so the claim doc records the
+    application (the behavioral test above stages app-a's claim the
+    way the FIXED code does; this one fails if the forwarding itself
+    is ever reverted)."""
+    seen = {}
+    real = simsearch._claim_commit_id
+
+    def rec(spark_, path_, rows_, subdirs_, **kw):
+        seen[path_] = kw.get("app_id")
+        return real(spark_, path_, rows_, subdirs_, **kw)
+
+    monkeypatch.setattr(simsearch, "_claim_commit_id", rec)
+    new = emb.where(F.col("vec_id") >= 30).select("vec_id", "embedding")
+    for kind, build, append in [
+        ("ivf", simsearch.write_ivf_index, simsearch.append_ivf_index),
+        ("sq", simsearch.write_sq_index, simsearch.append_sq_index),
+        ("bq", simsearch.write_bq_index, simsearch.append_bq_index),
+    ]:
+        path = tempfile.mkdtemp(prefix=f"occ_fwd_{kind}_") + "/idx"
+        build(emb.where(F.col("vec_id") < 30), path, n_centroids=4)
+        append(spark, path, new, batch_id=0, app_id=f"app-{kind}")
+        assert seen[path] == f"app-{kind}", (
+            f"append_{kind}_index dropped app_id on the claim"
+        )
