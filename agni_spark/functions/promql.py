@@ -183,7 +183,15 @@ def topk(
     return (
         per_series.orderBy(*order)
         .limit(k)
-        .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+        # constant partition key: the window input is k rows by
+        # construction (post-limit); the key stops WindowExec planning
+        # a move-everything global window
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(*order)
+            ),
+        )
         .select("series_id", "sum_value", F.col("rk").cast("int").alias("rk"))
     )
 
@@ -354,7 +362,15 @@ def bottomk(
     return (
         per_series.orderBy(*order)
         .limit(k)
-        .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+        # constant partition key: the window input is k rows by
+        # construction (post-limit); the key stops WindowExec planning
+        # a move-everything global window
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(*order)
+            ),
+        )
         .select("series_id", "sum_value", F.col("rk").cast("int").alias("rk"))
     )
 

@@ -1371,13 +1371,76 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dist_ntile(
+    df: DataFrame, order_cols: list, n_buckets: int, out_col: str,
+) -> DataFrame:
+    """Exact `NTILE(n) OVER (ORDER BY ...)` without a single-partition
+    global window. The naive window moves the ENTIRE input to one
+    partition to rank it; here the input is range-repartitioned on the
+    order key (distributed sort), each partition's global rank offset
+    comes from a tiny per-partition count (#shuffle-partitions rows,
+    cumulated driver-side — a bounded metadata read), and the bucket
+    is the exact
+    ntile piecewise formula — with n rows and k buckets the first
+    n%k buckets hold ceil(n/k) rows — applied to offset+local
+    row_number. Identical output to the global window for any
+    tie-free ORDER BY (callers append a unique key). The ranged frame
+    is persisted so the count pass and the output pass see one
+    consistent range partitioning."""
+    sp = df.sparkSession
+    nparts = max(
+        1, int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    ranged = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # per-partition counts: at most #shuffle-partitions rows — a
+    # bounded driver-side metadata read (the same class as the
+    # stored-index manifest reads), never data-proportional
+    sizes = sorted(
+        (r["_pid"], r["_cnt"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
+    )
+    n = sum(c for _, c in sizes)
+    offs, acc = [], 0
+    for pid, c in sizes:
+        offs.append((pid, acc))
+        acc += c
+    offsets = sp.createDataFrame(
+        offs or [(0, 0)], "_pid int, _off long"
+    )
+    lw = Window.partitionBy("_pid").orderBy(*order_cols)
+    r = F.col("_off") + F.row_number().over(lw)
+    k = int(n_buckets)
+    if n < k:
+        bucket = r  # ntile with fewer rows than buckets: one row each
+    else:
+        q, m = divmod(n, k)
+        big = m * (q + 1)  # rows living in the ceil-sized buckets
+        bucket = (
+            F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
+            .otherwise(m + F.floor((r - big - 1) / q) + 1)
+        )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_off")
+    )
+
+
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation over purchase events: per user the
     Recency (days since last purchase, relative to the corpus's last
     event), Frequency (purchase count) and Monetary (value sum), each
-    scored into quintiles with ntile over a fully deterministic order
-    (metric, then user_id — ties can't float between buckets). One
-    shuffle on user_id + three tiny rank windows."""
+    scored into quintiles over a fully deterministic order (metric,
+    then user_id — ties can't float between buckets). Quintiles come
+    from _dist_ntile (exact ntile semantics, range-partitioned global
+    rank) — never a single-partition window over the whole user
+    dimension."""
     _ev = load(spark, sf_dir, "events")
     ev = _ev.select(
         "user_id", dm.ms_col(_ev, "ts").alias("ts_ms"), "event_type", "value"
@@ -1399,17 +1462,26 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
-    return per_user.select(
+    scored = _dist_ntile(
+        per_user, [F.col("recency_days").asc(), F.col("user_id")],
+        5, "r_score",
+    )
+    scored = _dist_ntile(
+        scored, [F.col("frequency").desc(), F.col("user_id")],
+        5, "f_score",
+    )
+    scored = _dist_ntile(
+        scored, [F.col("monetary").desc(), F.col("user_id")],
+        5, "m_score",
+    )
+    return scored.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(r_w).cast("int").alias("r_score"),
-        F.ntile(5).over(f_w).cast("int").alias("f_score"),
-        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     ).orderBy("user_id")
 
 

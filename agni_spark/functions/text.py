@@ -49,6 +49,28 @@ def _occurrences(text: Column, word: str) -> Column:
     ).cast("long")
 
 
+def _topk_ranked(df: DataFrame, order: list, k: int,
+                 rank_name: str = "rk") -> DataFrame:
+    """Distributed top-k + cosmetic rank (the promql.topk shape,
+    `promql.py:topk`): `orderBy(...).limit(k)` compiles to Spark's
+    TakeOrderedAndProject — each partition keeps its local top-k and
+    only k rows per partition reach the driver-side merge — then the
+    rank column is a row_number over ONLY the k survivors. The naive
+    alternative (row_number over a global Window THEN filter rk<=k)
+    moves the ENTIRE candidate set — for a frequent query term at
+    100 TB, a corpus-proportional set — to one partition before
+    ranking it. The k-row window is given an explicit constant
+    partition key so WindowExec never plans a move-everything window
+    (the input is k rows by construction; the key is cosmetic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        df.orderBy(*order).limit(k)
+        .withColumn(rank_name, F.row_number().over(w).cast("int"))
+    )
+
+
 def doc_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-document quality metrics: counts + ratios + a quality score.
 
@@ -516,12 +538,8 @@ def bm25_topk(
     total = scored.groupBy("doc_id").agg(
         (F.floor(F.sum("s") * 1e6 + 0.5) / 1e6).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        total.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    order = [F.col("score").desc(), F.col("doc_id")]
+    return _topk_ranked(total, order, k, "rank").orderBy("rank")
 
 
 def tfidf_keywords(docs: DataFrame, top: int = 3) -> DataFrame:
@@ -606,14 +624,15 @@ def pmi_bigrams(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFrame:
         * 1e6
         + 0.5
     ) / 1e6
-    win = Window.orderBy(F.col("pmi").desc(), "a", "b")
-    return (
+    scored = (
         bi.join(uni.select(F.col("t").alias("a"), F.col("c").alias("ca")), "a")
         .join(uni.select(F.col("t").alias("b"), F.col("c").alias("cb")), "b")
         .crossJoin(F.broadcast(totals))
         .withColumn("pmi", pmi)
-        .withColumn("rk", F.row_number().over(win).cast("int"))
-        .where(F.col("rk") <= k)
+    )
+    order = [F.col("pmi").desc(), F.col("a"), F.col("b")]
+    return (
+        _topk_ranked(scored, order, k)
         .select("a", "b", F.col("c_ab").cast("long").alias("n"), "pmi", "rk")
         .orderBy("rk")
     )
@@ -1179,12 +1198,8 @@ def bm25_topk_indexed(
     total = scored.groupBy("doc_id").agg(
         (F.floor(F.sum("s") * 1e6 + 0.5) / 1e6).alias("score")
     )
-    w_rk = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        total.withColumn("rk", F.row_number().over(w_rk).cast("int"))
-        .where(F.col("rk") <= k)
-        .orderBy("rk")
-    )
+    order = [F.col("score").desc(), F.col("doc_id")]
+    return _topk_ranked(total, order, k).orderBy("rk")
 
 
 def phrase_search(docs: DataFrame, phrase: str, k: int = 10) -> DataFrame:
@@ -1218,12 +1233,8 @@ def phrase_search(docs: DataFrame, phrase: str, k: int = 10) -> DataFrame:
         F.array_join(F.slice(F.col("w"), F.col("i"), n), " ") == phrase
     )
     hits = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    w_rk = Window.orderBy(F.col("n_hits").desc(), F.col("doc_id"))
-    return (
-        hits.withColumn("rk", F.row_number().over(w_rk).cast("int"))
-        .where(F.col("rk") <= k)
-        .orderBy("rk")
-    )
+    order = [F.col("n_hits").desc(), F.col("doc_id")]
+    return _topk_ranked(hits, order, k).orderBy("rk")
 
 
 def phrase_topk_indexed(
@@ -1299,12 +1310,8 @@ def phrase_topk_indexed(
         )
         starts = starts.join(nxt, ["doc_id", "start"])
     hits = starts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    w_rk = Window.orderBy(F.col("n_hits").desc(), F.col("doc_id"))
-    return (
-        hits.withColumn("rk", F.row_number().over(w_rk).cast("int"))
-        .where(F.col("rk") <= k)
-        .orderBy("rk")
-    )
+    order = [F.col("n_hits").desc(), F.col("doc_id")]
+    return _topk_ranked(hits, order, k).orderBy("rk")
 
 
 def repetition_signals(docs: DataFrame) -> DataFrame:
@@ -1568,14 +1575,14 @@ def vocab_coverage(docs: DataFrame, k: int = 100) -> DataFrame:
     ).where(F.col("w") != "")
     counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").cast("double").alias("tot"))
-    w_rank = Window.orderBy(F.col("n").desc(), F.col("w"))
-    top = (
-        counts.withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= k)
-        .crossJoin(F.broadcast(total))
+    order = [F.col("n").desc(), F.col("w")]
+    top = _topk_ranked(counts, order, k, "rank").crossJoin(
+        F.broadcast(total)
     )
-    w_cum = Window.orderBy("rank").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_cum = (
+        Window.partitionBy(F.lit(0))  # k rows by construction
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return top.select(
         F.col("rank").cast("int").alias("rank"),

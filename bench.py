@@ -337,10 +337,39 @@ def _probe_specs():
     ]
 
 
+def _calibration_workload(spark) -> None:
+    """Fixed, DATA-INDEPENDENT workload (round 14, per the r13
+    verdict): a codegen-bound range-sum plus a canned hash-shuffle +
+    range-repartition — no parquet, no engine code, nothing this repo
+    can regress. Its time measures the HOST. Timed under the same
+    cold median-of-N protocol as every headline row and re-timed in
+    the sentinel pass, it makes cross-round comparisons adjudicable
+    under sustained host drift: BENCH_r12 vs BENCH_r13 disagreed by
+    1.22x with zero code cause (proven by a same-host A/B of the r12
+    checkout), which min-of-consecutive-runs cannot detect because
+    the whole recording session sits in the new epoch. Rule: before
+    reading a cross-round per-row delta as a regression, divide it by
+    the calibration ratio (this round's calibration_host over the
+    anchor's); if the normalized delta is flat, the host moved, not
+    the code. Anchor: BASELINE_EPOCH2.json (idle-host re-baseline of
+    all rows, 2026-08-16)."""
+    spark.range(0, 200_000_000, 1, 64).selectExpr(
+        "sum(id * 2 + 1) as s"
+    ).collect()
+    (
+        spark.range(0, 8_000_000, 1, 64)
+        .selectExpr("id % 1000000 as k", "id as v")
+        .groupBy("k")
+        .sum("v")
+        .repartitionByRange(32, "k")
+        .count()
+    )
+
+
 def _expected_rows() -> list[str]:
     """Every row name the emitted JSON will contain (the emitter-size
     test pins that the full set fits the driver's capture window)."""
-    rows = list(HEADLINE)
+    rows = ["calibration_host"] + list(HEADLINE)
     for name, _, _, emit_build in _probe_specs():
         if emit_build:
             rows.append(f"{name}_build")
@@ -437,6 +466,21 @@ def _notes(results: dict[str, float],
         "driver keeps only the last ~2000 chars of stdout, so the "
         "JSON line stays compact and these notes live here):\n"
         + _spread_lines(results, mins, runs) +
+        "* CALIBRATION + EPOCH ANCHOR (round 14): calibration_host "
+        f"({g('calibration_host')} median this run; re-timed in the "
+        "sentinel pass) is a fixed DATA-INDEPENDENT workload "
+        "(range-sum + canned shuffle, no parquet, no engine code) "
+        "under the same cold protocol — it measures the HOST. "
+        "Cross-round rule: normalize a per-row delta by the "
+        "calibration ratio (this round's calibration_host / the "
+        "anchor's) BEFORE reading it as a regression; BENCH_r12 vs "
+        "BENCH_r13 disagreed 1.22x with zero code cause (proven by a "
+        "same-host A/B of the r12 checkout — sustained host-epoch "
+        "drift the min-based signal cannot see). Totals recorded "
+        "before round 14 live in the OLD epoch; the comparison anchor "
+        "from round 14 on is BASELINE_EPOCH2.json (one clean "
+        "idle-host re-recording of every row, 2026-08-16, with its "
+        "own calibration_host).\n"
         "* HOST-BURST CAVEAT (measured in round 11): this host shows "
         "multi-minute EXTERNAL contention bursts — four full runs of "
         "identical code within one hour produced shared-row totals "
@@ -715,6 +759,17 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
 
+    # calibration FIRST (round 14): a data-independent host meter under
+    # the identical cold protocol — see _calibration_workload for the
+    # cross-epoch normalization rule it enables
+    times = []
+    for _ in range(runs):
+        _cold(spark)
+        t0 = time.time()
+        _calibration_workload(spark)
+        times.append(time.time() - t0)
+    _record("calibration_host", times)
+
     for name in HEADLINE:
         times = []
         for _ in range(runs):
@@ -800,12 +855,15 @@ def main() -> None:
     # 12: the re-times are PERSISTED into BENCH_NOTES.md (stderr-only
     # sentinels were clipped by the driver twice).
     sentinels: dict[str, float] = {}
-    for name in ("p7_select_samples", "tpch_q1_pricing_summary",
-                 "promql_sum_by"):
+    for name in ("calibration_host", "p7_select_samples",
+                 "tpch_q1_pricing_summary", "promql_sum_by"):
         if name in results:
             _cold(spark)
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            if name == "calibration_host":
+                _calibration_workload(spark)
+            else:
+                qs[name](spark, sf_dir).count()
             sentinels[name] = round(time.time() - t0, 3)
             print(
                 f"[bench +{time.time() - t_start:7.1f}s] sentinel "
