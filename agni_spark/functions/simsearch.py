@@ -527,6 +527,109 @@ def _read_small_file(spark, path: str) -> bytes:
 
 _CLAIM_MAX_PROBES = 64
 _OCC_MAX_ATTEMPTS = 5
+# Claim lease (round 14): a claim older than this is presumed orphaned
+# (its writer crashed) and is auto-reclaimed during normal claim
+# probing and by default vacuum — the common crash case no longer
+# needs the manual vacuum_index(reclaim_claims=True) pass. Generous by
+# default (hours ≫ any real write) because lease recovery carries the
+# inherent lakehouse-VACUUM retention risk: a LIVE writer slower than
+# the lease loses its claim; _verify_claim_held makes that loss loud
+# (abort before commit) instead of silent.
+_CLAIM_LEASE_DEFAULT_SEC = 21600.0
+
+
+def _claim_lease_sec(spark) -> float:
+    """The claim lease in seconds — `spark.agni.manifest.claimLeaseSec`
+    (default 6 hours). Deployments with multi-hour index writes should
+    raise it; tests lower it to exercise reclaim."""
+    try:
+        return float(
+            spark.conf.get(
+                "spark.agni.manifest.claimLeaseSec",
+                str(_CLAIM_LEASE_DEFAULT_SEC),
+            )
+        )
+    except Exception:
+        return _CLAIM_LEASE_DEFAULT_SEC
+
+
+def _expired_claim_ids(
+    spark, path: str, committed: set, claimed: list
+) -> list[int]:
+    """Uncommitted claims whose recorded `ts` is older than the lease —
+    orphan candidates. Claims without a timestamp (pre-round-14
+    writers) and unreadable claim docs (possibly mid-create) are
+    SPARED: age-based recovery only ever fires on a claim that
+    declared its own birth time."""
+    import json
+    import time
+
+    lease = _claim_lease_sec(spark)
+    now = time.time()
+    base = f"{path}/manifest"
+    out = []
+    for cid in claimed:
+        if cid in committed:
+            continue  # spent bookkeeping — vacuum always reclaims
+        try:
+            doc = json.loads(
+                _read_small_file(spark, f"{base}/.claim-{cid}")
+            )
+        except Exception:
+            continue
+        ts = doc.get("ts")
+        if ts is not None and now - float(ts) > lease:
+            out.append(cid)
+    return out
+
+
+def _reclaim_expired_claims(
+    spark, path: str, committed: set, claimed: list
+) -> list[int]:
+    """Delete expired orphan claims (see _expired_claim_ids) so their
+    ids stop burning — called during normal claim probing, making
+    crash recovery automatic. Only the claim FILE is removed here; the
+    orphan's staged `commit=` debris is cleared by whichever writer
+    claims the freed id next (_clear_uncommitted_commit) or by vacuum.
+    Two probers racing on the same expired claim are safe: delete is
+    idempotent and the subsequent create-no-overwrite decides the id.
+    A live writer that outlived the lease and lost its claim aborts at
+    commit time via _verify_claim_held rather than committing over a
+    possibly-reassigned id."""
+    from agni_spark.sources.layout import _hfs
+
+    base = f"{path}/manifest"
+    fs, P = _hfs(spark, base)
+    reclaimed = []
+    for cid in _expired_claim_ids(spark, path, committed, claimed):
+        try:
+            fs.delete(P(f"{base}/.claim-{cid}"), False)
+            reclaimed.append(cid)
+        except Exception:
+            pass
+    return reclaimed
+
+
+def _verify_claim_held(spark, path: str, nxt: int) -> None:
+    """Abort (loudly) when this writer's claim file vanished — it
+    outlived the claim lease and a prober reclaimed the id, which may
+    already be claimed (or committed) by someone else. Checked at the
+    top of every commit attempt; the check-to-CAS window is the
+    residual race, which is why the default lease is hours, not
+    minutes."""
+    from agni_spark.sources.layout import _hfs
+
+    target = f"{path}/manifest/.claim-{int(nxt)}"
+    fs, P = _hfs(spark, target)
+    if not fs.exists(P(target)):
+        raise ManifestConflictError(
+            f"claim .claim-{int(nxt)} at {path} no longer exists — "
+            "this writer exceeded the claim lease "
+            "(spark.agni.manifest.claimLeaseSec) and the id was "
+            "reclaimed; aborting instead of committing over a "
+            "possibly-reassigned id. Re-run the operation; raise the "
+            "lease if writes legitimately take this long."
+        )
 
 
 def _claimed_ids(spark, path: str) -> list[int]:
@@ -568,8 +671,12 @@ def _claim_commit_id(
     loser's staged data is intact and recommittable. The claim is
     released on commit (_append_manifest) and on terminal conflict;
     a claim orphaned by a crash burns its id (ids are never reused
-    while a claim file exists) and is reclaimed by
-    vacuum_index(reclaim_claims=True).
+    while a claim file exists) only until the claim LEASE expires
+    (round 14: spark.agni.manifest.claimLeaseSec, default 6 h) —
+    every claim records its birth `ts`, and expired orphans are
+    auto-reclaimed during normal claim probing and by default vacuum;
+    vacuum_index(reclaim_claims=True) remains the manual force-all
+    override for claims younger than the lease.
 
     `batch_id` (streaming): the claim file records the micro-batch id
     so a REPLAY of a crashed attempt ADOPTS its own claim instead of
@@ -608,13 +715,23 @@ def _claim_commit_id(
             ):
                 _clear_uncommitted_commit(spark, path, subdirs, cid)
                 return cid
-    claim_doc = {}
+    # lease-based orphan recovery (round 14): drop expired claims so
+    # crashed writers stop burning ids — AFTER the adoption check, so
+    # a slow replay still adopts its own old claim instead of losing
+    # it to expiry
+    claimed_now = set(_claimed_ids(spark, path))
+    claimed_now -= set(
+        _reclaim_expired_claims(spark, path, committed, sorted(claimed_now))
+    )
+    import time as _time
+
+    claim_doc = {"ts": round(_time.time(), 3)}
     if batch_id is not None:
         claim_doc["batch_id"] = int(batch_id)
         if app_id is not None:
             claim_doc["app_id"] = app_id
     payload = json.dumps(claim_doc).encode("utf-8")
-    cand = max(committed | set(_claimed_ids(spark, path)), default=-1) + 1
+    cand = max(committed | claimed_now, default=-1) + 1
     for _ in range(_CLAIM_MAX_PROBES):
         try:
             out = fs.create(P(f"{base}/.claim-{cand}"), False)
@@ -859,6 +976,17 @@ def _write_index_manifest(
         cur2, rows2 = _resolve_manifest(spark, path)
         if cur2 is not None and cur2 > nxt_v:
             if not {int(c) for c in commits} <= {c for c, _ in rows2}:
+                # best-effort: remove our own just-written v=N.json
+                # before surfacing — it was skipped over and never
+                # served (readers resolve cur2 > it), so deleting it
+                # keeps history to versions that were ever the truth
+                # instead of leaving a parseable mid-history file
+                # listing a commit that was never committed (round
+                # 14, per the r13 advice)
+                try:
+                    fs.delete(P(f"{base}/v={nxt_v}.json"), False)
+                except Exception:
+                    pass
                 raise ManifestConflictError(
                     f"manifest v={nxt_v} at {path} was skipped over "
                     "while this writer stalled mid-commit; a newer "
@@ -1059,6 +1187,11 @@ def _append_manifest(
         if batch_id is not None:
             bids[nxt] = int(batch_id)
         new_applied = _bump_applied(applied, app_id, batch_id)
+        # OUTSIDE the try: lease loss must surface, never enter the
+        # OCC retry (the reclaimed id's staging may already be cleared
+        # by its new holder — a renumber would move nothing and commit
+        # an empty id)
+        _verify_claim_held(spark, path, nxt)
         try:
             _write_index_manifest(
                 spark, path, commits + [nxt], bids or None,
@@ -1141,6 +1274,24 @@ MINHASH_INDEX_SUBDIRS = [("sigs", None), ("buckets", "band")]
 
 
 def compact_index(spark, path: str, subdirs: list) -> int:
+    """Compact a stored index (see _compact_index_once for the full
+    mechanism). ONE bounded retry on conflict (round 14): a writer
+    committing during the fold aborts the attempt (compaction rewrites
+    history and cannot merge — a concurrent upsert's horizon could
+    resurrect folded rows), but instead of surfacing immediately the
+    compact recomputes ONCE against the fresh manifest, so compaction
+    can coexist with steady append traffic; a second loss aborts
+    loudly with ManifestConflictError and the caller picks a quieter
+    window. The losing attempt's staged fold is unreferenced debris
+    (claim released; vacuum or the next claimer of the id clears
+    it)."""
+    try:
+        return _compact_index_once(spark, path, subdirs)
+    except ManifestConflictError:
+        return _compact_index_once(spark, path, subdirs)
+
+
+def _compact_index_once(spark, path: str, subdirs: list) -> int:
     """Compact a stored index's committed `commit=` partitions into ONE
     new commit — the index-tier twin of the block store's compaction.
     Every append leaves its own commit partition, so a long-lived index
@@ -1252,6 +1403,9 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     # compact would re-append rows the compact already holds
     applied = _max_applied_batch(rows)
     try:
+        # lease loss is loud here too: a fold slower than the claim
+        # lease must not swap the manifest over a reclaimed id
+        _verify_claim_held(spark, path, nxt)
         _write_index_manifest(
             spark, path, [nxt],
             {nxt: applied} if applied is not None else None,
@@ -1262,12 +1416,14 @@ def compact_index(spark, path: str, subdirs: list) -> int:
         # a writer committed during the fold: the folded output no
         # longer covers the index, and compaction cannot merge
         # histories (a concurrent upsert's horizon could resurrect
-        # folded rows), so it ABORTS — the staged fold is reclaimable
-        # debris and the caller re-runs on the new state. This anchor
-        # also closes the round-12 hole where a compact landing after
-        # a concurrent append silently dropped the append's commit
-        # from the manifest. Appends/upserts/deletes retry instead
-        # (they commit deltas, not rewrites).
+        # folded rows), so THIS ATTEMPT aborts — the staged fold is
+        # reclaimable debris. This anchor also closes the round-12
+        # hole where a compact landing after a concurrent append
+        # silently dropped the append's commit from the manifest.
+        # Appends/upserts/deletes retry in place instead (they commit
+        # deltas, not rewrites); compact_index re-runs the whole fold
+        # once against the fresh manifest (round 14) before
+        # surfacing.
         _release_claim(spark, path, nxt)
         raise
     _release_claim(spark, path, nxt)
@@ -1288,16 +1444,28 @@ def vacuum_index(
     CLAIM AWARENESS (round 13): an uncommitted `commit=N` whose
     `manifest/.claim-N` file exists belongs to an IN-FLIGHT writer
     (staging now, manifest CAS not yet attempted) — default vacuum
-    must not destroy it, which also closes the round-12
-    vacuum-during-append race. Claim files of COMMITTED ids are spent
-    bookkeeping and always reclaim. `reclaim_claims=True` additionally
-    reclaims uncommitted claims AND their staged data — crashed-writer
-    cleanup; run it only when no writer is in flight (the same
-    retention caveat as lakehouse VACUUM). `dry_run=True` returns what
-    WOULD be removed without touching anything (lakehouse `VACUUM ...
-    DRY RUN`) — the operator's preflight before a reclaim_claims pass,
-    since that is the one destructive-if-misused knob in the
-    lifecycle."""
+    must not destroy it, which NARROWS the round-12
+    vacuum-during-append race to the per-delete recheck window: the
+    claim's existence is re-probed immediately before each delete
+    (round 14), so a writer that claims and stages DURING the scan is
+    spared; only a claim landing inside the final exists-to-delete
+    gap (single-digit milliseconds of filesystem RPCs) could still
+    lose staging, and its commit CAS then fails loudly on the
+    expected-version anchor rather than serving missing files. Claim
+    files of COMMITTED ids are spent bookkeeping and always reclaim.
+
+    LEASES (round 14): an uncommitted claim whose recorded `ts` is
+    older than the claim lease (spark.agni.manifest.claimLeaseSec,
+    default 6 h) is an orphan — default vacuum reclaims it AND its
+    staged data automatically, so routine vacuums clean up crashes
+    without the footgun flag. `reclaim_claims=True` remains the
+    manual force-all override: it additionally reclaims claims
+    YOUNGER than the lease — run that only when no writer is in
+    flight (the same retention caveat as lakehouse VACUUM).
+    `dry_run=True` returns what WOULD be removed without touching
+    anything (lakehouse `VACUUM ... DRY RUN`) — the operator's
+    preflight before a reclaim_claims pass, since that is the one
+    destructive-if-misused knob in the lifecycle."""
     from agni_spark.sources.layout import _fs_delete as _rm
     from agni_spark.sources.layout import _hfs
 
@@ -1307,6 +1475,9 @@ def vacuum_index(
 
     committed = set(_committed(spark, path))
     claimed = set(_claimed_ids(spark, path))
+    expired = set(
+        _expired_claim_ids(spark, path, committed, sorted(claimed))
+    )
     removed = []
     # tombstone dirs follow the same commit idiom (delete_from_index)
     # — a tombstone-consuming compaction leaves them manifest-orphaned
@@ -1323,8 +1494,19 @@ def vacuum_index(
             cid = int(name.split("=", 1)[1])
             if cid in committed:
                 continue
-            if cid in claimed and not reclaim_claims:
+            if cid in claimed and not reclaim_claims and (
+                cid not in expired
+            ):
                 continue  # an in-flight writer's staging — hands off
+            if cid not in claimed and not reclaim_claims:
+                # unclaimed at scan time — re-probe the claim
+                # immediately before the delete (round 14): a writer
+                # may have claimed and staged this id DURING the scan
+                cfs, cP = _hfs(spark, f"{path}/manifest")
+                if cfs.exists(
+                    cP(f"{path}/manifest/.claim-{cid}")
+                ) and cid not in expired:
+                    continue
             _fs_delete(spark, f"{base}/{name}")
             removed.append(f"{sub}/{name}")
     # manifest history GC (versioned layout): delete ONLY versions
@@ -1349,9 +1531,10 @@ def vacuum_index(
                     cid = int(name[len(".claim-"):])
                 except ValueError:
                     continue
-                # spent claims (id committed) always reclaim; live
-                # uncommitted claims only under reclaim_claims
-                if cid in committed or reclaim_claims:
+                # spent claims (id committed) always reclaim; expired
+                # orphans (lease) reclaim by default; live uncommitted
+                # claims only under reclaim_claims
+                if cid in committed or reclaim_claims or cid in expired:
                     _fs_delete(spark, f"{mbase}/{name}")
                     removed.append(f"manifest/{name}")
                 continue
@@ -4230,6 +4413,16 @@ def _graph_insert_commit(
 
 
 def compact_graph_index(spark, path: str) -> int:
+    """Graph-family compaction (see _compact_graph_index_once). Same
+    bounded-retry contract as compact_index (round 14): one recompute
+    against the fresh manifest on conflict, then surface."""
+    try:
+        return _compact_graph_index_once(spark, path)
+    except ManifestConflictError:
+        return _compact_graph_index_once(spark, path)
+
+
+def _compact_graph_index_once(spark, path: str) -> int:
     """Graph-family compaction WITH UPPER-LAYER REBUILD. The generic
     compact_index rewrites partitions byte-preserving, which keeps
     layer-0 history but also freezes the upper layers' append-time
@@ -4398,6 +4591,7 @@ def compact_graph_index(spark, path: str) -> int:
         ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     applied = _max_applied_batch(rows)
     try:
+        _verify_claim_held(spark, path, nxt)  # lease loss is loud
         _write_index_manifest(
             spark, path, [nxt],
             {nxt: applied} if applied is not None else None,

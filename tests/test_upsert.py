@@ -1079,13 +1079,16 @@ def test_streaming_replay_adopts_crashed_claim(spark, emb):
     assert _claim_files(path) == []
 
 
-def test_compact_aborts_on_concurrent_append_without_losing_it(
+def test_compact_retries_once_on_concurrent_append_and_succeeds(
     spark, emb, monkeypatch
 ):
     """Round-12 hole: a compact landing after a concurrent append
     silently DROPPED the append's commit from the manifest. The swap
-    is now anchored to the version the fold read — it aborts loudly,
-    the append stays committed, and a re-run compact succeeds."""
+    is anchored to the version the fold read, so the racing attempt
+    conflicts — and since round 14 compact_index recomputes ONCE
+    against the fresh manifest instead of surfacing, so compaction
+    coexists with steady appends: the retry's fold contains the
+    racer's rows and nothing is lost."""
     path = tempfile.mkdtemp(prefix="occ_cmp_") + "/idx"
     simsearch.write_ivf_index(
         emb.where(F.col("vec_id") < 20), path, n_centroids=4
@@ -1102,6 +1105,51 @@ def test_compact_aborts_on_concurrent_append_without_losing_it(
              applied=None):
         if not fired["done"] and expected_version is not None:
             fired["done"] = True
+            simsearch.append_ivf_index(s, p, late)  # the racer
+        return real(s, p, commits, bids, expected_version,
+                    applied=applied)
+
+    monkeypatch.setattr(simsearch, "_write_index_manifest", racy)
+    n = simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    monkeypatch.undo()
+    assert simsearch._committed(spark, path) == [n]
+    assert _claim_files(path) == []
+    served = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells")
+        .where(F.col("commit") == n)
+        .collect()
+    )
+    assert served == sorted(r.vec_id for r in emb.collect())
+
+
+def test_compact_aborts_after_second_conflict_without_losing_appends(
+    spark, emb, monkeypatch
+):
+    """Sustained append traffic that outruns BOTH compact attempts:
+    the second loss surfaces ManifestConflictError (compaction still
+    refuses to merge histories), every racer append stays committed,
+    all claims are released, and a quiet re-run folds everything."""
+    path = tempfile.mkdtemp(prefix="occ_cmp2_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    mid = emb.where(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 30)
+    ).select("vec_id", "embedding")
+    late = emb.where(F.col("vec_id") >= 30).select("vec_id", "embedding")
+    simsearch.append_ivf_index(spark, path, mid)
+    real = simsearch._write_index_manifest
+    state = {"fired": 0}
+
+    def racy(s, p, commits, bids=None, expected_version=None,
+             applied=None):
+        # compact's own swap writes a SINGLE-commit list; the racer
+        # appends write longer ones (no recursion on their commits)
+        if len(commits) == 1 and state["fired"] < 2 and (
+            expected_version is not None
+        ):
+            state["fired"] += 1
             simsearch.append_ivf_index(s, p, late)
         return real(s, p, commits, bids, expected_version,
                     applied=applied)
@@ -1110,17 +1158,12 @@ def test_compact_aborts_on_concurrent_append_without_losing_it(
     with pytest.raises(simsearch.ManifestConflictError):
         simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
     monkeypatch.undo()
-    assert simsearch._committed(spark, path) == [0, 1, 3]
-    assert _claim_files(path) == []  # the aborted fold released its claim
+    assert state["fired"] == 2
+    committed = simsearch._committed(spark, path)
+    assert len(committed) == 4  # base + mid + both racer appends
+    assert _claim_files(path) == []
     n = simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
     assert simsearch._committed(spark, path) == [n]
-    served = sorted(
-        r.vec_id
-        for r in spark.read.parquet(f"{path}/cells")
-        .where(F.col("commit") == n)
-        .collect()
-    )
-    assert served == sorted(r.vec_id for r in emb.collect())
 
 
 def test_occ_concurrent_graph_appends_renumber_meta(
@@ -1451,3 +1494,143 @@ def test_appends_forward_app_id_into_claim(spark, emb, monkeypatch):
         assert seen[path] == f"app-{kind}", (
             f"append_{kind}_index dropped app_id on the claim"
         )
+
+
+# --- claim leases (round 14) ------------------------------------------------
+
+
+def _age_claim(path, cid, age_sec=10_000_000):
+    """Backdate a claim doc's recorded birth time (tests only). The
+    direct rewrite invalidates Hadoop's local-FS CRC sidecar, so drop
+    it — otherwise every later read raises ChecksumException and the
+    lease machinery (correctly) spares the unreadable claim."""
+    import json
+    import os
+    import time
+
+    f = f"{path}/manifest/.claim-{cid}"
+    doc = json.load(open(f))
+    doc["ts"] = time.time() - age_sec
+    with open(f, "w") as fh:
+        json.dump(doc, fh)
+    crc = f"{path}/manifest/..claim-{cid}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_expired_orphan_claim_reclaimed_during_normal_append(spark, emb):
+    """A crashed writer's claim older than the lease is auto-reclaimed
+    by the NEXT ordinary append: the freed id is reused, the orphan's
+    staged debris is cleared by the new holder, and no manual
+    vacuum_index(reclaim_claims=True) pass is needed."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="lease_rec_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    new = emb.where(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    _, rows = simsearch._resolve_manifest(spark, path)
+    orphan = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS
+    )
+    staged = f"{path}/cells/commit={orphan}/centroid_id=0"
+    os.makedirs(staged, exist_ok=True)
+    open(f"{staged}/crashed.sentinel", "w").write("orphan debris")
+    _age_claim(path, orphan)
+    simsearch.append_ivf_index(spark, path, new)
+    assert simsearch._committed(spark, path) == [0, orphan]
+    assert _claim_files(path) == []
+    assert not os.path.exists(f"{staged}/crashed.sentinel")
+    got = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells")
+        .where(F.col("commit") == orphan)
+        .collect()
+    )
+    assert got == sorted(r.vec_id for r in new.collect())
+
+
+def test_young_orphan_claim_spared_during_append(spark, emb):
+    """A claim younger than the lease — possibly a LIVE slow writer —
+    is never reclaimed by a concurrent append: the append takes the
+    next id and the claim (and its staging) survive."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="lease_young_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    new = emb.where(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    _, rows = simsearch._resolve_manifest(spark, path)
+    live = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS
+    )
+    staged = f"{path}/cells/commit={live}/centroid_id=0"
+    os.makedirs(staged, exist_ok=True)
+    open(f"{staged}/inflight.sentinel", "w").write("live staging")
+    simsearch.append_ivf_index(spark, path, new)
+    assert simsearch._committed(spark, path) == [0, live + 1]
+    assert _claim_files(path) == [f".claim-{live}"]
+    assert os.path.exists(f"{staged}/inflight.sentinel")
+
+
+def test_lease_lost_writer_aborts_loudly(spark, emb):
+    """A writer whose claim vanished (lease expired and a prober
+    reclaimed the id) must ABORT at commit time, never CAS the
+    manifest over a possibly-reassigned id."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="lease_lost_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    ver, rows, _applied = simsearch._manifest_snapshot(spark, path)
+    nxt = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS
+    )
+    os.remove(f"{path}/manifest/.claim-{nxt}")  # the reclaim
+    with pytest.raises(simsearch.ManifestConflictError, match="lease"):
+        simsearch._append_manifest(
+            spark, path, rows, nxt,
+            subdirs=simsearch.IVF_INDEX_SUBDIRS,
+            read_version=ver if ver is not None else 0,
+        )
+    # nothing committed; the manifest is untouched
+    assert simsearch._committed(spark, path) == [0]
+
+
+def test_vacuum_default_reclaims_expired_spares_young(spark, emb):
+    """Default vacuum (no flags) reclaims an EXPIRED orphan claim and
+    its staging automatically, while a claim younger than the lease —
+    potentially a live writer — keeps both its claim file and its
+    staged data. reclaim_claims=True remains the force-all override."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="lease_vac_") + "/idx"
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    _, rows = simsearch._resolve_manifest(spark, path)
+    old = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS
+    )
+    young = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS
+    )
+    for cid in (old, young):
+        d = f"{path}/cells/commit={cid}/centroid_id=0"
+        os.makedirs(d, exist_ok=True)
+        open(f"{d}/staged.sentinel", "w").write("x")
+    _age_claim(path, old)
+    removed = simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    )
+    assert f"cells/commit={old}" in removed
+    assert f"manifest/.claim-{old}" in removed
+    assert not any(f"commit={young}" in r for r in removed)
+    assert _claim_files(path) == [f".claim-{young}"]
+    assert os.path.exists(f"{path}/cells/commit={young}")
+    removed = simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, reclaim_claims=True
+    )
+    assert f"cells/commit={young}" in removed
+    assert _claim_files(path) == []
