@@ -610,13 +610,27 @@ def _reclaim_expired_claims(
     return reclaimed
 
 
+# owner tokens (round 14): each claim doc records a per-claim random
+# token, remembered PROCESS-LOCALLY here keyed by (index path, commit
+# id) — the claim belongs to this process, so no caller plumbing is
+# needed. Lets _verify_claim_held distinguish "my claim still exists"
+# from "my claim expired, was reclaimed, and the same id was re-issued
+# to ANOTHER writer" (the file exists either way), and lets
+# _renew_claim refresh only a claim this process still owns.
+_CLAIM_OWNERS: dict = {}
+
+
 def _verify_claim_held(spark, path: str, nxt: int) -> None:
-    """Abort (loudly) when this writer's claim file vanished — it
-    outlived the claim lease and a prober reclaimed the id, which may
-    already be claimed (or committed) by someone else. Checked at the
-    top of every commit attempt; the check-to-CAS window is the
-    residual race, which is why the default lease is hours, not
-    minutes."""
+    """Abort (loudly) when this writer's claim is gone OR was re-issued
+    to another writer: the file vanished (lease expired, a prober
+    reclaimed the id) or it exists but carries a different owner token
+    (reclaimed AND re-claimed — without the token this was
+    undetectable). Checked at the top of every commit attempt; the
+    check-to-CAS window is the residual race, which is why the default
+    lease is hours, not minutes — and why long folds renew
+    (_renew_claim)."""
+    import json
+
     from agni_spark.sources.layout import _hfs
 
     target = f"{path}/manifest/.claim-{int(nxt)}"
@@ -628,8 +642,63 @@ def _verify_claim_held(spark, path: str, nxt: int) -> None:
             "(spark.agni.manifest.claimLeaseSec) and the id was "
             "reclaimed; aborting instead of committing over a "
             "possibly-reassigned id. Re-run the operation; raise the "
-            "lease if writes legitimately take this long."
+            "lease (or renew mid-write) if writes legitimately take "
+            "this long."
         )
+    mine = _CLAIM_OWNERS.get((path, int(nxt)))
+    if mine is None:
+        return  # adopted pre-round-14 claim: existence is the check
+    try:
+        doc = json.loads(_read_small_file(spark, target))
+    except Exception:
+        return  # unreadable mid-rewrite — existence already verified
+    theirs = doc.get("owner")
+    if theirs is not None and theirs != mine:
+        raise ManifestConflictError(
+            f"claim .claim-{int(nxt)} at {path} now belongs to a "
+            "different writer — this writer's lease expired, the id "
+            "was reclaimed and re-issued; aborting instead of "
+            "committing another writer's staging. Re-run the "
+            "operation; raise the lease (or renew mid-write) if "
+            "writes legitimately take this long."
+        )
+
+
+def _renew_claim(spark, path: str, nxt: int) -> bool:
+    """Refresh this process's claim `ts` so a legitimately-long write
+    (a large compaction fold) never outlives the lease: verify the
+    claim is still ours (_verify_claim_held — raises if lost or
+    stolen), then rewrite the claim doc in place with a fresh
+    timestamp and the same owner/batch/app fields. Overwrite is safe:
+    only the owner ever rewrites its claim; racers use
+    create-no-overwrite. Returns False on a transient IO failure
+    (the claim simply keeps aging toward the lease — the next
+    _verify_claim_held still guards the commit)."""
+    import json
+    import time
+
+    from agni_spark.sources.layout import _hfs
+
+    _verify_claim_held(spark, path, nxt)
+    target = f"{path}/manifest/.claim-{int(nxt)}"
+    try:
+        doc = json.loads(_read_small_file(spark, target))
+    except Exception:
+        doc = {}
+    doc["ts"] = round(time.time(), 3)
+    mine = _CLAIM_OWNERS.get((path, int(nxt)))
+    if mine is not None:
+        doc["owner"] = mine
+    try:
+        fs, P = _hfs(spark, target)
+        out = fs.create(P(target), True)
+        try:
+            out.write(bytearray(json.dumps(doc).encode("utf-8")))
+        finally:
+            out.close()
+        return True
+    except Exception:
+        return False
 
 
 def _claimed_ids(spark, path: str) -> list[int]:
@@ -713,6 +782,10 @@ def _claim_commit_id(
             if doc.get("batch_id") == int(batch_id) and (
                 doc.get("app_id") == app_id
             ):
+                # adopt the crashed attempt's claim — and its owner
+                # token, so the commit-time ownership check passes
+                if doc.get("owner") is not None:
+                    _CLAIM_OWNERS[(path, cid)] = doc["owner"]
                 _clear_uncommitted_commit(spark, path, subdirs, cid)
                 return cid
     # lease-based orphan recovery (round 14): drop expired claims so
@@ -724,8 +797,9 @@ def _claim_commit_id(
         _reclaim_expired_claims(spark, path, committed, sorted(claimed_now))
     )
     import time as _time
+    import uuid as _uuid
 
-    claim_doc = {"ts": round(_time.time(), 3)}
+    claim_doc = {"ts": round(_time.time(), 3), "owner": _uuid.uuid4().hex}
     if batch_id is not None:
         claim_doc["batch_id"] = int(batch_id)
         if app_id is not None:
@@ -748,6 +822,7 @@ def _claim_commit_id(
             out.write(bytearray(payload))
         finally:
             out.close()
+        _CLAIM_OWNERS[(path, cand)] = claim_doc["owner"]
         _clear_uncommitted_commit(spark, path, subdirs, cand)
         return cand
     raise RuntimeError(
@@ -763,6 +838,7 @@ def _release_claim(spark, path: str, nxt: int) -> None:
     a failed delete only delays reclaim until vacuum."""
     from agni_spark.sources.layout import _hfs
 
+    _CLAIM_OWNERS.pop((path, int(nxt)), None)
     target = f"{path}/manifest/.claim-{int(nxt)}"
     try:
         fs, P = _hfs(spark, target)
@@ -1337,6 +1413,12 @@ def _compact_index_once(spark, path: str, subdirs: list) -> int:
     tombs = _tombstones(spark, path, commits)
     scrubbed_everywhere = tombs is not None
     for sub, routing in subdirs:
+        # a large fold can legitimately run long: refresh the claim's
+        # lease at every subdir boundary so a slow-but-live compact is
+        # never mistaken for an orphan (best-effort — a transient
+        # failure just lets the claim age toward the lease, and the
+        # pre-swap _verify_claim_held still guards the commit)
+        _renew_claim(spark, path, nxt)
         # OPTIONAL subdirs (e.g. the PQ layout's `vectors/`) may be
         # absent from a given index — skip, don't fail
         from agni_spark.sources.layout import _hfs
@@ -4559,6 +4641,10 @@ def _compact_graph_index_once(spark, path: str) -> int:
         .mode("append")
         .parquet(f"{path}/nodes")
     )
+    # the upper-layer rebuild above is the long half of this fold:
+    # refresh the claim's lease before the meta/manifest endgame (see
+    # compact_index's per-subdir renew; same best-effort contract)
+    _renew_claim(spark, path, nxt)
     # refreshed entries + the exact recomputed degree bound land in
     # VERSIONED meta (meta/commit=nxt) before the manifest commit;
     # readers resolve meta via the manifest (see _read_graph_meta), so

@@ -1634,3 +1634,67 @@ def test_vacuum_default_reclaims_expired_spares_young(spark, emb):
     )
     assert f"cells/commit={young}" in removed
     assert _claim_files(path) == []
+
+
+def test_renew_claim_extends_lease(spark, emb):
+    """_renew_claim refreshes an aging claim's ts in place: after a
+    renewal, the claim is no longer an expiry candidate and a
+    concurrent append spares it (a compaction fold renews at every
+    subdir boundary, so a slow-but-live fold never reads as an
+    orphan)."""
+    path = tempfile.mkdtemp(prefix="lease_renew_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    new = emb.where(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    _, rows = simsearch._resolve_manifest(spark, path)
+    held = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS
+    )
+    _age_claim(path, held)  # about to be treated as an orphan...
+    assert simsearch._expired_claim_ids(
+        spark, path, {0}, [held]
+    ) == [held]
+    assert simsearch._renew_claim(spark, path, held)  # ...renewed
+    assert simsearch._expired_claim_ids(spark, path, {0}, [held]) == []
+    simsearch.append_ivf_index(spark, path, new)
+    assert simsearch._committed(spark, path) == [0, held + 1]
+    assert _claim_files(path) == [f".claim-{held}"]
+
+
+def test_stolen_claim_detected_by_owner_token(spark, emb):
+    """The id-reissue race the bare existence check cannot see: writer
+    A's claim expires, a prober reclaims it, writer B claims the SAME
+    id — the file exists again, but with B's owner token. A's commit
+    attempt must abort; B's must still pass."""
+    path = tempfile.mkdtemp(prefix="lease_steal_") + "/idx"
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") < 20), path, n_centroids=4
+    )
+    ver, rows, _applied = simsearch._manifest_snapshot(spark, path)
+    cid = simsearch._claim_commit_id(
+        spark, path, rows, simsearch.IVF_INDEX_SUBDIRS
+    )
+    owner_a = simsearch._CLAIM_OWNERS[(path, cid)]
+    # A's lease expires; the reclaim frees the id; B claims it
+    _age_claim(path, cid)
+    _, rows_b = simsearch._resolve_manifest(spark, path)
+    cid_b = simsearch._claim_commit_id(
+        spark, path, rows_b, simsearch.IVF_INDEX_SUBDIRS
+    )
+    assert cid_b == cid  # same id, reissued
+    owner_b = simsearch._CLAIM_OWNERS[(path, cid)]
+    assert owner_b != owner_a
+    # writer A's process state: restore A's remembered token
+    simsearch._CLAIM_OWNERS[(path, cid)] = owner_a
+    with pytest.raises(
+        simsearch.ManifestConflictError, match="different writer"
+    ):
+        simsearch._verify_claim_held(spark, path, cid)
+    # ...and A must not be able to renew it either
+    with pytest.raises(simsearch.ManifestConflictError):
+        simsearch._renew_claim(spark, path, cid)
+    # writer B (the current holder) passes
+    simsearch._CLAIM_OWNERS[(path, cid)] = owner_b
+    simsearch._verify_claim_held(spark, path, cid)
+    simsearch._release_claim(spark, path, cid)
