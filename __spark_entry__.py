@@ -3419,7 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # surface, not just the TSDB core. Keep new queries AFTER entry 50
     # unless swapping a representative.
     return {
-        # --- TSDB core (16) ---
+        # --- TSDB core (13, + 2 OCC/streaming rotations riding here) ---
         "s3_block_overlap_check": _q_s3_overlap,
         "s9_block_store_roundtrip": _q_s9_block_store,
         "e1_tsdb_ingest_roundtrip": _q_e1_tsdb_ingest,
@@ -3430,13 +3430,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_regex_matcher": _q_p3_regex,
         "p4_neq_matcher": _q_p4_neq,
         "p7_select_samples": _q_p7_select,
-        "p9_tombstone_filter": _q_p9_tombstones,
+        # round-14 rotation: the OCC SAME-KEY CONCURRENT UPSERT (the
+        # subtlest commit-protocol path — a renumbered staging's
+        # tombstone horizons are rewritten to follow, so last-writer-
+        # wins stays keyed by commit id) replaces p9_tombstone_filter,
+        # externally green since round 4; tombstone read-filtering
+        # stays windowed through merge_on_read_dedup and the upsert
+        # rows, and p9 stays oracle-gated after #50.
+        "simsearch_ivf_concurrent_upsert": (
+            _q_simsearch_ivf_concurrent_upsert
+        ),
         # streamed remote read replaced the sampled matrix assembly in
         # the window (s13 stays oracle-gated after #50): the chunked
         # path exercises matrix assembly AND the XOR chunk + framing
         # wire format in one externally-checked row
         "s14_streamed_remote_read": _q_s14_streamed_remote_read,
-        "a1_intersect": _q_a1_intersect,
+        # round-14 rotation: TWO STREAMS MAINTAINING ONE INDEX via
+        # per-application replay watermarks (the Delta txn appId
+        # idiom, end-to-end through foreachBatch) replaces
+        # a1_intersect, externally green since round 1; posting-list
+        # intersection stays windowed through p2/p3/p4 (whose matcher
+        # conjunctions are the same broadcast semi-join chain), and a1
+        # stays oracle-gated after #50.
+        "streaming_two_writers": _q_streaming_two_writers,
         "m1_merge_sorted": _q_m1_merge,
         "merge_on_read_dedup": _q_merge_on_read,
         # --- PromQL (9) ---
@@ -3464,11 +3480,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_recall_bq": _q_simsearch_recall_bq,
         "promql_parsed_binop": _q_promql_parsed_binop,
         "promql_parsed_group_left": _q_promql_parsed_group_left,
-        # --- TPC-H (4) ---
+        # --- TPC-H (3, + txn introspection rotation) ---
         "tpch_q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(s, d),
         "tpch_q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(s, d),
         "tpch_q5_local_volume": lambda s, d: relational.q5_local_supplier_volume(s, d),
-        "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
+        # round-14 rotation: TXN INTROSPECTION (the per-app watermark
+        # map as a queryable surface) replaces tpch_q10, externally
+        # green since round 1 — the TPC-H join/agg shapes keep q1, q3
+        # and q5 as window reps, and q10 stays oracle-gated after #50.
+        "simsearch_index_txns": _q_simsearch_index_txns,
         # --- Dedup (6) ---
         # round-12 rotation: the EVALUATION tier enters the window —
         # recall@k had never been driver-checked; it replaces the IVF
@@ -3581,19 +3601,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_bq_cloned": _q_simsearch_bq_cloned,
         # round-13 OCC on a second family (generic protocol witness)
         "text_index_concurrent_append": _q_text_index_concurrent_append,
-        # round-13 per-app replay watermarks: two streams, one index
-        "streaming_two_writers": _q_streaming_two_writers,
         # round-13 OCC on the graph family (renumber moves edges +
         # nodes + versioned meta; full unrolled walk oracle)
         "simsearch_graph_concurrent_append": (
             _q_simsearch_graph_concurrent_append
         ),
-        # round-13 txn introspection: per-app watermarks as a surface
-        "simsearch_index_txns": _q_simsearch_index_txns,
-        # round-13 OCC same-key upsert race: horizon rewrite pinned
-        "simsearch_ivf_concurrent_upsert": (
-            _q_simsearch_ivf_concurrent_upsert
-        ),
+        # rotated OUT of the window in round 14 (externally green
+        # since rounds 1-4), still fully oracle-gated:
+        "p9_tombstone_filter": _q_p9_tombstones,
+        "a1_intersect": _q_a1_intersect,
+        "tpch_q10_returned_items": lambda s, d: relational.q10_returned_items(s, d),
         "simsearch_graph_deleted": _q_simsearch_graph_deleted,
         "simsearch_graph_delete_compacted": (
             _q_simsearch_graph_delete_compacted

@@ -766,8 +766,12 @@ def _claim_commit_id(
     fs, P = _hfs(spark, base)
     _require_cas(spark, fs, P, base)
     committed = {int(c) for c, _ in rows}
+    # ONE claim listing serves the adoption scan, the expiry sweep and
+    # the candidate computation (round 14: fewer filesystem RPCs per
+    # append — the claim path runs on every commit)
+    claimed_now = set(_claimed_ids(spark, path))
     if batch_id is not None:
-        for cid in _claimed_ids(spark, path):
+        for cid in sorted(claimed_now):
             if cid in committed or cid == adopt_exclude:
                 # adopt_exclude: an OCC renumber must not re-adopt the
                 # very claim it is renumbering away from (same batch
@@ -792,7 +796,6 @@ def _claim_commit_id(
     # crashed writers stop burning ids — AFTER the adoption check, so
     # a slow replay still adopts its own old claim instead of losing
     # it to expiry
-    claimed_now = set(_claimed_ids(spark, path))
     claimed_now -= set(
         _reclaim_expired_claims(spark, path, committed, sorted(claimed_now))
     )
@@ -982,10 +985,10 @@ def _write_index_manifest(
         doc["applied"] = {str(k): int(v) for k, v in applied.items()}
     payload = json.dumps(doc, sort_keys=True).encode("utf-8")
 
-    def _stale_check():
+    def _stale_check(entries=None):
         if expected_version is None:
             return
-        cur, _ = _resolve_manifest(spark, path)
+        cur, _ = _resolve_manifest(spark, path, entries=entries)
         if (cur if cur is not None else 0) != int(expected_version):
             raise ManifestConflictError(
                 f"manifest at {path} advanced past the version this "
@@ -993,8 +996,12 @@ def _write_index_manifest(
                 f"v={cur}); its commit list is stale"
             )
 
-    _stale_check()
-    vers = _manifest_versions(spark, path)
+    # one listStatus feeds both the stale check and the slot choice
+    # (round 14 — the write path previously listed the manifest twice
+    # before its create); collision retries below re-list fresh
+    entries0 = _manifest_entries(spark, path)
+    _stale_check(entries0)
+    vers = [v for v, _, _ in entries0]
     nxt_v = (max(vers) + 1) if vers else 1
     if expected_version is not None:
         nxt_v = max(nxt_v, int(expected_version) + 1)
@@ -1076,7 +1083,7 @@ def _write_index_manifest(
 
 
 def _manifest_snapshot(
-    spark, path: str
+    spark, path: str, entries: list | None = None
 ) -> tuple[int | None, list[tuple[int, int | None]], dict[str, int]]:
     """(serving_version, rows, applied) — the newest PARSEABLE
     manifest version, its (commit, batch_id|None) pairs sorted by
@@ -1113,7 +1120,8 @@ def _manifest_snapshot(
         bids = [b for _, b in rows if b is not None]
         return {"": max(bids)} if bids else {}
 
-    entries = _manifest_entries(spark, path)
+    if entries is None:
+        entries = _manifest_entries(spark, path)
     for ver, name, is_file in sorted(
         entries, key=lambda e: (e[0], e[2]), reverse=True
     ):
@@ -1142,12 +1150,14 @@ def _manifest_snapshot(
 
 
 def _resolve_manifest(
-    spark, path: str
+    spark, path: str, entries: list | None = None
 ) -> tuple[int | None, list[tuple[int, int | None]]]:
     """(serving_version, rows) — see _manifest_snapshot (this is the
     reader-side view; writers use the snapshot to carry the applied
-    map through their rewrite)."""
-    ver, rows, _ = _manifest_snapshot(spark, path)
+    map through their rewrite). `entries` forwards a pre-fetched
+    _manifest_entries listing so hot write paths spend one listStatus,
+    not two (round 14)."""
+    ver, rows, _ = _manifest_snapshot(spark, path, entries=entries)
     return ver, rows
 
 
