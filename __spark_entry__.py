@@ -2743,6 +2743,50 @@ def _q_simsearch_ivf_compacted(spark: SparkSession, sf: str) -> DataFrame:
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_ivf_minor_compacted(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # MINOR compaction (round 14): the LSM/OPTIMIZE-style small-file
+    # fold. Build the even half (the LARGE base commit), append the
+    # odd half as THREE small commits, then fold with small_bytes =
+    # the base commit's on-disk size — only the appends rewrite
+    # (O(new-data)); the base survives in place, which at 100 TB is
+    # the difference between absorbing a day of stream appends and
+    # rewriting the whole index. Fold + vacuum must leave probe
+    # answers unchanged (same oracle as the append/compact paths);
+    # the base-survival property itself is asserted here and pinned
+    # in tests/test_upsert.py.
+    import tempfile
+
+    from agni_spark.sources.layout import _hfs
+
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_ivf_mcmp_")
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), path,
+                              n_centroids=8)
+    odd = e.where(F.col("vec_id") % 2 == 1)
+    for m in (1, 3, 5):
+        simsearch.append_ivf_index(spark, path,
+                                   odd.where(F.col("vec_id") % 6 == m))
+    fs, P = _hfs(spark, f"{path}/cells")
+    thresh = fs.getContentSummary(
+        P(f"{path}/cells/commit=0")
+    ).getLength()
+    nxt = simsearch.compact_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, small_bytes=thresh
+    )
+    _, rows, _ = simsearch._manifest_snapshot(spark, path)
+    if sorted(c for c, _ in rows) != [0, nxt]:
+        raise ValueError(
+            f"minor fold did not preserve the base commit: {rows!r}"
+        )
+    simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_simsearch_graph_hnsw(spark: SparkSession, sf: str) -> DataFrame:
     # HNSW-layered stored graph: geometric upper layer (deterministic
     # md5 levels) + medoid entries; probe descends the upper layer
@@ -4001,6 +4045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stored-PQ two-stage serve (ADC shortlist from the codes
         # store + exact rerank) — matches ivfpq_refine's full oracle
         "simsearch_ivfpq_stored_rerank": _q_simsearch_ivfpq_stored_rerank,
+        # MINOR compaction (round 14): size-thresholded small-commit
+        # fold — appends rewrite, the large base commit survives in
+        # place (asserted), probe answers unchanged
+        "simsearch_ivf_minor_compacted": _q_simsearch_ivf_minor_compacted,
     }
 
 
@@ -7643,6 +7691,10 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         ),
         # compaction moves bytes, never answers: same oracle as append
         "simsearch_ivf_compacted": _SQL_SIMSEARCH_IVF_APPEND,
+        # minor fold moves bytes, never answers: same mirror as the
+        # append/full-compact rows (frozen even-half quantizer, full
+        # corpus probed)
+        "simsearch_ivf_minor_compacted": _SQL_SIMSEARCH_IVF_APPEND,
         # tombstone delete (round 11): candidates drop before the rank
         "simsearch_ivf_deleted": _sql_simsearch_ivf(
             cand_where=(

@@ -1359,7 +1359,36 @@ TEXT_INDEX_SUBDIRS = [
 MINHASH_INDEX_SUBDIRS = [("sigs", None), ("buckets", "band")]
 
 
-def compact_index(spark, path: str, subdirs: list) -> int:
+def _small_commits(
+    spark, path: str, primary: str, commits: list, small_bytes: int
+) -> list:
+    """The manifest-listed commits whose `commit=` partition in the
+    PRIMARY data subdir holds fewer than `small_bytes` bytes on disk —
+    the minor-compaction fold set. Pure filesystem metadata
+    (getContentSummary per commit dir — one namenode/liststatus call
+    each, no data read), so selecting the fold set costs O(#commits)
+    RPCs, never a scan. A commit with no partition in the primary
+    subdir (a tombstone-only delete commit) counts as 0 bytes and
+    folds — exactly right: those are the tiny commits minor
+    compaction exists to absorb."""
+    from agni_spark.sources.layout import _hfs
+
+    fs, P = _hfs(spark, f"{path}/{primary}")
+    out = []
+    for c in commits:
+        d = P(f"{path}/{primary}/commit={int(c)}")
+        try:
+            n = fs.getContentSummary(d).getLength() if fs.exists(d) else 0
+        except Exception:
+            n = 0
+        if n < small_bytes:
+            out.append(c)
+    return out
+
+
+def compact_index(
+    spark, path: str, subdirs: list, small_bytes: int | None = None
+) -> int:
     """Compact a stored index (see _compact_index_once for the full
     mechanism). ONE bounded retry on conflict (round 14): a writer
     committing during the fold aborts the attempt (compaction rewrites
@@ -1370,14 +1399,29 @@ def compact_index(spark, path: str, subdirs: list) -> int:
     loudly with ManifestConflictError and the caller picks a quieter
     window. The losing attempt's staged fold is unreferenced debris
     (claim released; vacuum or the next claimer of the id clears
-    it)."""
+    it).
+
+    `small_bytes` (round 14) selects MINOR compaction — the LSM /
+    lakehouse-OPTIMIZE small-file fold: only commits whose primary
+    data subdir is under `small_bytes` on disk are folded into the
+    new commit; larger commits survive in place, manifest rows (and
+    their streaming batch-id provenance) intact. A steady append
+    stream leaves many tiny commits, and at scale the full fold is an
+    O(total-index) rewrite just to absorb them — minor compaction is
+    O(new-data). Tombstones committed by folded commits are CARRIED
+    (re-stamped onto the new commit, horizons verbatim), never
+    consumed: they may target rows in the surviving commits, which
+    this fold does not rewrite. Returns -1 when fewer than two
+    commits qualify (nothing folded, manifest untouched)."""
     try:
-        return _compact_index_once(spark, path, subdirs)
+        return _compact_index_once(spark, path, subdirs, small_bytes)
     except ManifestConflictError:
-        return _compact_index_once(spark, path, subdirs)
+        return _compact_index_once(spark, path, subdirs, small_bytes)
 
 
-def _compact_index_once(spark, path: str, subdirs: list) -> int:
+def _compact_index_once(
+    spark, path: str, subdirs: list, small_bytes: int | None = None
+) -> int:
     """Compact a stored index's committed `commit=` partitions into ONE
     new commit — the index-tier twin of the block store's compaction.
     Every append leaves its own commit partition, so a long-lived index
@@ -1392,11 +1436,27 @@ def _compact_index_once(spark, path: str, subdirs: list) -> int:
 
     `subdirs` is a list of (subdir, routing_col_or_None) — use the
     *_INDEX_SUBDIRS presets. Returns the new commit id (or the sole
-    existing commit when there is nothing to compact)."""
+    existing commit when there is nothing to compact).
+
+    With `small_bytes` set this is a MINOR fold (see compact_index):
+    only commits under the size threshold in the primary subdir are
+    rewritten; the rest keep their manifest rows and batch-id
+    provenance, and the folded commits' tombstones are carried onto
+    the new commit (horizons verbatim) because they may still hide
+    rows in the surviving commits. The graph family is excluded —
+    compact_graph_index rebuilds upper layers and stays full-only."""
     ver, rows, applied_map = _manifest_snapshot(spark, path)
     commits = [c for c, _ in rows]
     if len(commits) <= 1:
         return commits[0] if commits else -1
+    fold = commits
+    minor = small_bytes is not None
+    if minor:
+        fold = _small_commits(spark, path, subdirs[0][0], commits,
+                              int(small_bytes))
+        if len(fold) < 2:
+            return -1
+    survive = [c for c in commits if c not in set(fold)]
     # claim the folded commit's id EXCLUSIVELY (round 13): a
     # concurrent append can then never stage into it, and the claim
     # clears any CRASHED earlier compact's uncommitted leftover under
@@ -1436,8 +1496,11 @@ def _compact_index_once(spark, path: str, subdirs: list) -> int:
         fs, P = _hfs(spark, f"{path}/{sub}")
         if not fs.exists(P(f"{path}/{sub}")):
             continue
+        # minor fold: rewrite ONLY the small commits; the scrub below
+        # still uses the FULL tombstone view (a surviving commit's
+        # tombstone can target a folded row)
         df = spark.read.parquet(f"{path}/{sub}").where(
-            F.col("commit").isin(commits)
+            F.col("commit").isin(fold)
         )
         if "layer" in df.columns:
             # graph-family edges written before the HNSW `layer`
@@ -1489,18 +1552,44 @@ def _compact_index_once(spark, path: str, subdirs: list) -> int:
             .mode("append")
             .parquet(f"{path}/tombstones")
         )
+    if minor:
+        # the FOLDED commits' tombstones always carry in a minor fold
+        # — they may hide rows in the surviving commits, which this
+        # fold did not rewrite. Re-stamped onto the new commit so the
+        # manifest keeps listing them; horizons verbatim (a surviving
+        # row hides iff its UNCHANGED commit < horizon, and the
+        # restamped folded rows sit at commit=nxt >= every prior
+        # horizon, already scrubbed of their hidden predecessors).
+        # Surviving commits' tombstone partitions stay in place and
+        # keep applying through their own manifest rows.
+        tombs_fold = _tombstones(spark, path, fold)
+        if tombs_fold is not None:
+            (
+                tombs_fold.withColumn("commit", F.lit(nxt).cast("long"))
+                .repartition(1)
+                .write.partitionBy("commit")
+                .mode("append")
+                .parquet(f"{path}/tombstones")
+            )
     # carry the max applied streaming batch id onto the compacted
     # commit: the folded-in batches' provenance must survive
     # compaction, or a replayed micro-batch landing just after a
-    # compact would re-append rows the compact already holds
-    applied = _max_applied_batch(rows)
+    # compact would re-append rows the compact already holds. Minor
+    # folds carry only the FOLDED rows' max (the surviving rows keep
+    # their own batch ids in the manifest).
+    fold_set = set(fold)
+    applied = _max_applied_batch([r for r in rows if r[0] in fold_set])
+    new_commits = survive + [nxt]
+    batch_map = {c: b for c, b in rows if c in set(survive) and b is not None}
+    if applied is not None:
+        batch_map[nxt] = applied
     try:
         # lease loss is loud here too: a fold slower than the claim
         # lease must not swap the manifest over a reclaimed id
         _verify_claim_held(spark, path, nxt)
         _write_index_manifest(
-            spark, path, [nxt],
-            {nxt: applied} if applied is not None else None,
+            spark, path, new_commits,
+            batch_map or None,
             expected_version=ver if ver is not None else 0,
             applied=applied_map or None,
         )

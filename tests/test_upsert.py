@@ -1698,3 +1698,188 @@ def test_stolen_claim_detected_by_owner_token(spark, emb):
     simsearch._CLAIM_OWNERS[(path, cid)] = owner_b
     simsearch._verify_claim_held(spark, path, cid)
     simsearch._release_claim(spark, path, cid)
+
+
+# ---- minor compaction (round 14): small-commit fold, large survive ----
+
+
+def _hbytes(spark, p):
+    # hadoop-visible bytes (os.walk would count local .crc checksums)
+    from agni_spark.sources.layout import _hfs
+
+    fs, P = _hfs(spark, p)
+    return fs.getContentSummary(P(p)).getLength() if fs.exists(P(p)) else 0
+
+
+def test_minor_compact_folds_small_keeps_large(spark, emb, queries):
+    path = tempfile.mkdtemp(prefix="mc_ivf_")
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") % 10 != 0), path, n_centroids=4
+    )
+    for m in (0, 10, 20):
+        simsearch.append_ivf_index(
+            spark, path,
+            emb.where(
+                (F.col("vec_id") % 10 == 0) & (F.col("vec_id") % 30 == m)
+            ),
+        )
+    before = _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    )
+    thresh = _hbytes(spark, f"{path}/cells/commit=0")
+    nxt = simsearch.compact_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, small_bytes=thresh
+    )
+    _, rows, _ = simsearch._manifest_snapshot(spark, path)
+    # the base commit SURVIVES in place; only the appends folded
+    assert sorted(c for c, _ in rows) == [0, nxt]
+    assert _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    ) == before
+    # folded commit dirs become vacuumable orphans; probe unchanged
+    removed = simsearch.vacuum_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    )
+    assert any("commit=1" in r for r in removed)
+    assert not any("commit=0" in r for r in removed)
+    assert _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    ) == before
+    # nothing under a tiny threshold: no-op, manifest untouched
+    assert simsearch.compact_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, small_bytes=10
+    ) == -1
+
+
+def test_minor_compact_carries_folded_tombstones(spark, emb, queries):
+    # a delete committed as a TINY tombstone-only commit targets rows
+    # living in the LARGE surviving base — the minor fold must carry
+    # the tombstone (re-stamped onto the new commit), not consume it
+    path = tempfile.mkdtemp(prefix="mc_tomb_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    simsearch.delete_from_index(
+        spark, path, emb.where(F.col("vec_id") % 9 == 4).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    simsearch.append_ivf_index(
+        spark, path,
+        spark.createDataFrame(
+            [(200, [2.0] * 8)], "vec_id long, embedding array<float>"
+        ),
+    )
+    before = _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    )
+    assert not any(r[1] % 9 == 4 for r in before)  # deletes hidden
+    thresh = _hbytes(spark, f"{path}/cells/commit=0")
+    nxt = simsearch.compact_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, small_bytes=thresh
+    )
+    _, rows, _ = simsearch._manifest_snapshot(spark, path)
+    assert sorted(c for c, _ in rows) == [0, nxt]
+    after = _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    )
+    assert after == before  # carried tombstone still hides base rows
+    # ...and survives a vacuum of the folded originals
+    simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    ) == before
+
+
+def test_minor_compact_upsert_horizon_scrubbed_and_carried(
+    spark, emb, queries
+):
+    # an upsert (scoped tombstone + replacement rows, both tiny
+    # commits) folds; the replacement must stay live at the new
+    # commit and the superseded base rows must stay hidden
+    path = tempfile.mkdtemp(prefix="mc_ups_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)
+    # two upserts -> two small commits (a single small commit is the
+    # designed no-op: nothing to fold together)
+    simsearch.upsert_ivf_index(spark, path, _neg(emb.where(F.col("vec_id") == 5)))
+    simsearch.upsert_ivf_index(spark, path, _neg(emb.where(F.col("vec_id") == 6)))
+    before = _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    )
+    thresh = _hbytes(spark, f"{path}/cells/commit=0")
+    nxt = simsearch.compact_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, small_bytes=thresh
+    )
+    _, rows, _ = simsearch._manifest_snapshot(spark, path)
+    assert sorted(c for c, _ in rows) == [0, nxt]
+    assert _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    ) == before
+    # full fold afterwards consumes the carried tombstone; unchanged
+    simsearch.compact_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    simsearch.vacuum_index(spark, path, simsearch.IVF_INDEX_SUBDIRS)
+    assert _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=4)
+    ) == before
+
+
+def test_minor_compact_preserves_surviving_provenance(spark, emb):
+    # surviving manifest rows keep their batch ids; the folded commit
+    # carries the FOLDED rows' max batch id; per-app watermarks carry
+    path = tempfile.mkdtemp(prefix="mc_prov_")
+    simsearch.write_ivf_index(
+        emb.where(F.col("vec_id") % 10 != 0), path, n_centroids=4
+    )
+    big = emb.where(F.col("vec_id") % 10 == 0)
+    simsearch.append_ivf_index(spark, path, big.limit(2), batch_id=3,
+                               app_id="appA")
+    simsearch.append_ivf_index(spark, path, big.limit(1), batch_id=7,
+                               app_id="appB")
+    thresh = _hbytes(spark, f"{path}/cells/commit=0")
+    nxt = simsearch.compact_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, small_bytes=thresh
+    )
+    _, rows, applied = simsearch._manifest_snapshot(spark, path)
+    assert sorted(c for c, _ in rows) == [0, nxt]
+    by_commit = dict(rows)
+    assert by_commit[nxt] == 7  # folded rows' max batch id
+    assert applied.get("appA") == 3 and applied.get("appB") == 7
+    # a replayed micro-batch from either app is still skipped
+    pre = _rows(spark.read.parquet(f"{path}/cells").select("vec_id"))
+    simsearch.append_ivf_index(spark, path, big.limit(2), batch_id=3,
+                               app_id="appA")
+    assert _rows(
+        spark.read.parquet(f"{path}/cells").select("vec_id")
+    ) == pre
+
+
+def test_minor_compact_text_family(spark):
+    # the minor fold is layout-generic: pin it on the text layout too
+    # (multi-subdir: postings/doclens/positions). A large base corpus
+    # plus two one-doc appends; fold only the appends; BM25 and phrase
+    # serving unchanged; base postings survive in place.
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} w{i % 11} gamma") for i in range(60)],
+        "doc_id long, text string",
+    )
+    path = tempfile.mkdtemp(prefix="mc_txt_")
+    text.write_text_index(docs, path, n_buckets=4, positions=True)
+    for i, s in ((100, "alpha beta zeta"), (101, "beta beta alpha")):
+        text.append_text_index(
+            spark, path,
+            spark.createDataFrame([(i, s)], "doc_id long, text string"),
+        )
+    before = _rows(text.bm25_topk_indexed(spark, path, ["alpha", "beta"], k=8))
+    phrase_before = _rows(
+        text.phrase_topk_indexed(spark, path, "alpha beta", k=8)
+    )
+    thresh = _hbytes(spark, f"{path}/postings/commit=0")
+    nxt = simsearch.compact_index(
+        spark, path, simsearch.TEXT_INDEX_SUBDIRS, small_bytes=thresh
+    )
+    _, rows, _ = simsearch._manifest_snapshot(spark, path)
+    assert sorted(c for c, _ in rows) == [0, nxt]
+    simsearch.vacuum_index(spark, path, simsearch.TEXT_INDEX_SUBDIRS)
+    assert _rows(
+        text.bm25_topk_indexed(spark, path, ["alpha", "beta"], k=8)
+    ) == before
+    assert _rows(
+        text.phrase_topk_indexed(spark, path, "alpha beta", k=8)
+    ) == phrase_before
