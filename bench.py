@@ -478,9 +478,10 @@ def _notes(results: dict[str, float],
         "same-host A/B of the r12 checkout — sustained host-epoch "
         "drift the min-based signal cannot see). Totals recorded "
         "before round 14 live in the OLD epoch; the comparison anchor "
-        "from round 14 on is BASELINE_EPOCH2.json (one clean "
-        "idle-host re-recording of every row, 2026-08-16, with its "
-        "own calibration_host).\n"
+        "from round 14 on is BASELINE_EPOCH2.json (two consecutive "
+        "idle-host sessions re-recording every row, 2026-08-16; "
+        "per-row value = MIN across all runs; its own "
+        "calibration_host rides inside).\n"
         "* HOST-BURST CAVEAT (measured in round 11): this host shows "
         "multi-minute EXTERNAL contention bursts — four full runs of "
         "identical code within one hour produced shared-row totals "
@@ -531,6 +532,37 @@ def _notes(results: dict[str, float],
         "two-round median drift was HOST NOISE concentrated in the "
         "widest-spread rows, exactly the burst pattern the caveat "
         "above describes; no reprice, code untouched.\n"
+        "* EPOCH-2 ANCHOR RECORDED (round 14): BASELINE_EPOCH2.json "
+        "holds two consecutive idle-host sessions (3 cold runs/row "
+        "each, 2026-08-16, session calibration_host medians 1.61 and "
+        "2.476 — the host drifted ~1.5x WITHIN the recording window; "
+        "anchor values = per-row MIN across all runs, the "
+        "least-contended estimate). The raw sessions totaled ~1.87x "
+        "BENCH_r13's recorded epoch with near-uniform per-row ratios "
+        "— continued host-epoch drift, consistent with the r13 "
+        "verdict's r12-checkout A/B, not code.\n"
+        "* simsearch_graph_ann ADJUDICATION (round 14): in-bench "
+        "arrays were 111-124s and 63-106s in the two anchor sessions "
+        "— at the SAME session offset both times — while an ISOLATED "
+        "5-run re-time measured [23.873, 13.001, 11.727, 12.959, "
+        "13.858] (min 11.727, in line with every other row's ~1.3-"
+        "1.5x epoch drift) and a deliberate pagerank->graph_ann "
+        "minimal-session repro came back CLEAN ([12.5, 9.5, 10.1]). "
+        "Verdict: positional external contention (periodic host "
+        "load striking the same wall-clock offset), not code; the "
+        "anchor pins the row at its isolated min and flags the "
+        "in-bench arrays unusable for cross-round deltas.\n"
+        "* simsearch_ivf_ann ADJUDICATION (round 14, per the r13 "
+        "verdict's watch): isolated 5-run re-time [4.725, 4.152, "
+        "3.656, 3.2, 3.283] min 3.2 — the walk 1.816 -> 2.075 -> "
+        "2.479 -> 3.2 tracks the HOST (same-session isolated "
+        "calibration median 3.371 vs the anchor sessions' 1.61-2.48; "
+        "every row drifted ~1.3-1.9x this epoch). From round 15 "
+        "adjudicate this row calibration-normalized against its "
+        "epoch-2 anchor (2.389 in-bench min / 3.2 isolated min); the "
+        "scheduling-overhead-bound profile from the r12 reprice "
+        "still holds and the serving-path number remains "
+        "simsearch_ivf_stored_probe.\n"
         "* Cold-reprice family: rows whose r7->r8 movement was the "
         "protocol change (r<=7 medians let run 1 warm runs 2-3), not "
         "a code change — recorded this round: "
