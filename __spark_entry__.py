@@ -2787,6 +2787,48 @@ def _q_simsearch_ivf_minor_compacted(
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_ivf_auto_maintained(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # AUTO-MAINTENANCE (round 14): maintain_index's mean-size policy
+    # end-to-end — a commit-count trigger picks the fold set itself
+    # (below-mean commits fold; the base, being the largest commit,
+    # can never sit below the mean, so it ALWAYS survives in place —
+    # the invariant that keeps steady-state maintenance O(new-data)
+    # at any scale). Same oracle as the append/compact rows:
+    # maintenance moves bytes, never answers. The streaming wiring
+    # (stream_ann_index/stream_text_index auto_compact=N calling this
+    # after each micro-batch) is pinned in tests/test_upsert.py.
+    import tempfile
+
+    e = _emb(spark, sf)
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="agni_ivf_auto_")
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), path,
+                              n_centroids=8)
+    odd = e.where(F.col("vec_id") % 2 == 1)
+    for m in (1, 3, 5):
+        simsearch.append_ivf_index(spark, path,
+                                   odd.where(F.col("vec_id") % 6 == m))
+    # under the trigger: advisory no-op (4 commits <= 8)
+    if simsearch.maintain_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    ) != -1:
+        raise ValueError("maintain_index ran under its commit trigger")
+    nxt = simsearch.maintain_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, max_commits=3,
+        vacuum=True,
+    )
+    _, rows, _ = simsearch._manifest_snapshot(spark, path)
+    if sorted(c for c, _ in rows) != [0, nxt]:
+        raise ValueError(
+            f"auto fold did not preserve the base commit: {rows!r}"
+        )
+    return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
+
+
 def _q_simsearch_graph_hnsw(spark: SparkSession, sf: str) -> DataFrame:
     # HNSW-layered stored graph: geometric upper layer (deterministic
     # md5 levels) + medoid entries; probe descends the upper layer
@@ -3242,6 +3284,26 @@ def _q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
                                          threshold=0.4)
 
 
+def _q_dedup_semantic_stored(spark: SparkSession, sf: str) -> DataFrame:
+    # INDEX-ACCELERATED semantic dedup (round 14): the sweep reads the
+    # stored IVF index's committed cells (frozen quantizer, physically
+    # clustered on centroid_id) instead of re-training/re-assigning per
+    # pass — the amortized 100 TB shape. A tombstone delete first so
+    # live-row resolution is exercised: deleted ids neither survive
+    # nor suppress a survivor (the oracle filters them from the cell
+    # membership before the pairwise sweep).
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_semdd_")
+    simsearch.write_ivf_index(e, path, n_centroids=8)
+    simsearch.delete_from_index(
+        spark, path, e.where(F.col("vec_id") % 7 == 3).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    return simsearch.semantic_dedup_stored(spark, path, threshold=0.4)
+
+
 def _q_text_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     return text.split_assign(_docs(spark, sf), test_pct=10).orderBy("doc_id")
 
@@ -3616,6 +3678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ivfpq oracle transfers unchanged
         "simsearch_ivfpq_stored": _q_simsearch_ivfpq_stored,
         "dedup_semantic": _q_dedup_semantic,
+        # stored-index-accelerated sweep (round 14): same semantics
+        # over the index's committed cells, tombstones resolved
+        "dedup_semantic_stored": _q_dedup_semantic_stored,
         # --- Events (3) ---
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
         "events_funnel": lambda s, d: relational.events_funnel(s, d),
@@ -4049,6 +4114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fold — appends rewrite, the large base commit survives in
         # place (asserted), probe answers unchanged
         "simsearch_ivf_minor_compacted": _q_simsearch_ivf_minor_compacted,
+        # auto-maintenance (round 14): mean-size policy picks the fold
+        # set itself; base survival is a mathematical invariant (the
+        # largest commit is never below the mean)
+        "simsearch_ivf_auto_maintained": _q_simsearch_ivf_auto_maintained,
     }
 
 
@@ -5307,7 +5376,14 @@ _SQL_SIMSEARCH_LSH = _sql_simsearch_lsh()
 # near-dup (cos >= 0.4) in its cell. The Spark op's cell_cap sub-split
 # never binds at oracle scale (every cell < 4096 members), so the
 # mirror omits it.
-_SQL_SEMDEDUP = f"""
+def _sql_semdedup(live_where: str = "TRUE") -> str:
+    """SemDeDup mirror: k-means cells (same deterministic training as
+    ivf_centroids over the full embeddings table) + within-cell
+    keep-lowest-id sweep. `live_where` filters the cell MEMBERS (the
+    stored variant's tombstoned ids) — assignment is per-vector, so
+    filtering after the rn=1 pick mirrors delete-after-build
+    exactly."""
+    return f"""
 WITH {_SQL_KMEANS_CENTS},
 cells AS (
   SELECT vec_id, embedding, centroid_id FROM (
@@ -5315,7 +5391,7 @@ cells AS (
       row_number() OVER (PARTITION BY c.vec_id ORDER BY
         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.cvec), 6)
           DESC, ct.centroid_id ASC) AS rn
-    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1),
+    FROM embeddings c CROSS JOIN cents ct) WHERE rn = 1 AND ({live_where})),
 dup AS (
   SELECT DISTINCT b.vec_id
   FROM cells a JOIN cells b
@@ -5326,6 +5402,9 @@ SELECT c.centroid_id, c.vec_id FROM cells c
 ANTI JOIN dup d ON c.vec_id = d.vec_id
 ORDER BY c.vec_id
 """
+
+
+_SQL_SEMDEDUP = _sql_semdedup()
 
 
 def _sql_bm25_sel(
@@ -7695,6 +7774,8 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         # append/full-compact rows (frozen even-half quantizer, full
         # corpus probed)
         "simsearch_ivf_minor_compacted": _SQL_SIMSEARCH_IVF_APPEND,
+        # auto-maintenance moves bytes, never answers: same mirror
+        "simsearch_ivf_auto_maintained": _SQL_SIMSEARCH_IVF_APPEND,
         # tombstone delete (round 11): candidates drop before the rank
         "simsearch_ivf_deleted": _sql_simsearch_ivf(
             cand_where=(
@@ -8407,6 +8488,10 @@ SELECT c.label, c.centroid, s.n_vectors, s.avg_norm
 FROM cent c JOIN stats s USING (label) ORDER BY c.label
 """,
         "dedup_semantic": _SQL_SEMDEDUP,
+        # stored variant: same mirror, deleted ids filtered from the
+        # cell membership (assignment is per-vector, so post-filter
+        # mirrors delete-after-build exactly)
+        "dedup_semantic_stored": _sql_semdedup("vec_id % 7 <> 3"),
         "multimodal_meta": _SQL_MM_META,
         "multimodal_frame_sample": _SQL_MM_FRAMES,
         # text is all-ASCII (asserted by the regex filter in testdata

@@ -313,6 +313,18 @@ def semantic_dedup_keep(
         corpus.select("vec_id", F.col("embedding").alias("ce")),
         cents, "vec_id", "ce", 1,
     )
+    return _semdedup_sweep(cells, threshold, cell_cap)
+
+
+def _semdedup_sweep(
+    cells: DataFrame, threshold: float, cell_cap: int
+) -> DataFrame:
+    """The within-cell pairwise sweep shared by semantic_dedup_keep
+    (one-shot: cells from a fresh k-means assignment) and
+    semantic_dedup_stored (cells from a stored IVF index's committed
+    partitions). Input: (centroid_id, vec_id, ce). Keep a vector iff
+    no lower-id vector in its capped sub-cell has cosine >=
+    threshold."""
     rk = F.row_number().over(
         Window.partitionBy("centroid_id").orderBy("vec_id")
     )
@@ -362,6 +374,36 @@ def semantic_dedup_keep(
         .select("centroid_id", "vec_id")
         .orderBy("vec_id")
     )
+
+
+def semantic_dedup_stored(
+    spark, index, threshold: float = 0.9, cell_cap: int = 4096
+) -> DataFrame:
+    """INDEX-ACCELERATED semantic dedup — the stored-index path of
+    semantic_dedup_keep, and the shape a 100 TB curation pipeline
+    actually runs: cluster assignment comes from the stored IVF
+    index's committed `cells` partitions (frozen quantizer, already
+    physically clustered on centroid_id) instead of a fresh k-means +
+    corpus-wide assignment per sweep. Each post-ingest dedup pass
+    then costs only the within-cell pairwise stage over a
+    partition-parallel scan of the store — training and assignment
+    are amortized across every sweep, and the scan's clustering IS
+    the comparison grouping, so no corpus-wide shuffle precedes the
+    pairwise join. Tombstones and upsert horizons resolve exactly as
+    probes resolve them (deleted rows neither survive nor suppress a
+    survivor; an upserted id competes at its NEWEST vector only).
+    Same keep-lowest-id semantics and cell_cap bound as the one-shot;
+    over an index built from the same corpus/params the two agree row
+    for row (oracle-pinned). `index` is a path or an open
+    IvfIndexHandle."""
+    h = index if isinstance(index, IvfIndexHandle) else IvfIndexHandle(
+        spark, index
+    )
+    live = _anti_tombstones(
+        h.cells.select("centroid_id", "vec_id", "ce", "commit"),
+        h.tombstones,
+    ).select("centroid_id", "vec_id", "ce")
+    return _semdedup_sweep(live, threshold, cell_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -1359,31 +1401,87 @@ TEXT_INDEX_SUBDIRS = [
 MINHASH_INDEX_SUBDIRS = [("sigs", None), ("buckets", "band")]
 
 
+def _commit_sizes(spark, path: str, primary: str, commits: list) -> dict:
+    """{commit: bytes on disk of its `commit=` partition in the
+    PRIMARY data subdir}. Pure filesystem metadata (getContentSummary
+    per commit dir — one namenode/liststatus call each, no data
+    read), so sizing the commit set costs O(#commits) RPCs, never a
+    scan. A commit with no partition in the primary subdir (a
+    tombstone-only delete commit) counts as 0 bytes."""
+    from agni_spark.sources.layout import _hfs
+
+    fs, P = _hfs(spark, f"{path}/{primary}")
+    out = {}
+    for c in commits:
+        d = P(f"{path}/{primary}/commit={int(c)}")
+        try:
+            out[c] = (
+                fs.getContentSummary(d).getLength() if fs.exists(d) else 0
+            )
+        except Exception:
+            out[c] = 0
+    return out
+
+
 def _small_commits(
     spark, path: str, primary: str, commits: list, small_bytes: int
 ) -> list:
     """The manifest-listed commits whose `commit=` partition in the
     PRIMARY data subdir holds fewer than `small_bytes` bytes on disk —
-    the minor-compaction fold set. Pure filesystem metadata
-    (getContentSummary per commit dir — one namenode/liststatus call
-    each, no data read), so selecting the fold set costs O(#commits)
-    RPCs, never a scan. A commit with no partition in the primary
-    subdir (a tombstone-only delete commit) counts as 0 bytes and
-    folds — exactly right: those are the tiny commits minor
-    compaction exists to absorb."""
-    from agni_spark.sources.layout import _hfs
+    the minor-compaction fold set. Zero-byte commits (tombstone-only
+    deletes) always qualify — exactly right: those are the tiny
+    commits minor compaction exists to absorb."""
+    sizes = _commit_sizes(spark, path, primary, commits)
+    return [c for c in commits if sizes[c] < small_bytes]
 
-    fs, P = _hfs(spark, f"{path}/{primary}")
-    out = []
-    for c in commits:
-        d = P(f"{path}/{primary}/commit={int(c)}")
-        try:
-            n = fs.getContentSummary(d).getLength() if fs.exists(d) else 0
-        except Exception:
-            n = 0
-        if n < small_bytes:
-            out.append(c)
-    return out
+
+def maintain_index(
+    spark,
+    path: str,
+    subdirs: list,
+    max_commits: int = 8,
+    vacuum: bool = False,
+) -> int:
+    """AUTO-MAINTENANCE policy over compact_index — the piece that
+    makes a continuously-appended index self-tending instead of
+    operator-scheduled (the lakehouse auto-OPTIMIZE idiom). When the
+    manifest lists more than `max_commits` commits, run a MINOR fold
+    with an AUTO threshold: the mean commit size in the primary data
+    subdir. Below-mean commits (a stream's tiny appends, tombstone-
+    only deletes) fold; at-or-above-mean commits (the big base
+    build, earlier folds) survive in place — with one large base and
+    k small appends the mean always separates them, so steady-state
+    cost is O(new-data) per maintenance cycle, never an
+    O(total-index) rewrite. Sizing is filesystem metadata only
+    (O(#commits) RPCs); under the trigger nothing is read at all.
+
+    Contention-tolerant by design: a ManifestConflictError from a
+    racing writer (after compact_index's own bounded retry) is
+    SWALLOWED and reported as -1 — maintenance is advisory, the next
+    cycle retries, and the losing attempt's staged debris is cleared
+    by vacuum or the next claimer of its id. `vacuum=True` also
+    clears the folded originals after a successful fold (off by
+    default: under concurrent writers prefer a separate, rarer
+    vacuum schedule). Returns the new commit id, or -1 when nothing
+    was done (under threshold, nothing qualified, or conflict).
+
+    Not for the graph family: graph compaction rebuilds upper layers
+    and stays full-only via compact_graph_index."""
+    _, rows, _ = _manifest_snapshot(spark, path)
+    commits = [c for c, _ in rows]
+    if len(commits) <= int(max_commits):
+        return -1
+    sizes = _commit_sizes(spark, path, subdirs[0][0], commits)
+    thresh = sum(sizes.values()) / max(len(sizes), 1)
+    if thresh <= 0:
+        return -1
+    try:
+        nxt = compact_index(spark, path, subdirs, small_bytes=thresh)
+    except ManifestConflictError:
+        return -1
+    if nxt >= 0 and vacuum:
+        vacuum_index(spark, path, subdirs)
+    return nxt
 
 
 def compact_index(
@@ -1525,7 +1623,23 @@ def _compact_index_once(
             "commit", F.lit(nxt).cast("long")
         )
         part = ["commit"] + ([routing] if routing else [])
-        shaped = df.repartition(F.col(routing)) if routing else df.repartition(1)
+        if routing:
+            shaped = df.repartition(F.col(routing))
+        else:
+            # routing-free subdirs (e.g. the text layout's doclens):
+            # size the fold's output tasks by the folded bytes on disk
+            # (~128 MB apiece) instead of a fixed repartition(1) — a
+            # single-task rewrite of a corpus-proportional subdir is
+            # exactly the kind of 100x-scale bottleneck the fold must
+            # not have. Sizing is filesystem metadata (O(#commits)
+            # RPCs via _commit_sizes), and at test scale it still
+            # collapses to one task.
+            fold_bytes = sum(
+                _commit_sizes(spark, path, sub, fold).values()
+            )
+            shaped = df.repartition(
+                max(1, min(512, int(fold_bytes // (128 << 20)) + 1))
+            )
         # append-mode into the same root: only the NEW commit dir is
         # written; the source partitions are never replaced, so the
         # scan-while-write is safe

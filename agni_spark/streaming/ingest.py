@@ -67,6 +67,7 @@ def stream_ann_index(
     index_kind: str = "ivf",
     mode: str = "append",
     app_id: str | None = None,
+    auto_compact: int | None = None,
 ):
     """CONTINUOUS ANN INDEX MAINTENANCE: a file-source stream of new
     embedding rows appends into an existing stored index per
@@ -117,7 +118,18 @@ def stream_ann_index(
     later-starting stream's low batch ids would be silently skipped
     as already-applied. Distinct streams to one index MUST pass
     distinct app_ids (OCC claims + retry make their concurrent batch
-    commits safe)."""
+    commits safe).
+
+    `auto_compact` (round 14) makes the stream SELF-MAINTAINING: after
+    each batch's append, if the manifest lists more than this many
+    commits, simsearch.maintain_index runs a MINOR fold (mean-size
+    auto threshold — the stream's small appends fold, the big base
+    survives in place, O(new-data) per cycle). Probe answers are
+    unchanged by construction (compaction moves bytes, never
+    answers), and a fold losing an OCC race to another writer is
+    silently skipped until the next batch. Not supported for
+    index_kind='graph' (graph compaction rebuilds upper layers and
+    stays full-only)."""
     from agni_spark.functions.simsearch import (
         append_graph_index,
         append_ivf_index,
@@ -133,6 +145,12 @@ def stream_ann_index(
 
     if mode not in ("append", "upsert"):
         raise ValueError(f"unknown mode {mode!r}")
+    if auto_compact is not None and index_kind == "graph":
+        raise ValueError(
+            "auto_compact is not supported for the graph family: graph "
+            "compaction rebuilds upper layers and stays full-only "
+            "(compact_graph_index)"
+        )
     if mode == "upsert":
         append = {
             "ivf": upsert_ivf_index,
@@ -154,6 +172,21 @@ def stream_ann_index(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src_dir)
 
+    from agni_spark.functions.simsearch import (
+        BQ_INDEX_SUBDIRS,
+        IVF_INDEX_SUBDIRS,
+        PQ_INDEX_SUBDIRS,
+        SQ_INDEX_SUBDIRS,
+        maintain_index,
+    )
+
+    subdirs = {
+        "ivf": IVF_INDEX_SUBDIRS,
+        "pq": PQ_INDEX_SUBDIRS,
+        "sq": SQ_INDEX_SUBDIRS,
+        "bq": BQ_INDEX_SUBDIRS,
+    }.get(index_kind)
+
     def _append(batch_df, batch_id):
         if batch_df.isEmpty():
             return
@@ -162,6 +195,11 @@ def stream_ann_index(
             batch_df.select("vec_id", "embedding"),
             batch_id=batch_id, app_id=app_id,
         )
+        if auto_compact is not None:
+            maintain_index(
+                batch_df.sparkSession, index_path, subdirs,
+                max_commits=auto_compact,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_append)
@@ -187,6 +225,7 @@ def stream_text_index(
     max_files_per_trigger: int | None = None,
     mode: str = "append",
     app_id: str | None = None,
+    auto_compact: int | None = None,
 ):
     """CONTINUOUS TEXT-INDEX MAINTENANCE — the inverted-index twin of
     stream_ann_index: a file-source stream of new documents appends
@@ -212,7 +251,19 @@ def stream_text_index(
     the replacement postings in one manifest swap per batch, keeping
     BM25 stats survivor-exact (a replaced doc is counted once, with
     its new length) while probes always serve the newest committed
-    version of every document. Returns the started StreamingQuery."""
+    version of every document.
+
+    `auto_compact` (round 14): same self-maintenance contract as
+    stream_ann_index — after each batch, if the manifest lists more
+    than this many commits, a MINOR fold (mean-size auto threshold)
+    absorbs the stream's small posting commits while the base corpus
+    survives in place; BM25 stats are fold-invariant (they are
+    computed over committed rows, which the fold preserves exactly).
+    Returns the started StreamingQuery."""
+    from agni_spark.functions.simsearch import (
+        TEXT_INDEX_SUBDIRS,
+        maintain_index,
+    )
     from agni_spark.functions.text import (
         append_text_index,
         upsert_text_index,
@@ -234,6 +285,11 @@ def stream_text_index(
             batch_df.select("doc_id", "text"),
             batch_id=batch_id, app_id=app_id,
         )
+        if auto_compact is not None:
+            maintain_index(
+                batch_df.sparkSession, index_path, TEXT_INDEX_SUBDIRS,
+                max_commits=auto_compact,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_append)

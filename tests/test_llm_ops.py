@@ -3301,3 +3301,49 @@ def test_clone_lsh_and_minhash_probe_identical(spark, tmp_path):
             spark.read.parquet(f"{mdst}/{sub}").drop("commit").collect()
         )
         assert a == b and len(a) > 0, sub
+
+
+def test_semantic_dedup_stored_matches_oneshot(spark, tmp_path):
+    from agni_spark.functions import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    simsearch.write_ivf_index(emb, path, n_centroids=8)
+    oneshot = {
+        (r.centroid_id, r.vec_id)
+        for r in simsearch.semantic_dedup_keep(
+            emb, n_centroids=8, threshold=0.4
+        ).collect()
+    }
+    stored = {
+        (r.centroid_id, r.vec_id)
+        for r in simsearch.semantic_dedup_stored(
+            spark, path, threshold=0.4
+        ).collect()
+    }
+    # same corpus, same quantizer params -> row-for-row agreement
+    assert stored == oneshot and len(stored) > 0
+    # delete a KEPT id that suppressed at least one near-dup: the
+    # deleted id must vanish and its suppressed victim(s) resurface
+    kept = {v for _, v in oneshot}
+    dropped = {
+        r.vec_id for r in emb.select("vec_id").collect()
+    } - kept
+    assert dropped, "fixture has no near-dups to exercise"
+    victim = min(dropped)
+    # delete every kept id below the victim: with no live lower-id
+    # vector left anywhere, the victim must be kept afterwards
+    dels = [v for _, v in stored if v < victim]
+    del_df = spark.createDataFrame(
+        [(int(v),) for v in dels], "vec_id long"
+    )
+    simsearch.delete_from_index(
+        spark, path, del_df, simsearch.IVF_INDEX_SUBDIRS
+    )
+    after = {
+        v for _, v in simsearch.semantic_dedup_stored(
+            spark, path, threshold=0.4
+        ).collect()
+    }
+    assert victim in after
+    assert not (after & set(dels))

@@ -1883,3 +1883,166 @@ def test_minor_compact_text_family(spark):
     assert _rows(
         text.phrase_topk_indexed(spark, path, "alpha beta", k=8)
     ) == phrase_before
+
+
+# ---- auto-maintenance (round 14): maintain_index + self-tending streams ----
+
+
+def _big_emb(spark, n=1000):
+    # enough rows that the base commit's PARQUET DATA dominates the
+    # per-file footer overhead — the mean-size auto threshold needs
+    # the base genuinely larger on disk than a stream append
+    return spark.createDataFrame(
+        _emb_rows(n), "vec_id long, embedding array<float>"
+    )
+
+
+def test_maintain_index_mean_threshold_policy(spark, queries):
+    big = _big_emb(spark)
+    path = tempfile.mkdtemp(prefix="mt_ivf_")
+    simsearch.write_ivf_index(
+        big.where(F.col("vec_id") < 900), path, n_centroids=4
+    )
+    for m in range(3):
+        simsearch.append_ivf_index(
+            spark, path,
+            big.where((F.col("vec_id") >= 900) & (F.col("vec_id") % 3 == m)),
+        )
+    before = _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=2)
+    )
+    # under the commit-count trigger: advisory no-op, manifest untouched
+    assert simsearch.maintain_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, max_commits=8
+    ) == -1
+    _, rows, _ = simsearch._manifest_snapshot(spark, path)
+    assert len(rows) == 4
+    # over the trigger: below-mean appends fold, the base survives
+    nxt = simsearch.maintain_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, max_commits=3
+    )
+    _, rows, _ = simsearch._manifest_snapshot(spark, path)
+    assert sorted(c for c, _ in rows) == [0, nxt]
+    assert _rows(
+        simsearch.ivf_ann_stored(spark, path, queries, k=8, nprobe=2)
+    ) == before
+    # idempotent at steady state: 2 commits <= max_commits
+    assert simsearch.maintain_index(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS, max_commits=3
+    ) == -1
+
+
+def test_stream_auto_compact_bounds_commits(spark, tmp_path):
+    from agni_spark.streaming import ingest as streaming
+
+    big = _big_emb(spark)
+    base = big.where(F.col("vec_id") < 900)
+    rest = big.where(F.col("vec_id") >= 900)
+    qdf = big.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    spath = str(tmp_path / "idx")
+    simsearch.write_ivf_index(base, spath, n_centroids=4)
+    src = str(tmp_path / "src")
+    rest.repartition(6).write.parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, auto_compact=3,
+    )
+    q.awaitTermination()
+    # commit count stays bounded (the whole point): base + at most
+    # auto_compact in-flight smalls, never one commit per micro-batch
+    _, rows, _ = simsearch._manifest_snapshot(spark, spath)
+    commits = sorted(c for c, _ in rows)
+    assert commits[0] == 0 and len(commits) <= 4
+    # ...and probe answers equal the one-shot append of the same rows
+    opath = str(tmp_path / "idx2")
+    simsearch.write_ivf_index(base, opath, n_centroids=4)
+    simsearch.append_ivf_index(spark, opath, rest)
+    assert _rows(
+        simsearch.ivf_ann_stored(spark, spath, qdf, k=8, nprobe=2)
+    ) == _rows(
+        simsearch.ivf_ann_stored(spark, opath, qdf, k=8, nprobe=2)
+    )
+
+
+def test_stream_auto_compact_upsert_mode(spark, tmp_path):
+    # CDC stream + auto-maintenance: the folds carry the upserts'
+    # horizon tombstones, so replaced base rows stay hidden through
+    # every maintenance cycle
+    from agni_spark.streaming import ingest as streaming
+
+    big = _big_emb(spark)
+    poisoned = big.withColumn(
+        "embedding",
+        F.when(
+            (F.col("vec_id") >= 900) & (F.col("vec_id") % 2 == 0),
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    qdf = big.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    spath = str(tmp_path / "idx")
+    simsearch.write_ivf_index(poisoned, spath, n_centroids=4)
+    src = str(tmp_path / "src")
+    fixes = big.where(
+        (F.col("vec_id") >= 900) & (F.col("vec_id") % 2 == 0)
+    )
+    fixes.repartition(5).write.parquet(src)
+    q = streaming.stream_ann_index(
+        spark, src, spath, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, mode="upsert", auto_compact=2,
+    )
+    q.awaitTermination()
+    opath = str(tmp_path / "idx2")
+    simsearch.write_ivf_index(poisoned, opath, n_centroids=4)
+    simsearch.upsert_ivf_index(spark, opath, fixes)
+    assert _rows(
+        simsearch.ivf_ann_stored(spark, spath, qdf, k=8, nprobe=2)
+    ) == _rows(
+        simsearch.ivf_ann_stored(spark, opath, qdf, k=8, nprobe=2)
+    )
+
+
+def test_stream_auto_compact_graph_rejected(spark, tmp_path):
+    from agni_spark.streaming import ingest as streaming
+
+    with pytest.raises(ValueError, match="graph"):
+        streaming.stream_ann_index(
+            spark, str(tmp_path / "src"), str(tmp_path / "idx"),
+            str(tmp_path / "ckpt"), index_kind="graph", auto_compact=3,
+        )
+
+
+def test_stream_text_auto_compact(spark, tmp_path):
+    from agni_spark.streaming import ingest as streaming
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} w{i % 11} gamma") for i in range(200)],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(1000 + i, f"alpha zeta w{i % 5}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    spath = str(tmp_path / "tidx")
+    text.write_text_index(docs, spath, n_buckets=4)
+    src = str(tmp_path / "src")
+    extra.repartition(4).write.parquet(src)
+    q = streaming.stream_text_index(
+        spark, src, spath, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, auto_compact=2,
+    )
+    q.awaitTermination()
+    _, rows, _ = simsearch._manifest_snapshot(spark, spath)
+    commits = sorted(c for c, _ in rows)
+    assert commits[0] == 0 and len(commits) <= 3
+    opath = str(tmp_path / "tidx2")
+    text.write_text_index(docs, opath, n_buckets=4)
+    text.append_text_index(spark, opath, extra)
+    assert _rows(
+        text.bm25_topk_indexed(spark, spath, ["alpha", "zeta"], k=10)
+    ) == _rows(
+        text.bm25_topk_indexed(spark, opath, ["alpha", "zeta"], k=10)
+    )
