@@ -1586,7 +1586,13 @@ def test_manifest_concurrent_swap_conflict_detected(
         [(0, None), (1, None)], "commit long, batch_id long"
     )
     winner.repartition(1).write.parquet(f"{path}/manifest/v=2")
-    monkeypatch.setattr(simsearch, "_manifest_versions", lambda s, p: [1])
+    # pin the loser's resolution to the stale view via the write
+    # path's single listing (round 14 folded _manifest_versions into
+    # one _manifest_entries call — the seam moved with it)
+    monkeypatch.setattr(
+        simsearch, "_manifest_entries",
+        lambda s, p: [(1, "v=1.json", True)],
+    )
     with pytest.raises(simsearch.ManifestConflictError):
         simsearch._write_index_manifest(spark, path, [0, 99])
     monkeypatch.undo()
@@ -1628,7 +1634,12 @@ def test_manifest_single_file_cas_conflict(spark, tmp_path):
     # resolved the version list
     simsearch._write_index_manifest(spark, path, [0, 1])
     with pytest.MonkeyPatch.context() as mp:
-        mp.setattr(simsearch, "_manifest_versions", lambda s, p: [1])
+        # stale view injected at the write path's single listing
+        # (round 14: one _manifest_entries call serves slot choice)
+        mp.setattr(
+            simsearch, "_manifest_entries",
+            lambda s, p: [(1, "v=1.json", True)],
+        )
         with pytest.raises(simsearch.ManifestConflictError):
             simsearch._write_index_manifest(spark, path, [0, 99])
     # winner preserved verbatim; committed view is the winner's
