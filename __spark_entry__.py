@@ -2829,6 +2829,32 @@ def _q_simsearch_ivf_auto_maintained(
     return simsearch.ivf_ann_stored(spark, path, queries_df, k=10, nprobe=2)
 
 
+def _q_simsearch_commit_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # per-commit observability (round 14): the maintenance loop's
+    # input — n_rows per commit (fold the tiny ones) and n_live after
+    # tombstone resolution (reclaim when live << rows). Commit
+    # membership derives from the construction subsets, so the oracle
+    # is pure vec_id arithmetic over the source table — a genuine
+    # differential check, not a replay.
+    import tempfile
+
+    e = _emb(spark, sf)
+    path = tempfile.mkdtemp(prefix="agni_cstats_")
+    simsearch.write_ivf_index(e.where(F.col("vec_id") % 2 == 0), path,
+                              n_centroids=8)
+    odd = e.where(F.col("vec_id") % 2 == 1)
+    for m in (1, 3, 5):
+        simsearch.append_ivf_index(spark, path,
+                                   odd.where(F.col("vec_id") % 6 == m))
+    simsearch.delete_from_index(
+        spark, path, e.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )
+    return simsearch.index_commit_stats(
+        spark, path, simsearch.IVF_INDEX_SUBDIRS
+    )
+
+
 def _q_simsearch_graph_hnsw(spark: SparkSession, sf: str) -> DataFrame:
     # HNSW-layered stored graph: geometric upper layer (deterministic
     # md5 levels) + medoid entries; probe descends the upper layer
@@ -4118,6 +4144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set itself; base survival is a mathematical invariant (the
         # largest commit is never below the mean)
         "simsearch_ivf_auto_maintained": _q_simsearch_ivf_auto_maintained,
+        # per-commit n_rows/n_live introspection (round 14): the
+        # maintenance loop's observability input, oracle = pure
+        # vec_id arithmetic over the construction subsets
+        "simsearch_commit_stats": _q_simsearch_commit_stats,
     }
 
 
@@ -7776,6 +7806,23 @@ WHERE est_jaccard >= 0.7 ORDER BY doc_old, doc_new
         "simsearch_ivf_minor_compacted": _SQL_SIMSEARCH_IVF_APPEND,
         # auto-maintenance moves bytes, never answers: same mirror
         "simsearch_ivf_auto_maintained": _SQL_SIMSEARCH_IVF_APPEND,
+        # per-commit stats: membership is construction arithmetic
+        # (even half = commit 0; odd thirds = commits 1-3), liveness
+        # is the delete predicate — no index state in the mirror
+        "simsearch_commit_stats": """
+WITH t AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 2 = 0 THEN 0
+         WHEN vec_id % 6 = 1 THEN 1
+         WHEN vec_id % 6 = 3 THEN 2
+         ELSE 3 END AS commit
+  FROM embeddings)
+SELECT CAST(commit AS BIGINT) AS commit,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_live
+FROM t GROUP BY commit ORDER BY commit
+""",
         # tombstone delete (round 11): candidates drop before the rank
         "simsearch_ivf_deleted": _sql_simsearch_ivf(
             cand_where=(

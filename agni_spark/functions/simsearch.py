@@ -6033,6 +6033,45 @@ def index_history(spark, path: str) -> DataFrame:
     ).orderBy("commit")
 
 
+def index_commit_stats(spark, path: str, subdirs: list) -> DataFrame:
+    """Per-commit observability for the maintenance loop — (commit,
+    n_rows, n_live) over the PRIMARY data subdir: n_rows = rows the
+    commit contributed, n_live = rows still visible after tombstone /
+    upsert-horizon resolution (exactly the probe's view, via the same
+    _anti_tombstones). The pair is what an operator reads before
+    choosing a fold: many commits with tiny n_rows → minor compact
+    (maintain_index automates that); n_live far below n_rows → a full
+    compact reclaims tombstoned space. Complements index_history
+    (manifest provenance) and index_stats (per-subdir totals).
+
+    Scale: one column-pruned count aggregation over the primary
+    subdir, statically pruned to the committed commit dirs; only
+    #commits scalar rows reach the driver."""
+    commits = _committed(spark, path)
+    primary = subdirs[0][0]
+    df = spark.read.parquet(f"{path}/{primary}").where(
+        F.col("commit").isin(commits)
+    )
+    tombs = _tombstones(spark, path, commits)
+    total = df.groupBy("commit").agg(F.count(F.lit(1)).alias("n_rows"))
+    live = (
+        _anti_tombstones(df, tombs)
+        .groupBy("commit")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+    return (
+        total.join(live, "commit", "left")
+        .select(
+            F.col("commit").cast("long").alias("commit"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.coalesce(F.col("n_live"), F.lit(0))
+            .cast("long")
+            .alias("n_live"),
+        )
+        .orderBy("commit")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
     """ANN EVALUATION: per-query recall@k of an approximate result
     against the exact ground truth — the tuning loop every index
