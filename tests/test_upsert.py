@@ -2046,3 +2046,38 @@ def test_stream_text_auto_compact(spark, tmp_path):
     ) == _rows(
         text.bm25_topk_indexed(spark, opath, ["alpha", "zeta"], k=10)
     )
+
+
+def test_index_commit_stats_resolves_horizons(spark, emb, queries):
+    # n_live must match the probe's view under SCOPED tombstones: an
+    # upserted id's old row (commit < horizon) is dead, its
+    # replacement (commit >= horizon) is live; a global delete kills
+    # every version
+    path = tempfile.mkdtemp(prefix="cstats_")
+    simsearch.write_ivf_index(emb, path, n_centroids=4)  # commit 0: 40 rows
+    simsearch.upsert_ivf_index(
+        spark, path, _neg(emb.where(F.col("vec_id").isin(5, 6)))
+    )  # commit 1: 2 replacement rows, horizon tombstone on {5, 6}
+    simsearch.delete_from_index(
+        spark, path, emb.where(F.col("vec_id") == 7).select("vec_id"),
+        simsearch.IVF_INDEX_SUBDIRS,
+    )  # commit 2: tombstone-only (absent from the primary subdir)
+    got = {
+        r.commit: (r.n_rows, r.n_live)
+        for r in simsearch.index_commit_stats(
+            spark, path, simsearch.IVF_INDEX_SUBDIRS
+        ).collect()
+    }
+    # commit 0: 40 contributed; 5 and 6 superseded, 7 deleted -> 37 live
+    # commit 1: both replacements live (commit >= their horizon)
+    # commit 2: no primary-subdir partition -> no row (tombstone-only)
+    assert got == {0: (40, 37), 1: (2, 2)}
+    # cross-check n_live against the probe's corpus view
+    live_ids = {
+        r.vec_id
+        for r in simsearch.ivf_ann_stored(
+            spark, path, queries, k=40, nprobe=4
+        ).collect()
+    }
+    assert 7 not in live_ids and 5 in live_ids
+    assert sum(n for _, n in got.values()) == 39  # 40 - delete + 2 - 2 old
