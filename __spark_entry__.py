@@ -3707,6 +3707,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stored-index-accelerated sweep (round 14): same semantics
         # over the index's committed cells, tombstones resolved
         "dedup_semantic_stored": _q_dedup_semantic_stored,
+        # MINOR compaction (round 14) rotated into the driver window
+        # on landing: size-thresholded small-commit fold — appends
+        # rewrite, the large base commit survives in place (asserted),
+        # probe answers unchanged. streaming_windowed_sum shifts out
+        # after ~9 rounds green (S11 stays window-covered by the
+        # graph/text ingest rows); it remains fully gated locally.
+        "simsearch_ivf_minor_compacted": _q_simsearch_ivf_minor_compacted,
         # --- Events (3) ---
         "events_sessionize": lambda s, d: relational.events_sessionize(s, d),
         "events_funnel": lambda s, d: relational.events_funnel(s, d),
@@ -4136,10 +4143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stored-PQ two-stage serve (ADC shortlist from the codes
         # store + exact rerank) — matches ivfpq_refine's full oracle
         "simsearch_ivfpq_stored_rerank": _q_simsearch_ivfpq_stored_rerank,
-        # MINOR compaction (round 14): size-thresholded small-commit
-        # fold — appends rewrite, the large base commit survives in
-        # place (asserted), probe answers unchanged
-        "simsearch_ivf_minor_compacted": _q_simsearch_ivf_minor_compacted,
         # auto-maintenance (round 14): mean-size policy picks the fold
         # set itself; base survival is a mathematical invariant (the
         # largest commit is never below the mean)
