@@ -1763,7 +1763,11 @@ def events_cumulative_users(
     daily = first.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = Window.orderBy("day").rowsBetween(
+    # day-granular input (bounded by the calendar, not the corpus);
+    # the constant partition key pins the single-partition cumulative
+    # sum explicitly instead of via WindowExec's move-everything
+    # fallback (round-14 hygiene — result identical)
+    w = Window.partitionBy(F.lit(0)).orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return daily.select(
@@ -1944,7 +1948,9 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("m")
         .agg(F.sum("d").alias("delta"))
     )
-    w = Window.orderBy("m").rowsBetween(
+    # month-granular input (calendar-bounded) — same explicit
+    # single-partition idiom as the daily cumulative sum above
+    w = Window.partitionBy(F.lit(0)).orderBy("m").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,7 +56,12 @@ def rrf_fuse(
     top-k by fused score, ties on id.
 
     Spark shape: union of the (bounded) lists -> one tiny groupBy ->
-    one window rank. Nothing here scales with the corpus."""
+    distributed top-k (orderBy().limit(k) = TakeOrderedAndProject —
+    round-14: same shape as text._topk_ranked, so even a caller that
+    fuses corpus-proportional lists never funnels them through a
+    move-everything window). Nothing here scales with the corpus."""
+    from agni_spark.functions.text import _topk_ranked
+
     contribs = [
         df.select(
             F.col(id_col),
@@ -70,12 +75,8 @@ def rrf_fuse(
         _floor6(F.sum("c")).alias("rrf"),
         F.count(F.lit(1)).cast("int").alias("n_lists"),
     )
-    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
-    return (
-        tot.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= k)
-        .orderBy("rk")
-    )
+    order = [F.col("rrf").desc(), F.col(id_col).asc()]
+    return _topk_ranked(tot, order, k).orderBy("rk")
 
 
 def weighted_fuse(
@@ -114,12 +115,11 @@ def weighted_fuse(
         )
     u = reduce(lambda a, b: a.unionByName(b), parts)
     tot = u.groupBy(id_col).agg(_floor6(F.sum("c")).alias("fused"))
-    w = Window.orderBy(F.col("fused").desc(), F.col(id_col).asc())
-    return (
-        tot.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= k)
-        .orderBy("rk")
-    )
+    # distributed top-k, not a move-everything window (round-14)
+    from agni_spark.functions.text import _topk_ranked
+
+    order = [F.col("fused").desc(), F.col(id_col).asc()]
+    return _topk_ranked(tot, order, k).orderBy("rk")
 
 
 def _rrf_two_way(
@@ -139,12 +139,11 @@ def _rrf_two_way(
         F.col("vec_rk").cast("int").alias("vec_rk"),
         _floor6(contrib("text_rk") + contrib("vec_rk")).alias("rrf"),
     )
-    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
-    return (
-        fused.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= k)
-        .orderBy("rk")
-    )
+    # distributed top-k, not a move-everything window (round-14)
+    from agni_spark.functions.text import _topk_ranked
+
+    order = [F.col("rrf").desc(), F.col("doc_id").asc()]
+    return _topk_ranked(fused, order, k).orderBy("rk")
 
 
 def hybrid_rrf_topk(

@@ -132,7 +132,8 @@ def ivf_centroids(
 
 
 def _nearest_centroids(
-    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, n: int
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, n: int,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Top-n centroids by cosine for each vector.
 
@@ -142,7 +143,23 @@ def _nearest_centroids(
     the dot product alone (1 array fold per pair instead of 3).
     Bit-identical to folding the full cosine per pair: the score is
     still dot / sqrt(na*nb) over the same sequentially-accumulated
-    doubles, rounded to 6dp, ties broken by centroid_id ASC."""
+    doubles, rounded to 6dp, ties broken by centroid_id ASC.
+
+    n == 1 (every cell-assignment caller — builds, appends, training)
+    skips the rank window for a map-side-combining `max_by`
+    aggregation (round-14, guide §2.3/§2.4): the window shape
+    shuffles AND sorts all n_vectors x n_centroids scored rows on
+    id_col, while the partial-aggregating `max_by` collapses each
+    vector's n_centroids candidates to one row before the exchange —
+    n_centroids-fold fewer shuffled bytes and no per-partition sort.
+    The ordering struct (sim, -centroid_id) reproduces the window's
+    (sim DESC, centroid_id ASC) exactly, including Spark's
+    NaN-greatest total order, so the selected centroid is identical
+    row for row (test-pinned against the window path).
+
+    `keep_rank=True` (window path only) retains the rank column `rn`
+    so a caller needing BOTH the top-1 and top-n assignment of the
+    same vectors (knn_graph) can derive them from one scored pass."""
 
     def _sq_norm(col):
         return F.aggregate(
@@ -170,14 +187,26 @@ def _nearest_centroids(
             "sim", F.round(dot / F.sqrt(F.col("_na") * F.col("_nb")), 6)
         )
     )
+    if n == 1 and not keep_rank:
+        payload = [c for c in df.columns if c != id_col] + ["centroid_id"]
+        best = scored.groupBy(id_col).agg(
+            F.max_by(
+                F.struct(*payload),
+                F.struct(F.col("sim"), (-F.col("centroid_id")).alias("_nc")),
+            ).alias("_b")
+        )
+        return best.select(
+            id_col, *[F.col(f"_b.{c}").alias(c) for c in payload]
+        )
     w = Window.partitionBy(id_col).orderBy(
         F.col("sim").desc(), F.col("centroid_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n)
-        .drop("sim", "rn", "cvec", "_na", "_nb")
+        .drop("sim", "cvec", "_na", "_nb")
     )
+    return out if keep_rank else out.drop("rn")
 
 
 def ivf_ann(
@@ -2897,7 +2926,8 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 
 
 def knn_graph(
-    corpus: DataFrame, k: int = 5, n_centroids: int = 8, nprobe: int = 2
+    corpus: DataFrame, k: int = 5, n_centroids: int = 8, nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH: every corpus vector is also a query over
     the IVF structure — probe nprobe cells, rerank exactly inside them.
@@ -2906,13 +2936,58 @@ def knn_graph(
     propagation). Deterministic (seeded quantizer), so the DuckDB
     mirror is a FULL oracle, not a recall bound. Scale: probes are a
     corpus-sized table but join cells on the partition key — never a
-    broadcast of the corpus; work is nprobe/n_cells of the naive n^2."""
-    return ivf_ann(
-        corpus,
-        corpus.select(F.col("vec_id").alias("query_id"), "embedding"),
-        k=k,
-        n_centroids=n_centroids,
-        nprobe=nprobe,
+    broadcast of the corpus; work is nprobe/n_cells of the naive n^2.
+
+    Round-14 (guide §1.2/§2.4 — remove a full pass): because queries
+    ARE the corpus here, the cell assignment (top-1 centroid per
+    vector) and the probe routing (top-nprobe centroids per vector)
+    are two prefixes of the SAME ranked scan — one broadcast-scored,
+    vec_id-windowed pass with `rn` kept (keep_rank), with cells =
+    rn==1 and probes = all rn<=nprobe rows. Both branches share the
+    identical exchange subtree, so Spark's ReuseExchange runs the
+    scoring shuffle once where the old ivf_ann delegation paid two
+    independent crossJoin+rank passes over n_vectors x n_centroids
+    rows. Candidate join, rerank, and top-k are byte-identical to
+    ivf_ann's (same 6dp rounding, same tie-breaks; test-pinned
+    against ivf_ann(corpus, corpus)).
+
+    `centroids` (round-14): a precomputed ivf_centroids(corpus,
+    n_centroids) table, for callers (graph_ann, write_graph_index)
+    that also need the same quantizer for entry-medoid selection —
+    one training pass instead of two identical ones."""
+    cents = (
+        centroids if centroids is not None
+        else ivf_centroids(corpus, n_centroids)
+    )
+    ranked = _nearest_centroids(
+        corpus.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", max(1, nprobe), keep_rank=True,
+    )
+    cells = ranked.where(F.col("rn") == 1).drop("rn")
+    probes = ranked.select(
+        F.col("vec_id").alias("query_id"), F.col("ce").alias("qe"),
+        "centroid_id",
+    )
+    scored = (
+        cells.join(probes, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .repartition(F.col("query_id"), F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", "vec_id", "cos", F.col("rk").cast("int").alias("rk")
+        )
+        .orderBy("query_id", "rk")
     )
 
 
@@ -3007,12 +3082,18 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges ⋈ deg is iteration-invariant — join it ONCE and persist
+    # (round-14, guide §2.4): the loop re-planned this join every
+    # iteration, growing the final plan by a join+aggregate subtree
+    # per round for a table that never changes. r/deg still divides by
+    # the same integer count, so the float path is untouched.
+    ed = edges.join(deg, "src").persist()
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(iters):
         inflow = (
-            edges.join(deg, "src")
+            ed
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("deg")).alias("inflow"))
@@ -3074,13 +3155,16 @@ def _ivfpq_train(
 
     # residual codebooks: the ksub seeded-hash-sampled vectors'
     # residuals, sliced per subspace -> (sub, cid, cvec), m*ksub rows
+    # the window input is the ksub-row limit by construction; the
+    # constant partition key keeps WindowExec off the move-everything
+    # plan (and its warning) — same idiom as text._topk_ranked
     sample = (
         resid.orderBy(hash60(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(ksub)
         .withColumn(
             "cid",
             F.row_number().over(
-                Window.orderBy(
+                Window.partitionBy(F.lit(0)).orderBy(
                     hash60(F.col("vec_id").cast("string")), F.col("vec_id")
                 )
             ),
@@ -3110,15 +3194,38 @@ def _ivfpq_train(
         .persist()
     )
 
-    def _assign(cbk: DataFrame) -> DataFrame:
+    def _assign(cbk: DataFrame, with_v: bool = False) -> DataFrame:
         """Per (vector, sub): the argmin-L2 codeword (6dp, ties to the
         lowest cid) via min_by over struct(d2, cid) — a map-side-
         combining aggregation instead of a rank window (no per-group
-        sort shuffle; same result, struct order IS (d2 ASC, cid ASC))."""
+        sort shuffle; same result, struct order IS (d2 ASC, cid ASC)).
+
+        `with_v=True` (the Lloyd loop) carries the subvector through
+        the same min_by (round-14, guide §2.4): every row of a
+        (vec_id, sub) group holds the identical `v`, so aggregating
+        struct(cid, v) selects the same codeword AND hands the mean
+        pass its input directly — the old shape re-joined the
+        assignment back to `rv` on (vec_id, sub) every round, one
+        whole join stage per Lloyd round for rows the aggregation
+        already held."""
         dv = F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: x - y)
         enc = rv.join(F.broadcast(cbk), "sub").withColumn(
             "d2", F.round(_subdot(dv, dv), 6)
         )
+        if with_v:
+            return (
+                enc.groupBy("vec_id", "sub")
+                .agg(
+                    F.min_by(
+                        F.struct(F.col("cid"), F.col("v")),
+                        F.struct(F.col("d2"), F.col("cid")),
+                    ).alias("_a")
+                )
+                .select(
+                    "vec_id", "sub",
+                    F.col("_a.cid").alias("cid"), F.col("_a.v").alias("v"),
+                )
+            )
         return enc.groupBy("vec_id", "sub").agg(
             F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
         )
@@ -3131,8 +3238,7 @@ def _ivfpq_train(
     # and the oracle mirrors the exact round count.
     def _train(cbk: DataFrame) -> DataFrame:
         means = (
-            _assign(cbk)
-            .join(rv, ["vec_id", "sub"])
+            _assign(cbk, with_v=True)
             .select("sub", "cid", F.posexplode("v"))
             .groupBy("sub", "cid", "pos")
             .agg(F.round(F.avg("col"), 6).alias("mv"))
@@ -3755,7 +3861,9 @@ def ivfpq_stored_refine(
     )
 
 
-def graph_entry_medoids(corpus: DataFrame, n_entries: int) -> DataFrame:
+def graph_entry_medoids(
+    corpus: DataFrame, n_entries: int, centroids: DataFrame | None = None,
+) -> DataFrame:
     """Multi-entry points for graph ANN: the MEDOID of each of
     `n_entries` seeded-kmeans cells (the cell member closest to its
     centroid, ties to the lowest vec_id) — the HNSW upper-layer idea
@@ -3766,8 +3874,17 @@ def graph_entry_medoids(corpus: DataFrame, n_entries: int) -> DataFrame:
     guarantees every query starts a beam inside (or near) its own
     cluster. Deterministic: seeded centroids + 6dp rounding + id
     tie-breaks. Returns <= n_entries `node` rows (bounded — always
-    broadcastable)."""
-    cents = ivf_centroids(corpus, n_entries)
+    broadcastable).
+
+    `centroids` (round-14): a precomputed ivf_centroids(corpus,
+    n_entries) table — callers that already trained the same coarse
+    quantizer for the edge build (graph_ann / write_graph_index with
+    n_entries == the kNN graph's n_centroids) pass it in instead of
+    paying an identical second k-means training pass."""
+    cents = (
+        centroids if centroids is not None
+        else ivf_centroids(corpus, n_entries)
+    )
     sims = (
         corpus.select("vec_id", F.col("embedding").alias("ce"))
         .crossJoin(F.broadcast(cents))
@@ -4107,8 +4224,12 @@ def graph_ann(
     cliff. May return < k rows when the walk's neighborhood holds
     fewer than k allowed nodes."""
     spark = corpus.sparkSession
+    # one coarse-quantizer training shared by the edge build and (when
+    # n_entries matches its cell count) the entry-medoid selection —
+    # the old shape trained the identical seeded kmeans twice
+    cents = ivf_centroids(corpus, 8)
     edges = (
-        knn_graph(corpus, k=knn)
+        knn_graph(corpus, k=knn, centroids=cents)
         .select(F.col("query_id").alias("node"), F.col("vec_id").alias("dst"))
         .persist()  # hops re-join the same edge table
     )
@@ -4124,7 +4245,9 @@ def graph_ann(
     entry = (
         corpus.agg(F.min("vec_id").alias("node"))
         if n_entries <= 1
-        else graph_entry_medoids(corpus, n_entries)
+        else graph_entry_medoids(
+            corpus, n_entries, centroids=cents if n_entries == 8 else None
+        )
     )
 
     def _score(fr: DataFrame) -> DataFrame:
@@ -4447,14 +4570,20 @@ def write_graph_index(
     BUCKET COLUMN, so the scan reads only the frontier's bucket
     directories (dynamic partition pruning) — never the whole graph."""
     spark = corpus.sparkSession
+    # share one quantizer training between entry medoids and the edge
+    # build (same dedup as graph_ann — guide §1.2, don't compute twice)
+    cents = ivf_centroids(corpus, 8)
     if n_entries <= 1:
         entries = [int(corpus.agg(F.min("vec_id")).first()[0])]
     else:
         entries = sorted(
             int(r.node)
-            for r in graph_entry_medoids(corpus, n_entries).collect()
+            for r in graph_entry_medoids(
+                corpus, n_entries,
+                centroids=cents if n_entries == 8 else None,
+            ).collect()
         )
-    edges = knn_graph(corpus, k=knn).select(
+    edges = knn_graph(corpus, k=knn, centroids=cents).select(
         F.col("query_id").alias("node"), F.col("vec_id").alias("dst")
     ).withColumn("layer", F.lit(0))
     for lvl in range(1, layers):

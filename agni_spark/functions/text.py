@@ -71,6 +71,25 @@ def _topk_ranked(df: DataFrame, order: list, k: int,
     )
 
 
+def _bucket_pred(terms, n_buckets: int):
+    """Bucket-routing predicate for a probe's scan — WITHOUT a Spark
+    job (round-14, guide §1.2/§6): `bucket == pmod(xxhash64(lit(t)),
+    n_buckets)` is a FOLDABLE expression, so Catalyst evaluates the
+    hash at plan time with the engine's own xxhash64 (driver and store
+    can still never disagree) and the OR-of-equalities lands in the
+    scan's PartitionFilters — the same static bucket-directory pruning
+    as before (plan-asserted in tests/test_plans.py), minus the
+    1-row-per-term collect() job every probe used to pay first."""
+    import functools
+
+    preds = [
+        F.col("bucket")
+        == F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).cast("int")
+        for t in sorted(set(terms))
+    ]
+    return functools.reduce(lambda a, b: a | b, preds)
+
+
 def doc_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-document quality metrics: counts + ratios + a quality score.
 
@@ -1134,28 +1153,18 @@ def bm25_topk_indexed(
         spark, index
     )
     path, n_buckets, commits = h.path, h.n_buckets, h.commits
-    buckets = sorted(
-        {
-            r.bucket
-            for r in spark.createDataFrame(
-                [(t,) for t in query_terms], "w string"
-            )
-            .select(
-                F.pmod(F.xxhash64("w"), F.lit(n_buckets))
-                .cast("int")
-                .alias("bucket")
-            )
-            .collect()
-        }
-    )
     from agni_spark.functions.simsearch import _anti_tombstones
 
     # `commit` rides to the tombstone anti-join: the exclusion is
     # horizon-scoped (upsert_text_index replaces a doc's postings —
-    # only the OLDER rows hide), then projected away
+    # only the OLDER rows hide), then projected away. Bucket routing
+    # is a foldable scan predicate (_bucket_pred) — no per-probe job.
     post = (
         spark.read.parquet(f"{path}/postings")
-        .where(F.col("commit").isin(commits) & F.col("bucket").isin(buckets))
+        .where(
+            F.col("commit").isin(commits)
+            & _bucket_pred(query_terms, n_buckets)
+        )
         .where(F.col("w").isin(list(query_terms)))
         .select("doc_id", "w", "tf", "commit")
     )
@@ -1276,25 +1285,14 @@ def phrase_topk_indexed(
             "write_text_index(positions=True) to serve phrase queries"
         )
     terms = phrase.split(" ")
-    buckets = sorted(
-        {
-            r.bucket
-            for r in spark.createDataFrame(
-                [(t,) for t in set(terms)], "w string"
-            )
-            .select(
-                F.pmod(F.xxhash64("w"), F.lit(n_buckets))
-                .cast("int")
-                .alias("bucket")
-            )
-            .collect()
-        }
-    )
     from agni_spark.functions.simsearch import _anti_tombstones
 
+    # bucket routing via the foldable predicate — no per-probe job
     pos = (
         spark.read.parquet(f"{path}/positions")
-        .where(F.col("commit").isin(commits) & F.col("bucket").isin(buckets))
+        .where(
+            F.col("commit").isin(commits) & _bucket_pred(terms, n_buckets)
+        )
         .where(F.col("w").isin(list(set(terms))))
         .select("w", "doc_id", "pos", "commit")
     )

@@ -1,0 +1,107 @@
+"""Round-14 optimization equivalence pins: every rewrite that changed
+an operator's internals must produce byte-identical results to the
+shape it replaced (the driver re-hashes every declared query, so
+"faster but different" is a regression by definition).
+
+Covers:
+  * _nearest_centroids n=1 — max_by aggregation vs the rank window
+  * knn_graph — fused single-ranked-pass vs ivf_ann(corpus, corpus)
+  * text._bucket_pred — foldable bucket routing vs the collected ids
+  * _ivfpq_train with_v assignment — carried subvector vs re-join
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from agni_spark.functions import simsearch, text
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_nearest_centroids_maxby_matches_window(spark):
+    emb = spark.read.parquet(EMB)
+    cents = simsearch.ivf_centroids(emb, 8)
+    df = emb.select("vec_id", F.col("embedding").alias("ce"))
+    fast = simsearch._nearest_centroids(df, cents, "vec_id", "ce", 1)
+    # the window shape the aggregate replaced: keep_rank forces the
+    # rank-window path even for n=1
+    slow = simsearch._nearest_centroids(
+        df, cents, "vec_id", "ce", 1, keep_rank=True
+    ).drop("rn")
+    assert fast.columns == slow.columns
+    a = _rows(fast.select("vec_id", "centroid_id"))
+    b = _rows(slow.select("vec_id", "centroid_id"))
+    assert a == b
+
+
+def test_knn_graph_matches_ivf_ann_self_query(spark):
+    emb = spark.read.parquet(EMB)
+    fused = simsearch.knn_graph(emb, k=5)
+    via_ivf = simsearch.ivf_ann(
+        emb,
+        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5, n_centroids=8, nprobe=2,
+    )
+    assert _rows(fused) == _rows(via_ivf)
+
+
+def test_bucket_pred_routes_like_collected_buckets(spark):
+    docs = spark.read.parquet(DOCS)
+    path = tempfile.mkdtemp(prefix="r14_bucket_")
+    text.write_text_index(docs, path, n_buckets=16)
+    terms = ["spark", "query", "fast"]
+    # collected routing (the old per-probe job)
+    buckets = sorted(
+        {
+            r.bucket
+            for r in spark.createDataFrame([(t,) for t in terms], "w string")
+            .select(
+                F.pmod(F.xxhash64("w"), F.lit(16)).cast("int").alias("bucket")
+            )
+            .collect()
+        }
+    )
+    scan = spark.read.parquet(f"{path}/postings")
+    via_pred = scan.where(text._bucket_pred(terms, 16))
+    via_ids = scan.where(F.col("bucket").isin(buckets))
+    assert _rows(via_pred) == _rows(via_ids)
+    # and the predicate constant-folds into the scan's partition
+    # filters — static pruning, no job
+    plan = via_pred._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+
+def test_bm25_indexed_still_matches_scan_bm25(spark):
+    docs = spark.read.parquet(DOCS)
+    path = tempfile.mkdtemp(prefix="r14_bm25_")
+    text.write_text_index(docs, path, n_buckets=16)
+    terms = ["spark", "query", "fast"]
+    served = text.bm25_topk_indexed(spark, path, terms, k=10)
+    scanned = text.bm25_topk(docs, terms, k=10)
+    assert _rows(served) == _rows(scanned)
+
+
+def test_ivfpq_train_assignment_carries_v_unchanged(spark):
+    emb = spark.read.parquet(EMB)
+    cents, cells, cb, codes, release = simsearch._ivfpq_train(
+        emb, n_centroids=8, m=4, ksub=8, lloyd_rounds=1
+    )
+    got = sorted(
+        (int(r.vec_id), int(r.sub), int(r.cid)) for r in codes.collect()
+    )
+    # the stored-index write path shares this training, and its oracle
+    # rows pin the end result; here pin the invariant the with_v
+    # rewrite relies on — one assignment per (vec, sub), codes in range
+    assert len(got) == len({(v, s) for v, s, _ in got})
+    assert all(1 <= c <= 8 for *_, c in got)
+    for df in release:
+        df.unpersist()
