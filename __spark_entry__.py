@@ -1020,12 +1020,17 @@ def _q_pipeline_curate_v2(spark: SparkSession, sf: str) -> DataFrame:
     # the recipe's language weights. The oracle replays the SAME chain
     # in one recursive-CTE SQL statement.
     docs = _docs(spark, sf)
-    gated = docs.join(
+    # the gate id set is referenced by four downstream consumers
+    # (signature pass, cluster assignment, and both mixture_sample
+    # passes); pin the O(n_docs) single-column set so the rule battery
+    # runs once instead of once per consumer
+    gate_ids = (
         text.gopher_rules(docs)
         .where(F.col("gopher_pass"))
-        .select("doc_id"),
-        "doc_id",
+        .select("doc_id")
+        .persist()
     )
+    gated = docs.join(gate_ids, "doc_id")
     pairs = dedup.minhash_dedup_pairs(gated, k=3, threshold=0.7)
     assign = dedup.cluster_dedup(gated, pairs)
     kept = gated.join(
@@ -1042,7 +1047,12 @@ def _q_pipeline_curate_v4(spark: SparkSession, sf: str) -> DataFrame:
     # Output: corpus-level manifest stats.
     d = _docs(spark, sf)
     pairs = dedup.minhash_dedup_pairs(d, k=3, threshold=0.7)
-    stats = text.doc_stats(d).select("doc_id", "quality", "n_tokens")
+    # stats feeds both representative selection and the kept-side
+    # quality gate; pin the 3-column O(n_docs) frame so doc_stats'
+    # text battery runs once
+    stats = (
+        text.doc_stats(d).select("doc_id", "quality", "n_tokens").persist()
+    )
     reps = dedup.cluster_representatives(d, pairs, stats)
     kept = (
         reps.select(F.col("rep_doc_id").alias("doc_id"))
@@ -1073,7 +1083,11 @@ def _q_pipeline_curate_v3(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("repetition_pass"))
         .select("doc_id")
     )
-    gated = docs.join(g1, "doc_id").join(g2, "doc_id")
+    # g1 ∩ g2 as one pinned id set: both rule batteries run once, not
+    # once per downstream consumer (signature pass, cluster assignment,
+    # kept join, split, final manifest join)
+    gate_ids = g1.join(g2, "doc_id").persist()
+    gated = docs.join(gate_ids, "doc_id")
     pairs = dedup.minhash_dedup_pairs(gated, k=3, threshold=0.5).persist()
     assign = dedup.cluster_dedup(
         gated, pairs.where(F.col("est_jaccard") >= 0.8)

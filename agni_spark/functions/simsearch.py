@@ -2737,9 +2737,11 @@ def pq_codebooks(corpus: DataFrame, m: int = 4, ksub: int = 8) -> DataFrame:
         .withColumn(
             "cid",
             # same order as the sample selection (hash, then id): cid 1
-            # is the first sampled vector — mirrored in the SQL twin
+            # is the first sampled vector — mirrored in the SQL twin.
+            # ksub rows by construction; the constant partition key
+            # keeps WindowExec off the move-everything plan shape
             F.row_number().over(
-                Window.orderBy(
+                Window.partitionBy(F.lit(0)).orderBy(
                     hash60(F.col("vec_id").cast("string")), F.col("vec_id")
                 )
             ),
@@ -3152,6 +3154,12 @@ def _ivfpq_train(
         )
         .persist()  # consumed by codebook sample + encode
     )
+    # downstream consumers (candidate generation, packed-code join)
+    # only need the assignment pair — serve it from the persisted
+    # residual table instead of re-running the full corpus assignment
+    # pass per consumer (guide §2.4: the cells lineage is a corpus
+    # scan + broadcast score + max_by, one whole extra pass each time)
+    cells = resid.select("vec_id", "centroid_id")
 
     # residual codebooks: the ksub seeded-hash-sampled vectors'
     # residuals, sliced per subspace -> (sub, cid, cvec), m*ksub rows
@@ -3259,12 +3267,23 @@ def _ivfpq_train(
             "sub", "cid", F.coalesce(F.col("tv"), F.col("cvec")).alias("cvec")
         )
 
+    # Pin each round's codebook eagerly (m*ksub rows — parameter-
+    # bounded, same idiom as ivf_centroids): lazily chained rounds
+    # re-execute the previous round's full-rv assignment pass once per
+    # reference — `_train` plans its input on both sides of a join, so
+    # the duplicated passes (and the plan size) grow geometrically
+    # with the round count (guide §2.4: remove duplicate passes).
     cb = cb_seed
+    pinned = []
     for _ in range(lloyd_rounds):
-        cb = _train(cb)
-    cb = cb.persist()
+        cb = _train(cb).persist()
+        cb.count()
+        pinned.append(cb)
+    if not pinned:  # lloyd_rounds=0: the seed codebook is the codebook
+        cb = cb.persist()
+        pinned.append(cb)
     codes = _assign(cb)
-    return cents, cells, cb, codes, [resid, rv, cb]
+    return cents, cells, cb, codes, [resid, rv, *pinned]
 
 
 def _pq_subs(col_name: str, out: str, m: int):

@@ -1213,7 +1213,14 @@ def _compile_inner(
             return (
                 per_series.orderBy(*order)
                 .limit(expr.k or 1)
-                .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+                # <=k rows by construction; constant partition key keeps
+                # WindowExec off the move-everything plan shape
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy(F.lit(0)).orderBy(*order)
+                    ),
+                )
                 .select("series_id", "value", F.col("rk").cast("int").alias("rk"))
             )
         inner = _compile(expr.arg, querier, mint_ms, maxt_ms, cache)

@@ -90,6 +90,45 @@ def test_bm25_indexed_still_matches_scan_bm25(spark):
     assert _rows(served) == _rows(scanned)
 
 
+def test_ivfpq_train_cells_match_direct_assignment(spark):
+    # round-14: _ivfpq_train now serves the (vec_id, centroid_id)
+    # assignment from the persisted residual table instead of
+    # re-running the corpus assignment pass per consumer — pin that
+    # the served pairs are identical to a direct fresh assignment
+    emb = spark.read.parquet(EMB)
+    cents, cells, cb, codes, release = simsearch._ivfpq_train(
+        emb, n_centroids=8, m=4, ksub=8, lloyd_rounds=1
+    )
+    direct = simsearch._nearest_centroids(
+        emb.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1,
+    )
+    assert _rows(cells.select("vec_id", "centroid_id")) == _rows(
+        direct.select("vec_id", "centroid_id")
+    )
+    for df in release:
+        df.unpersist()
+    cents.unpersist()
+
+
+def test_ivfpq_train_zero_rounds_still_serves_seed_codebook(spark):
+    # round-14: the eager per-round codebook pin must not break the
+    # lloyd_rounds=0 (seed-only) path — the seed codebook is persisted
+    # and codes stay one-per-(vec, sub)
+    emb = spark.read.parquet(EMB)
+    cents, cells, cb, codes, release = simsearch._ivfpq_train(
+        emb, n_centroids=8, m=4, ksub=8, lloyd_rounds=0
+    )
+    got = sorted(
+        (int(r.vec_id), int(r.sub), int(r.cid)) for r in codes.collect()
+    )
+    assert got and len(got) == len({(v, s) for v, s, _ in got})
+    assert cb.storageLevel.useMemory  # the seed codebook is the pin
+    for df in release:
+        df.unpersist()
+    cents.unpersist()
+
+
 def test_ivfpq_train_assignment_carries_v_unchanged(spark):
     emb = spark.read.parquet(EMB)
     cents, cells, cb, codes, release = simsearch._ivfpq_train(
