@@ -3912,13 +3912,29 @@ def graph_entry_medoids(
             F.round(cosine(F.col("ce"), F.col("cvec")), 6).alias("sim"),
         )
     )
-    # each vector's OWN cell (argmax sim), then each cell's best member
-    own = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
+    # each vector's OWN cell (argmax sim), then each cell's best
+    # member. The own-cell top-1 is a partial-aggregating max_by, not
+    # a rank window (round-14, same rewrite as _nearest_centroids
+    # n==1): the window shape shuffled AND sorted all n x n_entries
+    # scored rows on vec_id; max_by collapses each vector's candidates
+    # map-side. struct(sim, -centroid_id) reproduces (sim DESC,
+    # centroid_id ASC) including NaN-greatest semantics.
+    own_cell = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("centroid_id"), F.col("sim")),
+                F.struct(F.col("sim"), (-F.col("centroid_id")).alias("_nc")),
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b.centroid_id").alias("centroid_id"),
+            F.col("_b.sim").alias("sim"),
+        )
     )
     return (
-        sims.withColumn("rn", F.row_number().over(own))
-        .where(F.col("rn") == 1)
+        own_cell
         .groupBy("centroid_id")
         .agg(
             F.min_by(

@@ -90,6 +90,45 @@ def test_bm25_indexed_still_matches_scan_bm25(spark):
     assert _rows(served) == _rows(scanned)
 
 
+def test_graph_entry_medoids_maxby_matches_window(spark):
+    # round-14: the own-cell top-1 inside graph_entry_medoids is a
+    # max_by aggregation; pin it against the rank-window shape it
+    # replaced (same idiom as the _nearest_centroids pin above)
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(EMB)
+    cents = simsearch.ivf_centroids(emb, 8)
+    fast = simsearch.graph_entry_medoids(emb, 8, centroids=cents)
+    sims = (
+        emb.select("vec_id", F.col("embedding").alias("ce"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "centroid_id",
+            F.round(
+                simsearch.cosine(F.col("ce"), F.col("cvec")), 6
+            ).alias("sim"),
+        )
+    )
+    own = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    slow = (
+        sims.withColumn("rn", F.row_number().over(own))
+        .where(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.min_by(
+                "vec_id",
+                F.struct((-F.col("sim")).alias("ns"), F.col("vec_id")),
+            ).alias("node")
+        )
+        .select("node")
+        .distinct()
+    )
+    assert _rows(fast) == _rows(slow)
+    cents.unpersist()
+
+
 def test_ivfpq_train_cells_match_direct_assignment(spark):
     # round-14: _ivfpq_train now serves the (vec_id, centroid_id)
     # assignment from the persisted residual table instead of
