@@ -1371,22 +1371,21 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dist_ntile(
-    df: DataFrame, order_cols: list, n_buckets: int, out_col: str,
-) -> DataFrame:
-    """Exact `NTILE(n) OVER (ORDER BY ...)` without a single-partition
-    global window. The naive window moves the ENTIRE input to one
-    partition to rank it; here the input is range-repartitioned on the
-    order key (distributed sort), each partition's global rank offset
-    comes from a tiny per-partition count (#shuffle-partitions rows,
-    cumulated driver-side — a bounded metadata read), and the bucket
-    is the exact
-    ntile piecewise formula — with n rows and k buckets the first
-    n%k buckets hold ceil(n/k) rows — applied to offset+local
-    row_number. Identical output to the global window for any
-    tie-free ORDER BY (callers append a unique key). The ranged frame
-    is persisted so the count pass and the output pass see one
-    consistent range partitioning."""
+def _dist_row_number(
+    df: DataFrame, order_cols: list, out_col: str,
+):
+    """Exact `ROW_NUMBER() OVER (ORDER BY ...)` without a
+    single-partition global window. The naive window moves the ENTIRE
+    input to one partition to rank it; here the input is
+    range-repartitioned on the order key (distributed sort), each
+    partition's global rank offset comes from a tiny per-partition
+    count (#shuffle-partitions rows, cumulated driver-side — a bounded
+    metadata read), and the global rank is offset + local row_number.
+    Identical output to the global window for any tie-free ORDER BY
+    (callers append a unique key). The ranged frame is persisted so
+    the count pass and the output pass see one consistent range
+    partitioning. Returns (frame with out_col: long, total row
+    count)."""
     sp = df.sparkSession
     nparts = max(
         1, int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -1414,7 +1413,28 @@ def _dist_ntile(
         offs or [(0, 0)], "_pid int, _off long"
     )
     lw = Window.partitionBy("_pid").orderBy(*order_cols)
-    r = F.col("_off") + F.row_number().over(lw)
+    ranked = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.row_number().over(lw)).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+    return ranked, n
+
+
+def _dist_ntile(
+    df: DataFrame, order_cols: list, n_buckets: int, out_col: str,
+) -> DataFrame:
+    """Exact `NTILE(n) OVER (ORDER BY ...)` without a single-partition
+    global window: the range-partitioned global rank from
+    _dist_row_number, bucketed by the exact ntile piecewise formula —
+    with n rows and k buckets the first n%k buckets hold ceil(n/k)
+    rows. Identical output to the global window for any tie-free
+    ORDER BY (callers append a unique key)."""
+    ranked, n = _dist_row_number(df, order_cols, "_rn")
+    r = F.col("_rn")
     k = int(n_buckets)
     if n < k:
         bucket = r  # ntile with fewer rows than buckets: one row each
@@ -1425,11 +1445,7 @@ def _dist_ntile(
             F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
             .otherwise(m + F.floor((r - big - 1) / q) + 1)
         )
-    return (
-        ranged.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, bucket.cast("int"))
-        .drop("_pid", "_off")
-    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("_rn")
 
 
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1088,7 +1088,7 @@ def _compile_inner(
         if "series_id" in inner.columns:
             inner = _resolve_labels(inner, querier)
         if expr.name in ("sort_by_label", "sort_by_label_desc"):
-            from pyspark.sql import Window
+            from agni_spark.functions.relational import _dist_row_number
 
             missing = [s for s in expr.params if s not in inner.columns]
             if missing:
@@ -1098,8 +1098,14 @@ def _compile_inner(
                 (F.col(c).desc_nulls_last() if desc else F.col(c).asc_nulls_first())
                 for c in expr.params
             ] + [F.col(c) for c in inner.columns if c != "value"]
-            return inner.withColumn(
-                "ord", F.row_number().over(Window.orderBy(*order)).cast("int")
+            # result vectors can be series-cardinality-sized: rank with
+            # the range-partitioned global row_number (identical to the
+            # global window — the order key spans every label column,
+            # so it is tie-free per vector semantics), never a
+            # single-partition WindowExec.
+            ranked, _ = _dist_row_number(inner, order, "ord")
+            return ranked.withColumn(
+                "ord", F.col("ord").cast("int")
             ).orderBy("ord")
         if expr.name == "label_join":
             dst, sep, *srcs = expr.params

@@ -183,3 +183,29 @@ def test_ivfpq_train_assignment_carries_v_unchanged(spark):
     assert all(1 <= c <= 8 for *_, c in got)
     for df in release:
         df.unpersist()
+
+
+def test_dist_row_number_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from agni_spark.functions.relational import _dist_row_number
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).alias("a"),
+        (F.col("id") % 7).alias("b"),
+    )
+    order = [F.col("a").desc_nulls_last(), F.col("b"), F.col("id")]
+    ranked, n = _dist_row_number(df, order, "ord")
+    got = sorted(
+        (r.id, r.ord) for r in ranked.select("id", "ord").collect()
+    )
+    want = sorted(
+        (r.id, r.ord)
+        for r in df.withColumn(
+            "ord", F.row_number().over(Window.orderBy(*order))
+        ).select("id", "ord").collect()
+    )
+    assert n == 997
+    assert got == want
+    ranked.unpersist()
