@@ -1036,6 +1036,11 @@ def _q_pipeline_curate_v2(spark: SparkSession, sf: str) -> DataFrame:
     kept = gated.join(
         assign.where(F.col("is_kept") == 1).select("doc_id"), "doc_id"
     )
+    # mixture_sample consumes its input twice (stratum counts + the
+    # quota rank join): pin the 2-column decision set so the corpus
+    # scan and the gate/assign joins behind it run once, not twice
+    # (mixture only reads doc_id + the stratum column)
+    kept = kept.select("doc_id", "lang").persist()
     return text.mixture_sample(kept, MIX_WEIGHTS)
 
 
@@ -1095,6 +1100,11 @@ def _q_pipeline_curate_v3(spark: SparkSession, sf: str) -> DataFrame:
     kept = gated.join(
         assign.where(F.col("is_kept") == 1).select("doc_id"), "doc_id"
     )
+    # kept feeds split_assign, both leakage sides (via split), and
+    # the final manifest join — four executions of the corpus scan +
+    # gate/assign joins; pin the 2-column decision set once (the
+    # chain only reads doc_id + lang from here on)
+    kept = kept.select("doc_id", "lang").persist()
     split = text.split_assign(kept, 10)
     sa = split.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
