@@ -563,6 +563,18 @@ def _notes(results: dict[str, float],
         "scheduling-overhead-bound profile from the r12 reprice "
         "still holds and the serving-path number remains "
         "simsearch_ivf_stored_probe.\n"
+        "* ROUND-14 CLOSING RECORD + FINAL-TREE ADJUDICATION: the "
+        "round's least-contended full record (idle host, "
+        "calibration_host 1.247 median / 1.072 min, total 114.607s "
+        "over 57 rows, 2026-08-17) was taken at the post-rework tree; "
+        "the FINAL tree (one isolated-flat persist-pin commit later) "
+        "was re-benched TWICE in a slower host phase "
+        "(calibration_host 2.83 and 2.331; totals 182.8s/181.4s) and, "
+        "calibration-normalized by the rule above, ZERO rows exceed "
+        "1.25x their closing-record min — the final tree is "
+        "perf-identical to the closing record. Adjudicate round-15 "
+        "deltas against the closing record's per-row mins, "
+        "calibration-normalized.\n"
         "* Cold-reprice family: rows whose r7->r8 movement was the "
         "protocol change (r<=7 medians let run 1 warm runs 2-3), not "
         "a code change — recorded this round: "
