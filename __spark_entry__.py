@@ -10,6 +10,7 @@ deterministically from `events` (agni_spark.datamodel / oracle.PRELUDE).
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -5740,9 +5741,39 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id
 """
 
 
+_CTE_HEAD = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(\s*(?=SELECT\b|WITH\b)",
+    re.IGNORECASE,
+)
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Rewrite every `name AS (SELECT|WITH ...)` CTE to
+    `name AS MATERIALIZED (...)`. DuckDB inlines a plain CTE at every
+    reference site, so the unrolled beam-walk / Lloyd-round oracle
+    templates (each hop's CTEs referencing the previous hop's two to
+    three times) re-evaluate their expensive IVF-stack subtrees
+    exponentially in hop count — the graph_hnsw oracle alone ran 275s
+    at sf0.01 and 0.3s with the hint. MATERIALIZED is purely an
+    evaluation fence (each CTE computed once); the result set is
+    identical by construction. `WINDOW w AS (PARTITION ...)` clauses
+    don't match (body must start with SELECT/WITH); already-hinted
+    CTEs don't match (AS is followed by MATERIALIZED, not `(`).
+
+    WITH RECURSIVE statements are left untouched: DuckDB 1.0 returns
+    wrong rows when a MATERIALIZED non-recursive CTE is read from
+    inside the recursive part (observed on the MMR oracle — the
+    correlated `max(s.s) FROM sims` came back NULL once `sims` was
+    hinted, flipping the greedy selection), so no CTE in a recursive
+    statement gets the hint."""
+    if re.search(r"\bWITH\s+RECURSIVE\b", sql, re.IGNORECASE):
+        return sql
+    return _CTE_HEAD.sub(r"\1 MATERIALIZED (", sql)
+
+
 def oracle_sql() -> dict[str, str]:
     q = oracle.q
-    return {
+    sqls: dict[str, str] = {
         "s3_block_overlap_check": q(
             "SELECT CAST(count(*) AS BIGINT) AS overlaps "
             "FROM blocks a JOIN blocks b ON a.ulid < b.ulid "
@@ -8886,3 +8917,4 @@ GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
             "FROM agg ORDER BY 1, 2"
         ),
     }
+    return {name: _materialize_ctes(sql) for name, sql in sqls.items()}

@@ -209,3 +209,66 @@ def test_dist_row_number_matches_global_window(spark):
     assert n == 997
     assert got == want
     ranked.unpersist()
+
+
+def test_materialize_ctes_rewrites_only_cte_heads():
+    """The oracle-side CTE materialization hint (DuckDB re-inlines a
+    plain CTE at every reference, exponential in the walk templates'
+    hop count) must touch exactly the `name AS (SELECT|WITH ...)`
+    heads: WINDOW clauses and column aliases stay, the rewrite is
+    idempotent, and a hinted query returns the same rows as the plain
+    one."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sql = (
+        "WITH a AS (SELECT 1 AS x), "
+        "b AS (WITH i AS (SELECT x + 1 AS x FROM a) SELECT * FROM i) "
+        "SELECT sum(x) OVER w AS s FROM b "
+        "WINDOW w AS (PARTITION BY x) ORDER BY s"
+    )
+    hinted = entry._materialize_ctes(sql)
+    assert hinted.count("AS MATERIALIZED (") == 3  # a, b, i — not w
+    assert "w AS MATERIALIZED" not in hinted
+    assert entry._materialize_ctes(hinted) == hinted  # idempotent
+    assert duckdb.sql(sql).fetchall() == duckdb.sql(hinted).fetchall()
+
+
+def test_materialize_ctes_leaves_recursive_statements_alone():
+    """DuckDB 1.0 returns wrong rows when a MATERIALIZED CTE is read
+    from inside a recursive CTE's recursion (the MMR oracle's `sims`
+    lookup came back NULL once hinted), so WITH RECURSIVE statements
+    must pass through untouched."""
+    import __spark_entry__ as entry
+
+    sql = (
+        "WITH RECURSIVE base AS (SELECT 1 AS x), "
+        "walk AS (SELECT x FROM base UNION ALL "
+        "SELECT x + 1 FROM walk WHERE x < 3) SELECT * FROM walk"
+    )
+    assert entry._materialize_ctes(sql) == sql
+    assert entry._materialize_ctes(entry._SQL_MMR_RERANK) == entry._SQL_MMR_RERANK
+
+
+def test_oracle_sql_is_materialized_everywhere():
+    """Every declared non-recursive oracle's CTE heads carry the hint
+    (the rewrite runs at oracle_sql() assembly, so no template can
+    miss it); recursive statements carry none."""
+    import re as _re
+
+    import __spark_entry__ as entry
+
+    plain = _re.compile(
+        r"\b[A-Za-z_][A-Za-z0-9_]*\s+AS\s*\(\s*(?=SELECT\b|WITH\b)",
+        _re.IGNORECASE,
+    )
+    recursive = _re.compile(r"\bWITH\s+RECURSIVE\b", _re.IGNORECASE)
+    n_rec = 0
+    for name, sql in entry.oracle_sql().items():
+        if recursive.search(sql):
+            n_rec += 1
+            assert "MATERIALIZED" not in sql, name
+        else:
+            assert not plain.search(sql), name
+    assert n_rec >= 9  # the recursive walk/cluster/pack templates
