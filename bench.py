@@ -444,7 +444,8 @@ def _spread_lines(results: dict[str, float],
 def _notes(results: dict[str, float],
            mins: dict[str, float] | None = None,
            runs: int | None = None,
-           sentinels: dict[str, float] | None = None) -> str:
+           sentinels: dict[str, float] | None = None,
+           hostload: str | None = None) -> str:
     """Prose protocol/reprice notes for STDERR and BENCH_NOTES.md —
     generated from the recorded medians so every quoted number matches
     the JSON line."""
@@ -461,11 +462,21 @@ def _notes(results: dict[str, float],
         if sentinels else
         "* sentinel re-times: not recorded this invocation.\n"
     )
+    # os.getloadavg() at run start/end (round 14, third session): the
+    # one piece of host evidence the steal-phase adjudication needed
+    # and the record lacked — external CPU steal shows up in the load
+    # average while staying invisible to in-VM `ps`. Notes-only; the
+    # JSON driver contract is untouched.
+    load = (
+        f"* host load average (1/5/15 min): {hostload}.\n"
+        if hostload else
+        "* host load average: not recorded this invocation.\n"
+    )
     return (
         "bench notes (mirrored to BENCH_NOTES.md — the recording "
         "driver keeps only the last ~2000 chars of stdout, so the "
         "JSON line stays compact and these notes live here):\n"
-        + _spread_lines(results, mins, runs) +
+        + _spread_lines(results, mins, runs) + load +
         "* CALIBRATION + EPOCH ANCHOR (round 14): calibration_host "
         f"({g('calibration_host')} median this run; re-timed in the "
         "sentinel pass) is a fixed DATA-INDEPENDENT workload "
@@ -635,7 +646,8 @@ def _write_notes_file(results: dict[str, float],
                       runs: int | None,
                       sf,
                       path: str | None = None,
-                      sentinels: dict[str, float] | None = None) -> str:
+                      sentinels: dict[str, float] | None = None,
+                      hostload: str | None = None) -> str:
     """Persist the bench record's PROSE to the repo (round 11): the
     driver keeps the JSON line but clips stderr, so two rounds of
     protocol/reprice notes were lost mid-sentence — the r10 drift had
@@ -653,7 +665,7 @@ def _write_notes_file(results: dict[str, float],
         f"total={round(sum(results.values()), 3)}s",
         "",
         "```",
-        _notes(results, mins, runs, sentinels),
+        _notes(results, mins, runs, sentinels, hostload),
         "```",
         "",
         "| row | median s | min s | spread |",
@@ -677,7 +689,8 @@ def _emit(results: dict[str, float], sf, out=None, err=None,
           mins: dict[str, float] | None = None,
           runs: int | None = None,
           notes_path: str | None = None,
-          sentinels: dict[str, float] | None = None) -> str:
+          sentinels: dict[str, float] | None = None,
+          hostload: str | None = None) -> str:
     """Print the ONE machine-readable JSON line to stdout (compact
     separators, short note, hard length cap), the prose notes to
     stderr, and the full record to BENCH_NOTES.md. The per-row spread
@@ -688,10 +701,10 @@ def _emit(results: dict[str, float], sf, out=None, err=None,
     cap. Returns the emitted line (for tests)."""
     out = out or sys.stdout
     err = err or sys.stderr
-    print(_notes(results, mins, runs, sentinels), file=err)
+    print(_notes(results, mins, runs, sentinels, hostload), file=err)
     try:
         _write_notes_file(results, mins, runs, sf, path=notes_path,
-                          sentinels=sentinels)
+                          sentinels=sentinels, hostload=hostload)
     except OSError as e:  # never let the notes file kill the record
         print(f"BENCH_NOTES.md write failed: {e}", file=err)
     payload = {
@@ -770,6 +783,11 @@ def main() -> None:
     from agni_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
+
+    try:  # host evidence for the notes; never block the record on it
+        _la_start = "%.2f/%.2f/%.2f" % os.getloadavg()
+    except OSError:
+        _la_start = "n/a"
 
     spark = get_spark("agni-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -927,6 +945,11 @@ def main() -> None:
                 file=sys.stderr, flush=True,
             )
 
+    try:
+        _la_end = "%.2f/%.2f/%.2f" % os.getloadavg()
+    except OSError:
+        _la_end = "n/a"
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     _emit(
         results,
@@ -934,6 +957,7 @@ def main() -> None:
         mins=mins,
         runs=runs,
         sentinels=sentinels,
+        hostload=f"start {_la_start}, end {_la_end}",
     )
     spark.stop()
 

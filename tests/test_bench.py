@@ -187,3 +187,31 @@ def test_emit_drops_note_then_spread_rather_than_overflow(tmp_path):
     assert "spread_pct" not in parsed2  # shed to keep medians parseable
     with open(tmp_path / "n2.md") as f:
         assert "| 1.0 | 0.9 |" in f.read()
+
+
+def test_emit_records_host_load_in_notes(tmp_path):
+    """The notes record carries the run's start/end load averages (the
+    host evidence the r14 steal-phase adjudication needed) without
+    touching the JSON driver contract; omitting it says so explicitly
+    instead of silently dropping the field."""
+    import bench
+
+    results = {"p7_select_samples": 1.0}
+    out, err = io.StringIO(), io.StringIO()
+    notes = str(tmp_path / "n.md")
+    line = bench._emit(results, 0.1, out=out, err=err,
+                       mins={"p7_select_samples": 0.9}, runs=3,
+                       notes_path=notes,
+                       hostload="start 0.50/0.60/0.70, end 1.10/0.90/0.80")
+    assert "loadavg" not in line and "hostload" not in line  # JSON untouched
+    with open(notes) as f:
+        body = f.read()
+    assert "start 0.50/0.60/0.70, end 1.10/0.90/0.80" in body
+    assert "start 0.50/0.60/0.70" in err.getvalue()
+
+    line2 = bench._emit(results, 0.1, out=io.StringIO(),
+                        err=io.StringIO(), runs=3,
+                        notes_path=str(tmp_path / "n2.md"))
+    assert json.loads(line2)["queries"] == results
+    with open(tmp_path / "n2.md") as f:
+        assert "host load average: not recorded" in f.read()
