@@ -1106,7 +1106,11 @@ def _q_pipeline_curate_v3(spark: SparkSession, sf: str) -> DataFrame:
     # gate/assign joins; pin the 2-column decision set once (the
     # chain only reads doc_id + lang from here on)
     kept = kept.select("doc_id", "lang").persist()
-    split = text.split_assign(kept, 10)
+    # split is consumed three times (both leakage sides + the final
+    # manifest join) — pin the 2-column assignment so the md5-derived
+    # hash runs once per kept doc, not once per consumer (round-15,
+    # the r14 verdict's curate item; same rationale as the kept pin)
+    split = text.split_assign(kept, 10).persist()
     sa = split.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )

@@ -1373,55 +1373,74 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dist_row_number(
     df: DataFrame, order_cols: list, out_col: str,
-):
+    total_col: str | None = None,
+) -> DataFrame:
     """Exact `ROW_NUMBER() OVER (ORDER BY ...)` without a
     single-partition global window. The naive window moves the ENTIRE
     input to one partition to rank it; here the input is
-    range-repartitioned on the order key (distributed sort), each
-    partition's global rank offset comes from a tiny per-partition
-    count (#shuffle-partitions rows, cumulated driver-side — a bounded
-    metadata read), and the global rank is offset + local row_number.
+    range-repartitioned on the order key (distributed sort) and the
+    global rank is (rows in earlier partitions) + (position within
+    this partition).
+
+    Round-15 (guide §2.4/§5.2; replaces the r14 persist+collect
+    shape, which pinned the whole ranged frame for the session AND
+    paid a second full hashpartitioning(_pid) exchange for the local
+    row_number window): the frame is now ONE lazy plan with exactly
+    one data-proportional exchange —
+      * local position: sortWithinPartitions on the range partitions,
+        then monotonically_increasing_id(), whose documented layout is
+        (partition_id << 33) | record_position; the projection sits
+        above the sort and the expression is nondeterministic-tagged,
+        so the optimizer cannot reorder it below the sort.
+      * per-partition offsets: a groupBy over spark_partition_id() on
+        the SAME exchange (Spark's ReuseExchange serves both subtrees
+        from one shuffle, so the partitioning the counts see is the
+        partitioning the data pass sees — plan-asserted in tests),
+        cumulated by a window over at most #shuffle-partitions rows
+        (bounded metadata, never data-proportional) and broadcast
+        back.
+    No action, no persist: nothing is pinned after the caller's own
+    materialization (the r14 verdict's pin-release item).
+
     Identical output to the global window for any tie-free ORDER BY
-    (callers append a unique key). The ranged frame is persisted so
-    the count pass and the output pass see one consistent range
-    partitioning. Returns (frame with out_col: long, total row
-    count)."""
+    (callers append a unique key). `total_col` additionally carries
+    the total row count on every row (for in-plan ntile math)."""
     sp = df.sparkSession
     nparts = max(
         1, int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
     )
-    ranged = (
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranged = df.repartitionByRange(nparts, *order_cols)
+    # bounded: one row per shuffle partition, partial-aggregated
+    # map-side — the exchange below it moves <= nparts rows
+    cnts = ranged.groupBy(
+        F.spark_partition_id().alias("_pid")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    cum = Window.partitionBy(F.lit(0)).orderBy("_pid")
+    offsets = cnts.select(
+        "_pid",
+        (F.sum("_cnt").over(cum) - F.col("_cnt")).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy(F.lit(0))).alias("_tot"),
     )
-    # per-partition counts: at most #shuffle-partitions rows — a
-    # bounded driver-side metadata read (the same class as the
-    # stored-index manifest reads), never data-proportional
-    sizes = sorted(
-        (r["_pid"], r["_cnt"])
-        for r in ranged.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .collect()
+    local = (
+        ranged.sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn(
+            "_pid", F.shiftright(F.col("_mid"), 33).cast("int")
+        )
     )
-    n = sum(c for _, c in sizes)
-    offs, acc = [], 0
-    for pid, c in sizes:
-        offs.append((pid, acc))
-        acc += c
-    offsets = sp.createDataFrame(
-        offs or [(0, 0)], "_pid int, _off long"
-    )
-    lw = Window.partitionBy("_pid").orderBy(*order_cols)
     ranked = (
-        ranged.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_pid")
         .withColumn(
             out_col,
-            (F.col("_off") + F.row_number().over(lw)).cast("long"),
+            (
+                F.col("_off")
+                + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+                + 1
+            ).cast("long"),
         )
-        .drop("_pid", "_off")
     )
-    return ranked, n
+    keep = [F.col("_tot").alias(total_col)] if total_col else []
+    return ranked.select(*df.columns, F.col(out_col), *keep)
 
 
 def _dist_ntile(
@@ -1431,21 +1450,27 @@ def _dist_ntile(
     global window: the range-partitioned global rank from
     _dist_row_number, bucketed by the exact ntile piecewise formula —
     with n rows and k buckets the first n%k buckets hold ceil(n/k)
-    rows. Identical output to the global window for any tie-free
-    ORDER BY (callers append a unique key)."""
-    ranked, n = _dist_row_number(df, order_cols, "_rn")
-    r = F.col("_rn")
+    rows. The formula is evaluated IN-PLAN from the carried total
+    (integer `div`/`%` only — exact, and the whole operator stays one
+    lazy plan with no driver-side action). Identical output to the
+    global window for any tie-free ORDER BY (callers append a unique
+    key)."""
     k = int(n_buckets)
-    if n < k:
-        bucket = r  # ntile with fewer rows than buckets: one row each
-    else:
-        q, m = divmod(n, k)
-        big = m * (q + 1)  # rows living in the ceil-sized buckets
-        bucket = (
-            F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
-            .otherwise(m + F.floor((r - big - 1) / q) + 1)
-        )
-    return ranked.withColumn(out_col, bucket.cast("int")).drop("_rn")
+    ranked = _dist_row_number(df, order_cols, "_rn", total_col="_tot")
+    # CASE guards make every div/% divisor nonzero on the branch that
+    # evaluates it (ANSI-safe): _tot >= k implies _tot div k >= 1
+    bucket = F.expr(
+        f"CASE WHEN _tot < {k} THEN _rn "
+        f"WHEN _rn <= (_tot % {k}) * ((_tot div {k}) + 1) "
+        f"THEN (_rn - 1) div ((_tot div {k}) + 1) + 1 "
+        f"ELSE (_tot % {k}) "
+        f"+ (_rn - (_tot % {k}) * ((_tot div {k}) + 1) - 1) "
+        f"div (_tot div {k}) + 1 END"
+    )
+    return (
+        ranked.withColumn(out_col, bucket.cast("int"))
+        .drop("_rn", "_tot")
+    )
 
 
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,33 +133,43 @@ def ivf_centroids(
 
 def _nearest_centroids(
     df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, n: int,
-    keep_rank: bool = False,
+    keep_rank: bool = False, keep_sim: bool = False,
 ) -> DataFrame:
     """Top-n centroids by cosine for each vector.
 
-    Broadcast cross join against the BOUNDED centroid table
-    (n_centroids rows — a model parameter, not data) + rank window,
-    with both norms precomputed ONCE per side so the per-pair fold is
-    the dot product alone (1 array fold per pair instead of 3).
-    Bit-identical to folding the full cosine per pair: the score is
-    still dot / sqrt(na*nb) over the same sequentially-accumulated
-    doubles, rounded to 6dp, ties broken by centroid_id ASC.
+    The centroid table is BOUNDED (n_centroids rows — a model
+    parameter, not data) and already materialized by every caller
+    (ivf_centroids persists+counts; the stored probes read an 8-row
+    parquet), so it is collected and inlined as LITERALS: the whole
+    assignment becomes a PURE PROJECTION over `df` — no broadcast
+    exchange, no join, and (round-15, guide §2.4/§8) none of the
+    full-corpus shuffle the previous shapes paid (r13's rank window
+    moved n_vectors x n_centroids rows; r14's max_by still hash-
+    exchanged one row per vector, embedding payload included, to
+    merge groups that were already partition-complete).
 
-    n == 1 (every cell-assignment caller — builds, appends, training)
-    skips the rank window for a map-side-combining `max_by`
-    aggregation (round-14, guide §2.3/§2.4): the window shape
-    shuffles AND sorts all n_vectors x n_centroids scored rows on
-    id_col, while the partial-aggregating `max_by` collapses each
-    vector's n_centroids candidates to one row before the exchange —
-    n_centroids-fold fewer shuffled bytes and no per-partition sort.
-    The ordering struct (sim, -centroid_id) reproduces the window's
-    (sim DESC, centroid_id ASC) exactly, including Spark's
-    NaN-greatest total order, so the selected centroid is identical
-    row for row (test-pinned against the window path).
+    Numeric path is unchanged expression for expression: per-pair
+    sim = round(dot / sqrt(na*nb), 6) with the dot and na computed by
+    the same sequential Catalyst folds as before (na staged once per
+    row), and nb pre-folded in Python over the collected doubles —
+    the identical left-fold `acc + v*v` sequence of IEEE operations,
+    so the float is bit-identical to the Spark fold it replaces.
 
-    `keep_rank=True` (window path only) retains the rank column `rn`
-    so a caller needing BOTH the top-1 and top-n assignment of the
-    same vectors (knn_graph) can derive them from one scored pass."""
+    n == 1: the argmax over the n_centroids (sim, -centroid_id)
+    structs via array_max — Spark's struct total order (NaN greatest,
+    nulls first ascending) reproduces the r13 window's (sim DESC,
+    centroid_id ASC) exactly, as the r14 max_by did (test-pinned
+    against the window shape).
+
+    n > 1 / `keep_rank=True`: sort_array(..., asc=False) over the
+    same structs + slice + posexplode — rank rn = array position, so
+    a caller needing BOTH the top-1 and top-n assignment of the same
+    vectors (knn_graph) still derives them from one scored pass.
+
+    `keep_sim=True` (n == 1 path) additionally surfaces the winning
+    centroid's rounded similarity as `sim` — for callers that rank
+    members WITHIN their own cell (graph_entry_medoids) and would
+    otherwise re-score the winner."""
 
     def _sq_norm(col):
         return F.aggregate(
@@ -168,43 +178,64 @@ def _nearest_centroids(
             lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
 
-    cents2 = cents.select(
-        "centroid_id", "cvec", _sq_norm(F.col("cvec")).alias("_nb")
+    cent_rows = sorted(
+        ((int(r["centroid_id"]), [float(v) for v in r["cvec"]])
+         for r in cents.select("centroid_id", "cvec").collect()),
+        key=lambda t: t[0],
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("cvec"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    scored = (
-        df.withColumn("_na", _sq_norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(cents2))
-        .withColumn(
-            "sim", F.round(dot / F.sqrt(F.col("_na") * F.col("_nb")), 6)
+    payload = [c for c in df.columns if c != id_col]
+    if not cent_rows:
+        # empty quantizer (empty training corpus): the old crossJoin
+        # against an empty centroid table produced zero rows
+        out = df.select(
+            id_col, *payload, F.lit(None).cast("long").alias("centroid_id")
+        ).where(F.lit(False))
+        if keep_sim:
+            out = out.withColumn("sim", F.lit(None).cast("double"))
+        if keep_rank:
+            out = out.withColumn("rn", F.lit(None).cast("int"))
+        return out
+
+    def _sim(cid: int, cvec: list):
+        lit_cvec = F.array(*[F.lit(v) for v in cvec])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                lit_cvec,
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-    )
+        # nb: Python left fold acc + v*v — bit-identical to the Spark
+        # fold over the same doubles (same IEEE ops, same order)
+        nb = 0.0
+        for v in cvec:
+            nb = nb + v * v
+        return F.round(dot / F.sqrt(F.col("_na") * F.lit(nb)), 6)
+
+    structs = F.array(*[
+        F.struct(
+            _sim(cid, cvec).alias("sim"),
+            F.lit(-cid).cast("long").alias("_nc"),
+        )
+        for cid, cvec in cent_rows
+    ])
+    staged = df.withColumn("_na", _sq_norm(F.col(vec_col)))
     if n == 1 and not keep_rank:
-        payload = [c for c in df.columns if c != id_col] + ["centroid_id"]
-        best = scored.groupBy(id_col).agg(
-            F.max_by(
-                F.struct(*payload),
-                F.struct(F.col("sim"), (-F.col("centroid_id")).alias("_nc")),
-            ).alias("_b")
+        sim_cols = [F.col("_b.sim").alias("sim")] if keep_sim else []
+        return staged.withColumn("_b", F.array_max(structs)).select(
+            id_col, *payload,
+            (-F.col("_b._nc")).cast("long").alias("centroid_id"),
+            *sim_cols,
         )
-        return best.select(
-            id_col, *[F.col(f"_b.{c}").alias(c) for c in payload]
-        )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
-    )
-    out = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n)
-        .drop("sim", "cvec", "_na", "_nb")
+    top = F.slice(F.sort_array(structs, asc=False), 1, n)
+    out = staged.select(
+        *df.columns, F.posexplode(top).alias("_pos", "_b")
+    ).select(
+        *df.columns,
+        (-F.col("_b._nc")).cast("long").alias("centroid_id"),
+        (F.col("_pos") + 1).cast("int").alias("rn"),
     )
     return out if keep_rank else out.drop("rn")
 
@@ -3093,6 +3124,7 @@ def pagerank(
     ed = edges.join(deg, "src").persist()
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    prev = None
     for _ in range(iters):
         inflow = (
             ed
@@ -3114,9 +3146,30 @@ def pagerank(
                 / 1e9
             ).alias("r"),
         )
-    return ranks.select(
+        # TRUNCATE the iteration lineage (round-15, guide §5.4, the
+        # r14 verdict's top engine item): without this, iteration i's
+        # plan embeds every earlier iteration — ~10.5k plan lines and
+        # ~1,160 Exchanges by i=3 on a knn_graph input, and the driver
+        # re-plans that whole tower per iteration. localCheckpoint
+        # (eager) materializes the O(n_nodes) rank table and re-roots
+        # the plan at a scan of it: per-iteration plan size is O(1).
+        # The values are the same discretized floats — only where they
+        # are read from changes.
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    out = ranks.select(
         "node", F.round("r", 6).alias("rank")
     ).orderBy(F.col("rank").desc(), "node")
+    if iters > 0:
+        # the checkpointed final ranks no longer reference the pinned
+        # iteration-invariant tables — release them here instead of
+        # leaking three corpus-scale pins to the caller's session
+        ed.unpersist()
+        nodes.unpersist()
+        edges.unpersist()
+    return out
 
 
 def _ivfpq_train(
@@ -3904,35 +3957,20 @@ def graph_entry_medoids(
         centroids if centroids is not None
         else ivf_centroids(corpus, n_entries)
     )
-    sims = (
-        corpus.select("vec_id", F.col("embedding").alias("ce"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "centroid_id",
-            F.round(cosine(F.col("ce"), F.col("cvec")), 6).alias("sim"),
-        )
-    )
-    # each vector's OWN cell (argmax sim), then each cell's best
-    # member. The own-cell top-1 is a partial-aggregating max_by, not
-    # a rank window (round-14, same rewrite as _nearest_centroids
-    # n==1): the window shape shuffled AND sorted all n x n_entries
-    # scored rows on vec_id; max_by collapses each vector's candidates
-    # map-side. struct(sim, -centroid_id) reproduces (sim DESC,
-    # centroid_id ASC) including NaN-greatest semantics.
-    own_cell = (
-        sims.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("centroid_id"), F.col("sim")),
-                F.struct(F.col("sim"), (-F.col("centroid_id")).alias("_nc")),
-            ).alias("_b")
-        )
-        .select(
-            "vec_id",
-            F.col("_b.centroid_id").alias("centroid_id"),
-            F.col("_b.sim").alias("sim"),
-        )
-    )
+    # each vector's OWN cell (argmax sim) — a pure projection via the
+    # literal-inlined _nearest_centroids (round-15, same rewrite as
+    # the assignment callers, guide §2.4): the r14 max_by shape still
+    # hash-exchanged one (vec_id, centroid_id, sim) row per vector to
+    # merge groups that the projection computes partition-locally.
+    # sim is _nearest_centroids' round(dot/sqrt(na*nb), 6) — the same
+    # sequential fold `cosine` ran here before, bit for bit (cvec is
+    # double, so cosine's nb cast-fold is the same IEEE sequence as
+    # the Python pre-fold). The only exchange left in this operator is
+    # the n_entries-group min_by below.
+    own_cell = _nearest_centroids(
+        corpus.select("vec_id", F.col("embedding").alias("ce")),
+        cents, "vec_id", "ce", 1, keep_sim=True,
+    ).select("vec_id", "centroid_id", "sim")
     return (
         own_cell
         .groupBy("centroid_id")

@@ -1103,7 +1103,7 @@ def _compile_inner(
             # global window — the order key spans every label column,
             # so it is tie-free per vector semantics), never a
             # single-partition WindowExec.
-            ranked, _ = _dist_row_number(inner, order, "ord")
+            ranked = _dist_row_number(inner, order, "ord")
             return ranked.withColumn(
                 "ord", F.col("ord").cast("int")
             ).orderBy("ord")

@@ -785,8 +785,9 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     try:  # host evidence for the notes; never block the record on it
+        # AttributeError too: os.getloadavg is Unix-only (r14 ADVICE)
         _la_start = "%.2f/%.2f/%.2f" % os.getloadavg()
-    except OSError:
+    except (OSError, AttributeError):
         _la_start = "n/a"
 
     spark = get_spark("agni-spark-bench", cpus=cpus)
@@ -947,7 +948,7 @@ def main() -> None:
 
     try:
         _la_end = "%.2f/%.2f/%.2f" % os.getloadavg()
-    except OSError:
+    except (OSError, AttributeError):
         _la_end = "n/a"
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -28,19 +28,61 @@ def _rows(df, cols=None):
 
 
 def test_nearest_centroids_maxby_matches_window(spark):
+    # round-15: both _nearest_centroids paths are now literal-inlined
+    # pure projections (array_max / sort_array over per-centroid score
+    # structs) — pin them against the original r13 crossJoin + rank
+    # window shape, rebuilt inline here as the reference
+    from pyspark.sql import Window
+
     emb = spark.read.parquet(EMB)
     cents = simsearch.ivf_centroids(emb, 8)
     df = emb.select("vec_id", F.col("embedding").alias("ce"))
     fast = simsearch._nearest_centroids(df, cents, "vec_id", "ce", 1)
-    # the window shape the aggregate replaced: keep_rank forces the
-    # rank-window path even for n=1
-    slow = simsearch._nearest_centroids(
-        df, cents, "vec_id", "ce", 1, keep_rank=True
-    ).drop("rn")
-    assert fast.columns == slow.columns
+    ranked = simsearch._nearest_centroids(
+        df, cents, "vec_id", "ce", 2, keep_rank=True
+    )
+    assert fast.columns == ranked.drop("rn").columns
+
+    def _sq_norm(col):
+        return F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+
+    cents2 = cents.select(
+        "centroid_id", "cvec", _sq_norm(F.col("cvec")).alias("_nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ce"), F.col("cvec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    ref = (
+        df.withColumn("_na", _sq_norm(F.col("ce")))
+        .crossJoin(F.broadcast(cents2))
+        .withColumn(
+            "sim", F.round(dot / F.sqrt(F.col("_na") * F.col("_nb")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("vec_id", "centroid_id", "rn")
+    )
+    got_rank = _rows(ranked.select("vec_id", "centroid_id", "rn"))
+    assert got_rank == _rows(ref)
     a = _rows(fast.select("vec_id", "centroid_id"))
-    b = _rows(slow.select("vec_id", "centroid_id"))
+    b = _rows(ref.where("rn = 1").select("vec_id", "centroid_id"))
     assert a == b
+    # and the assignment is a pure projection: zero exchanges
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    cents.unpersist()
 
 
 def test_knn_graph_matches_ivf_ann_self_query(spark):
@@ -91,9 +133,10 @@ def test_bm25_indexed_still_matches_scan_bm25(spark):
 
 
 def test_graph_entry_medoids_maxby_matches_window(spark):
-    # round-14: the own-cell top-1 inside graph_entry_medoids is a
-    # max_by aggregation; pin it against the rank-window shape it
-    # replaced (same idiom as the _nearest_centroids pin above)
+    # round-14: the own-cell top-1 inside graph_entry_medoids became a
+    # max_by aggregation; round-15: a literal-inlined pure projection
+    # (keep_sim path of _nearest_centroids). Pin it against the
+    # original rank-window shape (same idiom as the pin above).
     from pyspark.sql import Window
 
     emb = spark.read.parquet(EMB)
@@ -196,19 +239,57 @@ def test_dist_row_number_matches_global_window(spark):
         (F.col("id") % 7).alias("b"),
     )
     order = [F.col("a").desc_nulls_last(), F.col("b"), F.col("id")]
-    ranked, n = _dist_row_number(df, order, "ord")
-    got = sorted(
-        (r.id, r.ord) for r in ranked.select("id", "ord").collect()
-    )
+    pins_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    sel = _dist_row_number(df, order, "ord").select("id", "ord")
+    got = sorted((r.id, r.ord) for r in sel.collect())
     want = sorted(
         (r.id, r.ord)
         for r in df.withColumn(
             "ord", F.row_number().over(Window.orderBy(*order))
         ).select("id", "ord").collect()
     )
-    assert n == 997
     assert got == want
-    ranked.unpersist()
+    # round-15 shape assertions on the EXECUTED adaptive plan: ONE
+    # data-proportional exchange (the range repartition), served to
+    # both the data pass and the offset counts by runtime exchange
+    # reuse (the counts MUST see the same partitioning the data pass
+    # sees — correctness, not just speed: a re-sampled range exchange
+    # could draw different bounds); no second hashpartitioning(_pid)
+    # exchange; and the operator pins nothing (the r14 persist+collect
+    # shape leaked its ranged frame into the session until bench._cold
+    # scrubbed it)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("+- Exchange rangepartitioning") == 1
+    assert "ReusedExchange" in final
+    assert "hashpartitioning(_pid" not in final
+    pins_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert pins_after == pins_before  # the operator pins nothing
+
+
+def test_dist_ntile_matches_global_ntile(spark):
+    from pyspark.sql import Window
+
+    from agni_spark.functions.relational import _dist_ntile
+
+    for nrows, k in ((997, 5), (996, 4), (3, 5)):
+        df = spark.range(0, nrows).select(
+            F.col("id"),
+            (F.col("id") * 37 % 101).alias("a"),
+        )
+        order = [F.col("a").desc_nulls_last(), F.col("id")]
+        got = sorted(
+            (r.id, r.q)
+            for r in _dist_ntile(df, order, k, "q").collect()
+        )
+        want = sorted(
+            (r.id, r.q)
+            for r in df.withColumn(
+                "q", F.ntile(k).over(Window.orderBy(*order))
+            ).collect()
+        )
+        assert got == want, f"nrows={nrows} k={k}"
 
 
 def test_materialize_ctes_rewrites_only_cte_heads():
