@@ -4239,12 +4239,37 @@ def _beam_walk(
         ]
 
     deg = max(1, max_degree)
-    spec = (
-        (1 + deg + deg * deg)
-        if expand3_fn
-        else ((1 + deg) if expand2_fn else 1)
-    )
-    per_q = 1 + hops * beam * deg * spec
+    # TIERED SPECULATION (round-15, guide §2.6/§7 — scheduling fixed
+    # cost IS the serving SLO): the speculative depth-2/3 prefetch
+    # multiplies the state budget by deg (or deg^2), and on an
+    # appended/compacted graph whose measured hub degree is large the
+    # old guard SHARDED the batch into near-single-query chunks —
+    # 8x the Spark actions to protect against prefetch rows that a
+    # shallower walk never materializes. Instead of sharding, STEP
+    # DOWN the prefetch depth until the whole batch fits in one chunk:
+    # every depth is result-identical (the depth-2/3 selection is
+    # byte-equal to the sequential rounds — long test-pinned), so the
+    # only thing that changes is actions-per-chunk vs chunks. The
+    # deepest tier that fits serves the batch in ceil(hops/depth)
+    # actions; if even the sequential tier (budget 1 + hops*beam*deg,
+    # no prefetch factor) cannot fit one chunk, it is the tier with
+    # the cheapest per-chunk action count, so shard on it.
+    def _per_q(spec: int) -> int:
+        return 1 + hops * beam * deg * spec
+    tiers = []
+    if expand3_fn is not None:
+        tiers.append((1 + deg + deg * deg, expand2_fn, expand3_fn))
+    if expand2_fn is not None:
+        tiers.append((1 + deg, expand2_fn, None))
+    tiers.append((1, None, None))
+    for spec, e2, e3 in tiers:
+        if len(qids) * _per_q(spec) <= _BEAM_MAX_STATE:
+            expand2_fn, expand3_fn = e2, e3
+            break
+    else:
+        expand2_fn, expand3_fn = None, None
+        spec = 1
+    per_q = _per_q(spec)
     chunk = max(1, _BEAM_MAX_STATE // per_q)
     out = []
     for i in range(0, len(qids), chunk):
@@ -5464,15 +5489,34 @@ def _hnsw_walk(
         ]
 
     deg = max(1, max_degree)
+    # TIERED SPECULATION (round-15) — same rationale as _beam_walk's
+    # guard: on a hub-heavy appended/compacted graph the depth-2/3
+    # prefetch budget (spec = 1+deg+deg^2) forced near-single-query
+    # chunks, multiplying the probe's Spark actions ~8x. Every
+    # prefetch depth selects byte-identically (test-pinned), so step
+    # down to the deepest tier whose budget serves the WHOLE batch in
+    # one chunk before falling back to sharding on the sequential
+    # tier's (smallest) budget.
+    def _per_q(spec: int) -> int:
+        return 1 + (
+            len(upper_expands) * hops_upper * deg + hops * beam * deg
+        ) * spec
+    tiers = []
     if expand3_fn is not None:
-        spec = 1 + deg + deg * deg
-    elif upper_expand2s or expand2_fn:
-        spec = 1 + deg
+        tiers.append(
+            (1 + deg + deg * deg, upper_expand2s, expand2_fn, expand3_fn)
+        )
+    if upper_expand2s or expand2_fn:
+        tiers.append((1 + deg, upper_expand2s, expand2_fn, None))
+    tiers.append((1, None, None, None))
+    for spec, u2, e2, e3 in tiers:
+        if len(qids) * _per_q(spec) <= _BEAM_MAX_STATE:
+            upper_expand2s, expand2_fn, expand3_fn = u2, e2, e3
+            break
     else:
+        upper_expand2s, expand2_fn, expand3_fn = None, None, None
         spec = 1
-    per_q = 1 + (
-        len(upper_expands) * hops_upper * deg + hops * beam * deg
-    ) * spec
+    per_q = _per_q(spec)
     chunk = max(1, _BEAM_MAX_STATE // per_q)
     out = []
     for i in range(0, len(qids), chunk):

@@ -2436,9 +2436,12 @@ def test_upper_layer_build_never_broadcasts_members(spark):
                 assert "Scan parquet" not in sub, line + "\n" + sub_txt
                 assert "LocalTableScan" not in sub, line + "\n" + sub_txt
             assert bounded, line + "\n" + sub_txt
-        # the hint-driven centroid broadcasts are present (cells +
-        # probes assignment passes) — the loop above actually ran
-        assert n_bcast >= 1
+        # round-15: the literal-inlined centroid assignment removed
+        # the hint-driven centroid broadcasts entirely — the strictly
+        # stronger shape is ZERO BroadcastExchange nodes. The loop
+        # above stays as the member-broadcast guard should any
+        # broadcast ever reappear in this plan.
+        assert n_bcast == 0
         assert edges.limit(1).count() >= 0  # plan executes
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
